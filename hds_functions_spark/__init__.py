@@ -1,0 +1,45 @@
+"""hds_functions_spark — a PySpark-native analytics/curation engine.
+
+Clean-room rebuild of the capability surface of ``bhfdschds/hds_functions``
+(reference studied at /root/reference, never copied), re-expressed
+Spark-first and extended with large-scale training-data-pipeline operators
+(dedup, similarity search, text analysis, event-time joins).
+"""
+
+from .functions.dates import (
+    convert_date_units_to_days,
+    parse_date_instruction,
+    validate_date_string,
+)
+from .operators.cohort import (
+    apply_inclusion_criteria,
+    create_inclusion_columns,
+    create_inclusion_flowchart,
+    validate_cohort_columns,
+    validate_inclusion_criteria,
+)
+from .operators.privacy import redact_low_counts, round_counts_to_multiple
+from .operators.topk import first_dense_rank, first_rank, first_row, select_top_rows
+from .operators.wrangling import clean_column_names, map_column_values
+from .sources.config_io import (
+    create_dict_from_csv,
+    read_csv_distributed,
+    read_csv_file,
+    read_json_file,
+    write_csv_file,
+    write_json_file,
+)
+from .sources.environment import (
+    find_project_folder,
+    get_dbutils,
+    get_spark_session,
+    resolve_path,
+)
+from .sources.tables import (
+    get_archive_versions,
+    load_table,
+    save_table,
+    standardise_table,
+)
+
+__version__ = "0.1.0"

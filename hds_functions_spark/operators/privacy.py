@@ -1,0 +1,95 @@
+"""Statistical disclosure control: count rounding and small-count redaction.
+
+Parity target: ``/root/reference`` ``data_privacy.py:15-136``.
+
+Both operators are pure per-row projections (``when/otherwise`` + arithmetic)
+— JVM-side, whole-stage-codegen, zero shuffle at any scale.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Union
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+__all__ = ["round_counts_to_multiple", "redact_low_counts"]
+
+
+def _validate_columns_arg(columns) -> None:
+    if not isinstance(columns, list) or not all(
+        isinstance(c, str) for c in columns
+    ):
+        raise TypeError("The 'columns' argument must be a list of strings.")
+
+
+def round_counts_to_multiple(
+    df: DataFrame, columns: List[str], multiple: int = 5
+) -> DataFrame:
+    """Round each listed column to the nearest ``multiple`` (long result).
+
+    Implemented as ``cast(round(col / multiple) * multiple as bigint)`` —
+    Spark's ``round`` is HALF_UP, so with ``multiple=5``: 7 -> 5, 17 -> 15
+    (round(3.4)=3), 22 -> 20, 12.5-style exact halves round up. Nulls pass
+    through as null. Parity: reference ``data_privacy.py:15-69`` — note the
+    reference docstring's "17 -> 20" example is contradicted by its own test
+    suite (``tests/test_data_privacy.py:37-46``: 17 -> 15); the tests are
+    authoritative and this implementation matches them.
+
+    Raises:
+        TypeError: non-DataFrame ``df`` or non-list-of-str ``columns``.
+        ValueError: non-positive/non-int ``multiple`` or missing column.
+    """
+    if not isinstance(df, DataFrame):
+        raise TypeError("The input 'df' must be a Spark DataFrame.")
+    _validate_columns_arg(columns)
+    if not isinstance(multiple, int) or multiple <= 0:
+        raise ValueError("The 'multiple' argument must be a positive integer.")
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise ValueError(
+            f"The column '{missing[0]}' does not exist in the DataFrame."
+        )
+
+    rounded = {
+        c: (F.round(F.col(c) / multiple) * multiple).cast(LongType())
+        for c in columns
+    }
+    # Single projection for all columns (one select node, not N withColumns).
+    return df.withColumns(rounded)
+
+
+def redact_low_counts(
+    df: DataFrame,
+    columns: List[str],
+    threshold: int,
+    redaction_value: Optional[Union[str, int]] = None,
+) -> DataFrame:
+    """Replace values below ``threshold`` with ``redaction_value``.
+
+    Semantics (parity: reference ``data_privacy.py:72-136``):
+
+    - ``col >= threshold`` KEEPS the value (boundary kept);
+    - nulls are REDACTED (``null >= t`` is null -> otherwise branch);
+    - a *string* ``redaction_value`` promotes the whole column to string
+      (``when/otherwise`` type promotion);
+    - ``redaction_value=None`` redacts to null.
+
+    Raises:
+        ValueError: non-positive threshold or missing column.
+        TypeError: ``columns`` not a list of strings.
+    """
+    if not isinstance(threshold, int) or threshold <= 0:
+        raise ValueError("Threshold must be a positive integer.")
+    _validate_columns_arg(columns)
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise ValueError(f"Column '{missing[0]}' does not exist in the DataFrame.")
+
+    redaction_lit = F.lit(redaction_value) if redaction_value is not None else F.lit(None)
+    redacted = {
+        c: F.when(F.col(c) >= threshold, F.col(c)).otherwise(redaction_lit)
+        for c in columns
+    }
+    return df.withColumns(redacted)

@@ -1,0 +1,93 @@
+"""Data-wrangling operators: column-name sanitisation and value mapping.
+
+Parity target: ``/root/reference`` ``data_wrangling.py:15-120``.
+Both operators are metadata-only / narrow projections — zero shuffle.
+"""
+
+from __future__ import annotations
+
+from itertools import chain
+from typing import Mapping
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["clean_column_names", "map_column_values"]
+
+# Above this many entries a literal `create_map` expression gets unwieldy for
+# Catalyst (huge expression tree); switch to a broadcast-join lookup table.
+_MAP_LITERAL_MAX_ENTRIES = 1000
+
+
+def _clean_name(name: str) -> str:
+    """Sanitise one column name (reference ``data_wrangling.py:38-44``)."""
+    cleaned = "".join(c if c.isalnum() or c == "_" else "_" for c in name)
+    if cleaned and cleaned[0].isdigit():
+        cleaned = "_" + cleaned
+    return cleaned.lower()
+
+
+def clean_column_names(df: DataFrame) -> DataFrame:
+    """Sanitise all column names; dedupe with ``_2``, ``_3``, ... suffixes.
+
+    Non-``[alnum_]`` characters become ``_``; a leading digit gains a ``_``
+    prefix; everything is lowercased. Duplicates (post-cleaning) are renamed
+    in occurrence order: first keeps the name, later ones get ``_2``, ``_3``.
+    Pure rename via ``toDF`` — a metadata-only projection, no execution cost.
+    Parity: reference ``data_wrangling.py:15-61``.
+    """
+    cleaned = [_clean_name(c) for c in df.columns]
+    seen: dict[str, int] = {}
+    unique: list[str] = []
+    for name in cleaned:
+        if name in seen:
+            seen[name] += 1
+            unique.append(f"{name}_{seen[name]}")
+        else:
+            seen[name] = 1
+            unique.append(name)
+    return df.toDF(*unique)
+
+
+def map_column_values(
+    df: DataFrame,
+    map_dict: Mapping,
+    column: str,
+    new_column: str = "",
+) -> DataFrame:
+    """Map values of ``column`` through a Python dict; misses become null.
+
+    With ``new_column=""`` the source column is overwritten. Errors: missing
+    source column, empty dict, pre-existing destination column (ValueError).
+    Parity: reference ``data_wrangling.py:64-120``.
+
+    Scale note: small dicts compile to a literal ``F.create_map(...)[col]``
+    expression (evaluated JVM-side inside whole-stage codegen, no shuffle).
+    Dicts larger than 1000 entries are applied as a broadcast left join
+    against an in-memory lookup DataFrame — identical semantics including
+    null for unmapped keys — keeping the Catalyst expression tree small.
+    """
+    if column not in df.columns:
+        raise ValueError(f"Column '{column}' does not exist in the DataFrame.")
+    if not map_dict:
+        raise ValueError("Empty mapping dictionary provided.")
+    if new_column and new_column in df.columns:
+        raise ValueError(f"Column '{new_column}' already exists in the DataFrame.")
+
+    target = new_column or column
+
+    if len(map_dict) <= _MAP_LITERAL_MAX_ENTRIES:
+        literal_map = F.create_map(*[F.lit(x) for x in chain(*map_dict.items())])
+        return df.withColumn(target, literal_map[df[column]])
+
+    # Broadcast-join path for large dictionaries.
+    spark = df.sparkSession
+    lookup = spark.createDataFrame(
+        [(k, v) for k, v in map_dict.items()], ["_hds_map_key", "_hds_map_value"]
+    )
+    joined = df.join(
+        F.broadcast(lookup), df[column] == F.col("_hds_map_key"), "left"
+    )
+    return joined.withColumn(target, F.col("_hds_map_value")).drop(
+        "_hds_map_key", "_hds_map_value"
+    )

@@ -1,0 +1,107 @@
+"""Environment discovery helpers: session access, path resolution.
+
+Parity target: ``/root/reference`` ``environment_utils.py:18-166``. The
+Databricks-coupled surface (``find_project_folder``, ``get_dbutils``) is
+gated behind import-tries so the library works in any Spark environment.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+__all__ = [
+    "get_spark_session",
+    "resolve_path",
+    "find_project_folder",
+    "get_dbutils",
+]
+
+
+def get_spark_session() -> SparkSession:
+    """Active (or new) SparkSession with scale-oriented defaults.
+
+    Unlike the reference's bare ``getOrCreate`` (``environment_utils.py:18-32``)
+    this enables Adaptive Query Execution — runtime partition coalescing and
+    skew-join splitting — which the whole library relies on for sane shuffle
+    behaviour at large scale. Existing sessions are reused untouched.
+    """
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        return active
+    return (
+        SparkSession.builder.appName("hds_functions_spark")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .getOrCreate()
+    )
+
+
+def resolve_path(path: str, repo: str | None = None) -> str:
+    """Resolve a config-file path (reference ``environment_utils.py:35-72``).
+
+    Three mutually exclusive cases:
+    - absolute path -> returned as-is;
+    - ``./``-relative -> resolved against the ``PROJECT_FOLDER`` env var
+      (falling back to the current working directory);
+    - otherwise requires ``repo`` -> resolved against that installed
+      package's directory (``importlib.resources``).
+    """
+    if os.path.isabs(path):
+        return path
+    if path.startswith("./"):
+        project_folder = os.environ.get("PROJECT_FOLDER", os.getcwd())
+        return os.path.join(project_folder, path[2:])
+    if repo is None:
+        raise AssertionError(
+            "Relative paths without a './' prefix require the 'repo' argument "
+            "naming an installed package."
+        )
+    from importlib import resources
+
+    return str(resources.files(repo).joinpath(path))
+
+
+def find_project_folder(
+    marker_file: str = ".dbxproj", workspace_prefix: str = "/Workspace"
+) -> str:
+    """Walk up from the current directory until ``marker_file`` is found.
+
+    The reference (``environment_utils.py:75-127``) walks up from the
+    Databricks notebook path; outside Databricks this generalises to walking
+    up from ``$PROJECT_FOLDER`` or the CWD. FileNotFoundError at filesystem
+    root.
+    """
+    start = os.environ.get("PROJECT_FOLDER", os.getcwd())
+    current = os.path.abspath(start)
+    while True:
+        if os.path.exists(os.path.join(current, marker_file)):
+            return current
+        parent = os.path.dirname(current)
+        if parent == current:
+            raise FileNotFoundError(
+                f"No '{marker_file}' marker found walking up from {start}."
+            )
+        current = parent
+
+
+def get_dbutils(spark: SparkSession):
+    """Databricks ``dbutils`` handle, or None outside Databricks.
+
+    Parity: reference ``environment_utils.py:130-166`` (DBUtils, then the
+    IPython user-namespace fallback); this version returns None instead of
+    raising so callers can feature-gate.
+    """
+    try:  # pragma: no cover - Databricks only
+        from pyspark.dbutils import DBUtils  # type: ignore
+
+        return DBUtils(spark)
+    except ImportError:
+        try:  # pragma: no cover - notebook only
+            import IPython
+
+            return IPython.get_ipython().user_ns["dbutils"]
+        except Exception:
+            return None

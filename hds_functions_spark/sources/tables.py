@@ -1,0 +1,209 @@
+"""Config-driven table load/save with archive-version filtering and
+per-dataset standardisation.
+
+Parity target: ``/root/reference`` ``table_management.py:23-300``.
+
+Extensions over the reference (documented, semantics preserved):
+
+- table-directory entries may specify ``{"path": "...", "format": "parquet"}``
+  instead of ``{"database", "table_name"}`` — file-based sources/sinks for
+  environments without a metastore (the driver testdata is parquet paths);
+- the 11 copy-paste ``standardise_*`` functions are one data-driven registry
+  (rename map + date/timestamp parse specs per dataset);
+- ``load_table(..., archive_date='latest')`` still resolves the max snapshot
+  eagerly (a deliberate plan-breaking boundary, reference
+  ``table_management.py:74-78``) but the equality filter it produces is
+  partition-prunable when the table is partitioned by ``archived_on``.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.wrangling import clean_column_names
+from .config_io import read_json_file
+from .environment import get_spark_session
+
+__all__ = [
+    "load_table",
+    "save_table",
+    "get_archive_versions",
+    "standardise_table",
+    "STANDARDISERS",
+]
+
+_DEFAULT_TABLE_DIRECTORY = "./config/table_directory.json"
+
+
+def _load_directory(table_directory) -> dict:
+    if table_directory is None:
+        return read_json_file(_DEFAULT_TABLE_DIRECTORY)
+    if isinstance(table_directory, str):
+        return read_json_file(table_directory)
+    if isinstance(table_directory, dict):  # extension: inline config
+        return table_directory
+    raise ValueError("table_directory should be a string or None.")
+
+
+def _entry(table: str, directory: dict) -> dict:
+    assert table in directory, f"Table key '{table}' not found in table_directory"
+    return directory[table]
+
+
+def load_table(
+    table: str, table_directory=None, method: str | None = None
+) -> DataFrame:
+    """Load a configured table, optionally archive-filtered and standardised.
+
+    Config fields: ``database``+``table_name`` (metastore) or
+    ``path``[+``format``] (file scan); optional ``archive_date``
+    (``'latest'`` or exact date) XOR ``max_archive_date`` filtering the
+    ``archived_on`` column. Parity: reference ``table_management.py:23-88``.
+    """
+    directory = _load_directory(table_directory)
+    entry = _entry(table, directory)
+
+    archive_date = entry.get("archive_date")
+    max_archive_date = entry.get("max_archive_date")
+    assert archive_date is None or max_archive_date is None, (
+        "Only one of 'archive_date' or 'max_archive_date' can be specified."
+    )
+
+    spark = get_spark_session()
+    if "path" in entry:
+        fmt = entry.get("format", "parquet")
+        df = spark.read.format(fmt).load(entry["path"])
+    else:
+        df = spark.table(f"{entry['database']}.{entry['table_name']}")
+
+    if archive_date == "latest":
+        # Deliberate eager boundary: resolve the newest snapshot to a literal
+        # so the subsequent equality filter is partition-prunable.
+        latest = df.agg(F.max("archived_on").alias("_max")).collect()[0][0]
+        df = df.filter(F.col("archived_on") == F.lit(latest))
+    elif archive_date is not None:
+        df = df.filter(F.col("archived_on") == F.lit(archive_date))
+    elif max_archive_date is not None:
+        df = df.filter(F.col("archived_on") <= F.lit(max_archive_date))
+
+    if method is not None:
+        df = standardise_table(df, method=method)
+    return df
+
+
+def save_table(df: DataFrame, table: str, table_directory=None, partition_by=None) -> None:
+    """Overwrite-save a DataFrame to a configured table (metastore or path).
+
+    ``partition_by`` (str or list[str]) produces a partition-prunable layout.
+    Parity: reference ``table_management.py:91-138`` (always full overwrite,
+    ``overwriteSchema`` on).
+    """
+    directory = _load_directory(table_directory)
+    entry = _entry(table, directory)
+
+    assert (
+        partition_by is None
+        or isinstance(partition_by, str)
+        or all(isinstance(c, str) for c in partition_by)
+    ), "partition_by should be a string or a list of strings."
+    if isinstance(partition_by, str):
+        partition_by = [partition_by]
+
+    writer = df.write.mode("overwrite").option("overwriteSchema", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if "path" in entry:
+        writer.format(entry.get("format", "parquet")).save(entry["path"])
+    else:
+        writer.saveAsTable(f"{entry['database']}.{entry['table_name']}")
+
+
+def get_archive_versions(df: DataFrame, version_column: str = "archived_on") -> List[str]:
+    """Sorted distinct archive versions as Python strings (driver-side list).
+
+    Parity: reference ``table_management.py:141-159``.
+    """
+    rows = (
+        df.select(F.col(version_column).cast("string").alias(version_column))
+        .distinct()
+        .orderBy(version_column)
+        .collect()
+    )
+    return [r[version_column] for r in rows]
+
+
+# --- data-driven standardisation registry -------------------------------
+
+@dataclass(frozen=True)
+class Standardiser:
+    """Rename map + post-clean date/timestamp parsing for one dataset."""
+
+    renames: dict = field(default_factory=dict)
+    #: columns (post-clean names) parsed with to_date(col, 'yyyyMMdd')
+    date_cols: tuple = ()
+    #: columns parsed only when they look like 8+ digits (rlike r"\d{8}"),
+    #: else null — dirty-date guard (reference table_management.py:216-222)
+    guarded_date_cols: tuple = ()
+    #: columns parsed with to_timestamp(col, "yyyyMMdd'T'HHmmssSS")
+    timestamp_cols: tuple = ()
+
+    def apply(self, df: DataFrame) -> DataFrame:
+        for old, new in self.renames.items():
+            df = df.withColumnRenamed(old, new)
+        df = clean_column_names(df)
+        parsed = {}
+        for c in self.date_cols:
+            parsed[c] = F.to_date(F.col(c), "yyyyMMdd")
+        for c in self.guarded_date_cols:
+            parsed[c] = F.when(
+                F.col(c).rlike(r"\d{8}"), F.to_date(F.col(c), "yyyyMMdd")
+            )
+        for c in self.timestamp_cols:
+            parsed[c] = F.to_timestamp(F.col(c), "yyyyMMdd'T'HHmmssSS")
+        return df.withColumns(parsed) if parsed else df
+
+
+#: Registry mirroring the reference's 11 dataset standardisers
+#: (``table_management.py:209-300``): person-id renames, name cleaning,
+#: per-dataset date parsing.
+STANDARDISERS: dict[str, Standardiser] = {
+    "deaths": Standardiser(
+        renames={
+            "DEC_CONF_NHS_NUMBER_CLEAN_DEID": "person_id",
+            "REG_DATE_OF_DEATH": "date_of_death",
+        },
+        date_cols=("reg_date",),
+        guarded_date_cols=("date_of_death",),
+    ),
+    "gdppr": Standardiser(renames={"NHS_NUMBER_DEID": "person_id"}),
+    "hes_apc": Standardiser(renames={"PERSON_ID_DEID": "person_id"}),
+    "hes_op": Standardiser(renames={"PERSON_ID_DEID": "person_id"}),
+    "hes_ae": Standardiser(renames={"PERSON_ID_DEID": "person_id"}),
+    "pillar_2": Standardiser(renames={"Person_ID_DEID": "person_id"}),
+    "ssnap": Standardiser(renames={"Person_ID_DEID": "person_id"}),
+    "sgss": Standardiser(renames={"PERSON_ID_DEID": "person_id"}),
+    "vaccine_status": Standardiser(
+        renames={"PERSON_ID_DEID": "person_id"},
+        date_cols=("recorded_date", "expiry_date"),
+        timestamp_cols=("date_and_time",),
+    ),
+    "primary_care_meds": Standardiser(renames={"Person_ID_DEID": "person_id"}),
+    "chess": Standardiser(renames={"PERSON_ID_DEID": "person_id"}),
+}
+
+
+def standardise_table(df: DataFrame, method: str) -> DataFrame:
+    """Apply the named dataset standardiser (rename person-id column, clean
+    names, parse dates). ValueError with the available methods on unknown
+    names. Parity: reference ``table_management.py:162-206``.
+    """
+    if method not in STANDARDISERS:
+        raise ValueError(
+            f"'{method}' is not a recognised standardise_table method. "
+            f"Available methods: {', '.join(STANDARDISERS)}"
+        )
+    return STANDARDISERS[method].apply(df)

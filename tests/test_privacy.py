@@ -1,0 +1,92 @@
+"""Disclosure-control tests: HALF_UP rounding goldens, redaction semantics."""
+
+import pytest
+
+from hds_functions_spark import redact_low_counts, round_counts_to_multiple
+
+
+def test_round_counts_golden(spark):
+    # Authoritative goldens (reference tests override its docstring): with
+    # multiple=5 -> 7->5, 17->15, 22->20.
+    df = spark.createDataFrame([(1, 7), (2, 17), (3, 22)], ["id", "count1"])
+    out = round_counts_to_multiple(df, ["count1"], multiple=5)
+    got = {r["id"]: r["count1"] for r in out.collect()}
+    assert got == {1: 5, 2: 15, 3: 20}
+
+
+def test_round_counts_half_up(spark):
+    # Exact halves round HALF_UP: 13/5 = 2.6 -> 15... the .5 case: 12.5/5=2.5 -> 3 -> 15
+    df = spark.createDataFrame([(1, 13), (2, 15), (3, 0)], ["id", "c"])
+    out = round_counts_to_multiple(df, ["c"], multiple=5)
+    got = {r["id"]: r["c"] for r in out.collect()}
+    assert got == {1: 15, 2: 15, 3: 0}
+    df2 = spark.createDataFrame([(1, 5)], ["id", "c"])
+    out2 = round_counts_to_multiple(df2, ["c"], multiple=2)  # 5/2=2.5 -> 3 -> 6
+    assert out2.collect()[0]["c"] == 6
+
+
+def test_round_counts_nulls_and_type(spark):
+    df = spark.createDataFrame([(1, None), (2, 7)], "id: long, c: long")
+    out = round_counts_to_multiple(df, ["c"])
+    assert dict(out.dtypes)["c"] == "bigint"
+    got = {r["id"]: r["c"] for r in out.collect()}
+    assert got == {1: None, 2: 5}
+
+
+def test_round_counts_multi_column(spark):
+    df = spark.createDataFrame([(1, 7, 17)], ["id", "a", "b"])
+    out = round_counts_to_multiple(df, ["a", "b"], multiple=5).collect()[0]
+    assert (out["a"], out["b"]) == (5, 15)
+
+
+def test_round_counts_errors(spark):
+    df = spark.createDataFrame([(1, 7)], ["id", "c"])
+    with pytest.raises(TypeError, match="Spark DataFrame"):
+        round_counts_to_multiple([(1,)], ["c"])
+    with pytest.raises(TypeError, match="list of strings"):
+        round_counts_to_multiple(df, "c")
+    with pytest.raises(ValueError, match="positive integer"):
+        round_counts_to_multiple(df, ["c"], multiple=0)
+    with pytest.raises(ValueError, match="does not exist"):
+        round_counts_to_multiple(df, ["missing"])
+
+
+def test_redact_boundary_kept(spark):
+    df = spark.createDataFrame([(1, 9), (2, 10), (3, 11)], ["id", "c"])
+    out = redact_low_counts(df, ["c"], threshold=10)
+    got = {r["id"]: r["c"] for r in out.collect()}
+    assert got == {1: None, 2: 10, 3: 11}  # >= threshold kept
+
+
+def test_redact_nulls_redacted(spark):
+    df = spark.createDataFrame([(1, None), (2, 50)], "id: long, c: long")
+    out = redact_low_counts(df, ["c"], threshold=10, redaction_value=-1)
+    got = {r["id"]: r["c"] for r in out.collect()}
+    assert got == {1: -1, 2: 50}
+
+
+def test_redact_string_value_coerces_column(spark):
+    df = spark.createDataFrame([(1, 7), (2, 17)], ["id", "c"])
+    out = redact_low_counts(df, ["c"], threshold=10, redaction_value="[:REDACTED:]")
+    assert dict(out.dtypes)["c"] == "string"
+    got = {r["id"]: r["c"] for r in out.collect()}
+    assert got == {1: "[:REDACTED:]", 2: "17"}
+
+
+def test_redact_errors(spark):
+    df = spark.createDataFrame([(1, 7)], ["id", "c"])
+    with pytest.raises(ValueError, match="positive integer"):
+        redact_low_counts(df, ["c"], threshold=0)
+    with pytest.raises(TypeError, match="list of strings"):
+        redact_low_counts(df, "c", threshold=5)
+    with pytest.raises(ValueError, match="does not exist"):
+        redact_low_counts(df, ["missing"], threshold=5)
+
+
+def test_round_then_redact_pipeline(spark):
+    df = spark.createDataFrame([(1, 7), (2, 17), (3, 3)], ["id", "c"])
+    out = df.transform(round_counts_to_multiple, ["c"], 5).transform(
+        redact_low_counts, ["c"], 10
+    )
+    got = {r["id"]: r["c"] for r in out.collect()}
+    assert got == {1: None, 2: 15, 3: None}

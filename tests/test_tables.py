@@ -1,0 +1,124 @@
+"""Table-management tests: path-based load/save, archive filtering,
+standardisers with dirty-date guards."""
+
+import datetime
+
+import pytest
+
+from hds_functions_spark import (
+    get_archive_versions,
+    load_table,
+    save_table,
+    standardise_table,
+)
+
+
+@pytest.fixture()
+def archive_df(spark):
+    return spark.createDataFrame(
+        [
+            ("p1", "20200101", datetime.date(2021, 1, 1)),
+            ("p2", "20200102", datetime.date(2021, 1, 1)),
+            ("p1", "20200101", datetime.date(2021, 6, 1)),
+            ("p3", "garbage!", datetime.date(2021, 6, 1)),
+        ],
+        "PERSON_ID_DEID: string, REG_DATE: string, archived_on: date",
+    )
+
+
+def test_save_and_load_roundtrip(archive_df, tmp_path):
+    directory = {"t": {"path": str(tmp_path / "t"), "format": "parquet"}}
+    save_table(archive_df, "t", table_directory=directory)
+    loaded = load_table("t", table_directory=directory)
+    assert loaded.count() == 4
+
+
+def test_load_latest_archive(archive_df, tmp_path):
+    directory = {
+        "t": {"path": str(tmp_path / "t"), "archive_date": "latest"}
+    }
+    save_table(archive_df, "t", table_directory=directory)
+    loaded = load_table("t", table_directory=directory)
+    assert loaded.count() == 2
+    assert {r["archived_on"] for r in loaded.collect()} == {datetime.date(2021, 6, 1)}
+
+
+def test_load_exact_and_max_archive(archive_df, tmp_path):
+    base = {"path": str(tmp_path / "t")}
+    save_table(archive_df, "t", table_directory={"t": base})
+    exact = load_table(
+        "t", table_directory={"t": {**base, "archive_date": "2021-01-01"}}
+    )
+    assert exact.count() == 2
+    upto = load_table(
+        "t", table_directory={"t": {**base, "max_archive_date": "2021-01-01"}}
+    )
+    assert upto.count() == 2
+
+
+def test_archive_filters_mutually_exclusive(archive_df, tmp_path):
+    directory = {
+        "t": {
+            "path": str(tmp_path / "t"),
+            "archive_date": "latest",
+            "max_archive_date": "2021-01-01",
+        }
+    }
+    save_table(archive_df, "t", table_directory={"t": {"path": str(tmp_path / "t")}})
+    with pytest.raises(AssertionError, match="Only one of"):
+        load_table("t", table_directory=directory)
+
+
+def test_missing_table_key(tmp_path):
+    with pytest.raises(AssertionError, match="not found"):
+        load_table("nope", table_directory={"t": {"path": str(tmp_path)}})
+
+
+def test_save_partitioned(archive_df, tmp_path):
+    directory = {"t": {"path": str(tmp_path / "part")}}
+    save_table(archive_df, "t", table_directory=directory, partition_by="archived_on")
+    spark = archive_df.sparkSession
+    loaded = spark.read.parquet(str(tmp_path / "part"))
+    assert loaded.count() == 4
+    # partition layout is prunable
+    assert any(p.name.startswith("archived_on=") for p in (tmp_path / "part").iterdir())
+
+
+def test_get_archive_versions(archive_df):
+    assert get_archive_versions(archive_df) == ["2021-01-01", "2021-06-01"]
+
+
+def test_standardise_gdppr(spark):
+    df = spark.createDataFrame([("p1", 5)], ["NHS_NUMBER_DEID", "Some Col"])
+    out = standardise_table(df, "gdppr")
+    assert out.columns == ["person_id", "some_col"]
+
+
+def test_standardise_deaths_dirty_dates(spark):
+    df = spark.createDataFrame(
+        [("p1", "20200115", "20200120"), ("p2", "20200116", "not-a-date")],
+        ["DEC_CONF_NHS_NUMBER_CLEAN_DEID", "REG_DATE", "REG_DATE_OF_DEATH"],
+    )
+    out = standardise_table(df, "deaths")
+    assert set(["person_id", "reg_date", "date_of_death"]) <= set(out.columns)
+    rows = {r["person_id"]: r for r in out.collect()}
+    assert rows["p1"]["reg_date"] == datetime.date(2020, 1, 15)
+    assert rows["p1"]["date_of_death"] == datetime.date(2020, 1, 20)
+    assert rows["p2"]["date_of_death"] is None  # rlike guard -> null, no error
+
+
+def test_standardise_vaccine_status(spark):
+    df = spark.createDataFrame(
+        [("p1", "20210301", "20221231", "20210301T12303011")],
+        ["PERSON_ID_DEID", "RECORDED_DATE", "EXPIRY_DATE", "DATE_AND_TIME"],
+    )
+    out = standardise_table(df, "vaccine_status").collect()[0]
+    assert out["recorded_date"] == datetime.date(2021, 3, 1)
+    assert out["expiry_date"] == datetime.date(2022, 12, 31)
+    assert out["date_and_time"] is not None
+
+
+def test_standardise_unknown_method(spark):
+    df = spark.createDataFrame([(1,)], ["a"])
+    with pytest.raises(ValueError, match="not a recognised"):
+        standardise_table(df, "unknown_method")
