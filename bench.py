@@ -1,0 +1,81 @@
+"""Benchmark harness: runs the registered query suite at a scale factor and
+prints ONE JSON line with per-query wall-clock seconds.
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), BENCH_REPEATS (default 3, median taken).
+
+Execution is measured with a no-op sink (format 'noop') so timings cover the
+full distributed plan without driver-collect serialization noise.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from hds_functions_spark.plans import build_session  # noqa: E402
+from hds_functions_spark.registry import QUERIES  # noqa: E402
+
+
+def time_query(fn, spark, sf_dir, repeats: int) -> float:
+    timings = []
+    for _ in range(repeats):
+        start = time.perf_counter()
+        df = fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings.append(time.perf_counter() - start)
+    return statistics.median(timings)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    sf = float(sf_dir.rstrip("/").split("sf")[-1]) if "sf" in sf_dir else -1.0
+
+    spark = build_session(
+        app_name="hds_functions_spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.ui.showConsoleProgress": "false",
+            "spark.driver.memory": "8g",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen once on the smallest table.
+    spark.read.parquet(f"{sf_dir}/nation.parquet").count()
+
+    per_query: dict[str, float] = {}
+    for name, fn in QUERIES.items():
+        try:
+            per_query[name] = round(time_query(fn, spark, sf_dir, repeats), 3)
+        except Exception as exc:  # keep the suite going; surface the failure
+            print(f"bench error in {name}: {exc}", file=sys.stderr)
+            per_query[name] = -1.0
+
+    total = round(sum(t for t in per_query.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "suite_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": per_query,
+                "sf": sf,
+                "cpus": int(cpus),
+                "repeats": repeats,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,391 @@
+"""Driver-facing query registry.
+
+Every implemented operator from SURVEY.md §2 is exposed here twice:
+
+- ``QUERIES[name]``: a ``(spark, sf_dir) -> DataFrame`` callable running the
+  operator through the library's public API on the driver's parquet testdata;
+- ``ORACLES[name]``: an equivalent ANSI-SQL string DuckDB can run on the same
+  tables (views ``region nation customer supplier part orders lineitem
+  events documents embeddings`` are pre-registered by the driver).
+
+Column names are aliased identically on both sides (the driver's comparator
+sorts columns by name before value-hashing). Every query is deterministic:
+window-function queries use total orderings; double-typed aggregates are
+rounded to a fixed scale on both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.dates import parse_date_instruction
+from .operators.cohort import apply_inclusion_criteria, create_inclusion_columns, create_inclusion_flowchart
+from .operators.privacy import redact_low_counts, round_counts_to_multiple
+from .operators.topk import first_dense_rank, first_rank, first_row
+from .operators.wrangling import clean_column_names, map_column_values
+from .sources.tables import standardise_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        return _load_events(spark, sf_dir)
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
+    parquet reader rejects. Read nanos as long (legacy conf) and truncate to
+    microseconds with integer division — matching DuckDB's ns->us handling.
+    (Double division would lose ~256 ns of precision at 1.7e18.)"""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+# --- cohort construction (SURVEY §2.1) ----------------------------------
+
+#: flagship criteria program over `orders` — chosen so each step excludes rows
+_COHORT_CRITERIA = {
+    "status_ok": "o_orderstatus <> 'F'",
+    "price_ok": "o_totalprice > 80000",
+    "recent": "o_orderdate >= timestamp '1995-01-01'",
+}
+
+
+def _orders_cohort(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .withColumnRenamed("o_orderkey", "row_id")
+        .withColumnRenamed("o_custkey", "person_id")
+    )
+
+
+_COHORT_FLAGS_SQL = """
+WITH flags AS (
+    SELECT o_orderkey AS row_id, o_custkey AS person_id,
+           o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+           TRUE AS c0,
+           COALESCE(o_orderstatus <> 'F', FALSE) AS f1,
+           COALESCE(o_totalprice > 80000, FALSE) AS f2,
+           COALESCE(o_orderdate >= TIMESTAMP '1995-01-01', FALSE) AS f3
+    FROM orders
+), chain AS (
+    SELECT *, c0 AND f1 AS c1, c0 AND f1 AND f2 AS c2,
+           c0 AND f1 AND f2 AND f3 AS c3
+    FROM flags
+)
+"""
+
+
+@_register(
+    "cohort_flowchart",
+    _COHORT_FLAGS_SQL
+    + """
+, agg AS (
+    SELECT 0 AS criteria_index, 'criteria_0' AS criteria,
+           'Original table' AS description, '' AS expression,
+           count(CASE WHEN c0 THEN 1 END) AS n_row,
+           count(DISTINCT CASE WHEN c0 THEN person_id END) AS n_distinct_id
+    FROM chain
+    UNION ALL
+    SELECT 1, 'criteria_1', 'status_ok', 'o_orderstatus <> ''F''',
+           count(CASE WHEN c1 THEN 1 END),
+           count(DISTINCT CASE WHEN c1 THEN person_id END)
+    FROM chain
+    UNION ALL
+    SELECT 2, 'criteria_2', 'price_ok', 'o_totalprice > 80000',
+           count(CASE WHEN c2 THEN 1 END),
+           count(DISTINCT CASE WHEN c2 THEN person_id END)
+    FROM chain
+    UNION ALL
+    SELECT 3, 'criteria_3', 'recent', 'o_orderdate >= timestamp ''1995-01-01''',
+           count(CASE WHEN c3 THEN 1 END),
+           count(DISTINCT CASE WHEN c3 THEN person_id END)
+    FROM chain
+)
+SELECT criteria_index, criteria, description, expression, n_row, n_distinct_id,
+       CAST(lag(n_row) OVER w - n_row AS INTEGER) AS excluded_rows,
+       CAST(lag(n_distinct_id) OVER w - n_distinct_id AS INTEGER) AS excluded_ids
+FROM agg WINDOW w AS (ORDER BY criteria_index) ORDER BY criteria_index
+""",
+)
+def cohort_flowchart(spark, sf_dir):
+    """Attrition flowchart over orders (apply criteria -> survival counts)."""
+    flagged = create_inclusion_columns(_orders_cohort(spark, sf_dir), _COHORT_CRITERIA)
+    return create_inclusion_flowchart(flagged, _COHORT_CRITERIA)
+
+
+@_register(
+    "cohort_filter",
+    _COHORT_FLAGS_SQL
+    + """
+SELECT row_id, person_id, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+FROM chain WHERE c3
+""",
+)
+def cohort_filter(spark, sf_dir):
+    """Rows surviving the full criteria chain, helper columns dropped."""
+    return apply_inclusion_criteria(_orders_cohort(spark, sf_dir), _COHORT_CRITERIA)
+
+
+# --- top-N per group (SURVEY §2.2) --------------------------------------
+
+_LINEITEM_TOTAL_ORDER = lambda: [  # noqa: E731
+    F.col("l_extendedprice").desc(),
+    F.col("l_orderkey").asc(),
+    F.col("l_linenumber").asc(),
+]
+
+
+@_register(
+    "topk_row_number",
+    """
+SELECT *, CAST(row_number() OVER (
+        PARTITION BY l_returnflag
+        ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    ) AS INTEGER) AS row_index
+FROM lineitem
+QUALIFY row_index <= 3
+""",
+)
+def topk_row_number(spark, sf_dir):
+    """Exactly 3 rows per return flag under a total ordering."""
+    return first_row(
+        _t(spark, sf_dir, "lineitem"),
+        n=3,
+        partition_by=["l_returnflag"],
+        order_by=_LINEITEM_TOTAL_ORDER(),
+        return_index_column=True,
+        index_column_name="row_index",
+    )
+
+
+@_register(
+    "topk_rank",
+    """
+SELECT *, CAST(rank() OVER (
+        PARTITION BY l_returnflag ORDER BY l_quantity
+    ) AS INTEGER) AS rank_index
+FROM lineitem
+QUALIFY rank_index <= 2
+""",
+)
+def topk_rank(spark, sf_dir):
+    """Ties included: every row ranked <= 2 per return flag by quantity."""
+    return first_rank(
+        _t(spark, sf_dir, "lineitem"),
+        n=2,
+        partition_by=["l_returnflag"],
+        order_by=["l_quantity"],
+        return_index_column=True,
+        index_column_name="rank_index",
+    )
+
+
+@_register(
+    "topk_dense_rank",
+    """
+SELECT *, CAST(dense_rank() OVER (
+        PARTITION BY l_returnflag ORDER BY l_quantity
+    ) AS INTEGER) AS dense_rank_index
+FROM lineitem
+QUALIFY dense_rank_index <= 2
+""",
+)
+def topk_dense_rank(spark, sf_dir):
+    """Top 2 distinct quantity values (with all tied rows) per return flag."""
+    return first_dense_rank(
+        _t(spark, sf_dir, "lineitem"),
+        n=2,
+        partition_by=["l_returnflag"],
+        order_by=["l_quantity"],
+        return_index_column=True,
+        index_column_name="dense_rank_index",
+    )
+
+
+@_register(
+    "topk_global",
+    """
+SELECT * FROM lineitem
+ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+LIMIT 5
+""",
+)
+def topk_global(spark, sf_dir):
+    """Global top-5 (partition_by=None path through the dummy column)."""
+    return first_row(
+        _t(spark, sf_dir, "lineitem"), n=5, order_by=_LINEITEM_TOTAL_ORDER()
+    )
+
+
+# --- disclosure control (SURVEY §2.3) -----------------------------------
+
+@_register(
+    "privacy_round",
+    """
+SELECT c_mktsegment,
+       CAST(round(count(*) / 5.0) * 5 AS BIGINT) AS n_customers
+FROM customer GROUP BY c_mktsegment
+""",
+)
+def privacy_round(spark, sf_dir):
+    """Customer counts per market segment rounded to a multiple of 5."""
+    counts = (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+    return round_counts_to_multiple(counts, ["n_customers"], multiple=5)
+
+
+@_register(
+    "privacy_redact",
+    """
+SELECT n_nationkey,
+       CASE WHEN count(*) >= 15 THEN CAST(count(*) AS VARCHAR)
+            ELSE '[REDACTED]' END AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_nationkey
+""",
+)
+def privacy_redact(spark, sf_dir):
+    """Per-nation customer counts; small counts redacted (string coercion)."""
+    counts = (
+        _t(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(_t(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .groupBy("n_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+    )
+    return redact_low_counts(counts, ["n_customers"], threshold=15, redaction_value="[REDACTED]")
+
+
+# --- wrangling (SURVEY §2.4) --------------------------------------------
+
+@_register(
+    "wrangle_clean_columns",
+    "SELECT p_partkey AS part_key_, p_name AS _0name, p_retailprice AS retail_price FROM part",
+)
+def wrangle_clean_columns(spark, sf_dir):
+    """Dirty column names -> sanitised (metadata-only projection)."""
+    ugly = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("Part Key!"),
+        F.col("p_name").alias("0Name"),
+        F.col("p_retailprice").alias("Retail Price"),
+    )
+    return clean_column_names(ugly)
+
+
+@_register(
+    "wrangle_map_values",
+    """
+SELECT c_custkey,
+       CASE c_mktsegment
+            WHEN 'BUILDING' THEN 'B' WHEN 'AUTOMOBILE' THEN 'A'
+            WHEN 'MACHINERY' THEN 'M' END AS segment_code
+FROM customer
+""",
+)
+def wrangle_map_values(spark, sf_dir):
+    """Dictionary value mapping; unmapped segments become null."""
+    mapped = map_column_values(
+        _t(spark, sf_dir, "customer"),
+        {"BUILDING": "B", "AUTOMOBILE": "A", "MACHINERY": "M"},
+        "c_mktsegment",
+        "segment_code",
+    )
+    return mapped.select("c_custkey", "segment_code")
+
+
+# --- date compiler (SURVEY §2.5) ----------------------------------------
+
+@_register(
+    "date_instructions",
+    """
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS index_date,
+       CAST(o_orderdate AS DATE) + 90 AS plus_3_months,
+       CAST(o_orderdate AS DATE) - 731 AS minus_2_years,
+       CAST(o_orderdate AS DATE) + 53 AS plus_7p5_weeks,
+       DATE '2020-06-15' AS literal_date,
+       CAST(NULL AS DATE) AS null_date
+FROM orders
+""",
+)
+def date_instructions(spark, sf_dir):
+    """Compiled date instructions evaluated over orders (fixed-length units)."""
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_orderdate").cast("date").alias("index_date")
+    )
+    return base.select(
+        "o_orderkey",
+        "index_date",
+        F.expr(parse_date_instruction("index_date + 3 months")).alias("plus_3_months"),
+        F.expr(parse_date_instruction("index_date - 2 years")).alias("minus_2_years"),
+        F.expr(parse_date_instruction("index_date + 7.5 weeks")).alias("plus_7p5_weeks"),
+        F.expr(parse_date_instruction("2020-06-15")).alias("literal_date"),
+        F.expr(parse_date_instruction(None)).alias("null_date"),
+    )
+
+
+# --- table management (SURVEY §2.7) -------------------------------------
+
+@_register(
+    "table_archive_versions",
+    "SELECT DISTINCT CAST(event_type AS VARCHAR) AS version FROM events ORDER BY version",
+)
+def table_archive_versions(spark, sf_dir):
+    """Distinct-cast-sort plan underlying get_archive_versions."""
+    return (
+        _t(spark, sf_dir, "events")
+        .select(F.col("event_type").cast("string").alias("version"))
+        .distinct()
+        .orderBy("version")
+    )
+
+
+@_register(
+    "table_standardise_deaths",
+    """
+SELECT CAST(o_orderkey AS VARCHAR) AS person_id,
+       CAST(o_orderdate AS DATE) AS reg_date,
+       CASE WHEN o_orderkey % 10 = 0 THEN NULL
+            ELSE CAST(o_orderdate AS DATE) END AS date_of_death,
+       o_orderpriority AS order_priority_
+FROM orders
+""",
+)
+def table_standardise_deaths(spark, sf_dir):
+    """Deaths-style standardisation: renames, name cleaning, yyyyMMdd parse
+    with the dirty-value rlike guard (1-in-10 rows carry garbage)."""
+    src = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("DEC_CONF_NHS_NUMBER_CLEAN_DEID"),
+        F.date_format("o_orderdate", "yyyyMMdd").alias("REG_DATE"),
+        F.when(F.col("o_orderkey") % 10 == 0, F.lit("garbage!"))
+        .otherwise(F.date_format("o_orderdate", "yyyyMMdd"))
+        .alias("REG_DATE_OF_DEATH"),
+        F.col("o_orderpriority").alias("Order Priority!"),
+    )
+    return standardise_table(src, "deaths")
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The driver smoke-check query: cohort attrition flowchart."""
+    return cohort_flowchart(spark, sf_dir)
