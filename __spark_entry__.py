@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from hds_functions_spark.registry import ORACLES, QUERIES, flagship  # noqa: E402
+import hds_functions_spark.registry_ext  # noqa: E402,F401  (registers extension queries)
 
 
 def entry(spark: SparkSession) -> DataFrame:

@@ -20,6 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from hds_functions_spark.plans import build_session  # noqa: E402
 from hds_functions_spark.registry import QUERIES  # noqa: E402
+import hds_functions_spark.registry_ext  # noqa: E402,F401  (registers extension queries)
 
 
 def time_query(fn, spark, sf_dir, repeats: int) -> float:

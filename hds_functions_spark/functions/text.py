@@ -1,0 +1,186 @@
+"""Text-analysis functions for large-scale corpus curation.
+
+Extension layer beyond the reference (SURVEY.md §7): tokenisation, n-gram
+shingling, quality features, heuristic language ID, and document
+fingerprinting — all as built-in JVM-side expressions (zero UDFs), so they
+run inside whole-stage codegen at any scale and are oracle-expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .hashing import stable_hash64
+
+__all__ = [
+    "tokens",
+    "token_count",
+    "char_ngrams",
+    "word_ngrams",
+    "add_text_stats",
+    "add_quality_score",
+    "add_language_id",
+    "add_fingerprint",
+    "STOPWORDS",
+]
+
+#: Tiny per-language stopword lists for the heuristic language identifier.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "was",
+           "for", "on", "are", "with", "as", "be", "at", "by", "this", "not"],
+    "fr": ["le", "la", "les", "de", "des", "et", "un", "une", "du", "en",
+           "est", "que", "pour", "dans", "ce", "il", "au", "sur", "ne", "pas"],
+    "de": ["der", "die", "das", "und", "ist", "von", "zu", "mit", "den",
+           "im", "für", "auf", "ein", "eine", "nicht", "als", "auch", "sich",
+           "dem", "des"],
+    "es": ["el", "los", "las", "de", "y", "que", "en", "un", "una", "es",
+           "del", "para", "con", "por", "no", "se", "su", "al", "lo", "como"],
+}
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of the trimmed text; empty text -> empty array."""
+    trimmed = F.trim(_c(col))
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def char_ngrams(col: Column | str, n: int) -> Column:
+    """All overlapping character n-grams (with duplicates, in order).
+
+    Texts shorter than ``n`` yield an empty array (guarded: Spark's
+    ``sequence(1, 0)`` would count DOWN, not produce an empty sequence).
+    """
+    c = _c(col)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.length(c) - F.lit(n - 1)),
+        lambda i: c.substr(i, F.lit(n)),
+    )
+    return F.when(F.length(c) < n, F.array().cast("array<string>")).otherwise(grams)
+
+
+def word_ngrams(tokens_col: Column, n: int) -> Column:
+    """Space-joined n-grams over a token array; short docs -> empty array."""
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(tokens_col) - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(tokens_col, i, n), " "),
+    )
+    return F.when(F.size(tokens_col) < n, F.array().cast("array<string>")).otherwise(
+        grams
+    )
+
+
+def add_text_stats(
+    df: DataFrame, text_col: str = "text", prefix: str = ""
+) -> DataFrame:
+    """Add per-document statistics columns (single projection, no shuffle):
+
+    ``n_chars_computed``, ``n_tokens``, ``avg_token_len`` (null for empty),
+    ``punct_ratio``, ``digit_ratio``, ``space_ratio``, ``upper_ratio``
+    (ratios of character classes over total length; null for empty text).
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    length = F.length(c).cast("double")
+    no_len = length == 0
+
+    def ratio(stripped: Column) -> Column:
+        return F.when(no_len, F.lit(None)).otherwise(
+            (length - F.length(stripped)) / length
+        )
+
+    p = prefix
+    return df.withColumns(
+        {
+            f"{p}n_chars_computed": F.length(c).cast("long"),
+            f"{p}n_tokens": F.size(toks).cast("long"),
+            f"{p}avg_token_len": F.when(F.size(toks) == 0, F.lit(None)).otherwise(
+                F.aggregate(
+                    toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
+                )
+                / F.size(toks)
+            ),
+            f"{p}punct_ratio": ratio(F.regexp_replace(c, r"\p{Punct}", "")),
+            f"{p}digit_ratio": ratio(F.regexp_replace(c, r"[0-9]", "")),
+            f"{p}space_ratio": ratio(F.regexp_replace(c, r"\s", "")),
+            f"{p}upper_ratio": ratio(F.regexp_replace(c, r"[A-Z]", "")),
+        }
+    )
+
+
+def add_quality_score(
+    df: DataFrame, text_col: str = "text", score_col: str = "quality_score"
+) -> DataFrame:
+    """Heuristic [0, 1] quality score from length/token/punctuation signals.
+
+    Deliberately simple and fully expression-based: length in a sane band,
+    average token length in [3, 12], punctuation under 30%, digits under 30%.
+    Each signal contributes 0.25.
+    """
+    with_stats = add_text_stats(df, text_col, prefix="_q_")
+    n_chars = F.col("_q_n_chars_computed")
+    avg_tok = F.col("_q_avg_token_len")
+    punct = F.col("_q_punct_ratio")
+    digit = F.col("_q_digit_ratio")
+    score = (
+        F.when((n_chars >= 50) & (n_chars <= 100000), 0.25).otherwise(0.0)
+        + F.when((avg_tok >= 3) & (avg_tok <= 12), 0.25).otherwise(0.0)
+        + F.when(F.coalesce(punct, F.lit(1.0)) <= 0.3, 0.25).otherwise(0.0)
+        + F.when(F.coalesce(digit, F.lit(1.0)) <= 0.3, 0.25).otherwise(0.0)
+    )
+    return with_stats.withColumn(score_col, score).drop(
+        *[c for c in with_stats.columns if c.startswith("_q_")]
+    )
+
+
+def add_language_id(
+    df: DataFrame,
+    text_col: str = "text",
+    lang_col: str = "lang_pred",
+    stopwords: dict[str, list[str]] | None = None,
+) -> DataFrame:
+    """Heuristic language ID: most stopword token hits wins (ties and
+    zero-hit docs -> 'und' for undetermined; deterministic tie-break by
+    language code order).
+    """
+    stopwords = stopwords or STOPWORDS
+    toks = F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
+    hit_cols = []
+    out = df.withColumn("_lid_tokens", toks)
+    for code in sorted(stopwords):
+        words = F.array(*[F.lit(w) for w in stopwords[code]])
+        hits = F.size(
+            F.filter(F.col("_lid_tokens"), lambda t: F.array_contains(words, t))
+        )
+        col_name = f"_lid_{code}"
+        out = out.withColumn(col_name, hits)
+        hit_cols.append((code, col_name))
+    best = F.greatest(*[F.col(c) for _, c in hit_cols])
+    pred = F.lit("und")
+    # first language (sorted order) achieving the max, if max > 0
+    for code, col_name in reversed(hit_cols):
+        pred = F.when((F.col(col_name) == best) & (best > 0), code).otherwise(pred)
+    return out.withColumn(lang_col, pred).drop(
+        "_lid_tokens", *[c for _, c in hit_cols]
+    )
+
+
+def add_fingerprint(
+    df: DataFrame, text_col: str = "text", fp_col: str = "fingerprint"
+) -> DataFrame:
+    """Normalised-content fingerprint: lowercase, collapse whitespace,
+    portable 60-bit hash. Identical content -> identical fingerprint across
+    engines (used by exact dedup).
+    """
+    normalised = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn(fp_col, stable_hash64(normalised))

@@ -1,0 +1,327 @@
+"""Deduplication operators for large-scale corpus curation.
+
+Extension layer (SURVEY.md §7): exact dedup, duplicate-group audit,
+MinHash+LSH near-dup candidate generation, n-gram Jaccard similarity, and
+SimHash — all as compositions of built-in DataFrame operators and JVM-side
+expressions (zero Python UDFs), using the portable hash from
+``functions.hashing`` so every result is oracle-checkable in DuckDB.
+
+Scale notes (100 TB design):
+
+- exact dedup is a window ``row_number()==1`` keyed by the dedup key —
+  one hash-partition exchange; Catalyst compiles the filter to
+  ``WindowGroupLimit`` so each map task pre-prunes to one row per key.
+- MinHash signatures are computed in a single projection (array
+  expressions over shingles, no shuffle); LSH banding explodes to
+  ``bands`` rows per doc (bounded, controlled) and groups by band hash —
+  candidate pairs never require the quadratic cross join.
+- n-gram Jaccard is exact and quadratic in *candidate* pairs only: it
+  joins on shared shingles, so disjoint documents never pair up.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    MERSENNE_PRIME_31,
+    minhash_permutation_constants,
+    stable_hash64,
+)
+from ..functions.text import char_ngrams, tokens, word_ngrams
+
+__all__ = [
+    "exact_dedup",
+    "duplicate_groups",
+    "minhash_signatures",
+    "minhash_pairs",
+    "ngram_jaccard_pairs",
+    "add_simhash",
+    "simhash_pairs",
+]
+
+
+def exact_dedup(
+    df: DataFrame, subset: list[str], id_col: str, keep: str = "min"
+) -> DataFrame:
+    """Keep exactly one row per distinct ``subset`` value — deterministically
+    the one with the smallest (``keep='min'``) or largest (``'max'``)
+    ``id_col``, unlike ``dropDuplicates`` which keeps an arbitrary row.
+    """
+    assert keep in ("min", "max"), "keep must be 'min' or 'max'"
+    order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
+    w = Window.partitionBy(*subset).orderBy(order)
+    return (
+        df.withColumn("_dedup_rn", F.row_number().over(w))
+        .filter(F.col("_dedup_rn") == 1)
+        .drop("_dedup_rn")
+    )
+
+
+def duplicate_groups(df: DataFrame, subset: list[str], id_col: str) -> DataFrame:
+    """Audit table: one row per duplicated ``subset`` value with the group
+    size and the id that :func:`exact_dedup` would keep."""
+    return (
+        df.groupBy(*subset)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min(id_col).alias("keep_id"),
+        )
+        .filter(F.col("n_rows") > 1)
+    )
+
+
+# --- MinHash -------------------------------------------------------------
+
+def _shingle_hashes(text_col: Column, shingle_size: int) -> Column:
+    """Distinct char-shingle hashes of lowercased text, reduced mod p."""
+    shingles = F.array_distinct(char_ngrams(F.lower(text_col), shingle_size))
+    return F.transform(shingles, lambda s: stable_hash64(s) % MERSENNE_PRIME_31)
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_size: int = 5,
+) -> DataFrame:
+    """(id, signature array<long>) — one min per universal-hash permutation.
+
+    Single narrow projection: shingle -> hash -> H permutation minima, all
+    array expressions. Documents shorter than the shingle size get an
+    all-null signature (no shingles).
+    """
+    hashes = _shingle_hashes(F.col(text_col), shingle_size)
+    constants = minhash_permutation_constants(num_hashes)
+
+    def permute(a: int, b: int):
+        # closure factory: PySpark inspects lambda arity, so the constants
+        # must be captured, not passed as defaulted parameters
+        return lambda h: (h * a + b) % MERSENNE_PRIME_31
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(F.col("_mh_hashes"), permute(a, b)))
+            for a, b in constants
+        ]
+    )
+    return (
+        df.select(F.col(id_col), F.col(text_col))
+        .withColumn("_mh_hashes", hashes)
+        .select(F.col(id_col), sig.alias("signature"))
+    )
+
+
+def minhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_size: int = 5,
+    bands: int = 8,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """LSH candidate pairs with estimated Jaccard similarity.
+
+    Signature split into ``bands`` bands of ``num_hashes // bands`` rows;
+    documents agreeing on any full band become candidates (grouped by a
+    band-content hash — no cross join). Output: ``id_a < id_b``,
+    ``est_jaccard`` = fraction of agreeing signature positions, filtered to
+    ``>= min_jaccard``.
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
+
+    banded = sigs.select(
+        F.col(id_col),
+        F.col("signature"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    stable_hash64(
+                        F.array_join(
+                            F.transform(
+                                F.slice(
+                                    F.col("signature"),
+                                    b * rows_per_band + 1,
+                                    rows_per_band,
+                                ),
+                                lambda v: v.cast("string"),
+                            ),
+                            "-",
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("bh"),
+    ).select(id_col, "signature", "bh.band", "bh.band_hash")
+
+    left = banded.select(
+        F.col(id_col).alias("id_a"),
+        F.col("signature").alias("sig_a"),
+        "band",
+        "band_hash",
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"),
+        F.col("signature").alias("sig_b"),
+        "band",
+        "band_hash",
+    )
+    pairs = (
+        left.join(right, on=["band", "band_hash"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    est = (agree.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard")
+    return (
+        pairs.select("id_a", "id_b", est)
+        .filter(F.col("est_jaccard") >= min_jaccard)
+    )
+
+
+# --- exact n-gram Jaccard ------------------------------------------------
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    min_jaccard: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard similarity over distinct word n-grams, for every pair
+    of documents sharing at least one n-gram (others have similarity 0).
+
+    Plan: explode distinct shingles -> self-equi-join on shingle (pairs
+    co-grouped by shingle hash, no cross join) -> per-pair intersection
+    count -> broadcast-joined per-doc shingle counts -> Jaccard =
+    |A∩B| / (|A| + |B| - |A∩B|). Output id_a < id_b with ``jaccard``.
+    """
+    toks = tokens(F.col(text_col))
+    shingled = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(word_ngrams(toks, ngram))).alias("_gram"),
+    )
+    gram_counts = shingled.groupBy("_id").agg(F.count("*").alias("_n_grams"))
+
+    a = shingled.select(F.col("_id").alias("id_a"), "_gram")
+    b = shingled.select(F.col("_id").alias("id_b"), "_gram")
+    inter = (
+        a.join(b, on="_gram")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("_n_inter"))
+    )
+    na = gram_counts.select(F.col("_id").alias("id_a"), F.col("_n_grams").alias("_na"))
+    nb = gram_counts.select(F.col("_id").alias("id_b"), F.col("_n_grams").alias("_nb"))
+    jac = (
+        inter.join(na, on="id_a")
+        .join(nb, on="id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_n_inter").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_n_inter")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return jac
+
+
+# --- SimHash -------------------------------------------------------------
+
+def add_simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    simhash_col: str = "simhash",
+    bits: int = 32,
+) -> DataFrame:
+    """Per-document SimHash over whitespace tokens (default 32 bits).
+
+    For each bit position j: sum +1/-1 over token hashes' j-th bit; bit set
+    iff the sum is positive. Pure array expressions (bits × tokens adds) —
+    fine for curation-sized texts; a Pandas-UDF variant would be the pick
+    if profiling ever showed this projection dominating.
+    """
+    token_hashes = F.transform(tokens(F.col(text_col)), stable_hash64)
+    df = df.withColumn("_sh_hashes", token_hashes)
+
+    def bit_vote(j: int):
+        # +1 if bit j of the token hash is set, else -1 (shift amounts must
+        # be Python ints — Spark's shiftright doesn't take a Column)
+        return lambda s, h: s + (F.shiftright(h, j).bitwiseAND(1) * 2 - 1)
+
+    simhash = None
+    for j in range(bits):
+        vote = F.aggregate(F.col("_sh_hashes"), F.lit(0).cast("long"), bit_vote(j))
+        term = F.when(vote > 0, F.lit(1 << j).cast("long")).otherwise(F.lit(0).cast("long"))
+        simhash = term if simhash is None else simhash + term
+    return df.withColumn(simhash_col, simhash).drop("_sh_hashes")
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bits: int = 32,
+    max_hamming: int = 3,
+    band_bits: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance <= ``max_hamming``.
+
+    Candidate generation by banding the simhash into ``bits/band_bits``
+    chunks (pigeonhole: any pair within distance < #bands shares a chunk),
+    then exact ``bit_count(xor)`` verification — no cross join.
+    """
+    assert bits % band_bits == 0
+    n_bands = bits // band_bits
+    hashed = add_simhash(df, text_col, "simhash", bits).select(
+        F.col(id_col), "simhash"
+    )
+    mask = (1 << band_bits) - 1
+    banded = hashed.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * band_bits)
+                        .bitwiseAND(mask)
+                        .alias("chunk"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select(id_col, "simhash", "bc.band", "bc.chunk")
+    a = banded.select(
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sh_a"), "band", "chunk"
+    )
+    b = banded.select(
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sh_b"), "band", "chunk"
+    )
+    return (
+        a.join(b, on=["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+        .withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

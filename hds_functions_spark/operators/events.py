@@ -1,0 +1,185 @@
+"""Event-time operators over timestamped fact tables (batch).
+
+Extension layer (SURVEY.md §7): tumbling-window aggregation, gap-based
+sessionisation, as-of joins, and interval joins — the event/time-series
+surface the reference lacks (it has no streaming/temporal operators; its
+``events``-like data is handled with plain date functions).
+
+Scale notes:
+
+- tumbling windows use the built-in ``F.window`` bucketing — a plain hash
+  aggregation, map-side combinable, no row explosion;
+- sessionisation is one hash-partition exchange on the key plus an
+  in-partition sort (lag + running sum) — the canonical distributed
+  sessionize;
+- the as-of join is implemented as union + single co-partitioned sort +
+  ``last(ignorenulls)`` window — ONE shuffle, no range-join row explosion,
+  the right plan shape at 100 TB (a key-equi join + per-row top-1 would
+  explode on hot keys);
+- the interval join is a key-equi join with a range predicate, letting
+  AQE/broadcast pick the physical strategy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "tumbling_window_agg",
+    "sessionize",
+    "as_of_join",
+    "interval_join",
+]
+
+
+def tumbling_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    group_by: list[str] | None = None,
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Aggregate into fixed tumbling windows of ``duration`` (e.g. '1 hour').
+
+    Output columns: ``window_start``, ``window_end``, the group keys, and
+    the supplied aggregates (default: ``count(*) as n_events``).
+    """
+    aggs = aggs or [F.count("*").alias("n_events")]
+    group_by = group_by or []
+    win = F.window(F.col(ts_col), duration)
+    agged = df.groupBy(win.alias("_w"), *group_by).agg(*aggs)
+    return (
+        agged.withColumn("window_start", F.col("_w.start"))
+        .withColumn("window_end", F.col("_w.end"))
+        .drop("_w")
+    )
+
+
+def sessionize(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+    session_col: str = "session_id",
+) -> DataFrame:
+    """Assign gap-based session ids per key (new session when the time since
+    the previous event exceeds ``gap_seconds``). Adds ``session_col`` as a
+    per-key 1-based session index; deterministic given unique (key, ts).
+    """
+    w = Window.partitionBy(key_col).orderBy(ts_col)
+    gap_micros = int(gap_seconds) * 1_000_000
+    prev_ts = F.lag(F.unix_micros(F.col(ts_col)), 1).over(w)
+    new_session = F.when(
+        prev_ts.isNull()
+        | ((F.unix_micros(F.col(ts_col)) - prev_ts) > gap_micros),
+        1,
+    ).otherwise(0)
+    return df.withColumn(
+        session_col,
+        F.sum(new_session).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap_seconds: int,
+) -> DataFrame:
+    """Per-session summary: start/end timestamps and event count."""
+    with_sessions = sessionize(df, key_col, ts_col, gap_seconds)
+    return with_sessions.groupBy(key_col, "session_id").agg(
+        F.min(ts_col).alias("session_start"),
+        F.max(ts_col).alias("session_end"),
+        F.count("*").alias("n_events"),
+    )
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    right_value_cols: list[str],
+    direction: str = "backward",
+) -> DataFrame:
+    """For every left row, attach the most recent right row at or before its
+    timestamp (``direction='backward'``; ``'forward'`` = earliest at/after).
+
+    Implementation (single-shuffle, no row explosion): union the two sides
+    tagged, sort within each key partition by (ts, right-first), and carry
+    the right values forward with ``last(..., ignorenulls=True)`` — each
+    left row then holds the right row that was current as of its timestamp.
+    Equivalent to DuckDB's ``ASOF JOIN``. Right columns come back
+    null-filled when no right row precedes the left row.
+    """
+    assert direction in ("backward", "forward")
+    lcols = left.columns
+    tagged_left = left.select(
+        F.col(key_col).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_is_left"),
+        *[F.col(c) for c in lcols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in right_value_cols],
+    )
+    tagged_right = right.select(
+        F.col(key_col).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_is_left"),
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
+        *[F.col(c).alias(f"_rv_{c}") for c in right_value_cols],
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+
+    if direction == "backward":
+        # right rows sort before left rows at equal ts => "at or before"
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        w = (
+            Window.partitionBy("_k")
+            .orderBy(F.col("_ts").desc(), F.col("_is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_carried_{c}")
+            for c in right_value_cols
+        ],
+    )
+    return carried.filter(F.col("_is_left") == 1).select(
+        *[F.col(c) for c in lcols],
+        *[F.col(f"_carried_{c}").alias(c) for c in right_value_cols],
+    )
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+    right_ts: str,
+) -> DataFrame:
+    """Pair each left interval with every right event of the same key whose
+    timestamp falls in [start, end] (inclusive). Key-equi join + range
+    predicate; AQE/broadcast pick the physical join."""
+    lk = left.alias("l")
+    rk = right.alias("r")
+    cond = (
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{start_col}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{end_col}"))
+    )
+    return lk.join(rk, cond, "inner").select(
+        *[F.col(f"l.{c}") for c in left.columns],
+        *[F.col(f"r.{c}").alias(c if c not in left.columns else f"r_{c}") for c in right.columns],
+    )

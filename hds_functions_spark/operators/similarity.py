@@ -1,0 +1,176 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Extension layer (SURVEY.md §7): brute-force cosine top-k as the exact
+baseline, and a random-hyperplane LSH bucketed variant as the scale path.
+Dot products are computed with built-in array expressions
+(``zip_with`` + ``aggregate``) in double precision — JVM-side, no UDFs.
+
+Scale notes: brute force is O(|queries| × |corpus|) with the query side
+broadcast — correct choice when queries are few. The LSH variant buckets
+the corpus by sign-pattern of ``n_planes`` fixed random hyperplanes and
+only scores within matching buckets: at 100 TB the corpus side stays
+hash-partitioned by bucket and never materialises the cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .topk import first_row
+
+__all__ = ["dot_product", "l2_norm", "cosine_similarity", "cosine_topk", "lsh_cosine_topk", "hyperplanes"]
+
+
+def dot_product(a: Column, b: Column) -> Column:
+    """Left-to-right double-precision fold of elementwise products."""
+    return F.aggregate(
+        F.zip_with(a.cast("array<double>"), b.cast("array<double>"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot_product(a, a))
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    """Cosine similarity in double precision; null/zero-norm safe (null)."""
+    denom = l2_norm(a) * l2_norm(b)
+    return F.when(denom > 0, dot_product(a, b) / denom)
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbours per query (brute force, query side
+    broadcast). Self-matches (same id) are excluded.
+
+    Similarity is rounded to ``round_digits`` and ties broken by corpus id,
+    making the result set fully deterministic. Output:
+    (query_id, vec_id, cosine_sim, row_index 1..k).
+    """
+    q = queries.select(
+        F.col(query_id).alias("_qid"), F.col(vec_col).alias("_qvec")
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("_cid"), F.col(vec_col).alias("_cvec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("_qid") != F.col("_cid"))
+        .withColumn(
+            "cosine_sim",
+            F.round(cosine_similarity(F.col("_qvec"), F.col("_cvec")), round_digits),
+        )
+    )
+    top = first_row(
+        scored,
+        n=k,
+        partition_by=["_qid"],
+        order_by=[F.col("cosine_sim").desc(), F.col("_cid").asc()],
+        return_index_column=True,
+        index_column_name="row_index",
+    )
+    return top.select(
+        F.col("_qid").alias(query_id),
+        F.col("_cid").alias(corpus_id),
+        "cosine_sim",
+        F.col("row_index").cast("int").alias("row_index"),
+    )
+
+
+def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (fixed xorshift64 stream),
+    values in [-1, 1] — embedded as literals so results are reproducible."""
+    planes = []
+    state = 2_463_534_242
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state ^= (state << 13) & 0xFFFFFFFFFFFFFFFF
+            state ^= state >> 7
+            state ^= (state << 17) & 0xFFFFFFFFFFFFFFFF
+            row.append((state % 2_000_001) / 1_000_000.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane signature buckets, then exact
+    cosine within the query's bucket only. Recall < 1 by design; the scale
+    path when brute force is too expensive. Same output schema as
+    :func:`cosine_topk`.
+    """
+    planes = hyperplanes(n_planes, dim)
+
+    def signature(vec: Column) -> Column:
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        vec.cast("array<double>"),
+                        F.array(*[F.lit(w) for w in plane]),
+                        lambda x, w: x * w,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                > 0,
+                F.lit(1 << i).cast("long"),
+            ).otherwise(F.lit(0).cast("long"))
+            for i, plane in enumerate(planes)
+        ]
+        out = bits[0]
+        for bcol in bits[1:]:
+            out = out + bcol
+        return out
+
+    q = queries.select(
+        F.col(query_id).alias("_qid"),
+        F.col(vec_col).alias("_qvec"),
+        signature(F.col(vec_col)).alias("_bucket"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("_cid"),
+        F.col(vec_col).alias("_cvec"),
+        signature(F.col(vec_col)).alias("_bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="_bucket")
+        .filter(F.col("_qid") != F.col("_cid"))
+        .withColumn(
+            "cosine_sim",
+            F.round(cosine_similarity(F.col("_qvec"), F.col("_cvec")), round_digits),
+        )
+    )
+    top = first_row(
+        scored,
+        n=k,
+        partition_by=["_qid"],
+        order_by=[F.col("cosine_sim").desc(), F.col("_cid").asc()],
+        return_index_column=True,
+        index_column_name="row_index",
+    )
+    return top.select(
+        F.col("_qid").alias(query_id),
+        F.col("_cid").alias(corpus_id),
+        "cosine_sim",
+        F.col("row_index").cast("int").alias("row_index"),
+    )

@@ -1,0 +1,496 @@
+"""Extension-layer query registry: dedup, text analysis, similarity search,
+event-time operators, multimodal plumbing.
+
+Same contract as ``registry.py`` — every query has a DuckDB oracle built
+from the *same* constants (minhash permutations, stopword lists, portable
+hash) so the two sides compute identical values by construction. Oracles
+here are largely generated programmatically to stay in lockstep with the
+operator parameters.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .functions.hashing import (
+    MERSENNE_PRIME_31 as P,
+    minhash_permutation_constants,
+    stable_hash_sql,
+)
+from .functions.text import (
+    STOPWORDS,
+    add_fingerprint,
+    add_language_id,
+    add_quality_score,
+    add_text_stats,
+)
+from .operators.dedup import (
+    add_simhash,
+    duplicate_groups,
+    exact_dedup,
+    minhash_pairs,
+    ngram_jaccard_pairs,
+)
+from .operators.events import interval_join, session_stats, tumbling_window_agg
+from .operators.events import as_of_join
+from .operators.multimodal import attach_binary_payload, decode_image_features
+from .operators.similarity import cosine_topk, lsh_cosine_topk
+from .registry import ORACLES, QUERIES, _register, _t
+
+# --- text analysis -------------------------------------------------------
+
+#: DuckDB fragment: whitespace tokens of trimmed text ('' -> empty list)
+_DUCK_TOKENS = (
+    "CASE WHEN trim(text) = '' THEN []::VARCHAR[] "
+    "ELSE string_split_regex(trim(text), '\\s+') END"
+)
+
+
+@_register(
+    "text_stats",
+    f"""
+WITH toks AS (SELECT doc_id, text, {_DUCK_TOKENS} AS t FROM documents)
+SELECT doc_id,
+       length(text)::BIGINT AS n_chars_computed,
+       len(t)::BIGINT AS n_tokens,
+       CASE WHEN len(t) = 0 THEN NULL
+            ELSE list_sum(list_transform(t, s -> length(s)))::DOUBLE / len(t)
+       END AS avg_token_len,
+       CASE WHEN length(text) = 0 THEN NULL
+            ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE / length(text)
+       END AS punct_ratio,
+       CASE WHEN length(text) = 0 THEN NULL
+            ELSE (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text)
+       END AS digit_ratio,
+       CASE WHEN length(text) = 0 THEN NULL
+            ELSE (length(text) - length(regexp_replace(text, '\\s', '', 'g')))::DOUBLE / length(text)
+       END AS space_ratio,
+       CASE WHEN length(text) = 0 THEN NULL
+            ELSE (length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))::DOUBLE / length(text)
+       END AS upper_ratio
+FROM toks
+""",
+)
+def text_stats(spark, sf_dir):
+    """Per-document token/character-class statistics (zero-UDF projection)."""
+    return add_text_stats(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_chars_computed", "n_tokens", "avg_token_len",
+        "punct_ratio", "digit_ratio", "space_ratio", "upper_ratio",
+    )
+
+
+@_register(
+    "text_quality",
+    f"""
+WITH toks AS (SELECT doc_id, text, {_DUCK_TOKENS} AS t FROM documents),
+feat AS (
+    SELECT doc_id,
+           length(text) AS n_chars,
+           CASE WHEN len(t) = 0 THEN NULL
+                ELSE list_sum(list_transform(t, s -> length(s)))::DOUBLE / len(t)
+           END AS avg_tok,
+           CASE WHEN length(text) = 0 THEN NULL
+                ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE / length(text)
+           END AS punct,
+           CASE WHEN length(text) = 0 THEN NULL
+                ELSE (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text)
+           END AS digit
+    FROM toks
+)
+SELECT doc_id,
+       (CASE WHEN n_chars >= 50 AND n_chars <= 100000 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN avg_tok >= 3 AND avg_tok <= 12 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN COALESCE(punct, 1.0) <= 0.3 THEN 0.25 ELSE 0.0 END
+        + CASE WHEN COALESCE(digit, 1.0) <= 0.3 THEN 0.25 ELSE 0.0 END
+       )::DOUBLE AS quality_score
+FROM feat
+""",
+)
+def text_quality(spark, sf_dir):
+    """Heuristic quality score in [0, 1]."""
+    return add_quality_score(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "quality_score"
+    )
+
+
+def _duck_lang_sql() -> str:
+    toks = "list_transform(" + _DUCK_TOKENS.replace("'", "'") + ", s -> lower(s))"
+    hit_exprs = []
+    for code in sorted(STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in STOPWORDS[code])
+        hit_exprs.append(
+            f"len(list_filter(t, s -> list_contains([{words}], s))) AS h_{code}"
+        )
+    hits_sql = ",\n       ".join(hit_exprs)
+    greatest = "greatest(" + ", ".join(f"h_{c}" for c in sorted(STOPWORDS)) + ")"
+    cases = " ".join(
+        f"WHEN h_{c} = g THEN '{c}'" for c in sorted(STOPWORDS)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {toks} AS t FROM (SELECT doc_id, text FROM documents)),
+hits AS (SELECT doc_id, {hits_sql} FROM toks),
+best AS (SELECT *, {greatest} AS g FROM hits)
+SELECT doc_id, CASE WHEN g = 0 THEN 'und' {cases} ELSE 'und' END AS lang_pred
+FROM best
+"""
+
+
+@_register("text_language", _duck_lang_sql())
+def text_language(spark, sf_dir):
+    """Stopword-hit heuristic language ID (en/fr/de/es; zh -> 'und')."""
+    return add_language_id(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "lang_pred"
+    )
+
+
+_DUCK_FP = stable_hash_sql(
+    "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+)
+
+
+@_register(
+    "text_fingerprint",
+    f"SELECT doc_id, {_DUCK_FP} AS fingerprint FROM documents",
+)
+def text_fingerprint(spark, sf_dir):
+    """Normalised-content fingerprint (portable 60-bit hash)."""
+    return add_fingerprint(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    )
+
+
+# --- dedup ---------------------------------------------------------------
+
+@_register(
+    "dedup_exact",
+    f"""
+WITH fp AS (SELECT doc_id, lang, source, {_DUCK_FP} AS fingerprint FROM documents)
+SELECT doc_id, lang, source, fingerprint FROM fp
+QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+""",
+)
+def dedup_exact(spark, sf_dir):
+    """Deterministic exact dedup by content fingerprint (keep min doc_id)."""
+    docs = add_fingerprint(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    ).drop("text")
+    return exact_dedup(docs, ["fingerprint"], "doc_id")
+
+
+@_register(
+    "dedup_groups",
+    """
+SELECT lang, source, count(*) AS n_rows, min(doc_id) AS keep_id
+FROM documents GROUP BY lang, source HAVING count(*) > 1
+""",
+)
+def dedup_groups(spark, sf_dir):
+    """Duplicate-group audit over a composite key."""
+    return duplicate_groups(
+        _t(spark, sf_dir, "documents"), ["lang", "source"], "doc_id"
+    )
+
+
+_MH_NUM_HASHES = 32
+_MH_SHINGLE = 5
+_MH_BANDS = 8
+_MH_ROWS = _MH_NUM_HASHES // _MH_BANDS
+
+
+def _duck_minhash_sql() -> str:
+    constants = minhash_permutation_constants(_MH_NUM_HASHES)
+    grams = (
+        f"CASE WHEN length(lower(text)) < {_MH_SHINGLE} THEN []::VARCHAR[] "
+        f"ELSE list_transform(generate_series(1, length(lower(text)) - {_MH_SHINGLE - 1}), "
+        f"i -> substr(lower(text), i, {_MH_SHINGLE})) END"
+    )
+    sig_terms = ", ".join(
+        f"list_min(list_transform(hs, h -> (h * {a} + {b}) % {P}))"
+        for a, b in constants
+    )
+    band_branches = []
+    for b in range(_MH_BANDS):
+        lo, hi = b * _MH_ROWS + 1, (b + 1) * _MH_ROWS
+        band_hash = stable_hash_sql(
+            f"array_to_string(list_transform(signature[{lo}:{hi}], v -> v::VARCHAR), '-')"
+        )
+        band_branches.append(
+            f"SELECT doc_id, signature, {b} AS band, {band_hash} AS band_hash FROM sigs"
+        )
+    banded = "\n  UNION ALL ".join(band_branches)
+    agree = (
+        f"list_sum(list_transform(generate_series(1, {_MH_NUM_HASHES}), "
+        f"i -> CASE WHEN sa[i] = sb[i] THEN 1 ELSE 0 END))"
+    )
+    return f"""
+WITH hashes AS (
+    SELECT doc_id, list_transform(list_distinct({grams}),
+                                  s -> {stable_hash_sql('s')} % {P}) AS hs
+    FROM documents WHERE length(text) >= {_MH_SHINGLE}
+), sigs AS (
+    SELECT doc_id, [{sig_terms}] AS signature FROM hashes
+), banded AS (
+  {banded}
+), pairs AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.signature AS sa, b.signature AS sb
+    FROM banded a JOIN banded b USING (band, band_hash)
+    WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, ({agree})::DOUBLE / {_MH_NUM_HASHES} AS est_jaccard
+FROM pairs
+"""
+
+
+@_register("dedup_minhash_pairs", _duck_minhash_sql())
+def dedup_minhash_pairs(spark, sf_dir):
+    """MinHash-LSH candidate pairs with estimated Jaccard (32 hashes,
+    8 bands; char-5 shingles)."""
+    docs = _t(spark, sf_dir, "documents").filter(F.length("text") >= _MH_SHINGLE)
+    return minhash_pairs(
+        docs,
+        num_hashes=_MH_NUM_HASHES,
+        shingle_size=_MH_SHINGLE,
+        bands=_MH_BANDS,
+    )
+
+
+_NJ_NGRAM = 3
+_NJ_MIN = 0.2
+
+
+@_register(
+    "dedup_ngram_jaccard",
+    f"""
+WITH toks AS (
+    SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+), grams AS (
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(t) < {_NJ_NGRAM} THEN []::VARCHAR[]
+             ELSE list_transform(generate_series(1, len(t) - {_NJ_NGRAM - 1}),
+                                 i -> array_to_string(t[i:i+{_NJ_NGRAM - 1}], ' '))
+        END)) AS gram
+    FROM toks
+), counts AS (
+    SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+    FROM grams a JOIN grams b USING (gram)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       n_inter::DOUBLE / (ca.n_grams + cb.n_grams - n_inter) AS jaccard
+FROM inter
+JOIN counts ca ON ca.doc_id = id_a
+JOIN counts cb ON cb.doc_id = id_b
+WHERE n_inter::DOUBLE / (ca.n_grams + cb.n_grams - n_inter) >= {_NJ_MIN}
+""",
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard similarity pairs (>= 0.2)."""
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), ngram=_NJ_NGRAM, min_jaccard=_NJ_MIN
+    )
+
+
+_SH_BITS = 32
+
+
+def _duck_simhash_sql() -> str:
+    terms = " + ".join(
+        f"CASE WHEN list_sum(list_transform(hs, h -> ((h >> {j}) & 1) * 2 - 1)) > 0 "
+        f"THEN {1 << j}::BIGINT ELSE 0::BIGINT END"
+        for j in range(_SH_BITS)
+    )
+    return f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+hashes AS (
+    SELECT doc_id, list_transform(t, s -> {stable_hash_sql('s')}) AS hs FROM toks
+)
+SELECT doc_id, ({terms})::BIGINT AS simhash FROM hashes
+"""
+
+
+@_register("dedup_simhash", _duck_simhash_sql())
+def dedup_simhash(spark, sf_dir):
+    """32-bit SimHash per document over whitespace tokens."""
+    return add_simhash(_t(spark, sf_dir, "documents"), bits=_SH_BITS).select(
+        "doc_id", "simhash"
+    )
+
+
+# --- similarity search ---------------------------------------------------
+
+_KNN_K = 5
+_KNN_QUERY_MOD = 50  # queries = vec_id % 50 == 0
+
+
+@_register(
+    "similarity_knn",
+    f"""
+WITH queries AS (
+    SELECT vec_id AS query_id, embedding FROM embeddings
+    WHERE vec_id % {_KNN_QUERY_MOD} = 0
+), scored AS (
+    SELECT q.query_id, c.vec_id,
+           round(
+             list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+             6) AS cosine_sim
+    FROM queries q JOIN embeddings c ON c.vec_id <> q.query_id
+)
+SELECT query_id, vec_id, cosine_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine_sim DESC, vec_id) AS INTEGER) AS row_index
+FROM scored
+QUALIFY row_index <= {_KNN_K}
+""",
+)
+def similarity_knn(spark, sf_dir):
+    """Exact brute-force top-5 cosine neighbours for every 50th vector."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % _KNN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return cosine_topk(emb, queries, k=_KNN_K)
+
+
+@_register("similarity_lsh_knn")  # approximate: rows-only check by design
+def similarity_lsh_knn(spark, sf_dir):
+    """Random-hyperplane LSH bucketed top-5 (approximate; no SQL oracle —
+    recall < 1 by construction, verified against the exact path in tests)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % _KNN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_cosine_topk(emb, queries, k=_KNN_K, n_planes=8, dim=64)
+
+
+# --- event-time operators ------------------------------------------------
+
+@_register(
+    "events_tumbling",
+    """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events GROUP BY 1, 2, 3
+""",
+)
+def events_tumbling(spark, sf_dir):
+    """Hourly tumbling-window counts and value sums per event type."""
+    return tumbling_window_agg(
+        _t(spark, sf_dir, "events"),
+        "ts",
+        "1 hour",
+        group_by=["event_type"],
+        aggs=[
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        ],
+    ).select("window_start", "window_end", "event_type", "n_events", "sum_value")
+
+
+@_register(
+    "events_sessions",
+    """
+WITH ordered AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS new_s
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+    SELECT user_id, ts,
+           CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM ordered
+)
+SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM sess GROUP BY 1, 2
+""",
+)
+def events_sessions(spark, sf_dir):
+    """Gap-based sessionisation (30-minute gap) with per-session stats."""
+    return session_stats(
+        _t(spark, sf_dir, "events"), "user_id", "ts", gap_seconds=1800
+    )
+
+
+@_register(
+    "events_asof_join",
+    """
+SELECT l.event_id, l.user_id, l.ts,
+       r.event_id AS click_event_id, r.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND r.ts <= l.ts
+""",
+)
+def events_asof_join(spark, sf_dir):
+    """For each purchase, the user's most recent click at or before it
+    (single-shuffle union-sort as-of join; DuckDB ASOF JOIN oracle)."""
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_event_id"),
+        F.col("value").alias("click_value"),
+    )
+    return as_of_join(
+        purchases, clicks, "user_id", "ts", "ts", ["click_event_id", "click_value"]
+    )
+
+
+@_register(
+    "events_interval_join",
+    """
+SELECT l.event_id, count(*) AS n_clicks
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+GROUP BY l.event_id
+""",
+)
+def events_interval_join(spark, sf_dir):
+    """Clicks within one hour after each purchase (interval join + agg)."""
+    events = _t(spark, sf_dir, "events")
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col("ts").alias("start_ts"))
+        .withColumn("end_ts", F.col("start_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts"
+    )
+    joined = interval_join(purchases, clicks, "user_id", "start_ts", "end_ts", "ts")
+    return joined.groupBy("event_id").agg(F.count("*").alias("n_clicks"))
+
+
+# --- multimodal plumbing -------------------------------------------------
+
+@_register(
+    "multimodal_features",
+    """
+SELECT doc_id,
+       CAST(1 + (('0x' || substr(md5(text), 1, 4))::INTEGER % 4096) AS INTEGER) AS width,
+       CAST(1 + (('0x' || substr(md5(text), 5, 4))::INTEGER % 4096) AS INTEGER) AS height,
+       (['RGB', 'RGBA', 'L'])[(('0x' || substr(md5(text), 9, 2))::INTEGER % 3) + 1] AS mode,
+       octet_length(text::BLOB) AS payload_bytes
+FROM documents
+""",
+)
+def multimodal_features(spark, sf_dir):
+    """Arrow-batched mapInPandas decode plumbing over binary payloads
+    (deterministic fake decoder; real decoder stubbed per environment)."""
+    docs = attach_binary_payload(_t(spark, sf_dir, "documents"), "text")
+    return decode_image_features(docs)

@@ -1,0 +1,137 @@
+"""Similarity-search and event-time operator tests."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from hds_functions_spark.operators.events import (
+    as_of_join,
+    interval_join,
+    session_stats,
+    sessionize,
+    tumbling_window_agg,
+)
+from hds_functions_spark.operators.similarity import (
+    cosine_similarity,
+    cosine_topk,
+    lsh_cosine_topk,
+)
+
+
+def ts(minute, second=0):
+    return datetime.datetime(2024, 1, 1, 10, minute, second)
+
+
+def test_cosine_similarity_values(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 0.0])],
+        "a: array<float>, b: array<float>",
+    )
+    out = df.select(cosine_similarity(F.col("a"), F.col("b")).alias("sim")).collect()
+    assert out[0]["sim"] == pytest.approx(1.0)
+    assert out[1]["sim"] == pytest.approx(0.0)
+    assert out[2]["sim"] == pytest.approx(0.7071067811865475)
+
+
+def test_cosine_topk(spark):
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [1.0, 0.05])],
+        "vec_id: long, embedding: array<float>",
+    )
+    queries = corpus.filter("vec_id = 1").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = cosine_topk(corpus, queries, k=2).collect()
+    assert [r["vec_id"] for r in out] == [4, 2]  # nearest first
+    assert [r["row_index"] for r in out] == [1, 2]
+
+
+def test_lsh_topk_subset_of_exact(spark):
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 7), float((i * 3) % 5), 1.0]) for i in range(1, 40)],
+        "vec_id: long, embedding: array<float>",
+    )
+    queries = corpus.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    approx = lsh_cosine_topk(corpus, queries, k=3, n_planes=4, dim=3)
+    rows = approx.collect()
+    assert len(rows) > 0
+    # every returned neighbour shares the query's hyperplane bucket, and
+    # row_index is a valid 1..k ranking per query
+    for qid in {r["query_id"] for r in rows}:
+        idx = sorted(r["row_index"] for r in rows if r["query_id"] == qid)
+        assert idx == list(range(1, len(idx) + 1))
+
+
+def test_tumbling_window_agg(spark):
+    df = spark.createDataFrame(
+        [(1, ts(0)), (2, ts(30)), (3, ts(59)), (4, datetime.datetime(2024, 1, 1, 11, 0))],
+        "event_id: long, ts: timestamp",
+    )
+    out = tumbling_window_agg(df, "ts", "1 hour")
+    got = {r["window_start"]: r["n_events"] for r in out.collect()}
+    assert got[datetime.datetime(2024, 1, 1, 10, 0)] == 3
+    assert got[datetime.datetime(2024, 1, 1, 11, 0)] == 1
+
+
+def test_sessionize_and_stats(spark):
+    df = spark.createDataFrame(
+        [
+            (100, ts(0)), (100, ts(5)), (100, ts(40)),  # gap 35min -> new session
+            (200, ts(10)),
+        ],
+        "user_id: long, ts: timestamp",
+    )
+    sess = sessionize(df, "user_id", "ts", gap_seconds=1800)
+    got = {(r["user_id"], r["ts"].minute): r["session_id"] for r in sess.collect()}
+    assert got[(100, 0)] == 1 and got[(100, 5)] == 1 and got[(100, 40)] == 2
+    assert got[(200, 10)] == 1
+
+    stats = session_stats(df, "user_id", "ts", gap_seconds=1800)
+    rows = {(r["user_id"], r["session_id"]): r for r in stats.collect()}
+    assert rows[(100, 1)]["n_events"] == 2
+    assert rows[(100, 2)]["n_events"] == 1
+
+
+def test_as_of_join_backward(spark):
+    quotes = spark.createDataFrame(
+        [(1, ts(0), 10.0), (1, ts(10), 11.0), (2, ts(5), 20.0)],
+        "key: long, qts: timestamp, price: double",
+    )
+    trades = spark.createDataFrame(
+        [(1, ts(5), "t1"), (1, ts(10), "t2"), (1, ts(15), "t3"), (2, ts(0), "t4")],
+        "key: long, tts: timestamp, trade: string",
+    )
+    out = as_of_join(trades, quotes, "key", "tts", "qts", ["price"])
+    got = {r["trade"]: r["price"] for r in out.collect()}
+    # t1@10:05 -> quote@10:00; t2@10:10 -> quote@10:10 (equal ts counts);
+    # t3@10:15 -> quote@10:10; t4@10:00 -> no quote for key 2 yet -> null
+    assert got == {"t1": 10.0, "t2": 11.0, "t3": 11.0, "t4": None}
+
+
+def test_as_of_join_forward(spark):
+    quotes = spark.createDataFrame(
+        [(1, ts(10), 11.0)], "key: long, qts: timestamp, price: double"
+    )
+    trades = spark.createDataFrame(
+        [(1, ts(5), "t1"), (1, ts(12), "t2")],
+        "key: long, tts: timestamp, trade: string",
+    )
+    out = as_of_join(trades, quotes, "key", "tts", "qts", ["price"], direction="forward")
+    got = {r["trade"]: r["price"] for r in out.collect()}
+    assert got == {"t1": 11.0, "t2": None}
+
+
+def test_interval_join(spark):
+    intervals = spark.createDataFrame(
+        [(1, ts(0), ts(10), "w1"), (1, ts(20), ts(30), "w2")],
+        "key: long, start: timestamp, end: timestamp, label: string",
+    )
+    events = spark.createDataFrame(
+        [(1, ts(5), "a"), (1, ts(10), "b"), (1, ts(15), "c"), (1, ts(25), "d")],
+        "key: long, ts: timestamp, name: string",
+    )
+    out = interval_join(intervals, events, "key", "start", "end", "ts")
+    got = sorted((r["label"], r["name"]) for r in out.collect())
+    # boundary inclusive: event at exactly 10:10 joins w1; 10:15 joins nothing
+    assert got == [("w1", "a"), ("w1", "b"), ("w2", "d")]

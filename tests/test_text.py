@@ -1,0 +1,90 @@
+"""Text-analysis function tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hds_functions_spark.functions.text import (
+    add_fingerprint,
+    add_language_id,
+    add_quality_score,
+    add_text_stats,
+    char_ngrams,
+    token_count,
+    tokens,
+    word_ngrams,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, ""),
+            (3, "  spaced   out  "),
+            (4, "le chat est sur la table et il ne dort pas"),
+            (5, "1234 5678!!!"),
+        ],
+        "doc_id: long, text: string",
+    )
+
+
+def test_tokens_and_count(spark, docs):
+    out = docs.select("doc_id", tokens("text").alias("t"), token_count("text").alias("n"))
+    got = {r["doc_id"]: (r["t"], r["n"]) for r in out.collect()}
+    assert got[1][1] == 9
+    assert got[2] == ([], 0)
+    assert got[3] == (["spaced", "out"], 2)
+
+
+def test_char_ngrams(spark):
+    df = spark.createDataFrame([("abcd",), ("ab",), ("",)], ["s"])
+    out = df.select(char_ngrams(F.col("s"), 3).alias("g")).collect()
+    assert out[0]["g"] == ["abc", "bcd"]
+    assert out[1]["g"] == []  # shorter than n
+    assert out[2]["g"] == []
+
+
+def test_word_ngrams(spark):
+    df = spark.createDataFrame([("a b c d",), ("a",)], ["s"])
+    out = df.select(word_ngrams(tokens("s"), 2).alias("g")).collect()
+    assert out[0]["g"] == ["a b", "b c", "c d"]
+    assert out[1]["g"] == []
+
+
+def test_text_stats(docs):
+    out = add_text_stats(docs)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["n_tokens"] == 9
+    assert rows[1]["punct_ratio"] == 0.0
+    assert rows[2]["avg_token_len"] is None  # empty text
+    assert rows[5]["digit_ratio"] == pytest.approx(8 / 12)
+    assert rows[5]["punct_ratio"] == pytest.approx(3 / 12)
+
+
+def test_quality_score(docs):
+    out = add_quality_score(docs)
+    rows = {r["doc_id"]: r["quality_score"] for r in out.collect()}
+    assert rows[2] == 0.0  # empty: fails everything
+    assert rows[1] == 0.75  # 44 chars -> fails length band; rest pass
+    assert 0.0 <= rows[5] <= 0.5
+
+
+def test_language_id(docs):
+    out = add_language_id(docs)
+    rows = {r["doc_id"]: r["lang_pred"] for r in out.collect()}
+    assert rows[1] == "en"
+    assert rows[4] == "fr"
+    assert rows[2] == "und"  # no tokens
+    assert rows[5] == "und"  # no stopword hits
+
+
+def test_fingerprint_normalisation(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "  hello world "), (3, "different")],
+        "doc_id: long, text: string",
+    )
+    out = {r["doc_id"]: r["fingerprint"] for r in add_fingerprint(df).collect()}
+    assert out[1] == out[2]  # case + whitespace normalised
+    assert out[1] != out[3]
+    assert all(v >= 0 for v in out.values())  # portable hash is non-negative
