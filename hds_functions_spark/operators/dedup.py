@@ -39,6 +39,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "add_simhash",
     "simhash_pairs",
+    "embedding_near_dup_pairs",
 ]
 
 
@@ -324,4 +325,83 @@ def simhash_pairs(
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
+    )
+
+
+# --- embedding-cosine near-dup ------------------------------------------
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    n_planes: int = 8,
+    bands: int = 2,
+    dim: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity, found without a
+    quadratic self-join: sign-bit signatures against ``n_planes`` fixed
+    hyperplanes are split into ``bands`` bands (minhash-style banding for
+    cosine LSH); rows pairing up in *any* band are candidates, then exact
+    cosine is computed and pairs below ``threshold`` are dropped.
+
+    Output: (id_a, id_b, cosine_sim) with id_a < id_b, distinct.
+
+    Scale notes: each row expands to exactly ``bands`` rows (bounded fanout,
+    no skew amplification); the band-bucket equi-join shuffles on
+    (band, band_bits) so only same-bucket rows meet. Recall < 1 by design —
+    raise ``bands``/lower bits-per-band to trade cost for recall. The
+    whole dataflow is built-in expressions (oracle-checkable).
+    """
+    assert n_planes % bands == 0, "n_planes must divide evenly into bands"
+    from .similarity import cosine_similarity, hyperplanes, plane_signature
+
+    planes = hyperplanes(n_planes, dim)
+    rows_per_band = n_planes // bands
+    sig = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        *[
+            plane_signature(
+                F.col(vec_col), planes[b * rows_per_band : (b + 1) * rows_per_band]
+            ).alias(f"_band_{b}")
+            for b in range(bands)
+        ],
+    )
+    banded = None
+    for b in range(bands):
+        part = sig.select(
+            "_id",
+            "_vec",
+            F.lit(b).alias("_band"),
+            F.col(f"_band_{b}").alias("_band_bits"),
+        )
+        banded = part if banded is None else banded.unionByName(part)
+
+    a = banded.select(
+        F.col("_id").alias("id_a"),
+        F.col("_vec").alias("_va"),
+        "_band",
+        "_band_bits",
+    )
+    b_side = banded.select(
+        F.col("_id").alias("id_b"),
+        F.col("_vec").alias("_vb"),
+        "_band",
+        "_band_bits",
+    )
+    pairs = (
+        a.join(b_side, on=["_band", "_band_bits"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "_va", "_vb")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        pairs.withColumn(
+            "cosine_sim",
+            F.round(cosine_similarity(F.col("_va"), F.col("_vb")), round_digits),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cosine_sim")
     )

@@ -19,7 +19,16 @@ from pyspark.sql import functions as F
 
 from .topk import first_row
 
-__all__ = ["dot_product", "l2_norm", "cosine_similarity", "cosine_topk", "lsh_cosine_topk", "hyperplanes"]
+__all__ = [
+    "dot_product",
+    "l2_norm",
+    "cosine_similarity",
+    "cosine_topk",
+    "lsh_cosine_topk",
+    "hyperplanes",
+    "plane_signature",
+    "ivf_cosine_topk",
+]
 
 
 def dot_product(a: Column, b: Column) -> Column:
@@ -102,6 +111,31 @@ def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
     return planes
 
 
+def plane_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature of ``vec`` against fixed hyperplanes, packed into
+    one long (bit i set iff dot(vec, planes[i]) > 0). JVM-side only."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec.cast("array<double>"),
+                    F.array(*[F.lit(w) for w in plane]),
+                    lambda x, w: x * w,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            > 0,
+            F.lit(1 << i).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+        for i, plane in enumerate(planes)
+    ]
+    out = bits[0]
+    for bcol in bits[1:]:
+        out = out + bcol
+    return out
+
+
 def lsh_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -120,40 +154,113 @@ def lsh_cosine_topk(
     """
     planes = hyperplanes(n_planes, dim)
 
-    def signature(vec: Column) -> Column:
-        bits = [
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        vec.cast("array<double>"),
-                        F.array(*[F.lit(w) for w in plane]),
-                        lambda x, w: x * w,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                > 0,
-                F.lit(1 << i).cast("long"),
-            ).otherwise(F.lit(0).cast("long"))
-            for i, plane in enumerate(planes)
-        ]
-        out = bits[0]
-        for bcol in bits[1:]:
-            out = out + bcol
-        return out
-
     q = queries.select(
         F.col(query_id).alias("_qid"),
         F.col(vec_col).alias("_qvec"),
-        signature(F.col(vec_col)).alias("_bucket"),
+        plane_signature(F.col(vec_col), planes).alias("_bucket"),
     )
     c = corpus.select(
         F.col(corpus_id).alias("_cid"),
         F.col(vec_col).alias("_cvec"),
-        signature(F.col(vec_col)).alias("_bucket"),
+        plane_signature(F.col(vec_col), planes).alias("_bucket"),
     )
     scored = (
         c.join(F.broadcast(q), on="_bucket")
+        .filter(F.col("_qid") != F.col("_cid"))
+        .withColumn(
+            "cosine_sim",
+            F.round(cosine_similarity(F.col("_qvec"), F.col("_cvec")), round_digits),
+        )
+    )
+    top = first_row(
+        scored,
+        n=k,
+        partition_by=["_qid"],
+        order_by=[F.col("cosine_sim").desc(), F.col("_cid").asc()],
+        return_index_column=True,
+        index_column_name="row_index",
+    )
+    return top.select(
+        F.col("_qid").alias(query_id),
+        F.col("_cid").alias(corpus_id),
+        "cosine_sim",
+        F.col("row_index").cast("int").alias("row_index"),
+    )
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """IVF-style approximate top-k: a coarse quantizer partitions the corpus
+    into ``n_centroids`` inverted lists; each query probes only its
+    ``n_probe`` nearest lists and scores exactly within them.
+
+    The coarse centroids are the corpus vectors with id < ``n_centroids``
+    (deterministic — no iterative k-means, so the Spark plan and the SQL
+    oracle compute bit-identical assignments; swap in a trained codebook at
+    scale without changing the dataflow). Assignment uses a broadcast of the
+    centroid table and a map-side ``max(struct(...))`` partial aggregate, so
+    the only shuffles are the final per-corpus-id argmax and the per-query
+    top-k — at 100 TB the corpus is scanned once and never self-joined.
+
+    Same output schema as :func:`cosine_topk`:
+    (query_id, vec_id, cosine_sim, row_index 1..k).
+    """
+    cent = corpus.filter(F.col(corpus_id) < n_centroids).select(
+        F.col(corpus_id).alias("_centroid_id"), F.col(vec_col).alias("_cent_vec")
+    )
+
+    def nearest(df: DataFrame, id_alias: str, n_keep: int) -> DataFrame:
+        """id -> its n_keep nearest centroids (rounded sim, id tie-break)."""
+        scored = df.join(F.broadcast(cent)).withColumn(
+            "_csim",
+            F.round(
+                cosine_similarity(F.col("_vec"), F.col("_cent_vec")), round_digits
+            ),
+        )
+        # max_by-style partial agg: struct max orders by (sim, -centroid_id),
+        # i.e. ties go to the smaller centroid id — map-side combinable.
+        if n_keep == 1:
+            best = scored.groupBy(id_alias, "_vec").agg(
+                F.max(
+                    F.struct(
+                        F.col("_csim").alias("s"),
+                        (-F.col("_centroid_id")).cast("long").alias("negid"),
+                    )
+                ).alias("_best")
+            )
+            return best.select(
+                id_alias, "_vec", (-F.col("_best.negid")).alias("_centroid_id")
+            )
+        top = first_row(
+            scored,
+            n=n_keep,
+            partition_by=[id_alias],
+            order_by=[F.col("_csim").desc(), F.col("_centroid_id").asc()],
+        )
+        return top.select(id_alias, "_vec", "_centroid_id")
+
+    assigned = nearest(
+        corpus.select(F.col(corpus_id).alias("_cid"), F.col(vec_col).alias("_vec")),
+        "_cid",
+        1,
+    ).select("_cid", F.col("_vec").alias("_cvec"), "_centroid_id")
+    probes = nearest(
+        queries.select(F.col(query_id).alias("_qid"), F.col(vec_col).alias("_vec")),
+        "_qid",
+        n_probe,
+    ).select("_qid", F.col("_vec").alias("_qvec"), "_centroid_id")
+
+    scored = (
+        assigned.join(F.broadcast(probes), on="_centroid_id")
         .filter(F.col("_qid") != F.col("_cid"))
         .withColumn(
             "cosine_sim",

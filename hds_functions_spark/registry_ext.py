@@ -27,6 +27,7 @@ from .functions.text import (
 from .operators.dedup import (
     add_simhash,
     duplicate_groups,
+    embedding_near_dup_pairs,
     exact_dedup,
     minhash_pairs,
     ngram_jaccard_pairs,
@@ -34,7 +35,12 @@ from .operators.dedup import (
 from .operators.events import interval_join, session_stats, tumbling_window_agg
 from .operators.events import as_of_join
 from .operators.multimodal import attach_binary_payload, decode_image_features
-from .operators.similarity import cosine_topk, lsh_cosine_topk
+from .operators.similarity import (
+    cosine_topk,
+    hyperplanes,
+    ivf_cosine_topk,
+    lsh_cosine_topk,
+)
 from .registry import ORACLES, QUERIES, _register, _t
 
 # --- text analysis -------------------------------------------------------
@@ -368,6 +374,127 @@ def similarity_lsh_knn(spark, sf_dir):
     return lsh_cosine_topk(emb, queries, k=_KNN_K, n_planes=8, dim=64)
 
 
+_DUCK_COS = (
+    "round(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+    " / (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+    " * sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))), 6)"
+)
+
+
+def _duck_plane_sig(planes: list[list[float]], vec_expr: str) -> str:
+    """DuckDB fragment: packed sign-bit signature of ``vec_expr`` against
+    ``planes`` — mirrors :func:`plane_signature` bit for bit."""
+    terms = []
+    for i, plane in enumerate(planes):
+        lits = ", ".join(repr(w) for w in plane)
+        terms.append(
+            f"CASE WHEN list_dot_product({vec_expr}::DOUBLE[], [{lits}]::DOUBLE[]) > 0 "
+            f"THEN {1 << i}::BIGINT ELSE 0::BIGINT END"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+_ND_THRESHOLD = 0.3
+_ND_PLANES = 8
+_ND_BANDS = 2
+_ND_DIM = 64
+
+
+def _duck_near_dup_sql() -> str:
+    planes = hyperplanes(_ND_PLANES, _ND_DIM)
+    rows_per_band = _ND_PLANES // _ND_BANDS
+    band_cols = ", ".join(
+        _duck_plane_sig(planes[b * rows_per_band : (b + 1) * rows_per_band], "embedding")
+        + f" AS band_{b}"
+        for b in range(_ND_BANDS)
+    )
+    banded = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, band_{b} AS band_bits FROM sig"
+        for b in range(_ND_BANDS)
+    )
+    cos = _DUCK_COS.format(a="ea.embedding", b="eb.embedding")
+    return f"""
+WITH sig AS (
+    SELECT vec_id, embedding, {band_cols} FROM embeddings
+), banded AS (
+  {banded}
+), pairs AS (
+    SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+    FROM banded a JOIN banded b USING (band, band_bits)
+    WHERE a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, {cos} AS cosine_sim
+FROM pairs
+JOIN embeddings ea ON ea.vec_id = id_a
+JOIN embeddings eb ON eb.vec_id = id_b
+WHERE {cos} >= {_ND_THRESHOLD}
+"""
+
+
+@_register("dedup_embedding", _duck_near_dup_sql())
+def dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs via banded hyperplane LSH
+    (8 planes in 2 bands) with exact cosine verification at >= 0.3."""
+    return embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"),
+        threshold=_ND_THRESHOLD,
+        n_planes=_ND_PLANES,
+        bands=_ND_BANDS,
+        dim=_ND_DIM,
+    )
+
+
+_IVF_CENTROIDS = 16
+_IVF_PROBE = 4
+
+
+def _duck_ivf_sql() -> str:
+    cos_ac = _DUCK_COS.format(a="e.embedding", b="c.cvec")
+    cos_qc = _DUCK_COS.format(a="q.embedding", b="c.cvec")
+    cos_fin = _DUCK_COS.format(a="p.qvec", b="a.avec")
+    return f"""
+WITH cent AS (
+    SELECT vec_id AS centroid_id, embedding AS cvec FROM embeddings
+    WHERE vec_id < {_IVF_CENTROIDS}
+), assigned AS (
+    SELECT e.vec_id AS cid, e.embedding AS avec, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY {cos_ac} DESC, c.centroid_id) AS rn
+    FROM embeddings e CROSS JOIN cent c
+    QUALIFY rn = 1
+), probes AS (
+    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.centroid_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY {cos_qc} DESC, c.centroid_id) AS rn
+    FROM embeddings q CROSS JOIN cent c
+    WHERE q.vec_id % {_KNN_QUERY_MOD} = 0
+    QUALIFY rn <= {_IVF_PROBE}
+), scored AS (
+    SELECT p.query_id, a.cid AS vec_id, {cos_fin} AS cosine_sim
+    FROM assigned a JOIN probes p USING (centroid_id)
+    WHERE a.cid <> p.query_id
+)
+SELECT query_id, vec_id, cosine_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine_sim DESC, vec_id) AS INTEGER) AS row_index
+FROM scored
+QUALIFY row_index <= {_KNN_K}
+"""
+
+
+@_register("similarity_ivf_knn", _duck_ivf_sql())
+def similarity_ivf_knn(spark, sf_dir):
+    """IVF-style approximate top-5: 16 deterministic coarse centroids,
+    4-probe query fanout, exact scoring within probed inverted lists."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % _KNN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_cosine_topk(
+        emb, queries, k=_KNN_K, n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE
+    )
+
+
 # --- event-time operators ------------------------------------------------
 
 @_register(
@@ -494,3 +621,118 @@ def multimodal_features(spark, sf_dir):
     (deterministic fake decoder; real decoder stubbed per environment)."""
     docs = attach_binary_payload(_t(spark, sf_dir, "documents"), "text")
     return decode_image_features(docs)
+
+
+# --- structured streaming ------------------------------------------------
+#
+# Each streaming query runs the incremental operator to completion with
+# Trigger.AvailableNow over the finite parquet input, so the result is the
+# exact batch answer and stays oracle-checkable. Value sums are accumulated
+# as integer cents (order-independent) — float partial-agg order differs
+# between incremental and batch execution, integers never do.
+
+from .streaming import (  # noqa: E402
+    read_parquet_stream,
+    run_stream_to_memory,
+    stream_distinct_keys,
+    stream_session_agg,
+    stream_stateful_totals,
+    stream_tumbling_agg,
+)
+
+
+def _events_stream(spark, sf_dir):
+    # same nanos->micros handling as the batch loader (registry._load_events)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    sdf = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
+    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+@_register(
+    "streaming_tumbling",
+    """
+SELECT date_trunc('hour', ts) AS window_start,
+       date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+FROM events GROUP BY 1, 2, 3
+""",
+)
+def streaming_tumbling(spark, sf_dir):
+    """Incremental hourly tumbling aggregation (complete mode, AvailableNow);
+    identical result to the batch ``events_tumbling`` window bucketing."""
+    agged = stream_tumbling_agg(
+        _events_stream(spark, sf_dir),
+        "ts",
+        "1 hour",
+        group_by=["event_type"],
+        aggs=[
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        ],
+        watermark=None,  # finite input, complete mode: emit every window
+    )
+    return run_stream_to_memory(agged, output_mode="complete")
+
+
+@_register(
+    "streaming_sessions",
+    """
+WITH ordered AS (
+    SELECT user_id, ts,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS new_s
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+    SELECT user_id, ts,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM ordered
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events
+FROM sess GROUP BY user_id, session_id
+""",
+)
+def streaming_sessions(spark, sf_dir):
+    """Incremental gap-based sessionisation via ``session_window`` (30-minute
+    gap) — same session boundaries as the batch lag/running-sum oracle."""
+    sessions = stream_session_agg(
+        _events_stream(spark, sf_dir),
+        "user_id",
+        "ts",
+        gap="30 minutes",
+        watermark=None,  # finite input, complete mode
+    )
+    return run_stream_to_memory(sessions, output_mode="complete")
+
+
+@_register(
+    "streaming_dedup",
+    "SELECT DISTINCT user_id, event_type FROM events",
+)
+def streaming_dedup(spark, sf_dir):
+    """Streaming exact dedup: each (user_id, event_type) emitted once via
+    keyed dropDuplicates state."""
+    distinct = stream_distinct_keys(
+        _events_stream(spark, sf_dir), ["user_id", "event_type"]
+    )
+    return run_stream_to_memory(distinct, output_mode="append")
+
+
+@_register(
+    "streaming_stateful_totals",
+    """
+SELECT user_id, count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+FROM events GROUP BY user_id
+""",
+)
+def streaming_stateful_totals(spark, sf_dir):
+    """Custom stateful operator (``applyInPandasWithState``): per-user
+    running totals in keyed state, emitted in update mode. Single-batch
+    AvailableNow drain == the batch group-by answer."""
+    totals = stream_stateful_totals(_events_stream(spark, sf_dir))
+    return run_stream_to_memory(totals, output_mode="update")

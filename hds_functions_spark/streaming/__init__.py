@@ -1,0 +1,19 @@
+"""Structured Streaming extension surface (see ``stream_ops``)."""
+
+from .stream_ops import (
+    read_parquet_stream,
+    run_stream_to_memory,
+    stream_distinct_keys,
+    stream_session_agg,
+    stream_stateful_totals,
+    stream_tumbling_agg,
+)
+
+__all__ = [
+    "read_parquet_stream",
+    "run_stream_to_memory",
+    "stream_distinct_keys",
+    "stream_session_agg",
+    "stream_stateful_totals",
+    "stream_tumbling_agg",
+]

@@ -1,0 +1,235 @@
+"""Structured Streaming operators: windowed aggregation, sessionisation,
+streaming dedup, and a custom stateful operator.
+
+The reference library is batch-only (SURVEY.md §1.1: no streams, no
+watermarks, no stateful ops anywhere in ``src/hds_functions``); this module
+is the extension-layer streaming surface, built on Structured Streaming
+primitives so the same logical ops run incrementally:
+
+- ``readStream`` file sources with explicit schemas (streaming sources
+  cannot infer schemas without an extra scan — we do one batch-schema read);
+- event-time **watermarks** to bound state and admit late data;
+- ``F.window`` / ``F.session_window`` groupings — identical semantics to the
+  batch operators in ``operators/events.py``;
+- ``dropDuplicates`` keyed state for exactly-once-per-key emission;
+- ``applyInPandasWithState`` for custom per-key state machines (the one
+  place Python/Arrow is genuinely required — everything else is JVM-side).
+
+Scale notes (100 TB / unbounded design):
+
+- State stores grow with distinct keys in the watermark horizon; every
+  production entry point below takes a ``watermark`` so state is evictable.
+  The ``run_*_to_memory`` helpers used by the driver registry run with
+  ``Trigger.AvailableNow`` on finite inputs and **complete** output mode
+  where needed for deterministic batch parity — documented per function.
+- Shuffle partitioning: streaming aggs hash-partition by group key exactly
+  like batch; ``spark.sql.shuffle.partitions`` is fixed at first checkpoint,
+  so size it for the target cluster before starting the query.
+- File sources at scale: prefer ``maxFilesPerTrigger`` to bound micro-batch
+  size; with ``availableNow`` Spark drains the backlog in bounded batches.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+from typing import Callable, Iterable
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StructField,
+    StructType,
+)
+
+__all__ = [
+    "read_parquet_stream",
+    "run_stream_to_memory",
+    "stream_tumbling_agg",
+    "stream_session_agg",
+    "stream_distinct_keys",
+    "stream_stateful_totals",
+]
+
+
+def read_parquet_stream(
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Parquet file-stream source with the schema taken from a one-off batch
+    read (streaming file sources require an explicit schema).
+
+    ``FileStreamSource`` monitors a *directory*; a bare file path is exposed
+    through a temp directory of symlinks so read-only inputs work unchanged.
+    """
+    schema = spark.read.parquet(path).schema
+    if os.path.isfile(path):
+        src_dir = tempfile.mkdtemp(prefix="hds_stream_src_")
+        os.symlink(path, os.path.join(src_dir, os.path.basename(path)))
+        path = src_dir
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(path)
+
+
+def run_stream_to_memory(
+    sdf: DataFrame,
+    output_mode: str = "append",
+    query_name: str | None = None,
+) -> DataFrame:
+    """Run a streaming DataFrame to completion with ``Trigger.AvailableNow``
+    into an in-memory sink and return the materialised result as a batch
+    DataFrame. Test/driver harness only — production sinks are
+    ``writeStream.format('parquet'/'kafka'/...)`` with checkpointing."""
+    name = query_name or f"hds_stream_{uuid.uuid4().hex}"
+    checkpoint = tempfile.mkdtemp(prefix="hds_stream_ckpt_")
+    query = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return sdf.sparkSession.table(name)
+
+
+def stream_tumbling_agg(
+    events: DataFrame,
+    ts_col: str,
+    duration: str,
+    group_by: list[str] | None = None,
+    aggs: list[Column] | None = None,
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Streaming tumbling-window aggregation — the incremental twin of
+    ``operators.events.tumbling_window_agg`` (same window bucketing, same
+    output columns). With a watermark + append mode, windows emit once the
+    watermark passes their end and state is evicted; without a watermark the
+    query must run in complete mode (finite inputs only)."""
+    if watermark is not None:
+        events = events.withWatermark(ts_col, watermark)
+    aggs = aggs or [F.count("*").alias("n_events")]
+    grouped = events.groupBy(
+        F.window(F.col(ts_col), duration).alias("_window"), *(group_by or [])
+    ).agg(*aggs)
+    agg_cols = [
+        c for c in grouped.columns if c != "_window" and c not in (group_by or [])
+    ]
+    return grouped.select(
+        F.col("_window.start").alias("window_start"),
+        F.col("_window.end").alias("window_end"),
+        *(group_by or []),
+        *agg_cols,
+    )
+
+
+def stream_session_agg(
+    events: DataFrame,
+    key_col: str,
+    ts_col: str,
+    gap: str = "30 minutes",
+    watermark: str | None = "1 hour",
+) -> DataFrame:
+    """Streaming gap-based sessionisation via ``F.session_window`` — merges
+    events within ``gap`` of each other per key, exactly the session
+    definition of ``operators.events.sessionize``. Emits
+    (key, session_start, session_end, n_events) where ``session_end`` is the
+    last event timestamp (``session_window.end`` is last event + gap; we
+    aggregate ``max(ts)`` instead so batch and streaming results align)."""
+    if watermark is not None:
+        events = events.withWatermark(ts_col, watermark)
+    return (
+        events.groupBy(
+            F.session_window(F.col(ts_col), gap).alias("_sw"), F.col(key_col)
+        )
+        .agg(
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select(key_col, "session_start", "session_end", "n_events")
+    )
+
+
+def stream_distinct_keys(
+    events: DataFrame,
+    keys: list[str],
+    ts_col: str | None = None,
+    watermark: str | None = None,
+) -> DataFrame:
+    """Streaming exact dedup: emit each distinct key combination once,
+    suppressing every later occurrence via keyed state. With a watermark the
+    state for expired event times is evicted (dedup horizon = watermark);
+    without one, state grows with distinct keys forever — bound it in
+    production."""
+    if watermark is not None and ts_col is not None:
+        events = events.withWatermark(ts_col, watermark)
+        return events.dropDuplicates(keys + [ts_col]).select(*keys)
+    return events.select(*keys).dropDuplicates(keys)
+
+
+_TOTALS_STATE = StructType(
+    [
+        StructField("n_events", LongType()),
+        StructField("sum_cents", LongType()),
+    ]
+)
+_TOTALS_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("sum_cents", LongType()),
+    ]
+)
+
+
+def _totals_fn(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+):
+    """Per-key running totals — integer cents so accumulation order can
+    never change the result (float sums are order-dependent)."""
+    n, cents = state.get if state.exists else (0, 0)
+    for pdf in batches:
+        n += len(pdf)
+        cents += int(pdf["_cents"].sum())
+    state.update((n, cents))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "sum_cents": [cents]}
+    )
+
+
+def stream_stateful_totals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+) -> DataFrame:
+    """Custom stateful streaming operator: per-key running event count and
+    value total, maintained in ``applyInPandasWithState`` keyed state and
+    re-emitted (update semantics) every micro-batch the key appears in.
+
+    The value is accumulated as integer cents (``round(value*100)``) inside
+    the state so results are exactly reproducible regardless of batch
+    boundaries or arrival order. This is the template for custom state
+    machines the built-in operators can't express (per-entity CDC folding,
+    decaying counters, ...): Arrow-batched per key-group, state store
+    persisted in the checkpoint, parallelism = hash partitioning on the key.
+    """
+    prepped = events.select(
+        F.col(key_col).alias("user_id"),
+        F.round(F.col(value_col) * 100).cast("long").alias("_cents"),
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _totals_fn,
+        outputStructType=_TOTALS_OUT,
+        stateStructType=_TOTALS_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,98 @@
+"""IVF approximate-NN and embedding near-dup tests (against the exact
+brute-force path as ground truth)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hds_functions_spark.operators.dedup import embedding_near_dup_pairs
+from hds_functions_spark.operators.similarity import (
+    cosine_similarity,
+    cosine_topk,
+    ivf_cosine_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def queries(emb):
+    return emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+
+
+def test_ivf_shape_and_validity(emb, queries):
+    out = ivf_cosine_topk(emb, queries, k=5, n_centroids=8, n_probe=2).collect()
+    n_queries = queries.count()
+    assert len(out) == 5 * n_queries
+    for r in out:
+        assert 1 <= r["row_index"] <= 5
+        assert r["query_id"] != r["vec_id"]
+        assert -1.0 <= r["cosine_sim"] <= 1.0
+    # per-query ranks are exactly 1..5 and similarity is non-increasing
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["row_index"])
+        assert [r["row_index"] for r in rows] == [1, 2, 3, 4, 5]
+        sims = [r["cosine_sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_ivf_more_probes_improve_recall(emb, queries):
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+
+    def recall(n_probe):
+        approx = {
+            (r["query_id"], r["vec_id"])
+            for r in ivf_cosine_topk(
+                emb, queries, k=5, n_centroids=8, n_probe=n_probe
+            ).collect()
+        }
+        return len(approx & exact) / len(exact)
+
+    r2, r8 = recall(2), recall(8)
+    assert r8 == 1.0  # probing every list == exact
+    assert r2 <= r8
+
+
+def test_near_dup_pairs_valid(emb):
+    thresh = 0.3
+    out = embedding_near_dup_pairs(emb, threshold=thresh).collect()
+    # well-formed: ordered ids, no duplicates, all above threshold
+    keys = [(r["id_a"], r["id_b"]) for r in out]
+    assert len(keys) == len(set(keys))
+    for r in out:
+        assert r["id_a"] < r["id_b"]
+        assert r["cosine_sim"] >= thresh
+
+
+def test_near_dup_subset_of_brute_force(spark, emb):
+    thresh = 0.3
+    lsh = {
+        (r["id_a"], r["id_b"], r["cosine_sim"])
+        for r in embedding_near_dup_pairs(emb, threshold=thresh).collect()
+    }
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("_va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("_vb"))
+    brute = {
+        (r["id_a"], r["id_b"], r["cosine_sim"])
+        for r in (
+            a.join(b, F.col("id_a") < F.col("id_b"))
+            .withColumn(
+                "cosine_sim",
+                F.round(cosine_similarity(F.col("_va"), F.col("_vb")), 6),
+            )
+            .filter(F.col("cosine_sim") >= thresh)
+            .select("id_a", "id_b", "cosine_sim")
+        ).collect()
+    }
+    assert lsh <= brute
+    assert len(brute) == 0 or len(lsh) / len(brute) > 0  # sanity: recall defined

@@ -1,0 +1,125 @@
+"""Structured Streaming operator tests: each incremental operator's
+AvailableNow drain must equal the equivalent batch computation."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from hds_functions_spark.operators.events import session_stats, tumbling_window_agg
+from hds_functions_spark.streaming import (
+    read_parquet_stream,
+    run_stream_to_memory,
+    stream_distinct_keys,
+    stream_session_agg,
+    stream_stateful_totals,
+    stream_tumbling_agg,
+)
+
+
+def ts(minute, second=0):
+    return datetime.datetime(2024, 1, 1, 10, minute, second)
+
+
+@pytest.fixture(scope="module")
+def events_path(spark, tmp_path_factory):
+    rows = [
+        (1, ts(0), 10, "click", 1.25),
+        (2, ts(5), 10, "click", 2.50),
+        (3, ts(50), 10, "purchase", 99.99),
+        (4, ts(2), 20, "view", 0.10),
+        (5, ts(59), 20, "view", 0.20),
+        (6, ts(3), 10, "click", 1.25),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id: long, ts: timestamp, user_id: long, event_type: string, value: double"
+    )
+    path = str(tmp_path_factory.mktemp("stream") / "events_parquet")
+    df.repartition(1).write.parquet(path)
+    return path
+
+
+def _sorted_rows(df, cols):
+    return [tuple(r) for r in df.select(*cols).orderBy(*cols).collect()]
+
+
+def test_stream_tumbling_equals_batch(spark, events_path):
+    stream = read_parquet_stream(spark, events_path)
+    aggs = [
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+    ]
+    out = run_stream_to_memory(
+        stream_tumbling_agg(stream, "ts", "10 minutes", ["event_type"], aggs, watermark=None),
+        output_mode="complete",
+    )
+    batch = tumbling_window_agg(
+        spark.read.parquet(events_path), "ts", "10 minutes",
+        group_by=["event_type"], aggs=aggs,
+    ).select("window_start", "window_end", "event_type", "n_events", "sum_cents")
+    cols = ["window_start", "window_end", "event_type", "n_events", "sum_cents"]
+    assert _sorted_rows(out, cols) == _sorted_rows(batch, cols)
+
+
+def test_stream_sessions_equal_batch(spark, events_path):
+    out = run_stream_to_memory(
+        stream_session_agg(
+            read_parquet_stream(spark, events_path),
+            "user_id", "ts", gap="30 minutes", watermark=None,
+        ),
+        output_mode="complete",
+    )
+    batch = session_stats(
+        spark.read.parquet(events_path), "user_id", "ts", gap_seconds=1800
+    ).select("user_id", "session_start", "session_end", "n_events")
+    cols = ["user_id", "session_start", "session_end", "n_events"]
+    assert _sorted_rows(out, cols) == _sorted_rows(batch, cols)
+
+
+def test_stream_distinct_keys(spark, events_path):
+    out = run_stream_to_memory(
+        stream_distinct_keys(
+            read_parquet_stream(spark, events_path), ["user_id", "event_type"]
+        ),
+        output_mode="append",
+    )
+    assert _sorted_rows(out, ["user_id", "event_type"]) == [
+        (10, "click"), (10, "purchase"), (20, "view"),
+    ]
+
+
+def test_stream_stateful_totals(spark, events_path):
+    out = run_stream_to_memory(
+        stream_stateful_totals(read_parquet_stream(spark, events_path)),
+        output_mode="update",
+    )
+    # single micro-batch over one file -> one final row per user
+    assert _sorted_rows(out, ["user_id", "n_events", "sum_cents"]) == [
+        (10, 4, 125 + 250 + 9999 + 125),
+        (20, 2, 10 + 20),
+    ]
+
+
+def test_stream_with_watermark_runs(spark, events_path):
+    """Watermarked append-mode windowed agg: late-window rows (within the
+    watermark of max event time) are withheld — emitted set is a subset."""
+    stream = read_parquet_stream(spark, events_path)
+    out = run_stream_to_memory(
+        stream_tumbling_agg(
+            stream, "ts", "10 minutes", ["event_type"],
+            [F.count("*").alias("n_events")], watermark="10 minutes",
+        ),
+        output_mode="append",
+    )
+    batch_windows = tumbling_window_agg(
+        spark.read.parquet(events_path), "ts", "10 minutes",
+        group_by=["event_type"], aggs=[F.count("*").alias("n_events")],
+    )
+    emitted = {tuple(r) for r in out.collect()}
+    allowed = {
+        tuple(r)
+        for r in batch_windows.select(
+            "window_start", "window_end", "event_type", "n_events"
+        ).collect()
+    }
+    assert emitted <= allowed
