@@ -29,6 +29,7 @@ from ..functions.hashing import (
     minhash_permutation_constants,
     stable_hash64,
 )
+from ..functions.partitioning import ensure_min_partitions
 from ..functions.text import char_ngrams, tokens, word_ngrams
 
 __all__ = [
@@ -123,6 +124,7 @@ def minhash_pairs(
     shingle_size: int = 5,
     bands: int = 8,
     min_jaccard: float = 0.0,
+    persist_signatures: bool = True,
 ) -> DataFrame:
     """LSH candidate pairs with estimated Jaccard similarity.
 
@@ -134,52 +136,59 @@ def minhash_pairs(
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, shingle_size)
+    # widen thin inputs: the md5 shingle hashing below is the expensive part
+    # and must not run on one input split (ensure_min_partitions is a no-op
+    # on already-parallel inputs)
+    sigs = minhash_signatures(
+        ensure_min_partitions(df), id_col, text_col, num_hashes, shingle_size
+    )
+    if persist_signatures:
+        # the signature table is consumed four times (two band-join branches
+        # + two re-attach broadcasts); persisting computes the md5 shingle
+        # work once. MEMORY_AND_DISK: signatures are ~num_hashes longs per
+        # doc — tiny next to the corpus — and spill rather than OOM.
+        from pyspark.storagelevel import StorageLevel
+
+        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+
+    # band hash via concat_ws over element_at — plain (codegen-able)
+    # expressions, unlike a slice/transform/array_join HOF chain which
+    # falls back to interpreted evaluation
+    def band_hash(b: int):
+        elems = [
+            F.element_at(F.col("signature"), i).cast("string")
+            for i in range(b * rows_per_band + 1, (b + 1) * rows_per_band + 1)
+        ]
+        return stable_hash64(F.concat_ws("-", *elems))
 
     banded = sigs.select(
         F.col(id_col),
-        F.col("signature"),
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    stable_hash64(
-                        F.array_join(
-                            F.transform(
-                                F.slice(
-                                    F.col("signature"),
-                                    b * rows_per_band + 1,
-                                    rows_per_band,
-                                ),
-                                lambda v: v.cast("string"),
-                            ),
-                            "-",
-                        )
-                    ).alias("band_hash"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"), band_hash(b).alias("band_hash")
+                    )
+                    for b in range(bands)
+                ]
             )
         ).alias("bh"),
-    ).select(id_col, "signature", "bh.band", "bh.band_hash")
+    ).select(id_col, "bh.band", "bh.band_hash")
 
-    left = banded.select(
-        F.col(id_col).alias("id_a"),
-        F.col("signature").alias("sig_a"),
-        "band",
-        "band_hash",
-    )
-    right = banded.select(
-        F.col(id_col).alias("id_b"),
-        F.col("signature").alias("sig_b"),
-        "band",
-        "band_hash",
-    )
+    # join on ids only — signatures would bloat the shuffle; they are
+    # re-attached afterwards from the (small relative to pairs) signature
+    # table via broadcast. At very large corpus sizes swap the broadcasts
+    # for shuffle joins on id — the dataflow is unchanged.
+    left = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
+    right = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     pairs = (
         left.join(right, on=["band", "band_hash"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .distinct()
     )
+    sig_a = sigs.select(F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a"))
+    sig_b = sigs.select(F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b"))
     agree = F.size(
         F.filter(
             F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
@@ -188,7 +197,9 @@ def minhash_pairs(
     )
     est = (agree.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard")
     return (
-        pairs.select("id_a", "id_b", est)
+        pairs.join(F.broadcast(sig_a), on="id_a")
+        .join(F.broadcast(sig_b), on="id_b")
+        .select("id_a", "id_b", est)
         .filter(F.col("est_jaccard") >= min_jaccard)
     )
 
@@ -211,6 +222,7 @@ def ngram_jaccard_pairs(
     |A∩B| / (|A| + |B| - |A∩B|). Output id_a < id_b with ``jaccard``.
     """
     toks = tokens(F.col(text_col))
+    df = ensure_min_partitions(df)  # parallelise the n-gram explode
     shingled = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(word_ngrams(toks, ngram))).alias("_gram"),
@@ -288,6 +300,7 @@ def simhash_pairs(
     """
     assert bits % band_bits == 0
     n_bands = bits // band_bits
+    df = ensure_min_partitions(df)  # parallelise the bit-vote projection
     hashed = add_simhash(df, text_col, "simhash", bits).select(
         F.col(id_col), "simhash"
     )
@@ -359,6 +372,7 @@ def embedding_near_dup_pairs(
 
     planes = hyperplanes(n_planes, dim)
     rows_per_band = n_planes // bands
+    df = ensure_min_partitions(df)  # parallelise the per-plane dot products
     sig = df.select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
@@ -369,36 +383,41 @@ def embedding_near_dup_pairs(
             for b in range(bands)
         ],
     )
+    from pyspark.storagelevel import StorageLevel
+
+    # consumed by two band-join branches + two vector re-attach broadcasts:
+    # persist so the per-plane dot products run once
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+
     banded = None
     for b in range(bands):
         part = sig.select(
             "_id",
-            "_vec",
             F.lit(b).alias("_band"),
             F.col(f"_band_{b}").alias("_band_bits"),
         )
         banded = part if banded is None else banded.unionByName(part)
 
-    a = banded.select(
-        F.col("_id").alias("id_a"),
-        F.col("_vec").alias("_va"),
-        "_band",
-        "_band_bits",
-    )
-    b_side = banded.select(
-        F.col("_id").alias("id_b"),
-        F.col("_vec").alias("_vb"),
-        "_band",
-        "_band_bits",
-    )
+    # candidate generation on ids only (vectors would bloat the band-join
+    # shuffle); vectors re-attached for the exact-cosine verify
+    a = banded.select(F.col("_id").alias("id_a"), "_band", "_band_bits")
+    b_side = banded.select(F.col("_id").alias("id_b"), "_band", "_band_bits")
     pairs = (
         a.join(b_side, on=["_band", "_band_bits"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "_va", "_vb")
-        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b")
+        .distinct()
+        # explicit repartition: candidate rows are two ids (tiny), so AQE
+        # coalesces them onto a couple of tasks — but each row still costs a
+        # dim-length dot product below. Spread the compute, not the bytes.
+        .repartition(df.sparkSession.sparkContext.defaultParallelism)
     )
+    va = sig.select(F.col("_id").alias("id_a"), F.col("_vec").alias("_va"))
+    vb = sig.select(F.col("_id").alias("id_b"), F.col("_vec").alias("_vb"))
     return (
-        pairs.withColumn(
+        pairs.join(F.broadcast(va), on="id_a")
+        .join(F.broadcast(vb), on="id_b")
+        .withColumn(
             "cosine_sim",
             F.round(cosine_similarity(F.col("_va"), F.col("_vb")), round_digits),
         )

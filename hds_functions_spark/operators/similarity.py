@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import ensure_min_partitions
 from .topk import first_row
 
 __all__ = [
@@ -69,7 +70,7 @@ def cosine_topk(
     q = queries.select(
         F.col(query_id).alias("_qid"), F.col(vec_col).alias("_qvec")
     )
-    c = corpus.select(
+    c = ensure_min_partitions(corpus).select(
         F.col(corpus_id).alias("_cid"), F.col(vec_col).alias("_cvec")
     )
     scored = (
@@ -159,7 +160,7 @@ def lsh_cosine_topk(
         F.col(vec_col).alias("_qvec"),
         plane_signature(F.col(vec_col), planes).alias("_bucket"),
     )
-    c = corpus.select(
+    c = ensure_min_partitions(corpus).select(
         F.col(corpus_id).alias("_cid"),
         F.col(vec_col).alias("_cvec"),
         plane_signature(F.col(vec_col), planes).alias("_bucket"),
@@ -217,6 +218,7 @@ def ivf_cosine_topk(
     cent = corpus.filter(F.col(corpus_id) < n_centroids).select(
         F.col(corpus_id).alias("_centroid_id"), F.col(vec_col).alias("_cent_vec")
     )
+    corpus = ensure_min_partitions(corpus)  # parallelise centroid assignment
 
     def nearest(df: DataFrame, id_alias: str, n_keep: int) -> DataFrame:
         """id -> its n_keep nearest centroids (rounded sim, id tie-break)."""

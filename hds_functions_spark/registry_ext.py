@@ -321,9 +321,10 @@ SELECT doc_id, ({terms})::BIGINT AS simhash FROM hashes
 @_register("dedup_simhash", _duck_simhash_sql())
 def dedup_simhash(spark, sf_dir):
     """32-bit SimHash per document over whitespace tokens."""
-    return add_simhash(_t(spark, sf_dir, "documents"), bits=_SH_BITS).select(
-        "doc_id", "simhash"
-    )
+    from .functions.partitioning import ensure_min_partitions
+
+    docs = ensure_min_partitions(_t(spark, sf_dir, "documents"))
+    return add_simhash(docs, bits=_SH_BITS).select("doc_id", "simhash")
 
 
 # --- similarity search ---------------------------------------------------
