@@ -16,6 +16,8 @@ from .hashing import stable_hash64
 __all__ = [
     "tokens",
     "token_count",
+    "bpe_token_count",
+    "BPE_ISH_PATTERN",
     "char_ngrams",
     "word_ngrams",
     "add_text_stats",
@@ -184,3 +186,15 @@ def add_fingerprint(
     """
     normalised = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     return df.withColumn(fp_col, stable_hash64(normalised))
+
+
+#: GPT-2-style pre-tokeniser approximation, restricted to syntax shared by
+#: Java regex (Spark) and RE2 (DuckDB) — no lookarounds: lowercase English
+#: contraction suffixes, letter runs, digit runs, non-space symbol runs.
+BPE_ISH_PATTERN = r"'(?:s|t|re|ve|m|ll|d)|\p{L}+|\p{N}+|[^\p{L}\p{N}\s']+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """Approximate BPE token count: number of pre-tokeniser matches (the
+    unit a byte-pair encoder would split further). JVM-side regex — no UDF."""
+    return F.size(F.regexp_extract_all(_c(col), F.lit(BPE_ISH_PATTERN), 0))

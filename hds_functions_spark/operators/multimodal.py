@@ -29,7 +29,11 @@ __all__ = [
     "attach_binary_payload",
     "binary_metadata",
     "decode_image_features",
+    "resize_image",
+    "sample_video_frames",
     "IMAGE_FEATURE_SCHEMA",
+    "RESIZED_IMAGE_SCHEMA",
+    "VIDEO_FRAME_SCHEMA",
 ]
 
 
@@ -121,4 +125,136 @@ def decode_image_features(
 
     return df.select(id_col, payload_col).mapInPandas(
         process, schema=IMAGE_FEATURE_SCHEMA
+    )
+
+
+#: Output schema of the (stubbed) resize: one row per input row.
+RESIZED_IMAGE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("payload", BinaryType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+    ]
+)
+
+
+def resize_image(
+    df: DataFrame,
+    target_width: int,
+    target_height: int,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decoder: str = "fake",
+) -> DataFrame:
+    """Arrow-batched image resize via ``mapInPandas`` (1 row -> 1 row,
+    binary in / binary out). Stubbed resize (``decoder='fake'``) emits a
+    deterministic payload: the first ``target_width*target_height`` bytes of
+    the input repeated/truncated — byte-for-byte reproducible so the
+    dataflow (binary columns through Arrow both directions, schema
+    enforcement, batch iteration) is fully testable without an imaging
+    library. ``decoder='real'`` raises NotImplementedError; swap in
+    PIL.Image.resize there.
+    """
+    if decoder not in ("fake", "real"):
+        raise ValueError("decoder must be 'fake' or 'real'")
+    n_bytes = target_width * target_height
+
+    def process(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "real image resizing requires an imaging library "
+                    "(PIL/torchvision) not present in this environment"
+                )
+            out_payloads = []
+            for p in pdf[payload_col]:
+                if p is None:
+                    out_payloads.append(None)
+                    continue
+                b = bytes(p)
+                reps = (n_bytes // max(len(b), 1)) + 1
+                out_payloads.append((b * reps)[:n_bytes])
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "payload": out_payloads,
+                    "width": target_width,
+                    "height": target_height,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        process, schema=RESIZED_IMAGE_SCHEMA
+    )
+
+
+#: Output schema of the (stubbed) frame sampler: one row per sampled frame.
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame_ts_ms", LongType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    max_frames: int = 8,
+    decoder: str = "fake",
+) -> DataFrame:
+    """Arrow-batched video frame sampling via ``mapInPandas`` — the
+    1-row-to-N-rows batch shape (each video row explodes into its sampled
+    frames inside the Python worker; Spark sees a plain schema'd stream, so
+    downstream operators parallelise over frames, not videos).
+
+    Stubbed sampler: frame count = 1 + (md5 byte 5 of the payload) %
+    ``max_frames``, frame timestamps at 1000 ms intervals, per-frame content
+    hash md5(payload || frame_index) — all deterministic and reproducible in
+    SQL, which keeps the plumbing oracle-checkable. ``decoder='real'``
+    raises NotImplementedError (no av/ffmpeg in this environment).
+    """
+    if decoder not in ("fake", "real"):
+        raise ValueError("decoder must be 'fake' or 'real'")
+
+    def process(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "real frame sampling requires a video library "
+                    "(av/ffmpeg) not present in this environment"
+                )
+            ids, idxs, tss, hashes = [], [], [], []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:
+                    continue
+                b = bytes(p)
+                h = hashlib.md5(b).hexdigest()
+                n_frames = 1 + int(h[10:12], 16) % max_frames
+                for i in range(n_frames):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    tss.append(i * 1000)
+                    hashes.append(
+                        hashlib.md5(b + str(i).encode("utf-8")).hexdigest()
+                    )
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "frame_index": idxs,
+                    "frame_ts_ms": tss,
+                    "frame_md5": hashes,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        process, schema=VIDEO_FRAME_SCHEMA
     )

@@ -34,7 +34,11 @@ from .operators.dedup import (
 )
 from .operators.events import interval_join, session_stats, tumbling_window_agg
 from .operators.events import as_of_join
-from .operators.multimodal import attach_binary_payload, decode_image_features
+from .operators.multimodal import (
+    attach_binary_payload,
+    decode_image_features,
+    sample_video_frames,
+)
 from .operators.similarity import (
     cosine_topk,
     hyperplanes,
@@ -622,6 +626,55 @@ def multimodal_features(spark, sf_dir):
     (deterministic fake decoder; real decoder stubbed per environment)."""
     docs = attach_binary_payload(_t(spark, sf_dir, "documents"), "text")
     return decode_image_features(docs)
+
+
+@_register(
+    "multimodal_frames",
+    """
+WITH base AS (
+    SELECT doc_id, text,
+           1 + (('0x' || substr(md5(text), 11, 2))::INTEGER % 8) AS n_frames
+    FROM documents
+)
+SELECT doc_id,
+       i::INTEGER AS frame_index,
+       (i * 1000)::BIGINT AS frame_ts_ms,
+       md5(text || i::VARCHAR) AS frame_md5
+FROM base, UNNEST(generate_series(0, n_frames - 1)) AS t(i)
+""",
+)
+def multimodal_frames(spark, sf_dir):
+    """1-to-N frame sampling through mapInPandas (deterministic fake
+    sampler; real decoder stubbed per environment)."""
+    docs = attach_binary_payload(_t(spark, sf_dir, "documents"), "text")
+    return sample_video_frames(docs)
+
+
+from .functions.text import bpe_token_count, token_count  # noqa: E402
+
+
+@_register(
+    "text_tokens",
+    r"""
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\s+')) END::INTEGER
+           AS n_tokens_ws,
+       len(regexp_extract_all(text,
+           '''(?:s|t|re|ve|m|ll|d)|\p{L}+|\p{N}+|[^\p{L}\p{N}\s'']+'))::INTEGER
+           AS n_tokens_bpe
+FROM documents
+""",
+)
+def text_tokens(spark, sf_dir):
+    """Token counting two ways: whitespace tokens and a BPE-ish
+    pre-tokeniser regex (both JVM-side; identical RE2/Java regex subset)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens_ws"),
+        bpe_token_count("text").alias("n_tokens_bpe"),
+    )
 
 
 # --- structured streaming ------------------------------------------------

@@ -50,3 +50,46 @@ def test_real_decoder_raises(payloads):
 def test_invalid_decoder(payloads):
     with pytest.raises(ValueError, match="decoder"):
         decode_image_features(payloads, decoder="nope")
+
+
+def test_resize_image_deterministic(spark):
+    from hds_functions_spark.operators.multimodal import resize_image
+
+    df = spark.createDataFrame(
+        [(1, b"abc"), (2, b"0123456789" * 5), (3, None)],
+        "doc_id: long, payload: binary",
+    )
+    out = {r["doc_id"]: r for r in resize_image(df, 4, 3).collect()}
+    assert out[1]["payload"] == b"abcabcabcabc"  # repeated to 12 bytes
+    assert out[2]["payload"] == b"012345678901"  # truncated to 12 bytes
+    assert out[3]["payload"] is None
+    assert all(r["width"] == 4 and r["height"] == 3 for r in out.values())
+
+
+def test_resize_real_decoder_raises(spark):
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from hds_functions_spark.operators.multimodal import resize_image
+
+    df = spark.createDataFrame([(1, b"abc")], "doc_id: long, payload: binary")
+    with _pytest.raises(Exception):  # NotImplementedError inside the worker
+        resize_image(df, 2, 2, decoder="real").collect()
+
+
+def test_sample_video_frames_shape(spark):
+    import hashlib
+
+    from hds_functions_spark.operators.multimodal import sample_video_frames
+
+    payload = b"fake video bytes"
+    df = spark.createDataFrame(
+        [(7, payload), (8, None)], "doc_id: long, payload: binary"
+    )
+    rows = sample_video_frames(df, max_frames=8).collect()
+    h = hashlib.md5(payload).hexdigest()
+    expected_frames = 1 + int(h[10:12], 16) % 8
+    assert len(rows) == expected_frames  # null payload contributes nothing
+    assert [r["frame_index"] for r in rows] == list(range(expected_frames))
+    assert all(r["frame_ts_ms"] == r["frame_index"] * 1000 for r in rows)
+    assert rows[0]["frame_md5"] == hashlib.md5(payload + b"0").hexdigest()

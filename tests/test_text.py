@@ -88,3 +88,23 @@ def test_fingerprint_normalisation(spark):
     assert out[1] == out[2]  # case + whitespace normalised
     assert out[1] != out[3]
     assert all(v >= 0 for v in out.values())  # portable hash is non-negative
+
+
+def test_bpe_token_count(spark):
+    from hds_functions_spark.functions.text import bpe_token_count
+
+    df = spark.createDataFrame(
+        [
+            (1, "it's 42 degrees, really!"),
+            (2, ""),
+            (3, "hello"),
+            (4, "a+b=c"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", bpe_token_count("text").alias("n")).collect()
+    }
+    # it|'s|42|degrees|,|really|! -> 7 ; ''->0 ; hello->1 ; a|+|b|=|c -> 5
+    assert out == {1: 7, 2: 0, 3: 1, 4: 5}
