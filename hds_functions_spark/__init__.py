@@ -18,6 +18,7 @@ from .operators.cohort import (
     validate_cohort_columns,
     validate_inclusion_criteria,
 )
+from .operators.joins import salted_join
 from .operators.privacy import redact_low_counts, round_counts_to_multiple
 from .operators.topk import first_dense_rank, first_rank, first_row, select_top_rows
 from .operators.wrangling import clean_column_names, map_column_values

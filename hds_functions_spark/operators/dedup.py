@@ -399,7 +399,12 @@ def embedding_near_dup_pairs(
         banded = part if banded is None else banded.unionByName(part)
 
     # candidate generation on ids only (vectors would bloat the band-join
-    # shuffle); vectors re-attached for the exact-cosine verify
+    # shuffle); vectors re-attached for the exact-cosine verify. The band
+    # join's inputs are byte-tiny but its within-bucket pair expansion is
+    # the quadratic part — pin an explicit hash partitioning so AQE's
+    # byte-based coalescing can't serialise it onto two tasks.
+    par = df.sparkSession.sparkContext.defaultParallelism
+    banded = banded.repartition(par, "_band", "_band_bits")
     a = banded.select(F.col("_id").alias("id_a"), "_band", "_band_bits")
     b_side = banded.select(F.col("_id").alias("id_b"), "_band", "_band_bits")
     pairs = (

@@ -95,12 +95,26 @@ def load_table(
     return df
 
 
-def save_table(df: DataFrame, table: str, table_directory=None, partition_by=None) -> None:
+def save_table(
+    df: DataFrame,
+    table: str,
+    table_directory=None,
+    partition_by=None,
+    bucket_by=None,
+) -> None:
     """Overwrite-save a DataFrame to a configured table (metastore or path).
 
     ``partition_by`` (str or list[str]) produces a partition-prunable layout.
     Parity: reference ``table_management.py:91-138`` (always full overwrite,
     ``overwriteSchema`` on).
+
+    ``bucket_by=(n, cols)`` hash-buckets (and sorts) the table on ``cols``
+    so later equi-joins/aggregations on those keys are shuffle-free —
+    the right layout for a fact table joined repeatedly on the same key at
+    scale. Bucketing metadata needs a metastore: for ``path``-configured
+    tables the data is laid out equivalently (``repartition(n, cols)`` +
+    ``sortWithinPartitions``) which still yields clustered, splittable
+    files, but Spark cannot elide the shuffle without the catalog entry.
     """
     directory = _load_directory(table_directory)
     entry = _entry(table, directory)
@@ -112,6 +126,13 @@ def save_table(df: DataFrame, table: str, table_directory=None, partition_by=Non
     ), "partition_by should be a string or a list of strings."
     if isinstance(partition_by, str):
         partition_by = [partition_by]
+    if bucket_by is not None:
+        n_buckets, bucket_cols = bucket_by
+        bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
+        assert isinstance(n_buckets, int) and n_buckets > 0
+
+    if bucket_by is not None and "path" in entry:
+        df = df.repartition(n_buckets, *bucket_cols).sortWithinPartitions(*bucket_cols)
 
     writer = df.write.mode("overwrite").option("overwriteSchema", "true")
     if partition_by:
@@ -119,6 +140,8 @@ def save_table(df: DataFrame, table: str, table_directory=None, partition_by=Non
     if "path" in entry:
         writer.format(entry.get("format", "parquet")).save(entry["path"])
     else:
+        if bucket_by is not None:
+            writer = writer.bucketBy(n_buckets, *bucket_cols).sortBy(*bucket_cols)
         writer.saveAsTable(f"{entry['database']}.{entry['table_name']}")
 
 
