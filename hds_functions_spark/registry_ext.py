@@ -368,10 +368,34 @@ def similarity_knn(spark, sf_dir):
     return cosine_topk(emb, queries, k=_KNN_K)
 
 
-@_register("similarity_lsh_knn")  # approximate: rows-only check by design
+def _duck_lsh_knn_sql() -> str:
+    # the LSH variant is *approximate vs brute force* but fully
+    # deterministic: fixed hyperplanes -> same buckets in SQL
+    from .operators.similarity import hyperplanes as _hp
+
+    planes = _hp(8, 64)
+    sig_expr = _duck_plane_sig(planes, "embedding")
+    cos = _DUCK_COS.format(a="q.embedding", b="c.embedding")
+    return f"""
+WITH sig AS (
+    SELECT vec_id, embedding, {sig_expr} AS bucket FROM embeddings
+), scored AS (
+    SELECT q.vec_id AS query_id, c.vec_id, {cos} AS cosine_sim
+    FROM sig q JOIN sig c USING (bucket)
+    WHERE q.vec_id % {_KNN_QUERY_MOD} = 0 AND c.vec_id <> q.vec_id
+)
+SELECT query_id, vec_id, cosine_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine_sim DESC, vec_id) AS INTEGER) AS row_index
+FROM scored
+QUALIFY row_index <= {_KNN_K}
+"""
+
+
+@_register("similarity_lsh_knn", None)  # oracle attached below (needs helpers)
 def similarity_lsh_knn(spark, sf_dir):
-    """Random-hyperplane LSH bucketed top-5 (approximate; no SQL oracle —
-    recall < 1 by construction, verified against the exact path in tests)."""
+    """Random-hyperplane LSH bucketed top-5 (approximate vs brute force but
+    deterministic — same fixed hyperplanes reproduced in the SQL oracle)."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % _KNN_QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -498,6 +522,10 @@ def similarity_ivf_knn(spark, sf_dir):
     return ivf_cosine_topk(
         emb, queries, k=_KNN_K, n_centroids=_IVF_CENTROIDS, n_probe=_IVF_PROBE
     )
+
+
+# attach the LSH-top-k oracle now that _duck_plane_sig/_DUCK_COS exist
+ORACLES["similarity_lsh_knn"] = _duck_lsh_knn_sql()
 
 
 # --- event-time operators ------------------------------------------------
@@ -689,6 +717,7 @@ from .streaming import (  # noqa: E402
     read_parquet_stream,
     run_stream_to_memory,
     stream_distinct_keys,
+    stream_interval_join,
     stream_session_agg,
     stream_stateful_totals,
     stream_tumbling_agg,
@@ -790,3 +819,40 @@ def streaming_stateful_totals(spark, sf_dir):
     AvailableNow drain == the batch group-by answer."""
     totals = stream_stateful_totals(_events_stream(spark, sf_dir))
     return run_stream_to_memory(totals, output_mode="update")
+
+
+@_register(
+    "streaming_interval_join",
+    """
+SELECT l.event_id, l.user_id, l.ts AS purchase_ts,
+       r.ts AS click_ts, r.value AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+""",
+)
+def streaming_interval_join(spark, sf_dir):
+    """Stream-stream inner interval join (clicks within 1 h after each
+    purchase), watermarked on both sides; inner matches emit eagerly so the
+    AvailableNow drain equals the batch join."""
+    ev = _events_stream(spark, sf_dir)
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", F.col("ts").alias("purchase_ts")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+    )
+    out = stream_interval_join(
+        purchases, clicks, key_col="user_id",
+        left_ts="purchase_ts", right_ts="click_ts", window="1 hour",
+    )
+    return run_stream_to_memory(
+        out.select(
+            "event_id", "user_id",
+            "purchase_ts", "click_ts", "click_value",
+        ),
+        output_mode="append",
+    )

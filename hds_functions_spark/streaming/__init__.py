@@ -2,6 +2,7 @@
 
 from .stream_ops import (
     read_parquet_stream,
+    stream_interval_join,
     run_stream_to_memory,
     stream_distinct_keys,
     stream_session_agg,
@@ -11,6 +12,7 @@ from .stream_ops import (
 
 __all__ = [
     "read_parquet_stream",
+    "stream_interval_join",
     "run_stream_to_memory",
     "stream_distinct_keys",
     "stream_session_agg",

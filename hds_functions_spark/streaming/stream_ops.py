@@ -233,3 +233,34 @@ def stream_stateful_totals(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: right events within ``[left_ts, left_ts +
+    window]`` per key — the incremental twin of
+    ``operators.events.interval_join``.
+
+    Both sides are watermarked; the time-range condition lets Spark bound
+    each side's join state (left rows expire once the watermark passes
+    ``left_ts + window``, right rows once no future left row could match).
+    Inner matches are emitted as soon as both sides arrive, so an
+    AvailableNow drain over finite inputs produces exactly the batch
+    answer. At scale this is the canonical CDC-enrichment shape: state is
+    hash-partitioned by key and bounded by (watermark + window).
+    """
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (lw[key_col] == rw[key_col])
+        & (rw[right_ts] >= lw[left_ts])
+        & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {window}"))
+    )
+    return lw.join(rw, cond, "inner").drop(rw[key_col])

@@ -123,3 +123,37 @@ def test_stream_with_watermark_runs(spark, events_path):
         ).collect()
     }
     assert emitted <= allowed
+
+
+def test_stream_interval_join_equals_batch(spark, events_path):
+    from hds_functions_spark.streaming import stream_interval_join
+
+    stream = read_parquet_stream(spark, events_path)
+    left = stream.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("l_id")
+    )
+    right = stream.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("r_ts"), F.col("event_id").alias("r_id")
+    )
+    out = run_stream_to_memory(
+        stream_interval_join(
+            left, right, "user_id", "l_ts", "r_ts", window="1 hour"
+        ),
+        output_mode="append",
+    )
+    batch = spark.read.parquet(events_path)
+    bl = batch.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("l_id")
+    )
+    br = batch.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("r_user_id"), F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_id"),
+    )
+    expected = bl.join(
+        br,
+        (bl["user_id"] == br["r_user_id"])
+        & (br["r_ts"] >= bl["l_ts"])
+        & (br["r_ts"] <= bl["l_ts"] + F.expr("INTERVAL 1 HOUR")),
+    ).select("user_id", "l_ts", "l_id", "r_ts", "r_id")
+    cols = ["user_id", "l_ts", "l_id", "r_ts", "r_id"]
+    assert _sorted_rows(out.select(*cols), cols) == _sorted_rows(expected, cols)
