@@ -9,7 +9,7 @@ from __future__ import annotations
 from itertools import chain
 from typing import Mapping
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["clean_column_names", "map_column_values"]

@@ -34,7 +34,7 @@ from __future__ import annotations
 import os
 import tempfile
 import uuid
-from typing import Callable, Iterable
+from typing import Iterable
 
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
