@@ -88,8 +88,17 @@ def redact_low_counts(
         raise ValueError(f"Column '{missing[0]}' does not exist in the DataFrame.")
 
     redaction_lit = F.lit(redaction_value) if redaction_value is not None else F.lit(None)
+    # a string redaction value promotes the kept values to string too —
+    # make that promotion EXPLICIT (non-ANSI mode would do it implicitly,
+    # ANSI mode would instead keep the numeric type and only fail when a
+    # redacted row is actually produced; the explicit cast gives identical
+    # reference semantics under both modes)
+    def kept(c: str):
+        col = F.col(c)
+        return col.cast("string") if isinstance(redaction_value, str) else col
+
     redacted = {
-        c: F.when(F.col(c) >= threshold, F.col(c)).otherwise(redaction_lit)
+        c: F.when(F.col(c) >= threshold, kept(c)).otherwise(redaction_lit)
         for c in columns
     }
     return df.withColumns(redacted)
