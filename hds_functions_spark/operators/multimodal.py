@@ -29,9 +29,11 @@ __all__ = [
     "attach_binary_payload",
     "binary_metadata",
     "decode_image_features",
+    "decode_audio_features",
     "resize_image",
     "sample_video_frames",
     "IMAGE_FEATURE_SCHEMA",
+    "AUDIO_FEATURE_SCHEMA",
     "RESIZED_IMAGE_SCHEMA",
     "VIDEO_FRAME_SCHEMA",
 ]
@@ -257,4 +259,70 @@ def sample_video_frames(
 
     return df.select(id_col, payload_col).mapInPandas(
         process, schema=VIDEO_FRAME_SCHEMA
+    )
+
+
+#: Output schema of the (stubbed) audio feature extractor.
+AUDIO_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("rms_q8", IntegerType()),
+    ]
+)
+
+
+def decode_audio_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    decoder: str = "fake",
+) -> DataFrame:
+    """Arrow-batched audio decode via ``mapInPandas`` (1 row -> 1 row).
+
+    Stubbed decoder: sample rate / channels / duration / quantised RMS all
+    derived deterministically from the payload's md5 — reproducible without
+    an audio library. ``decoder='real'`` raises NotImplementedError (no
+    soundfile/librosa in this environment); the Spark-side plumbing (binary
+    Arrow transfer, enforced schema, batch iteration) is identical either
+    way.
+    """
+    if decoder not in ("fake", "real"):
+        raise ValueError("decoder must be 'fake' or 'real'")
+
+    _RATES = [8000, 16000, 22050, 44100, 48000]
+
+    def process(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if decoder == "real":
+                raise NotImplementedError(
+                    "real audio decoding requires an audio library "
+                    "(soundfile/librosa) not present in this environment"
+                )
+            ids, rates, chans, durs, rms = [], [], [], [], []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:
+                    continue
+                d = hashlib.md5(bytes(p)).digest()
+                ids.append(doc_id)
+                rates.append(_RATES[d[5] % len(_RATES)])
+                chans.append(1 + d[6] % 2)
+                durs.append(100 + int.from_bytes(d[7:9], "big") % 600_000)
+                rms.append(d[9])
+            yield pd.DataFrame(
+                {
+                    "doc_id": ids,
+                    "sample_rate": rates,
+                    "n_channels": chans,
+                    "duration_ms": durs,
+                    "rms_q8": rms,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        process, schema=AUDIO_FEATURE_SCHEMA
     )

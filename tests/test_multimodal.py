@@ -93,3 +93,22 @@ def test_sample_video_frames_shape(spark):
     assert [r["frame_index"] for r in rows] == list(range(expected_frames))
     assert all(r["frame_ts_ms"] == r["frame_index"] * 1000 for r in rows)
     assert rows[0]["frame_md5"] == hashlib.md5(payload + b"0").hexdigest()
+
+
+def test_decode_audio_features(spark):
+    import hashlib
+
+    from hds_functions_spark.operators.multimodal import decode_audio_features
+
+    payload = b"fake audio bytes"
+    df = spark.createDataFrame(
+        [(1, payload), (2, None)], "doc_id: long, payload: binary"
+    )
+    rows = decode_audio_features(df).collect()
+    assert len(rows) == 1  # null payload skipped
+    d = hashlib.md5(payload).digest()
+    r = rows[0]
+    assert r["sample_rate"] in (8000, 16000, 22050, 44100, 48000)
+    assert r["n_channels"] in (1, 2)
+    assert 100 <= r["duration_ms"] < 600100
+    assert r["rms_q8"] == d[9]
