@@ -856,3 +856,70 @@ def streaming_interval_join(spark, sf_dir):
         ),
         output_mode="append",
     )
+
+
+# --- composite end-to-end pipeline ---------------------------------------
+
+@_register(
+    "pipeline_curation",
+    f"""
+WITH toks AS (SELECT doc_id, lang, text, {_DUCK_TOKENS} AS t FROM documents),
+feat AS (
+    SELECT doc_id, lang, text,
+           length(text) AS n_chars,
+           CASE WHEN len(t) = 0 THEN NULL
+                ELSE list_sum(list_transform(t, s -> length(s)))::DOUBLE / len(t)
+           END AS avg_tok,
+           CASE WHEN length(text) = 0 THEN NULL
+                ELSE (length(text) - length(regexp_replace(text, '[[:punct:]]', '', 'g')))::DOUBLE / length(text)
+           END AS punct,
+           CASE WHEN length(text) = 0 THEN NULL
+                ELSE (length(text) - length(regexp_replace(text, '[0-9]', '', 'g')))::DOUBLE / length(text)
+           END AS digit
+    FROM toks
+), scored AS (
+    SELECT doc_id, lang, text,
+           (CASE WHEN n_chars >= 50 AND n_chars <= 100000 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN avg_tok >= 3 AND avg_tok <= 12 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN COALESCE(punct, 1.0) <= 0.3 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN COALESCE(digit, 1.0) <= 0.3 THEN 0.25 ELSE 0.0 END
+           )::DOUBLE AS quality_score
+    FROM feat
+), kept AS (
+    SELECT doc_id, lang, {_DUCK_FP} AS fingerprint
+    FROM scored WHERE quality_score >= 0.75
+), deduped AS (
+    SELECT doc_id, lang, fingerprint FROM kept
+    QUALIFY row_number() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+), counts AS (
+    SELECT lang, count(*) AS n_docs FROM deduped GROUP BY lang
+)
+SELECT lang,
+       CASE WHEN CAST(round(n_docs / 5.0) * 5 AS BIGINT) >= 15
+            THEN CAST(CAST(round(n_docs / 5.0) * 5 AS BIGINT) AS VARCHAR)
+            ELSE '[REDACTED]' END AS n_docs
+FROM counts
+""",
+)
+def pipeline_curation(spark, sf_dir):
+    """End-to-end curation DAG exercising the library surface in one lazy
+    plan: quality scoring -> threshold filter -> exact near-dup removal
+    (content fingerprint, keep min id) -> per-language counts -> disclosure
+    control (round to 5, redact < 15). Everything stays a single Catalyst
+    plan — no intermediate materialisation."""
+    from . import registry as _r
+    from .operators.dedup import exact_dedup as _exact
+    from .operators.privacy import (
+        redact_low_counts as _redact,
+        round_counts_to_multiple as _round,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    scored = add_quality_score(docs)
+    kept = add_fingerprint(scored.filter(F.col("quality_score") >= 0.75)).select(
+        "doc_id", "lang", "fingerprint"
+    )
+    deduped = _exact(kept, ["fingerprint"], "doc_id")
+    counts = deduped.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    rounded = _round(counts, ["n_docs"], multiple=5)
+    return _redact(rounded, ["n_docs"], threshold=15, redaction_value="[REDACTED]")

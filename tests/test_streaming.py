@@ -157,3 +157,48 @@ def test_stream_interval_join_equals_batch(spark, events_path):
     ).select("user_id", "l_ts", "l_id", "r_ts", "r_id")
     cols = ["user_id", "l_ts", "l_id", "r_ts", "r_id"]
     assert _sorted_rows(out.select(*cols), cols) == _sorted_rows(expected, cols)
+
+
+def test_stream_late_data_dropped(spark, tmp_path):
+    """Watermark semantics across micro-batches (maxFilesPerTrigger=1):
+
+    - batch 1 carries window W1's rows plus a 12:00 row that advances the
+      watermark past W1's end;
+    - batch 2 (any data) lets the engine finalise + evict W1 in append mode;
+    - batch 3 delivers a late W1 row: its window state is gone and its event
+      time is behind the watermark, so it is dropped — W1 must appear
+      exactly once, with the original count, and never resurrect.
+    """
+    import os
+
+    schema = "event_id: long, ts: timestamp, user_id: long, event_type: string, value: double"
+    files = [
+        [(1, ts(0), 10, "click", 1.0), (2, ts(5), 10, "click", 1.0),
+         (3, datetime.datetime(2024, 1, 1, 12, 0), 10, "click", 1.0)],
+        [(5, datetime.datetime(2024, 1, 1, 12, 1), 10, "click", 1.0)],
+        [(4, ts(7), 10, "click", 1.0)],  # late W1 event, state evicted
+    ]
+    src = tmp_path / "late_src"
+    src.mkdir()
+    for i, rows in enumerate(files):
+        spark.createDataFrame(rows, schema).repartition(1).write.parquet(
+            str(src / f"f{i}")
+        )
+        for f in (src / f"f{i}").glob("*.parquet"):
+            os.utime(f, (1_700_000_000 + i * 1000,) * 2)
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(src / "f0")).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*")
+    )
+    out = run_stream_to_memory(
+        stream_tumbling_agg(
+            stream, "ts", "10 minutes", group_by=None,
+            aggs=[F.count("*").alias("n_events")], watermark="10 minutes",
+        ),
+        output_mode="append",
+    )
+    w1 = [r for r in out.collect() if r["window_start"] == ts(0).replace(minute=0)]
+    assert len(w1) == 1  # emitted exactly once, never resurrected
+    assert w1[0]["n_events"] == 2  # late event 4 dropped
