@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 __all__ = [
     "tumbling_window_agg",
+    "sliding_window_agg",
     "sessionize",
     "as_of_join",
     "interval_join",
@@ -182,4 +183,30 @@ def interval_join(
     return lk.join(rk, cond, "inner").select(
         *[F.col(f"l.{c}") for c in left.columns],
         *[F.col(f"r.{c}").alias(c if c not in left.columns else f"r_{c}") for c in right.columns],
+    )
+
+
+def sliding_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    duration: str,
+    slide: str,
+    group_by: list[str] | None = None,
+    aggs: list[Column] | None = None,
+) -> DataFrame:
+    """Aggregate into overlapping sliding windows (``duration`` long, every
+    ``slide``). Each event lands in ``ceil(duration/slide)`` windows —
+    Spark's ``F.window`` expands rows before the hash aggregation, so the
+    fanout is bounded and map-side combinable (no self-join).
+
+    Output columns: ``window_start``, ``window_end``, group keys, aggregates.
+    """
+    aggs = aggs or [F.count("*").alias("n_events")]
+    group_by = group_by or []
+    win = F.window(F.col(ts_col), duration, slide)
+    agged = df.groupBy(win.alias("_w"), *group_by).agg(*aggs)
+    return (
+        agged.withColumn("window_start", F.col("_w.start"))
+        .withColumn("window_end", F.col("_w.end"))
+        .drop("_w")
     )

@@ -923,3 +923,71 @@ def pipeline_curation(spark, sf_dir):
     counts = deduped.groupBy("lang").agg(F.count("*").alias("n_docs"))
     rounded = _round(counts, ["n_docs"], multiple=5)
     return _redact(rounded, ["n_docs"], threshold=15, redaction_value="[REDACTED]")
+
+
+from .operators.events import sliding_window_agg  # noqa: E402
+
+
+@_register(
+    "events_sliding",
+    """
+WITH expanded AS (
+    SELECT e.event_type, e.value,
+           to_timestamp(k * 1800)::TIMESTAMP AS window_start
+    FROM events e,
+         UNNEST(generate_series(
+             CAST(floor((epoch(e.ts) - 3600) / 1800) + 1 AS BIGINT),
+             CAST(floor(epoch(e.ts) / 1800) AS BIGINT))) AS t(k)
+)
+SELECT window_start,
+       window_start + INTERVAL 1 HOUR AS window_end,
+       event_type,
+       count(*) AS n_events,
+       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+FROM expanded
+GROUP BY 1, 2, 3
+""",
+)
+def events_sliding(spark, sf_dir):
+    """1-hour windows sliding every 30 minutes per event type (bounded
+    2x row fanout inside the hash agg, no self-join)."""
+    return sliding_window_agg(
+        _t(spark, sf_dir, "events"),
+        "ts",
+        "1 hour",
+        "30 minutes",
+        group_by=["event_type"],
+        aggs=[
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        ],
+    ).select("window_start", "window_end", "event_type", "n_events", "sum_cents")
+
+
+@_register(
+    "events_asof_forward",
+    """
+SELECT l.event_id, l.user_id, l.ts,
+       r.event_id AS next_click_id, r.value AS next_click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND r.ts >= l.ts
+""",
+)
+def events_asof_forward(spark, sf_dir):
+    """Forward as-of join: for each purchase, the user's next click at or
+    after it (same single-shuffle union-sort plan, reversed ordering)."""
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("next_click_id"),
+        F.col("value").alias("next_click_value"),
+    )
+    return as_of_join(
+        purchases, clicks, "user_id", "ts", "ts",
+        ["next_click_id", "next_click_value"], direction="forward",
+    )

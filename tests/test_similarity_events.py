@@ -135,3 +135,38 @@ def test_interval_join(spark):
     got = sorted((r["label"], r["name"]) for r in out.collect())
     # boundary inclusive: event at exactly 10:10 joins w1; 10:15 joins nothing
     assert got == [("w1", "a"), ("w1", "b"), ("w2", "d")]
+
+
+def test_sliding_window_agg(spark):
+    from hds_functions_spark.operators.events import sliding_window_agg
+
+    df = spark.createDataFrame(
+        [(1, ts(0)), (2, ts(20)), (3, ts(40))], "event_id: long, ts: timestamp"
+    )
+    out = sliding_window_agg(df, "ts", "1 hour", "30 minutes")
+    rows = {
+        (r["window_start"].minute + 60 * r["window_start"].hour): r["n_events"]
+        for r in out.collect()
+    }
+    # event at 10:00 -> windows starting 09:30 & 10:00; 10:20 -> same;
+    # 10:40 -> 10:00 & 10:30
+    assert rows[9 * 60 + 30] == 2   # 09:30-10:30 covers 10:00,10:20
+    assert rows[10 * 60] == 3       # 10:00-11:00 covers all three
+    assert rows[10 * 60 + 30] == 1  # 10:30-11:30 covers 10:40
+
+
+def test_as_of_join_forward(spark):
+    from hds_functions_spark.operators.events import as_of_join
+
+    left = spark.createDataFrame(
+        [(1, "u", ts(10)), (2, "u", ts(45))], "id: long, k: string, ts: timestamp"
+    )
+    right = spark.createDataFrame(
+        [("u", ts(5), 100.0), ("u", ts(30), 200.0)], "k: string, ts: timestamp, v: double"
+    )
+    out = {
+        r["id"]: r["v"]
+        for r in as_of_join(left, right, "k", "ts", "ts", ["v"], direction="forward").collect()
+    }
+    assert out[1] == 200.0  # next right at/after 10:10 is 10:30
+    assert out[2] is None   # nothing at/after 10:45
