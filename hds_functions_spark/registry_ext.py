@@ -731,6 +731,15 @@ def _events_stream(spark, sf_dir):
     return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+# State-partition count for the registry's streaming queries: sized to the
+# events table's key cardinality (~2k users), not the batch shuffle default.
+# Each state partition pays a fixed open/commit cost per micro-batch (×4
+# stores for a stream-stream join), so oversizing serialises startup; on a
+# real cluster this is sized to expected state volume and pinned in the
+# checkpoint on first start (see run_stream_to_memory docstring).
+_STATE_PARTITIONS = 8
+
+
 @_register(
     "streaming_tumbling",
     """
@@ -756,7 +765,9 @@ def streaming_tumbling(spark, sf_dir):
         ],
         watermark=None,  # finite input, complete mode: emit every window
     )
-    return run_stream_to_memory(agged, output_mode="complete")
+    return run_stream_to_memory(
+        agged, output_mode="complete", state_partitions=_STATE_PARTITIONS
+    )
 
 
 @_register(
@@ -789,7 +800,9 @@ def streaming_sessions(spark, sf_dir):
         gap="30 minutes",
         watermark=None,  # finite input, complete mode
     )
-    return run_stream_to_memory(sessions, output_mode="complete")
+    return run_stream_to_memory(
+        sessions, output_mode="complete", state_partitions=_STATE_PARTITIONS
+    )
 
 
 @_register(
@@ -802,7 +815,9 @@ def streaming_dedup(spark, sf_dir):
     distinct = stream_distinct_keys(
         _events_stream(spark, sf_dir), ["user_id", "event_type"]
     )
-    return run_stream_to_memory(distinct, output_mode="append")
+    return run_stream_to_memory(
+        distinct, output_mode="append", state_partitions=_STATE_PARTITIONS
+    )
 
 
 @_register(
@@ -818,7 +833,9 @@ def streaming_stateful_totals(spark, sf_dir):
     running totals in keyed state, emitted in update mode. Single-batch
     AvailableNow drain == the batch group-by answer."""
     totals = stream_stateful_totals(_events_stream(spark, sf_dir))
-    return run_stream_to_memory(totals, output_mode="update")
+    return run_stream_to_memory(
+        totals, output_mode="update", state_partitions=_STATE_PARTITIONS
+    )
 
 
 @_register(
@@ -855,6 +872,7 @@ def streaming_interval_join(spark, sf_dir):
             "purchase_ts", "click_ts", "click_value",
         ),
         output_mode="append",
+        state_partitions=_STATE_PARTITIONS,
     )
 
 

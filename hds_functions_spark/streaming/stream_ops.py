@@ -82,23 +82,41 @@ def run_stream_to_memory(
     sdf: DataFrame,
     output_mode: str = "append",
     query_name: str | None = None,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion with ``Trigger.AvailableNow``
     into an in-memory sink and return the materialised result as a batch
     DataFrame. Test/driver harness only — production sinks are
-    ``writeStream.format('parquet'/'kafka'/...)`` with checkpointing."""
+    ``writeStream.format('parquet'/'kafka'/...)`` with checkpointing.
+
+    ``state_partitions`` pins ``spark.sql.shuffle.partitions`` for this one
+    stream start. Streaming state partitioning is a *capacity* decision
+    (stores per partition × fixed per-store open/commit cost), not a batch
+    parallelism decision: a stream-stream join keeps 4 state stores per
+    partition, so inheriting a batch-sized shuffle count pays a large fixed
+    cost per micro-batch regardless of data volume. Size it to expected
+    state cardinality; Spark pins it in the checkpoint on first start.
+    """
     name = query_name or f"hds_stream_{uuid.uuid4().hex}"
     checkpoint = tempfile.mkdtemp(prefix="hds_stream_ckpt_")
-    query = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )
-    query.awaitTermination()
-    return sdf.sparkSession.table(name)
+    spark = sdf.sparkSession
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        query = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.table(name)
 
 
 def stream_tumbling_agg(
