@@ -36,11 +36,18 @@ from .sources.environment import (
     get_spark_session,
     resolve_path,
 )
+from .sources import tables as _tables
 from .sources.tables import (
     get_archive_versions,
     load_table,
     save_table,
     standardise_table,
 )
+
+# Per-dataset standardisers (standardise_deaths_table, ..., generated from
+# the data-driven registry) — same public surface as the reference.
+for _name in _tables.__all__:
+    globals().setdefault(_name, getattr(_tables, _name))
+del _name, _tables
 
 __version__ = "0.1.0"

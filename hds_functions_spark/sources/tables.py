@@ -34,6 +34,8 @@ __all__ = [
     "get_archive_versions",
     "standardise_table",
     "STANDARDISERS",
+    # per-dataset named wrappers (appended at module bottom to match the
+    # reference's public surface, table_management.py:209-300)
 ]
 
 _DEFAULT_TABLE_DIRECTORY = "./config/table_directory.json"
@@ -230,3 +232,29 @@ def standardise_table(df: DataFrame, method: str) -> DataFrame:
             f"Available methods: {', '.join(STANDARDISERS)}"
         )
     return STANDARDISERS[method].apply(df)
+
+
+def _make_standardiser_fn(method: str):
+    def fn(df: DataFrame) -> DataFrame:
+        return STANDARDISERS[method].apply(df)
+
+    fn.__name__ = f"standardise_{method}_table"
+    fn.__qualname__ = fn.__name__
+    fn.__doc__ = (
+        f"Standardise a raw '{method}' dataset: person-id rename, column-name "
+        f"cleaning, per-dataset date/timestamp parsing. Thin named wrapper "
+        f"over the data-driven registry entry STANDARDISERS[{method!r}] — "
+        f"call-compatible with the reference's per-dataset function "
+        f"(table_management.py:209-300)."
+    )
+    return fn
+
+
+#: Per-dataset named wrappers matching the reference's public surface
+#: (``standardise_deaths_table`` … ``standardise_chess_table``). Generated
+#: from the registry so rename/date rules live in exactly one place.
+_STANDARDISER_FNS = {
+    f"standardise_{m}_table": _make_standardiser_fn(m) for m in STANDARDISERS
+}
+globals().update(_STANDARDISER_FNS)
+__all__.extend(sorted(_STANDARDISER_FNS))

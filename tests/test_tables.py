@@ -122,3 +122,21 @@ def test_standardise_unknown_method(spark):
     df = spark.createDataFrame([(1,)], ["a"])
     with pytest.raises(ValueError, match="not a recognised"):
         standardise_table(df, "unknown_method")
+
+
+def test_per_dataset_wrappers_match_reference_surface(spark):
+    """The 11 named standardise_*_table functions exist at package root and
+    equal the registry dispatch (reference table_management.py:209-300)."""
+    import hds_functions_spark as hds
+    from hds_functions_spark.sources.tables import STANDARDISERS
+
+    expected = {
+        "deaths", "gdppr", "hes_apc", "hes_op", "hes_ae", "pillar_2",
+        "ssnap", "sgss", "vaccine_status", "primary_care_meds", "chess",
+    }
+    assert set(STANDARDISERS) == expected
+    for method in expected:
+        fn = getattr(hds, f"standardise_{method}_table")
+        assert callable(fn)
+    df = spark.createDataFrame([("p1", 5)], ["NHS_NUMBER_DEID", "Some Col"])
+    assert hds.standardise_gdppr_table(df).columns == ["person_id", "some_col"]
