@@ -41,6 +41,8 @@ __all__ = [
     "add_simhash",
     "simhash_pairs",
     "embedding_near_dup_pairs",
+    "connected_components",
+    "dedup_clusters",
 ]
 
 
@@ -201,6 +203,234 @@ def minhash_pairs(
         .join(F.broadcast(sig_b), on="id_b")
         .select("id_a", "id_b", est)
         .filter(F.col("est_jaccard") >= min_jaccard)
+    )
+
+
+# --- connected components (pair graph -> duplicate clusters) -------------
+
+def _star_contraction_loop(
+    edges, checksum, prev, max_iterations, local_finish_edges=0
+):
+    """Alternate large-star / small-star until the edge-set checksum is
+    stable or the set shrinks below ``local_finish_edges``; returns
+    ``(edges, last_checksum)``."""
+    for _ in range(max_iterations):
+        # large-star: for every node u, attach each strictly-larger
+        # neighbor to min(N(u) ∪ {u})
+        sym = edges.unionByName(
+            edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+        large_min = sym.groupBy("u").agg(F.min("v").alias("_mv"))
+        large_min = large_min.select(
+            "u", F.least(F.col("_mv"), F.col("u")).alias("m")
+        )
+        edges = (
+            sym.filter(F.col("v") > F.col("u"))
+            .join(large_min, on="u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+        )
+        # small-star: on (u > v)-oriented edges, attach u and all its
+        # smaller neighbors to the minimum smaller neighbor
+        small_min = edges.groupBy("u").agg(F.min("v").alias("m"))
+        joined = edges.join(small_min, on="u")
+        edges = (
+            joined.filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .unionByName(joined.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+        cur = checksum(edges)
+        if cur == prev:
+            prev = cur
+            break
+        prev = cur
+        if prev[0] <= local_finish_edges:
+            break
+    return edges, prev
+
+
+def _local_union_find(edges: DataFrame, id_col: str, component_col: str) -> DataFrame:
+    """Finish a small edge set with a single-task union-find (``mapInPandas``
+    over ``coalesce(1)``) — executor-side, not a driver collect. Used once
+    distributed contraction has shrunk the graph below the local-finish
+    threshold; emits (id, component=min id of component) for every node
+    that appears in an edge."""
+    from pyspark.sql.types import StructField, StructType
+
+    dtype = edges.schema["u"].dataType
+    schema = StructType(
+        [StructField(id_col, dtype), StructField(component_col, dtype)]
+    )
+
+    def uf(batches):
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for pdf in batches:
+            for u, v in zip(pdf["u"], pdf["v"]):
+                ru, rv = find(u), find(v)
+                if ru != rv:
+                    # union by min so the root IS the component min
+                    lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                    parent[hi] = lo
+        seen = set(parent)
+        import pandas as pd
+
+        out = [(x, find(x)) for x in seen]
+        roots = {r for _, r in out}
+        out.extend((r, r) for r in roots if r not in seen)
+        yield pd.DataFrame(out, columns=[id_col, component_col])
+
+    return edges.coalesce(1).mapInPandas(uf, schema)
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    nodes: DataFrame | None = None,
+    id_col: str = "id",
+    component_col: str = "component",
+    max_iterations: int = 25,
+    local_finish_edges: int = 2_000_000,
+) -> DataFrame:
+    """Connected components of the undirected pair graph: ``(id, component)``
+    where ``component`` is the minimum id in the node's component.
+
+    Completes the dedup dataflow: candidate *pairs* (minhash / simhash /
+    embedding LSH) -> transitive duplicate *clusters* -> keep one canonical
+    doc per cluster. Implemented with the alternating **large-star /
+    small-star** algorithm (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC 2014): each round hangs every node onto the
+    minimum of its neighborhood, halving tree heights, so convergence takes
+    O(log^2 n) rounds regardless of component diameter — unlike plain
+    min-label propagation whose round count is the graph diameter (a chain
+    of near-dup docs at 100 TB can be very deep).
+
+    Per round: two hash-partition shuffles (groupBy u + join on u), both on
+    the same key, and a ``localCheckpoint`` to truncate lineage (iterative
+    plans otherwise grow exponentially; swap for reliable ``checkpoint()``
+    with a checkpoint dir on a real cluster). Convergence is detected by an
+    edge-set checksum (count + sum of xxhash64) — one tiny aggregate per
+    round instead of a shuffle-heavy ``except``.
+
+    ``nodes`` (optional, one ``id_col`` column) adds the full id universe so
+    rows that never appear in a pair come out as singleton components
+    (``component = id``).
+
+    No reference-library counterpart (the reference has no graph ops);
+    extension layer per SURVEY.md §7.
+    """
+    edges = (
+        pairs.select(
+            F.greatest(F.col(id_a), F.col(id_b)).alias("u"),
+            F.least(F.col(id_a), F.col(id_b)).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def checksum(e: DataFrame):
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.sum(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = checksum(edges)
+    if prev[0] > local_finish_edges:
+        # Distributed star contraction, sized to the measured edge count
+        # (known for free from the checksum), capped at the session setting:
+        # ~100k edges per partition. On a 100 TB pair graph this leaves the
+        # session value untouched. Scoped to the loop, restored in finally.
+        spark = pairs.sparkSession
+        session_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        loop_parts = max(1, min(session_parts, -(-prev[0] // 100_000)))
+        if loop_parts != session_parts:
+            spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+        try:
+            edges, prev = _star_contraction_loop(
+                edges, checksum, prev, max_iterations, local_finish_edges
+            )
+        finally:
+            if loop_parts != session_parts:
+                spark.conf.set(
+                    "spark.sql.shuffle.partitions", str(session_parts)
+                )
+
+    if 0 < prev[0] <= local_finish_edges:
+        # small enough for one task: finish with an executor-side union-find
+        # (single mapInPandas job instead of ~1 s of planning latency per
+        # remaining contraction round)
+        labels = _local_union_find(edges, id_col, component_col)
+    else:
+        # converged edge set is a star forest: (node, component-min) per
+        # non-root node; roots label themselves
+        labels = edges.groupBy("u").agg(F.min("v").alias(component_col))
+        labels = labels.select(
+            F.col("u").alias(id_col), component_col
+        ).unionByName(
+            edges.select(
+                F.col("v").alias(id_col), F.col("v").alias(component_col)
+            )
+        ).distinct()
+        # collapse to the minimum label per id (v-side self-labels also
+        # exist for internal nodes' targets)
+        labels = labels.groupBy(id_col).agg(
+            F.min(component_col).alias(component_col)
+        )
+    if nodes is not None:
+        universe = nodes.select(F.col(nodes.columns[0]).alias(id_col)).distinct()
+        labels = universe.join(labels, on=id_col, how="left").select(
+            id_col,
+            F.coalesce(F.col(component_col), F.col(id_col)).alias(component_col),
+        )
+    return labels
+
+
+def dedup_clusters(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_size: int = 5,
+    bands: int = 8,
+    min_jaccard: float = 0.5,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """End-to-end near-dup clustering: MinHash-LSH candidate pairs at
+    ``est_jaccard >= min_jaccard`` -> connected components -> one row per
+    input doc with its ``component`` (cluster id = min doc_id in cluster)
+    and ``is_canonical`` (the doc every other cluster member duplicates).
+    Docs outside every pair are singleton components of themselves.
+    """
+    pairs = minhash_pairs(
+        df.filter(F.length(text_col) >= shingle_size),
+        id_col=id_col,
+        text_col=text_col,
+        num_hashes=num_hashes,
+        shingle_size=shingle_size,
+        bands=bands,
+        min_jaccard=min_jaccard,
+    )
+    comps = connected_components(
+        pairs,
+        nodes=df.select(id_col),
+        id_col=id_col,
+        max_iterations=max_iterations,
+    )
+    return comps.withColumn(
+        "is_canonical", (F.col(id_col) == F.col("component"))
     )
 
 

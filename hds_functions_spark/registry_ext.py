@@ -26,6 +26,7 @@ from .functions.text import (
 )
 from .operators.dedup import (
     add_simhash,
+    dedup_clusters,
     duplicate_groups,
     embedding_near_dup_pairs,
     exact_dedup,
@@ -262,6 +263,44 @@ def dedup_minhash_pairs(spark, sf_dir):
         num_hashes=_MH_NUM_HASHES,
         shingle_size=_MH_SHINGLE,
         bands=_MH_BANDS,
+    )
+
+
+_CC_MIN_JACCARD = 0.5
+
+
+@_register(
+    "dedup_clusters_cc",
+    f"""
+WITH RECURSIVE pairs AS (
+    SELECT id_a, id_b FROM ({_duck_minhash_sql()})
+    WHERE est_jaccard >= {_CC_MIN_JACCARD}
+), sym AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+), reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+)
+SELECT src AS doc_id, min(dst) AS component,
+       (src = min(dst)) AS is_canonical
+FROM reach GROUP BY src
+""",
+)
+def dedup_clusters_cc(spark, sf_dir):
+    """Near-dup clustering end-to-end: MinHash-LSH pairs (est_jaccard >=
+    0.5) -> connected components (alternating large-star/small-star) ->
+    cluster id + canonical-doc flag per document. The oracle computes the
+    same components via a recursive transitive closure (fine at sf0.01;
+    the Spark side converges in O(log^2 n) rounds for 100 TB graphs)."""
+    return dedup_clusters(
+        _t(spark, sf_dir, "documents"),
+        num_hashes=_MH_NUM_HASHES,
+        shingle_size=_MH_SHINGLE,
+        bands=_MH_BANDS,
+        min_jaccard=_CC_MIN_JACCARD,
     )
 
 

@@ -87,3 +87,99 @@ def test_simhash_pairs(docs):
     pairs = simhash_pairs(docs, max_hamming=6)
     got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
     assert got[(1, 2)] == 0
+
+
+# --- connected components -------------------------------------------------
+
+def test_connected_components_chain_and_singletons(spark):
+    """A 6-node chain (worst case for diameter-bound propagation), a
+    2-node component, and universe singletons."""
+    from hds_functions_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)],
+        "id_a: long, id_b: long",
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 6, 10, 11, 99]], "id: long")
+    out = connected_components(pairs, nodes=nodes)
+    got = {r["id"]: r["component"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_connected_components_no_pairs(spark):
+    from hds_functions_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([], "id_a: long, id_b: long")
+    nodes = spark.createDataFrame([(7,), (8,)], "id: long")
+    got = {r["id"]: r["component"] for r in connected_components(pairs, nodes=nodes).collect()}
+    assert got == {7: 7, 8: 8}
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """Randomised graph against a pure-Python union-find reference."""
+    import random
+
+    from hds_functions_spark.operators.dedup import connected_components
+
+    rng = random.Random(42)
+    n = 60
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(80)
+    ]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {i: find(i) for i in range(n)}
+
+    pairs = spark.createDataFrame(edges, "id_a: long, id_b: long")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "id: long")
+    got = {r["id"]: r["component"] for r in connected_components(pairs, nodes=nodes).collect()}
+    assert got == expected
+
+
+def test_dedup_clusters_end_to_end(docs):
+    from hds_functions_spark.operators.dedup import dedup_clusters
+
+    out = dedup_clusters(docs, min_jaccard=0.5).collect()
+    comp = {r["doc_id"]: r["component"] for r in out}
+    canon = {r["doc_id"]: r["is_canonical"] for r in out}
+    # 1, 2 exact dups; 3 near-dup of 1 -> one cluster rooted at 1
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[4] == 4 and comp[5] == 5  # singletons
+    assert canon == {1: True, 2: False, 3: False, 4: True, 5: True}
+
+
+@pytest.mark.parametrize("local_finish_edges", [0, 2])
+def test_connected_components_distributed_path(spark, local_finish_edges):
+    """Force star contraction (local_finish_edges=0: pure distributed;
+    =2: distributed rounds then local handoff) — same answer as default."""
+    from hds_functions_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (10, 11)],
+        "id_a: long, id_b: long",
+    )
+    out = connected_components(
+        pairs, max_iterations=30, local_finish_edges=local_finish_edges
+    )
+    got = {r["id"]: r["component"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_string_ids(spark):
+    from hds_functions_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "id_a: string, id_b: string"
+    )
+    got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
