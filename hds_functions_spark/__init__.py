@@ -19,6 +19,13 @@ from .operators.cohort import (
     validate_inclusion_criteria,
 )
 from .operators.joins import salted_join
+from .operators.profiling import profile_columns, tf_idf_top_terms
+from .operators.sampling import (
+    deterministic_sample,
+    hash_split,
+    split_bucket,
+    stratified_sample,
+)
 from .operators.privacy import redact_low_counts, round_counts_to_multiple
 from .operators.topk import first_dense_rank, first_rank, first_row, select_top_rows
 from .operators.wrangling import clean_column_names, map_column_values

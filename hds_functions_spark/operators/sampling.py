@@ -1,0 +1,160 @@
+"""Deterministic sampling and dataset splitting for training-data pipelines.
+
+Extension layer (SURVEY.md §7; no reference counterpart — the reference has
+no sampling surface). Everything here is *hash-deterministic*, not
+RNG-based: a row's split/sample membership depends only on its id (plus an
+explicit salt), so
+
+- re-runs, retries, and cluster re-partitioning cannot change the result
+  (Spark's ``df.sample``/``sampleBy`` are seed+partition dependent);
+- membership is reproducible by any other engine with md5 (the DuckDB
+  oracles assert exact row parity);
+- train/val/test contamination is structurally impossible: the buckets
+  partition the hash space.
+
+All expressions are JVM-side built-ins (zero UDFs) over the portable
+60-bit hash in ``functions.hashing`` — one narrow projection, no shuffle,
+fully pushdown/codegen friendly at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import stable_hash64, stable_hash_sql
+
+__all__ = [
+    "split_bucket",
+    "hash_split",
+    "hash_split_sql",
+    "deterministic_sample",
+    "stratified_sample",
+    "BUCKETS",
+]
+
+#: hash-space resolution: weights are quantised to 1/10000
+BUCKETS = 10_000
+
+
+def split_bucket(id_col: Column | str, salt: str = "") -> Column:
+    """Deterministic bucket in ``[0, BUCKETS)`` from a row id and salt."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return stable_hash64(F.concat(c.cast("string"), F.lit(salt))) % BUCKETS
+
+
+def _bucket_sql(id_expr: str, salt: str) -> str:
+    """DuckDB fragment computing exactly :func:`split_bucket`."""
+    return f"({stable_hash_sql(f'({id_expr})::VARCHAR || {salt!r}')} % {BUCKETS})"
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Assign every row to exactly one named split, deterministically by id.
+
+    ``weights`` maps split name -> fraction (must sum to 1 within 1/BUCKETS);
+    boundaries are cumulative in dict insertion order, so
+    ``{"train": .98, "val": .01, "test": .01}`` gives train buckets
+    [0, 9800), val [9800, 9900), test [9900, 10000). Changing the salt
+    re-draws the assignment; omitting it keeps splits stable across runs
+    and datasets sharing the id space.
+    """
+    if not weights:
+        raise ValueError("weights must be a non-empty dict")
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1.0 / BUCKETS:
+        raise ValueError(f"weights must sum to 1 (got {total})")
+    if split_col in df.columns:
+        raise ValueError(f"column '{split_col}' already exists")
+    bucket = split_bucket(id_col, salt)
+    expr = None
+    acc = 0.0
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        bound = int(round(acc * BUCKETS))
+        branch = F.when(bucket < F.lit(bound), F.lit(name))
+        expr = branch if expr is None else expr.when(
+            bucket < F.lit(bound), F.lit(name)
+        )
+    expr = (
+        F.lit(names[-1])
+        if expr is None
+        else expr.otherwise(F.lit(names[-1]))
+    )
+    return df.withColumn(split_col, expr)
+
+
+def hash_split_sql(
+    id_expr: str, weights: dict[str, float], salt: str = ""
+) -> str:
+    """DuckDB CASE expression computing exactly :func:`hash_split`'s
+    ``split`` column — kept next to the operator so registry oracles embed
+    the same boundaries."""
+    bucket = _bucket_sql(id_expr, salt)
+    acc = 0.0
+    branches = []
+    names = list(weights)
+    for name in names[:-1]:
+        acc += weights[name]
+        bound = int(round(acc * BUCKETS))
+        branches.append(f"WHEN {bucket} < {bound} THEN '{name}'")
+    if not branches:
+        return f"'{names[-1]}'"
+    return f"CASE {' '.join(branches)} ELSE '{names[-1]}' END"
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows by id-hash bucket.
+
+    Unlike ``df.sample``, membership is a pure function of the row id: the
+    same row is kept in every run, on any cluster layout, and different
+    fractions nest (a 1% sample is a subset of a 10% sample with the same
+    salt) — the property that makes progressive data ablations comparable.
+    """
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1] (got {fraction})")
+    bound = int(round(fraction * BUCKETS))
+    return df.filter(split_bucket(id_col, salt) < F.lit(bound))
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict,
+    default_fraction: float = 0.0,
+    salt: str = "",
+) -> DataFrame:
+    """Deterministic per-stratum sampling: each value of ``strata_col`` gets
+    its own keep-fraction (e.g. downsample boilerplate-heavy sources,
+    keep all rare-language docs). Strata absent from ``fractions`` use
+    ``default_fraction``. Same id-hash determinism as
+    :func:`deterministic_sample`; the per-stratum bound is looked up from a
+    literal map (broadcast-free, Catalyst-foldable).
+    """
+    for frac in list(fractions.values()) + [default_fraction]:
+        if not 0.0 <= frac <= 1.0:
+            raise ValueError(f"fractions must be in [0, 1] (got {frac})")
+    from itertools import chain
+
+    pairs = [
+        F.lit(x)
+        for x in chain.from_iterable(
+            (k, int(round(v * BUCKETS))) for k, v in fractions.items()
+        )
+    ]
+    default_bound = F.lit(int(round(default_fraction * BUCKETS)))
+    bound = (
+        F.coalesce(F.create_map(*pairs)[F.col(strata_col)], default_bound)
+        if pairs
+        else default_bound
+    )
+    return df.filter(split_bucket(id_col, salt) < bound)

@@ -1048,3 +1048,132 @@ def events_asof_forward(spark, sf_dir):
         purchases, clicks, "user_id", "ts", "ts",
         ["next_click_id", "next_click_value"], direction="forward",
     )
+
+
+# --- deterministic sampling / splitting ----------------------------------
+
+from .operators.profiling import profile_columns, tf_idf_top_terms  # noqa: E402
+from .operators.sampling import (  # noqa: E402
+    deterministic_sample,
+    hash_split,
+    hash_split_sql,
+    stratified_sample,
+)
+from .operators.sampling import _bucket_sql as _duck_bucket  # noqa: E402
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+_STRATA_FRACTIONS = {"en": 0.5, "de": 1.0}
+_STRATA_DEFAULT = 0.25
+
+
+@_register(
+    "sample_hash_split",
+    f"""
+SELECT doc_id, {hash_split_sql('doc_id', _SPLIT_WEIGHTS)} AS split
+FROM documents
+""",
+)
+def sample_hash_split(spark, sf_dir):
+    """Deterministic train/val/test assignment by id hash (80/10/10):
+    re-run- and partitioning-invariant, contamination-free by
+    construction."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return hash_split(docs, "doc_id", _SPLIT_WEIGHTS)
+
+
+@_register(
+    "sample_stratified",
+    f"""
+SELECT doc_id, lang FROM documents
+WHERE {_duck_bucket('doc_id', '')} <
+      CASE lang WHEN 'en' THEN {int(0.5 * 10_000)}
+                WHEN 'de' THEN {int(1.0 * 10_000)}
+                ELSE {int(0.25 * 10_000)} END
+""",
+)
+def sample_stratified(spark, sf_dir):
+    """Per-stratum deterministic downsampling (keep 50% of en, all of de,
+    25% of everything else) — rebalancing a corpus without RNG."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return stratified_sample(
+        docs, "doc_id", "lang", _STRATA_FRACTIONS,
+        default_fraction=_STRATA_DEFAULT,
+    )
+
+
+@_register(
+    "sample_nested",
+    f"""
+SELECT doc_id FROM documents
+WHERE {_duck_bucket('doc_id', 'ablate')} < {int(0.1 * 10_000)}
+""",
+)
+def sample_nested(spark, sf_dir):
+    """10% deterministic sample (salted): the 1% sample with the same salt
+    is a strict subset — nesting makes data-ablation curves comparable."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_sample(docs, "doc_id", 0.1, salt="ablate")
+
+
+# --- profiling / TF-IDF ---------------------------------------------------
+
+_PROFILE_COLS = ["l_orderkey", "l_returnflag", "l_quantity", "l_linestatus"]
+
+
+def _duck_profile_sql() -> str:
+    parts = [
+        f"""SELECT '{c}' AS column_name,
+       count(*) AS n_rows,
+       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       min({c}::VARCHAR) AS min_value,
+       max({c}::VARCHAR) AS max_value
+FROM lineitem"""
+        for c in _PROFILE_COLS
+    ]
+    return "\nUNION ALL\n".join(parts)
+
+
+@_register("profile_lineitem", _duck_profile_sql())
+def profile_lineitem(spark, sf_dir):
+    """Per-column profile (rows / nulls / distinct / min / max) of four
+    lineitem columns in ONE scan + one wide aggregate."""
+    return profile_columns(_t(spark, sf_dir, "lineitem"), _PROFILE_COLS)
+
+
+_TFIDF_K = 3
+
+#: DuckDB fragment: whitespace tokens of trimmed lower(text)
+_DUCK_TOKENS_LOWER = (
+    "CASE WHEN trim(text) = '' THEN []::VARCHAR[] "
+    "ELSE string_split_regex(trim(lower(text)), '\\s+') END"
+)
+
+
+@_register(
+    "text_tfidf",
+    f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_DUCK_TOKENS_LOWER}) AS term FROM documents
+), tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+), df_t AS (
+    SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+), n AS (
+    SELECT count(DISTINCT doc_id) AS n FROM documents
+), scored AS (
+    SELECT doc_id, term, tf,
+           round(tf * (ln((n.n + 1)::DOUBLE / (df + 1)) + 1), 6) AS score
+    FROM tf JOIN df_t USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, score FROM scored
+QUALIFY row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, term ASC) <= {_TFIDF_K}
+""",
+)
+def text_tfidf(spark, sf_dir):
+    """Top-3 characteristic terms per document by smoothed TF-IDF
+    (sklearn's ln((N+1)/(df+1))+1 variant), ties broken by term."""
+    return tf_idf_top_terms(
+        _t(spark, sf_dir, "documents"), k=_TFIDF_K
+    )

@@ -1,0 +1,101 @@
+"""Deterministic sampling/splitting and profiling operator tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hds_functions_spark.operators.profiling import (
+    profile_columns,
+    tf_idf_top_terms,
+)
+from hds_functions_spark.operators.sampling import (
+    deterministic_sample,
+    hash_split,
+    stratified_sample,
+)
+
+
+@pytest.fixture()
+def ids(spark):
+    return spark.createDataFrame([(i,) for i in range(1000)], "id: long")
+
+
+def test_hash_split_partitions_exhaustively(ids):
+    out = hash_split(ids, "id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 1000  # every row exactly one split
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"]  # roughly weighted
+    # deterministic: second call identical
+    out2 = hash_split(ids, "id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert out.subtract(out2).count() == 0
+
+
+def test_hash_split_salt_changes_assignment(ids):
+    a = hash_split(ids, "id", {"x": 0.5, "y": 0.5})
+    b = hash_split(ids, "id", {"x": 0.5, "y": 0.5}, salt="v2")
+    differing = a.withColumnRenamed("split", "s1").join(
+        b.withColumnRenamed("split", "s2"), on="id"
+    ).filter(F.col("s1") != F.col("s2")).count()
+    assert differing > 0
+
+
+def test_hash_split_errors(ids):
+    with pytest.raises(ValueError, match="sum to 1"):
+        hash_split(ids, "id", {"a": 0.5, "b": 0.2})
+    with pytest.raises(ValueError, match="non-empty"):
+        hash_split(ids, "id", {})
+    with pytest.raises(ValueError, match="already exists"):
+        hash_split(ids.withColumn("split", F.lit("x")), "id", {"a": 1.0})
+
+
+def test_deterministic_sample_nests(ids):
+    small = {r["id"] for r in deterministic_sample(ids, "id", 0.01).collect()}
+    big = {r["id"] for r in deterministic_sample(ids, "id", 0.10).collect()}
+    assert small <= big  # 1% sample nested inside 10% sample
+    assert len(big) == pytest.approx(100, abs=40)
+    with pytest.raises(ValueError, match="fraction"):
+        deterministic_sample(ids, "id", 1.5)
+
+
+def test_stratified_sample_bounds(spark):
+    df = spark.createDataFrame(
+        [(i, "keep" if i % 2 else "drop") for i in range(400)],
+        "id: long, stratum: string",
+    )
+    out = stratified_sample(
+        df, "id", "stratum", {"keep": 1.0}, default_fraction=0.0
+    )
+    got = out.groupBy("stratum").count().collect()
+    assert {r["stratum"]: r["count"] for r in got} == {"keep": 200}
+
+
+def test_profile_columns(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (2, "c")], "k: long, s: string"
+    )
+    rows = {r["column_name"]: r for r in profile_columns(df).collect()}
+    assert rows["k"]["n_rows"] == 3
+    assert rows["k"]["n_nulls"] == 0
+    assert rows["k"]["n_distinct"] == 2
+    assert rows["s"]["n_nulls"] == 1
+    assert rows["s"]["min_value"] == "a" and rows["s"]["max_value"] == "c"
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        profile_columns(df, ["nope"])
+
+
+def test_tf_idf_top_terms(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "durian durian durian"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = tf_idf_top_terms(df, k=1).collect()
+    top = {r["doc_id"]: r["term"] for r in out}
+    # 'apple' (tf=2, rare) beats 'banana' (shared); doc 3's only term wins
+    assert top == {1: "apple", 2: "cherry", 3: "durian"}
+    scores = {r["doc_id"]: r["score"] for r in out}
+    assert scores[3] > scores[1] > 0
