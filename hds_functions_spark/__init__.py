@@ -19,6 +19,7 @@ from .operators.cohort import (
     validate_inclusion_criteria,
 )
 from .operators.joins import salted_join
+from .operators.packing import pack_sequences
 from .operators.profiling import profile_columns, tf_idf_top_terms
 from .operators.sampling import (
     deterministic_sample,

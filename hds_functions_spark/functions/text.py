@@ -24,6 +24,7 @@ __all__ = [
     "add_quality_score",
     "add_language_id",
     "add_fingerprint",
+    "add_repetition_stats",
     "STOPWORDS",
 ]
 
@@ -198,3 +199,51 @@ def bpe_token_count(col: Column | str) -> Column:
     """Approximate BPE token count: number of pre-tokeniser matches (the
     unit a byte-pair encoder would split further). JVM-side regex — no UDF."""
     return F.size(F.regexp_extract_all(_c(col), F.lit(BPE_ISH_PATTERN), 0))
+
+
+def add_repetition_stats(
+    df: DataFrame, text_col: str = "text", prefix: str = ""
+) -> DataFrame:
+    """Repetition signals used by published LLM-corpus quality filters
+    (Gopher's repetition thresholds; RefinedWeb/MassiveText variants) —
+    all computed in one shuffle-free projection:
+
+    - ``dup_line_ratio``: 1 - distinct/total over newline-split lines
+      (boilerplate, navigation menus);
+    - ``dup_token_ratio``: 1 - distinct/total over whitespace tokens;
+    - ``top_bigram_ratio``: occurrences of the most frequent word bigram /
+      total bigrams (stuck-phrase repetition). Computed with array
+      expressions (aggregate over distinct grams), not a per-doc groupBy —
+      the doc never leaves its partition.
+
+    All ratios are null for empty inputs (no lines/tokens/bigrams).
+    """
+    c = F.col(text_col)
+    p = prefix
+    lines = F.filter(F.split(c, r"\n"), lambda x: F.trim(x) != "")
+    toks = tokens(c)
+    bigrams = word_ngrams(toks, 2)
+
+    def dup_ratio(arr: Column) -> Column:
+        n = F.size(arr)
+        return F.when(n == 0, F.lit(None)).otherwise(
+            1.0 - F.size(F.array_distinct(arr)).cast("double") / n
+        )
+
+    # max count of any single bigram: for each distinct bigram, count its
+    # occurrences in the full array; take the max. Quadratic in *distinct*
+    # grams per doc — bounded by doc length, runs inside the row, no shuffle.
+    max_count = F.array_max(
+        F.transform(
+            F.array_distinct(bigrams),
+            lambda g: F.size(F.filter(bigrams, lambda x: x == g)),
+        )
+    )
+    top_bigram = F.when(F.size(bigrams) == 0, F.lit(None)).otherwise(
+        max_count.cast("double") / F.size(bigrams)
+    )
+    return (
+        df.withColumn(f"{p}dup_line_ratio", dup_ratio(lines))
+        .withColumn(f"{p}dup_token_ratio", dup_ratio(toks))
+        .withColumn(f"{p}top_bigram_ratio", top_bigram)
+    )

@@ -1,0 +1,86 @@
+"""Deterministic sequence packing: assign documents to fixed-token-budget
+training shards.
+
+Extension layer (SURVEY.md §7; no reference counterpart). A pretraining
+pipeline's last step is packing documents into sequences/shards of a fixed
+token budget. The classic greedy packer is inherently sequential; this
+operator uses the *cumulative-offset* formulation every distributed
+pipeline converges on: lay all documents end-to-end on a virtual token
+tape (deterministic order) and cut the tape every ``budget`` tokens —
+``seq_id = floor(cumulative_tokens_before / budget)``. Same semantics on
+any cluster layout, pure window arithmetic, SQL-oracle-expressible.
+
+Scale: a single global running sum would serialise on one partition, so
+packing is two-level — documents are first bucketed into ``n_shards``
+deterministic hash shards (independent, embarrassingly parallel), and the
+running sum windows *within* each shard. One hash-partition exchange plus
+one per-partition sort; no global sort, no driver state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import token_count
+from .sampling import split_bucket
+
+__all__ = ["pack_sequences"]
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    budget: int = 4096,
+    n_shards: int = 8,
+    tokens_col: str | Column | None = None,
+    text_col: str = "text",
+    salt: str = "",
+) -> DataFrame:
+    """Assign each document a ``(shard, seq_id, seq_offset)``:
+
+    - ``shard``: deterministic id-hash bucket in ``[0, n_shards)``;
+    - ``seq_id``: which budget-sized sequence of the shard's virtual token
+      tape the document starts in (``floor(tokens_before / budget)``);
+    - ``seq_offset``: the document's token offset within that sequence.
+
+    ``tokens_col`` may name an existing token-count column (or be a Column
+    expression); by default whitespace ``token_count(text_col)`` is used.
+    Documents within a shard are laid out in ascending ``id_col`` order, so
+    the assignment is a pure function of (ids, token counts, salt) —
+    re-runs and repartitioning cannot move a document between sequences.
+
+    Documents longer than ``budget`` span sequences (they start in their
+    ``seq_id`` and overflow); splitting them is the tokeniser's job
+    downstream — this operator decides placement, not truncation.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive (got {budget})")
+    if n_shards <= 0:
+        raise ValueError(f"n_shards must be positive (got {n_shards})")
+    if tokens_col is None:
+        n_tokens: Column = token_count(F.col(text_col))
+    elif isinstance(tokens_col, str):
+        n_tokens = F.col(tokens_col)
+    else:
+        n_tokens = tokens_col
+    shard = split_bucket(id_col, salt) % n_shards
+    out = df.withColumn("_n_tokens", n_tokens).withColumn("shard", shard)
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    # tokens strictly before this doc on the shard's tape
+    before = F.sum("_n_tokens").over(w) - F.col("_n_tokens")
+    return (
+        out.withColumn("_before", before)
+        .withColumn(
+            "seq_id", F.floor(F.col("_before") / F.lit(budget)).cast("long")
+        )
+        .withColumn(
+            "seq_offset", (F.col("_before") % F.lit(budget)).cast("long")
+        )
+        .drop("_before")
+        .withColumnRenamed("_n_tokens", "n_tokens")
+    )

@@ -1177,3 +1177,81 @@ def text_tfidf(spark, sf_dir):
     return tf_idf_top_terms(
         _t(spark, sf_dir, "documents"), k=_TFIDF_K
     )
+
+
+# --- repetition stats / sequence packing ---------------------------------
+
+from .functions.text import add_repetition_stats  # noqa: E402
+from .operators.packing import pack_sequences  # noqa: E402
+
+
+@_register(
+    "text_repetition",
+    f"""
+WITH base AS (
+    SELECT doc_id, text,
+           list_filter(string_split(text, chr(10)), x -> trim(x) != '') AS lines,
+           {_DUCK_TOKENS} AS t
+    FROM documents
+), grams AS (
+    SELECT doc_id, lines, t,
+           CASE WHEN len(t) < 2 THEN []::VARCHAR[]
+                ELSE list_transform(generate_series(1, len(t) - 1),
+                                    i -> array_to_string(t[i:i+1], ' '))
+           END AS bg
+    FROM base
+)
+SELECT doc_id,
+       CASE WHEN len(lines) = 0 THEN NULL
+            ELSE 1.0 - len(list_distinct(lines))::DOUBLE / len(lines)
+       END AS dup_line_ratio,
+       CASE WHEN len(t) = 0 THEN NULL
+            ELSE 1.0 - len(list_distinct(t))::DOUBLE / len(t)
+       END AS dup_token_ratio,
+       CASE WHEN len(bg) = 0 THEN NULL
+            ELSE list_max(list_transform(list_distinct(bg),
+                     g -> len(list_filter(bg, x -> x = g))))::DOUBLE / len(bg)
+       END AS top_bigram_ratio
+FROM grams
+""",
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (duplicate-line ratio, duplicate-
+    token ratio, top-bigram ratio) in one shuffle-free projection."""
+    return add_repetition_stats(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "dup_line_ratio", "dup_token_ratio", "top_bigram_ratio"
+    )
+
+
+_PACK_BUDGET = 2048
+_PACK_SHARDS = 4
+
+
+@_register(
+    "pack_sequences",
+    f"""
+WITH toks AS (
+    SELECT doc_id,
+           len({_DUCK_TOKENS}) AS n_tokens,
+           ({_duck_bucket('doc_id', '')} % {_PACK_SHARDS}) AS shard
+    FROM documents
+), cum AS (
+    SELECT doc_id, n_tokens, shard,
+           sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+               ROWS UNBOUNDED PRECEDING) - n_tokens AS tokens_before
+    FROM toks
+)
+SELECT doc_id, n_tokens, shard,
+       (tokens_before // {_PACK_BUDGET})::BIGINT AS seq_id,
+       (tokens_before % {_PACK_BUDGET})::BIGINT AS seq_offset
+FROM cum
+""",
+)
+def pack_sequences_q(spark, sf_dir):
+    """Deterministic token-budget packing: documents laid end-to-end on a
+    per-shard virtual tape, cut every 2048 tokens; placement is a pure
+    function of (ids, token counts)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(
+        docs, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
+    ).select("doc_id", "n_tokens", "shard", "seq_id", "seq_offset")

@@ -108,3 +108,29 @@ def test_bpe_token_count(spark):
     }
     # it|'s|42|degrees|,|really|! -> 7 ; ''->0 ; hello->1 ; a|+|b|=|c -> 5
     assert out == {1: 7, 2: 0, 3: 1, 4: 5}
+
+
+# --- repetition stats -----------------------------------------------------
+
+def test_repetition_stats(spark):
+    from hds_functions_spark.functions.text import add_repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b a b"),          # heavy bigram repetition
+            (2, "all tokens differ here"),
+            (3, "line\nline\nother"),    # duplicate lines
+            (4, ""),                     # empty -> all null
+        ],
+        "doc_id: long, text: string",
+    )
+    rows = {r["doc_id"]: r for r in add_repetition_stats(df).collect()}
+    # doc 1: tokens [a b a b a b] -> 2 distinct / 6 -> dup 2/3
+    assert rows[1]["dup_token_ratio"] == pytest.approx(2 / 3)
+    # bigrams: [a b, b a, a b, b a, a b] -> top 'a b' 3/5
+    assert rows[1]["top_bigram_ratio"] == pytest.approx(0.6)
+    assert rows[2]["dup_token_ratio"] == 0.0
+    assert rows[3]["dup_line_ratio"] == pytest.approx(1 / 3)
+    assert rows[4]["dup_line_ratio"] is None
+    assert rows[4]["dup_token_ratio"] is None
+    assert rows[4]["top_bigram_ratio"] is None
