@@ -20,7 +20,11 @@ from .operators.cohort import (
 )
 from .operators.joins import salted_join
 from .operators.packing import pack_sequences
-from .operators.profiling import profile_columns, tf_idf_top_terms
+from .operators.profiling import (
+    group_quantiles,
+    profile_columns,
+    tf_idf_top_terms,
+)
 from .operators.sampling import (
     deterministic_sample,
     hash_split,

@@ -15,7 +15,7 @@ from pyspark.sql.window import Window
 from ..functions.partitioning import ensure_min_partitions
 from ..functions.text import tokens
 
-__all__ = ["profile_columns", "tf_idf_top_terms"]
+__all__ = ["profile_columns", "tf_idf_top_terms", "group_quantiles"]
 
 
 def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
@@ -102,4 +102,34 @@ def tf_idf_top_terms(
         scored.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") <= k)
         .select(id_col, "term", "tf", "score")
+    )
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    quantiles: list[float] = (0.25, 0.5, 0.75, 0.95),
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact linear-interpolation quantiles (type-7, the R/NumPy/DuckDB
+    ``quantile_cont`` default) of ``value_col`` per group, plus the group
+    count — the per-language length thresholds a curation pipeline filters
+    against.
+
+    Uses Spark's exact ``percentile`` aggregate (sort-based within each
+    group's partial), not ``percentile_approx``: curation thresholds become
+    filter boundaries, so 2% sketch error moves real documents. Swap to
+    ``percentile_approx`` only when group cardinalities make exact sorting
+    prohibitive.
+    """
+    qs = list(quantiles)
+    aggs = [
+        F.round(
+            F.percentile(F.col(value_col), F.lit(q)), round_digits
+        ).alias(f"p{int(q * 100):02d}")
+        for q in qs
+    ]
+    return df.groupBy(*group_cols).agg(
+        F.count("*").alias("n_rows"), *aggs
     )

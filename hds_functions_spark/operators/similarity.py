@@ -21,6 +21,7 @@ from ..functions.partitioning import ensure_min_partitions
 from .topk import first_row
 
 __all__ = [
+    "embedding_centroids",
     "dot_product",
     "l2_norm",
     "cosine_similarity",
@@ -282,4 +283,35 @@ def ivf_cosine_topk(
         F.col("_cid").alias(corpus_id),
         "cosine_sim",
         F.col("row_index").cast("int").alias("row_index"),
+    )
+
+
+def embedding_centroids(
+    df: DataFrame,
+    group_cols: list[str],
+    vec_col: str = "embedding",
+    dim: int = 64,
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Element-wise mean vector per group (``centroid``) plus member count.
+
+    The centroid aggregation every embedding pipeline needs (cluster
+    centers for IVF coarse quantisation, per-source drift monitoring,
+    class prototypes). Expressed as ``dim`` scalar ``avg`` aggregates
+    reassembled into one array — partial aggregation combines map-side, so
+    the shuffle carries one partial sum vector per (partition, group), not
+    the corpus. ``round_digits`` rounds each component (cross-engine float
+    parity); None keeps full precision.
+    """
+    comps = [
+        F.avg(F.col(vec_col)[i]).alias(f"_c{i}") for i in range(dim)
+    ]
+    agged = df.groupBy(*group_cols).agg(
+        F.count("*").alias("n_vectors"), *comps
+    )
+    parts = [F.col(f"_c{i}") for i in range(dim)]
+    if round_digits is not None:
+        parts = [F.round(p, round_digits) for p in parts]
+    return agged.select(
+        *group_cols, "n_vectors", F.array(*parts).alias("centroid")
     )

@@ -1255,3 +1255,55 @@ def pack_sequences_q(spark, sf_dir):
     return pack_sequences(
         docs, budget=_PACK_BUDGET, n_shards=_PACK_SHARDS
     ).select("doc_id", "n_tokens", "shard", "seq_id", "seq_offset")
+
+
+# --- group quantiles / embedding centroids --------------------------------
+
+from .operators.profiling import group_quantiles  # noqa: E402
+from .operators.similarity import embedding_centroids  # noqa: E402
+
+_EMB_DIM = 64
+
+
+@_register(
+    "doclen_quantiles",
+    """
+SELECT lang, count(*) AS n_rows,
+       round(quantile_cont(n_chars, 0.25), 6) AS p25,
+       round(quantile_cont(n_chars, 0.50), 6) AS p50,
+       round(quantile_cont(n_chars, 0.75), 6) AS p75,
+       round(quantile_cont(n_chars, 0.95), 6) AS p95
+FROM documents GROUP BY lang
+""",
+)
+def doclen_quantiles(spark, sf_dir):
+    """Per-language exact length quantiles (type-7 interpolation) — the
+    thresholds a length-based curation filter would be derived from."""
+    return group_quantiles(
+        _t(spark, sf_dir, "documents"), ["lang"], "n_chars"
+    )
+
+
+@_register(
+    "embedding_centroids",
+    f"""
+WITH u AS (
+    SELECT label, i, avg(embedding[i]) AS m
+    FROM embeddings, generate_series(1, {_EMB_DIM}) AS t(i)
+    GROUP BY label, i
+), c AS (
+    SELECT label, list(round(m, 6) ORDER BY i) AS centroid FROM u GROUP BY label
+)
+SELECT label, n_vectors, centroid
+FROM c JOIN (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label)
+       USING (label)
+""",
+)
+def embedding_centroids_q(spark, sf_dir):
+    """Per-label mean embedding (class prototype / IVF-style centroid):
+    64 scalar avg aggregates reassembled into one array — partial
+    aggregation keeps the shuffle at one vector per (partition, label)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_centroids(
+        emb, ["label"], dim=_EMB_DIM, round_digits=6
+    )

@@ -99,3 +99,32 @@ def test_tf_idf_top_terms(spark):
     assert top == {1: "apple", 2: "cherry", 3: "durian"}
     scores = {r["doc_id"]: r["score"] for r in out}
     assert scores[3] > scores[1] > 0
+
+
+def test_group_quantiles(spark):
+    from hds_functions_spark.operators.profiling import group_quantiles
+
+    df = spark.createDataFrame(
+        [("a", v) for v in [1, 2, 3, 4, 5]] + [("b", 10)],
+        "g: string, v: long",
+    )
+    rows = {r["g"]: r for r in
+            group_quantiles(df, ["g"], "v", quantiles=[0.5]).collect()}
+    assert rows["a"]["p50"] == 3.0 and rows["a"]["n_rows"] == 5
+    assert rows["b"]["p50"] == 10.0
+    # type-7 interpolation: median of [1,2,3,4] -> 2.5
+    df2 = spark.createDataFrame([("a", v) for v in [1, 2, 3, 4]], "g: string, v: long")
+    assert group_quantiles(df2, ["g"], "v", quantiles=[0.5]).collect()[0]["p50"] == 2.5
+
+
+def test_embedding_centroids(spark):
+    from hds_functions_spark.operators.similarity import embedding_centroids
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (1, [3.0, 2.0]), (2, [5.0, 5.0])],
+        "label: long, embedding: array<double>",
+    )
+    rows = {r["label"]: r for r in
+            embedding_centroids(df, ["label"], dim=2).collect()}
+    assert rows[1]["centroid"] == [2.0, 1.0] and rows[1]["n_vectors"] == 2
+    assert rows[2]["centroid"] == [5.0, 5.0] and rows[2]["n_vectors"] == 1
