@@ -52,6 +52,7 @@ from .sources import tables as _tables
 from .sources.tables import (
     get_archive_versions,
     load_table,
+    save_archive_snapshot,
     save_table,
     standardise_table,
 )

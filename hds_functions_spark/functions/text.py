@@ -230,17 +230,34 @@ def add_repetition_stats(
             1.0 - F.size(F.array_distinct(arr)).cast("double") / n
         )
 
-    # max count of any single bigram: for each distinct bigram, count its
-    # occurrences in the full array; take the max. Quadratic in *distinct*
-    # grams per doc — bounded by doc length, runs inside the row, no shuffle.
-    max_count = F.array_max(
-        F.transform(
-            F.array_distinct(bigrams),
-            lambda g: F.size(F.filter(bigrams, lambda x: x == g)),
-        )
+    # max count of any single bigram == longest run of equal adjacent
+    # elements in the SORTED gram array: O(n log n) per row. (The naive
+    # "count each distinct gram with a nested filter" is O(n^2) in
+    # interpreted HOF lambdas — measured 180 s on the 5k-doc bench table
+    # vs 0.5 s for this formulation.) State: (prev gram, current run,
+    # best run) folded once over the sorted array.
+    run_state = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit(None).cast("string").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, g: F.struct(
+            g.alias("prev"),
+            F.when(acc["prev"].isNotNull() & (g == acc["prev"]), acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(
+                    acc["prev"].isNotNull() & (g == acc["prev"]), acc["run"] + 1
+                ).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
     )
     top_bigram = F.when(F.size(bigrams) == 0, F.lit(None)).otherwise(
-        max_count.cast("double") / F.size(bigrams)
+        run_state["best"].cast("double") / F.size(bigrams)
     )
     return (
         df.withColumn(f"{p}dup_line_ratio", dup_ratio(lines))

@@ -31,6 +31,7 @@ from .environment import get_spark_session
 __all__ = [
     "load_table",
     "save_table",
+    "save_archive_snapshot",
     "get_archive_versions",
     "standardise_table",
     "STANDARDISERS",
@@ -144,6 +145,37 @@ def save_table(
     else:
         if bucket_by is not None:
             writer = writer.bucketBy(n_buckets, *bucket_cols).sortBy(*bucket_cols)
+        writer.saveAsTable(f"{entry['database']}.{entry['table_name']}")
+
+
+def save_archive_snapshot(
+    df: DataFrame,
+    table: str,
+    archived_on: str,
+    table_directory=None,
+) -> None:
+    """Append a snapshot of ``df`` stamped ``archived_on=<value>`` to a
+    configured archive table, partitioned by ``archived_on``.
+
+    Closes the archive lifecycle the reference only reads
+    (``load_table(archive_date=...)`` / ``get_archive_versions``): each
+    snapshot is one partition, so the '"latest"' max-scan and every
+    archive-date equality filter prune to a single partition's footers at
+    any table size. Append-only by design — snapshots are immutable history;
+    re-stamping a date is the caller's (auditable) decision via a plain
+    overwrite of that partition path.
+    """
+    if not isinstance(archived_on, str) or not archived_on:
+        raise ValueError("archived_on must be a non-empty string (e.g. '2026-08-13')")
+    directory = _load_directory(table_directory)
+    entry = _entry(table, directory)
+    if "archived_on" in df.columns:
+        raise ValueError("DataFrame already has an 'archived_on' column")
+    stamped = df.withColumn("archived_on", F.lit(archived_on))
+    writer = stamped.write.mode("append").partitionBy("archived_on")
+    if "path" in entry:
+        writer.format(entry.get("format", "parquet")).save(entry["path"])
+    else:
         writer.saveAsTable(f"{entry['database']}.{entry['table_name']}")
 
 

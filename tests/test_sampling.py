@@ -128,3 +128,13 @@ def test_embedding_centroids(spark):
             embedding_centroids(df, ["label"], dim=2).collect()}
     assert rows[1]["centroid"] == [2.0, 1.0] and rows[1]["n_vectors"] == 2
     assert rows[2]["centroid"] == [5.0, 5.0] and rows[2]["n_vectors"] == 1
+
+
+def test_split_invariant_to_partitioning(spark):
+    """The property RNG-based df.sample lacks: assignment is identical
+    under any physical layout."""
+    df = spark.createDataFrame([(i,) for i in range(500)], "id: long")
+    base = hash_split(df, "id", {"a": 0.5, "b": 0.5})
+    shuffled = hash_split(df.repartition(13), "id", {"a": 0.5, "b": 0.5})
+    assert base.subtract(shuffled).count() == 0
+    assert shuffled.subtract(base).count() == 0

@@ -4,6 +4,7 @@ standardisers with dirty-date guards."""
 import datetime
 
 import pytest
+from pyspark.sql import functions as F
 
 from hds_functions_spark import (
     get_archive_versions,
@@ -140,3 +141,42 @@ def test_per_dataset_wrappers_match_reference_surface(spark):
         assert callable(fn)
     df = spark.createDataFrame([("p1", 5)], ["NHS_NUMBER_DEID", "Some Col"])
     assert hds.standardise_gdppr_table(df).columns == ["person_id", "some_col"]
+
+
+def test_archive_snapshot_lifecycle(spark, tmp_path):
+    """save_archive_snapshot -> get_archive_versions -> load_table(latest)
+    round-trip on a path-configured archive table."""
+    from hds_functions_spark.sources.tables import (
+        load_table,
+        save_archive_snapshot,
+    )
+
+    directory = {"arch": {"path": str(tmp_path / "arch"), "format": "parquet"}}
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id: long, v: string")
+    df2 = spark.createDataFrame([(1, "a2"), (3, "c")], "id: long, v: string")
+    save_archive_snapshot(df1, "arch", "2021-01-01", table_directory=directory)
+    save_archive_snapshot(df2, "arch", "2021-06-01", table_directory=directory)
+
+    allrows = load_table("arch", table_directory=directory)
+    assert allrows.count() == 4
+    assert get_archive_versions(allrows) == ["2021-01-01", "2021-06-01"]
+
+    latest_dir = {"arch": {**directory["arch"], "archive_date": "latest"}}
+    latest = load_table("arch", table_directory=latest_dir)
+    assert sorted(r["id"] for r in latest.collect()) == [1, 3]
+
+    exact_dir = {"arch": {**directory["arch"], "archive_date": "2021-01-01"}}
+    exact = load_table("arch", table_directory=exact_dir)
+    assert sorted(r["v"] for r in exact.collect()) == ["a", "b"]
+
+
+def test_archive_snapshot_errors(spark, tmp_path):
+    from hds_functions_spark.sources.tables import save_archive_snapshot
+
+    directory = {"arch": {"path": str(tmp_path / "a"), "format": "parquet"}}
+    df = spark.createDataFrame([(1,)], "id: long")
+    with pytest.raises(ValueError, match="non-empty string"):
+        save_archive_snapshot(df, "arch", "", table_directory=directory)
+    stamped = df.withColumn("archived_on", F.lit("x"))
+    with pytest.raises(ValueError, match="already has"):
+        save_archive_snapshot(stamped, "arch", "2021-01-01", table_directory=directory)
