@@ -1217,8 +1217,13 @@ FROM grams
 )
 def text_repetition(spark, sf_dir):
     """Gopher-style repetition signals (duplicate-line ratio, duplicate-
-    token ratio, top-bigram ratio) in one shuffle-free projection."""
-    return add_repetition_stats(_t(spark, sf_dir, "documents")).select(
+    token ratio, top-bigram ratio) in one shuffle-free projection. The
+    gram-sort fold is interpreted (HOF lambdas don't codegen), so widen
+    the one-split bench input first — a no-op at scale."""
+    from .functions.partitioning import ensure_min_partitions
+
+    docs = ensure_min_partitions(_t(spark, sf_dir, "documents"))
+    return add_repetition_stats(docs).select(
         "doc_id", "dup_line_ratio", "dup_token_ratio", "top_bigram_ratio"
     )
 
