@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "tumbling_window_agg",
     "sliding_window_agg",
+    "trailing_window_agg",
     "sessionize",
     "as_of_join",
     "interval_join",
@@ -210,3 +211,59 @@ def sliding_window_agg(
         .withColumn("window_end", F.col("_w.end"))
         .drop("_w")
     )
+
+
+def trailing_window_agg(
+    df: DataFrame,
+    ts_col: str,
+    lookback: str,
+    partition_by: list[str],
+    aggs: dict[str, Column] | None = None,
+) -> DataFrame:
+    """Per-row trailing aggregates over a time-range frame: for every event,
+    aggregate all of the same key's events in ``(ts - lookback, ts]`` —
+    the rolling-feature primitive ("spend in the last 24 hours", "events in
+    the trailing week") behind most event-level ML features.
+
+    ``lookback`` is an interval string like ``'24 hours'``/``'7 days'``.
+    ``aggs`` maps output column name -> aggregate Column (default
+    ``{"n_trailing": F.count("*")}``); each is applied over a
+    ``rangeBetween`` frame on the event-time microseconds, so rows with
+    equal timestamps share a frame (RANGE, not ROWS, semantics).
+
+    One hash-partition exchange on ``partition_by`` + per-partition sort —
+    the same shuffle shape as any keyed window; no self-join, no fanout.
+    At 100 TB the frame computation is streaming within each sorted
+    partition (Spark's bounded-preceding range frames advance two pointers,
+    never re-scanning).
+    """
+    aggs = aggs or {"n_trailing": F.count("*")}
+    micros = F.unix_micros(F.col(ts_col))
+    # parse "<n> <unit>" into microseconds; the frame is the half-open
+    # interval (ts - lookback, ts] on integer microseconds
+    qty_str, unit = lookback.split(None, 1)
+    qty = float(qty_str)
+    unit_us = {
+        "second": 1_000_000, "seconds": 1_000_000,
+        "minute": 60_000_000, "minutes": 60_000_000,
+        "hour": 3_600_000_000, "hours": 3_600_000_000,
+        "day": 86_400_000_000, "days": 86_400_000_000,
+        "week": 604_800_000_000, "weeks": 604_800_000_000,
+    }
+    if unit.strip() not in unit_us:
+        raise ValueError(
+            f"Unsupported lookback unit '{unit}'; use seconds/minutes/"
+            f"hours/days/weeks"
+        )
+    span = int(round(qty * unit_us[unit.strip()]))
+    if span <= 0:
+        raise ValueError(f"lookback must be positive (got {lookback!r})")
+    out = df.withColumn("_ts_us", micros)
+    w = (
+        Window.partitionBy(*partition_by)
+        .orderBy(F.col("_ts_us").asc())
+        .rangeBetween(-(span - 1), 0)
+    )
+    for name, agg in aggs.items():
+        out = out.withColumn(name, agg.over(w))
+    return out.drop("_ts_us")

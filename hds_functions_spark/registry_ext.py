@@ -1312,3 +1312,42 @@ def embedding_centroids_q(spark, sf_dir):
     return embedding_centroids(
         emb, ["label"], dim=_EMB_DIM, round_digits=6
     )
+
+
+# --- trailing range-frame window -----------------------------------------
+
+from .operators.events import trailing_window_agg  # noqa: E402
+
+
+@_register(
+    "events_trailing",
+    """
+SELECT event_id, user_id, ts,
+       count(*) OVER w AS n_trailing,
+       sum(CAST(round(value * 100) AS BIGINT)) OVER w AS cents_trailing
+FROM events
+WINDOW w AS (
+    PARTITION BY user_id ORDER BY epoch_us(ts)
+    RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW
+)
+""",
+)
+def events_trailing(spark, sf_dir):
+    """Per-event trailing-24h features per user (count + integer-cent sum)
+    over a RANGE frame on event-time microseconds: one keyed shuffle +
+    sort, two-pointer frame advance — the rolling-feature primitive."""
+    from .registry import _load_events
+
+    ev = _load_events(spark, sf_dir)
+    return trailing_window_agg(
+        ev,
+        "ts",
+        "24 hours",
+        ["user_id"],
+        aggs={
+            "n_trailing": F.count("*"),
+            "cents_trailing": F.sum(
+                F.round(F.col("value") * 100).cast("long")
+            ),
+        },
+    ).select("event_id", "user_id", "ts", "n_trailing", "cents_trailing")

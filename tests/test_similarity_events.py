@@ -170,3 +170,56 @@ def test_as_of_join_forward(spark):
     }
     assert out[1] == 200.0  # next right at/after 10:10 is 10:30
     assert out[2] is None   # nothing at/after 10:45
+
+
+# --- trailing range-frame window -----------------------------------------
+
+def test_trailing_window_agg(spark):
+    import datetime
+
+    from hds_functions_spark.operators.events import trailing_window_agg
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("u1", base, 1.0),
+        ("u1", base + datetime.timedelta(hours=12), 2.0),
+        ("u1", base + datetime.timedelta(hours=30), 4.0),   # 12h one falls in
+        ("u2", base + datetime.timedelta(hours=1), 8.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id: string, ts: timestamp, value: double")
+    out = trailing_window_agg(
+        df, "ts", "24 hours", ["user_id"],
+        aggs={"n": F.count("*"), "s": F.sum("value")},
+    )
+    got = {(r["user_id"], r["ts"].hour + r["ts"].day * 24): (r["n"], r["s"])
+           for r in out.collect()}
+    assert got[("u1", 24)] == (1, 1.0)          # first event: itself
+    assert got[("u1", 36)] == (2, 3.0)          # +12h: both
+    assert got[("u1", 54)] == (2, 6.0)          # +30h: 12h event still inside
+    assert got[("u2", 25)] == (1, 8.0)
+
+
+def test_trailing_window_boundary_exclusive(spark):
+    """Event exactly lookback older is OUTSIDE the (ts - lookback, ts] frame."""
+    import datetime
+
+    from hds_functions_spark.operators.events import trailing_window_agg
+
+    base = datetime.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [("u", base, 1.0), ("u", base + datetime.timedelta(hours=24), 1.0)],
+        "user_id: string, ts: timestamp, value: double",
+    )
+    out = trailing_window_agg(df, "ts", "24 hours", ["user_id"])
+    ns = sorted(r["n_trailing"] for r in out.collect())
+    assert ns == [1, 1]  # exactly-24h-old event excluded
+
+
+def test_trailing_window_errors(spark):
+    from hds_functions_spark.operators.events import trailing_window_agg
+
+    df = spark.createDataFrame([("u", None)], "user_id: string, ts: timestamp")
+    with pytest.raises(ValueError, match="unit"):
+        trailing_window_agg(df, "ts", "3 fortnights", ["user_id"])
+    with pytest.raises(ValueError, match="positive"):
+        trailing_window_agg(df, "ts", "0 hours", ["user_id"])
