@@ -1351,3 +1351,121 @@ def events_trailing(spark, sf_dir):
             ),
         },
     ).select("event_id", "user_id", "ts", "n_trailing", "cents_trailing")
+
+
+# --- classic multi-way-join analytics over the TPC-H-ish tables ----------
+
+_REV_CENTS = "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
+
+
+@_register(
+    "analytics_top_orders",
+    f"""
+SELECT o_orderkey, o_orderdate, revenue_cents
+FROM (
+    SELECT l.l_orderkey AS o_orderkey, o.o_orderdate,
+           sum({_REV_CENTS}) AS revenue_cents
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      AND l.l_shipdate > TIMESTAMP '1998-01-01'
+    GROUP BY 1, 2
+)
+QUALIFY row_number() OVER (ORDER BY revenue_cents DESC, o_orderkey ASC) <= 10
+""",
+)
+def analytics_top_orders(spark, sf_dir):
+    """TPC-H Q3-shaped: unshipped-revenue per BUILDING-segment order, top
+    10 — broadcast the filtered dimension, shuffle only the fact-side
+    aggregation; top-k via the library's global select_top_rows (Catalyst
+    rewrites to WindowGroupLimit, partial top-k before the exchange).
+    Revenue accumulates in integer cents for cross-engine parity."""
+    from .operators.topk import select_top_rows
+
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    rev = (
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+    )
+    agged = (
+        li.join(
+            F.broadcast(
+                orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+                .select("o_orderkey", "o_orderdate")
+            ),
+            li.l_orderkey == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.sum(rev).alias("revenue_cents"))
+    )
+    return select_top_rows(
+        agged,
+        method="row_number",
+        n=10,
+        partition_by=None,
+        order_by=[F.col("revenue_cents").desc(), F.col("o_orderkey").asc()],
+    )
+
+
+@_register(
+    "analytics_region_revenue",
+    f"""
+SELECT n.n_name, sum({_REV_CENTS}) AS revenue_cents
+FROM region r
+JOIN nation n ON n.n_regionkey = r.r_regionkey
+JOIN customer c ON c.c_nationkey = n.n_nationkey
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+""",
+)
+def analytics_region_revenue(spark, sf_dir):
+    """TPC-H Q5-shaped: 1996 revenue by ASIA nation where the supplier is
+    in the customer's nation. Five-way join: every dimension side is
+    broadcast (region/nation/customer/supplier are small by construction);
+    only orders-lineitem shuffles. Integer-cent accumulation."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    ).select("n_nationkey", "n_name")
+    cust = _t(spark, sf_dir, "customer").join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).select("c_custkey", "c_nationkey", "n_name")
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = (
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+    )
+    return joined.groupBy("n_name").agg(F.sum(rev).alias("revenue_cents"))
