@@ -138,6 +138,12 @@ def minhash_pairs(
     """
     assert num_hashes % bands == 0, "bands must divide num_hashes"
     rows_per_band = num_hashes // bands
+    # Documents shorter than the shingle size have no shingles: their
+    # signature is all-null, every band hash collapses to hash('') and ALL
+    # such docs land in one LSH bucket — a quadratic blowup of spurious
+    # candidates (est_jaccard 0). Exclude them up front; they simply cannot
+    # be near-duplicates under this measure.
+    df = df.filter(F.length(F.col(text_col)) >= shingle_size)
     # widen thin inputs: the md5 shingle hashing below is the expensive part
     # and must not run on one input split (ensure_min_partitions is a no-op
     # on already-parallel inputs)
@@ -146,7 +152,7 @@ def minhash_pairs(
     )
     if persist_signatures:
         # the signature table is consumed four times (two band-join branches
-        # + two re-attach broadcasts); persisting computes the md5 shingle
+        # + two re-attach joins); persisting computes the md5 shingle
         # work once. MEMORY_AND_DISK: signatures are ~num_hashes longs per
         # doc — tiny next to the corpus — and spill rather than OOM.
         from pyspark.storagelevel import StorageLevel
@@ -178,9 +184,11 @@ def minhash_pairs(
     ).select(id_col, "bh.band", "bh.band_hash")
 
     # join on ids only — signatures would bloat the shuffle; they are
-    # re-attached afterwards from the (small relative to pairs) signature
-    # table via broadcast. At very large corpus sizes swap the broadcasts
-    # for shuffle joins on id — the dataflow is unchanged.
+    # re-attached afterwards from the signature table. The re-attach join
+    # carries NO broadcast hint: the signature table grows with the corpus
+    # (broadcast is impossible at billions of docs), so the planner/AQE
+    # size-gates the strategy from real stats — broadcast below
+    # autoBroadcastJoinThreshold, shuffle join on id above it.
     left = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
     right = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
     pairs = (
@@ -199,8 +207,8 @@ def minhash_pairs(
     )
     est = (agree.cast("double") / F.lit(float(num_hashes))).alias("est_jaccard")
     return (
-        pairs.join(F.broadcast(sig_a), on="id_a")
-        .join(F.broadcast(sig_b), on="id_b")
+        pairs.join(sig_a, on="id_a")
+        .join(sig_b, on="id_b")
         .select("id_a", "id_b", est)
         .filter(F.col("est_jaccard") >= min_jaccard)
     )
@@ -320,7 +328,7 @@ def connected_components(
     the same key, and a ``localCheckpoint`` to truncate lineage (iterative
     plans otherwise grow exponentially; swap for reliable ``checkpoint()``
     with a checkpoint dir on a real cluster). Convergence is detected by an
-    edge-set checksum (count + sum of xxhash64) — one tiny aggregate per
+    edge-set checksum (count + bit_xor of xxhash64) — one tiny aggregate per
     round instead of a shuffle-heavy ``except``.
 
     ``nodes`` (optional, one ``id_col`` column) adds the full id universe so
@@ -341,9 +349,13 @@ def connected_components(
     )
 
     def checksum(e: DataFrame):
+        # bit_xor, not sum: summing 64-bit hashes overflows long and raises
+        # ARITHMETIC_OVERFLOW under ANSI mode (Spark 4 default). XOR is
+        # order-independent and never overflows; edges are distinct so pairs
+        # cannot cancel by multiplicity, and count catches the rest.
         row = e.agg(
             F.count("*").alias("n"),
-            F.coalesce(F.sum(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
         ).collect()[0]
         return (row["n"], row["h"])
 
@@ -615,7 +627,7 @@ def embedding_near_dup_pairs(
     )
     from pyspark.storagelevel import StorageLevel
 
-    # consumed by two band-join branches + two vector re-attach broadcasts:
+    # consumed by two band-join branches + two vector re-attach joins:
     # persist so the per-plane dot products run once
     sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -647,11 +659,14 @@ def embedding_near_dup_pairs(
         # dim-length dot product below. Spread the compute, not the bytes.
         .repartition(df.sparkSession.sparkContext.defaultParallelism)
     )
+    # vector re-attach without a broadcast hint: the vector table grows with
+    # the corpus, so the planner/AQE size-gates broadcast vs shuffle join
+    # from real stats (broadcast only below autoBroadcastJoinThreshold).
     va = sig.select(F.col("_id").alias("id_a"), F.col("_vec").alias("_va"))
     vb = sig.select(F.col("_id").alias("id_b"), F.col("_vec").alias("_vb"))
     return (
-        pairs.join(F.broadcast(va), on="id_a")
-        .join(F.broadcast(vb), on="id_b")
+        pairs.join(va, on="id_a")
+        .join(vb, on="id_b")
         .withColumn(
             "cosine_sim",
             F.round(cosine_similarity(F.col("_va"), F.col("_vb")), round_digits),

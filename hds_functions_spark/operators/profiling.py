@@ -50,8 +50,13 @@ def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFram
                 F.sum(F.when(F.col(c).isNull(), F.col("_cnt"))), F.lit(0)
             ).alias("n_nulls"),
             F.count(F.when(F.col(c).isNotNull(), 1)).alias("n_distinct"),
-            F.min(F.col(c).cast("string")).alias("min_value"),
-            F.max(F.col(c).cast("string")).alias("max_value"),
+            # min/max in the column's NATIVE type, stringified after the
+            # aggregate: numeric min, not lexicographic — and the only
+            # engine-rendered string is the single final value, not every
+            # cell (Spark's and DuckDB's double->string renderings differ
+            # on intermediate values, e.g. scientific notation >= 1e7).
+            F.min(F.col(c)).cast("string").alias("min_value"),
+            F.max(F.col(c)).cast("string").alias("max_value"),
         )
 
     out = branch(cols[0])

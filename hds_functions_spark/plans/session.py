@@ -26,7 +26,10 @@ DEFAULT_CONF = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # The reference targets Spark 3.5 semantics (ANSI off): date+int
     # arithmetic, permissive casts. Spark 4 defaults ANSI on; pin off for
-    # parity with the reference's tested behaviour.
+    # parity with the reference's tested behaviour. NOTE: operators must
+    # still be correct under ANSI **on** — the correctness driver runs its
+    # own ANSI-on session. Set HDS_SPARK_ANSI=true to run the local suite
+    # the way the driver does (see tools/compare_oracle.py / CI).
     "spark.sql.ansi.enabled": "false",
 }
 
@@ -42,6 +45,9 @@ def build_session(
     if master:
         builder = builder.master(master)
     conf = dict(DEFAULT_CONF)
+    ansi_env = os.environ.get("HDS_SPARK_ANSI")
+    if ansi_env:
+        conf["spark.sql.ansi.enabled"] = ansi_env
     if shuffle_partitions is not None:
         conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
     if extra_conf:

@@ -786,7 +786,7 @@ SELECT date_trunc('hour', ts) AS window_start,
        date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
        event_type,
        count(*) AS n_events,
-       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events GROUP BY 1, 2, 3
 """,
 )
@@ -863,7 +863,7 @@ def streaming_dedup(spark, sf_dir):
     "streaming_stateful_totals",
     """
 SELECT user_id, count(*) AS n_events,
-       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM events GROUP BY user_id
 """,
 )
@@ -1000,7 +1000,7 @@ SELECT window_start,
        window_start + INTERVAL 1 HOUR AS window_end,
        event_type,
        count(*) AS n_events,
-       sum(CAST(round(value * 100) AS BIGINT)) AS sum_cents
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
 FROM expanded
 GROUP BY 1, 2, 3
 """,
@@ -1124,10 +1124,10 @@ def _duck_profile_sql() -> str:
     parts = [
         f"""SELECT '{c}' AS column_name,
        count(*) AS n_rows,
-       sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        count(DISTINCT {c}) AS n_distinct,
-       min({c}::VARCHAR) AS min_value,
-       max({c}::VARCHAR) AS max_value
+       min({c})::VARCHAR AS min_value,
+       max({c})::VARCHAR AS max_value
 FROM lineitem"""
         for c in _PROFILE_COLS
     ]
@@ -1324,7 +1324,7 @@ from .operators.events import trailing_window_agg  # noqa: E402
     """
 SELECT event_id, user_id, ts,
        count(*) OVER w AS n_trailing,
-       sum(CAST(round(value * 100) AS BIGINT)) OVER w AS cents_trailing
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER w AS BIGINT) AS cents_trailing
 FROM events
 WINDOW w AS (
     PARTITION BY user_id ORDER BY epoch_us(ts)
@@ -1364,7 +1364,7 @@ _REV_CENTS = "CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)"
 SELECT o_orderkey, o_orderdate, revenue_cents
 FROM (
     SELECT l.l_orderkey AS o_orderkey, o.o_orderdate,
-           sum({_REV_CENTS}) AS revenue_cents
+           CAST(sum({_REV_CENTS}) AS BIGINT) AS revenue_cents
     FROM customer c
     JOIN orders o ON c.c_custkey = o.o_custkey
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -1378,10 +1378,14 @@ QUALIFY row_number() OVER (ORDER BY revenue_cents DESC, o_orderkey ASC) <= 10
 )
 def analytics_top_orders(spark, sf_dir):
     """TPC-H Q3-shaped: unshipped-revenue per BUILDING-segment order, top
-    10 — broadcast the filtered dimension, shuffle only the fact-side
-    aggregation; top-k via the library's global select_top_rows (Catalyst
-    rewrites to WindowGroupLimit, partial top-k before the exchange).
-    Revenue accumulates in integer cents for cross-engine parity."""
+    10. Scale-safe plan: broadcast ONLY the filtered customer dimension
+    into orders; lineitem<->orders is a shuffle join on orderkey — the
+    filtered-orders side is O(half the orders table), so hinting it
+    broadcast would OOM executors at 100x (AQE still broadcasts at runtime
+    when the filtered side happens to be small). Top-k via the library's
+    global select_top_rows (Catalyst rewrites to WindowGroupLimit, partial
+    top-k before the exchange). Revenue accumulates in integer cents for
+    cross-engine parity."""
     from .operators.topk import select_top_rows
 
     cust = (
@@ -1399,14 +1403,11 @@ def analytics_top_orders(spark, sf_dir):
         F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
         .cast("long")
     )
+    filtered_orders = orders.join(
+        F.broadcast(cust), orders.o_custkey == cust.c_custkey
+    ).select("o_orderkey", "o_orderdate")
     agged = (
-        li.join(
-            F.broadcast(
-                orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-                .select("o_orderkey", "o_orderdate")
-            ),
-            li.l_orderkey == F.col("o_orderkey"),
-        )
+        li.join(filtered_orders, li.l_orderkey == F.col("o_orderkey"))
         .groupBy("o_orderkey", "o_orderdate")
         .agg(F.sum(rev).alias("revenue_cents"))
     )
@@ -1422,7 +1423,7 @@ def analytics_top_orders(spark, sf_dir):
 @_register(
     "analytics_region_revenue",
     f"""
-SELECT n.n_name, sum({_REV_CENTS}) AS revenue_cents
+SELECT n.n_name, CAST(sum({_REV_CENTS}) AS BIGINT) AS revenue_cents
 FROM region r
 JOIN nation n ON n.n_regionkey = r.r_regionkey
 JOIN customer c ON c.c_nationkey = n.n_nationkey
@@ -1437,9 +1438,11 @@ GROUP BY 1
 )
 def analytics_region_revenue(spark, sf_dir):
     """TPC-H Q5-shaped: 1996 revenue by ASIA nation where the supplier is
-    in the customer's nation. Five-way join: every dimension side is
-    broadcast (region/nation/customer/supplier are small by construction);
-    only orders-lineitem shuffles. Integer-cent accumulation."""
+    in the customer's nation. Five-way join: region/nation are broadcast
+    (fixed 5/25 rows at every scale factor); customer and supplier carry NO
+    hint — they grow linearly with SF, so the planner/AQE size-gates
+    broadcast vs shuffle from real stats; orders-lineitem shuffles on
+    orderkey. Integer-cent accumulation."""
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = _t(spark, sf_dir, "nation").join(
         F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
@@ -1461,9 +1464,9 @@ def analytics_region_revenue(spark, sf_dir):
     )
     joined = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )
