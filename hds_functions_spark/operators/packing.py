@@ -32,10 +32,11 @@ def pack_sequences(
     df: DataFrame,
     id_col: str = "doc_id",
     budget: int = 4096,
-    n_shards: int = 8,
+    n_shards: int | None = None,
     tokens_col: str | Column | None = None,
     text_col: str = "text",
     salt: str = "",
+    tokens_per_shard: int = 8_000_000,
 ) -> DataFrame:
     """Assign each document a ``(shard, seq_id, seq_offset)``:
 
@@ -44,11 +45,23 @@ def pack_sequences(
       tape the document starts in (``floor(tokens_before / budget)``);
     - ``seq_offset``: the document's token offset within that sequence.
 
+    ``n_shards=None`` (the default) derives the shard count from the data:
+    one aggregate job measures the total token count, then ``n_shards =
+    max(defaultParallelism, ceil(total_tokens / tokens_per_shard))`` — so
+    per-task window work is bounded by ``tokens_per_shard`` regardless of
+    input size (a fixed shard count would put 1/n of a 100 TB corpus on
+    one sort task). The eager sizing job is the same deliberate
+    plan-breaking pattern as the reference's ``load_table``
+    "latest"-archive resolution (table_management.py:74-82). Pass an
+    explicit ``n_shards`` when the assignment must be reproducible across
+    differently-sized inputs (e.g. oracle-checked fixtures).
+
     ``tokens_col`` may name an existing token-count column (or be a Column
     expression); by default whitespace ``token_count(text_col)`` is used.
     Documents within a shard are laid out in ascending ``id_col`` order, so
-    the assignment is a pure function of (ids, token counts, salt) —
-    re-runs and repartitioning cannot move a document between sequences.
+    the assignment is a pure function of (ids, token counts, salt,
+    n_shards) — re-runs and repartitioning cannot move a document between
+    sequences.
 
     Documents longer than ``budget`` span sequences (they start in their
     ``seq_id`` and overflow); splitting them is the tokeniser's job
@@ -56,7 +69,7 @@ def pack_sequences(
     """
     if budget <= 0:
         raise ValueError(f"budget must be positive (got {budget})")
-    if n_shards <= 0:
+    if n_shards is not None and n_shards <= 0:
         raise ValueError(f"n_shards must be positive (got {n_shards})")
     if tokens_col is None:
         n_tokens: Column = token_count(F.col(text_col))
@@ -64,6 +77,12 @@ def pack_sequences(
         n_tokens = F.col(tokens_col)
     else:
         n_tokens = tokens_col
+    if n_shards is None:
+        total = df.agg(
+            F.coalesce(F.sum(n_tokens), F.lit(0)).alias("t")
+        ).collect()[0]["t"]
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+        n_shards = max(parallelism, -(-int(total) // tokens_per_shard))
     shard = split_bucket(id_col, salt) % n_shards
     out = df.withColumn("_n_tokens", n_tokens).withColumn("shard", shard)
     w = (

@@ -1229,7 +1229,10 @@ def text_repetition(spark, sf_dir):
 
 
 _PACK_BUDGET = 2048
-_PACK_SHARDS = 4
+# fixed (not auto-derived) so the DuckDB oracle can replicate the sharding;
+# 32 >= the local default parallelism so the window stage is never the
+# serialisation point. Library callers get data-derived sharding by default.
+_PACK_SHARDS = 32
 
 
 @_register(

@@ -52,3 +52,19 @@ def test_pack_sequences_errors(spark):
         pack_sequences(df, budget=0)
     with pytest.raises(ValueError, match="n_shards"):
         pack_sequences(df, n_shards=0)
+
+
+def test_pack_sequences_auto_shards(spark):
+    # auto mode derives n_shards from total tokens: bounded per-task work
+    df = spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.lit("one two three four").alias("text"),
+    )
+    out = pack_sequences(df, budget=8, tokens_per_shard=100)
+    shards = [r["shard"] for r in out.select("shard").distinct().collect()]
+    # 200 docs * 4 tokens = 800 tokens -> >= 8 shards (and >= parallelism)
+    par = spark.sparkContext.defaultParallelism
+    assert len(shards) > 1
+    assert max(shards) < max(par, 8)
+    # every offset stays inside the budget
+    assert out.filter((F.col("seq_offset") < 0) | (F.col("seq_offset") >= 8)).count() == 0

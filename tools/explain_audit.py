@@ -5,6 +5,12 @@ that matter at scale: parquet filter pushdown + read schema width, join
 strategies, WindowGroupLimit (top-k pruning), and exchange count.
 
 Usage: python tools/explain_audit.py [sf_dir] [query ...]
+       python tools/explain_audit.py --scale-gate [sf_dir]
+
+``--scale-gate`` verifies the size-gated join strategy of the dedup
+re-attach joins: with ``autoBroadcastJoinThreshold=-1`` (simulating a
+corpus-sized signature/vector table) the plans must contain NO broadcast
+join; with the default threshold the small local tables should broadcast.
 """
 
 from __future__ import annotations
@@ -15,7 +21,58 @@ import sys
 sys.path.insert(0, ".")
 
 
+#: queries whose joins must degrade gracefully to shuffle joins when the
+#: per-document side is too big to broadcast
+_SCALE_GATED = ["dedup_minhash_pairs", "dedup_embedding", "analytics_top_orders"]
+
+
+def scale_gate_audit(sf_dir: str) -> int:
+    import __spark_entry__ as entry_mod
+    from hds_functions_spark.plans import build_session
+
+    spark = build_session(
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={
+            "spark.ui.enabled": "false",
+            "spark.ui.showConsoleProgress": "false",
+        },
+    )
+    queries = entry_mod.queries()
+    failures = 0
+    default_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    for name in _SCALE_GATED:
+        # big-corpus simulation: nothing is broadcast-able
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan_big = (
+                queries[name](spark, sf_dir)
+                ._jdf.queryExecution().executedPlan().toString()
+            )
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", default_thr)
+        plan_small = (
+            queries[name](spark, sf_dir)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        big_bhj = plan_big.count("BroadcastHashJoin")
+        small_bhj = plan_small.count("BroadcastHashJoin")
+        # analytics_top_orders keeps one *explicit* dim broadcast by design
+        allowed_big = 1 if name == "analytics_top_orders" else 0
+        ok = big_bhj <= allowed_big and small_bhj >= 1
+        failures += 0 if ok else 1
+        print(
+            f"{name:28s} threshold=-1: BHJ x{big_bhj} (allowed {allowed_big}),"
+            f" default: BHJ x{small_bhj} -> {'PASS' if ok else 'FAIL'}"
+        )
+    print("scale gate:", "ALL PASS" if not failures else f"{failures} FAILURES")
+    return failures
+
+
 def main():
+    if len(sys.argv) > 1 and sys.argv[1] == "--scale-gate":
+        sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
+        sys.exit(1 if scale_gate_audit(sf_dir) else 0)
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
