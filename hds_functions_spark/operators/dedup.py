@@ -542,6 +542,10 @@ def simhash_pairs(
     """
     assert bits % band_bits == 0
     n_bands = bits // band_bits
+    # Token-less documents all hash to simhash 0 and would pair up
+    # quadratically at hamming 0 (same failure mode as shingle-less docs in
+    # minhash_pairs) — they cannot be meaningful near-dups, drop them.
+    df = df.filter(F.size(tokens(F.col(text_col))) >= 1)
     df = ensure_min_partitions(df)  # parallelise the bit-vote projection
     hashed = add_simhash(df, text_col, "simhash", bits).select(
         F.col(id_col), "simhash"

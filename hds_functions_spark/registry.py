@@ -386,6 +386,83 @@ def table_standardise_deaths(spark, sf_dir):
     return standardise_table(src, "deaths")
 
 
+@_register(
+    "table_standardise_vaccine",
+    """
+SELECT CAST(o_orderkey AS VARCHAR) AS person_id,
+       CAST(o_orderdate AS DATE) AS recorded_date,
+       CAST(o_orderdate AS DATE) + CAST(o_orderkey % 365 AS INT) AS expiry_date,
+       strptime(strftime(CAST(o_orderdate AS DATE), '%Y%m%d') || ' ' ||
+                lpad(CAST(o_orderkey % 24 AS VARCHAR), 2, '0') || ':' ||
+                lpad(CAST(o_orderkey % 60 AS VARCHAR), 2, '0') || ':' ||
+                lpad(CAST((o_orderkey * 7) % 60 AS VARCHAR), 2, '0'),
+                '%Y%m%d %H:%M:%S')
+       + to_milliseconds((o_orderkey % 100) * 10) AS date_and_time,
+       o_orderpriority AS dose_number_
+FROM orders
+""",
+)
+def table_standardise_vaccine(spark, sf_dir):
+    """Vaccine-status-style standardisation — the only standardiser besides
+    deaths with date parsing, plus the one yyyyMMdd'T'HHmmssSS timestamp
+    parse in the family (reference table_management.py:275-286): renames,
+    name cleaning ('Dose Number!' -> dose_number_), two yyyyMMdd date
+    columns, and a centisecond timestamp column."""
+    key = F.col("o_orderkey")
+    d = F.col("o_orderdate").cast("date")
+    src = _t(spark, sf_dir, "orders").select(
+        key.cast("string").alias("PERSON_ID_DEID"),
+        F.date_format(d, "yyyyMMdd").alias("RECORDED_DATE"),
+        F.date_format(
+            F.date_add(d, (key % 365).cast("int")), "yyyyMMdd"
+        ).alias("EXPIRY_DATE"),
+        F.concat(
+            F.date_format(d, "yyyyMMdd"),
+            F.lit("T"),
+            F.lpad((key % 24).cast("string"), 2, "0"),
+            F.lpad((key % 60).cast("string"), 2, "0"),
+            F.lpad(((key * 7) % 60).cast("string"), 2, "0"),
+            F.lpad((key % 100).cast("string"), 2, "0"),
+        ).alias("DATE_AND_TIME"),
+        F.col("o_orderpriority").alias("Dose Number!"),
+    )
+    return standardise_table(src, "vaccine_status")
+
+
+@_register(
+    "table_archive_roundtrip",
+    """
+SELECT o_orderkey, o_totalprice, DATE '2024-03-01' AS archived_on
+FROM orders WHERE o_orderkey % 3 = 2
+""",
+)
+def table_archive_roundtrip(spark, sf_dir):
+    """Full archive lifecycle through real parquet: three
+    save_archive_snapshot appends (one partition each), then
+    load_table(archive_date='latest') — the eager max-snapshot resolution
+    plus the partition-prunable equality filter (reference
+    table_management.py:74-82). Each snapshot holds a disjoint slice of
+    orders so only correct 'latest' semantics reproduces the oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from .sources.tables import load_table, save_archive_snapshot
+
+    base = os.path.join(
+        tempfile.gettempdir(), f"hds_archive_rt_{abs(hash(sf_dir)) % 10**8}"
+    )
+    shutil.rmtree(base, ignore_errors=True)  # append-mode: never accumulate
+    td = {"arch": {"path": os.path.join(base, "arch"), "format": "parquet"}}
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    for i, day in enumerate(("2024-01-01", "2024-02-01", "2024-03-01")):
+        save_archive_snapshot(
+            o.filter(F.col("o_orderkey") % 3 == i), "arch", day, td
+        )
+    td_latest = {"arch": {**td["arch"], "archive_date": "latest"}}
+    return load_table("arch", td_latest)
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver smoke-check query: cohort attrition flowchart."""
     return cohort_flowchart(spark, sf_dir)

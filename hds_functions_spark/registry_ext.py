@@ -32,6 +32,7 @@ from .operators.dedup import (
     exact_dedup,
     minhash_pairs,
     ngram_jaccard_pairs,
+    simhash_pairs,
 )
 from .operators.events import interval_join, session_stats, tumbling_window_agg
 from .operators.events import as_of_join
@@ -346,16 +347,18 @@ def dedup_ngram_jaccard(spark, sf_dir):
 _SH_BITS = 32
 
 
-def _duck_simhash_sql() -> str:
+def _duck_simhash_sql(filter_empty: bool = False) -> str:
     terms = " + ".join(
         f"CASE WHEN list_sum(list_transform(hs, h -> ((h >> {j}) & 1) * 2 - 1)) > 0 "
         f"THEN {1 << j}::BIGINT ELSE 0::BIGINT END"
         for j in range(_SH_BITS)
     )
+    where = "WHERE len(t) >= 1" if filter_empty else ""
     return f"""
 WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+nonempty AS (SELECT doc_id, t FROM toks {where}),
 hashes AS (
-    SELECT doc_id, list_transform(t, s -> {stable_hash_sql('s')}) AS hs FROM toks
+    SELECT doc_id, list_transform(t, s -> {stable_hash_sql('s')}) AS hs FROM nonempty
 )
 SELECT doc_id, ({terms})::BIGINT AS simhash FROM hashes
 """
@@ -368,6 +371,34 @@ def dedup_simhash(spark, sf_dir):
 
     docs = ensure_min_partitions(_t(spark, sf_dir, "documents"))
     return add_simhash(docs, bits=_SH_BITS).select("doc_id", "simhash")
+
+
+_SHP_MAX_HAMMING = 3
+_SHP_BAND_BITS = 8
+
+
+@_register(
+    "dedup_simhash_pairs",
+    f"""
+WITH sh AS ({_duck_simhash_sql(filter_empty=True)})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_SHP_MAX_HAMMING}
+""",
+)
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs: 32-bit simhash banded into 4x8-bit chunks
+    for candidates, exact bit_count(xor) <= 3 verify. With 4 bands and
+    max_hamming=3 the banding is recall-COMPLETE (pigeonhole: <=3 flipped
+    bits cannot touch all 4 bands), so the all-pairs oracle is exact — the
+    banded Spark plan must find every qualifying pair, not a sample."""
+    return simhash_pairs(
+        _t(spark, sf_dir, "documents"),
+        bits=_SH_BITS,
+        max_hamming=_SHP_MAX_HAMMING,
+        band_bits=_SHP_BAND_BITS,
+    )
 
 
 # --- similarity search ---------------------------------------------------
