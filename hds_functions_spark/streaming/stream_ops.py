@@ -31,7 +31,9 @@ Scale notes (100 TB / unbounded design):
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 import uuid
 from typing import Iterable
@@ -71,6 +73,9 @@ def read_parquet_stream(
     if os.path.isfile(path):
         src_dir = tempfile.mkdtemp(prefix="hds_stream_src_")
         os.symlink(path, os.path.join(src_dir, os.path.basename(path)))
+        # the symlink dir must outlive the (lazily-started) query; reclaim
+        # at interpreter exit so looped harness runs don't accumulate dirs
+        atexit.register(shutil.rmtree, src_dir, ignore_errors=True)
         path = src_dir
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
@@ -113,9 +118,15 @@ def run_stream_to_memory(
             .start()
         )
         query.awaitTermination()
+        # the memory sink holds the rows driver-side; the checkpoint is
+        # dead weight once the drain finished
+        shutil.rmtree(checkpoint, ignore_errors=True)
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        # backstop for the failure path (keeps the dir for this process's
+        # lifetime so a post-mortem can read it, reclaims it at exit)
+        atexit.register(shutil.rmtree, checkpoint, ignore_errors=True)
     return spark.table(name)
 
 
@@ -184,13 +195,18 @@ def stream_distinct_keys(
     watermark: str | None = None,
 ) -> DataFrame:
     """Streaming exact dedup: emit each distinct key combination once,
-    suppressing every later occurrence via keyed state. With a watermark the
-    state for expired event times is evicted (dedup horizon = watermark);
-    without one, state grows with distinct keys forever — bound it in
-    production."""
+    suppressing every later occurrence via keyed state.
+
+    With a watermark, ``dropDuplicatesWithinWatermark`` dedups on the KEYS
+    alone (a key recurring at a different event time is still suppressed)
+    while letting Spark evict state once the watermark passes an entry's
+    admission time — bounded state, same emitted keys as the batch
+    ``distinct`` as long as a key's duplicates arrive within the horizon.
+    Without a watermark state grows with distinct keys forever — bound it
+    in production."""
     if watermark is not None and ts_col is not None:
         events = events.withWatermark(ts_col, watermark)
-        return events.dropDuplicates(keys + [ts_col]).select(*keys)
+        return events.dropDuplicatesWithinWatermark(keys).select(*keys)
     return events.select(*keys).dropDuplicates(keys)
 
 

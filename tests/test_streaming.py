@@ -88,6 +88,23 @@ def test_stream_distinct_keys(spark, events_path):
     ]
 
 
+def test_stream_distinct_keys_watermarked(spark, events_path):
+    """Watermarked path dedups on the KEYS alone (dropDuplicatesWithinWatermark):
+    a key recurring at a different event time is still suppressed."""
+    out = run_stream_to_memory(
+        stream_distinct_keys(
+            read_parquet_stream(spark, events_path),
+            ["user_id", "event_type"],
+            ts_col="ts",
+            watermark="2 hours",
+        ),
+        output_mode="append",
+    )
+    assert _sorted_rows(out, ["user_id", "event_type"]) == [
+        (10, "click"), (10, "purchase"), (20, "view"),
+    ]
+
+
 def test_stream_stateful_totals(spark, events_path):
     out = run_stream_to_memory(
         stream_stateful_totals(read_parquet_stream(spark, events_path)),
