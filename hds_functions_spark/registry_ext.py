@@ -653,6 +653,60 @@ def events_sessions(spark, sf_dir):
 
 
 @_register(
+    "events_sessionize",
+    """
+WITH ordered AS (
+    SELECT event_id, user_id, ts,
+           CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                  OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                THEN 1 ELSE 0 END AS new_s
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+)
+SELECT event_id, user_id,
+       CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+FROM ordered
+""",
+)
+def events_sessionize(spark, sf_dir):
+    """Row-level session-id assignment (the per-event op underlying
+    events_sessions): 1-based per-key session index, new session when the
+    gap to the previous event exceeds 30 minutes. Ties on (key, ts) get the
+    same session id from the running sum, so the output is deterministic."""
+    from .operators.events import sessionize
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    return sessionize(ev, "user_id", "ts", gap_seconds=1800).select(
+        "event_id", "user_id", "session_id"
+    )
+
+
+@_register(
+    "join_salted",
+    """
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice, c.c_mktsegment
+FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+""",
+)
+def join_salted(spark, sf_dir):
+    """Deterministic-salt skew join: semantically a plain inner equi-join
+    (the oracle), physically the left side spreads each key over 16 salt
+    reducers with the right side replicated 16x — the hot-key mitigation
+    for joins AQE's sort-merge-only skew splitting can't rescue."""
+    from .operators.joins import salted_join
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    return salted_join(orders, cust, on="o_custkey", how="inner").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "c_mktsegment"
+    )
+
+
+@_register(
     "events_asof_join",
     """
 SELECT l.event_id, l.user_id, l.ts,
