@@ -1,0 +1,81 @@
+"""Eval-set decontamination: flag training documents that share word
+n-grams with a held-out evaluation set.
+
+Extension layer (SURVEY.md §7; no reference counterpart). Before
+pretraining, every serious pipeline checks the corpus for verbatim overlap
+with its evaluation benchmarks (the standard n-gram collision test, e.g.
+GPT-3 appendix C / PaLM's 8-gram decontamination). The expensive shape is
+corpus x eval all-pairs; this operator never builds it — both sides explode
+to distinct n-grams and meet in an equi-join on the n-gram, so cost is
+proportional to *shared* n-grams only (same shape as
+``dedup.ngram_jaccard_pairs``).
+
+Scale notes (100 TB corpus, bounded eval set):
+
+- the eval side is benchmark-sized (thousands of docs); its exploded n-gram
+  table is small and carries NO broadcast hint — the planner/AQE broadcasts
+  it from real stats, falling back to a shuffle join if someone passes a
+  corpus-sized "eval" set;
+- the corpus side is a single narrow projection (id + n-gram) — no shuffle
+  before the join; the per-doc aggregation shuffles ids + counts only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens, word_ngrams
+
+__all__ = ["ngram_contamination"]
+
+
+def ngram_contamination(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "eval_id",
+    eval_text_col: str = "text",
+    ngram: int = 3,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Per-document contamination report against an eval set.
+
+    Output: one row per corpus document sharing at least ``min_shared``
+    distinct word ``ngram``-grams with the eval set —
+    ``(id_col, n_shared_ngrams, n_eval_docs)`` where ``n_shared_ngrams``
+    counts distinct shared n-grams and ``n_eval_docs`` counts distinct eval
+    documents hit. Clean documents are absent (inner semantics): at corpus
+    scale the report is the small side, the corpus is not re-emitted.
+
+    Tokenisation is lowercased whitespace words, matching the library's
+    other n-gram operators.
+    """
+    if ngram < 1:
+        raise ValueError(f"ngram must be >= 1 (got {ngram})")
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1 (got {min_shared})")
+
+    def grams(df: DataFrame, ident: str, text: str, out_id: str) -> DataFrame:
+        return df.select(
+            F.col(ident).alias(out_id),
+            F.explode(
+                F.array_distinct(
+                    word_ngrams(tokens(F.lower(F.col(text))), ngram)
+                )
+            ).alias("_gram"),
+        )
+
+    doc_grams = grams(docs, id_col, text_col, "_doc_id")
+    eval_grams = grams(eval_df, eval_id_col, eval_text_col, "_eval_id")
+    return (
+        doc_grams.join(eval_grams, on="_gram")
+        .groupBy("_doc_id")
+        .agg(
+            F.countDistinct("_gram").alias("n_shared_ngrams"),
+            F.countDistinct("_eval_id").alias("n_eval_docs"),
+        )
+        .filter(F.col("n_shared_ngrams") >= min_shared)
+        .withColumnRenamed("_doc_id", id_col)
+    )

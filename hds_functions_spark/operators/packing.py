@@ -22,10 +22,61 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import token_count
+from ..functions.text import token_count, tokens
 from .sampling import split_bucket
 
-__all__ = ["pack_sequences"]
+__all__ = ["pack_sequences", "chunk_documents"]
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+) -> DataFrame:
+    """Split each document into fixed-size token windows with overlap — the
+    sequence-prep step for context-window training or embedding indexing.
+
+    Output: one row per chunk — ``(id_col, chunk_id, chunk_n_tokens,
+    chunk_text)`` with ``chunk_id`` 0-based, chunks of ``chunk_tokens``
+    whitespace tokens starting every ``chunk_tokens - overlap`` tokens (the
+    final chunk may be shorter). Token-less documents produce no chunks.
+
+    Single narrow projection + ``posexplode`` — no shuffle, no UDF: the
+    chunk boundaries are pure array arithmetic (``sequence`` + ``slice``),
+    so Catalyst pipelines it into the scan at any scale; output fanout is
+    ~n_tokens/stride per document (bounded, skew follows document length).
+    """
+    if chunk_tokens <= 0:
+        raise ValueError(f"chunk_tokens must be positive (got {chunk_tokens})")
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(
+            f"overlap must be in [0, chunk_tokens) (got {overlap})"
+        )
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.ceil((n - F.lit(overlap)) / F.lit(stride)), F.lit(1)
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(toks, i * stride + 1, chunk_tokens),
+    )
+    return (
+        df.filter(n >= 1)
+        .select(
+            F.col(id_col),
+            F.posexplode(chunks).alias("chunk_id", "_chunk"),
+        )
+        .select(
+            id_col,
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.size("_chunk").cast("long").alias("chunk_n_tokens"),
+            F.array_join("_chunk", " ").alias("chunk_text"),
+        )
+    )
 
 
 def pack_sequences(

@@ -463,6 +463,114 @@ def table_archive_roundtrip(spark, sf_dir):
     return load_table("arch", td_latest)
 
 
+@_register(
+    "config_csv_roundtrip",
+    """
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders GROUP BY o_orderpriority
+""",
+)
+def config_csv_roundtrip(spark, sf_dir):
+    """§2.6 CSV lifecycle through real files: an aggregate written with
+    write_csv_file (eager count guard + driver-side pandas, reference
+    csv_utils.py:51-105) then read back with read_csv_file (pandas ->
+    createDataFrame, csv_utils.py:18-48). Only a faithful round-trip of
+    values AND inferred types reproduces the oracle."""
+    import os
+    import tempfile
+
+    from .sources.config_io import read_csv_file, write_csv_file
+
+    agg = (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+                "total_cents"
+            ),
+        )
+    )
+    path = os.path.join(tempfile.gettempdir(), "hds_csv_roundtrip.csv")
+    write_csv_file(agg, path)
+    return read_csv_file(path)
+
+
+_TIER_MAP = {
+    "1-URGENT": "fast",
+    "2-HIGH": "fast",
+    "3-MEDIUM": "mid",
+    "4-NOT SPECIFIED": "slow",
+    "5-LOW": "slow",
+}
+
+
+@_register(
+    "config_dict_map",
+    f"""
+SELECT CASE o_orderpriority
+         {' '.join(f"WHEN '{k}' THEN '{v}'" for k, v in _TIER_MAP.items())}
+       END AS tier,
+       count(*) AS n_orders
+FROM orders GROUP BY 1
+""",
+)
+def config_dict_map(spark, sf_dir):
+    """§2.6 codelist lifecycle: a mapping table written as CSV, loaded as a
+    dict via create_dict_from_csv (duplicate-key guard, reference
+    csv_utils.py:108-177), applied with map_column_values (literal
+    create_map lookup), aggregated per mapped value."""
+    import os
+    import tempfile
+
+    from .sources.config_io import create_dict_from_csv, write_csv_file
+
+    mapping_df = spark.createDataFrame(
+        sorted(_TIER_MAP.items()), "priority: string, tier: string"
+    )
+    path = os.path.join(tempfile.gettempdir(), "hds_dict_map.csv")
+    write_csv_file(mapping_df, path)
+    mapping = create_dict_from_csv(path, "priority", "tier")
+    mapped = map_column_values(
+        _t(spark, sf_dir, "orders"), mapping, "o_orderpriority", "tier"
+    )
+    return mapped.groupBy("tier").agg(F.count("*").alias("n_orders"))
+
+
+@_register(
+    "config_json_map",
+    f"""
+SELECT CASE o_orderpriority
+         {' '.join(f"WHEN '{k}' THEN '{v}'" for k, v in _TIER_MAP.items())}
+       END AS tier,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders GROUP BY 1
+""",
+)
+def config_json_map(spark, sf_dir):
+    """§2.6 JSON config lifecycle: the mapping written with write_json_file,
+    re-read with the duplicate-key-rejecting read_json_file (reference
+    json_utils.py:10-99), then applied and aggregated."""
+    import os
+    import tempfile
+
+    from .sources.config_io import read_json_file, write_json_file
+
+    path = os.path.join(tempfile.gettempdir(), "hds_json_map.json")
+    write_json_file(_TIER_MAP, path)
+    mapping = read_json_file(path)
+    mapped = map_column_values(
+        _t(spark, sf_dir, "orders"), mapping, "o_orderpriority", "tier"
+    )
+    return mapped.groupBy("tier").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "total_cents"
+        )
+    )
+
+
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver smoke-check query: cohort attrition flowchart."""
     return cohort_flowchart(spark, sf_dir)

@@ -1560,3 +1560,91 @@ def analytics_region_revenue(spark, sf_dir):
         )
     )
     return joined.groupBy("n_name").agg(F.sum(rev).alias("revenue_cents"))
+
+
+# --- decontamination / chunking (round 2 additions) -----------------------
+
+from .operators.contamination import ngram_contamination  # noqa: E402
+from .operators.packing import chunk_documents  # noqa: E402
+from .operators.sampling import split_bucket  # noqa: E402
+
+_DECON_NGRAM = 3
+_DECON_SALT = "decontam"
+_DECON_CUT = 1000  # 10% of the 10k hash buckets are the "eval" set
+
+
+@_register(
+    "decontam_ngram_overlap",
+    f"""
+WITH toks AS (
+    SELECT doc_id, {_DUCK_TOKENS_LOWER} AS t,
+           {_duck_bucket('doc_id', _DECON_SALT)} AS bucket
+    FROM documents
+), grams AS (
+    SELECT doc_id, bucket, unnest(list_distinct(
+        CASE WHEN len(t) < {_DECON_NGRAM} THEN []::VARCHAR[]
+             ELSE list_transform(generate_series(1, len(t) - {_DECON_NGRAM - 1}),
+                                 i -> array_to_string(t[i:i+{_DECON_NGRAM - 1}], ' '))
+        END)) AS gram
+    FROM toks
+)
+SELECT c.doc_id,
+       count(DISTINCT c.gram) AS n_shared_ngrams,
+       count(DISTINCT e.doc_id) AS n_eval_docs
+FROM (SELECT * FROM grams WHERE bucket >= {_DECON_CUT}) c
+JOIN (SELECT * FROM grams WHERE bucket < {_DECON_CUT}) e USING (gram)
+GROUP BY 1
+""",
+)
+def decontam_ngram_overlap(spark, sf_dir):
+    """Eval-set decontamination: a deterministic 10% hash split of documents
+    plays the held-out benchmark; every remaining corpus doc sharing a
+    word 3-gram with it is reported with shared-gram and eval-doc counts.
+    Candidate generation is an equi-join on the n-gram (cost proportional
+    to shared grams, never corpus x eval)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bucket = split_bucket("doc_id", _DECON_SALT)
+    corpus = docs.filter(bucket >= _DECON_CUT)
+    eval_df = docs.filter(bucket < _DECON_CUT).withColumnRenamed(
+        "doc_id", "eval_id"
+    )
+    return ngram_contamination(
+        corpus, eval_df, ngram=_DECON_NGRAM
+    )
+
+
+_CHUNK_TOKENS = 32
+_CHUNK_OVERLAP = 8
+_CHUNK_STRIDE = _CHUNK_TOKENS - _CHUNK_OVERLAP
+
+
+@_register(
+    "chunk_documents",
+    f"""
+WITH toks AS (
+    SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+), sized AS (
+    SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 1
+), idx AS (
+    SELECT doc_id, t,
+           unnest(generate_series(1, greatest(
+               CAST(ceil((n - {_CHUNK_OVERLAP})::DOUBLE / {_CHUNK_STRIDE}) AS BIGINT),
+               1))) AS i
+    FROM sized
+)
+SELECT doc_id,
+       CAST(i - 1 AS BIGINT) AS chunk_id,
+       CAST(len(t[(i-1)*{_CHUNK_STRIDE} + 1 : (i-1)*{_CHUNK_STRIDE} + {_CHUNK_TOKENS}]) AS BIGINT)
+           AS chunk_n_tokens,
+       array_to_string(t[(i-1)*{_CHUNK_STRIDE} + 1 : (i-1)*{_CHUNK_STRIDE} + {_CHUNK_TOKENS}], ' ')
+           AS chunk_text
+FROM idx
+""",
+)
+def chunk_documents_q(spark, sf_dir):
+    """Fixed-size token windows with overlap (32-token chunks, 8-token
+    overlap): pure array arithmetic + posexplode, no shuffle, no UDF."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_documents(
+        docs, chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP
+    )
