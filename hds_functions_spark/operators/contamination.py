@@ -22,9 +22,10 @@ Scale notes (100 TB corpus, bounded eval set):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.partitioning import ensure_min_partitions
 from ..functions.text import tokens, word_ngrams
 
 __all__ = ["ngram_contamination"]
@@ -39,6 +40,7 @@ def ngram_contamination(
     eval_text_col: str = "text",
     ngram: int = 3,
     min_shared: int = 1,
+    max_eval_df: int | None = None,
 ) -> DataFrame:
     """Per-document contamination report against an eval set.
 
@@ -49,6 +51,14 @@ def ngram_contamination(
     documents hit. Clean documents are absent (inner semantics): at corpus
     scale the report is the small side, the corpus is not re-emitted.
 
+    ``max_eval_df`` drops n-grams present in more than that many eval
+    documents before the join — the hot-gram guard: a boilerplate phrase
+    shared by half the eval set would otherwise fan every corpus occurrence
+    out by eval-df (the one unbounded term in the join size), while
+    carrying no decontamination signal. With the cap, per-gram fanout is
+    bounded by ``max_eval_df``. Use longer n-grams (8+) for production
+    decontamination; short grams collide on ordinary prose.
+
     Tokenisation is lowercased whitespace words, matching the library's
     other n-gram operators.
     """
@@ -56,6 +66,8 @@ def ngram_contamination(
         raise ValueError(f"ngram must be >= 1 (got {ngram})")
     if min_shared < 1:
         raise ValueError(f"min_shared must be >= 1 (got {min_shared})")
+    if max_eval_df is not None and max_eval_df < 1:
+        raise ValueError(f"max_eval_df must be >= 1 (got {max_eval_df})")
 
     def grams(df: DataFrame, ident: str, text: str, out_id: str) -> DataFrame:
         return df.select(
@@ -67,8 +79,18 @@ def ngram_contamination(
             ).alias("_gram"),
         )
 
-    doc_grams = grams(docs, id_col, text_col, "_doc_id")
-    eval_grams = grams(eval_df, eval_id_col, eval_text_col, "_eval_id")
+    # widen thin inputs: the tokenise+ngram projection is the expensive part
+    # and must not run on one input split (no-op on already-parallel inputs)
+    doc_grams = grams(ensure_min_partitions(docs), id_col, text_col, "_doc_id")
+    eval_grams = grams(
+        ensure_min_partitions(eval_df), eval_id_col, eval_text_col, "_eval_id"
+    )
+    if max_eval_df is not None:
+        # benchmark-sized aggregate: one extra shuffle on the SMALL side
+        w = Window.partitionBy("_gram")
+        eval_grams = eval_grams.withColumn(
+            "_df", F.count("*").over(w)
+        ).filter(F.col("_df") <= max_eval_df).drop("_df")
     return (
         doc_grams.join(eval_grams, on="_gram")
         .groupBy("_doc_id")

@@ -1568,9 +1568,10 @@ from .operators.contamination import ngram_contamination  # noqa: E402
 from .operators.packing import chunk_documents  # noqa: E402
 from .operators.sampling import split_bucket  # noqa: E402
 
-_DECON_NGRAM = 3
+_DECON_NGRAM = 4
 _DECON_SALT = "decontam"
 _DECON_CUT = 1000  # 10% of the 10k hash buckets are the "eval" set
+_DECON_MAX_EVAL_DF = 100  # hot-gram guard: bounded per-gram join fanout
 
 
 @_register(
@@ -1587,21 +1588,27 @@ WITH toks AS (
                                  i -> array_to_string(t[i:i+{_DECON_NGRAM - 1}], ' '))
         END)) AS gram
     FROM toks
+), eval_grams AS (
+    SELECT doc_id, gram FROM (
+        SELECT doc_id, gram, count(*) OVER (PARTITION BY gram) AS df
+        FROM grams WHERE bucket < {_DECON_CUT}
+    ) WHERE df <= {_DECON_MAX_EVAL_DF}
 )
 SELECT c.doc_id,
        count(DISTINCT c.gram) AS n_shared_ngrams,
        count(DISTINCT e.doc_id) AS n_eval_docs
 FROM (SELECT * FROM grams WHERE bucket >= {_DECON_CUT}) c
-JOIN (SELECT * FROM grams WHERE bucket < {_DECON_CUT}) e USING (gram)
+JOIN eval_grams e USING (gram)
 GROUP BY 1
 """,
 )
 def decontam_ngram_overlap(spark, sf_dir):
     """Eval-set decontamination: a deterministic 10% hash split of documents
     plays the held-out benchmark; every remaining corpus doc sharing a
-    word 3-gram with it is reported with shared-gram and eval-doc counts.
+    word 4-gram with it is reported with shared-gram and eval-doc counts.
     Candidate generation is an equi-join on the n-gram (cost proportional
-    to shared grams, never corpus x eval)."""
+    to shared grams, never corpus x eval); grams in > 100 eval docs are
+    dropped first (hot-gram fanout guard)."""
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     bucket = split_bucket("doc_id", _DECON_SALT)
     corpus = docs.filter(bucket >= _DECON_CUT)
@@ -1609,7 +1616,7 @@ def decontam_ngram_overlap(spark, sf_dir):
         "doc_id", "eval_id"
     )
     return ngram_contamination(
-        corpus, eval_df, ngram=_DECON_NGRAM
+        corpus, eval_df, ngram=_DECON_NGRAM, max_eval_df=_DECON_MAX_EVAL_DF
     )
 
 

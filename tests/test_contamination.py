@@ -87,3 +87,30 @@ def test_chunk_documents_errors(spark):
         chunk_documents(df, chunk_tokens=0)
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_ngram_contamination_max_eval_df(spark, corpus):
+    # 'the quick brown' appears in 3 eval docs; cap at 2 removes it
+    eval_df = spark.createDataFrame(
+        [
+            (100, "the quick brown fox runs"),
+            (101, "the quick brown cat here"),
+            (102, "the quick brown dog barks"),
+        ],
+        "eval_id: long, text: string",
+    )
+    uncapped = {
+        r["doc_id"]: r["n_shared_ngrams"]
+        for r in ngram_contamination(corpus, eval_df, ngram=3).collect()
+    }
+    capped = {
+        r["doc_id"]: r["n_shared_ngrams"]
+        for r in ngram_contamination(
+            corpus, eval_df, ngram=3, max_eval_df=2
+        ).collect()
+    }
+    assert uncapped[1] >= 2
+    # doc 1's only surviving shared gram is 'quick brown fox' (df=1)
+    assert capped[1] == 1
+    with pytest.raises(ValueError, match="max_eval_df"):
+        ngram_contamination(corpus, eval_df, max_eval_df=0)
