@@ -30,6 +30,7 @@ __all__ = [
     "hash_split_sql",
     "deterministic_sample",
     "stratified_sample",
+    "mixture_sample",
     "BUCKETS",
 ]
 
@@ -158,3 +159,60 @@ def stratified_sample(
         else default_bound
     )
     return df.filter(split_bucket(id_col, salt) < bound)
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weights: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Downsample a multi-source corpus to a target mixture, keeping as much
+    data as the mixture allows.
+
+    ``weights`` maps source values to target shares (must be positive; they
+    are normalised, so {'web': 3, 'code': 1} means 3:1). The *binding*
+    source — the one scarcest relative to its target share — is kept at
+    100%; every other source is deterministically downsampled so the kept
+    counts sit in the target ratio: the largest feasible corpus with this
+    mixture. Sources absent from ``weights`` are dropped; weighted sources
+    absent from the data are ignored (the mixture renormalises over what
+    exists).
+
+    Two jobs: one per-source count aggregate (driver-side fraction solve —
+    a handful of scalars, same deliberate eager boundary as ``load_table``
+    'latest'), then the usual hash-bucket filter, which stays a narrow
+    pushdown-friendly projection at any scale. Exact ratios are subject to
+    the 1/10000 bucket quantisation and per-bucket population noise.
+    """
+    if not weights:
+        raise ValueError("weights must be a non-empty dict")
+    for w in weights.values():
+        if not w > 0:
+            raise ValueError(f"weights must be positive (got {w})")
+    counts = {
+        r["_src"]: r["_n"]
+        for r in df.select(F.col(source_col).alias("_src"))
+        .groupBy("_src")
+        .agg(F.count("*").alias("_n"))
+        .collect()
+        if r["_src"] in weights
+    }
+    if not counts:
+        return df.filter(F.lit(False))
+    total_w = sum(w for s, w in weights.items() if s in counts)
+    shares = {s: weights[s] / total_w for s in counts}
+    # largest total N with share_s * N <= n_s for every present source
+    target_total = min(counts[s] / shares[s] for s in counts)
+    cutoffs = {
+        s: int(shares[s] * target_total / counts[s] * BUCKETS)
+        for s in counts
+    }
+    from itertools import chain
+
+    pairs = [
+        F.lit(x) for x in chain.from_iterable(cutoffs.items())
+    ]
+    bound = F.create_map(*pairs)[F.col(source_col)]
+    return df.filter(split_bucket(id_col, salt) < F.coalesce(bound, F.lit(0)))

@@ -1139,9 +1139,11 @@ def events_asof_forward(spark, sf_dir):
 
 from .operators.profiling import profile_columns, tf_idf_top_terms  # noqa: E402
 from .operators.sampling import (  # noqa: E402
+    BUCKETS,
     deterministic_sample,
     hash_split,
     hash_split_sql,
+    mixture_sample,
     stratified_sample,
 )
 from .operators.sampling import _bucket_sql as _duck_bucket  # noqa: E402
@@ -1198,6 +1200,36 @@ def sample_nested(spark, sf_dir):
     is a strict subset — nesting makes data-ablation curves comparable."""
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     return deterministic_sample(docs, "doc_id", 0.1, salt="ablate")
+
+
+#: target mixture over languages; binary-exact shares so the driver-side
+#: and DuckDB-side float solves are bit-identical in any summation order
+_MIX_WEIGHTS = {"en": 0.5, "de": 0.25, "zh": 0.25}
+
+
+@_register(
+    "sample_mixture",
+    f"""
+WITH w(lang, wt) AS (VALUES {', '.join(f"('{k}', {v})" for k, v in _MIX_WEIGHTS.items())}),
+c AS (SELECT lang, count(*)::DOUBLE AS n FROM documents GROUP BY 1),
+p AS (SELECT w.lang, w.wt, c.n FROM w JOIN c USING (lang)),
+sh AS (SELECT lang, wt / (SELECT sum(wt) FROM p) AS share, n FROM p),
+cut AS (SELECT lang,
+               CAST(floor(share * (SELECT min(n / share) FROM sh) / n * {BUCKETS})
+                    AS BIGINT) AS cutoff
+        FROM sh)
+SELECT d.doc_id, d.lang FROM documents d
+JOIN cut USING (lang)
+WHERE {_duck_bucket('doc_id', 'mixture')} < cutoff
+""",
+)
+def sample_mixture(spark, sf_dir):
+    """Mixture construction: downsample so en:de:zh sits at 2:1:1 with the
+    binding language (scarcest vs its share) kept at 100% — the largest
+    corpus with the target mixture. Per-language cutoffs solved from one
+    count aggregate; membership is the usual deterministic id-hash bucket."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return mixture_sample(docs, "doc_id", "lang", _MIX_WEIGHTS, salt="mixture")
 
 
 # --- profiling / TF-IDF ---------------------------------------------------

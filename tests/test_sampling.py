@@ -138,3 +138,38 @@ def test_split_invariant_to_partitioning(spark):
     shuffled = hash_split(df.repartition(13), "id", {"a": 0.5, "b": 0.5})
     assert base.subtract(shuffled).count() == 0
     assert shuffled.subtract(base).count() == 0
+
+
+def test_mixture_sample_ratios(spark):
+    from hds_functions_spark.operators.sampling import mixture_sample
+
+    rows = [(i, "a" if i < 4000 else ("b" if i < 5000 else "c"))
+            for i in range(6000)]
+    df = spark.createDataFrame(rows, "doc_id: long, src: string")
+    out = mixture_sample(df, "doc_id", "src", {"a": 0.5, "b": 0.5})
+    got = {r["src"]: r["cnt"] for r in
+           out.groupBy("src").agg(F.count("*").alias("cnt")).collect()}
+    # b (1000 rows) binds at share 0.5 -> kept ~100%; a downsampled to ~1000
+    assert "c" not in got          # unweighted source dropped
+    assert got["b"] > 950          # binding source kept (bucket noise only)
+    assert abs(got["a"] - got["b"]) < 150   # 1:1 mixture achieved
+
+def test_mixture_sample_deterministic_and_errors(spark):
+    from hds_functions_spark.operators.sampling import mixture_sample
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 3 else "b") for i in range(300)],
+        "doc_id: long, src: string",
+    )
+    a = mixture_sample(df, "doc_id", "src", {"a": 0.75, "b": 0.25}, salt="s")
+    b = mixture_sample(
+        df.repartition(7), "doc_id", "src", {"a": 0.75, "b": 0.25}, salt="s"
+    )
+    assert sorted(r["doc_id"] for r in a.collect()) == \
+           sorted(r["doc_id"] for r in b.collect())
+    with pytest.raises(ValueError, match="non-empty"):
+        mixture_sample(df, "doc_id", "src", {})
+    with pytest.raises(ValueError, match="positive"):
+        mixture_sample(df, "doc_id", "src", {"a": 0.0})
+    # no weighted source present -> empty result
+    assert mixture_sample(df, "doc_id", "src", {"zz": 1.0}).count() == 0
