@@ -30,6 +30,14 @@ QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
 
 
+def _stable_dir_tag(sf_dir: str) -> str:
+    """Process-stable tag for per-sf temp dirs (``hash()`` is salted per
+    interpreter, which would leak one dir per run)."""
+    import hashlib
+
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+
+
 def _register(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -450,7 +458,7 @@ def table_archive_roundtrip(spark, sf_dir):
     from .sources.tables import load_table, save_archive_snapshot
 
     base = os.path.join(
-        tempfile.gettempdir(), f"hds_archive_rt_{abs(hash(sf_dir)) % 10**8}"
+        tempfile.gettempdir(), "hds_archive_rt_" + _stable_dir_tag(sf_dir)
     )
     shutil.rmtree(base, ignore_errors=True)  # append-mode: never accumulate
     td = {"arch": {"path": os.path.join(base, "arch"), "format": "parquet"}}
@@ -568,6 +576,47 @@ def config_json_map(spark, sf_dir):
         F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
             "total_cents"
         )
+    )
+
+
+@_register(
+    "source_csv_distributed",
+    """
+SELECT o_orderstatus,
+       count(*) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders GROUP BY o_orderstatus
+""",
+)
+def source_csv_distributed(spark, sf_dir):
+    """§2.6 scale path: a data-sized CSV written with Spark's distributed
+    writer (one file per partition) and read back with
+    read_csv_distributed (executor-side scan + schema inference, the path
+    the reference's 1000-row driver-side pandas helper cannot take).
+    Shortest-round-trip double formatting makes the cents sum exact."""
+    import os
+    import shutil
+    import tempfile
+
+    from .sources.config_io import read_csv_distributed
+
+    path = os.path.join(
+        tempfile.gettempdir(), "hds_csv_dist_" + _stable_dir_tag(sf_dir)
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .write.mode("overwrite")
+        .option("header", "true")
+        .csv(path)
+    )
+    df = read_csv_distributed(path, spark)
+    return df.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "total_cents"
+        ),
     )
 
 
