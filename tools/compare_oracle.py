@@ -101,6 +101,27 @@ def main():
             failures.append(name)
             print(f"FAIL {name}: columns differ spark={sorted(s_cols)} duck={sorted(d_cols)}")
             continue
+        # surface type-CLASS drift the value normalisation would mask
+        # (date vs str, int vs float): the driver's hasher may not mask it
+        def type_sig(rows):
+            sig = {}
+            for r in rows[:50]:
+                for i, v in enumerate(r):
+                    if v is not None:
+                        t = "int" if isinstance(v, bool) else type(v).__name__
+                        sig.setdefault(i, t)
+            return sig
+
+        st, dt = type_sig(s_rows), type_sig(d_rows)
+        s_order = sorted(range(len(s_cols)), key=lambda i: s_cols[i])
+        d_order = sorted(range(len(d_cols)), key=lambda i: d_cols[i])
+        for a, b in zip(s_order, d_order):
+            ta, tb = st.get(a), dt.get(b)
+            if ta and tb and ta != tb:
+                print(
+                    f"WARN {name}: column '{s_cols[a]}' type drift "
+                    f"spark={ta} duck={tb}"
+                )
         sn, cols = norm_rows(s_cols, s_rows)
         dn, _ = norm_rows(d_cols, d_rows)
         if len(sn) != len(dn):
