@@ -180,3 +180,35 @@ def test_archive_snapshot_errors(spark, tmp_path):
     stamped = df.withColumn("archived_on", F.lit("x"))
     with pytest.raises(ValueError, match="already has"):
         save_archive_snapshot(stamped, "arch", "2021-01-01", table_directory=directory)
+
+
+def test_bucketed_save_elides_join_shuffle(spark, tmp_path):
+    """save_table(bucket_by=...) into the session catalog produces tables
+    whose equi-join on the bucket key plans ZERO shuffle exchanges — the
+    co-located-join layout for fact tables joined repeatedly on one key."""
+    left = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("a")
+    )
+    right = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("b")
+    )
+    td = {
+        "bl": {"database": "default", "table_name": "hds_bucket_l"},
+        "br": {"database": "default", "table_name": "hds_bucket_r"},
+    }
+    save_table(left, "bl", td, bucket_by=(4, "k"))
+    save_table(right, "br", td, bucket_by=(4, "k"))
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    # tiny test tables would broadcast (which also disables bucketed scans);
+    # force the shuffle-join path the layout exists for
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = load_table("bl", td).join(load_table("br", td), on="k")
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert j.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
+        spark.sql("DROP TABLE IF EXISTS default.hds_bucket_l")
+        spark.sql("DROP TABLE IF EXISTS default.hds_bucket_r")
