@@ -1687,3 +1687,66 @@ def chunk_documents_q(spark, sf_dir):
     return chunk_documents(
         docs, chunk_tokens=_CHUNK_TOKENS, overlap=_CHUNK_OVERLAP
     )
+
+
+@_register(
+    "events_json_props",
+    """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+FROM events
+GROUP BY event_type
+""",
+)
+def events_json_props(spark, sf_dir):
+    """Semi-structured column handling: the events ``props`` JSON string is
+    parsed with a TYPED from_json schema (JVM-side Jackson, codegen-stage
+    compatible — never a Python UDF), then aggregated per event type. At
+    scale the parse is a narrow projection fused into the scan; only the
+    small per-type aggregate shuffles."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "props")
+    parsed = ev.withColumn(
+        "_k", F.from_json(F.col("props"), "k BIGINT")["k"]
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("_k").alias("sum_k"),
+        F.max("_k").alias("max_k"),
+    )
+
+
+@_register(
+    "analytics_promo_revenue",
+    f"""
+SELECT CAST(sum(CASE WHEN p_type = 'PROMO'
+                     THEN {_REV_CENTS} ELSE 0 END) AS BIGINT) AS promo_cents,
+       CAST(sum({_REV_CENTS}) AS BIGINT) AS total_cents
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l.l_shipdate < TIMESTAMP '1996-04-01'
+""",
+)
+def analytics_promo_revenue(spark, sf_dir):
+    """TPC-H Q14-shaped: promo-part share of one quarter's revenue. The
+    part dimension grows linearly with SF so the join carries NO broadcast
+    hint (planner/AQE size-gates); the date filter pushes down to the
+    lineitem scan; conditional aggregation in integer cents."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = (
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+        .cast("long")
+    )
+    joined = li.join(part, li.l_partkey == part.p_partkey)
+    return joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0)).alias(
+            "promo_cents"
+        ),
+        F.sum(rev).alias("total_cents"),
+    )
