@@ -31,6 +31,7 @@ __all__ = [
     "deterministic_sample",
     "stratified_sample",
     "mixture_sample",
+    "solve_mixture_cutoffs",
     "BUCKETS",
 ]
 
@@ -161,6 +162,28 @@ def stratified_sample(
     return df.filter(split_bucket(id_col, salt) < bound)
 
 
+def solve_mixture_cutoffs(
+    counts: dict[str, int], weights: dict[str, float]
+) -> dict[str, int]:
+    """Pure kernel of :func:`mixture_sample`: per-source bucket cutoffs for
+    the largest corpus whose kept counts sit at the target mixture.
+
+    Shares renormalise over sources present in ``counts``; the binding
+    source (scarcest relative to its share) gets cutoff ``BUCKETS`` (kept
+    whole, up to float slop); every cutoff is in ``[0, BUCKETS]``. The
+    expression order here is mirrored verbatim by the DuckDB oracle SQL so
+    the IEEE double arithmetic is bit-identical.
+    """
+    total_w = sum(w for s, w in weights.items() if s in counts)
+    shares = {s: weights[s] / total_w for s in counts}
+    # largest total N with share_s * N <= n_s for every present source
+    target_total = min(counts[s] / shares[s] for s in counts)
+    return {
+        s: int(shares[s] * target_total / counts[s] * BUCKETS)
+        for s in counts
+    }
+
+
 def mixture_sample(
     df: DataFrame,
     id_col: str,
@@ -201,14 +224,7 @@ def mixture_sample(
     }
     if not counts:
         return df.filter(F.lit(False))
-    total_w = sum(w for s, w in weights.items() if s in counts)
-    shares = {s: weights[s] / total_w for s in counts}
-    # largest total N with share_s * N <= n_s for every present source
-    target_total = min(counts[s] / shares[s] for s in counts)
-    cutoffs = {
-        s: int(shares[s] * target_total / counts[s] * BUCKETS)
-        for s in counts
-    }
+    cutoffs = solve_mixture_cutoffs(counts, weights)
     from itertools import chain
 
     pairs = [

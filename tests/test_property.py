@@ -100,3 +100,73 @@ def test_round_to_multiple_invariants(count, multiple):
     result = rounded * multiple
     assert result % multiple == 0
     assert abs(result - count) <= multiple / 2
+
+
+# --- mixture-construction cutoff solve ------------------------------------
+
+@given(
+    st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.integers(min_value=1, max_value=10**9),
+        min_size=1,
+    ),
+    st.dictionaries(
+        st.sampled_from(["a", "b", "c", "d"]),
+        st.floats(min_value=0.01, max_value=100.0,
+                  allow_nan=False, allow_infinity=False),
+        min_size=1,
+    ),
+)
+def test_mixture_cutoff_invariants(counts, weights):
+    from hds_functions_spark.operators.sampling import (
+        BUCKETS,
+        solve_mixture_cutoffs,
+    )
+
+    present = {s: counts[s] for s in counts if s in weights}
+    if not present:
+        return
+    cutoffs = solve_mixture_cutoffs(present, weights)
+    assert set(cutoffs) == set(present)
+    for s, cut in cutoffs.items():
+        assert 0 <= cut <= BUCKETS
+    # the binding source is kept (almost) whole
+    assert max(cutoffs.values()) >= BUCKETS - 1
+    # expected kept counts sit at the target ratios (up to bucket
+    # quantisation: one bucket is n_s/BUCKETS rows)
+    total_w = sum(w for s, w in weights.items() if s in present)
+    expect = {
+        s: weights[s] / total_w for s in present
+    }
+    kept = {s: present[s] * cutoffs[s] / BUCKETS for s in present}
+    total_kept = sum(kept.values())
+    if total_kept > 0:
+        # cutoff truncation loses up to one bucket (n_s/BUCKETS rows) per
+        # source, and each source's loss also shifts total_kept
+        slack = sum(present.values()) / BUCKETS
+        for s in present:
+            tol = present[s] / BUCKETS + slack + 1e-9 * total_kept
+            assert abs(kept[s] - expect[s] * total_kept) <= tol
+
+
+# --- chunk-boundary arithmetic --------------------------------------------
+
+@given(
+    st.integers(min_value=1, max_value=10**6),   # n tokens
+    st.integers(min_value=1, max_value=4096),    # chunk size
+    st.integers(min_value=0, max_value=4095),    # overlap
+)
+def test_chunk_count_formula(n, chunk, overlap):
+    """Model of chunk_documents' sequence arithmetic: full coverage with
+    the minimal chunk count."""
+    if overlap >= chunk:
+        return
+    import math
+
+    stride = chunk - overlap
+    k = max(math.ceil((n - overlap) / stride), 1)
+    # full coverage: the last chunk reaches the end
+    assert (k - 1) * stride + chunk >= n
+    # minimality: one fewer chunk would leave a gap (when k > 1)
+    if k > 1:
+        assert (k - 2) * stride + chunk < n
