@@ -18,8 +18,26 @@ from .operators.cohort import (
     validate_cohort_columns,
     validate_inclusion_criteria,
 )
+from .operators.contamination import ngram_contamination
+from .operators.dedup import (
+    connected_components,
+    dedup_clusters,
+    duplicate_groups,
+    embedding_near_dup_pairs,
+    exact_dedup,
+    minhash_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from .operators.events import (
+    as_of_join,
+    interval_join,
+    session_stats,
+    sessionize,
+    tumbling_window_agg,
+)
 from .operators.joins import salted_join
-from .operators.packing import pack_sequences
+from .operators.packing import chunk_documents, pack_sequences
 from .operators.profiling import (
     group_quantiles,
     profile_columns,
@@ -28,8 +46,16 @@ from .operators.profiling import (
 from .operators.sampling import (
     deterministic_sample,
     hash_split,
+    mixture_sample,
+    solve_mixture_cutoffs,
     split_bucket,
     stratified_sample,
+)
+from .operators.similarity import (
+    cosine_topk,
+    embedding_centroids,
+    ivf_cosine_topk,
+    lsh_cosine_topk,
 )
 from .operators.privacy import redact_low_counts, round_counts_to_multiple
 from .operators.topk import first_dense_rank, first_rank, first_row, select_top_rows
