@@ -4,6 +4,7 @@ from .stream_ops import (
     read_parquet_stream,
     stream_interval_join,
     run_stream_to_memory,
+    run_stream_to_parquet,
     stream_distinct_keys,
     stream_session_agg,
     stream_stateful_totals,
@@ -14,6 +15,7 @@ __all__ = [
     "read_parquet_stream",
     "stream_interval_join",
     "run_stream_to_memory",
+    "run_stream_to_parquet",
     "stream_distinct_keys",
     "stream_session_agg",
     "stream_stateful_totals",

@@ -51,6 +51,7 @@ from pyspark.sql.types import (
 __all__ = [
     "read_parquet_stream",
     "run_stream_to_memory",
+    "run_stream_to_parquet",
     "stream_tumbling_agg",
     "stream_session_agg",
     "stream_distinct_keys",
@@ -88,6 +89,7 @@ def run_stream_to_memory(
     output_mode: str = "append",
     query_name: str | None = None,
     state_partitions: int | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Run a streaming DataFrame to completion with ``Trigger.AvailableNow``
     into an in-memory sink and return the materialised result as a batch
@@ -101,9 +103,16 @@ def run_stream_to_memory(
     partition, so inheriting a batch-sized shuffle count pays a large fixed
     cost per micro-batch regardless of data volume. Size it to expected
     state cardinality; Spark pins it in the checkpoint on first start.
+
+    ``checkpoint_dir``: pass a stable path to RESUME a previous run — the
+    drain picks up exactly where the last one stopped (offsets + operator
+    state recovered), the production incremental pattern. The dir is then
+    the caller's to manage. Default (None) uses a fresh temp dir reclaimed
+    after the drain.
     """
     name = query_name or f"hds_stream_{uuid.uuid4().hex}"
-    checkpoint = tempfile.mkdtemp(prefix="hds_stream_ckpt_")
+    own_checkpoint = checkpoint_dir is None
+    checkpoint = checkpoint_dir or tempfile.mkdtemp(prefix="hds_stream_ckpt_")
     spark = sdf.sparkSession
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions is not None:
@@ -118,16 +127,64 @@ def run_stream_to_memory(
             .start()
         )
         query.awaitTermination()
-        # the memory sink holds the rows driver-side; the checkpoint is
-        # dead weight once the drain finished
-        shutil.rmtree(checkpoint, ignore_errors=True)
+        if own_checkpoint:
+            # the memory sink holds the rows driver-side; a throwaway
+            # checkpoint is dead weight once the drain finished
+            shutil.rmtree(checkpoint, ignore_errors=True)
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-        # backstop for the failure path (keeps the dir for this process's
-        # lifetime so a post-mortem can read it, reclaims it at exit)
-        atexit.register(shutil.rmtree, checkpoint, ignore_errors=True)
+        if own_checkpoint:
+            # backstop for the failure path (keeps the dir for this
+            # process's lifetime for post-mortems, reclaims it at exit)
+            atexit.register(shutil.rmtree, checkpoint, ignore_errors=True)
     return spark.table(name)
+
+
+def run_stream_to_parquet(
+    sdf: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    output_mode: str = "append",
+    query_name: str | None = None,
+    state_partitions: int | None = None,
+) -> DataFrame:
+    """Drain a streaming DataFrame into a durable parquet sink via
+    ``foreachBatch``, supporting checkpoint RESUME — the production
+    incremental pattern the in-memory sink cannot provide (Spark's memory
+    sink refuses to recover from a checkpoint).
+
+    Each micro-batch's emitted rows are appended; update-mode operators
+    (e.g. :func:`stream_stateful_totals`) therefore append one row per key
+    per micro-batch it changed in — the latest row per key is the current
+    state, earlier rows are the change history (a CDC-style log). Re-invoke
+    with the same ``checkpoint_dir`` after new files arrive and only the
+    new data is processed, with operator state carried over. Returns the
+    sink contents as a batch DataFrame.
+    """
+    spark = sdf.sparkSession
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(path)
+
+    name = query_name or f"hds_stream_{uuid.uuid4().hex}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        query = (
+            sdf.writeStream.foreachBatch(_sink)
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    return spark.read.parquet(path)
 
 
 def stream_tumbling_agg(

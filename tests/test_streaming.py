@@ -219,3 +219,47 @@ def test_stream_late_data_dropped(spark, tmp_path):
     w1 = [r for r in out.collect() if r["window_start"] == ts(0).replace(minute=0)]
     assert len(w1) == 1  # emitted exactly once, never resurrected
     assert w1[0]["n_events"] == 2  # late event 4 dropped
+
+
+def test_stream_checkpoint_resume(spark, tmp_path):
+    """Production incremental pattern: a second drain from the SAME
+    checkpoint (durable foreachBatch parquet sink — the memory sink cannot
+    recover) processes only new files and carries operator state over
+    (running totals keep accumulating, not restart from zero)."""
+    from hds_functions_spark.streaming import run_stream_to_parquet
+
+    src = tmp_path / "src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    sink = str(tmp_path / "sink")
+    schema = "event_id: long, ts: timestamp, user_id: long, event_type: string, value: double"
+    batch1 = spark.createDataFrame(
+        [(1, ts(0), 10, "click", 1.0), (2, ts(1), 10, "click", 2.0)], schema
+    )
+    batch1.repartition(1).write.parquet(str(src / "f1"))
+
+    def drain():
+        stream = (
+            spark.readStream.schema(batch1.schema).option(
+                "maxFilesPerTrigger", 1
+            ).parquet(str(src) + "/*")
+        )
+        return run_stream_to_parquet(
+            stream_stateful_totals(stream),
+            path=sink,
+            checkpoint_dir=ckpt,
+            output_mode="update",
+        )
+
+    out1 = {r["user_id"]: (r["n_events"], r["sum_cents"])
+            for r in drain().collect()}
+    assert out1 == {10: (2, 300)}
+
+    batch2 = spark.createDataFrame([(3, ts(2), 10, "click", 5.0)], schema)
+    batch2.repartition(1).write.parquet(str(src / "f2"))
+    rows = sorted(
+        (r["n_events"], r["sum_cents"]) for r in drain().collect()
+    )
+    # CDC-style log: first drain's row plus the resumed-state row — the
+    # resumed drain continued from (2, 300), it did not restart from zero
+    assert rows == [(2, 300), (3, 800)]
