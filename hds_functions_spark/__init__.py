@@ -18,6 +18,7 @@ from .operators.cohort import (
     validate_cohort_columns,
     validate_inclusion_criteria,
 )
+from .operators.cleaning import filter_lines, scrub_pii
 from .operators.contamination import ngram_contamination
 from .operators.dedup import (
     connected_components,

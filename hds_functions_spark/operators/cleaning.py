@@ -1,0 +1,93 @@
+"""Text-cleaning operators: PII scrubbing and line-level quality filtering.
+
+Extension layer (SURVEY.md §7; no reference counterpart). The two
+text-rewriting steps every web-corpus pipeline runs before training:
+
+- **PII scrubbing** — replace emails / URLs / phone-shaped strings with
+  placeholder tokens (chained ``regexp_replace``, JVM-side, codegen);
+- **line filtering** (C4-style) — drop lines that are too short or do not
+  end in terminal punctuation, recomposing the document from survivors
+  (``split`` → ``filter`` → ``array_join``, no UDF, no shuffle).
+
+Regex patterns stay inside the Java-regex ∩ RE2 common subset (no
+lookarounds, ASCII word boundaries) so the DuckDB oracles run the exact
+same patterns — the same portability rule as the BPE-ish tokeniser.
+
+Both operators are narrow projections: at 100 TB they fuse into the scan
+with zero exchanges, and Catalyst prunes them away entirely for queries
+that don't read the rewritten column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["PII_PATTERNS", "scrub_pii", "filter_lines"]
+
+#: (name, pattern, replacement) — ordered; applied left to right. Patterns
+#: are valid and equivalent under both Java regex and RE2 (DuckDB).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("url", r"https?://[^\s]+", "<URL>"),
+    ("phone", r"\b\d{3}[- .]\d{3}[- .]\d{4}\b", "<PHONE>"),
+]
+
+
+def scrub_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    patterns: list[tuple[str, str, str]] | None = None,
+) -> DataFrame:
+    """Replace PII-shaped substrings with placeholder tokens.
+
+    ``patterns`` defaults to :data:`PII_PATTERNS` (emails, URLs, phone
+    shapes); pass your own ``(name, regex, replacement)`` list for other
+    jurisdictions. Replacement order matters (URLs are scrubbed after
+    emails so ``mailto:``-less addresses inside URLs are already gone);
+    the chain applies in list order. Writes ``out_col`` (default:
+    overwrite ``text_col``).
+    """
+    out_col = out_col or text_col
+    col: Column = F.col(text_col)
+    for _name, pattern, repl in patterns or PII_PATTERNS:
+        col = F.regexp_replace(col, pattern, repl)
+    return df.withColumn(out_col, col)
+
+
+def filter_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    min_chars: int = 3,
+    require_terminal_punct: bool = True,
+    kept_col: str | None = "n_lines_kept",
+    total_col: str | None = "n_lines_total",
+) -> DataFrame:
+    """C4-style line-level filter: keep lines with at least ``min_chars``
+    non-whitespace-trimmed characters and (optionally) terminal
+    punctuation (``.``, ``!`` or ``?``, allowing a closing quote), then
+    recompose the document with newlines.
+
+    Adds ``kept_col`` / ``total_col`` line counts (pass None to skip) so a
+    downstream quality gate can drop documents that lost most of their
+    lines. Writes ``out_col`` (default: overwrite ``text_col``).
+    """
+    out_col = out_col or text_col
+    lines = F.split(F.col(text_col), "\n")
+
+    def keep(line: Column) -> Column:
+        trimmed = F.trim(line)
+        cond = F.length(trimmed) >= min_chars
+        if require_terminal_punct:
+            cond = cond & trimmed.rlike(r"""[.!?]["']?$""")
+        return cond
+
+    kept = F.filter(lines, keep)
+    out = df
+    if total_col:
+        out = out.withColumn(total_col, F.size(lines).cast("long"))
+    if kept_col:
+        out = out.withColumn(kept_col, F.size(kept).cast("long"))
+    return out.withColumn(out_col, F.array_join(kept, "\n"))

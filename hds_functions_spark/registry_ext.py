@@ -1750,3 +1750,97 @@ def analytics_promo_revenue(spark, sf_dir):
         ),
         F.sum(rev).alias("total_cents"),
     )
+
+
+# --- text cleaning (PII scrub / line filter) ------------------------------
+
+from .operators.cleaning import PII_PATTERNS, filter_lines, scrub_pii  # noqa: E402
+
+
+def _duck_scrub_expr(col: str) -> str:
+    out = col
+    for _name, pat, repl in PII_PATTERNS:
+        # doubled single quotes for SQL; 'g' = replace ALL (DuckDB defaults
+        # to first-match-only, unlike Spark)
+        p = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{repl}', 'g')"
+    return out
+
+
+@_register(
+    "clean_scrub_pii",
+    f"""
+WITH dirty AS (
+    SELECT doc_id,
+           substr(text, 1, 40) || ' contact user' || doc_id ||
+           '@example.com or https://site' || doc_id ||
+           '.org/p?x=1 or 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0') ||
+           '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') AS text
+    FROM documents
+)
+SELECT doc_id, {_duck_scrub_expr('text')} AS text FROM dirty
+""",
+)
+def clean_scrub_pii(spark, sf_dir):
+    """PII scrubbing over deterministically-dirtied documents (synthetic
+    email + URL + phone appended per doc): chained regexp_replace with
+    placeholder tokens, patterns in the Java-regex/RE2 shared subset."""
+    key = F.col("doc_id")
+    dirty = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40),
+            F.lit(" contact user"), key.cast("string"),
+            F.lit("@example.com or https://site"), key.cast("string"),
+            F.lit(".org/p?x=1 or 555-"),
+            F.lpad((key % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((key % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return scrub_pii(dirty)
+
+
+@_register(
+    "clean_filter_lines",
+    """
+WITH lined AS (
+    SELECT doc_id,
+           substr(text, 1, 30) || '.' || chr(10) ||
+           substr(text, 31, 20) || chr(10) ||
+           'ok' || chr(10) ||
+           'Final line ' || doc_id || '!' AS text
+    FROM documents
+), filtered AS (
+    SELECT doc_id,
+           string_split(text, chr(10)) AS ls,
+           list_filter(string_split(text, chr(10)),
+                       l -> len(trim(l)) >= 3
+                            AND regexp_matches(rtrim(l), '[.!?]["'']?$'))
+               AS kept
+    FROM lined
+)
+SELECT doc_id,
+       CAST(len(ls) AS BIGINT) AS n_lines_total,
+       CAST(len(kept) AS BIGINT) AS n_lines_kept,
+       array_to_string(kept, chr(10)) AS text
+FROM filtered
+""",
+)
+def clean_filter_lines(spark, sf_dir):
+    """C4-style line filter over deterministically-lined documents: line 1
+    gains terminal punctuation (kept), line 2 has none (dropped), line 3
+    is too short (dropped), line 4 ends with '!' (kept)."""
+    key = F.col("doc_id")
+    lined = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 30), F.lit(".\n"),
+            F.substring("text", 31, 20), F.lit("\n"),
+            F.lit("ok\n"),
+            F.lit("Final line "), key.cast("string"), F.lit("!"),
+        ).alias("text"),
+    )
+    return filter_lines(lined, min_chars=3).select(
+        "doc_id", "n_lines_total", "n_lines_kept", "text"
+    )

@@ -1,0 +1,54 @@
+"""PII scrubbing + line-filter operator tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hds_functions_spark.operators.cleaning import filter_lines, scrub_pii
+
+
+@pytest.fixture()
+def dirty(spark):
+    return spark.createDataFrame(
+        [
+            (1, "mail bob.smith+x@corp.example.co or visit https://a.io/x?q=1 now"),
+            (2, "call 555-867-5309 or 555 123 4567 today"),
+            (3, "clean text with no identifiers"),
+            (4, None),
+        ],
+        "doc_id: long, text: string",
+    )
+
+
+def test_scrub_pii_defaults(spark, dirty):
+    out = {r["doc_id"]: r["text"] for r in scrub_pii(dirty).collect()}
+    assert out[1] == "mail <EMAIL> or visit <URL> now"
+    assert out[2] == "call <PHONE> or <PHONE> today"
+    assert out[3] == "clean text with no identifiers"
+    assert out[4] is None
+
+
+def test_scrub_pii_custom_out_col(spark, dirty):
+    out = scrub_pii(dirty, out_col="clean")
+    assert out.columns == ["doc_id", "text", "clean"]
+    row = out.filter(F.col("doc_id") == 1).collect()[0]
+    assert "@" in row["text"] and "<EMAIL>" in row["clean"]
+
+
+def test_filter_lines_semantics(spark):
+    text = "Good first line.\nno punct here\nab\nShort but fine!\n  x?  "
+    df = spark.createDataFrame([(1, text)], "doc_id: long, text: string")
+    row = filter_lines(df, min_chars=3).collect()[0]
+    # 'no punct here' dropped (no terminal punct), 'ab' dropped (short),
+    # '  x?  ' dropped (trimmed length 2 < 3)
+    assert row["text"] == "Good first line.\nShort but fine!"
+    assert row["n_lines_total"] == 5
+    assert row["n_lines_kept"] == 2
+
+
+def test_filter_lines_no_punct_requirement(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta\nxy\nlong enough line")], "doc_id: long, text: string"
+    )
+    row = filter_lines(df, require_terminal_punct=False, min_chars=3).collect()[0]
+    assert row["text"] == "alpha beta\nlong enough line"
+    assert row["n_lines_kept"] == 2
