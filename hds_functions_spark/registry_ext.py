@@ -1844,3 +1844,43 @@ def clean_filter_lines(spark, sf_dir):
     return filter_lines(lined, min_chars=3).select(
         "doc_id", "n_lines_total", "n_lines_kept", "text"
     )
+
+
+@_register(
+    "pipeline_best_of_cluster",
+    f"""
+SELECT component, doc_id AS best_doc, quality_score
+FROM (SELECT doc_id, component FROM ({ORACLES['dedup_clusters_cc']})) c
+JOIN ({ORACLES['text_quality']}) q USING (doc_id)
+QUALIFY row_number() OVER (PARTITION BY component
+                           ORDER BY quality_score DESC, doc_id) = 1
+""",
+)
+def pipeline_best_of_cluster(spark, sf_dir):
+    """Quality-aware near-dup curation: MinHash-LSH clusters (est_jaccard
+    >= 0.5 connected components) joined with the heuristic quality score;
+    the KEPT document per cluster is the highest-quality member (doc-id
+    tie-break), not the arbitrary min-id canonical — the selection policy
+    real pipelines want. One lazy plan: clustering's star-contraction
+    output feeds a WindowGroupLimit top-1 per component."""
+    from .operators.topk import first_row
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = dedup_clusters(
+        docs,
+        num_hashes=_MH_NUM_HASHES,
+        shingle_size=_MH_SHINGLE,
+        bands=_MH_BANDS,
+        min_jaccard=_CC_MIN_JACCARD,
+    ).select("doc_id", "component")
+    quality = add_quality_score(docs).select("doc_id", "quality_score")
+    joined = clusters.join(quality, on="doc_id")
+    best = first_row(
+        joined,
+        n=1,
+        partition_by=["component"],
+        order_by=[F.col("quality_score").desc(), F.col("doc_id").asc()],
+    )
+    return best.select(
+        "component", F.col("doc_id").alias("best_doc"), "quality_score"
+    )
