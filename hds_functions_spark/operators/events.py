@@ -108,9 +108,15 @@ def as_of_join(
     right_ts: str,
     right_value_cols: list[str],
     direction: str = "backward",
+    tolerance_seconds: int | None = None,
 ) -> DataFrame:
     """For every left row, attach the most recent right row at or before its
     timestamp (``direction='backward'``; ``'forward'`` = earliest at/after).
+
+    ``tolerance_seconds`` bounds how stale the match may be (pandas
+    ``merge_asof(tolerance=...)``): a matched right row further than the
+    tolerance from the left timestamp comes back as nulls, exactly as if
+    no right row existed. Boundary is inclusive.
 
     Implementation (single-shuffle, no row explosion): union the two sides
     tagged, sort within each key partition by (ts, right-first), and carry
@@ -121,19 +127,24 @@ def as_of_join(
     """
     assert direction in ("backward", "forward")
     lcols = left.columns
+    carry_cols = list(right_value_cols)
+    if tolerance_seconds is not None:
+        # carry the matched right timestamp too, so staleness is checkable
+        carry_cols.append("_asof_rts")
+        right = right.withColumn("_asof_rts", F.col(right_ts))
     tagged_left = left.select(
         F.col(key_col).alias("_k"),
         F.col(left_ts).alias("_ts"),
         F.lit(1).alias("_is_left"),
         *[F.col(c) for c in lcols],
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in right_value_cols],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_rv_{c}") for c in carry_cols],
     )
     tagged_right = right.select(
         F.col(key_col).alias("_k"),
         F.col(right_ts).alias("_ts"),
         F.lit(0).alias("_is_left"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in lcols],
-        *[F.col(c).alias(f"_rv_{c}") for c in right_value_cols],
+        *[F.col(c).alias(f"_rv_{c}") for c in carry_cols],
     )
     unioned = tagged_left.unionByName(tagged_right)
 
@@ -154,12 +165,22 @@ def as_of_join(
         "*",
         *[
             F.last(f"_rv_{c}", ignorenulls=True).over(w).alias(f"_carried_{c}")
-            for c in right_value_cols
+            for c in carry_cols
         ],
     )
+    out_vals: list = []
+    for c in right_value_cols:
+        col = F.col(f"_carried_{c}")
+        if tolerance_seconds is not None:
+            lag = F.unix_micros(F.col("_ts")) - F.unix_micros(
+                F.col("_carried__asof_rts")
+            )
+            if direction == "forward":
+                lag = -lag
+            col = F.when(lag <= tolerance_seconds * 1_000_000, col)
+        out_vals.append(col.alias(c))
     return carried.filter(F.col("_is_left") == 1).select(
-        *[F.col(c) for c in lcols],
-        *[F.col(f"_carried_{c}").alias(c) for c in right_value_cols],
+        *[F.col(c) for c in lcols], *out_vals
     )
 
 

@@ -1884,3 +1884,43 @@ def pipeline_best_of_cluster(spark, sf_dir):
     return best.select(
         "component", F.col("doc_id").alias("best_doc"), "quality_score"
     )
+
+
+@_register(
+    "events_asof_tolerance",
+    """
+SELECT l.event_id, l.user_id, l.ts,
+       CASE WHEN r.ts >= l.ts - INTERVAL 10 MINUTE THEN r.event_id END
+           AS click_event_id,
+       CASE WHEN r.ts >= l.ts - INTERVAL 10 MINUTE THEN r.value END
+           AS click_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id AND r.ts <= l.ts
+""",
+)
+def events_asof_tolerance(spark, sf_dir):
+    """As-of join with a staleness bound (pandas merge_asof tolerance):
+    each purchase matched to the user's most recent click only if it is at
+    most 10 minutes old — older matches come back null. Same
+    single-shuffle union-sort plan; the tolerance is a post-carry
+    projection, not an extra join."""
+    events = _t(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_event_id"),
+        F.col("value").alias("click_value"),
+    )
+    return as_of_join(
+        purchases,
+        clicks,
+        "user_id",
+        "ts",
+        "ts",
+        ["click_event_id", "click_value"],
+        tolerance_seconds=600,
+    )

@@ -223,3 +223,32 @@ def test_trailing_window_errors(spark):
         trailing_window_agg(df, "ts", "3 fortnights", ["user_id"])
     with pytest.raises(ValueError, match="positive"):
         trailing_window_agg(df, "ts", "0 hours", ["user_id"])
+
+
+def test_as_of_join_tolerance(spark):
+    import datetime
+
+    from hds_functions_spark.operators.events import as_of_join
+
+    def ts(m):
+        return datetime.datetime(2024, 1, 1, 10, m)
+
+    left = spark.createDataFrame(
+        [(1, 1, ts(30)), (2, 1, ts(50)), (3, 2, ts(10)), (4, 3, ts(10))],
+        "event_id: long, user_id: long, ts: timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(25), 100.0), (2, ts(0), 200.0)],
+        "user_id: long, ts: timestamp, v: double",
+    )
+    out = {
+        r["event_id"]: r["v"]
+        for r in as_of_join(
+            left, right, "user_id", "ts", "ts", ["v"],
+            tolerance_seconds=600,
+        ).collect()
+    }
+    assert out[1] == 100.0   # 5 min stale -> kept
+    assert out[2] is None    # 25 min stale -> nulled by tolerance
+    assert out[3] == 200.0   # exactly 10 min -> boundary is inclusive
+    assert out[4] is None    # no match at all
