@@ -1924,3 +1924,26 @@ def events_asof_tolerance(spark, sf_dir):
         ["click_event_id", "click_value"],
         tolerance_seconds=600,
     )
+
+
+@_register(
+    "multimodal_audio",
+    """
+SELECT doc_id,
+       ([8000, 16000, 22050, 44100, 48000])[(('0x' || substr(md5(text), 11, 2))::INTEGER % 5) + 1]
+           AS sample_rate,
+       CAST(1 + ('0x' || substr(md5(text), 13, 2))::INTEGER % 2 AS INTEGER) AS n_channels,
+       CAST(100 + ('0x' || substr(md5(text), 15, 4))::INTEGER % 600000 AS BIGINT) AS duration_ms,
+       CAST(('0x' || substr(md5(text), 19, 2))::INTEGER AS INTEGER) AS rms_q8
+FROM documents
+""",
+)
+def multimodal_audio(spark, sf_dir):
+    """Audio-feature decode plumbing (mapInPandas, 1 row -> 1 row,
+    enforced schema): sample rate / channels / duration / quantised RMS
+    from the deterministic fake decoder; the real decoder is an
+    environment-gated stub."""
+    from .operators.multimodal import decode_audio_features
+
+    docs = attach_binary_payload(_t(spark, sf_dir, "documents"), "text")
+    return decode_audio_features(docs)
