@@ -58,7 +58,11 @@ from .operators.similarity import (
     ivf_cosine_topk,
     lsh_cosine_topk,
 )
-from .operators.privacy import redact_low_counts, round_counts_to_multiple
+from .operators.privacy import (
+    redact_low_counts,
+    round_counts_to_multiple,
+    suppress_small_groups,
+)
 from .operators.topk import first_dense_rank, first_rank, first_row, select_top_rows
 from .operators.wrangling import clean_column_names, map_column_values
 from .sources.config_io import (

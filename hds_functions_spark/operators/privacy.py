@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
-__all__ = ["round_counts_to_multiple", "redact_low_counts"]
+__all__ = ["round_counts_to_multiple", "redact_low_counts", "suppress_small_groups"]
 
 
 def _validate_columns_arg(columns) -> None:
@@ -102,3 +102,23 @@ def redact_low_counts(
         for c in columns
     }
     return df.withColumns(redacted)
+
+
+def suppress_small_groups(
+    df: DataFrame, count_col: str, threshold: int
+) -> DataFrame:
+    """Drop whole rows whose ``count_col`` is below ``threshold`` — the
+    suppression alternative to :func:`redact_low_counts` when even the
+    existence of a small group is disclosive (null counts are suppressed
+    too, matching redaction's null-is-unsafe stance). ``>= threshold``
+    keeps, same boundary as redaction.
+
+    Extension of the reference's §2.3 surface (``data_privacy.py:72-136``
+    nulls values; suppression removes rows). Plain filter: pushdown-able,
+    zero shuffle.
+    """
+    if not isinstance(threshold, int) or isinstance(threshold, bool) or threshold <= 0:
+        raise ValueError("The 'threshold' argument must be a positive integer.")
+    if count_col not in df.columns:
+        raise ValueError(f"Column '{count_col}' not found in DataFrame.")
+    return df.filter(F.col(count_col) >= threshold)

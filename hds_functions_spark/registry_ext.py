@@ -1947,3 +1947,28 @@ def multimodal_audio(spark, sf_dir):
 
     docs = attach_binary_payload(_t(spark, sf_dir, "documents"), "text")
     return decode_audio_features(docs)
+
+
+@_register(
+    "privacy_suppress",
+    """
+SELECT l_returnflag, l_linestatus, n FROM (
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem
+    WHERE l_quantity < 3
+    GROUP BY 1, 2
+) WHERE n >= 400
+""",
+)
+def privacy_suppress(spark, sf_dir):
+    """Small-group suppression: whole rows below the threshold are removed
+    (the existence-is-disclosive alternative to value redaction)."""
+    from .operators.privacy import suppress_small_groups
+
+    counts = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") < 3)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n"))
+    )
+    return suppress_small_groups(counts, "n", 400)

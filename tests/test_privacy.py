@@ -90,3 +90,17 @@ def test_round_then_redact_pipeline(spark):
     )
     got = {r["id"]: r["c"] for r in out.collect()}
     assert got == {1: None, 2: 15, 3: None}
+
+
+def test_suppress_small_groups(spark):
+    from hds_functions_spark.operators.privacy import suppress_small_groups
+
+    df = spark.createDataFrame(
+        [("a", 12), ("b", 10), ("c", 9), ("d", None)], "g: string, n: int"
+    )
+    out = suppress_small_groups(df, "n", 10)
+    assert sorted(r["g"] for r in out.collect()) == ["a", "b"]  # boundary kept, null dropped
+    with pytest.raises(ValueError, match="positive integer"):
+        suppress_small_groups(df, "n", 0)
+    with pytest.raises(ValueError, match="not found"):
+        suppress_small_groups(df, "missing", 5)
