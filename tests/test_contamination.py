@@ -114,3 +114,25 @@ def test_ngram_contamination_max_eval_df(spark, corpus):
     assert capped[1] == 1
     with pytest.raises(ValueError, match="max_eval_df"):
         ngram_contamination(corpus, eval_df, max_eval_df=0)
+
+
+def test_round2_operators_on_empty_input(spark):
+    """Degenerate-input sweep: every round-2 operator must handle an empty
+    frame (no crash, zero rows) — the partition-empty case every task sees
+    at scale."""
+    from hds_functions_spark.operators.cleaning import filter_lines, scrub_pii
+    from hds_functions_spark.operators.sampling import mixture_sample
+
+    empty = spark.createDataFrame([], "doc_id: long, text: string, lang: string")
+    eval_df = spark.createDataFrame(
+        [(1, "some eval text here")], "eval_id: long, text: string"
+    )
+    assert ngram_contamination(empty, eval_df).count() == 0
+    assert ngram_contamination(
+        spark.createDataFrame([(1, "a b c d")], "doc_id: long, text: string"),
+        empty.select(F.col("doc_id").alias("eval_id"), "text"),
+    ).count() == 0
+    assert chunk_documents(empty).count() == 0
+    assert scrub_pii(empty).count() == 0
+    assert filter_lines(empty).count() == 0
+    assert mixture_sample(empty, "doc_id", "lang", {"en": 1.0}).count() == 0
