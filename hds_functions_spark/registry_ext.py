@@ -1972,3 +1972,72 @@ def privacy_suppress(spark, sf_dir):
         .agg(F.count("*").alias("n"))
     )
     return suppress_small_groups(counts, "n", 400)
+
+
+@_register(
+    "table_standardise_hes",
+    """
+SELECT CAST(o_orderkey AS VARCHAR) AS person_id,
+       o_orderpriority AS order_priority_,
+       CAST(o_totalprice AS VARCHAR) AS total_price_
+FROM orders
+""",
+)
+def table_standardise_hes(spark, sf_dir):
+    """Rename-only standardiser path (hes_apc and 8 siblings share it,
+    reference table_management.py:233-300): PERSON_ID_DEID rename + name
+    cleaning, no date parsing."""
+    from .sources.tables import standardise_table
+
+    src = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("PERSON_ID_DEID"),
+        F.col("o_orderpriority").alias("Order Priority!"),
+        F.col("o_totalprice").cast("string").alias("Total Price?"),
+    )
+    return standardise_table(src, "hes_apc")
+
+
+@_register(
+    "events_gap_quantiles",
+    """
+WITH gaps AS (
+    SELECT user_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+               AS gap_us
+    FROM events
+)
+SELECT user_id % 10 AS user_bucket,
+       count(*) AS n_rows,
+       round(quantile_cont(gap_us, 0.50), 6) AS p50,
+       round(quantile_cont(gap_us, 0.95), 6) AS p95
+FROM gaps WHERE gap_us IS NOT NULL
+GROUP BY 1
+""",
+)
+def events_gap_quantiles(spark, sf_dir):
+    """Inter-event-gap quantiles (microseconds) per user bucket — the
+    activity-cadence feature behind session-gap threshold selection.
+    Composition: per-key lag window -> group_quantiles (exact type-7
+    percentile, matching DuckDB quantile_cont)."""
+    from pyspark.sql import Window
+
+    from .operators.profiling import group_quantiles
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    gaps = ev.withColumn(
+        "gap_us",
+        F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w),
+    ).filter(F.col("gap_us").isNotNull())
+    out = group_quantiles(
+        gaps.withColumn("user_bucket", F.col("user_id") % 10),
+        ["user_bucket"],
+        "gap_us",
+        quantiles=(0.50, 0.95),
+    )
+    return out.select(
+        "user_bucket",
+        "n_rows",
+        F.col("p50").alias("p50"),
+        F.col("p95").alias("p95"),
+    )
