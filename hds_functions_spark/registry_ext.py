@@ -1413,24 +1413,28 @@ def doclen_quantiles(spark, sf_dir):
     "embedding_centroids",
     f"""
 WITH u AS (
-    SELECT label, i, avg(embedding[i]) AS m
+    SELECT label, i - 1 AS dim_index, round(avg(embedding[i]), 6) AS value
     FROM embeddings, generate_series(1, {_EMB_DIM}) AS t(i)
-    GROUP BY label, i
-), c AS (
-    SELECT label, list(round(m, 6) ORDER BY i) AS centroid FROM u GROUP BY label
+    GROUP BY 1, 2
 )
-SELECT label, n_vectors, centroid
-FROM c JOIN (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label)
+SELECT label, n_vectors, CAST(dim_index AS INTEGER) AS dim_index, value
+FROM u JOIN (SELECT label, count(*) AS n_vectors FROM embeddings GROUP BY label)
        USING (label)
 """,
 )
 def embedding_centroids_q(spark, sf_dir):
     """Per-label mean embedding (class prototype / IVF-style centroid):
     64 scalar avg aggregates reassembled into one array — partial
-    aggregation keeps the shuffle at one vector per (partition, label)."""
+    aggregation keeps the shuffle at one vector per (partition, label).
+    The registry output explodes the centroid to (dim_index, value) rows
+    so the comparison is over scalars (array hashing differs between
+    harnesses); the operator's own array output is pinned by pytest."""
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_centroids(
-        emb, ["label"], dim=_EMB_DIM, round_digits=6
+    cent = embedding_centroids(emb, ["label"], dim=_EMB_DIM, round_digits=6)
+    return cent.select(
+        "label",
+        "n_vectors",
+        F.posexplode("centroid").alias("dim_index", "value"),
     )
 
 
