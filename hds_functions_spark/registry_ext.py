@@ -2045,3 +2045,38 @@ def events_gap_quantiles(spark, sf_dir):
         F.col("p50").alias("p50"),
         F.col("p95").alias("p95"),
     )
+
+
+@_register(
+    "events_retention",
+    """
+WITH first_seen AS (
+    SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day FROM events GROUP BY 1
+)
+SELECT f.cohort_day,
+       CAST(date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS INTEGER) AS day_offset,
+       count(DISTINCT e.user_id) AS n_users
+FROM events e JOIN first_seen f USING (user_id)
+GROUP BY 1, 2
+""",
+)
+def events_retention(spark, sf_dir):
+    """Cohort retention matrix: users grouped by first-seen day, distinct
+    active users per (cohort day, day offset). Two shuffles — the min
+    aggregate and the final count-distinct — with the first-seen table
+    joined back un-hinted (it grows with the user universe; AQE
+    size-gates)."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    )
+    first_seen = ev.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        ev.join(first_seen, on="user_id")
+        .select(
+            "user_id",
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day")).alias("day_offset"),
+        )
+        .groupBy("cohort_day", "day_offset")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
