@@ -2080,3 +2080,87 @@ def events_retention(spark, sf_dir):
         .groupBy("cohort_day", "day_offset")
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@_register(
+    "events_funnel",
+    """
+WITH stages AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+           min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+    FROM events GROUP BY user_id
+)
+SELECT count(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n_view,
+       count(CASE WHEN t_view IS NOT NULL AND t_click > t_view THEN 1 END)
+           AS n_view_click,
+       count(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                   AND t_purchase > t_click THEN 1 END) AS n_full_funnel
+FROM stages
+""",
+)
+def events_funnel(spark, sf_dir):
+    """Ordered conversion funnel (view -> click -> purchase): one
+    conditional-min aggregate per user (single shuffle, map-side partials)
+    then a global conditional count — no self-joins, no window explosion;
+    null stage times fail the ordering predicate exactly as in SQL."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    stages = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return stages.agg(
+        F.count(F.when(F.col("t_view").isNotNull(), 1)).alias("n_view"),
+        F.count(
+            F.when(
+                F.col("t_view").isNotNull()
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            )
+        ).alias("n_view_click"),
+        F.count(
+            F.when(
+                F.col("t_view").isNotNull()
+                & (F.col("t_click") > F.col("t_view"))
+                & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            )
+        ).alias("n_full_funnel"),
+    )
+
+
+@_register(
+    "doclen_histogram",
+    f"""
+WITH toks AS (SELECT doc_id, len({_DUCK_TOKENS}) AS n FROM documents)
+SELECT CAST(floor(ln(n) / ln(2)) AS INTEGER) AS log2_bucket,
+       count(*) AS n_docs,
+       CAST(min(n) AS BIGINT) AS min_tokens,
+       CAST(max(n) AS BIGINT) AS max_tokens
+FROM toks WHERE n >= 1
+GROUP BY 1
+""",
+)
+def doclen_histogram(spark, sf_dir):
+    """Power-of-two token-length histogram — the length-distribution view
+    behind packing-budget and truncation decisions. Narrow projection +
+    one small aggregate."""
+    from .functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select(
+        token_count(F.col("text")).alias("n")
+    ).filter(F.col("n") >= 1)
+    return (
+        docs.withColumn(
+            "log2_bucket",
+            F.floor(F.log2("n")).cast("int"),
+        )
+        .groupBy("log2_bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n").cast("long").alias("min_tokens"),
+            F.max("n").cast("long").alias("max_tokens"),
+        )
+    )
