@@ -45,6 +45,7 @@ from .operators.profiling import (
     tf_idf_top_terms,
 )
 from .operators.sampling import (
+    cap_per_group,
     deterministic_sample,
     hash_split,
     mixture_sample,

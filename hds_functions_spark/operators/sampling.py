@@ -19,7 +19,7 @@ fully pushdown/codegen friendly at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import stable_hash64, stable_hash_sql
@@ -32,6 +32,7 @@ __all__ = [
     "stratified_sample",
     "mixture_sample",
     "solve_mixture_cutoffs",
+    "cap_per_group",
     "BUCKETS",
 ]
 
@@ -160,6 +161,36 @@ def stratified_sample(
         else default_bound
     )
     return df.filter(split_bucket(id_col, salt) < bound)
+
+
+def cap_per_group(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    n: int,
+    salt: str = "",
+) -> DataFrame:
+    """Keep at most ``n`` rows per group, chosen deterministically by the
+    id-hash order (hash asc, id asc tie-break) — "cap every source at N
+    documents" without RNG: membership survives re-runs, retries and
+    repartitioning, and raising ``n`` only ever ADDS rows (nested caps,
+    like :func:`deterministic_sample`'s nested fractions).
+
+    Plan: rank-then-filter per group — Catalyst rewrites to
+    ``WindowGroupLimit`` (map-side pruning to ≤ n rows per group per input
+    split before the exchange), so the shuffle carries at most
+    n × #splits rows per group, not the corpus.
+    """
+    if n <= 0:
+        raise ValueError(f"n must be positive (got {n})")
+    w = Window.partitionBy(group_col).orderBy(
+        split_bucket(id_col, salt).asc(), F.col(id_col).asc()
+    )
+    return (
+        df.withColumn("_cap_rn", F.row_number().over(w))
+        .filter(F.col("_cap_rn") <= n)
+        .drop("_cap_rn")
+    )
 
 
 def solve_mixture_cutoffs(

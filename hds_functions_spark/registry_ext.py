@@ -2164,3 +2164,25 @@ def doclen_histogram(spark, sf_dir):
             F.max("n").cast("long").alias("max_tokens"),
         )
     )
+
+
+@_register(
+    "sample_cap_per_group",
+    f"""
+SELECT doc_id, lang FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY lang
+               ORDER BY {_duck_bucket('doc_id', 'cap')} ASC, doc_id ASC) AS rn
+    FROM documents
+) WHERE rn <= 40
+""",
+)
+def sample_cap_per_group(spark, sf_dir):
+    """Deterministic per-group cap: at most 40 docs per language, chosen
+    by id-hash order (nested: raising the cap only adds rows). Catalyst
+    compiles the rank-filter to WindowGroupLimit — map-side pruning to
+    <= n rows per group per split."""
+    from .operators.sampling import cap_per_group
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    return cap_per_group(docs, "doc_id", "lang", 40, salt="cap")

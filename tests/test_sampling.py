@@ -173,3 +173,26 @@ def test_mixture_sample_deterministic_and_errors(spark):
         mixture_sample(df, "doc_id", "src", {"a": 0.0})
     # no weighted source present -> empty result
     assert mixture_sample(df, "doc_id", "src", {"zz": 1.0}).count() == 0
+
+
+def test_cap_per_group(spark):
+    from hds_functions_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 else "b") for i in range(100)],
+        "doc_id: long, src: string",
+    )
+    out5 = cap_per_group(df, "doc_id", "src", 5)
+    counts = {r["src"]: r["n"] for r in
+              out5.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 5, "b": 5}
+    # nested: the 5-cap is a strict subset of the 10-cap
+    ids5 = {r["doc_id"] for r in out5.collect()}
+    ids10 = {r["doc_id"] for r in cap_per_group(df, "doc_id", "src", 10).collect()}
+    assert ids5 < ids10
+    # deterministic under repartitioning
+    ids5b = {r["doc_id"] for r in
+             cap_per_group(df.repartition(7), "doc_id", "src", 5).collect()}
+    assert ids5 == ids5b
+    with pytest.raises(ValueError, match="positive"):
+        cap_per_group(df, "doc_id", "src", 0)
