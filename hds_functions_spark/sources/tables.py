@@ -104,6 +104,7 @@ def save_table(
     table_directory=None,
     partition_by=None,
     bucket_by=None,
+    sort_by=None,
 ) -> None:
     """Overwrite-save a DataFrame to a configured table (metastore or path).
 
@@ -118,6 +119,13 @@ def save_table(
     tables the data is laid out equivalently (``repartition(n, cols)`` +
     ``sortWithinPartitions``) which still yields clustered, splittable
     files, but Spark cannot elide the shuffle without the catalog entry.
+
+    ``sort_by`` (str or list[str]; exclusive with ``bucket_by``) range-
+    partitions and sorts the data on those columns before writing, so each
+    file/row-group covers a narrow, mostly-disjoint value range — parquet
+    min/max statistics then let range/equality predicates on those columns
+    skip most of the table (the poor man's Z-order; the right layout for a
+    fact table filtered repeatedly on time or id ranges).
     """
     directory = _load_directory(table_directory)
     entry = _entry(table, directory)
@@ -133,6 +141,27 @@ def save_table(
         n_buckets, bucket_cols = bucket_by
         bucket_cols = [bucket_cols] if isinstance(bucket_cols, str) else list(bucket_cols)
         assert isinstance(n_buckets, int) and n_buckets > 0
+    if sort_by is not None:
+        assert bucket_by is None, "sort_by and bucket_by are exclusive"
+        if (
+            isinstance(sort_by, tuple)
+            and len(sort_by) == 2
+            and isinstance(sort_by[0], int)
+        ):
+            # explicit file count: (n, cols) — AQE never coalesces a
+            # repartition with an explicit partition number
+            n_files, sort_cols = sort_by
+            sort_cols = (
+                [sort_cols] if isinstance(sort_cols, str) else list(sort_cols)
+            )
+            df = df.repartitionByRange(n_files, *sort_cols)
+        else:
+            sort_cols = (
+                [sort_by] if isinstance(sort_by, str) else list(sort_by)
+            )
+            # AQE right-sizes the range partitions (desirable at scale)
+            df = df.repartitionByRange(*sort_cols)
+        df = df.sortWithinPartitions(*sort_cols)
 
     if bucket_by is not None and "path" in entry:
         df = df.repartition(n_buckets, *bucket_cols).sortWithinPartitions(*bucket_cols)

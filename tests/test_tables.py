@@ -212,3 +212,35 @@ def test_bucketed_save_elides_join_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
         spark.sql("DROP TABLE IF EXISTS default.hds_bucket_l")
         spark.sql("DROP TABLE IF EXISTS default.hds_bucket_r")
+
+
+def test_sorted_save_gives_skippable_ranges(spark, tmp_path):
+    """save_table(sort_by=...) range-partitions + sorts so each parquet
+    file covers a narrow value range — parquet min/max stats then skip
+    files for range predicates."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 97).alias("v")
+    )
+    td = {"srt": {"path": str(tmp_path / "sorted"), "format": "parquet"}}
+    save_table(df, "srt", td, sort_by=(4, "k"))
+    ranges = []
+    for f in glob.glob(str(tmp_path / "sorted" / "*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(0).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) > 1
+    ranges.sort()
+    # files cover disjoint ranges (range partitioning): each file's max is
+    # below the next file's min
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2
+    with pytest.raises(AssertionError, match="exclusive"):
+        save_table(df, "srt", td, sort_by="k", bucket_by=(4, "k"))
