@@ -86,6 +86,7 @@ from .sources.tables import (
     load_table,
     save_archive_snapshot,
     save_table,
+    upsert_table,
     standardise_table,
 )
 

@@ -32,6 +32,7 @@ __all__ = [
     "load_table",
     "save_table",
     "save_archive_snapshot",
+    "upsert_table",
     "get_archive_versions",
     "standardise_table",
     "STANDARDISERS",
@@ -66,14 +67,24 @@ def load_table(
     ``path``[+``format``] (file scan); optional ``archive_date``
     (``'latest'`` or exact date) XOR ``max_archive_date`` filtering the
     ``archived_on`` column. Parity: reference ``table_management.py:23-88``.
+
+    Extension: ``min_archive_date`` (exclusive lower bound, combinable with
+    ``max_archive_date``) — the incremental-processing filter: load only
+    snapshots stamped AFTER the last one already processed. Both bounds
+    prune to whole partitions under the snapshot-per-partition layout of
+    :func:`save_archive_snapshot`.
     """
     directory = _load_directory(table_directory)
     entry = _entry(table, directory)
 
     archive_date = entry.get("archive_date")
     max_archive_date = entry.get("max_archive_date")
+    min_archive_date = entry.get("min_archive_date")
     assert archive_date is None or max_archive_date is None, (
         "Only one of 'archive_date' or 'max_archive_date' can be specified."
+    )
+    assert archive_date is None or min_archive_date is None, (
+        "Only one of 'archive_date' or 'min_archive_date' can be specified."
     )
 
     spark = get_spark_session()
@@ -92,6 +103,8 @@ def load_table(
         df = df.filter(F.col("archived_on") == F.lit(archive_date))
     elif max_archive_date is not None:
         df = df.filter(F.col("archived_on") <= F.lit(max_archive_date))
+    if min_archive_date is not None and archive_date is None:
+        df = df.filter(F.col("archived_on") > F.lit(min_archive_date))
 
     if method is not None:
         df = standardise_table(df, method=method)
@@ -206,6 +219,58 @@ def save_archive_snapshot(
         writer.format(entry.get("format", "parquet")).save(entry["path"])
     else:
         writer.saveAsTable(f"{entry['database']}.{entry['table_name']}")
+
+
+def upsert_table(
+    df: DataFrame,
+    table: str,
+    key_cols,
+    table_directory=None,
+) -> None:
+    """Overwrite-by-key upsert into a path-configured table: existing rows
+    whose key matches an incoming row are replaced, all other rows kept,
+    new keys appended. First call (no table yet) is a plain save.
+
+    Plain-parquet implementation (no transactional log): load existing ->
+    left-anti join on the keys -> union with the incoming rows -> write to
+    a sibling temp dir -> atomic-ish directory swap (never overwrite a
+    path while reading it). The swap uses local-filesystem renames; on an
+    object store use a transactional table format (Delta/Iceberg MERGE)
+    instead — this helper covers the modest curated outputs
+    ``save_table`` targets and documents the pattern.
+    """
+    import os
+    import shutil
+
+    directory = _load_directory(table_directory)
+    entry = _entry(table, directory)
+    if "path" not in entry:
+        raise ValueError(
+            "upsert_table supports path-configured tables only; metastore "
+            "tables need a transactional format (Delta/Iceberg MERGE)."
+        )
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    for c in key_cols:
+        if c not in df.columns:
+            raise ValueError(f"Key column '{c}' missing from DataFrame")
+    path = entry["path"]
+    fmt = entry.get("format", "parquet")
+    if not os.path.exists(path):
+        save_table(df, table, table_directory=table_directory)
+        return
+    spark = get_spark_session()
+    existing = spark.read.format(fmt).load(path)
+    survivors = existing.join(
+        df.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+    )
+    merged = survivors.unionByName(df)
+    tmp, backup = path + "._upsert_tmp", path + "._upsert_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    merged.write.mode("overwrite").format(fmt).save(tmp)
+    shutil.rmtree(backup, ignore_errors=True)
+    os.rename(path, backup)
+    os.rename(tmp, path)
+    shutil.rmtree(backup, ignore_errors=True)
 
 
 def get_archive_versions(df: DataFrame, version_column: str = "archived_on") -> List[str]:

@@ -244,3 +244,31 @@ def test_sorted_save_gives_skippable_ranges(spark, tmp_path):
         assert hi1 < lo2
     with pytest.raises(AssertionError, match="exclusive"):
         save_table(df, "srt", td, sort_by="k", bucket_by=(4, "k"))
+
+
+def test_min_archive_date_incremental(archive_df, tmp_path):
+    """min_archive_date loads only snapshots AFTER the bound — the
+    incremental-processing filter."""
+    base = {"path": str(tmp_path / "inc")}
+    save_table(archive_df, "t", table_directory={"t": base})
+    newer = load_table(
+        "t", table_directory={"t": {**base, "min_archive_date": "2021-01-01"}}
+    )
+    assert {str(r["archived_on"]) for r in newer.collect()} == {"2021-06-01"}
+
+
+def test_upsert_table(spark, tmp_path):
+    from hds_functions_spark.sources.tables import upsert_table
+
+    td = {"u": {"path": str(tmp_path / "u"), "format": "parquet"}}
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id: long, v: string")
+    upsert_table(v1, "u", "id", table_directory=td)  # first call = create
+    v2 = spark.createDataFrame([(2, "B2"), (3, "c")], "id: long, v: string")
+    upsert_table(v2, "u", "id", table_directory=td)
+    rows = {r["id"]: r["v"] for r in load_table("u", table_directory=td).collect()}
+    assert rows == {1: "a", 2: "B2", 3: "c"}
+    with pytest.raises(ValueError, match="missing from DataFrame"):
+        upsert_table(v2, "u", "nope", table_directory=td)
+    with pytest.raises(ValueError, match="path-configured"):
+        upsert_table(v2, "m", "id",
+                     table_directory={"m": {"database": "d", "table_name": "t"}})
