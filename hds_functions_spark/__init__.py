@@ -18,7 +18,7 @@ from .operators.cohort import (
     validate_cohort_columns,
     validate_inclusion_criteria,
 )
-from .operators.cleaning import filter_lines, scrub_pii
+from .operators.cleaning import filter_lines, normalize_unicode_nfc, scrub_pii
 from .operators.contamination import ngram_contamination
 from .operators.dedup import (
     connected_components,
@@ -65,7 +65,11 @@ from .operators.privacy import (
     suppress_small_groups,
 )
 from .operators.topk import first_dense_rank, first_rank, first_row, select_top_rows
-from .operators.wrangling import clean_column_names, map_column_values
+from .operators.wrangling import (
+    align_to_schema,
+    clean_column_names,
+    map_column_values,
+)
 from .sources.config_io import (
     create_dict_from_csv,
     read_csv_distributed,

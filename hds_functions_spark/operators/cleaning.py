@@ -20,10 +20,11 @@ that don't read the rewritten column.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["PII_PATTERNS", "scrub_pii", "filter_lines"]
+__all__ = ["PII_PATTERNS", "scrub_pii", "filter_lines", "normalize_unicode_nfc"]
 
 #: (name, pattern, replacement) — ordered; applied left to right. Patterns
 #: are valid and equivalent under both Java regex and RE2 (DuckDB).
@@ -91,3 +92,29 @@ def filter_lines(
     if kept_col:
         out = out.withColumn(kept_col, F.size(kept).cast("long"))
     return out.withColumn(out_col, F.array_join(kept, "\n"))
+
+
+def normalize_unicode_nfc(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Unicode NFC normalisation (compose combining sequences) — the
+    canonicalisation step before hashing/dedup so visually-identical
+    strings ('e' + COMBINING ACUTE vs precomposed 'é') hash identically.
+
+    Spark exposes no Unicode-normalisation builtin, so this is one of the
+    few justified Python crossings: an Arrow-batched ``pandas_udf``
+    (vectorised batch transfer, not per-row Python) over ``unicodedata``.
+    The DuckDB oracle uses its native ``nfc_normalize`` — both implement
+    Unicode NFC, verified equal.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda x: unicodedata.normalize("NFC", x) if x is not None else None
+        )
+
+    return df.withColumn(out_col or text_col, _nfc(F.col(text_col)))

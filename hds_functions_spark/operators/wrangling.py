@@ -12,7 +12,7 @@ from typing import Mapping
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["clean_column_names", "map_column_values"]
+__all__ = ["clean_column_names", "map_column_values", "align_to_schema"]
 
 # Above this many entries a literal `create_map` expression gets unwieldy for
 # Catalyst (huge expression tree); switch to a broadcast-join lookup table.
@@ -91,3 +91,33 @@ def map_column_values(
     return joined.withColumn(target, F.col("_hds_map_value")).drop(
         "_hds_map_key", "_hds_map_value"
     )
+
+
+def align_to_schema(df: DataFrame, schema, strict: bool = False) -> DataFrame:
+    """Project ``df`` onto ``schema`` (a ``StructType`` or a DataFrame to
+    copy the schema from): missing columns appear as typed nulls,
+    mismatched types are cast, extra columns are dropped, and the output
+    column order matches the target — the alignment every append-style
+    sink needs when upstream schemas drift (e.g. archive snapshots taken
+    over months).
+
+    ``strict=True`` raises instead of silently adding/dropping columns
+    (casts still apply). Pure projection: zero execution cost.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    target: StructType = schema.schema if hasattr(schema, "schema") else schema
+    missing = [f.name for f in target.fields if f.name not in df.columns]
+    extra = [c for c in df.columns if c not in {f.name for f in target.fields}]
+    if strict and (missing or extra):
+        raise ValueError(
+            f"schema mismatch: missing={missing} extra={extra}"
+        )
+    cols = []
+    for f in target.fields:
+        if f.name in df.columns:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)

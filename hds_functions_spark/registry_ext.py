@@ -2186,3 +2186,28 @@ def sample_cap_per_group(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     return cap_per_group(docs, "doc_id", "lang", 40, salt="cap")
+
+
+@_register(
+    "clean_unicode_nfc",
+    """
+SELECT doc_id,
+       nfc_normalize(substr(text, 1, 20) || ' cafe' || chr(769) || ' ' || chr(65) || chr(776))
+           AS text
+FROM documents
+""",
+)
+def clean_unicode_nfc(spark, sf_dir):
+    """Unicode NFC canonicalisation over deterministically-decomposed text
+    (combining acute/diaeresis appended): Arrow-batched pandas_udf over
+    unicodedata vs DuckDB's native nfc_normalize."""
+    from .operators.cleaning import normalize_unicode_nfc
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 20),
+            F.lit(" café Ä"),
+        ).alias("text"),
+    )
+    return normalize_unicode_nfc(docs)

@@ -52,3 +52,15 @@ def test_filter_lines_no_punct_requirement(spark):
     row = filter_lines(df, require_terminal_punct=False, min_chars=3).collect()[0]
     assert row["text"] == "alpha beta\nlong enough line"
     assert row["n_lines_kept"] == 2
+
+
+def test_normalize_unicode_nfc(spark):
+    from hds_functions_spark.operators.cleaning import normalize_unicode_nfc
+
+    df = spark.createDataFrame(
+        [(1, "café"), (2, "café"), (3, None)],
+        "doc_id: long, text: string",
+    )
+    out = {r["doc_id"]: r["text"] for r in normalize_unicode_nfc(df).collect()}
+    assert out[1] == out[2] == "café"   # decomposed == precomposed after NFC
+    assert out[3] is None

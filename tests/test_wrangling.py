@@ -59,3 +59,22 @@ def test_map_column_values_broadcast_join_path(spark, monkeypatch):
     mapped = map_column_values(df, {"A": "Apple", "X": "Xray"}, "label", "mapped")
     got = {r["label"]: r["mapped"] for r in mapped.collect()}
     assert got == {"A": "Apple", "B": None, None: None}
+
+
+def test_align_to_schema(spark):
+    from hds_functions_spark.operators.wrangling import align_to_schema
+
+    target = spark.createDataFrame(
+        [], "a: long, b: string, c: double"
+    )
+    df = spark.createDataFrame(
+        [(1.0, "x", "drop-me")], "a: double, b: string, z: string"
+    )
+    out = align_to_schema(df, target)
+    assert out.columns == ["a", "b", "c"]
+    row = out.collect()[0]
+    assert row["a"] == 1 and isinstance(row["a"], int)  # cast double -> long
+    assert row["c"] is None                              # missing -> typed null
+    assert out.schema["c"].dataType.simpleString() == "double"
+    with pytest.raises(ValueError, match="missing=\\['c'\\] extra=\\['z'\\]"):
+        align_to_schema(df, target, strict=True)
