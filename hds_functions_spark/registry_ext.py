@@ -2211,3 +2211,32 @@ def clean_unicode_nfc(spark, sf_dir):
         ).alias("text"),
     )
     return normalize_unicode_nfc(docs)
+
+
+_RESIZE_W, _RESIZE_H = 8, 8
+_RESIZE_N = _RESIZE_W * _RESIZE_H
+
+
+@_register(
+    "multimodal_resize",
+    f"""
+SELECT doc_id,
+       CAST({_RESIZE_W} AS INTEGER) AS width,
+       CAST({_RESIZE_H} AS INTEGER) AS height,
+       md5(substr(repeat(text, CAST({_RESIZE_N} // greatest(strlen(text), 1) + 1 AS INTEGER)),
+                  1, {_RESIZE_N})) AS resized_md5
+FROM documents
+""",
+)
+def multimodal_resize(spark, sf_dir):
+    """Binary-in/binary-out resize plumbing (mapInPandas, Arrow both
+    directions): the fake resizer emits the input bytes repeated/truncated
+    to width*height; the registry compares the md5 of the resized payload
+    (binary column hashing varies across harnesses)."""
+    from .operators.multimodal import resize_image
+
+    docs = attach_binary_payload(_t(spark, sf_dir, "documents"), "text")
+    resized = resize_image(docs, _RESIZE_W, _RESIZE_H)
+    return resized.select(
+        "doc_id", "width", "height", F.md5("payload").alias("resized_md5")
+    )
