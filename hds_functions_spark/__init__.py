@@ -18,7 +18,12 @@ from .operators.cohort import (
     validate_cohort_columns,
     validate_inclusion_criteria,
 )
-from .operators.cleaning import filter_lines, normalize_unicode_nfc, scrub_pii
+from .operators.cleaning import (
+    dedup_lines,
+    filter_lines,
+    normalize_unicode_nfc,
+    scrub_pii,
+)
 from .operators.contamination import ngram_contamination
 from .operators.dedup import (
     connected_components,

@@ -24,7 +24,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["PII_PATTERNS", "scrub_pii", "filter_lines", "normalize_unicode_nfc"]
+__all__ = ["PII_PATTERNS", "scrub_pii", "filter_lines", "normalize_unicode_nfc", "dedup_lines"]
 
 #: (name, pattern, replacement) — ordered; applied left to right. Patterns
 #: are valid and equivalent under both Java regex and RE2 (DuckDB).
@@ -118,3 +118,30 @@ def normalize_unicode_nfc(
         )
 
     return df.withColumn(out_col or text_col, _nfc(F.col(text_col)))
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    kept_col: str | None = "n_lines_kept",
+    total_col: str | None = "n_lines_total",
+) -> DataFrame:
+    """Order-preserving removal of repeated lines within each document —
+    the boilerplate killer (nav bars, cookie banners, repeated footers
+    produce identical lines): a line survives only at its FIRST
+    occurrence. Pure array expressions: keep line i iff
+    ``array_position(lines, line) == i+1``; per-document cost is
+    O(lines²) on line counts, which are small — no shuffle, no UDF.
+    """
+    out_col = out_col or text_col
+    lines = F.split(F.col(text_col), "\n")
+    kept = F.filter(
+        lines, lambda line, i: F.array_position(lines, line) == i + 1
+    )
+    out = df
+    if total_col:
+        out = out.withColumn(total_col, F.size(lines).cast("long"))
+    if kept_col:
+        out = out.withColumn(kept_col, F.size(kept).cast("long"))
+    return out.withColumn(out_col, F.array_join(kept, "\n"))

@@ -2240,3 +2240,47 @@ def multimodal_resize(spark, sf_dir):
     return resized.select(
         "doc_id", "width", "height", F.md5("payload").alias("resized_md5")
     )
+
+
+@_register(
+    "clean_dedup_lines",
+    """
+WITH lined AS (
+    SELECT doc_id,
+           'Header' || chr(10) || substr(text, 1, 25) || chr(10) ||
+           'Header' || chr(10) || substr(text, 26, 25) || chr(10) || 'Header'
+               AS text
+    FROM documents
+), arr AS (
+    SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined
+), kept AS (
+    SELECT doc_id, ls,
+           list_filter(ls, (l, i) -> list_position(ls, l) = i) AS ks
+    FROM arr
+)
+SELECT doc_id,
+       CAST(len(ls) AS BIGINT) AS n_lines_total,
+       CAST(len(ks) AS BIGINT) AS n_lines_kept,
+       array_to_string(ks, chr(10)) AS text
+FROM kept
+""",
+)
+def clean_dedup_lines(spark, sf_dir):
+    """Within-document repeated-line removal (boilerplate killer) over
+    deterministically-lined documents with a thrice-repeated header: only
+    the first occurrence of each line survives, order preserved."""
+    from .operators.cleaning import dedup_lines
+
+    lined = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("Header\n"),
+            F.substring("text", 1, 25), F.lit("\n"),
+            F.lit("Header\n"),
+            F.substring("text", 26, 25), F.lit("\n"),
+            F.lit("Header"),
+        ).alias("text"),
+    )
+    return dedup_lines(lined).select(
+        "doc_id", "n_lines_total", "n_lines_kept", "text"
+    )

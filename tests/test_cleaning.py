@@ -64,3 +64,14 @@ def test_normalize_unicode_nfc(spark):
     out = {r["doc_id"]: r["text"] for r in normalize_unicode_nfc(df).collect()}
     assert out[1] == out[2] == "café"   # decomposed == precomposed after NFC
     assert out[3] is None
+
+
+def test_dedup_lines(spark):
+    from hds_functions_spark.operators.cleaning import dedup_lines
+
+    text = "Header\nbody one\nHeader\nbody two\nHeader"
+    df = spark.createDataFrame([(1, text)], "doc_id: long, text: string")
+    row = dedup_lines(df).collect()[0]
+    assert row["text"] == "Header\nbody one\nbody two"
+    assert row["n_lines_total"] == 5
+    assert row["n_lines_kept"] == 3
