@@ -26,6 +26,7 @@ __all__ = [
     "add_fingerprint",
     "add_repetition_stats",
     "STOPWORDS",
+    "remove_stopwords",
 ]
 
 #: Tiny per-language stopword lists for the heuristic language identifier.
@@ -264,3 +265,11 @@ def add_repetition_stats(
         .withColumn(f"{p}dup_token_ratio", dup_ratio(toks))
         .withColumn(f"{p}top_bigram_ratio", top_bigram)
     )
+
+
+def remove_stopwords(toks: Column, words: list[str]) -> Column:
+    """Filter stopwords out of a token array (case-insensitive membership,
+    order and duplicates of the survivors preserved — unlike
+    ``array_except``, which dedups). Pure array expression."""
+    wl = F.array(*[F.lit(w) for w in words])
+    return F.filter(toks, lambda t: ~F.array_contains(wl, F.lower(t)))

@@ -2284,3 +2284,45 @@ def clean_dedup_lines(spark, sf_dir):
     return dedup_lines(lined).select(
         "doc_id", "n_lines_total", "n_lines_kept", "text"
     )
+
+
+def _duck_stopword_list() -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS["en"]) + "]"
+
+
+@_register(
+    "text_stopword_filter",
+    f"""
+WITH toks AS (SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents),
+filt AS (
+    SELECT doc_id, t,
+           list_filter(t, x -> NOT list_contains({_duck_stopword_list()}, lower(x))) AS k
+    FROM toks
+)
+SELECT doc_id,
+       CAST(len(t) AS BIGINT) AS n_tokens,
+       CAST(len(k) AS BIGINT) AS n_content_tokens,
+       CASE WHEN len(t) = 0 THEN NULL
+            ELSE round((len(t) - len(k))::DOUBLE / len(t), 6) END AS stopword_ratio
+FROM filt
+""",
+)
+def text_stopword_filter(spark, sf_dir):
+    """Stopword filtering + stopword-density feature: content-token count
+    and stopword ratio per document (high ratio ~ natural prose, low ~
+    lists/code — a standard quality signal)."""
+    from .functions.text import remove_stopwords, tokens as _tokens
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = _tokens(F.col("text"))
+    kept = remove_stopwords(toks, STOPWORDS["en"])
+    n_t, n_k = F.size(toks), F.size(kept)
+    return docs.select(
+        "doc_id",
+        n_t.cast("long").alias("n_tokens"),
+        n_k.cast("long").alias("n_content_tokens"),
+        F.when(
+            n_t > 0,
+            F.round((n_t - n_k).cast("double") / n_t, 6),
+        ).alias("stopword_ratio"),
+    )
