@@ -1,21 +1,25 @@
-"""Text-cleaning operators: PII scrubbing and line-level quality filtering.
+"""Text-cleaning operators: the text-rewriting steps a web-corpus
+pipeline runs before training.
 
-Extension layer (SURVEY.md §7; no reference counterpart). The two
-text-rewriting steps every web-corpus pipeline runs before training:
+Extension layer (SURVEY.md §7; no reference counterpart):
 
 - **PII scrubbing** — replace emails / URLs / phone-shaped strings with
   placeholder tokens (chained ``regexp_replace``, JVM-side, codegen);
 - **line filtering** (C4-style) — drop lines that are too short or do not
   end in terminal punctuation, recomposing the document from survivors
-  (``split`` → ``filter`` → ``array_join``, no UDF, no shuffle).
+  (``split`` → ``filter`` → ``array_join``, no UDF, no shuffle);
+- **repeated-line dedup** — order-preserving first-occurrence filter
+  (boilerplate: nav bars, cookie banners, repeated footers);
+- **Unicode NFC normalisation** — the one justified Python crossing here
+  (no Spark builtin): Arrow-batched ``pandas_udf`` over ``unicodedata``.
 
 Regex patterns stay inside the Java-regex ∩ RE2 common subset (no
 lookarounds, ASCII word boundaries) so the DuckDB oracles run the exact
 same patterns — the same portability rule as the BPE-ish tokeniser.
 
-Both operators are narrow projections: at 100 TB they fuse into the scan
-with zero exchanges, and Catalyst prunes them away entirely for queries
-that don't read the rewritten column.
+Except for NFC, every operator is a narrow projection of built-ins: at
+100 TB they fuse into the scan with zero exchanges, and Catalyst prunes
+them away entirely for queries that don't read the rewritten column.
 """
 
 from __future__ import annotations
