@@ -191,18 +191,57 @@ def interval_join(
     start_col: str,
     end_col: str,
     right_ts: str,
+    time_bin_seconds: int | None = None,
 ) -> DataFrame:
     """Pair each left interval with every right event of the same key whose
-    timestamp falls in [start, end] (inclusive). Key-equi join + range
-    predicate; AQE/broadcast pick the physical join."""
+    timestamp falls in [start, end] (inclusive).
+
+    Default: key-equi join + range predicate; AQE/broadcast pick the
+    physical join. Correct at any scale when keys are selective, but the
+    join co-groups on the KEY alone — one hot key puts its whole history
+    into one task regardless of time.
+
+    ``time_bin_seconds`` switches to the **binned range join** (the
+    standard OSS answer to Spark's missing range-join optimization): each
+    interval explodes to its covered coarse time bins, each right event
+    maps to exactly ONE bin, and the join runs on (key, bin) + the exact
+    range filter. Hot keys now spread over time bins; fanout per interval
+    is span/bin + 1 (bounded — pick a bin close to the typical interval
+    span). A right event's single bin means no post-join dedup is needed.
+    """
     lk = left.alias("l")
     rk = right.alias("r")
-    cond = (
-        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
-        & (F.col(f"r.{right_ts}") >= F.col(f"l.{start_col}"))
+    range_pred = (
+        (F.col(f"r.{right_ts}") >= F.col(f"l.{start_col}"))
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{end_col}"))
     )
-    return lk.join(rk, cond, "inner").select(
+    if time_bin_seconds is None:
+        cond = (F.col(f"l.{key_col}") == F.col(f"r.{key_col}")) & range_pred
+        return lk.join(rk, cond, "inner").select(
+            *[F.col(f"l.{c}") for c in left.columns],
+            *[F.col(f"r.{c}").alias(c if c not in left.columns else f"r_{c}") for c in right.columns],
+        )
+    if time_bin_seconds <= 0:
+        raise ValueError("time_bin_seconds must be positive")
+    bin_us = int(time_bin_seconds) * 1_000_000
+    lb = left.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start_col)) / bin_us),
+                F.floor(F.unix_micros(F.col(end_col)) / bin_us),
+            )
+        ),
+    ).alias("l")
+    rb = right.withColumn(
+        "_bin", F.floor(F.unix_micros(F.col(right_ts)) / bin_us)
+    ).alias("r")
+    cond = (
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (F.col("l._bin") == F.col("r._bin"))
+        & range_pred
+    )
+    return lb.join(rb, cond, "inner").select(
         *[F.col(f"l.{c}") for c in left.columns],
         *[F.col(f"r.{c}").alias(c if c not in left.columns else f"r_{c}") for c in right.columns],
     )

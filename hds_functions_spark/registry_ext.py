@@ -2326,3 +2326,36 @@ def text_stopword_filter(spark, sf_dir):
             F.round((n_t - n_k).cast("double") / n_t, 6),
         ).alias("stopword_ratio"),
     )
+
+
+@_register(
+    "events_interval_binned",
+    """
+SELECT l.event_id, count(*) AS n_clicks
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+JOIN (SELECT * FROM events WHERE event_type = 'click') r
+  ON l.user_id = r.user_id
+ AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 1 HOUR
+GROUP BY l.event_id
+""",
+)
+def events_interval_binned(spark, sf_dir):
+    """Same logical result as events_interval_join, different physical
+    strategy: the binned range join co-groups on (key, 1h time bin) so a
+    hot key's history spreads over bins instead of one task — the OSS
+    answer to Spark's missing range-join optimization. Identical oracle =
+    the equivalence proof."""
+    events = _t(spark, sf_dir, "events")
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", F.col("ts").alias("start_ts"))
+        .withColumn("end_ts", F.col("start_ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id", "ts"
+    )
+    joined = interval_join(
+        purchases, clicks, "user_id", "start_ts", "end_ts", "ts",
+        time_bin_seconds=3600,
+    )
+    return joined.groupBy("event_id").agg(F.count("*").alias("n_clicks"))

@@ -252,3 +252,30 @@ def test_as_of_join_tolerance(spark):
     assert out[2] is None    # 25 min stale -> nulled by tolerance
     assert out[3] == 200.0   # exactly 10 min -> boundary is inclusive
     assert out[4] is None    # no match at all
+
+
+def test_interval_join_binned_equivalence(spark):
+    import datetime
+
+    from hds_functions_spark.operators.events import interval_join
+
+    def ts(m, s=0):
+        return datetime.datetime(2024, 1, 1, 10, m, s)
+
+    left = spark.createDataFrame(
+        [(1, 1, ts(0), ts(30)), (2, 1, ts(40), ts(59)), (3, 2, ts(0), ts(59))],
+        "iid: long, k: long, s: timestamp, e: timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, ts(0)), (1, ts(30)), (1, ts(31)), (1, ts(45)), (2, ts(58)), (3, ts(5))],
+        "k: long, ts: timestamp",
+    )
+    plain = interval_join(left, right, "k", "s", "e", "ts")
+    binned = interval_join(left, right, "k", "s", "e", "ts",
+                           time_bin_seconds=600)
+    key = lambda df: sorted((r["iid"], r["ts"]) for r in df.collect())
+    assert key(plain) == key(binned)
+    # boundary inclusivity preserved: ts(30) is inside [ts(0), ts(30)]
+    assert (1, ts(30)) in key(binned)
+    with pytest.raises(ValueError, match="positive"):
+        interval_join(left, right, "k", "s", "e", "ts", time_bin_seconds=0)
