@@ -155,7 +155,7 @@ def test_sliding_window_agg(spark):
     assert rows[10 * 60 + 30] == 1  # 10:30-11:30 covers 10:40
 
 
-def test_as_of_join_forward(spark):
+def test_as_of_join_forward_nulls_tail(spark):
     from hds_functions_spark.operators.events import as_of_join
 
     left = spark.createDataFrame(
