@@ -2359,3 +2359,26 @@ def events_interval_binned(spark, sf_dir):
         time_bin_seconds=3600,
     )
     return joined.groupBy("event_id").agg(F.count("*").alias("n_clicks"))
+
+
+@_register(
+    "text_langid_confusion",
+    f"""
+SELECT d.lang, p.lang_pred, count(*) AS n_docs
+FROM documents d JOIN ({_duck_lang_sql()}) p USING (doc_id)
+GROUP BY 1, 2
+""",
+)
+def text_langid_confusion(spark, sf_dir):
+    """Language-ID quality matrix: stored language x heuristic prediction
+    with document counts — the evaluation view that decides whether the
+    classifier is good enough to gate on. Composed from the oracle-green
+    langid query (DRY oracle via subquery)."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = add_language_id(docs).select("doc_id", "lang_pred")
+    return (
+        docs.select("doc_id", "lang")
+        .join(pred, on="doc_id")
+        .groupBy("lang", "lang_pred")
+        .agg(F.count("*").alias("n_docs"))
+    )
