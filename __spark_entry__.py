@@ -16,7 +16,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from hds_functions_spark.registry import ORACLES, QUERIES, flagship  # noqa: E402
+from hds_functions_spark.registry import (  # noqa: E402
+    ORACLES,
+    QUERIES,
+    flagship,
+    ordered_query_names,
+)
 import hds_functions_spark.registry_ext  # noqa: E402,F401  (registers extension queries)
 
 
@@ -26,10 +31,15 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return dict(QUERIES)
+    """One entry per implemented operator from SURVEY.md §2.
+
+    Ordered so queries without a prior driver-green CORRECTNESS row come
+    first (the driver's gate verifies the first 50 entries)."""
+    return {name: QUERIES[name] for name in ordered_query_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL equivalent for each query (same aliases)."""
-    return dict(ORACLES)
+    return {
+        name: ORACLES[name] for name in ordered_query_names() if name in ORACLES
+    }

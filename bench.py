@@ -19,7 +19,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from hds_functions_spark.plans import build_session  # noqa: E402
-from hds_functions_spark.registry import QUERIES  # noqa: E402
+from hds_functions_spark.registry import QUERIES, ordered_query_names  # noqa: E402
 import hds_functions_spark.registry_ext  # noqa: E402,F401  (registers extension queries)
 
 
@@ -30,14 +30,14 @@ def time_query(
     under ``fast_cutoff`` seconds are measured once more at most — their
     variance is negligible and the suite has grown past 80 queries, so
     3x-ing every sub-second query would dominate the harness wall-clock."""
-    timings = []
-    for i in range(repeats):
+    timings: list[float] = []
+    while len(timings) < repeats:
         start = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings.append(time.perf_counter() - start)
-        if i == 0 and timings[0] < fast_cutoff and repeats > 2:
-            repeats = 2
+        if len(timings) == 1 and timings[0] < fast_cutoff and repeats > 2:
+            repeats = 2  # sub-second queries: variance is negligible
     return statistics.median(timings)
 
 
@@ -62,28 +62,42 @@ def main() -> None:
     # Warm the JVM/codegen once on the smallest table.
     spark.read.parquet(f"{sf_dir}/nation.parquet").count()
 
+    only = os.environ.get("BENCH_ONLY")  # comma-separated subset, for iterating
+    names = ordered_query_names()
+    if only:
+        wanted = {n.strip() for n in only.split(",") if n.strip()}
+        names = [n for n in names if n in wanted]
+
     per_query: dict[str, float] = {}
-    for name, fn in QUERIES.items():
+    for name in names:
+        fn = QUERIES[name]
         try:
             per_query[name] = round(time_query(fn, spark, sf_dir, repeats), 3)
+            print(f"{name}: {per_query[name]}s", file=sys.stderr)
         except Exception as exc:  # keep the suite going; surface the failure
             print(f"bench error in {name}: {exc}", file=sys.stderr)
             per_query[name] = -1.0
 
     total = round(sum(t for t in per_query.values() if t >= 0), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "suite_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": per_query,
-                "sf": sf,
-                "cpus": int(cpus),
-                "repeats": repeats,
-            }
-        )
-    )
+    result = {
+        "metric": "suite_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf,
+        "cpus": int(cpus),
+        "repeats": repeats,
+    }
+    # Output contract: the result JSON is the ONLY stdout content and the very
+    # last line, compact-separated, so a bounded tail capture still parses it.
+    # A durable copy goes to BENCH.json next to this script.
+    line = json.dumps(result, separators=(",", ":"))
+    bench_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json")
+    with open(bench_path, "w") as fh:
+        fh.write(line + "\n")
+    sys.stdout.flush()
+    print(line)
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

@@ -454,21 +454,45 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     ngram: int = 3,
     min_jaccard: float = 0.5,
+    max_doc_freq: int | None = 10_000,
 ) -> DataFrame:
     """Exact Jaccard similarity over distinct word n-grams, for every pair
     of documents sharing at least one n-gram (others have similarity 0).
 
-    Plan: explode distinct shingles -> self-equi-join on shingle (pairs
-    co-grouped by shingle hash, no cross join) -> per-pair intersection
-    count -> broadcast-joined per-doc shingle counts -> Jaccard =
-    |A∩B| / (|A| + |B| - |A∩B|). Output id_a < id_b with ``jaccard``.
+    Plan: explode distinct shingles -> drop hot grams (document frequency
+    above ``max_doc_freq``) -> self-equi-join on shingle (pairs co-grouped
+    by shingle hash, no cross join) -> per-pair intersection count ->
+    per-doc shingle counts re-join -> Jaccard = |A∩B| / (|A|+|B|-|A∩B|).
+    Output id_a < id_b with ``jaccard``.
+
+    ``max_doc_freq`` is the hot-gram guard (mirror of
+    ``contamination.ngram_contamination``'s ``max_eval_df``): the self-join
+    emits O(df²) pairs per gram, so one boilerplate trigram present in most
+    documents degenerates the join toward all-pairs. Capping df bounds
+    per-gram fanout at ``max_doc_freq²`` while dropping only grams that
+    carry no discriminative signal. The Jaccard is then computed over the
+    KEPT grams on both sides (intersection and per-doc counts use the same
+    capped gram set, so the ratio stays a true Jaccard over that set).
+    Pass ``None`` to disable (exact classic Jaccard; unsafe at corpus
+    scale).
     """
+    if max_doc_freq is not None and max_doc_freq < 2:
+        raise ValueError(f"max_doc_freq must be >= 2 (got {max_doc_freq})")
     toks = tokens(F.col(text_col))
     df = ensure_min_partitions(df)  # parallelise the n-gram explode
     shingled = df.select(
         F.col(id_col).alias("_id"),
         F.explode(F.array_distinct(word_ngrams(toks, ngram))).alias("_gram"),
     )
+    if max_doc_freq is not None:
+        # df-per-gram via window count: one extra exchange on the gram table
+        # (already shuffling on _gram for the self-join), no driver collect.
+        w = Window.partitionBy("_gram")
+        shingled = (
+            shingled.withColumn("_df", F.count("*").over(w))
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
     gram_counts = shingled.groupBy("_id").agg(F.count("*").alias("_n_grams"))
 
     a = shingled.select(F.col("_id").alias("id_a"), "_gram")

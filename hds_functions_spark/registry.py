@@ -623,3 +623,66 @@ def source_csv_distributed(spark, sf_dir):
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The driver smoke-check query: cohort attrition flowchart."""
     return cohort_flowchart(spark, sf_dir)
+
+
+#: Queries the driver's correctness gate should see first. The gate verifies
+#: exactly the first 50 entries of ``queries()`` in iteration order, so
+#: queries with no driver-green history (the round-2 additions, anything whose
+#: implementation changed this round, and new round-3 registrations) are
+#: listed here and surfaced ahead of queries that already have two rounds of
+#: green CORRECTNESS rows (r01+r02) plus the local oracle mimic.
+DRIVER_PRIORITY: list[str] = [
+    # -- 36 round-2 additions, never driver-checked (CORRECTNESS_r02 covered
+    #    only the first 50 registered names) --
+    "events_asof_forward",
+    "sample_hash_split",
+    "sample_stratified",
+    "sample_nested",
+    "sample_mixture",
+    "profile_lineitem",
+    "text_tfidf",
+    "text_repetition",
+    "pack_sequences",
+    "doclen_quantiles",
+    "embedding_centroids",
+    "events_trailing",
+    "analytics_top_orders",
+    "analytics_region_revenue",
+    "decontam_ngram_overlap",
+    "chunk_documents",
+    "events_json_props",
+    "analytics_promo_revenue",
+    "clean_scrub_pii",
+    "clean_filter_lines",
+    "pipeline_best_of_cluster",
+    "events_asof_tolerance",
+    "multimodal_audio",
+    "privacy_suppress",
+    "table_standardise_hes",
+    "events_gap_quantiles",
+    "events_retention",
+    "events_funnel",
+    "doclen_histogram",
+    "sample_cap_per_group",
+    "clean_unicode_nfc",
+    "multimodal_resize",
+    "clean_dedup_lines",
+    "text_stopword_filter",
+    "events_interval_binned",
+    "text_langid_confusion",
+    # -- implementation changed in round 3 (re-verify even though r02-green) --
+    "multimodal_features",   # decoder='real' PPM path is now the default
+    "dedup_ngram_jaccard",   # hot-gram df cap added before the self-join
+]
+
+
+def ordered_query_names() -> list[str]:
+    """Registration names with :data:`DRIVER_PRIORITY` hoisted to the front.
+
+    Priority names not (yet) registered are skipped; everything else keeps
+    registration order. Used by ``__spark_entry__`` so the driver's
+    first-50 correctness window lands on the queries that most need a row.
+    """
+    priority = [n for n in DRIVER_PRIORITY if n in QUERIES]
+    rest = [n for n in QUERIES if n not in set(priority)]
+    return priority + rest

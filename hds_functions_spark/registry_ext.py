@@ -307,6 +307,9 @@ def dedup_clusters_cc(spark, sf_dir):
 
 _NJ_NGRAM = 3
 _NJ_MIN = 0.2
+#: hot-gram cap, deliberately inside the sf0.01 df range (max trigram df
+#: there is 7) so the driver's gate exercises the capped code path.
+_NJ_MAX_DF = 5
 
 
 @_register(
@@ -321,11 +324,14 @@ WITH toks AS (
                                  i -> array_to_string(t[i:i+{_NJ_NGRAM - 1}], ' '))
         END)) AS gram
     FROM toks
+), kept AS (
+    SELECT doc_id, gram FROM grams
+    QUALIFY count(*) OVER (PARTITION BY gram) <= {_NJ_MAX_DF}
 ), counts AS (
-    SELECT doc_id, count(*) AS n_grams FROM grams GROUP BY doc_id
+    SELECT doc_id, count(*) AS n_grams FROM kept GROUP BY doc_id
 ), inter AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-    FROM grams a JOIN grams b USING (gram)
+    FROM kept a JOIN kept b USING (gram)
     WHERE a.doc_id < b.doc_id
     GROUP BY 1, 2
 )
@@ -338,9 +344,13 @@ WHERE n_inter::DOUBLE / (ca.n_grams + cb.n_grams - n_inter) >= {_NJ_MIN}
 """,
 )
 def dedup_ngram_jaccard(spark, sf_dir):
-    """Exact word-3-gram Jaccard similarity pairs (>= 0.2)."""
+    """Exact word-3-gram Jaccard pairs (>= 0.2) over grams with df <= 5
+    (the hot-gram cap path the driver gate verifies)."""
     return ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), ngram=_NJ_NGRAM, min_jaccard=_NJ_MIN
+        _t(spark, sf_dir, "documents"),
+        ngram=_NJ_NGRAM,
+        min_jaccard=_NJ_MIN,
+        max_doc_freq=_NJ_MAX_DF,
     )
 
 

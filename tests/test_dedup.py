@@ -75,6 +75,33 @@ def test_ngram_jaccard_pairs(docs):
     assert (1, 4) not in got
 
 
+def test_ngram_jaccard_hot_gram_cap(spark):
+    """Docs sharing ONLY a boilerplate trigram (df above the cap) must not
+    pair; docs sharing rare grams keep a Jaccard computed over kept grams."""
+    boiler = "all rights reserved"
+    rows = [(i, f"{boiler} unique{i} filler{i} tail{i}") for i in range(1, 7)]
+    rows.append((7, f"{boiler} shared rare gram alpha beta"))
+    rows.append((8, f"{boiler} shared rare gram alpha gamma"))
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    uncapped = ngram_jaccard_pairs(
+        docs, ngram=3, min_jaccard=0.01, max_doc_freq=None
+    )
+    got_un = {(r["id_a"], r["id_b"]) for r in uncapped.collect()}
+    assert (1, 2) in got_un  # boilerplate alone pairs everything uncapped
+
+    capped = ngram_jaccard_pairs(docs, ngram=3, min_jaccard=0.01, max_doc_freq=5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in capped.collect()}
+    assert (1, 2) not in got  # boilerplate-only pair suppressed
+    assert (7, 8) in got  # rare-gram pair survives
+    # Jaccard over KEPT grams: docs 7/8 each have 6 trigrams; "all rights
+    # reserved" (df=8) is dropped, 5 kept each, 4 shared -> 4/6.
+    assert abs(got[(7, 8)] - 4 / 6) < 1e-9
+
+    with pytest.raises(ValueError):
+        ngram_jaccard_pairs(docs, max_doc_freq=1)
+
+
 def test_simhash_near_duplicates(docs):
     out = {r["doc_id"]: r["simhash"] for r in add_simhash(docs).collect()}
     assert out[1] == out[2]

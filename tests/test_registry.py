@@ -19,6 +19,27 @@ def test_every_query_has_an_oracle():
     assert all(isinstance(sql, str) and sql.strip() for sql in oracles.values())
 
 
+def test_driver_priority_queries_land_in_first_50():
+    """The driver's correctness gate verifies exactly the first 50 entries of
+    ``queries()`` in iteration order. Every name in DRIVER_PRIORITY (no prior
+    driver-green row, or changed this round) must be registered and land
+    inside that window."""
+    import __spark_entry__ as e
+    from hds_functions_spark.registry import DRIVER_PRIORITY
+
+    names = list(e.queries())
+    assert len(DRIVER_PRIORITY) == len(set(DRIVER_PRIORITY)), "dup priority"
+    unregistered = [n for n in DRIVER_PRIORITY if n not in names]
+    assert not unregistered, f"priority names not registered: {unregistered}"
+    window = set(names[:50])
+    outside = [n for n in DRIVER_PRIORITY if n not in window]
+    assert not outside, f"priority queries outside the first-50 gate: {outside}"
+    # queries() and oracle_sql() iterate in the same order (oracle-less
+    # streaming-style entries excepted).
+    oracle_names = list(e.oracle_sql())
+    assert oracle_names == [n for n in names if n in set(oracle_names)]
+
+
 def test_readme_lists_every_query():
     import __spark_entry__ as e
 
