@@ -1,0 +1,272 @@
+"""Pure-stdlib media codecs: PPM/BMP image parse+encode, PCM WAV parse+encode.
+
+These back the ``decoder='real'`` paths in :mod:`multimodal` — no external
+imaging/audio library is needed, so the real codec path runs in any
+environment. Formats covered:
+
+- **PPM** (netpbm): binary ``P6`` and ascii ``P3``, comment- and
+  whitespace-tolerant header parsing; nearest-neighbour resize re-encoding
+  to ``P6``.
+- **BMP**: ``BITMAPINFOHEADER`` (the 40-byte header written by effectively
+  every producer), 8/24/32 bpp, top-down or bottom-up.
+- **WAV**: RIFF chunk walk (tolerates extra chunks before ``data``),
+  PCM16 only, exact integer RMS.
+
+Also provides deterministic fixture *synthesis* (image/audio payloads
+derived from a seed string via md5) whose observable properties —
+dimensions, byte sizes, durations, RMS, pixel checksums — are mirrorable
+in ANSI SQL, which is what lets the registry run the real codecs under the
+DuckDB correctness gate: synthesize -> encode -> parse must land exactly
+on the SQL-predicted values.
+
+The synthesis rules are fixed protocol (changing them breaks the oracles):
+
+- ``w = 1 + d0 % 64``, ``h = 1 + d1 % 64`` (``d_i`` = byte i of
+  ``md5(seed)``); format = PPM if ``d2`` even else BMP.
+- image pixel byte ``j`` (row-major RGB, top-down) = ``(d3 + j) % 256``.
+- WAV: rate = ``[8000,16000,22050,44100,48000][d5 % 5]``, channels =
+  ``1 + d6 % 2``, frames = ``200 + (d7*256 + d8) % 800``, every sample
+  alternates ``+A, -A`` with ``A = d9 * 128`` (so RMS == A exactly and
+  ``rms_q8 = A // 128 = d9``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import struct
+from array import array
+
+__all__ = [
+    "WAV_RATES",
+    "synthesize_image",
+    "synthesize_ppm",
+    "synthesize_bmp",
+    "synthesize_wav",
+    "parse_image",
+    "parse_wav",
+    "resize_ppm_nearest",
+    "ppm_pixel_data",
+]
+
+WAV_RATES = [8000, 16000, 22050, 44100, 48000]
+
+
+# --- synthesis (deterministic, SQL-mirrorable) ---------------------------
+
+def _dims(seed: str) -> tuple[int, int, bytes]:
+    d = hashlib.md5(seed.encode("utf-8")).digest()
+    return 1 + d[0] % 64, 1 + d[1] % 64, d
+
+
+def synthesize_ppm(seed: str) -> bytes:
+    """Deterministic P6 image: dims and pixel pattern from md5(seed)."""
+    w, h, d = _dims(seed)
+    header = b"P6\n" + f"{w} {h}\n".encode() + b"255\n"
+    pixels = bytes((d[3] + j) % 256 for j in range(w * h * 3))
+    return header + pixels
+
+
+def synthesize_bmp(seed: str) -> bytes:
+    """Deterministic 24bpp bottom-up BMP with the same pixel pattern as the
+    PPM synth (pattern index is top-down row-major RGB)."""
+    w, h, d = _dims(seed)
+    stride = (3 * w + 3) // 4 * 4
+    data_size = stride * h
+    file_header = struct.pack("<2sIHHI", b"BM", 54 + data_size, 0, 0, 54)
+    info_header = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0
+    )
+    rows = []
+    for y_out in range(h - 1, -1, -1):  # bottom-up storage, top-down pattern
+        row = bytearray()
+        for x in range(w):
+            base = (y_out * w + x) * 3
+            r, g, b = ((d[3] + base + c) % 256 for c in range(3))
+            row += bytes((b, g, r))  # BMP stores BGR
+        row += b"\x00" * (stride - 3 * w)
+        rows.append(bytes(row))
+    return file_header + info_header + b"".join(rows)
+
+
+def synthesize_image(seed: str) -> bytes:
+    """PPM if md5 byte 2 is even, BMP otherwise — exercises format sniffing."""
+    d2 = hashlib.md5(seed.encode("utf-8")).digest()[2]
+    return synthesize_ppm(seed) if d2 % 2 == 0 else synthesize_bmp(seed)
+
+
+def synthesize_wav(seed: str) -> bytes:
+    """Deterministic PCM16 WAV; every sample is +A/-A alternating per frame
+    so the true RMS is exactly A (see module docstring for the rules)."""
+    d = hashlib.md5(seed.encode("utf-8")).digest()
+    rate = WAV_RATES[d[5] % len(WAV_RATES)]
+    channels = 1 + d[6] % 2
+    frames = 200 + (d[7] * 256 + d[8]) % 800
+    amp = d[9] * 128
+    samples = array("h")
+    for i in range(frames):
+        v = amp if i % 2 == 0 else -amp
+        samples.extend([v] * channels)
+    data = samples.tobytes()
+    block_align = channels * 2
+    header = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF",
+        36 + len(data),
+        b"WAVE",
+        b"fmt ",
+        16,
+        1,  # PCM
+        channels,
+        rate,
+        rate * block_align,
+        block_align,
+        16,
+        b"data",
+        len(data),
+    )
+    return header + data
+
+
+# --- parsing -------------------------------------------------------------
+
+def _ppm_header(payload: bytes) -> tuple[int, int, int, int] | None:
+    """Parse a P6/P3 header -> (width, height, maxval, data_offset).
+    Whitespace- and comment-tolerant per the netpbm spec."""
+    if len(payload) < 2 or payload[:2] not in (b"P6", b"P3"):
+        return None
+    pos, fields = 2, []
+    n = len(payload)
+    while len(fields) < 3 and pos < n:
+        c = payload[pos]
+        if c in b" \t\r\n":
+            pos += 1
+        elif c == ord("#"):
+            while pos < n and payload[pos] != ord("\n"):
+                pos += 1
+        elif chr(c).isdigit():
+            start = pos
+            while pos < n and chr(payload[pos]).isdigit():
+                pos += 1
+            fields.append(int(payload[start:pos]))
+        else:
+            return None
+    if len(fields) < 3 or pos >= n:
+        return None
+    return fields[0], fields[1], fields[2], pos + 1  # single ws after maxval
+
+
+def parse_image(payload: bytes | None) -> dict | None:
+    """Sniff + parse a PPM or BMP payload.
+
+    Returns ``{"width", "height", "mode", "format"}`` or None if the payload
+    is not a supported image (callers emit a null row — robust-by-default
+    for corpus-scale data where some payloads are always corrupt).
+    """
+    if not payload:
+        return None
+    p = bytes(payload)
+    if p[:2] in (b"P6", b"P3"):
+        head = _ppm_header(p)
+        if head is None:
+            return None
+        w, h, maxval, _ = head
+        if w <= 0 or h <= 0 or maxval <= 0:
+            return None
+        return {"width": w, "height": h, "mode": "RGB", "format": "ppm"}
+    if p[:2] == b"BM" and len(p) >= 54:
+        w, h = struct.unpack_from("<ii", p, 18)
+        bpp = struct.unpack_from("<H", p, 28)[0]
+        mode = {8: "L", 24: "RGB", 32: "RGBA"}.get(bpp)
+        if w <= 0 or h == 0 or mode is None:
+            return None
+        return {"width": w, "height": abs(h), "mode": mode, "format": "bmp"}
+    return None
+
+
+def ppm_pixel_data(payload: bytes) -> tuple[int, int, bytes] | None:
+    """P6 payload -> (width, height, raw RGB bytes), or None."""
+    p = bytes(payload)
+    if p[:2] != b"P6":
+        return None
+    head = _ppm_header(p)
+    if head is None:
+        return None
+    w, h, _maxval, off = head
+    pixels = p[off : off + w * h * 3]
+    if len(pixels) < w * h * 3:
+        return None
+    return w, h, pixels
+
+
+def resize_ppm_nearest(
+    payload: bytes | None, target_w: int, target_h: int
+) -> bytes | None:
+    """Nearest-neighbour resize of a P6 image, re-encoded as P6.
+
+    ``src = (x * w // W, y * h // H)`` — the floor mapping, mirrorable in
+    integer SQL. Returns None for non-P6/corrupt payloads.
+    """
+    if not payload:
+        return None
+    parsed = ppm_pixel_data(payload)
+    if parsed is None:
+        return None
+    w, h, pixels = parsed
+    out = bytearray()
+    for y in range(target_h):
+        sy = y * h // target_h
+        row_base = sy * w
+        for x in range(target_w):
+            sx = x * w // target_w
+            base = (row_base + sx) * 3
+            out += pixels[base : base + 3]
+    header = b"P6\n" + f"{target_w} {target_h}\n".encode() + b"255\n"
+    return header + bytes(out)
+
+
+def parse_wav(payload: bytes | None) -> dict | None:
+    """RIFF/WAVE chunk walk -> sample_rate, n_channels, duration_ms, rms_q8.
+
+    PCM16 only; RMS is sqrt(mean(sample^2)) over every sample (all
+    channels), rounded then quantised ``// 128`` to 8 bits. Returns None
+    for non-WAV/corrupt/unsupported payloads.
+    """
+    if not payload:
+        return None
+    p = bytes(payload)
+    if len(p) < 44 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return None
+    pos, n = 12, len(p)
+    rate = channels = bits = None
+    data = None
+    while pos + 8 <= n:
+        cid = p[pos : pos + 4]
+        size = struct.unpack_from("<I", p, pos + 4)[0]
+        body = p[pos + 8 : pos + 8 + size]
+        if cid == b"fmt " and size >= 16:
+            fmt, channels, rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt != 1:  # PCM only
+                return None
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size % 2)  # chunks are word-aligned
+    if rate is None or channels is None or data is None or bits != 16:
+        return None
+    samples = array("h")
+    usable = len(data) - len(data) % 2
+    samples.frombytes(data[:usable])
+    n_frames = len(samples) // channels if channels else 0
+    duration_ms = n_frames * 1000 // rate if rate else 0
+    if len(samples):
+        mean_sq = sum(s * s for s in samples) / len(samples)
+        rms_q8 = min(255, int(round(math.sqrt(mean_sq))) // 128)
+    else:
+        rms_q8 = 0
+    return {
+        "sample_rate": rate,
+        "n_channels": channels,
+        "duration_ms": duration_ms,
+        "rms_q8": rms_q8,
+    }

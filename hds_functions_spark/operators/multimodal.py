@@ -3,10 +3,16 @@
 Extension layer (SURVEY.md §7). Image/audio/video payloads are carried as
 ``binary`` columns with metadata columns alongside. The Spark-side plumbing
 (schemas, Arrow-batched ``mapInPandas`` signatures, partition-safe batch
-processing) is real and tested; the actual media decoding is STUBBED — the
-decode libraries are not available in this environment — behind
-``decoder='fake'`` (deterministic pseudo-features derived from the bytes)
-or ``decoder='real'`` which raises ``NotImplementedError``.
+processing) is real and tested.
+
+Decoding: ``decoder='real'`` runs the pure-stdlib codecs in
+:mod:`media_codecs` — PPM/BMP image parse, nearest-neighbour PPM resize,
+PCM WAV parse — with unparseable payloads emitted as null rows (corrupt
+payloads are a fact of corpus-scale data; a decode stage must not abort the
+job). ``decoder='fake'`` keeps the deterministic md5-derived pseudo-features
+(useful when payloads are arbitrary bytes, e.g. text stand-ins). Video frame
+sampling has no stdlib-expressible codec, so its real path remains a
+documented ``NotImplementedError`` stub behind the deterministic fake.
 """
 
 from __future__ import annotations
@@ -25,9 +31,20 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from .media_codecs import (
+    parse_image,
+    parse_wav,
+    ppm_pixel_data,
+    resize_ppm_nearest,
+    synthesize_image,
+    synthesize_ppm,
+    synthesize_wav,
+)
+
 __all__ = [
     "attach_binary_payload",
     "binary_metadata",
+    "synthesize_media_payloads",
     "decode_image_features",
     "decode_audio_features",
     "resize_image",
@@ -60,32 +77,78 @@ def binary_metadata(df: DataFrame, payload_col: str = "payload") -> DataFrame:
     )
 
 
-#: Output schema of the (stubbed) image decoder: one row per input row.
+#: One row per input image; ``format`` is the sniffed container
+#: ('ppm'/'bmp' real, 'fake' for the pseudo-decoder, null undecodable).
 IMAGE_FEATURE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
         StructField("mode", StringType()),
+        StructField("format", StringType()),
         StructField("payload_bytes", LongType()),
     ]
 )
+
+
+def synthesize_media_payloads(
+    df: DataFrame,
+    kind: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Deterministic binary media fixtures from a seed text column, built
+    worker-side via ``mapInPandas`` (no driver collect — fixture generation
+    distributes like any other stage).
+
+    ``kind``: ``'image'`` (PPM/BMP mix sniff-selected by md5 byte 2),
+    ``'ppm'``, or ``'wav'``. The synthesis rules are the fixed protocol in
+    :mod:`media_codecs`, chosen so every observable the real decoders
+    extract is also computable in ANSI SQL from the seed text — that is
+    what lets the registry run real codec paths under the DuckDB gate.
+    """
+    synth = {"image": synthesize_image, "ppm": synthesize_ppm,
+             "wav": synthesize_wav}.get(kind)
+    if synth is None:
+        raise ValueError(f"kind must be image|ppm|wav (got {kind!r})")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField(payload_col, BinaryType()),
+        ]
+    )
+
+    def process(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    payload_col: [
+                        synth(t) if t is not None else None
+                        for t in pdf[text_col]
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(process, schema=schema)
 
 
 def decode_image_features(
     df: DataFrame,
     id_col: str = "doc_id",
     payload_col: str = "payload",
-    decoder: str = "fake",
+    decoder: str = "real",
 ) -> DataFrame:
     """Arrow-batched image decode via ``mapInPandas``.
 
-    The distributed plumbing is real: binary payloads stream to Python in
-    Arrow batches, one output row per image, schema enforced. The decode
-    itself is stubbed (``decoder='fake'``): deterministic width/height/mode
-    derived from the payload's md5 — byte-for-byte reproducible. Passing
-    ``decoder='real'`` raises NotImplementedError (no imaging library in
-    this environment); swap in PIL/torchvision there.
+    ``decoder='real'`` (default) parses PPM (P6/P3) and BMP headers with the
+    pure-stdlib codecs in :mod:`media_codecs`; payloads that are not a
+    supported image decode to a null-featured row rather than failing the
+    stage. ``decoder='fake'`` emits deterministic md5-derived
+    pseudo-features for arbitrary payload bytes.
     """
     if decoder not in ("fake", "real"):
         raise ValueError("decoder must be 'fake' or 'real'")
@@ -95,10 +158,21 @@ def decode_image_features(
 
         for pdf in batches:
             if decoder == "real":
-                raise NotImplementedError(
-                    "real image decoding requires an imaging library "
-                    "(PIL/torchvision) not present in this environment"
+                parsed = [parse_image(p) for p in pdf[payload_col]]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf[id_col],
+                        "width": [r["width"] if r else None for r in parsed],
+                        "height": [r["height"] if r else None for r in parsed],
+                        "mode": [r["mode"] if r else None for r in parsed],
+                        "format": [r["format"] if r else None for r in parsed],
+                        "payload_bytes": [
+                            len(bytes(p)) if p is not None else None
+                            for p in pdf[payload_col]
+                        ],
+                    }
                 )
+                continue
             digests = [
                 hashlib.md5(bytes(p)).digest() if p is not None else None
                 for p in pdf[payload_col]
@@ -118,6 +192,7 @@ def decode_image_features(
                         ["RGB", "RGBA", "L"][d[4] % 3] if d else None
                         for d in digests
                     ],
+                    "format": ["fake" if d else None for d in digests],
                     "payload_bytes": [
                         len(bytes(p)) if p is not None else None
                         for p in pdf[payload_col]
@@ -130,13 +205,15 @@ def decode_image_features(
     )
 
 
-#: Output schema of the (stubbed) resize: one row per input row.
+#: One row per input; ``pixel_sum`` is an integrity checksum (sum of the
+#: output pixel bytes) so content — not just dimensions — is verifiable.
 RESIZED_IMAGE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
         StructField("payload", BinaryType()),
         StructField("width", IntegerType()),
         StructField("height", IntegerType()),
+        StructField("pixel_sum", LongType()),
     ]
 )
 
@@ -147,16 +224,19 @@ def resize_image(
     target_height: int,
     id_col: str = "doc_id",
     payload_col: str = "payload",
-    decoder: str = "fake",
+    decoder: str = "real",
 ) -> DataFrame:
     """Arrow-batched image resize via ``mapInPandas`` (1 row -> 1 row,
-    binary in / binary out). Stubbed resize (``decoder='fake'``) emits a
-    deterministic payload: the first ``target_width*target_height`` bytes of
-    the input repeated/truncated — byte-for-byte reproducible so the
-    dataflow (binary columns through Arrow both directions, schema
-    enforcement, batch iteration) is fully testable without an imaging
-    library. ``decoder='real'`` raises NotImplementedError; swap in
-    PIL.Image.resize there.
+    binary in / binary out).
+
+    ``decoder='real'`` (default) nearest-neighbour-resizes P6 PPM payloads
+    with :func:`media_codecs.resize_ppm_nearest` (floor source mapping
+    ``src = x*w//W``) and re-encodes as P6; non-PPM/corrupt payloads emit a
+    null payload row. ``decoder='fake'`` emits the input bytes
+    repeated/truncated to ``W*H`` — the arbitrary-bytes dataflow stub.
+    ``pixel_sum`` sums the output pixel bytes either way (header excluded
+    in the real path), making content drift observable without comparing
+    binaries.
     """
     if decoder not in ("fake", "real"):
         raise ValueError("decoder must be 'fake' or 'real'")
@@ -166,25 +246,35 @@ def resize_image(
         import pandas as pd
 
         for pdf in batches:
-            if decoder == "real":
-                raise NotImplementedError(
-                    "real image resizing requires an imaging library "
-                    "(PIL/torchvision) not present in this environment"
-                )
-            out_payloads = []
+            out_payloads, sums = [], []
             for p in pdf[payload_col]:
                 if p is None:
                     out_payloads.append(None)
+                    sums.append(None)
                     continue
-                b = bytes(p)
-                reps = (n_bytes // max(len(b), 1)) + 1
-                out_payloads.append((b * reps)[:n_bytes])
+                if decoder == "real":
+                    resized = resize_ppm_nearest(
+                        bytes(p), target_width, target_height
+                    )
+                    out_payloads.append(resized)
+                    if resized is None:
+                        sums.append(None)
+                    else:
+                        pix = ppm_pixel_data(resized)
+                        sums.append(sum(pix[2]) if pix else None)
+                else:
+                    b = bytes(p)
+                    reps = (n_bytes // max(len(b), 1)) + 1
+                    out = (b * reps)[:n_bytes]
+                    out_payloads.append(out)
+                    sums.append(sum(out))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
                     "payload": out_payloads,
                     "width": target_width,
                     "height": target_height,
+                    "pixel_sum": pd.array(sums, dtype="Int64"),
                 }
             )
 
@@ -278,16 +368,15 @@ def decode_audio_features(
     df: DataFrame,
     id_col: str = "doc_id",
     payload_col: str = "payload",
-    decoder: str = "fake",
+    decoder: str = "real",
 ) -> DataFrame:
     """Arrow-batched audio decode via ``mapInPandas`` (1 row -> 1 row).
 
-    Stubbed decoder: sample rate / channels / duration / quantised RMS all
-    derived deterministically from the payload's md5 — reproducible without
-    an audio library. ``decoder='real'`` raises NotImplementedError (no
-    soundfile/librosa in this environment); the Spark-side plumbing (binary
-    Arrow transfer, enforced schema, batch iteration) is identical either
-    way.
+    ``decoder='real'`` (default) walks RIFF chunks and parses PCM16 WAV
+    with :func:`media_codecs.parse_wav` — sample rate, channels, exact
+    integer duration, true RMS quantised to 8 bits. Non-WAV/corrupt
+    payloads decode to a null-featured row. ``decoder='fake'`` keeps the
+    md5-derived pseudo-features for arbitrary payload bytes.
     """
     if decoder not in ("fake", "real"):
         raise ValueError("decoder must be 'fake' or 'real'")
@@ -299,10 +388,32 @@ def decode_audio_features(
 
         for pdf in batches:
             if decoder == "real":
-                raise NotImplementedError(
-                    "real audio decoding requires an audio library "
-                    "(soundfile/librosa) not present in this environment"
+                parsed = [
+                    parse_wav(p) if p is not None else None
+                    for p in pdf[payload_col]
+                ]
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf[id_col],
+                        "sample_rate": pd.array(
+                            [r["sample_rate"] if r else None for r in parsed],
+                            dtype="Int32",
+                        ),
+                        "n_channels": pd.array(
+                            [r["n_channels"] if r else None for r in parsed],
+                            dtype="Int32",
+                        ),
+                        "duration_ms": pd.array(
+                            [r["duration_ms"] if r else None for r in parsed],
+                            dtype="Int64",
+                        ),
+                        "rms_q8": pd.array(
+                            [r["rms_q8"] if r else None for r in parsed],
+                            dtype="Int32",
+                        ),
+                    }
                 )
+                continue
             ids, rates, chans, durs, rms = [], [], [], [], []
             for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
                 if p is None:

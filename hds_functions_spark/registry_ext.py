@@ -40,6 +40,7 @@ from .operators.multimodal import (
     attach_binary_payload,
     decode_image_features,
     sample_video_frames,
+    synthesize_media_payloads,
 )
 from .operators.similarity import (
     cosine_topk,
@@ -775,19 +776,33 @@ def events_interval_join(spark, sf_dir):
 @_register(
     "multimodal_features",
     """
+WITH b AS (
+  SELECT doc_id,
+    1 + ('0x' || substr(md5(text), 1, 2))::INTEGER % 64 AS w,
+    1 + ('0x' || substr(md5(text), 3, 2))::INTEGER % 64 AS ht,
+    ('0x' || substr(md5(text), 5, 2))::INTEGER % 2 AS is_bmp
+  FROM documents
+)
 SELECT doc_id,
-       CAST(1 + (('0x' || substr(md5(text), 1, 4))::INTEGER % 4096) AS INTEGER) AS width,
-       CAST(1 + (('0x' || substr(md5(text), 5, 4))::INTEGER % 4096) AS INTEGER) AS height,
-       (['RGB', 'RGBA', 'L'])[(('0x' || substr(md5(text), 9, 2))::INTEGER % 3) + 1] AS mode,
-       octet_length(text::BLOB) AS payload_bytes
-FROM documents
+  CAST(w AS INTEGER) AS width, CAST(ht AS INTEGER) AS height,
+  'RGB' AS mode,
+  CASE WHEN is_bmp = 0 THEN 'ppm' ELSE 'bmp' END AS format,
+  CAST(CASE WHEN is_bmp = 0
+       THEN 9 + strlen(w::VARCHAR) + strlen(ht::VARCHAR) + 3*w*ht
+       ELSE 54 + ((3*w + 3) // 4 * 4) * ht END AS BIGINT) AS payload_bytes
+FROM b
 """,
 )
 def multimodal_features(spark, sf_dir):
-    """Arrow-batched mapInPandas decode plumbing over binary payloads
-    (deterministic fake decoder; real decoder stubbed per environment)."""
-    docs = attach_binary_payload(_t(spark, sf_dir, "documents"), "text")
-    return decode_image_features(docs)
+    """REAL codec path: synthesize deterministic PPM/BMP binaries (format
+    sniff-mixed by md5 byte 2) worker-side, then parse them with the
+    pure-stdlib image codecs — the oracle predicts dimensions, container
+    and exact byte size from the seed text, so any header/parse drift
+    hash-mismatches."""
+    docs = synthesize_media_payloads(
+        _t(spark, sf_dir, "documents"), kind="image"
+    )
+    return decode_image_features(docs, decoder="real")
 
 
 @_register(
@@ -1944,23 +1959,29 @@ def events_asof_tolerance(spark, sf_dir):
     "multimodal_audio",
     """
 SELECT doc_id,
-       ([8000, 16000, 22050, 44100, 48000])[(('0x' || substr(md5(text), 11, 2))::INTEGER % 5) + 1]
-           AS sample_rate,
-       CAST(1 + ('0x' || substr(md5(text), 13, 2))::INTEGER % 2 AS INTEGER) AS n_channels,
-       CAST(100 + ('0x' || substr(md5(text), 15, 4))::INTEGER % 600000 AS BIGINT) AS duration_ms,
-       CAST(('0x' || substr(md5(text), 19, 2))::INTEGER AS INTEGER) AS rms_q8
+  CAST(([8000,16000,22050,44100,48000])[('0x'||substr(md5(text),11,2))::INTEGER % 5 + 1]
+       AS INTEGER) AS sample_rate,
+  CAST(1 + ('0x'||substr(md5(text),13,2))::INTEGER % 2 AS INTEGER) AS n_channels,
+  CAST((200 + (('0x'||substr(md5(text),15,2))::INTEGER * 256
+               + ('0x'||substr(md5(text),17,2))::INTEGER) % 800) * 1000
+       // ([8000,16000,22050,44100,48000])[('0x'||substr(md5(text),11,2))::INTEGER % 5 + 1]
+       AS BIGINT) AS duration_ms,
+  CAST(('0x'||substr(md5(text),19,2))::INTEGER AS INTEGER) AS rms_q8
 FROM documents
 """,
 )
 def multimodal_audio(spark, sf_dir):
-    """Audio-feature decode plumbing (mapInPandas, 1 row -> 1 row,
-    enforced schema): sample rate / channels / duration / quantised RMS
-    from the deterministic fake decoder; the real decoder is an
-    environment-gated stub."""
-    from .operators.multimodal import decode_audio_features
+    """REAL codec path: synthesize deterministic PCM16 WAV binaries
+    worker-side (alternating +A/-A samples so true RMS == A exactly), then
+    RIFF-walk and parse them with the pure-stdlib WAV codec — rate /
+    channels / integer duration / quantised RMS all predicted by the
+    oracle from the seed text."""
+    from .operators.multimodal import decode_audio_features, synthesize_media_payloads
 
-    docs = attach_binary_payload(_t(spark, sf_dir, "documents"), "text")
-    return decode_audio_features(docs)
+    docs = synthesize_media_payloads(
+        _t(spark, sf_dir, "documents"), kind="wav"
+    )
+    return decode_audio_features(docs, decoder="real")
 
 
 @_register(
@@ -2224,32 +2245,42 @@ def clean_unicode_nfc(spark, sf_dir):
 
 
 _RESIZE_W, _RESIZE_H = 8, 8
-_RESIZE_N = _RESIZE_W * _RESIZE_H
 
 
 @_register(
     "multimodal_resize",
     f"""
+WITH b AS (
+  SELECT doc_id,
+    1 + ('0x' || substr(md5(text), 1, 2))::INTEGER % 64 AS w,
+    1 + ('0x' || substr(md5(text), 3, 2))::INTEGER % 64 AS h,
+    ('0x' || substr(md5(text), 7, 2))::INTEGER AS d3
+  FROM documents
+)
 SELECT doc_id,
-       CAST({_RESIZE_W} AS INTEGER) AS width,
-       CAST({_RESIZE_H} AS INTEGER) AS height,
-       md5(substr(repeat(text, CAST({_RESIZE_N} // greatest(strlen(text), 1) + 1 AS INTEGER)),
-                  1, {_RESIZE_N})) AS resized_md5
-FROM documents
+  CAST({_RESIZE_W} AS INTEGER) AS width,
+  CAST({_RESIZE_H} AS INTEGER) AS height,
+  CAST(list_sum(flatten(list_transform(range(0,{_RESIZE_H}), y ->
+       flatten(list_transform(range(0,{_RESIZE_W}), x ->
+       list_transform(range(0,3), c ->
+         (d3 + ((y*h//{_RESIZE_H})*w + (x*w//{_RESIZE_W}))*3 + c) % 256))))))
+       AS BIGINT) AS pixel_sum
+FROM b
 """,
 )
 def multimodal_resize(spark, sf_dir):
-    """Binary-in/binary-out resize plumbing (mapInPandas, Arrow both
-    directions): the fake resizer emits the input bytes repeated/truncated
-    to width*height; the registry compares the md5 of the resized payload
-    (binary column hashing varies across harnesses)."""
-    from .operators.multimodal import resize_image
+    """REAL codec path: synthesize P6 PPM binaries worker-side, nearest-
+    neighbour resize to 8x8 (floor source mapping), re-encode as P6, and
+    verify CONTENT via ``pixel_sum`` — the oracle recomputes the resized
+    pixel bytes from the synthesis pattern in SQL, so a wrong source pixel
+    mapping (not just wrong dimensions) hash-mismatches."""
+    from .operators.multimodal import resize_image, synthesize_media_payloads
 
-    docs = attach_binary_payload(_t(spark, sf_dir, "documents"), "text")
-    resized = resize_image(docs, _RESIZE_W, _RESIZE_H)
-    return resized.select(
-        "doc_id", "width", "height", F.md5("payload").alias("resized_md5")
+    docs = synthesize_media_payloads(
+        _t(spark, sf_dir, "documents"), kind="ppm"
     )
+    resized = resize_image(docs, _RESIZE_W, _RESIZE_H, decoder="real")
+    return resized.select("doc_id", "width", "height", "pixel_sum")
 
 
 @_register(

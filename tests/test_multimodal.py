@@ -1,11 +1,32 @@
-"""Multimodal plumbing tests: binary payloads, metadata, stubbed decode."""
+"""Multimodal plumbing tests: binary payloads, metadata, real + fake decode.
+
+The real decode paths run the pure-stdlib codecs in
+``operators/media_codecs.py`` (PPM/BMP image parse, nearest-neighbour PPM
+resize, PCM WAV parse); the fake paths remain for arbitrary-bytes payloads.
+"""
+
+import hashlib
+import struct
 
 import pytest
 
+from hds_functions_spark.operators.media_codecs import (
+    parse_image,
+    parse_wav,
+    ppm_pixel_data,
+    resize_ppm_nearest,
+    synthesize_bmp,
+    synthesize_image,
+    synthesize_ppm,
+    synthesize_wav,
+)
 from hds_functions_spark.operators.multimodal import (
     attach_binary_payload,
     binary_metadata,
+    decode_audio_features,
     decode_image_features,
+    resize_image,
+    synthesize_media_payloads,
 )
 
 
@@ -30,9 +51,133 @@ def test_binary_metadata(payloads):
     assert rows[3]["payload_bytes"] is None
 
 
+# --- pure-Python codec units ---------------------------------------------
+
+def test_ppm_parse_handcrafted():
+    src = b"P6\n# comment\n3 2\n255\n" + bytes(range(18))
+    assert parse_image(src) == {
+        "width": 3, "height": 2, "mode": "RGB", "format": "ppm"
+    }
+
+
+def test_bmp_parse_handcrafted():
+    bmp = synthesize_bmp("seed")
+    d = hashlib.md5(b"seed").digest()
+    assert parse_image(bmp) == {
+        "width": 1 + d[0] % 64,
+        "height": 1 + d[1] % 64,
+        "mode": "RGB",
+        "format": "bmp",
+    }
+
+
+def test_parse_image_rejects_garbage():
+    assert parse_image(b"not an image") is None
+    assert parse_image(None) is None
+    assert parse_image(b"BM" + b"\x00" * 10) is None  # truncated BMP
+    assert parse_image(b"P6\n0 0\n255\n") is None  # degenerate dims
+
+
+def test_resize_ppm_nearest_exact():
+    # 2x2 -> 4x4: each source pixel becomes a 2x2 block (floor mapping)
+    px = bytes([10, 11, 12, 20, 21, 22, 30, 31, 32, 40, 41, 42])
+    out = resize_ppm_nearest(b"P6\n2 2\n255\n" + px, 4, 4)
+    w, h, pix = ppm_pixel_data(out)
+    assert (w, h) == (4, 4)
+    assert pix[:12] == bytes([10, 11, 12, 10, 11, 12, 20, 21, 22, 20, 21, 22])
+    assert pix[-12:] == bytes([30, 31, 32, 30, 31, 32, 40, 41, 42, 40, 41, 42])
+    assert resize_ppm_nearest(b"junk", 4, 4) is None
+
+
+def test_wav_parse_handcrafted():
+    # 4 frames stereo PCM16 at 8000 Hz, samples +256/-256 -> RMS exactly 256
+    frames = struct.pack("<8h", 256, 256, -256, -256, 256, 256, -256, -256)
+    header = struct.pack(
+        "<4sI4s4sIHHIIHH4sI", b"RIFF", 36 + len(frames), b"WAVE", b"fmt ",
+        16, 1, 2, 8000, 32000, 4, 16, b"data", len(frames),
+    )
+    got = parse_wav(header + frames)
+    assert got == {
+        "sample_rate": 8000,
+        "n_channels": 2,
+        "duration_ms": 0,  # 4 frames / 8000 Hz -> 0 ms integer
+        "rms_q8": 2,  # 256 // 128
+    }
+    assert parse_wav(b"RIFFxxxx") is None
+
+
+def test_wav_roundtrip_rms_is_exact():
+    for seed in ("a", "bb", "ccc"):
+        d = hashlib.md5(seed.encode()).digest()
+        got = parse_wav(synthesize_wav(seed))
+        assert got["rms_q8"] == d[9]
+        assert got["sample_rate"] == [8000, 16000, 22050, 44100, 48000][d[5] % 5]
+
+
+# --- Spark-side real decode paths ----------------------------------------
+
+def test_real_image_decode_through_spark(spark):
+    seeds = [(1, "alpha"), (2, "beta"), (3, None)]
+    docs = spark.createDataFrame(seeds, "doc_id: long, text: string")
+    payloads = synthesize_media_payloads(docs, kind="image")
+    rows = {r["doc_id"]: r for r in decode_image_features(payloads).collect()}
+    for doc_id, seed in seeds[:2]:
+        d = hashlib.md5(seed.encode()).digest()
+        r = rows[doc_id]
+        assert r["width"] == 1 + d[0] % 64
+        assert r["height"] == 1 + d[1] % 64
+        assert r["format"] == ("ppm" if d[2] % 2 == 0 else "bmp")
+        assert r["payload_bytes"] == len(synthesize_image(seed))
+    assert rows[3]["width"] is None  # null seed -> null payload -> null row
+
+
+def test_real_decode_tolerates_corrupt_payloads(spark):
+    df = spark.createDataFrame(
+        [(1, b"not an image"), (2, synthesize_ppm("ok"))],
+        "doc_id: long, payload: binary",
+    )
+    rows = {r["doc_id"]: r for r in decode_image_features(df).collect()}
+    assert rows[1]["width"] is None and rows[1]["format"] is None
+    assert rows[2]["format"] == "ppm"  # good rows unaffected
+
+
+def test_real_resize_through_spark(spark):
+    df = spark.createDataFrame(
+        [(1, synthesize_ppm("zed")), (2, b"garbage")],
+        "doc_id: long, payload: binary",
+    )
+    rows = {r["doc_id"]: r for r in resize_image(df, 8, 8).collect()}
+    expected = resize_ppm_nearest(synthesize_ppm("zed"), 8, 8)
+    assert bytes(rows[1]["payload"]) == expected
+    assert rows[1]["pixel_sum"] == sum(ppm_pixel_data(expected)[2])
+    assert rows[2]["payload"] is None and rows[2]["pixel_sum"] is None
+
+
+def test_real_audio_decode_through_spark(spark):
+    docs = spark.createDataFrame(
+        [(1, "one"), (2, "two")], "doc_id: long, text: string"
+    )
+    payloads = synthesize_media_payloads(docs, kind="wav")
+    rows = {r["doc_id"]: r for r in decode_audio_features(payloads).collect()}
+    for doc_id, seed in [(1, "one"), (2, "two")]:
+        d = hashlib.md5(seed.encode()).digest()
+        assert rows[doc_id]["rms_q8"] == d[9]
+        assert rows[doc_id]["n_channels"] == 1 + d[6] % 2
+
+
+def test_synthesize_kind_validation(spark):
+    docs = spark.createDataFrame([(1, "x")], "doc_id: long, text: string")
+    with pytest.raises(ValueError, match="kind"):
+        synthesize_media_payloads(docs, kind="mp3")
+
+
+# --- fake paths (arbitrary-bytes payloads) -------------------------------
+
 def test_fake_decode_deterministic(payloads):
-    a = {r["doc_id"]: tuple(r) for r in decode_image_features(payloads).collect()}
-    b = {r["doc_id"]: tuple(r) for r in decode_image_features(payloads).collect()}
+    a = {r["doc_id"]: tuple(r)
+         for r in decode_image_features(payloads, decoder="fake").collect()}
+    b = {r["doc_id"]: tuple(r)
+         for r in decode_image_features(payloads, decoder="fake").collect()}
     assert a == b  # byte-deterministic features
     assert a[1] != a[2]  # different payloads -> different features
     r1 = a[1]
@@ -41,45 +186,25 @@ def test_fake_decode_deterministic(payloads):
     assert a[3][1] is None  # null payload -> null features
 
 
-def test_real_decoder_raises(payloads):
-    df = decode_image_features(payloads, decoder="real")
-    with pytest.raises(Exception, match="NotImplementedError|imaging"):
-        df.collect()
-
-
 def test_invalid_decoder(payloads):
     with pytest.raises(ValueError, match="decoder"):
         decode_image_features(payloads, decoder="nope")
 
 
-def test_resize_image_deterministic(spark):
-    from hds_functions_spark.operators.multimodal import resize_image
-
+def test_fake_resize_deterministic(spark):
     df = spark.createDataFrame(
         [(1, b"abc"), (2, b"0123456789" * 5), (3, None)],
         "doc_id: long, payload: binary",
     )
-    out = {r["doc_id"]: r for r in resize_image(df, 4, 3).collect()}
+    out = {r["doc_id"]: r for r in resize_image(df, 4, 3, decoder="fake").collect()}
     assert out[1]["payload"] == b"abcabcabcabc"  # repeated to 12 bytes
     assert out[2]["payload"] == b"012345678901"  # truncated to 12 bytes
+    assert out[1]["pixel_sum"] == sum(b"abcabcabcabc")
     assert out[3]["payload"] is None
     assert all(r["width"] == 4 and r["height"] == 3 for r in out.values())
 
 
-def test_resize_real_decoder_raises(spark):
-    import pytest as _pytest
-    from py4j.protocol import Py4JJavaError
-
-    from hds_functions_spark.operators.multimodal import resize_image
-
-    df = spark.createDataFrame([(1, b"abc")], "doc_id: long, payload: binary")
-    with _pytest.raises(Exception):  # NotImplementedError inside the worker
-        resize_image(df, 2, 2, decoder="real").collect()
-
-
 def test_sample_video_frames_shape(spark):
-    import hashlib
-
     from hds_functions_spark.operators.multimodal import sample_video_frames
 
     payload = b"fake video bytes"
@@ -95,16 +220,21 @@ def test_sample_video_frames_shape(spark):
     assert rows[0]["frame_md5"] == hashlib.md5(payload + b"0").hexdigest()
 
 
-def test_decode_audio_features(spark):
-    import hashlib
+def test_video_real_decoder_still_stubbed(spark):
+    """Video has no stdlib codec; the real path stays a documented stub."""
+    from hds_functions_spark.operators.multimodal import sample_video_frames
 
-    from hds_functions_spark.operators.multimodal import decode_audio_features
+    df = spark.createDataFrame([(1, b"vid")], "doc_id: long, payload: binary")
+    with pytest.raises(Exception):  # NotImplementedError inside the worker
+        sample_video_frames(df, decoder="real").collect()
 
+
+def test_fake_audio_decode(spark):
     payload = b"fake audio bytes"
     df = spark.createDataFrame(
         [(1, payload), (2, None)], "doc_id: long, payload: binary"
     )
-    rows = decode_audio_features(df).collect()
+    rows = decode_audio_features(df, decoder="fake").collect()
     assert len(rows) == 1  # null payload skipped
     d = hashlib.md5(payload).digest()
     r = rows[0]
