@@ -673,6 +673,8 @@ DRIVER_PRIORITY: list[str] = [
     # -- implementation changed in round 3 (re-verify even though r02-green) --
     "multimodal_features",   # decoder='real' PPM path is now the default
     "dedup_ngram_jaccard",   # hot-gram df cap added before the self-join
+    # -- new round-3 registrations (no prior row) --
+    "similarity_recall",
 ]
 
 

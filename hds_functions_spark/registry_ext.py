@@ -609,6 +609,60 @@ def similarity_ivf_knn(spark, sf_dir):
 ORACLES["similarity_lsh_knn"] = _duck_lsh_knn_sql()
 
 
+def _duck_recall_sql() -> str:
+    """Recall@k of the approximate ANN paths vs brute force, composed from
+    the three top-k oracles as subqueries (DRY — any drift in those oracles
+    propagates here)."""
+    return f"""
+WITH exact AS ({ORACLES['similarity_knn']}),
+lsh AS ({ORACLES['similarity_lsh_knn']}),
+ivf AS ({_duck_ivf_sql()}),
+approx AS (
+    SELECT 'lsh' AS method, query_id, vec_id FROM lsh
+    UNION ALL
+    SELECT 'ivf' AS method, query_id, vec_id FROM ivf
+), hits AS (
+    SELECT method, count(*) AS n_hit FROM approx a
+    WHERE EXISTS (SELECT 1 FROM exact e
+                  WHERE e.query_id = a.query_id AND e.vec_id = a.vec_id)
+    GROUP BY method
+)
+SELECT method, CAST(n_hit AS BIGINT) AS n_hit,
+       CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+       round(n_hit / (SELECT count(*) FROM exact), 4) AS recall
+FROM hits
+"""
+
+
+@_register("similarity_recall", _duck_recall_sql())
+def similarity_recall(spark, sf_dir):
+    """Measured recall@5 of the approximate ANN paths (LSH buckets, IVF
+    probes) against the exact brute-force top-5 — the quality/cost tradeoff
+    of the scale paths, quantified under the correctness gate. The exact
+    result is the small side (n_queries * k rows) and broadcast into the
+    per-method semi join. ``tools/ann_recall.py`` sweeps the parameters."""
+    exact = similarity_knn(spark, sf_dir).select("query_id", "vec_id")
+    lsh = similarity_lsh_knn(spark, sf_dir).select(
+        F.lit("lsh").alias("method"), "query_id", "vec_id"
+    )
+    ivf = similarity_ivf_knn(spark, sf_dir).select(
+        F.lit("ivf").alias("method"), "query_id", "vec_id"
+    )
+    approx = lsh.unionByName(ivf)
+    hits = (
+        approx.join(F.broadcast(exact), ["query_id", "vec_id"], "leftsemi")
+        .groupBy("method")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    totals = exact.agg(F.count("*").alias("n_exact"))
+    return hits.crossJoin(F.broadcast(totals)).select(
+        "method",
+        "n_hit",
+        "n_exact",
+        F.round(F.col("n_hit") / F.col("n_exact"), 4).alias("recall"),
+    )
+
+
 # --- event-time operators ------------------------------------------------
 
 @_register(
