@@ -472,6 +472,68 @@ def table_archive_roundtrip(spark, sf_dir):
 
 
 @_register(
+    "table_upsert_incremental",
+    """
+WITH merged AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 4 IN (2, 3) THEN o_totalprice * 2
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 4 IN (0, 1, 2, 3)
+)
+SELECT o_orderkey, o_totalprice, DATE '2024-02-01' AS archived_on
+FROM merged WHERE o_orderkey % 2 = 1
+""",
+)
+def table_upsert_incremental(spark, sf_dir):
+    """Upsert + incremental archive lifecycle through real parquet:
+
+    1. ``upsert_table`` seeds keys %4 in (0,1,2) (plain first save), then
+       upserts keys %4 in (2,3) at doubled price — %4==2 rows must be
+       REPLACED, %4==3 appended, %4 in (0,1) kept (left-anti + union +
+       directory swap).
+    2. The merged table is archived as two snapshots (one partition per
+       day), and ``load_table(min_archive_date=...)`` loads only snapshots
+       stamped strictly AFTER the bound — the incremental-processing
+       filter, pruning to whole partitions.
+
+    Only correct upsert key semantics AND the exclusive lower bound
+    reproduce the oracle."""
+    import os
+    import shutil
+    import tempfile
+
+    from .sources.tables import load_table, save_archive_snapshot, upsert_table
+
+    base = os.path.join(
+        tempfile.gettempdir(), "hds_upsert_inc_" + _stable_dir_tag(sf_dir)
+    )
+    shutil.rmtree(base, ignore_errors=True)  # stateful dirs: never accumulate
+    td = {
+        "ups": {"path": os.path.join(base, "ups"), "format": "parquet"},
+        "arch": {"path": os.path.join(base, "arch"), "format": "parquet"},
+    }
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    upsert_table(
+        o.filter(F.col("o_orderkey") % 4 < 3), "ups", "o_orderkey", td
+    )
+    upsert_table(
+        o.filter(F.col("o_orderkey") % 4 >= 2).withColumn(
+            "o_totalprice", F.col("o_totalprice") * 2
+        ),
+        "ups",
+        "o_orderkey",
+        td,
+    )
+    merged = load_table("ups", td)
+    for day, parity in (("2024-01-01", 0), ("2024-02-01", 1)):
+        save_archive_snapshot(
+            merged.filter(F.col("o_orderkey") % 2 == parity), "arch", day, td
+        )
+    td_inc = {"arch": {**td["arch"], "min_archive_date": "2024-01-01"}}
+    return load_table("arch", td_inc)
+
+
+@_register(
     "config_csv_roundtrip",
     """
 SELECT o_orderpriority,
@@ -675,6 +737,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_ngram_jaccard",   # hot-gram df cap added before the self-join
     # -- new round-3 registrations (no prior row) --
     "similarity_recall",
+    "table_upsert_incremental",
 ]
 
 

@@ -241,6 +241,7 @@ def upsert_table(
     """
     import os
     import shutil
+    from urllib.parse import urlparse
 
     directory = _load_directory(table_directory)
     entry = _entry(table, directory)
@@ -254,6 +255,18 @@ def upsert_table(
         if c not in df.columns:
             raise ValueError(f"Key column '{c}' missing from DataFrame")
     path = entry["path"]
+    # The merge is gated on local-filesystem existence checks and renames;
+    # on a remote filesystem (hdfs://, s3a://, ...) exists() would be False
+    # and the call would silently overwrite — fail loudly instead.
+    scheme = urlparse(path).scheme
+    if scheme not in ("", "file"):
+        raise ValueError(
+            f"upsert_table is local-filesystem only (got scheme "
+            f"'{scheme}://'); use a transactional table format "
+            "(Delta/Iceberg MERGE) for object-store or cluster paths."
+        )
+    if scheme == "file":
+        path = urlparse(path).path  # local fs ops need the bare path
     fmt = entry.get("format", "parquet")
     if not os.path.exists(path):
         save_table(df, table, table_directory=table_directory)

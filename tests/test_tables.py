@@ -272,3 +272,22 @@ def test_upsert_table(spark, tmp_path):
     with pytest.raises(ValueError, match="path-configured"):
         upsert_table(v2, "m", "id",
                      table_directory={"m": {"database": "d", "table_name": "t"}})
+
+
+def test_upsert_table_rejects_remote_schemes(spark, tmp_path):
+    """A remote path would make os.path.exists() False and silently
+    overwrite instead of merging — must fail loudly (ADVICE r2)."""
+    from hds_functions_spark.sources.tables import upsert_table
+
+    v = spark.createDataFrame([(1, "a")], "id: long, v: string")
+    for remote in ("hdfs://nn/warehouse/t", "s3a://bucket/t"):
+        with pytest.raises(ValueError, match="local-filesystem only"):
+            upsert_table(v, "r", "id",
+                         table_directory={"r": {"path": remote}})
+    # file:// is local: allowed, and the merge actually works through it
+    td = {"f": {"path": "file://" + str(tmp_path / "f"), "format": "parquet"}}
+    upsert_table(v, "f", "id", table_directory=td)
+    v2 = spark.createDataFrame([(1, "A2"), (2, "b")], "id: long, v: string")
+    upsert_table(v2, "f", "id", table_directory=td)
+    rows = {r["id"]: r["v"] for r in load_table("f", table_directory=td).collect()}
+    assert rows == {1: "A2", 2: "b"}
