@@ -563,7 +563,9 @@ def config_csv_roundtrip(spark, sf_dir):
             ),
         )
     )
-    path = os.path.join(tempfile.gettempdir(), "hds_csv_roundtrip.csv")
+    path = os.path.join(
+        tempfile.gettempdir(), f"hds_csv_roundtrip_{_stable_dir_tag(sf_dir)}.csv"
+    )
     write_csv_file(agg, path)
     return read_csv_file(path)
 
@@ -600,7 +602,9 @@ def config_dict_map(spark, sf_dir):
     mapping_df = spark.createDataFrame(
         sorted(_TIER_MAP.items()), "priority: string, tier: string"
     )
-    path = os.path.join(tempfile.gettempdir(), "hds_dict_map.csv")
+    path = os.path.join(
+        tempfile.gettempdir(), f"hds_dict_map_{_stable_dir_tag(sf_dir)}.csv"
+    )
     write_csv_file(mapping_df, path)
     mapping = create_dict_from_csv(path, "priority", "tier")
     mapped = map_column_values(
@@ -628,7 +632,9 @@ def config_json_map(spark, sf_dir):
 
     from .sources.config_io import read_json_file, write_json_file
 
-    path = os.path.join(tempfile.gettempdir(), "hds_json_map.json")
+    path = os.path.join(
+        tempfile.gettempdir(), f"hds_json_map_{_stable_dir_tag(sf_dir)}.json"
+    )
     write_json_file(_TIER_MAP, path)
     mapping = read_json_file(path)
     mapped = map_column_values(

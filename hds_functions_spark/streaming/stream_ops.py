@@ -184,6 +184,15 @@ def run_stream_to_parquet(
     finally:
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    # A drained stream can legitimately emit zero micro-batches (resume with
+    # no new files, or everything filtered) — then no parquet exists at
+    # ``path`` and a bare read raises; return an empty frame of the stream's
+    # schema instead.
+    has_files = os.path.isdir(path) and any(
+        not f.name.startswith(("_", ".")) for f in os.scandir(path)
+    )
+    if not has_files:
+        return spark.createDataFrame([], sdf.schema)
     return spark.read.parquet(path)
 
 

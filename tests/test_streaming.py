@@ -263,3 +263,25 @@ def test_stream_checkpoint_resume(spark, tmp_path):
     # CDC-style log: first drain's row plus the resumed-state row — the
     # resumed drain continued from (2, 300), it did not restart from zero
     assert rows == [(2, 300), (3, 800)]
+
+
+def test_stream_to_parquet_zero_batches_returns_empty(spark, tmp_path):
+    """A drain that emits no micro-batches (all rows watermark-filtered /
+    no new files) must return an empty frame of the stream's schema, not
+    raise on the absent sink directory (ADVICE r2)."""
+    from hds_functions_spark.streaming import run_stream_to_parquet
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "event_id: long, ts: timestamp, user_id: long, event_type: string, value: double"
+    empty = spark.createDataFrame([], schema)
+    empty.write.parquet(str(src / "f0"))
+    stream = spark.readStream.schema(empty.schema).parquet(str(src) + "/*")
+    out = run_stream_to_parquet(
+        stream_stateful_totals(stream),
+        path=str(tmp_path / "sink"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        output_mode="update",
+    )
+    assert out.collect() == []
+    assert {f.name for f in out.schema} >= {"user_id", "n_events"}
