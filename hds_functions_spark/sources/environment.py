@@ -87,12 +87,13 @@ def find_project_folder(
         current = parent
 
 
-def get_dbutils(spark: SparkSession):
+def get_dbutils(spark: SparkSession, strict: bool = False):
     """Databricks ``dbutils`` handle, or None outside Databricks.
 
     Parity: reference ``environment_utils.py:130-166`` (DBUtils, then the
-    IPython user-namespace fallback); this version returns None instead of
-    raising so callers can feature-gate.
+    IPython user-namespace fallback). Default deviation: returns None
+    instead of raising so callers can feature-gate; ``strict=True``
+    restores the reference's raise-on-missing behaviour exactly.
     """
     try:  # pragma: no cover - Databricks only
         from pyspark.dbutils import DBUtils  # type: ignore
@@ -104,4 +105,10 @@ def get_dbutils(spark: SparkSession):
 
             return IPython.get_ipython().user_ns["dbutils"]
         except Exception:
+            if strict:
+                raise RuntimeError(
+                    "dbutils is not available: neither pyspark.dbutils "
+                    "(Databricks runtime) nor an IPython user namespace "
+                    "exposing 'dbutils' was found."
+                )
             return None

@@ -364,6 +364,12 @@ def standardise_table(df: DataFrame, method: str) -> DataFrame:
     """Apply the named dataset standardiser (rename person-id column, clean
     names, parse dates). ValueError with the available methods on unknown
     names. Parity: reference ``table_management.py:162-206``.
+
+    Deliberate deviation: the error message lists ALL registered methods,
+    including ``primary_care_meds``/``chess``, which the reference's
+    message omits despite dispatching them (``table_management.py:198-203``
+    keeps its list out of sync with its dispatch table) — anyone matching
+    error text verbatim should expect the two extra names here.
     """
     if method not in STANDARDISERS:
         raise ValueError(

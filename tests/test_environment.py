@@ -1,0 +1,54 @@
+"""§2.8 environment-discovery surface: session access, path resolution,
+project-folder walk, dbutils gating (reference environment_utils.py:18-166)."""
+
+import os
+
+import pytest
+
+from hds_functions_spark.sources.environment import (
+    find_project_folder,
+    get_dbutils,
+    get_spark_session,
+    resolve_path,
+)
+
+
+def test_get_spark_session_reuses_active(spark):
+    assert get_spark_session() is spark
+
+
+def test_resolve_path_absolute_passthrough():
+    assert resolve_path("/etc/hosts") == "/etc/hosts"
+
+
+def test_resolve_path_project_relative(monkeypatch, tmp_path):
+    monkeypatch.setenv("PROJECT_FOLDER", str(tmp_path))
+    assert resolve_path("./conf/x.json") == str(tmp_path / "conf" / "x.json")
+    monkeypatch.delenv("PROJECT_FOLDER")
+    assert resolve_path("./y.json") == os.path.join(os.getcwd(), "y.json")
+
+
+def test_resolve_path_package_relative():
+    got = resolve_path("operators/cohort.py", repo="hds_functions_spark")
+    assert got.endswith("hds_functions_spark/operators/cohort.py")
+    assert os.path.exists(got)
+    with pytest.raises(AssertionError, match="repo"):
+        resolve_path("no/prefix.json")
+
+
+def test_find_project_folder_walks_up(monkeypatch, tmp_path):
+    (tmp_path / ".dbxproj").touch()
+    nested = tmp_path / "a" / "b"
+    nested.mkdir(parents=True)
+    monkeypatch.setenv("PROJECT_FOLDER", str(nested))
+    assert find_project_folder() == str(tmp_path)
+    # custom marker + not-found at filesystem root
+    monkeypatch.setenv("PROJECT_FOLDER", str(nested))
+    with pytest.raises(FileNotFoundError, match="no_such_marker"):
+        find_project_folder(marker_file="no_such_marker")
+
+
+def test_get_dbutils_outside_databricks(spark):
+    assert get_dbutils(spark) is None  # feature-gate default
+    with pytest.raises(RuntimeError, match="dbutils is not available"):
+        get_dbutils(spark, strict=True)  # reference parity mode
