@@ -190,6 +190,85 @@ def lsh_cosine_topk(
     )
 
 
+def lsh_banded_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    bands: int = 4,
+    planes_per_band: int = 3,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Approximate top-k with multi-band OR-amplification: a point is a
+    candidate if it shares ANY of the ``bands`` band signatures
+    (``planes_per_band`` sign bits each) with the query.
+
+    This is the production LSH shape (single-bucket
+    :func:`lsh_cosine_topk`'s recall collapses as planes grow — measured
+    in BASELINE.md; OR-ing bands recovers it at bounded candidate cost:
+    P[candidate] = 1-(1-p^r)^B for per-plane agreement p). Plan shape:
+    band signatures explode to ``bands`` rows per point, the band
+    equi-join carries ids only, candidates are de-duplicated BEFORE the
+    exact-cosine scoring (one scoring per unique pair), and vectors
+    re-attach afterwards — query side broadcast (small), corpus side
+    size-gated by the planner. Same output schema as :func:`cosine_topk`.
+    """
+    planes = hyperplanes(bands * planes_per_band, dim)
+
+    def banded(df: DataFrame, ident: str) -> DataFrame:
+        sigs = [
+            plane_signature(
+                F.col(vec_col),
+                planes[b * planes_per_band : (b + 1) * planes_per_band],
+            )
+            for b in range(bands)
+        ]
+        return df.select(
+            F.col(ident), F.posexplode(F.array(*sigs)).alias("_band", "_bits")
+        )
+
+    corpus = ensure_min_partitions(corpus)
+    c_banded = banded(corpus.select(F.col(corpus_id).alias("_cid"), vec_col), "_cid")
+    q_banded = banded(queries.select(F.col(query_id).alias("_qid"), vec_col), "_qid")
+    cand = (
+        c_banded.join(F.broadcast(q_banded), on=["_band", "_bits"])
+        .filter(F.col("_qid") != F.col("_cid"))
+        .select("_qid", "_cid")
+        .distinct()
+    )
+    qvecs = queries.select(
+        F.col(query_id).alias("_qid"), F.col(vec_col).alias("_qvec")
+    )
+    cvecs = corpus.select(
+        F.col(corpus_id).alias("_cid"), F.col(vec_col).alias("_cvec")
+    )
+    scored = (
+        cand.join(F.broadcast(qvecs), on="_qid")
+        .join(cvecs, on="_cid")
+        .withColumn(
+            "cosine_sim",
+            F.round(cosine_similarity(F.col("_qvec"), F.col("_cvec")), round_digits),
+        )
+    )
+    top = first_row(
+        scored,
+        n=k,
+        partition_by=["_qid"],
+        order_by=[F.col("cosine_sim").desc(), F.col("_cid").asc()],
+        return_index_column=True,
+        index_column_name="row_index",
+    )
+    return top.select(
+        F.col("_qid").alias(query_id),
+        F.col("_cid").alias(corpus_id),
+        "cosine_sim",
+        F.col("row_index").cast("int").alias("row_index"),
+    )
+
+
 def ivf_cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -744,6 +744,7 @@ DRIVER_PRIORITY: list[str] = [
     # -- new round-3 registrations (no prior row) --
     "similarity_recall",
     "table_upsert_incremental",
+    "similarity_lsh_banded",
 ]
 
 

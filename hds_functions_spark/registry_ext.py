@@ -628,6 +628,67 @@ def similarity_ivf_knn(spark, sf_dir):
 ORACLES["similarity_lsh_knn"] = _duck_lsh_knn_sql()
 
 
+_LSHB_BANDS = 4
+_LSHB_PLANES_PER_BAND = 3
+
+
+def _duck_lsh_banded_sql() -> str:
+    planes = hyperplanes(_LSHB_BANDS * _LSHB_PLANES_PER_BAND, 64)
+    r = _LSHB_PLANES_PER_BAND
+    band_cols = ", ".join(
+        _duck_plane_sig(planes[b * r : (b + 1) * r], "embedding") + f" AS band_{b}"
+        for b in range(_LSHB_BANDS)
+    )
+    banded = "\n  UNION ALL ".join(
+        f"SELECT vec_id, {b} AS band, band_{b} AS bits FROM sig"
+        for b in range(_LSHB_BANDS)
+    )
+    cos = _DUCK_COS.format(a="q.embedding", b="c.embedding")
+    return f"""
+WITH sig AS (
+    SELECT vec_id, embedding, {band_cols} FROM embeddings
+), banded AS (
+  {banded}
+), cand AS (
+    SELECT DISTINCT q.vec_id AS query_id, c.vec_id
+    FROM banded q JOIN banded c USING (band, bits)
+    WHERE q.vec_id % {_KNN_QUERY_MOD} = 0 AND c.vec_id <> q.vec_id
+), scored AS (
+    SELECT cand.query_id, cand.vec_id, {cos} AS cosine_sim
+    FROM cand
+    JOIN embeddings q ON q.vec_id = cand.query_id
+    JOIN embeddings c ON c.vec_id = cand.vec_id
+)
+SELECT query_id, vec_id, cosine_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine_sim DESC, vec_id) AS INTEGER) AS row_index
+FROM scored
+QUALIFY row_index <= {_KNN_K}
+"""
+
+
+@_register("similarity_lsh_banded", _duck_lsh_banded_sql())
+def similarity_lsh_banded(spark, sf_dir):
+    """Multi-band OR-amplified LSH top-5 (4 bands x 3 planes): the
+    production LSH shape — single-bucket recall collapses as planes grow
+    (BASELINE.md), OR-ing bands recovers it at bounded candidate cost.
+    Candidates are de-duplicated before exact scoring; the oracle
+    reproduces bands, dedup and scoring bit-for-bit."""
+    from .operators.similarity import lsh_banded_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % _KNN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_banded_cosine_topk(
+        emb,
+        queries,
+        k=_KNN_K,
+        bands=_LSHB_BANDS,
+        planes_per_band=_LSHB_PLANES_PER_BAND,
+    )
+
+
 def _duck_recall_sql() -> str:
     """Recall@k of the approximate ANN paths vs brute force, composed from
     the three top-k oracles as subqueries (DRY — any drift in those oracles
@@ -635,9 +696,12 @@ def _duck_recall_sql() -> str:
     return f"""
 WITH exact AS ({ORACLES['similarity_knn']}),
 lsh AS ({ORACLES['similarity_lsh_knn']}),
+lsh_banded AS ({ORACLES['similarity_lsh_banded']}),
 ivf AS ({_duck_ivf_sql()}),
 approx AS (
     SELECT 'lsh' AS method, query_id, vec_id FROM lsh
+    UNION ALL
+    SELECT 'lsh_banded' AS method, query_id, vec_id FROM lsh_banded
     UNION ALL
     SELECT 'ivf' AS method, query_id, vec_id FROM ivf
 ), hits AS (
@@ -664,10 +728,13 @@ def similarity_recall(spark, sf_dir):
     lsh = similarity_lsh_knn(spark, sf_dir).select(
         F.lit("lsh").alias("method"), "query_id", "vec_id"
     )
+    lshb = similarity_lsh_banded(spark, sf_dir).select(
+        F.lit("lsh_banded").alias("method"), "query_id", "vec_id"
+    )
     ivf = similarity_ivf_knn(spark, sf_dir).select(
         F.lit("ivf").alias("method"), "query_id", "vec_id"
     )
-    approx = lsh.unionByName(ivf)
+    approx = lsh.unionByName(lshb).unionByName(ivf)
     hits = (
         approx.join(F.broadcast(exact), ["query_id", "vec_id"], "leftsemi")
         .groupBy("method")

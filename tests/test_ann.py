@@ -63,6 +63,34 @@ def test_ivf_more_probes_improve_recall(emb, queries):
     assert r2 <= r8
 
 
+def test_lsh_banded_shape_and_subset(emb, queries):
+    from hds_functions_spark.operators.similarity import (
+        lsh_banded_cosine_topk,
+        lsh_cosine_topk,
+    )
+
+    out = lsh_banded_cosine_topk(
+        emb, queries, k=5, bands=4, planes_per_band=3
+    ).collect()
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(emb, queries, k=5).collect()
+    }
+    got = {(r["query_id"], r["vec_id"]) for r in out}
+    # every reported neighbour is a real corpus point with correct sim sign
+    for r in out:
+        assert r["query_id"] != r["vec_id"]
+        assert 1 <= r["row_index"] <= 5
+        assert -1.0 <= r["cosine_sim"] <= 1.0
+    # OR-amplification: banded candidates are a superset of any single
+    # band's — recall must be >= the single-bucket path with 12 planes
+    single = {
+        (r["query_id"], r["vec_id"])
+        for r in lsh_cosine_topk(emb, queries, k=5, n_planes=12).collect()
+    }
+    assert len(got & exact) >= len(single & exact)
+
+
 def test_near_dup_pairs_valid(emb):
     thresh = 0.3
     out = embedding_near_dup_pairs(emb, threshold=thresh).collect()

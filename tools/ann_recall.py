@@ -86,6 +86,37 @@ def main() -> None:
         r = recall_of(lsh_cosine_topk(emb, queries, k=k, n_planes=n_planes, dim=64))
         rows.append((f"lsh n_planes={n_planes}", r, cand))
 
+    from hds_functions_spark.operators.similarity import lsh_banded_cosine_topk
+
+    for bands, r in ((2, 4), (4, 3), (4, 4), (8, 3)):
+        planes = hyperplanes(bands * r, 64)
+
+        def banded_sig(df):
+            sigs = [
+                plane_signature(F.col("embedding"), planes[b * r : (b + 1) * r])
+                for b in range(bands)
+            ]
+            return df.select(F.posexplode(F.array(*sigs)).alias("band", "bits"))
+
+        # candidate scorings = unique (query, corpus) pairs sharing any band
+        cand = (
+            banded_sig(queries)
+            .join(
+                banded_sig(emb.select("embedding")).groupBy("band", "bits").agg(
+                    F.count("*").alias("n")
+                ),
+                on=["band", "bits"],
+                how="left",
+            )
+            .agg(F.sum("n"))
+            .first()[0]
+            or 0
+        )  # upper bound: pre-dedup band collisions
+        approx = lsh_banded_cosine_topk(
+            emb, queries, k=k, bands=bands, planes_per_band=r
+        )
+        rows.append((f"banded B={bands} r={r}", recall_of(approx), int(cand)))
+
     for n_probe in (1, 2, 4, 8, 16):
         approx = ivf_cosine_topk(
             emb, queries, k=k, n_centroids=16, n_probe=n_probe
