@@ -28,7 +28,14 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["PII_PATTERNS", "scrub_pii", "filter_lines", "normalize_unicode_nfc", "dedup_lines"]
+__all__ = [
+    "PII_PATTERNS",
+    "scrub_pii",
+    "filter_lines",
+    "normalize_unicode_nfc",
+    "dedup_lines",
+    "dedup_lines_across_corpus",
+]
 
 #: (name, pattern, replacement) — ordered; applied left to right. Patterns
 #: are valid and equivalent under both Java regex and RE2 (DuckDB).
@@ -122,6 +129,72 @@ def normalize_unicode_nfc(
         )
 
     return df.withColumn(out_col or text_col, _nfc(F.col(text_col)))
+
+
+def dedup_lines_across_corpus(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_occurrences: int = 2,
+    out_col: str | None = None,
+    kept_col: str | None = "n_lines_kept",
+    total_col: str | None = "n_lines_total",
+) -> DataFrame:
+    """CORPUS-level boilerplate removal: drop every line occurring more than
+    ``max_occurrences`` times across the whole corpus (the C4 line-dedup
+    signal — cookie banners, nav bars and licence footers repeat across
+    thousands of documents; :func:`dedup_lines` only sees repeats within
+    one document).
+
+    Plan shape for 100 TB: lines ``posexplode``; the occurrence count
+    groups on ``xxhash64(line)`` — an 8-byte shuffle key with map-side
+    combine, never the line text; the hot set (lines above the cap) is
+    tiny relative to the corpus (only boilerplate survives the HAVING), so
+    the anti-join against it is size-gated to a broadcast by the planner;
+    documents are reassembled in original line order with one
+    ``sort_array(collect_list(struct(pos, line)))`` aggregation. Documents
+    whose every line is boilerplate come back as an empty string, not
+    dropped. 64-bit hash collisions could in principle drop a rare line
+    that collides with a hot one (birthday-bounded; negligible below ~1e9
+    distinct lines — swap in a 128-bit hash beyond that).
+    """
+    out_col = out_col or text_col
+    split = F.split(F.col(text_col), "\n")
+    base = df.select(
+        F.col(id_col).alias("_id"), F.size(split).alias("_n_total")
+    )
+    lines = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(split).alias("_pos", "_line"),
+    ).withColumn("_h", F.xxhash64("_line"))
+    hot = (
+        lines.groupBy("_h")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") > max_occurrences)
+        .select("_h")
+    )
+    keep = lines.join(hot, on="_h", how="left_anti")
+    agg = keep.groupBy("_id").agg(
+        F.count("*").alias("_n_kept"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_pos", "_line"))),
+                lambda s: s["_line"],
+            ),
+            "\n",
+        ).alias("_text"),
+    )
+    out = base.join(agg, on="_id", how="left").select(
+        F.col("_id").alias(id_col),
+        *([F.col("_n_total").cast("long").alias(total_col)] if total_col else []),
+        *(
+            [F.coalesce("_n_kept", F.lit(0)).cast("long").alias(kept_col)]
+            if kept_col
+            else []
+        ),
+        F.coalesce("_text", F.lit("")).alias(out_col),
+    )
+    return out
 
 
 def dedup_lines(

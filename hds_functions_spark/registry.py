@@ -745,6 +745,7 @@ DRIVER_PRIORITY: list[str] = [
     "similarity_recall",
     "table_upsert_incremental",
     "similarity_lsh_banded",
+    "clean_dedup_lines_corpus",
 ]
 
 

@@ -2505,6 +2505,63 @@ def text_stopword_filter(spark, sf_dir):
 
 
 @_register(
+    "clean_dedup_lines_corpus",
+    """
+WITH lined AS (
+    SELECT doc_id,
+           'COOKIE NOTICE' || chr(10) || substr(text, 1, 25) || chr(10) ||
+           'promo ' || (doc_id % 7)::VARCHAR || chr(10) || substr(text, 26, 25)
+               AS text
+    FROM documents
+), lines AS (
+    SELECT doc_id, pos, ls[pos] AS line
+    FROM (SELECT doc_id, string_split(text, chr(10)) AS ls FROM lined) t,
+         UNNEST(generate_series(1, len(ls))) AS u(pos)
+), hot AS (
+    SELECT line FROM lines GROUP BY line HAVING count(*) > 50
+), keep AS (
+    SELECT doc_id, pos, line FROM lines
+    WHERE line NOT IN (SELECT line FROM hot)
+), tot AS (
+    SELECT doc_id, len(string_split(text, chr(10))) AS n_total FROM lined
+), agg AS (
+    SELECT doc_id, count(*) AS n_kept,
+           string_agg(line, chr(10) ORDER BY pos) AS text
+    FROM keep GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(n_total AS BIGINT) AS n_lines_total,
+       CAST(COALESCE(n_kept, 0) AS BIGINT) AS n_lines_kept,
+       COALESCE(a.text, '') AS text
+FROM tot t LEFT JOIN agg a USING (doc_id)
+""",
+)
+def clean_dedup_lines_corpus(spark, sf_dir):
+    """CORPUS-level boilerplate line removal (C4 signal): every doc gets a
+    universal 'COOKIE NOTICE' line (occurrences = corpus size) and a
+    'promo k' line shared by ~1/7 of the corpus — both above the
+    max_occurrences=50 cap and dropped everywhere — plus two unique
+    content lines that must survive in order. Occurrence counting groups
+    on xxhash64(line), the hot set anti-joins back, docs reassemble via
+    one sorted collect per doc."""
+    from .operators.cleaning import dedup_lines_across_corpus
+
+    key = F.col("doc_id")
+    lined = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("COOKIE NOTICE\n"),
+            F.substring("text", 1, 25), F.lit("\n"),
+            F.lit("promo "), (key % 7).cast("string"), F.lit("\n"),
+            F.substring("text", 26, 25),
+        ).alias("text"),
+    )
+    return dedup_lines_across_corpus(lined, max_occurrences=50).select(
+        "doc_id", "n_lines_total", "n_lines_kept", "text"
+    )
+
+
+@_register(
     "events_interval_binned",
     """
 SELECT l.event_id, count(*) AS n_clicks

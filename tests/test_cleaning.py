@@ -75,3 +75,31 @@ def test_dedup_lines(spark):
     assert row["text"] == "Header\nbody one\nbody two"
     assert row["n_lines_total"] == 5
     assert row["n_lines_kept"] == 3
+
+
+def test_dedup_lines_across_corpus(spark):
+    from hds_functions_spark.operators.cleaning import dedup_lines_across_corpus
+
+    rows = [(i, f"BOILER\nunique {i}\nBOILER TWICE" if i < 2 else f"BOILER\nunique {i}")
+            for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {r["doc_id"]: r for r in
+           dedup_lines_across_corpus(df, max_occurrences=2).collect()}
+    # 'BOILER' occurs 5x (> 2): dropped everywhere; 'BOILER TWICE' occurs
+    # exactly 2x (== cap): kept; unique lines kept in original order
+    assert out[0]["text"] == "unique 0\nBOILER TWICE"
+    assert out[3]["text"] == "unique 3"
+    assert out[0]["n_lines_total"] == 3 and out[0]["n_lines_kept"] == 2
+    assert out[3]["n_lines_total"] == 2 and out[3]["n_lines_kept"] == 1
+
+
+def test_dedup_lines_across_corpus_all_boilerplate(spark):
+    from hds_functions_spark.operators.cleaning import dedup_lines_across_corpus
+
+    df = spark.createDataFrame(
+        [(i, "SAME") for i in range(4)], "doc_id: long, text: string"
+    )
+    out = dedup_lines_across_corpus(df, max_occurrences=1).collect()
+    # every doc loses its only line but is NOT dropped from the output
+    assert len(out) == 4
+    assert all(r["text"] == "" and r["n_lines_kept"] == 0 for r in out)
