@@ -746,6 +746,7 @@ DRIVER_PRIORITY: list[str] = [
     "table_upsert_incremental",
     "similarity_lsh_banded",
     "clean_dedup_lines_corpus",
+    "ids_dense_assign",
 ]
 
 

@@ -2562,6 +2562,27 @@ def clean_dedup_lines_corpus(spark, sf_dir):
 
 
 @_register(
+    "ids_dense_assign",
+    """
+SELECT o_orderkey, o_totalprice,
+       CAST(row_number() OVER (ORDER BY o_orderkey) - 1 AS BIGINT) AS dense_id
+FROM orders
+""",
+)
+def ids_dense_assign(spark, sf_dir):
+    """Contiguous global row numbering WITHOUT the single-partition window
+    the oracle uses: range-partition on the key, per-partition counts ->
+    prefix-sum over #partitions rows, broadcast offsets back, then
+    row_number windows per materialised partition id. The oracle's
+    one-task ORDER BY is exactly the plan this operator exists to avoid —
+    matching it cell-for-cell is the correctness proof."""
+    from .operators.ids import assign_dense_ids
+
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    return assign_dense_ids(o, ["o_orderkey"])
+
+
+@_register(
     "events_interval_binned",
     """
 SELECT l.event_id, count(*) AS n_clicks
