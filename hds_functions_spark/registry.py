@@ -54,14 +54,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def normalise_event_ts(df: DataFrame) -> DataFrame:
+    """Normalise the ``ts`` column to session-zone ``timestamp``.
+
+    The testdata generator has shipped ``events.parquet`` with two physical
+    layouts: TIMESTAMP(NANOS) (which Spark's vectorized reader only accepts
+    as long via ``spark.sql.legacy.parquet.nanosAsLong``) and native
+    TIMESTAMP(MICROS) (read as ``timestamp_ntz``). Handle both:
+
+    - long nanos -> truncate to micros with integer division (matching
+      DuckDB's ns->us handling; double division would lose ~256 ns at
+      1.7e18) and re-type with ``timestamp_micros``;
+    - ``timestamp_ntz`` -> cast to ``timestamp`` (value-identical when the
+      session zone is UTC, which the harness pins).
+    """
+    dt = dict(df.dtypes)["ts"]
+    if dt in ("bigint", "long"):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dt != "timestamp":
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    return df
+
+
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
-    parquet reader rejects. Read nanos as long (legacy conf) and truncate to
-    microseconds with integer division — matching DuckDB's ns->us handling.
-    (Double division would lose ~256 ns of precision at 1.7e18.)"""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalise_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 # --- cohort construction (SURVEY §2.1) ----------------------------------

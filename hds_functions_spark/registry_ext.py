@@ -48,7 +48,7 @@ from .operators.similarity import (
     ivf_cosine_topk,
     lsh_cosine_topk,
 )
-from .registry import ORACLES, QUERIES, _register, _t
+from .registry import ORACLES, QUERIES, _register, _t, normalise_event_ts
 
 # --- text analysis -------------------------------------------------------
 
@@ -1014,10 +1014,10 @@ from .streaming import (  # noqa: E402
 
 
 def _events_stream(spark, sf_dir):
-    # same nanos->micros handling as the batch loader (registry._load_events)
+    # same ts-layout handling as the batch loader (registry.normalise_event_ts)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     sdf = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
-    return sdf.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return normalise_event_ts(sdf)
 
 
 # State-partition count for the registry's streaming queries: sized to the
