@@ -1,7 +1,9 @@
-"""Pure-stdlib media codecs: PPM/BMP image parse+encode, PCM WAV parse+encode.
+"""Media codecs: PPM/BMP image parse+encode, PCM WAV parse+encode.
 
-These back the ``decoder='real'`` paths in :mod:`multimodal` — no external
-imaging/audio library is needed, so the real codec path runs in any
+These back the ``decoder='real'`` paths in :mod:`multimodal`. The hot
+inner computations (pixel synthesis, nearest-neighbour gather, RMS) are
+numpy-vectorized; pure-stdlib loop fallbacks keep the module importable
+with zero non-stdlib dependencies, so the real codec path runs in any
 environment. Formats covered:
 
 - **PPM** (netpbm): binary ``P6`` and ascii ``P3``, comment- and
@@ -37,6 +39,11 @@ import math
 import struct
 from array import array
 
+try:  # numpy ships with the Arrow/pandas stack; loops below are the fallback
+    import numpy as np
+except ImportError:  # pragma: no cover - numpy is present in any pyspark env
+    np = None
+
 __all__ = [
     "WAV_RATES",
     "synthesize_image",
@@ -63,7 +70,10 @@ def synthesize_ppm(seed: str) -> bytes:
     """Deterministic P6 image: dims and pixel pattern from md5(seed)."""
     w, h, d = _dims(seed)
     header = b"P6\n" + f"{w} {h}\n".encode() + b"255\n"
-    pixels = bytes((d[3] + j) % 256 for j in range(w * h * 3))
+    if np is not None:
+        pixels = ((d[3] + np.arange(w * h * 3)) % 256).astype(np.uint8).tobytes()
+    else:
+        pixels = bytes((d[3] + j) % 256 for j in range(w * h * 3))
     return header + pixels
 
 
@@ -77,6 +87,12 @@ def synthesize_bmp(seed: str) -> bytes:
     info_header = struct.pack(
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0
     )
+    if np is not None:
+        rgb = ((d[3] + np.arange(h * w * 3)) % 256).astype(np.uint8)
+        bgr = rgb.reshape(h, w, 3)[:, :, ::-1]  # BMP stores BGR
+        padded = np.zeros((h, stride), dtype=np.uint8)
+        padded[:, : 3 * w] = bgr.reshape(h, 3 * w)
+        return file_header + info_header + padded[::-1].tobytes()  # bottom-up
     rows = []
     for y_out in range(h - 1, -1, -1):  # bottom-up storage, top-down pattern
         row = bytearray()
@@ -103,11 +119,15 @@ def synthesize_wav(seed: str) -> bytes:
     channels = 1 + d[6] % 2
     frames = 200 + (d[7] * 256 + d[8]) % 800
     amp = d[9] * 128
-    samples = array("h")
-    for i in range(frames):
-        v = amp if i % 2 == 0 else -amp
-        samples.extend([v] * channels)
-    data = samples.tobytes()
+    if np is not None:
+        vals = np.where(np.arange(frames) % 2 == 0, amp, -amp)
+        data = np.repeat(vals, channels).astype("<i2").tobytes()
+    else:
+        samples = array("h")
+        for i in range(frames):
+            v = amp if i % 2 == 0 else -amp
+            samples.extend([v] * channels)
+        data = samples.tobytes()
     block_align = channels * 2
     header = struct.pack(
         "<4sI4s4sIHHIIHH4sI",
@@ -213,6 +233,12 @@ def resize_ppm_nearest(
     if parsed is None:
         return None
     w, h, pixels = parsed
+    header = b"P6\n" + f"{target_w} {target_h}\n".encode() + b"255\n"
+    if np is not None:
+        src = np.frombuffer(pixels, dtype=np.uint8)[: w * h * 3].reshape(h, w, 3)
+        sy = np.arange(target_h) * h // target_h
+        sx = np.arange(target_w) * w // target_w
+        return header + src[sy][:, sx].tobytes()
     out = bytearray()
     for y in range(target_h):
         sy = y * h // target_h
@@ -221,7 +247,6 @@ def resize_ppm_nearest(
             sx = x * w // target_w
             base = (row_base + sx) * 3
             out += pixels[base : base + 3]
-    header = b"P6\n" + f"{target_w} {target_h}\n".encode() + b"255\n"
     return header + bytes(out)
 
 
@@ -254,13 +279,20 @@ def parse_wav(payload: bytes | None) -> dict | None:
         pos += 8 + size + (size % 2)  # chunks are word-aligned
     if rate is None or channels is None or data is None or bits != 16:
         return None
-    samples = array("h")
     usable = len(data) - len(data) % 2
-    samples.frombytes(data[:usable])
-    n_frames = len(samples) // channels if channels else 0
+    if np is not None:
+        samples = np.frombuffer(data[:usable], dtype="<i2").astype(np.int64)
+        n_samples = len(samples)
+        # int64 sum of s^2 is exact up to ~8.6e9 samples (>> any one payload)
+        mean_sq = float((samples * samples).sum()) / n_samples if n_samples else 0.0
+    else:
+        samples = array("h")
+        samples.frombytes(data[:usable])
+        n_samples = len(samples)
+        mean_sq = sum(s * s for s in samples) / n_samples if n_samples else 0.0
+    n_frames = n_samples // channels if channels else 0
     duration_ms = n_frames * 1000 // rate if rate else 0
-    if len(samples):
-        mean_sq = sum(s * s for s in samples) / len(samples)
+    if n_samples:
         rms_q8 = min(255, int(round(math.sqrt(mean_sq))) // 128)
     else:
         rms_q8 = 0

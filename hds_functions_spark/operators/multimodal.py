@@ -41,6 +41,18 @@ from .media_codecs import (
     synthesize_wav,
 )
 
+try:
+    import numpy as np
+except ImportError:  # pragma: no cover - numpy is present in any pyspark env
+    np = None
+
+
+def _byte_sum(b: bytes) -> int:
+    """Sum of byte values; numpy-vectorized (uint64 accumulate) when available."""
+    if np is not None:
+        return int(np.frombuffer(b, dtype=np.uint8).sum(dtype=np.uint64))
+    return sum(b)
+
 __all__ = [
     "attach_binary_payload",
     "binary_metadata",
@@ -261,13 +273,13 @@ def resize_image(
                         sums.append(None)
                     else:
                         pix = ppm_pixel_data(resized)
-                        sums.append(sum(pix[2]) if pix else None)
+                        sums.append(_byte_sum(pix[2]) if pix else None)
                 else:
                     b = bytes(p)
                     reps = (n_bytes // max(len(b), 1)) + 1
                     out = (b * reps)[:n_bytes]
                     out_payloads.append(out)
-                    sums.append(sum(out))
+                    sums.append(_byte_sum(out))
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
