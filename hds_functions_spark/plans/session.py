@@ -24,6 +24,11 @@ DEFAULT_CONF = {
     # Arrow-accelerate the deliberate driver-side pandas crossings
     # (config CSV helpers) and any pandas UDFs in the extension layer.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic instants: timestamp_ntz -> timestamp casts and
+    # epoch/date arithmetic must not depend on the host zone. Runtime-
+    # settable, so sessions built elsewhere get it re-pinned at use sites
+    # (see registry._load_events).
+    "spark.sql.session.timeZone": "UTC",
     # The reference targets Spark 3.5 semantics (ANSI off): date+int
     # arithmetic, permissive casts. Spark 4 defaults ANSI on; pin off for
     # parity with the reference's tested behaviour. NOTE: operators must

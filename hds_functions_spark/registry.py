@@ -65,19 +65,38 @@ def normalise_event_ts(df: DataFrame) -> DataFrame:
     - long nanos -> truncate to micros with integer division (matching
       DuckDB's ns->us handling; double division would lose ~256 ns at
       1.7e18) and re-type with ``timestamp_micros``;
-    - ``timestamp_ntz`` -> cast to ``timestamp`` (value-identical when the
-      session zone is UTC, which the harness pins).
+    - ``timestamp_ntz`` -> cast to ``timestamp`` (value-identical because
+      :func:`_load_events` pins the session zone to UTC — the cast
+      reinterprets the wall-clock in the session zone, so a non-UTC zone
+      would shift every instant relative to the nanos layout).
+
+    Any other dtype is a malformed testdata layout; raise rather than
+    cast-to-garbage.
     """
-    dt = dict(df.dtypes)["ts"]
+    dtypes = dict(df.dtypes)
+    if "ts" not in dtypes:
+        raise ValueError(
+            f"events table is missing a 'ts' column; got {sorted(dtypes)}"
+        )
+    dt = dtypes["ts"]
     if dt in ("bigint", "long"):
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    if dt != "timestamp":
+    if dt == "timestamp_ntz":
         return df.withColumn("ts", F.col("ts").cast("timestamp"))
+    if dt != "timestamp":
+        raise ValueError(
+            f"events.ts has unexpected dtype {dt!r}; expected parquet "
+            "TIMESTAMP(NANOS) (long), timestamp_ntz, or timestamp"
+        )
     return df
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Pin here, not just in build_session: the correctness/bench drivers
+    # build their own sessions, and the ntz->timestamp cast below is only
+    # zone-invariant under UTC.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return normalise_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 

@@ -1014,8 +1014,10 @@ from .streaming import (  # noqa: E402
 
 
 def _events_stream(spark, sf_dir):
-    # same ts-layout handling as the batch loader (registry.normalise_event_ts)
+    # same ts-layout handling as the batch loader (registry.normalise_event_ts);
+    # UTC pin keeps the ntz->timestamp cast zone-invariant under any session
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     sdf = read_parquet_stream(spark, f"{sf_dir}/events.parquet")
     return normalise_event_ts(sdf)
 

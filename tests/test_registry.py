@@ -78,3 +78,65 @@ def test_oracles_parse_in_duckdb():
         except Exception as exc:
             failures.append((name, str(exc)[:120]))
     assert not failures, failures
+
+
+def test_normalise_event_ts_dual_layouts(spark, tmp_path):
+    """The testdata generator has shipped events.parquet as TIMESTAMP(NANOS)
+    (read as long under nanosAsLong) and as TIMESTAMP(MICROS) (read as
+    timestamp_ntz). Both layouts must normalise to identical instants, and
+    an already-normalised frame must pass through unchanged."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from hds_functions_spark.registry import normalise_event_ts
+
+    instants = pd.to_datetime(
+        ["2024-01-01 00:00:00.123456", "2024-06-30 23:59:59.999999"]
+    )
+    nanos_path = str(tmp_path / "nanos.parquet")
+    micros_path = str(tmp_path / "micros.parquet")
+    pq.write_table(
+        pa.table({"ts": pa.array(instants, type=pa.timestamp("ns"))}),
+        nanos_path,
+    )
+    pq.write_table(
+        pa.table({"ts": pa.array(instants, type=pa.timestamp("us"))}),
+        micros_path,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    nanos_df = spark.read.parquet(nanos_path)
+    micros_df = spark.read.parquet(micros_path)
+    assert dict(nanos_df.dtypes)["ts"] == "bigint"
+    assert dict(micros_df.dtypes)["ts"] == "timestamp_ntz"
+
+    out_n = normalise_event_ts(nanos_df)
+    out_m = normalise_event_ts(micros_df)
+    assert dict(out_n.dtypes)["ts"] == "timestamp"
+    assert dict(out_m.dtypes)["ts"] == "timestamp"
+    vals_n = sorted(r["ts"] for r in out_n.collect())
+    vals_m = sorted(r["ts"] for r in out_m.collect())
+    assert vals_n == vals_m
+    assert vals_n[0].microsecond == 123456  # integer ns->us truncation
+
+    # already-timestamp passes through without an extra projection
+    again = normalise_event_ts(out_m)
+    assert again is out_m
+
+
+def test_normalise_event_ts_rejects_bad_layouts(spark):
+    import pytest
+    from pyspark.sql import functions as F
+
+    from hds_functions_spark.registry import normalise_event_ts
+
+    no_ts = spark.range(3).withColumnRenamed("id", "user_id")
+    with pytest.raises(ValueError, match="missing a 'ts' column"):
+        normalise_event_ts(no_ts)
+
+    stringy = spark.range(3).withColumn("ts", F.lit("2024-01-01"))
+    with pytest.raises(ValueError, match="unexpected dtype 'string'"):
+        normalise_event_ts(stringy)
