@@ -88,15 +88,37 @@ def main() -> None:
         "cpus": int(cpus),
         "repeats": repeats,
     }
-    # Output contract: the result JSON is the ONLY stdout content and the very
-    # last line, compact-separated, so a bounded tail capture still parses it.
-    # A durable copy goes to BENCH.json next to this script.
+    # Output contract: stdout carries exactly two JSON lines — the full
+    # per-query record, then a compact suite-level summary as the very LAST
+    # line. Bounded tail captures truncate from the FRONT, so the summary
+    # (the driver-critical fields) survives even when the per-query line
+    # (which grows with the suite) does not. A durable full copy goes to
+    # BENCH.json next to this script.
     line = json.dumps(result, separators=(",", ":"))
+    summary = json.dumps(
+        {
+            "metric": "suite_wall_clock",
+            "value": total,
+            "unit": "sec",
+            "sf": sf,
+            "cpus": int(cpus),
+            "repeats": repeats,
+            "n_queries": len(per_query),
+            "n_failed": sum(1 for t in per_query.values() if t < 0),
+            # top-10 slowest only, so this line stays bounded as the suite
+            # grows; the full per-query map lives in BENCH.json
+            "queries": dict(
+                sorted(per_query.items(), key=lambda kv: -kv[1])[:10]
+            ),
+        },
+        separators=(",", ":"),
+    )
     bench_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH.json")
     with open(bench_path, "w") as fh:
         fh.write(line + "\n")
     sys.stdout.flush()
     print(line)
+    print(summary)
     sys.stdout.flush()
 
 
