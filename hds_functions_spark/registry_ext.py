@@ -294,6 +294,15 @@ def _shared_clusters(spark, sf_dir):
     return df
 
 
+def reset_shared_clusters(spark, sf_dir) -> None:
+    """Drop the session-scoped persisted clusters table so the next
+    consumer rebuilds it from scratch (the cold path)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _CLUSTERS_CACHE.pop(key, None)
+    if df is not None:
+        df.unpersist()
+
+
 @_register(
     "dedup_clusters_cc",
     f"""
@@ -322,6 +331,39 @@ def dedup_clusters_cc(spark, sf_dir):
     the Spark side converges in O(log^2 n) rounds for 100 TB graphs).
     Served from the session-scoped persisted clusters table shared with
     ``pipeline_best_of_cluster``."""
+    return _shared_clusters(spark, sf_dir)
+
+
+@_register(
+    "dedup_clusters_build",
+    f"""
+WITH RECURSIVE pairs AS (
+    SELECT id_a, id_b FROM ({_duck_minhash_sql()})
+    WHERE est_jaccard >= {_CC_MIN_JACCARD}
+), sym AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+), reach(src, dst) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src
+)
+SELECT src AS doc_id, min(dst) AS component,
+       (src = min(dst)) AS is_canonical
+FROM reach GROUP BY src
+""",
+)
+def dedup_clusters_build(spark, sf_dir):
+    """COLD-path clustering: drops the session-scoped persisted clusters
+    table and rebuilds it end-to-end (MinHash signatures -> banded LSH
+    pairs -> alternating large-star/small-star connected components).
+
+    Exists so the bench suite always times the real clustering cost under
+    its own name — ``dedup_clusters_cc`` and ``pipeline_best_of_cluster``
+    read the shared persisted table (the production shape) and therefore
+    time a cache read whenever clustering already ran this session."""
+    reset_shared_clusters(spark, sf_dir)
     return _shared_clusters(spark, sf_dir)
 
 
