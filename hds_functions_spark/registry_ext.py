@@ -671,7 +671,11 @@ ORACLES["similarity_lsh_knn"] = _duck_lsh_knn_sql()
 
 
 _LSHB_BANDS = 4
-_LSHB_PLANES_PER_BAND = 3
+#: round 4: retuned 3 -> 4 planes/band on the planted-cluster sweep
+#: (BASELINE.md): in the realistic clustered regime 4x4 keeps 0.95
+#: recall@5 at 35% of brute cost, where 4x3 pays 62% for the last 5
+#: points — 4x4 is the knee of the cost/recall curve.
+_LSHB_PLANES_PER_BAND = 4
 
 
 def _duck_lsh_banded_sql() -> str:
@@ -711,7 +715,8 @@ QUALIFY row_index <= {_KNN_K}
 
 @_register("similarity_lsh_banded", _duck_lsh_banded_sql())
 def similarity_lsh_banded(spark, sf_dir):
-    """Multi-band OR-amplified LSH top-5 (4 bands x 3 planes): the
+    """Multi-band OR-amplified LSH top-5 (4 bands x 4 planes — tuned on
+    the planted-cluster recall sweep, BASELINE.md round 4): the
     production LSH shape — single-bucket recall collapses as planes grow
     (BASELINE.md), OR-ing bands recovers it at bounded candidate cost.
     Candidates are de-duplicated before exact scoring; the oracle
