@@ -45,8 +45,11 @@ def assign_dense_ids(
     not otherwise guaranteed stable across re-evaluations).
 
     ``order_by`` must be a TOTAL order (add a unique tie-break column) for
-    the assignment to be deterministic. Accepts names or Columns.
+    the assignment to be deterministic. Accepts a name, a Column, or a
+    list of either.
     """
+    if isinstance(order_by, (str, Column)):
+        order_by = [order_by]
     order_cols = [
         F.col(c) if isinstance(c, str) else c for c in order_by
     ]
