@@ -45,8 +45,10 @@ def select_top_rows(
     ``method`` in ``{'row_number', 'rank', 'dense_rank'}``; ``n`` a positive
     int; ``partition_by=None`` means a single global partition (implemented
     with an injected constant ``_dummy_column``, ValueError if that name
-    already exists); ``order_by=None`` ranks an unordered window
-    (nondeterministic ``row_number``). Nulls sort FIRST by default
+    already exists); ``order_by=None`` builds an unordered window, which
+    Spark's ranking functions reject at analysis time (AnalysisException
+    "requires window to be ordered") — identical in the reference, which
+    passes the same unordered spec. Nulls sort FIRST by default
     (ascending); callers pass ``F.col(c).asc_nulls_last()`` etc. in
     ``order_by`` for explicit placement.
     """
