@@ -736,53 +736,56 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: listed here and surfaced ahead of queries that already have two rounds of
 #: green CORRECTNESS rows (r01+r02) plus the local oracle mimic.
 DRIVER_PRIORITY: list[str] = [
-    # -- 36 round-2 additions, never driver-checked (CORRECTNESS_r02 covered
-    #    only the first 50 registered names) --
-    "events_asof_forward",
-    "sample_hash_split",
-    "sample_stratified",
-    "sample_nested",
-    "sample_mixture",
-    "profile_lineitem",
-    "text_tfidf",
-    "text_repetition",
-    "pack_sequences",
-    "doclen_quantiles",
-    "embedding_centroids",
-    "events_trailing",
-    "analytics_top_orders",
-    "analytics_region_revenue",
-    "decontam_ngram_overlap",
-    "chunk_documents",
-    "events_json_props",
-    "analytics_promo_revenue",
-    "clean_scrub_pii",
-    "clean_filter_lines",
-    "pipeline_best_of_cluster",
-    "events_asof_tolerance",
-    "multimodal_audio",
-    "privacy_suppress",
-    "table_standardise_hes",
-    "events_gap_quantiles",
-    "events_retention",
-    "events_funnel",
-    "doclen_histogram",
-    "sample_cap_per_group",
-    "clean_unicode_nfc",
-    "multimodal_resize",
-    "clean_dedup_lines",
-    "text_stopword_filter",
-    "events_interval_binned",
-    "text_langid_confusion",
-    # -- implementation changed in round 3 (re-verify even though r02-green) --
-    "multimodal_features",   # decoder='real' PPM path is now the default
-    "dedup_ngram_jaccard",   # hot-gram df cap added before the self-join
-    # -- new round-3 registrations (no prior row) --
-    "similarity_recall",
-    "table_upsert_incremental",
-    "similarity_lsh_banded",
-    "clean_dedup_lines_corpus",
-    "ids_dense_assign",
+    # -- round 4: implementation or tuning changed this round --
+    "multimodal_features",   # numpy-vectorized codecs
+    "multimodal_resize",     # numpy-vectorized resize + byte-sum
+    "multimodal_audio",      # numpy-vectorized WAV RMS
+    "similarity_lsh_banded", # retuned 4x3 -> 4x4 (planted-cluster sweep)
+    "similarity_recall",     # recomputed over the retuned banded path
+    "dedup_clusters_build",  # new: explicit cold-path clustering
+    "ids_dense_assign",      # order_by now accepts bare name/Column
+    "dedup_clusters_cc",     # now a cache read after _build may reset it
+    # -- last driver row is r01/r02 (not in the r03 window): refresh --
+    "privacy_redact",
+    "wrangle_clean_columns",
+    "wrangle_map_values",
+    "date_instructions",
+    "table_archive_versions",
+    "table_standardise_deaths",
+    "table_standardise_vaccine",
+    "table_archive_roundtrip",
+    "config_csv_roundtrip",
+    "config_dict_map",
+    "config_json_map",
+    "source_csv_distributed",
+    "text_stats",
+    "text_quality",
+    "text_language",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_groups",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "similarity_knn",
+    "similarity_lsh_knn",
+    "dedup_embedding",
+    "similarity_ivf_knn",
+    "events_tumbling",
+    "events_sessions",
+    "events_sessionize",
+    "join_salted",
+    "events_asof_join",
+    "events_interval_join",
+    "multimodal_frames",
+    "text_tokens",
+    "streaming_tumbling",
+    "streaming_sessions",
+    "streaming_dedup",
+    "streaming_stateful_totals",
+    "streaming_interval_join",
+    "pipeline_curation",
+    "events_sliding",
 ]
 
 
