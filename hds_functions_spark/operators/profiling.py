@@ -15,7 +15,12 @@ from pyspark.sql.window import Window
 from ..functions.partitioning import ensure_min_partitions
 from ..functions.text import tokens
 
-__all__ = ["profile_columns", "tf_idf_top_terms", "group_quantiles"]
+__all__ = [
+    "profile_columns",
+    "tf_idf_top_terms",
+    "group_quantiles",
+    "key_skew_profile",
+]
 
 
 def profile_columns(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
@@ -137,4 +142,55 @@ def group_quantiles(
     ]
     return df.groupBy(*group_cols).agg(
         F.count("*").alias("n_rows"), *aggs
+    )
+
+
+def key_skew_profile(
+    df: DataFrame,
+    key_cols: list[str],
+    top_n: int = 10,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Heavy-hitter profile of a join/aggregation key: the ``top_n`` most
+    frequent key values with their share of all rows, plus corpus-level
+    context (total rows, distinct keys, a uniform key's expected share).
+
+    This is the diagnosis step before choosing a skew mitigation
+    (salting / AQE skew-join / broadcast): a key whose ``share`` is orders
+    of magnitude above ``uniform_share`` serialises its whole group onto
+    one task in any co-partitioned plan.
+
+    Plan shape: one ``groupBy(key)`` count (map-side partial combine, the
+    shuffle carries distinct keys only) -> tiny scalar aggregate over the
+    per-key counts -> WindowGroupLimit top-``top_n`` -> 1-row broadcast
+    crossJoin re-attach of the totals. Nothing corpus-sized moves after
+    the first aggregation; null keys count as a key (they hash-collide
+    onto one task in a real join — the exact pathology worth surfacing).
+    """
+    if not key_cols:
+        raise ValueError("key_cols must name at least one column")
+    per_key = df.groupBy(*key_cols).agg(F.count("*").alias("key_rows"))
+    totals = per_key.agg(
+        F.coalesce(F.sum("key_rows"), F.lit(0)).alias("total_rows"),
+        F.count("*").alias("n_keys"),
+    )
+    w = Window.orderBy(F.col("key_rows").desc(), *[F.col(c).asc() for c in key_cols])
+    top = per_key.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= top_n
+    )
+    return (
+        top.crossJoin(F.broadcast(totals))
+        .select(
+            "rank",
+            *key_cols,
+            "key_rows",
+            "total_rows",
+            "n_keys",
+            F.round(F.col("key_rows") / F.col("total_rows"), round_digits).alias(
+                "share"
+            ),
+            F.round(F.lit(1.0) / F.col("n_keys"), round_digits).alias(
+                "uniform_share"
+            ),
+        )
     )

@@ -12,7 +12,12 @@ from typing import Mapping
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["clean_column_names", "map_column_values", "align_to_schema"]
+__all__ = [
+    "clean_column_names",
+    "map_column_values",
+    "align_to_schema",
+    "winsorize_columns",
+]
 
 # Above this many entries a literal `create_map` expression gets unwieldy for
 # Catalyst (huge expression tree); switch to a broadcast-join lookup table.
@@ -121,3 +126,64 @@ def align_to_schema(df: DataFrame, schema, strict: bool = False) -> DataFrame:
         else:
             cols.append(F.lit(None).cast(f.dataType).alias(f.name))
     return df.select(*cols)
+
+
+def winsorize_columns(
+    df: DataFrame,
+    columns: list[str],
+    lower: float = 0.01,
+    upper: float = 0.99,
+    group_by: list[str] | None = None,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Clip each listed numeric column to its [``lower``, ``upper``]
+    quantiles — per group when ``group_by`` is given, else globally.
+    Clipped values are rounded to ``round_digits``; nulls pass through.
+
+    Training-data featurisation step: length/score distributions have
+    heavy tails, and clipping at exact percentiles (type-7 linear
+    interpolation — the R/NumPy/DuckDB ``quantile_cont`` default, matching
+    Spark's exact ``percentile``) bounds them without dropping rows.
+
+    Plan shape: ONE aggregate computes every bound (two ``percentile``
+    aggs per column, grouped or global), then re-attaches — grouped via an
+    equi-join on the group key (bounds table has one row per group;
+    planner/AQE broadcasts when small), global via a 1-row broadcast
+    crossJoin. The clip itself is a codegen ``when`` projection; exact
+    percentiles sort within the aggregate — swap to ``percentile_approx``
+    only if group cardinalities make that prohibitive.
+    """
+    if not columns:
+        raise ValueError("columns must name at least one column")
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise ValueError(f"columns not in DataFrame: {missing}")
+    if not (0.0 <= lower < upper <= 1.0):
+        raise ValueError("need 0 <= lower < upper <= 1")
+
+    aggs = []
+    for c in columns:
+        aggs.append(
+            F.percentile(F.col(c), F.lit(lower)).alias(f"_hds_lo_{c}")
+        )
+        aggs.append(
+            F.percentile(F.col(c), F.lit(upper)).alias(f"_hds_hi_{c}")
+        )
+    if group_by:
+        bounds = df.groupBy(*group_by).agg(*aggs)
+        joined = df.join(bounds, on=list(group_by), how="left")
+    else:
+        bounds = df.agg(*aggs)
+        joined = df.crossJoin(F.broadcast(bounds))
+
+    clipped = {
+        c: F.round(
+            F.when(F.col(c) < F.col(f"_hds_lo_{c}"), F.col(f"_hds_lo_{c}"))
+            .when(F.col(c) > F.col(f"_hds_hi_{c}"), F.col(f"_hds_hi_{c}"))
+            .otherwise(F.col(c)),
+            round_digits,
+        ).cast("double")
+        for c in columns
+    }
+    drop = [f"_hds_lo_{c}" for c in columns] + [f"_hds_hi_{c}" for c in columns]
+    return joined.withColumns(clipped).drop(*drop)

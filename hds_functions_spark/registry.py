@@ -736,6 +736,10 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: listed here and surfaced ahead of queries that already have two rounds of
 #: green CORRECTNESS rows (r01+r02) plus the local oracle mimic.
 DRIVER_PRIORITY: list[str] = [
+    # -- new round-4 registrations (no prior row) --
+    "profile_key_skew",
+    "wrangle_winsorize",
+    "table_diff_versions",
     # -- round 4: implementation or tuning changed this round --
     "multimodal_features",   # numpy-vectorized codecs
     "multimodal_resize",     # numpy-vectorized resize + byte-sum
@@ -785,7 +789,8 @@ DRIVER_PRIORITY: list[str] = [
     "streaming_stateful_totals",
     "streaming_interval_join",
     "pipeline_curation",
-    "events_sliding",
+    # events_sliding drops out: 51 candidates for a 50-slot window; it
+    # keeps its r02 driver row + per-round judge oracle re-runs
 ]
 
 

@@ -2685,3 +2685,143 @@ def text_langid_confusion(spark, sf_dir):
         .groupBy("lang", "lang_pred")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+# --- round 4: skew diagnosis, winsorization, table diff ------------------
+
+@_register(
+    "profile_key_skew",
+    """
+WITH per_key AS (
+    SELECT o_custkey, count(*) AS key_rows FROM orders GROUP BY 1
+), tot AS (
+    SELECT CAST(sum(key_rows) AS BIGINT) AS total_rows,
+           count(*) AS n_keys
+    FROM per_key
+), top AS (
+    SELECT o_custkey, key_rows,
+           CAST(row_number() OVER (ORDER BY key_rows DESC, o_custkey ASC)
+                AS INTEGER) AS rank
+    FROM per_key
+    QUALIFY rank <= 10
+)
+SELECT rank, o_custkey, key_rows, total_rows, n_keys,
+       round(key_rows / total_rows, 6) AS share,
+       round(1.0 / n_keys, 6) AS uniform_share
+FROM top, tot
+""",
+)
+def profile_key_skew(spark, sf_dir):
+    """Heavy-hitter profile of orders.o_custkey — the diagnosis step
+    before choosing a skew mitigation (salting / AQE skew-join /
+    broadcast). One groupBy count (shuffle carries distinct keys only),
+    WindowGroupLimit top-10, 1-row totals crossJoin."""
+    from .operators.profiling import key_skew_profile
+
+    return key_skew_profile(
+        _t(spark, sf_dir, "orders").select("o_custkey"),
+        ["o_custkey"],
+        top_n=10,
+    )
+
+
+@_register(
+    "wrangle_winsorize",
+    """
+WITH b AS (
+    SELECT l_returnflag,
+           quantile_cont(l_extendedprice, 0.05) AS lo,
+           quantile_cont(l_extendedprice, 0.95) AS hi
+    FROM lineitem GROUP BY 1
+)
+SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+       round(CASE WHEN l.l_extendedprice < b.lo THEN b.lo
+                  WHEN l.l_extendedprice > b.hi THEN b.hi
+                  ELSE l.l_extendedprice END, 6) AS price_w
+FROM lineitem l JOIN b USING (l_returnflag)
+""",
+)
+def wrangle_winsorize(spark, sf_dir):
+    """Per-group winsorization of lineitem prices at the exact 5th/95th
+    percentiles (type-7 interpolation — Spark ``percentile`` ==
+    DuckDB ``quantile_cont``): heavy-tail clipping without dropping rows.
+    One grouped aggregate computes all bounds; the clip is a codegen
+    projection after an equi-join on the 3-row bounds table."""
+    from .operators.wrangling import winsorize_columns
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    return winsorize_columns(
+        li, ["l_extendedprice"], lower=0.05, upper=0.95,
+        group_by=["l_returnflag"],
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        F.col("l_extendedprice").alias("price_w"),
+    )
+
+
+@_register(
+    "table_diff_versions",
+    """
+WITH old_t AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+), new_t AS (
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 11 <> 0
+    UNION ALL
+    SELECT o_orderkey + 100000000, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 13 = 0
+), j AS (
+    SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+           o.o_orderkey IS NOT NULL AS in_old,
+           n.o_orderkey IS NOT NULL AS in_new,
+           (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus) AS d_status,
+           (o.o_totalprice IS DISTINCT FROM n.o_totalprice) AS d_price
+    FROM old_t o FULL OUTER JOIN new_t n ON o.o_orderkey = n.o_orderkey
+)
+SELECT o_orderkey,
+       CASE WHEN NOT in_old THEN 'added'
+            WHEN NOT in_new THEN 'removed'
+            WHEN d_status OR d_price THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       concat_ws(',',
+           CASE WHEN in_old AND in_new AND d_status THEN 'o_orderstatus' END,
+           CASE WHEN in_old AND in_new AND d_price THEN 'o_totalprice' END
+       ) AS changed_columns
+FROM j
+""",
+)
+def table_diff_versions(spark, sf_dir):
+    """Snapshot diff: orders vs a deterministically mutated next version
+    (every 7th key's price bumped, every 11th key dropped, every 13th key
+    re-added under a shifted id). One co-partitioned full outer join on
+    the key; per-column null-safe comparison in the projection. The
+    oracle replicates the mutation and the diff independently."""
+    from .sources.tables import table_diff
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new = orders.filter(F.col("o_orderkey") % 11 != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")),
+    )
+    added = orders.filter(F.col("o_orderkey") % 13 == 0).withColumn(
+        "o_orderkey", F.col("o_orderkey") + 100000000
+    )
+    diff = table_diff(
+        orders, new.unionByName(added), ["o_orderkey"],
+        compare_cols=["o_orderstatus", "o_totalprice"],
+    )
+    return diff.select(
+        "o_orderkey",
+        "status",
+        F.array_join("changed_columns", ",").alias("changed_columns"),
+    )

@@ -19,7 +19,7 @@ Extensions over the reference (documented, semantics preserved):
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List
+from typing import List, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -34,6 +34,7 @@ __all__ = [
     "save_archive_snapshot",
     "upsert_table",
     "get_archive_versions",
+    "table_diff",
     "standardise_table",
     "STANDARDISERS",
     # per-dataset named wrappers (appended at module bottom to match the
@@ -298,6 +299,99 @@ def get_archive_versions(df: DataFrame, version_column: str = "archived_on") -> 
         .collect()
     )
     return [r[version_column] for r in rows]
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: List[str],
+    compare_cols: Optional[List[str]] = None,
+) -> DataFrame:
+    """Row-level diff of two table versions by primary key.
+
+    Output: the key columns plus ``status`` in ``{'added', 'removed',
+    'changed', 'unchanged'}`` and ``changed_columns`` (sorted array of
+    compared column names whose values differ null-safely; empty array
+    for added/removed/unchanged). ``compare_cols`` defaults to every
+    shared non-key column. Duplicate keys on either side raise — a diff
+    keyed on a non-key is meaningless.
+
+    The snapshot/archive audit step: what did this month's refresh
+    actually change? Plan shape: one full outer equi-join on the key
+    (both sides shuffle-partition by the same key — co-partitioned, no
+    broadcast of anything table-sized), per-column null-safe equality
+    compiled into the projection (codegen, no UDF). The duplicate-key
+    guard is two count aggregates over the key columns only.
+    """
+    if not key_cols:
+        raise ValueError("key_cols must name at least one column")
+    for side, df in (("old", old), ("new", new)):
+        missing = [c for c in key_cols if c not in df.columns]
+        if missing:
+            raise ValueError(f"{side} side is missing key columns: {missing}")
+    if compare_cols is None:
+        shared = set(old.columns) & set(new.columns)
+        compare_cols = [
+            c for c in old.columns if c in shared and c not in key_cols
+        ]
+    for side, df in (("old", old), ("new", new)):
+        dup = (
+            df.groupBy(*key_cols)
+            .count()
+            .filter(F.col("count") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise ValueError(
+                f"{side} side has duplicate keys on {key_cols}; "
+                "diff requires a unique key"
+            )
+
+    o = old.select(
+        *key_cols,
+        F.lit(True).alias("_hds_in_old"),
+        *[F.col(c).alias(f"_hds_old_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *key_cols,
+        F.lit(True).alias("_hds_in_new"),
+        *[F.col(c).alias(f"_hds_new_{c}") for c in compare_cols],
+    )
+    joined = o.join(n, on=list(key_cols), how="full_outer")
+
+    diffs = F.array_sort(
+        F.array_compact(
+            F.array(
+                *[
+                    F.when(
+                        ~F.col(f"_hds_old_{c}").eqNullSafe(
+                            F.col(f"_hds_new_{c}")
+                        ),
+                        F.lit(c),
+                    )
+                    for c in compare_cols
+                ]
+            )
+        )
+    ) if compare_cols else F.array().cast("array<string>")
+
+    status = (
+        F.when(F.col("_hds_in_old").isNull(), F.lit("added"))
+        .when(F.col("_hds_in_new").isNull(), F.lit("removed"))
+        .when(F.size(diffs) > 0, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return joined.select(
+        *key_cols,
+        status.alias("status"),
+        F.when(
+            F.col("_hds_in_old").isNotNull() & F.col("_hds_in_new").isNotNull(),
+            diffs,
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("changed_columns"),
+    )
 
 
 # --- data-driven standardisation registry -------------------------------

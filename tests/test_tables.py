@@ -291,3 +291,46 @@ def test_upsert_table_rejects_remote_schemes(spark, tmp_path):
     upsert_table(v2, "f", "id", table_directory=td)
     rows = {r["id"]: r["v"] for r in load_table("f", table_directory=td).collect()}
     assert rows == {1: "A2", 2: "b"}
+
+
+def test_table_diff_statuses(spark):
+    from hds_functions_spark.sources.tables import table_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30), (4, None, 40)],
+        "k: int, s: string, v: int",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20), (3, "x", 30), (4, None, 41), (5, "e", 50)],
+        "k: int, s: string, v: int",
+    )
+    got = {
+        r["k"]: (r["status"], list(r["changed_columns"]))
+        for r in table_diff(old, new, ["k"]).collect()
+    }
+    assert got == {
+        1: ("removed", []),
+        2: ("unchanged", []),
+        3: ("changed", ["s"]),
+        4: ("changed", ["v"]),  # null-safe: None == None is not a change
+        5: ("added", []),
+    }
+    # multi-change rows list every differing column, sorted
+    new2 = spark.createDataFrame([(2, "z", 99)], "k: int, s: string, v: int")
+    row = table_diff(old.filter("k = 2"), new2, ["k"]).first()
+    assert row["status"] == "changed"
+    assert list(row["changed_columns"]) == ["s", "v"]
+
+
+def test_table_diff_errors(spark):
+    import pytest
+    from hds_functions_spark.sources.tables import table_diff
+
+    df = spark.createDataFrame([(1, 2)], "k: int, v: int")
+    dup = spark.createDataFrame([(1, 2), (1, 3)], "k: int, v: int")
+    with pytest.raises(ValueError, match="duplicate keys"):
+        table_diff(dup, df, ["k"])
+    with pytest.raises(ValueError, match="missing key"):
+        table_diff(df, df, ["nope"])
+    with pytest.raises(ValueError, match="at least one"):
+        table_diff(df, df, [])

@@ -134,3 +134,22 @@ def test_repetition_stats(spark):
     assert rows[4]["dup_line_ratio"] is None
     assert rows[4]["dup_token_ratio"] is None
     assert rows[4]["top_bigram_ratio"] is None
+
+
+def test_key_skew_profile(spark):
+    from hds_functions_spark.operators.profiling import key_skew_profile
+
+    df = spark.createDataFrame(
+        [(i % 7,) for i in range(100)] + [(99,)] * 50 + [(None,)] * 5,
+        "user_id: int",
+    )
+    out = key_skew_profile(df, ["user_id"], top_n=3).collect()
+    assert [r["rank"] for r in out] == [1, 2, 3]
+    top = out[0]
+    assert top["user_id"] == 99 and top["key_rows"] == 50
+    assert top["total_rows"] == 155 and top["n_keys"] == 9  # null is a key
+    assert abs(top["share"] - 50 / 155) < 1e-6
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one"):
+        key_skew_profile(df, [])

@@ -78,3 +78,40 @@ def test_align_to_schema(spark):
     assert out.schema["c"].dataType.simpleString() == "double"
     with pytest.raises(ValueError, match="missing=\\['c'\\] extra=\\['z'\\]"):
         align_to_schema(df, target, strict=True)
+
+
+def test_winsorize_global_and_grouped(spark):
+    from hds_functions_spark.operators.wrangling import winsorize_columns
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(g, float(v)) for g in ("a", "b") for v in range(1, 101)]
+        + [("a", 1e6), ("a", None)],
+        "g: string, v: double",
+    )
+    # global: the 1e6 outlier is clipped to the 95th percentile
+    out = winsorize_columns(df, ["v"], 0.05, 0.95)
+    mx = out.agg(F.max("v")).first()[0]
+    assert mx < 1000
+    # nulls pass through
+    assert out.filter(F.col("v").isNull()).count() == 1
+    # grouped: group b is untouched by a's outlier
+    grouped = winsorize_columns(df, ["v"], 0.05, 0.95, group_by=["g"])
+    b_max = grouped.filter(F.col("g") == "b").agg(F.max("v")).first()[0]
+    assert 95.0 <= b_max <= 96.0
+    # schema/row preservation
+    assert grouped.columns == df.columns
+    assert grouped.count() == df.count()
+
+
+def test_winsorize_errors(spark):
+    import pytest
+    from hds_functions_spark.operators.wrangling import winsorize_columns
+
+    df = spark.createDataFrame([(1.0,)], "v: double")
+    with pytest.raises(ValueError, match="at least one"):
+        winsorize_columns(df, [])
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        winsorize_columns(df, ["nope"])
+    with pytest.raises(ValueError, match="lower < upper"):
+        winsorize_columns(df, ["v"], 0.9, 0.1)
