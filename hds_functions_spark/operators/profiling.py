@@ -20,6 +20,7 @@ __all__ = [
     "tf_idf_top_terms",
     "group_quantiles",
     "key_skew_profile",
+    "bigram_logprob_scores",
 ]
 
 
@@ -193,4 +194,52 @@ def key_skew_profile(
                 "uniform_share"
             ),
         )
+    )
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-document average bigram log-likelihood under the corpus's own
+    MLE bigram model — the CCNet/Gopher-style LM quality signal: documents
+    whose token transitions are unusual for the corpus (boilerplate,
+    gibberish, wrong-language) score low and become filter candidates.
+
+    ``P(w2|w1) = c(w1,w2) / c(w1·)`` with counts over all corpus bigrams
+    (``c(w1·)`` = bigrams whose context is ``w1``, the consistent MLE
+    denominator — every observed bigram has P > 0, no smoothing needed).
+    Output: (id, n_bigrams, avg_logprob) for documents with >= 2 tokens.
+
+    Plan shape: one explode of adjacent token pairs -> two hash aggregates
+    (bigram counts, context counts — both vocabulary-bounded, far smaller
+    than the corpus) -> equi-joins back on the gram keys (1 stats row per
+    bigram: no fanout, hot bigrams are probe traffic, not row explosion)
+    -> per-doc aggregate. All shuffles are keyed on grams or the doc id;
+    nothing corpus-sized is broadcast.
+    """
+    toks = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_t")
+    ).filter(F.size("_t") >= 2)
+    bigrams = toks.select(
+        id_col,
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(_t) - 2), "
+                "i -> struct(_t[i] AS w1, _t[i + 1] AS w2))"
+            )
+        ).alias("_bg"),
+    ).select(id_col, F.col("_bg.w1").alias("w1"), F.col("_bg.w2").alias("w2"))
+    bigram_counts = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("_c2"))
+    context_counts = bigrams.groupBy("w1").agg(F.count("*").alias("_c1"))
+    scored = (
+        bigrams.join(bigram_counts, on=["w1", "w2"])
+        .join(context_counts, on="w1")
+        .withColumn("_lp", F.log(F.col("_c2") / F.col("_c1")))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count("*").alias("n_bigrams"),
+        F.round(F.avg("_lp"), round_digits).alias("avg_logprob"),
     )

@@ -2825,3 +2825,34 @@ def table_diff_versions(spark, sf_dir):
         "status",
         F.array_join("changed_columns", ",").alias("changed_columns"),
     )
+
+
+@_register(
+    "text_bigram_logprob",
+    f"""
+WITH toks AS (
+    SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+), big AS (
+    SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+    FROM toks, UNNEST(generate_series(1, len(t) - 1)) AS g(i)
+    WHERE len(t) >= 2
+), bc AS (
+    SELECT w1, w2, count(*) AS c2 FROM big GROUP BY 1, 2
+), uc AS (
+    SELECT w1, count(*) AS c1 FROM big GROUP BY 1
+)
+SELECT b.doc_id, count(*) AS n_bigrams,
+       round(avg(ln(c2 / c1)), 4) AS avg_logprob
+FROM big b JOIN bc USING (w1, w2) JOIN uc USING (w1)
+GROUP BY 1
+""",
+)
+def text_bigram_logprob(spark, sf_dir):
+    """CCNet/Gopher-style LM quality signal: per-document average bigram
+    log-likelihood under the corpus's own MLE bigram model — low scorers
+    (gibberish, boilerplate, wrong-language) are filter candidates. Two
+    vocabulary-bounded gram aggregates, equi-joined back (no fanout: one
+    stats row per gram), one per-doc aggregate."""
+    from .operators.profiling import bigram_logprob_scores
+
+    return bigram_logprob_scores(_t(spark, sf_dir, "documents"))

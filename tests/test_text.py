@@ -153,3 +153,30 @@ def test_key_skew_profile(spark):
 
     with pytest.raises(ValueError, match="at least one"):
         key_skew_profile(df, [])
+
+
+def test_bigram_logprob_scores(spark):
+    import math
+
+    from hds_functions_spark.operators.profiling import bigram_logprob_scores
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a c"), (3, "x"), (4, ""), (5, None)],
+        "doc_id: long, text: string",
+    )
+    out = {r["doc_id"]: r for r in bigram_logprob_scores(df).collect()}
+    # docs with < 2 tokens produce no score rows
+    assert set(out) == {1, 2}
+    # context 'a' has 2 corpus bigrams, each observed once: P = 1/2
+    for d in (1, 2):
+        assert out[d]["n_bigrams"] == 1
+        assert abs(out[d]["avg_logprob"] - round(math.log(0.5), 4)) < 1e-9
+    # a doc whose transitions are corpus-typical scores higher than an
+    # outlier: make 'a b' dominate, 'a z' rare
+    df2 = spark.createDataFrame(
+        [(i, "a b") for i in range(9)] + [(99, "a z")],
+        "doc_id: long, text: string",
+    )
+    out2 = {r["doc_id"]: r["avg_logprob"] for r in bigram_logprob_scores(df2).collect()}
+    assert out2[0] > out2[99]
+    assert abs(out2[99] - round(math.log(1 / 10), 4)) < 1e-9
