@@ -68,6 +68,8 @@ def main():
             e, queries, k=5, bands=4, planes_per_band=4
         )
 
+    from hds_functions_spark.operators.profiling import bigram_logprob_scores
+
     ops = {
         "lsh_banded_topk": (banded, emb, emb16),
         "dedup_lines_corpus": (
@@ -80,6 +82,7 @@ def main():
             docs,
             docs16,
         ),
+        "bigram_logprob": (bigram_logprob_scores, docs, docs16),
     }
     for name, (fn, one, sixteen) in ops.items():
         for label, d in (("1x", one), ("16x", sixteen)):
