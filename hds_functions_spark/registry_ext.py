@@ -48,7 +48,14 @@ from .operators.similarity import (
     ivf_cosine_topk,
     lsh_cosine_topk,
 )
-from .registry import ORACLES, QUERIES, _register, _t, normalise_event_ts
+from .registry import (
+    ORACLES,
+    QUERIES,
+    _register,
+    _stable_dir_tag,
+    _t,
+    normalise_event_ts,
+)
 
 # --- text analysis -------------------------------------------------------
 
@@ -2856,3 +2863,62 @@ def text_bigram_logprob(spark, sf_dir):
     from .operators.profiling import bigram_logprob_scores
 
     return bigram_logprob_scores(_t(spark, sf_dir, "documents"))
+
+
+@_register(
+    "source_jsonl_corpus",
+    """
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents
+WHERE doc_id % 3 <> 0
+GROUP BY lang
+""",
+)
+def source_jsonl_corpus(spark, sf_dir):
+    """JSONL corpus lifecycle: write a documents subset as JSON-Lines with
+    Spark's distributed writer (one file per partition, the interchange
+    shape real corpora ship in), read it back with read_jsonl_corpus
+    under an explicit schema (no inference pass) + PERMISSIVE corrupt
+    handling, assert zero corrupt rows, and aggregate. The oracle runs
+    the same aggregate on the parquet source — any writer/reader drift
+    (type mangling, encoding, lost rows) breaks the match."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from .sources.config_io import read_jsonl_corpus
+
+    path = os.path.join(
+        tempfile.gettempdir(), "hds_jsonl_corpus_" + _stable_dir_tag(sf_dir)
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 != 0)
+        .select("doc_id", "text", "lang", "n_chars")
+        .write.mode("overwrite")
+        .json(path)
+    )
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+            StructField("n_chars", LongType()),
+        ]
+    )
+    df = read_jsonl_corpus(path, spark, schema=schema)
+    clean = df.filter(F.col("_corrupt_record").isNull())
+    return clean.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )

@@ -25,6 +25,7 @@ __all__ = [
     "read_json_file",
     "write_json_file",
     "read_csv_distributed",
+    "read_jsonl_corpus",
 ]
 
 
@@ -157,3 +158,47 @@ def read_csv_distributed(path: str, spark: SparkSession | None = None, **options
     spark = spark or get_spark_session()
     opts = {"header": "true", "inferSchema": "true", **options}
     return spark.read.options(**opts).csv(path)
+
+
+def read_jsonl_corpus(
+    path: str,
+    spark: SparkSession | None = None,
+    schema=None,
+    corrupt_column: str = "_corrupt_record",
+    **options,
+) -> DataFrame:
+    """Distributed JSON-Lines corpus reader — the interchange format
+    training-data pipelines actually exchange (one JSON document per
+    line, millions of lines per file).
+
+    With an explicit ``schema`` the scan skips Spark's inference pass
+    (one full extra read of the data at corpus scale) and runs PERMISSIVE:
+    malformed lines land in ``corrupt_column`` instead of failing the job
+    — corrupt records are a fact of crawled corpora, and a reader that
+    dies on line 3 billion is not a reader. Without a schema, inference
+    applies (fine for exploration, wrong for production — pass the schema).
+
+    Returns the DataFrame as read; filter ``corrupt_column IS NULL`` for
+    the clean subset, or select the corrupt lines for quarantine. Spark
+    caveat: a query whose referenced columns are ONLY the corrupt column
+    is rejected on raw JSON scans (UNSUPPORTED_FEATURE.QUERY_ONLY_
+    CORRUPT_RECORD_COLUMN) — select at least one data column alongside
+    (quarantine writes naturally do), or cache the parsed frame first.
+    """
+    spark = spark or get_spark_session()
+    reader = spark.read.options(
+        **{"mode": "PERMISSIVE", "columnNameOfCorruptRecord": corrupt_column,
+           **options}
+    )
+    if schema is not None:
+        from pyspark.sql.types import StringType, StructField, StructType
+
+        target: StructType = (
+            schema.schema if hasattr(schema, "schema") else schema
+        )
+        if corrupt_column not in [f.name for f in target.fields]:
+            target = StructType(
+                list(target.fields) + [StructField(corrupt_column, StringType())]
+            )
+        reader = reader.schema(target)
+    return reader.json(path)

@@ -83,3 +83,39 @@ def test_json_roundtrip(tmp_path):
 def test_write_json_missing_dir(tmp_path):
     with pytest.raises(ValueError, match="Directory does not exist"):
         write_json_file({}, str(tmp_path / "nope" / "x.json"))
+
+
+def test_read_jsonl_corpus_permissive(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from hds_functions_spark.sources.config_io import read_jsonl_corpus
+
+    p = tmp_path / "corpus.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "hello world"}\n'
+        '{"doc_id": 2, "text": "ok"}\n'
+        "this line is not json at all\n"
+        '{"doc_id": "not a long", "text": 3}\n'
+    )
+    schema = StructType(
+        [StructField("doc_id", LongType()), StructField("text", StringType())]
+    )
+    df = read_jsonl_corpus(str(p), spark, schema=schema)
+    assert "_corrupt_record" in df.columns
+    clean = df.filter(F.col("_corrupt_record").isNull())
+    corrupt = df.filter(F.col("_corrupt_record").isNotNull())
+    assert sorted(r["doc_id"] for r in clean.collect()) == [1, 2]
+    # both the non-JSON line and the type-mismatched record are quarantined
+    # with their original text preserved (a data column must be selected
+    # alongside — Spark rejects corrupt-column-only queries on raw JSON)
+    bad = [r["_corrupt_record"] for r in corrupt.select("doc_id", "_corrupt_record").collect()]
+    assert len(bad) == 2 and all(b for b in bad)
+    # custom corrupt-column name, schema passed as a DataFrame to copy
+    df2 = read_jsonl_corpus(
+        str(p), spark, schema=clean.select("doc_id", "text"),
+        corrupt_column="_bad",
+    )
+    assert "_bad" in df2.columns
+    bad2 = df2.filter(F.col("_bad").isNotNull()).select("doc_id", "_bad").collect()
+    assert len(bad2) == 2
