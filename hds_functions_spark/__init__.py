@@ -45,7 +45,9 @@ from .operators.events import (
 from .operators.joins import salted_join
 from .operators.packing import chunk_documents, pack_sequences
 from .operators.profiling import (
+    bigram_logprob_scores,
     group_quantiles,
+    key_skew_profile,
     profile_columns,
     tf_idf_top_terms,
 )
@@ -74,12 +76,14 @@ from .operators.wrangling import (
     align_to_schema,
     clean_column_names,
     map_column_values,
+    winsorize_columns,
 )
 from .sources.config_io import (
     create_dict_from_csv,
     read_csv_distributed,
     read_csv_file,
     read_json_file,
+    read_jsonl_corpus,
     write_csv_file,
     write_json_file,
 )
@@ -95,6 +99,7 @@ from .sources.tables import (
     load_table,
     save_archive_snapshot,
     save_table,
+    table_diff,
     upsert_table,
     standardise_table,
 )
