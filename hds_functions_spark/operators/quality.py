@@ -1,0 +1,69 @@
+"""Cross-table data-quality checks: referential integrity at scale.
+
+Extension layer (SURVEY.md §8). A curation pipeline joining facts to
+dimensions silently drops (inner join) or null-fills (left join) orphaned
+rows; this module measures that damage BEFORE the join strategy is chosen.
+Pure DataFrame compositions — no UDFs, no driver collects beyond the
+summary row per relationship.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["referential_orphans"]
+
+
+def referential_orphans(
+    relationships: dict[str, tuple[DataFrame, list[str], DataFrame, list[str]]],
+    round_digits: int = 6,
+) -> DataFrame:
+    """Orphan counts for each named FK relationship: one output row per
+    ``name -> (child_df, child_keys, parent_df, parent_keys)`` entry with
+    the child row count, orphaned-row count (child keys with no parent
+    match, null keys included — a null FK cannot join), and orphan rate.
+
+    Plan shape per relationship: the child prunes to its key columns, a
+    left ANTI join against the parent's distinct keys counts the orphans
+    (planner broadcasts the parent key set when it is dimension-sized,
+    shuffles otherwise — no hints), and two scalar aggregates union into
+    the summary. Nothing wider than the key columns moves.
+    """
+    if not relationships:
+        raise ValueError("relationships must contain at least one entry")
+    branches = []
+    for name, (child, child_keys, parent, parent_keys) in relationships.items():
+        if len(child_keys) != len(parent_keys) or not child_keys:
+            raise ValueError(
+                f"relationship '{name}': child and parent key lists must be "
+                "non-empty and the same length"
+            )
+        c = child.select(
+            *[F.col(k).alias(f"_hds_k{i}") for i, k in enumerate(child_keys)]
+        )
+        p = parent.select(
+            *[F.col(k).alias(f"_hds_k{i}") for i, k in enumerate(parent_keys)]
+        ).dropDuplicates()
+        n_child = c.agg(F.count("*").alias("n"))
+        # anti join: unmatched OR null-keyed child rows are orphans
+        n_orphan = c.join(
+            p, on=[f"_hds_k{i}" for i in range(len(child_keys))], how="left_anti"
+        ).agg(F.count("*").alias("n"))
+        branches.append(
+            n_child.crossJoin(
+                n_orphan.withColumnRenamed("n", "n_orphans")
+            ).select(
+                F.lit(name).alias("relationship"),
+                F.col("n").alias("n_child_rows"),
+                "n_orphans",
+                F.round(
+                    F.col("n_orphans") / F.greatest(F.col("n"), F.lit(1)),
+                    round_digits,
+                ).alias("orphan_rate"),
+            )
+        )
+    out = branches[0]
+    for b in branches[1:]:
+        out = out.unionByName(b)
+    return out

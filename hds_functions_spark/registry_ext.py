@@ -2922,3 +2922,51 @@ def source_jsonl_corpus(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
     )
+
+
+@_register(
+    "quality_orphans",
+    """
+WITH broken_orders AS (
+    SELECT * FROM orders WHERE o_orderkey % 5 <> 0
+), r1 AS (
+    SELECT 'lineitem->orders' AS relationship,
+           (SELECT count(*) FROM lineitem) AS n_child_rows,
+           (SELECT count(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM broken_orders o
+                              WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+), r2 AS (
+    SELECT 'orders->customer' AS relationship,
+           (SELECT count(*) FROM orders) AS n_child_rows,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS n_orphans
+)
+SELECT relationship, n_child_rows, n_orphans,
+       round(n_orphans / greatest(n_child_rows, 1), 6) AS orphan_rate
+FROM (SELECT * FROM r1 UNION ALL SELECT * FROM r2)
+""",
+)
+def quality_orphans(spark, sf_dir):
+    """Referential-integrity audit: lineitem->orders against a
+    deliberately broken parent (every 5th order dropped — testdata is
+    referentially intact, so the damage is synthesized to exercise the
+    orphan path) plus the intact orders->customer relationship (expected
+    0 orphans). Key-column-only anti joins; parent key sets are
+    planner-broadcast at dimension size."""
+    from .operators.quality import referential_orphans
+
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    broken_orders = orders.filter(F.col("o_orderkey") % 5 != 0)
+    return referential_orphans(
+        {
+            "lineitem->orders": (
+                lineitem, ["l_orderkey"], broken_orders, ["o_orderkey"]
+            ),
+            "orders->customer": (
+                orders, ["o_custkey"], customer, ["c_custkey"]
+            ),
+        }
+    )

@@ -334,3 +334,30 @@ def test_table_diff_errors(spark):
         table_diff(df, df, ["nope"])
     with pytest.raises(ValueError, match="at least one"):
         table_diff(df, df, [])
+
+
+def test_referential_orphans(spark):
+    from hds_functions_spark.operators.quality import referential_orphans
+
+    child = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (3, "z"), (None, "nullkey"), (9, "orphan")],
+        "fk: int, payload: string",
+    )
+    parent = spark.createDataFrame([(1,), (2,), (3,)], "pk: int")
+    out = {
+        r["relationship"]: r
+        for r in referential_orphans(
+            {"child->parent": (child, ["fk"], parent, ["pk"])}
+        ).collect()
+    }
+    r = out["child->parent"]
+    # the null FK and the unmatched key are both orphans
+    assert r["n_child_rows"] == 5 and r["n_orphans"] == 2
+    assert abs(r["orphan_rate"] - 0.4) < 1e-9
+
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one"):
+        referential_orphans({})
+    with pytest.raises(ValueError, match="same length"):
+        referential_orphans({"bad": (child, ["fk"], parent, [])})
