@@ -37,6 +37,7 @@ from .operators.dedup import (
 )
 from .operators.events import (
     as_of_join,
+    densify_timeline,
     interval_join,
     session_stats,
     sessionize,

@@ -32,6 +32,7 @@ __all__ = [
     "sessionize",
     "as_of_join",
     "interval_join",
+    "densify_timeline",
 ]
 
 
@@ -327,3 +328,54 @@ def trailing_window_agg(
     for name, agg in aggs.items():
         out = out.withColumn(name, agg.over(w))
     return out.drop("_ts_us")
+
+
+def densify_timeline(
+    df: DataFrame,
+    key_cols,
+    ts_col: str = "ts",
+    bucket_seconds: int = 3600,
+    count_col: str = "n_events",
+):
+    """Gap-filled per-key timeline: one row per (key, bucket) across each
+    key's full [first event, last event] span, with ``count_col`` = 0 for
+    buckets where nothing happened.
+
+    Rate/cadence analysis over sparse event data needs the zeros — a
+    groupBy alone silently omits empty buckets, which biases averages and
+    breaks lag/window arithmetic.
+
+    Plan shape: one bucket projection (integer epoch floor — codegen) ->
+    per-key span aggregate (rows = #keys) -> ``sequence()`` explode
+    generates the dense bucket axis executor-side (rows ~ span/bucket per
+    key, data-proportional, never a driver loop or cross join) -> left
+    join of the per-bucket counts on (key, bucket), co-partitioned.
+    ``bucket_seconds`` must evenly divide the bucket arithmetic both ways
+    (integer epoch math — exact at any scale).
+    """
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    if bucket_seconds <= 0:
+        raise ValueError("bucket_seconds must be positive")
+    bucket = F.timestamp_seconds(
+        (F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("long")
+        * bucket_seconds
+    )
+    bucketed = df.select(*key_cols, bucket.alias("bucket"))
+    counts = bucketed.groupBy(*key_cols, "bucket").agg(
+        F.count("*").alias(count_col)
+    )
+    spans = bucketed.groupBy(*key_cols).agg(
+        F.min("bucket").alias("_b0"), F.max("bucket").alias("_b1")
+    )
+    axis = spans.select(
+        *key_cols,
+        F.explode(
+            F.expr(f"sequence(_b0, _b1, interval {int(bucket_seconds)} seconds)")
+        ).alias("bucket"),
+    )
+    return axis.join(counts, on=[*key_cols, "bucket"], how="left").select(
+        *key_cols,
+        "bucket",
+        F.coalesce(F.col(count_col), F.lit(0)).alias(count_col),
+    )

@@ -2970,3 +2970,37 @@ def quality_orphans(spark, sf_dir):
             ),
         }
     )
+
+
+@_register(
+    "events_densified",
+    """
+WITH bucketed AS (
+    SELECT event_type, date_trunc('hour', ts) AS bucket FROM events
+), counts AS (
+    SELECT event_type, bucket, count(*) AS n_events
+    FROM bucketed GROUP BY 1, 2
+), spans AS (
+    SELECT event_type, min(bucket) AS b0, max(bucket) AS b1
+    FROM bucketed GROUP BY 1
+), axis AS (
+    SELECT s.event_type, g.bucket
+    FROM spans s,
+         LATERAL unnest(generate_series(s.b0, s.b1, INTERVAL 1 HOUR))
+             AS g(bucket)
+)
+SELECT a.event_type, a.bucket,
+       coalesce(c.n_events, 0) AS n_events
+FROM axis a LEFT JOIN counts c USING (event_type, bucket)
+""",
+)
+def events_densified(spark, sf_dir):
+    """Gap-filled hourly timeline per event type — zeros included, which
+    a bare groupBy omits (biasing rates and breaking lag arithmetic).
+    sequence() explode generates the dense axis executor-side; counts
+    re-attach with a co-partitioned left join."""
+    from .operators.events import densify_timeline
+
+    return densify_timeline(
+        _t(spark, sf_dir, "events"), "event_type", bucket_seconds=3600
+    )

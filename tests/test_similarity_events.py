@@ -279,3 +279,36 @@ def test_interval_join_binned_equivalence(spark):
     assert (1, ts(30)) in key(binned)
     with pytest.raises(ValueError, match="positive"):
         interval_join(left, right, "k", "s", "e", "ts", time_bin_seconds=0)
+
+
+def test_densify_timeline(spark):
+    from pyspark.sql import functions as F
+
+    from hds_functions_spark.operators.events import densify_timeline
+
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-01-01 00:10:00"),
+            ("a", "2024-01-01 00:50:00"),
+            ("a", "2024-01-01 03:05:00"),  # hours 1 and 2 are gaps
+            ("b", "2024-01-01 05:00:00"),
+        ],
+        "k: string, ts_str: string",
+    ).select("k", F.col("ts_str").cast("timestamp").alias("ts"))
+    out = {
+        (r["k"], str(r["bucket"])): r["n_events"]
+        for r in densify_timeline(df, "k", bucket_seconds=3600).collect()
+    }
+    # key a spans 4 hourly buckets: 2 events, gap, gap, 1 event
+    assert out[("a", "2024-01-01 00:00:00")] == 2
+    assert out[("a", "2024-01-01 01:00:00")] == 0
+    assert out[("a", "2024-01-01 02:00:00")] == 0
+    assert out[("a", "2024-01-01 03:00:00")] == 1
+    # key b is a single-bucket span — no spill into a's range
+    assert out[("b", "2024-01-01 05:00:00")] == 1
+    assert len(out) == 5
+
+    import pytest
+
+    with pytest.raises(ValueError, match="positive"):
+        densify_timeline(df, "k", bucket_seconds=0)
