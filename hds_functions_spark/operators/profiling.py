@@ -21,6 +21,7 @@ __all__ = [
     "group_quantiles",
     "key_skew_profile",
     "bigram_logprob_scores",
+    "char_entropy_scores",
 ]
 
 
@@ -242,4 +243,43 @@ def bigram_logprob_scores(
     return scored.groupBy(id_col).agg(
         F.count("*").alias("n_bigrams"),
         F.round(F.avg("_lp"), round_digits).alias("avg_logprob"),
+    )
+
+
+def char_entropy_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-document Shannon entropy (nats) of the character distribution —
+    a quality signal orthogonal to repetition stats: near-zero entropy is
+    degenerate padding ("aaaa..."), unusually high entropy is
+    random-looking junk (base64 blobs, minified/encrypted payloads);
+    natural text sits in a stable mid band per language.
+
+    ``H = -sum_c p_c ln p_c`` with ``p_c`` the within-document character
+    frequency. Output: (id, n_chars, entropy) for non-empty documents.
+
+    Plan shape: one character explode -> (doc, char) hash aggregate ->
+    per-doc aggregate computing the entropy from the count vector. Both
+    shuffles are keyed on the doc id (the second is map-side combinable);
+    per-doc state is bounded by the alphabet, not the text.
+    """
+    chars = df.filter(F.length(F.col(text_col)) > 0).select(
+        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("_ch")
+    )
+    per_char = chars.groupBy(id_col, "_ch").agg(F.count("*").alias("_c"))
+    totals = per_char.groupBy(id_col).agg(
+        F.sum("_c").alias("n_chars"),
+        # -sum(c * ln c) computed first, then normalised: H = ln n - (1/n) sum c ln c
+        F.sum(F.col("_c") * F.log(F.col("_c"))).alias("_clogc"),
+    )
+    return totals.select(
+        id_col,
+        "n_chars",
+        F.round(
+            F.log(F.col("n_chars")) - F.col("_clogc") / F.col("n_chars"),
+            round_digits,
+        ).alias("entropy"),
     )

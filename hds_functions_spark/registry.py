@@ -737,6 +737,7 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: green CORRECTNESS rows (r01+r02) plus the local oracle mimic.
 DRIVER_PRIORITY: list[str] = [
     # -- new round-4 registrations (no prior row) --
+    "text_char_entropy",
     "events_densified",
     "quality_orphans",
     "source_jsonl_corpus",
@@ -788,10 +789,9 @@ DRIVER_PRIORITY: list[str] = [
     "multimodal_frames",
     "text_tokens",
     "streaming_tumbling",
-    "streaming_sessions",
-    # streaming_dedup, streaming_stateful_totals, streaming_interval_join,
-    # pipeline_curation and events_sliding drop
-    # out: 55 candidates for a 50-slot window; all keep r02 driver rows
+    # streaming_sessions, streaming_dedup, streaming_stateful_totals,
+    # streaming_interval_join, pipeline_curation and events_sliding drop
+    # out: 56 candidates for a 50-slot window; all keep r02 driver rows
     # (+ per-round judge oracle re-runs for the oracle-backed ones)
 ]
 

@@ -3004,3 +3004,32 @@ def events_densified(spark, sf_dir):
     return densify_timeline(
         _t(spark, sf_dir, "events"), "event_type", bucket_seconds=3600
     )
+
+
+@_register(
+    "text_char_entropy",
+    """
+WITH chars AS (
+    SELECT doc_id, unnest(string_split(text, '')) AS ch
+    FROM documents WHERE len(text) > 0
+), per_char AS (
+    SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY 1, 2
+), totals AS (
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
+           sum(c * ln(c)) AS clogc
+    FROM per_char GROUP BY 1
+)
+SELECT doc_id, n_chars,
+       round(ln(n_chars) - clogc / n_chars, 4) AS entropy
+FROM totals
+""",
+)
+def text_char_entropy(spark, sf_dir):
+    """Character-distribution Shannon entropy per document (nats) — flags
+    degenerate padding (near 0) and random-looking junk (unusually high)
+    that length/repetition stats miss. H computed as
+    ln n - (1/n) sum c ln c from integer counts (one shared formula both
+    engines evaluate identically)."""
+    from .operators.profiling import char_entropy_scores
+
+    return char_entropy_scores(_t(spark, sf_dir, "documents"))

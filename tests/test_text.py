@@ -180,3 +180,21 @@ def test_bigram_logprob_scores(spark):
     out2 = {r["doc_id"]: r["avg_logprob"] for r in bigram_logprob_scores(df2).collect()}
     assert out2[0] > out2[99]
     assert abs(out2[99] - round(math.log(1 / 10), 4)) < 1e-9
+
+
+def test_char_entropy_scores(spark):
+    import math
+
+    from hds_functions_spark.operators.profiling import char_entropy_scores
+
+    df = spark.createDataFrame(
+        [(1, "aaaa"), (2, "abab"), (3, "abcd"), (4, ""), (5, None)],
+        "doc_id: long, text: string",
+    )
+    out = {r["doc_id"]: r for r in char_entropy_scores(df).collect()}
+    # empty/null docs emit no row
+    assert set(out) == {1, 2, 3}
+    assert out[1]["entropy"] == 0.0  # degenerate: single symbol
+    assert abs(out[2]["entropy"] - round(math.log(2), 4)) < 1e-9  # two equiprobable
+    assert abs(out[3]["entropy"] - round(math.log(4), 4)) < 1e-9  # uniform over 4
+    assert out[3]["n_chars"] == 4
