@@ -105,6 +105,9 @@ def main() -> None:
             "repeats": repeats,
             "n_queries": len(per_query),
             "n_failed": sum(1 for t in per_query.values() if t < 0),
+            # explicit pointer for consumers that only see this last line:
+            # the complete per-query map is the durable BENCH.json copy
+            "full_record": "BENCH.json",
             # top-10 slowest only, so this line stays bounded as the suite
             # grows; the full per-query map lives in BENCH.json
             "queries": dict(

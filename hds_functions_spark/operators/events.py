@@ -358,7 +358,7 @@ def densify_timeline(
     if bucket_seconds <= 0:
         raise ValueError("bucket_seconds must be positive")
     bucket = F.timestamp_seconds(
-        (F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("long")
+        F.floor(F.unix_timestamp(F.col(ts_col)) / bucket_seconds).cast("long")
         * bucket_seconds
     )
     bucketed = df.select(*key_cols, bucket.alias("bucket"))

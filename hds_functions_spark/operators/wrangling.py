@@ -138,7 +138,11 @@ def winsorize_columns(
 ) -> DataFrame:
     """Clip each listed numeric column to its [``lower``, ``upper``]
     quantiles — per group when ``group_by`` is given, else globally.
-    Clipped values are rounded to ``round_digits``; nulls pass through.
+    Only clipped values are rounded to ``round_digits``; unclipped values
+    pass through bit-exact (the output column is still double — the
+    percentile bounds are double, so the conditional coerces). Nulls pass
+    through, and rows whose ``group_by`` key is null match no bounds row
+    and pass through unclipped.
 
     Training-data featurisation step: length/score distributions have
     heavy tails, and clipping at exact percentiles (type-7 linear
@@ -177,12 +181,15 @@ def winsorize_columns(
         joined = df.crossJoin(F.broadcast(bounds))
 
     clipped = {
-        c: F.round(
-            F.when(F.col(c) < F.col(f"_hds_lo_{c}"), F.col(f"_hds_lo_{c}"))
-            .when(F.col(c) > F.col(f"_hds_hi_{c}"), F.col(f"_hds_hi_{c}"))
-            .otherwise(F.col(c)),
-            round_digits,
-        ).cast("double")
+        c: F.when(
+            F.col(c) < F.col(f"_hds_lo_{c}"),
+            F.round(F.col(f"_hds_lo_{c}"), round_digits),
+        )
+        .when(
+            F.col(c) > F.col(f"_hds_hi_{c}"),
+            F.round(F.col(f"_hds_hi_{c}"), round_digits),
+        )
+        .otherwise(F.col(c).cast("double"))
         for c in columns
     }
     drop = [f"_hds_lo_{c}" for c in columns] + [f"_hds_hi_{c}" for c in columns]

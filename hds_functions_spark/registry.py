@@ -730,69 +730,68 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Queries the driver's correctness gate should see first. The gate verifies
-#: exactly the first 50 entries of ``queries()`` in iteration order, so
-#: queries with no driver-green history (the round-2 additions, anything whose
-#: implementation changed this round, and new round-3 registrations) are
-#: listed here and surfaced ahead of queries that already have two rounds of
-#: green CORRECTNESS rows (r01+r02) plus the local oracle mimic.
+#: exactly the first 50 entries of ``queries()`` in iteration order. Round 5
+#: rotates the window to the 50 queries with NO row in CORRECTNESS_r04.json
+#: (they were last driver-verified in r01-r03 and judge-re-verified on r4
+#: code), so after this round every registered query has a driver-green row
+#: within a two-round rolling window on current code.
 DRIVER_PRIORITY: list[str] = [
-    # -- new round-4 registrations (no prior row) --
-    "text_char_entropy",
-    "events_densified",
-    "quality_orphans",
-    "source_jsonl_corpus",
-    "text_bigram_logprob",
-    "profile_key_skew",
-    "wrangle_winsorize",
-    "table_diff_versions",
-    # -- round 4: implementation or tuning changed this round --
-    "multimodal_features",   # numpy-vectorized codecs
-    "multimodal_resize",     # numpy-vectorized resize + byte-sum
-    "multimodal_audio",      # numpy-vectorized WAV RMS
-    "similarity_lsh_banded", # retuned 4x3 -> 4x4 (planted-cluster sweep)
-    "similarity_recall",     # recomputed over the retuned banded path
-    "dedup_clusters_build",  # new: explicit cold-path clustering
-    "ids_dense_assign",      # order_by now accepts bare name/Column
-    "dedup_clusters_cc",     # now a cache read after _build may reset it
-    # -- last driver row is r01/r02 (not in the r03 window): refresh --
-    "privacy_redact",
-    "wrangle_clean_columns",
-    "wrangle_map_values",
-    "date_instructions",
-    "table_archive_versions",
-    "table_standardise_deaths",
-    "table_standardise_vaccine",
-    "table_archive_roundtrip",
-    "config_csv_roundtrip",
-    "config_dict_map",
-    "config_json_map",
-    "source_csv_distributed",
-    "text_stats",
-    "text_quality",
-    "text_language",
-    "text_fingerprint",
-    "dedup_exact",
-    "dedup_groups",
-    "dedup_minhash_pairs",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "similarity_knn",
-    "similarity_lsh_knn",
-    "dedup_embedding",
-    "similarity_ivf_knn",
-    "events_tumbling",
-    "events_sessions",
-    "events_sessionize",
-    "join_salted",
-    "events_asof_join",
-    "events_interval_join",
-    "multimodal_frames",
-    "text_tokens",
-    "streaming_tumbling",
-    # streaming_sessions, streaming_dedup, streaming_stateful_totals,
-    # streaming_interval_join, pipeline_curation and events_sliding drop
-    # out: 56 candidates for a 50-slot window; all keep r02 driver rows
-    # (+ per-round judge oracle re-runs for the oracle-backed ones)
+    # -- cohort / topk / privacy / tables (last driver row r01-r03) --
+    "cohort_flowchart",
+    "cohort_filter",
+    "topk_row_number",
+    "topk_rank",
+    "topk_dense_rank",
+    "topk_global",
+    "privacy_round",
+    "privacy_suppress",
+    "table_upsert_incremental",
+    "table_standardise_hes",
+    # -- streaming (rows-only checks; no r04 row) --
+    "streaming_sessions",
+    "streaming_dedup",
+    "streaming_stateful_totals",
+    "streaming_interval_join",
+    # -- events --
+    "events_sliding",
+    "events_asof_forward",
+    "events_asof_tolerance",
+    "events_trailing",
+    "events_gap_quantiles",
+    "events_retention",
+    "events_funnel",
+    "events_json_props",
+    "events_interval_binned",
+    # -- sampling / splits --
+    "sample_hash_split",
+    "sample_stratified",
+    "sample_nested",
+    "sample_mixture",
+    "sample_cap_per_group",
+    # -- text / curation --
+    "dedup_ngram_jaccard",
+    "pipeline_curation",
+    "pipeline_best_of_cluster",
+    "text_tfidf",
+    "text_repetition",
+    "text_stopword_filter",
+    "text_langid_confusion",
+    "pack_sequences",
+    "chunk_documents",
+    "decontam_ngram_overlap",
+    "clean_scrub_pii",
+    "clean_filter_lines",
+    "clean_unicode_nfc",
+    "clean_dedup_lines",
+    "clean_dedup_lines_corpus",
+    # -- profiling / analytics / embeddings --
+    "profile_lineitem",
+    "doclen_quantiles",
+    "doclen_histogram",
+    "embedding_centroids",
+    "analytics_top_orders",
+    "analytics_region_revenue",
+    "analytics_promo_revenue",
 ]
 
 

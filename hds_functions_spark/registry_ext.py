@@ -2742,9 +2742,9 @@ WITH b AS (
     FROM lineitem GROUP BY 1
 )
 SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
-       round(CASE WHEN l.l_extendedprice < b.lo THEN b.lo
-                  WHEN l.l_extendedprice > b.hi THEN b.hi
-                  ELSE l.l_extendedprice END, 6) AS price_w
+       CASE WHEN l.l_extendedprice < b.lo THEN round(b.lo, 6)
+            WHEN l.l_extendedprice > b.hi THEN round(b.hi, 6)
+            ELSE l.l_extendedprice END AS price_w
 FROM lineitem l JOIN b USING (l_returnflag)
 """,
 )
@@ -2917,6 +2917,17 @@ def source_jsonl_corpus(spark, sf_dir):
         ]
     )
     df = read_jsonl_corpus(path, spark, schema=schema)
+    # Spark refuses plans whose referenced columns are ONLY _corrupt_record
+    # on a raw JSON scan, so the corrupt count rides an aggregate that also
+    # touches a data column.
+    n_corrupt = df.agg(
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1)).alias("c"),
+        F.count("doc_id"),
+    ).first()["c"]
+    if n_corrupt:
+        raise ValueError(
+            f"jsonl roundtrip produced {n_corrupt} corrupt rows at {path}"
+        )
     clean = df.filter(F.col("_corrupt_record").isNull())
     return clean.groupBy("lang").agg(
         F.count("*").alias("n_docs"),

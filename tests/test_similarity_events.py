@@ -312,3 +312,25 @@ def test_densify_timeline(spark):
 
     with pytest.raises(ValueError, match="positive"):
         densify_timeline(df, "k", bucket_seconds=0)
+
+
+def test_densify_timeline_pre_epoch_floors(spark):
+    # negative unix epochs must floor (1960-01-01 00:30 -> 00:00 bucket),
+    # not truncate toward zero (-> 01:00) — date_trunc semantics
+    from pyspark.sql import functions as F
+
+    from hds_functions_spark.operators.events import densify_timeline
+
+    df = spark.createDataFrame(
+        [("a", "1960-01-01 00:30:00"), ("a", "1960-01-01 02:30:00")],
+        "k: string, ts_str: string",
+    ).select("k", F.col("ts_str").cast("timestamp").alias("ts"))
+    out = {
+        str(r["bucket"]): r["n_events"]
+        for r in densify_timeline(df, "k", bucket_seconds=3600).collect()
+    }
+    assert out == {
+        "1960-01-01 00:00:00": 1,
+        "1960-01-01 01:00:00": 0,
+        "1960-01-01 02:00:00": 1,
+    }

@@ -102,6 +102,16 @@ def test_winsorize_global_and_grouped(spark):
     # schema/row preservation
     assert grouped.columns == df.columns
     assert grouped.count() == df.count()
+    # unclipped values pass through bit-exact (no blanket rounding)
+    mid = grouped.filter((F.col("g") == "b") & (F.col("v") == 50.0)).count()
+    assert mid == 1
+    # rows with a null group key match no bounds row and pass unclipped
+    nullg = spark.createDataFrame(
+        [(None, 1e6)], "g: string, v: double"
+    ).union(df)
+    ng = winsorize_columns(nullg, ["v"], 0.05, 0.95, group_by=["g"])
+    passed = ng.filter(F.col("g").isNull()).first()["v"]
+    assert passed == 1e6
 
 
 def test_winsorize_errors(spark):

@@ -60,10 +60,17 @@ def load_queries(path: str) -> dict[str, float]:
             text = obj["tail"]  # unescaped quotes
             break
     pairs = re.findall(r"\"([a-z0-9_]+)\":\s*(-?\d+\.?\d*)", text)
+    # exclude every non-query numeric key either bench stdout line can emit
+    # (the full record AND the trailing summary line), so a tail holding the
+    # two-line output can't inject fake query entries.
+    non_query = {
+        "n", "rc", "cpus", "sf", "value", "repeats",
+        "n_queries", "n_failed", "total",
+    }
     scraped = {
         k: float(v)
         for k, v in pairs
-        if k not in ("n", "rc", "cpus", "sf", "value", "repeats") and float(v) >= 0
+        if k not in non_query and float(v) >= 0
     }
     if len(scraped) > 1:
         first_key = next(iter(scraped))
