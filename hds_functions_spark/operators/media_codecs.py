@@ -30,6 +30,10 @@ The synthesis rules are fixed protocol (changing them breaks the oracles):
   ``1 + d6 % 2``, frames = ``200 + (d7*256 + d8) % 800``, every sample
   alternates ``+A, -A`` with ``A = d9 * 128`` (so RMS == A exactly and
   ``rms_q8 = A // 128 = d9``).
+- y4m video (C444): ``w = 1 + d0 % 32``, ``h = 1 + d1 % 32``, fps =
+  ``[10,24,25,30][d4 % 4]``, ``n_frames = 1 + d10 % 6``; byte ``j`` of
+  frame ``f`` = ``(d3 + f + j) % 256`` (so per-frame byte sums have an
+  O(1) closed form the video oracle computes in SQL).
 """
 
 from __future__ import annotations
@@ -46,12 +50,15 @@ except ImportError:  # pragma: no cover - numpy is present in any pyspark env
 
 __all__ = [
     "WAV_RATES",
+    "Y4M_RATES",
     "synthesize_image",
     "synthesize_ppm",
     "synthesize_bmp",
     "synthesize_wav",
+    "synthesize_y4m",
     "parse_image",
     "parse_wav",
+    "parse_y4m",
     "resize_ppm_nearest",
     "ppm_pixel_data",
 ]
@@ -301,4 +308,112 @@ def parse_wav(payload: bytes | None) -> dict | None:
         "n_channels": channels,
         "duration_ms": duration_ms,
         "rms_q8": rms_q8,
+    }
+
+
+# --- video (YUV4MPEG2 / y4m) ---------------------------------------------
+
+#: Frame rates the y4m synthesizer draws from (F<rate>:1 header tag).
+Y4M_RATES = [10, 24, 25, 30]
+
+
+def synthesize_y4m(seed: str) -> bytes:
+    """Deterministic uncompressed YUV4MPEG2 clip (planar C444).
+
+    Protocol (fixed — the video oracle mirrors it in SQL): with ``d_i`` =
+    byte i of ``md5(seed)``: ``w = 1 + d0 % 32``, ``h = 1 + d1 % 32``,
+    fps = ``Y4M_RATES[d4 % 4]`` (denominator 1), ``n_frames = 1 + d10 %
+    6``; byte ``j`` of frame ``f``'s raw C444 plane data (length
+    ``3*w*h``) = ``(d3 + f + j) % 256``.
+    """
+    d = hashlib.md5(seed.encode("utf-8")).digest()
+    w, h = 1 + d[0] % 32, 1 + d[1] % 32
+    fps = Y4M_RATES[d[4] % len(Y4M_RATES)]
+    n_frames = 1 + d[10] % 6
+    parts = [f"YUV4MPEG2 W{w} H{h} F{fps}:1 Ip A1:1 C444\n".encode("ascii")]
+    frame_len = 3 * w * h
+    for f in range(n_frames):
+        parts.append(b"FRAME\n")
+        if np is not None:
+            parts.append(
+                ((d[3] + f + np.arange(frame_len)) % 256)
+                .astype(np.uint8)
+                .tobytes()
+            )
+        else:
+            parts.append(bytes((d[3] + f + j) % 256 for j in range(frame_len)))
+    return b"".join(parts)
+
+
+def parse_y4m(payload: bytes | None) -> dict | None:
+    """Parse a YUV4MPEG2 stream header and index its frames.
+
+    Returns ``{width, height, fps_num, fps_den, colorspace, frame_size,
+    n_frames, frame_spans}`` (``frame_spans`` = [(start, end), ...] byte
+    offsets of each frame's raw plane data) or ``None`` for non-y4m /
+    truncated / unsupported payloads. Tolerates unknown header and
+    per-frame parameter tags (the spec allows both). Colorspaces: C444
+    (``3*w*h`` bytes/frame), C422 (``2*w*h``), C420* (``w*h*3//2`` — the
+    y4m default when the tag is absent), Cmono (``w*h``).
+    """
+    if not payload:
+        return None
+    p = bytes(payload)
+    if not p.startswith(b"YUV4MPEG2"):
+        return None
+    nl = p.find(b"\n")
+    if nl < 0:
+        return None
+    w = h = None
+    num, den = 25, 1
+    cs = b"420jpeg"
+    for tag in p[9:nl].split(b" "):
+        if not tag:
+            continue
+        k, v = tag[:1], tag[1:]
+        try:
+            if k == b"W":
+                w = int(v)
+            elif k == b"H":
+                h = int(v)
+            elif k == b"F":
+                num, den = (int(x) for x in v.split(b":"))
+            elif k == b"C":
+                cs = v
+        except ValueError:
+            return None
+    if not w or not h or w < 0 or h < 0 or num <= 0 or den <= 0:
+        return None
+    if cs.startswith(b"444"):
+        frame_size = 3 * w * h
+    elif cs.startswith(b"422"):
+        frame_size = 2 * w * h
+    elif cs.startswith(b"420"):
+        frame_size = w * h * 3 // 2
+    elif cs.startswith(b"mono"):
+        frame_size = w * h
+    else:
+        return None
+    spans = []
+    pos, n = nl + 1, len(p)
+    while pos < n:
+        fnl = p.find(b"\n", pos)
+        if fnl < 0 or not p[pos : pos + 5] == b"FRAME":
+            return None  # stream corrupt mid-way: reject, don't half-parse
+        start = fnl + 1
+        if start + frame_size > n:
+            return None  # truncated final frame
+        spans.append((start, start + frame_size))
+        pos = start + frame_size
+    if not spans:
+        return None
+    return {
+        "width": w,
+        "height": h,
+        "fps_num": num,
+        "fps_den": den,
+        "colorspace": cs.decode("ascii", "replace"),
+        "frame_size": frame_size,
+        "n_frames": len(spans),
+        "frame_spans": spans,
     }

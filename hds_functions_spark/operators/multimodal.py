@@ -10,9 +10,10 @@ Decoding: ``decoder='real'`` runs the pure-stdlib codecs in
 PCM WAV parse — with unparseable payloads emitted as null rows (corrupt
 payloads are a fact of corpus-scale data; a decode stage must not abort the
 job). ``decoder='fake'`` keeps the deterministic md5-derived pseudo-features
-(useful when payloads are arbitrary bytes, e.g. text stand-ins). Video frame
-sampling has no stdlib-expressible codec, so its real path remains a
-documented ``NotImplementedError`` stub behind the deterministic fake.
+(useful when payloads are arbitrary bytes, e.g. text stand-ins). Video's
+real path parses uncompressed YUV4MPEG2 (y4m) containers — the one video
+format expressible pure-stdlib — and samples real frames; compressed
+codecs (h264 etc.) would need av/ffmpeg, which this environment lacks.
 """
 
 from __future__ import annotations
@@ -34,11 +35,13 @@ from pyspark.sql.types import (
 from .media_codecs import (
     parse_image,
     parse_wav,
+    parse_y4m,
     ppm_pixel_data,
     resize_ppm_nearest,
     synthesize_image,
     synthesize_ppm,
     synthesize_wav,
+    synthesize_y4m,
 )
 
 try:
@@ -65,6 +68,7 @@ __all__ = [
     "AUDIO_FEATURE_SCHEMA",
     "RESIZED_IMAGE_SCHEMA",
     "VIDEO_FRAME_SCHEMA",
+    "VIDEO_FRAME_REAL_SCHEMA",
 ]
 
 
@@ -115,15 +119,16 @@ def synthesize_media_payloads(
     distributes like any other stage).
 
     ``kind``: ``'image'`` (PPM/BMP mix sniff-selected by md5 byte 2),
-    ``'ppm'``, or ``'wav'``. The synthesis rules are the fixed protocol in
+    ``'ppm'``, ``'wav'``, or ``'y4m'`` (uncompressed C444 video). The
+    synthesis rules are the fixed protocol in
     :mod:`media_codecs`, chosen so every observable the real decoders
     extract is also computable in ANSI SQL from the seed text — that is
     what lets the registry run real codec paths under the DuckDB gate.
     """
     synth = {"image": synthesize_image, "ppm": synthesize_ppm,
-             "wav": synthesize_wav}.get(kind)
+             "wav": synthesize_wav, "y4m": synthesize_y4m}.get(kind)
     if synth is None:
-        raise ValueError(f"kind must be image|ppm|wav (got {kind!r})")
+        raise ValueError(f"kind must be image|ppm|wav|y4m (got {kind!r})")
     schema = StructType(
         [
             StructField("doc_id", LongType()),
@@ -306,6 +311,24 @@ VIDEO_FRAME_SCHEMA = StructType(
 )
 
 
+#: Output schema of the REAL video frame sampler: structural metadata plus
+#: two content signals per frame — ``pixel_sum`` (sum of raw plane bytes,
+#: SQL-mirrorable for the oracle gate) and ``frame_md5`` (for exact
+#: frame-level dedup downstream).
+VIDEO_FRAME_REAL_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("frame_ts_ms", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_frames_total", IntegerType()),
+        StructField("pixel_sum", LongType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
 def sample_video_frames(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -318,24 +341,66 @@ def sample_video_frames(
     frames inside the Python worker; Spark sees a plain schema'd stream, so
     downstream operators parallelise over frames, not videos).
 
-    Stubbed sampler: frame count = 1 + (md5 byte 5 of the payload) %
-    ``max_frames``, frame timestamps at 1000 ms intervals, per-frame content
-    hash md5(payload || frame_index) — all deterministic and reproducible in
-    SQL, which keeps the plumbing oracle-checkable. ``decoder='real'``
-    raises NotImplementedError (no av/ffmpeg in this environment).
+    ``decoder='real'`` parses uncompressed YUV4MPEG2 containers with
+    :func:`media_codecs.parse_y4m` and emits real frames under
+    :data:`VIDEO_FRAME_REAL_SCHEMA`: timestamps from the container frame
+    rate (``floor(i * 1000 * fps_den / fps_num)`` ms), evenly-spaced
+    sampling (``k * n // max_frames``) when a clip exceeds ``max_frames``,
+    per-frame ``pixel_sum`` + ``frame_md5`` content signals. Non-y4m or
+    corrupt payloads contribute zero rows (a decode stage must not abort
+    the job; count inputs vs distinct output ids to audit drops).
+    Compressed codecs (h264 etc.) would need av/ffmpeg — not present here.
+
+    ``decoder='fake'`` (default) keeps the md5-derived pseudo-sampler for
+    arbitrary payload bytes: frame count = 1 + (md5 byte 5) %
+    ``max_frames``, 1000 ms spacing, hash md5(payload || frame_index),
+    under the original :data:`VIDEO_FRAME_SCHEMA`.
     """
     if decoder not in ("fake", "real"):
         raise ValueError("decoder must be 'fake' or 'real'")
+
+    def process_real(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            out = {k: [] for k in (
+                "doc_id", "frame_index", "frame_ts_ms", "width", "height",
+                "n_frames_total", "pixel_sum", "frame_md5",
+            )}
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                info = parse_y4m(p) if p is not None else None
+                if info is None:
+                    continue
+                b = bytes(p)
+                n = info["n_frames"]
+                if n <= max_frames:
+                    sampled = range(n)
+                else:
+                    sampled = [k * n // max_frames for k in range(max_frames)]
+                for i in sampled:
+                    lo, hi = info["frame_spans"][i]
+                    frame = b[lo:hi]
+                    out["doc_id"].append(doc_id)
+                    out["frame_index"].append(i)
+                    out["frame_ts_ms"].append(
+                        i * 1000 * info["fps_den"] // info["fps_num"]
+                    )
+                    out["width"].append(info["width"])
+                    out["height"].append(info["height"])
+                    out["n_frames_total"].append(n)
+                    out["pixel_sum"].append(_byte_sum(frame))
+                    out["frame_md5"].append(hashlib.md5(frame).hexdigest())
+            yield pd.DataFrame(out)
+
+    if decoder == "real":
+        return df.select(id_col, payload_col).mapInPandas(
+            process_real, schema=VIDEO_FRAME_REAL_SCHEMA
+        )
 
     def process(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            if decoder == "real":
-                raise NotImplementedError(
-                    "real frame sampling requires a video library "
-                    "(av/ffmpeg) not present in this environment"
-                )
             ids, idxs, tss, hashes = [], [], [], []
             for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
                 if p is None:

@@ -1016,9 +1016,56 @@ FROM base, UNNEST(generate_series(0, n_frames - 1)) AS t(i)
 )
 def multimodal_frames(spark, sf_dir):
     """1-to-N frame sampling through mapInPandas (deterministic fake
-    sampler; real decoder stubbed per environment)."""
+    sampler over arbitrary payload bytes; the real y4m decoder path is
+    gated separately by ``multimodal_video_real``)."""
     docs = attach_binary_payload(_t(spark, sf_dir, "documents"), "text")
     return sample_video_frames(docs)
+
+
+@_register(
+    "multimodal_video_real",
+    """
+WITH b AS (
+  SELECT doc_id,
+    1 + ('0x' || substr(md5(text), 1, 2))::INTEGER % 32 AS w,
+    1 + ('0x' || substr(md5(text), 3, 2))::INTEGER % 32 AS h,
+    ('0x' || substr(md5(text), 7, 2))::INTEGER AS d3,
+    ([10,24,25,30])[1 + ('0x' || substr(md5(text), 9, 2))::INTEGER % 4]
+        AS fps,
+    1 + ('0x' || substr(md5(text), 21, 2))::INTEGER % 6 AS nf
+  FROM documents
+), fr AS (
+  SELECT doc_id, w, h, d3, fps, nf, i,
+         3*w*h AS L, (d3 + i) % 256 AS a
+  FROM b, UNNEST(generate_series(0, nf - 1)) AS t(i)
+)
+SELECT doc_id,
+  i::INTEGER AS frame_index,
+  (i * 1000 // fps)::BIGINT AS frame_ts_ms,
+  w::INTEGER AS width, h::INTEGER AS height,
+  nf::INTEGER AS n_frames_total,
+  (L // 256 * 32640 +
+   CASE WHEN a + (L % 256) <= 256
+        THEN (L % 256) * a + (L % 256) * ((L % 256) - 1) // 2
+        ELSE (a + 255) * (256 - a) // 2
+             + ((L % 256) + a - 256) * ((L % 256) + a - 257) // 2
+   END)::BIGINT AS pixel_sum
+FROM fr
+""",
+)
+def multimodal_video_real(spark, sf_dir):
+    """REAL video path: synthesize deterministic uncompressed YUV4MPEG2
+    clips worker-side, parse them with the pure-stdlib y4m codec, and
+    sample every frame (clips cap at 6 frames < max_frames=8). The oracle
+    predicts dimensions, fps-derived timestamps, frame counts AND each
+    frame's raw byte sum via an O(1) closed form over the synthesis
+    pattern — so a wrong frame offset, plane size, or timestamp formula
+    hash-mismatches, not just wrong metadata. ``frame_md5`` (exact-dedup
+    signal, not SQL-mirrorable) is projected out for the gate."""
+    docs = synthesize_media_payloads(
+        _t(spark, sf_dir, "documents"), kind="y4m"
+    )
+    return sample_video_frames(docs, decoder="real").drop("frame_md5")
 
 
 from .functions.text import bpe_token_count, token_count  # noqa: E402

@@ -220,13 +220,91 @@ def test_sample_video_frames_shape(spark):
     assert rows[0]["frame_md5"] == hashlib.md5(payload + b"0").hexdigest()
 
 
-def test_video_real_decoder_still_stubbed(spark):
-    """Video has no stdlib codec; the real path stays a documented stub."""
+def test_y4m_synthesize_parse_roundtrip():
+    from hds_functions_spark.operators.media_codecs import (
+        Y4M_RATES,
+        parse_y4m,
+        synthesize_y4m,
+    )
+
+    for seed in ("hello", "", "x" * 200):
+        b = synthesize_y4m(seed)
+        d = hashlib.md5(seed.encode()).digest()
+        info = parse_y4m(b)
+        assert info["width"] == 1 + d[0] % 32
+        assert info["height"] == 1 + d[1] % 32
+        assert info["fps_num"] == Y4M_RATES[d[4] % 4] and info["fps_den"] == 1
+        assert info["n_frames"] == 1 + d[10] % 6
+        assert info["frame_size"] == 3 * info["width"] * info["height"]
+        lo, hi = info["frame_spans"][0]
+        assert all(b[lo + j] == (d[3] + j) % 256 for j in range(8))
+
+
+def test_y4m_parse_handcrafted_and_corrupt():
+    from hds_functions_spark.operators.media_codecs import parse_y4m
+
+    # C420 default when the C tag is absent; unknown tags tolerated
+    raw = b"YUV4MPEG2 W4 H2 F30:1 Ip Xunknown\n" + b"FRAME\n" + bytes(12)
+    info = parse_y4m(raw)
+    assert info["frame_size"] == 4 * 2 * 3 // 2 == 12
+    assert info["colorspace"].startswith("420")
+    assert info["n_frames"] == 1
+    # mono
+    mono = b"YUV4MPEG2 W4 H2 Cmono\n" + b"FRAME\n" + bytes(8)
+    assert parse_y4m(mono)["frame_size"] == 8
+    # rejects: not y4m, truncated frame, garbage between frames, empty
+    assert parse_y4m(None) is None
+    assert parse_y4m(b"RIFF....") is None
+    assert parse_y4m(raw[:-1]) is None
+    assert parse_y4m(b"YUV4MPEG2 W4 H2 C444\n") is None
+    assert parse_y4m(b"YUV4MPEG2 W4 H2 C444\nJUNK\n" + bytes(24)) is None
+
+
+def test_video_real_decode_through_spark(spark):
+    from hds_functions_spark.operators.media_codecs import (
+        parse_y4m,
+        synthesize_y4m,
+    )
     from hds_functions_spark.operators.multimodal import sample_video_frames
 
-    df = spark.createDataFrame([(1, b"vid")], "doc_id: long, payload: binary")
-    with pytest.raises(Exception):  # NotImplementedError inside the worker
-        sample_video_frames(df, decoder="real").collect()
+    payload = synthesize_y4m("seed with frames")
+    info = parse_y4m(payload)
+    df = spark.createDataFrame(
+        [(1, payload), (2, b"not a video"), (3, None)],
+        "doc_id: long, payload: binary",
+    )
+    rows = sample_video_frames(df, decoder="real").collect()
+    # corrupt + null payloads contribute zero rows
+    assert {r["doc_id"] for r in rows} == {1}
+    assert len(rows) == info["n_frames"]
+    lo, hi = info["frame_spans"][0]
+    assert rows[0]["pixel_sum"] == sum(payload[lo:hi])
+    assert rows[0]["frame_md5"] == hashlib.md5(payload[lo:hi]).hexdigest()
+    assert all(
+        r["frame_ts_ms"] == r["frame_index"] * 1000 // info["fps_num"]
+        for r in rows
+    )
+    assert rows[0]["width"] == info["width"]
+    assert rows[0]["n_frames_total"] == info["n_frames"]
+
+
+def test_video_real_even_sampling_caps_frames(spark):
+    # a 10-frame clip sampled at max_frames=4 -> evenly spaced originals
+    from hds_functions_spark.operators.multimodal import sample_video_frames
+
+    header = b"YUV4MPEG2 W2 H2 F10:1 C444\n"
+    payload = header + b"".join(
+        b"FRAME\n" + bytes([f] * 12) for f in range(10)
+    )
+    df = spark.createDataFrame([(1, payload)], "doc_id: long, payload: binary")
+    rows = sorted(
+        sample_video_frames(df, max_frames=4, decoder="real").collect(),
+        key=lambda r: r["frame_index"],
+    )
+    assert [r["frame_index"] for r in rows] == [0, 2, 5, 7]
+    assert [r["pixel_sum"] for r in rows] == [0, 2 * 12, 5 * 12, 7 * 12]
+    # timestamps follow the 10 fps container clock, not a fixed 1000 ms
+    assert [r["frame_ts_ms"] for r in rows] == [0, 200, 500, 700]
 
 
 def test_fake_audio_decode(spark):
