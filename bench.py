@@ -30,12 +30,18 @@ def time_query(
     under ``fast_cutoff`` seconds are measured once more at most — their
     variance is negligible and the suite has grown past 80 queries, so
     3x-ing every sub-second query would dominate the harness wall-clock."""
+    from hds_functions_spark.caching import release_operator_caches
+
     timings: list[float] = []
     while len(timings) < repeats:
         start = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings.append(time.perf_counter() - start)
+        # release operator-internal persists between repeats so every repeat
+        # (and every later query) measures from the same cold-cache state
+        # and the suite's executor storage memory stays flat
+        release_operator_caches()
         if len(timings) == 1 and timings[0] < fast_cutoff and repeats > 2:
             repeats = 2  # sub-second queries: variance is negligible
     return statistics.median(timings)

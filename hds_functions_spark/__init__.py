@@ -6,6 +6,7 @@ Spark-first and extended with large-scale training-data-pipeline operators
 (dedup, similarity search, text analysis, event-time joins).
 """
 
+from .caching import release_operator_caches, tracked_persist
 from .functions.dates import (
     convert_date_units_to_days,
     parse_date_instruction,

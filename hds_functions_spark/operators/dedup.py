@@ -155,9 +155,10 @@ def minhash_pairs(
         # + two re-attach joins); persisting computes the md5 shingle
         # work once. MEMORY_AND_DISK: signatures are ~num_hashes longs per
         # doc — tiny next to the corpus — and spill rather than OOM.
-        from pyspark.storagelevel import StorageLevel
+        # Tracked: release_operator_caches() reclaims it post-materialise.
+        from ..caching import tracked_persist
 
-        sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
+        sigs = tracked_persist(sigs)
 
     # band hash via concat_ws over element_at — plain (codegen-able)
     # expressions, unlike a slice/transform/array_join HOF chain which
@@ -653,11 +654,12 @@ def embedding_near_dup_pairs(
             for b in range(bands)
         ],
     )
-    from pyspark.storagelevel import StorageLevel
-
     # consumed by two band-join branches + two vector re-attach joins:
-    # persist so the per-plane dot products run once
-    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    # persist so the per-plane dot products run once (tracked:
+    # release_operator_caches() reclaims it post-materialise)
+    from ..caching import tracked_persist
+
+    sig = tracked_persist(sig)
 
     banded = None
     for b in range(bands):

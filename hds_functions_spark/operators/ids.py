@@ -59,10 +59,12 @@ def assign_dense_ids(
         raise ValueError(f"Column '{id_col}' already exists")
 
     n_parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = (
-        df.repartitionByRange(n_parts, *order_cols)
-        .withColumn("_hds_pid", F.spark_partition_id())
-        .persist()
+    from ..caching import tracked_persist
+
+    ranged = tracked_persist(
+        df.repartitionByRange(n_parts, *order_cols).withColumn(
+            "_hds_pid", F.spark_partition_id()
+        )
     )
     counts = ranged.groupBy("_hds_pid").agg(F.count("*").alias("_hds_n"))
     # prefix sum over #partitions rows — tiny by construction

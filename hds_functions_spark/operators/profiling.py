@@ -261,25 +261,41 @@ def char_entropy_scores(
     ``H = -sum_c p_c ln p_c`` with ``p_c`` the within-document character
     frequency. Output: (id, n_chars, entropy) for non-empty documents.
 
-    Plan shape: one character explode -> (doc, char) hash aggregate ->
-    per-doc aggregate computing the entropy from the count vector. Both
-    shuffles are keyed on the doc id (the second is map-side combinable);
-    per-doc state is bounded by the alphabet, not the text.
+    Plan shape: ZERO-shuffle narrow projection (round 5 — the original
+    explode -> (doc, char) -> doc double-shuffle moved |text| records per
+    doc through the first exchange; at corpus scale that exchange IS the
+    job). Per-row higher-order functions compute the count vector
+    JVM-side: sort the char array, find run boundaries, difference them
+    into run lengths, then fold ``c * ln c`` — O(n log n) per document,
+    alphabet-independent, whole-stage-codegen eligible, and nothing
+    shuffles at any scale.
     """
-    chars = df.filter(F.length(F.col(text_col)) > 0).select(
-        F.col(id_col), F.explode(F.split(F.col(text_col), "")).alias("_ch")
+    n = F.size(F.col("_cs"))
+    bounded = (
+        df.filter(F.length(F.col(text_col)) > 0)
+        .withColumn("_cs", F.array_sort(F.split(F.col(text_col), "")))
+        .withColumn(
+            "_bnd",
+            F.concat(
+                F.expr("filter(sequence(0, size(_cs) - 1), "
+                       "i -> i = 0 OR _cs[i] != _cs[i - 1])"),
+                F.array(n),
+            ),
+        )
+        .withColumn(
+            "_clogc",
+            F.expr(
+                "aggregate(transform(sequence(0, size(_bnd) - 2), "
+                "j -> _bnd[j + 1] - _bnd[j]), "
+                "cast(0 as double), (acc, c) -> acc + c * ln(c))"
+            ),
+        )
     )
-    per_char = chars.groupBy(id_col, "_ch").agg(F.count("*").alias("_c"))
-    totals = per_char.groupBy(id_col).agg(
-        F.sum("_c").alias("n_chars"),
-        # -sum(c * ln c) computed first, then normalised: H = ln n - (1/n) sum c ln c
-        F.sum(F.col("_c") * F.log(F.col("_c"))).alias("_clogc"),
-    )
-    return totals.select(
+    return bounded.select(
         id_col,
-        "n_chars",
+        n.cast("long").alias("n_chars"),
         F.round(
-            F.log(F.col("n_chars")) - F.col("_clogc") / F.col("n_chars"),
+            F.log(n.cast("double")) - F.col("_clogc") / n,
             round_digits,
         ).alias("entropy"),
     )

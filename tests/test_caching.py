@@ -1,0 +1,64 @@
+"""Cache hygiene: operator-internal persists are tracked and releasable,
+so a long-lived session (bench suite, notebook, driver loop) does not
+accumulate dead cached tables."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hds_functions_spark.caching import (
+    release_operator_caches,
+    tracked_count,
+    tracked_persist,
+)
+
+
+def _n_persistent(spark) -> int:
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def test_tracked_persist_release_roundtrip(spark):
+    release_operator_caches()  # clean slate
+    base = _n_persistent(spark)
+    df = tracked_persist(spark.range(100).withColumn("x", F.col("id") * 2))
+    df.count()  # materialise the cache
+    assert _n_persistent(spark) == base + 1
+    assert tracked_count() == 1
+    assert release_operator_caches() == 1
+    assert tracked_count() == 0
+    assert _n_persistent(spark) == base
+    # released frames still recompute correctly
+    assert df.count() == 100
+
+
+@pytest.mark.parametrize("op", ["minhash", "embedding", "dense_ids"])
+def test_operators_leave_no_net_new_caches(spark, op):
+    from hds_functions_spark.operators.dedup import (
+        embedding_near_dup_pairs,
+        minhash_pairs,
+    )
+    from hds_functions_spark.operators.ids import assign_dense_ids
+
+    release_operator_caches()
+    base = _n_persistent(spark)
+    if op == "minhash":
+        df = spark.createDataFrame(
+            [(i, f"document number {i} with shared text body") for i in range(40)],
+            "doc_id: long, text: string",
+        )
+        minhash_pairs(df).count()
+    elif op == "embedding":
+        df = spark.createDataFrame(
+            [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(40)],
+            "vec_id: long, embedding: array<double>",
+        )
+        embedding_near_dup_pairs(
+            df, n_planes=4, bands=2, dim=8, threshold=0.0
+        ).count()
+    else:
+        df = spark.createDataFrame(
+            [(i, f"k{i % 3}") for i in range(50)], "v: long, g: string"
+        )
+        assign_dense_ids(df, order_by=["v"]).count()
+    assert tracked_count() >= 1  # the operator registered its persist
+    release_operator_caches()
+    assert _n_persistent(spark) == base  # no net-new persisted tables

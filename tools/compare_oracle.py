@@ -82,6 +82,10 @@ def main():
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
             s_rows = [tuple(r) for r in sdf.collect()]
+            # keep the 100-query session's storage memory flat
+            from hds_functions_spark.caching import release_operator_caches
+
+            release_operator_caches()
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: spark error: {str(e)[:300]}")
