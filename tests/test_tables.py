@@ -119,6 +119,43 @@ def test_standardise_vaccine_status(spark):
     assert out["date_and_time"] is not None
 
 
+@pytest.mark.parametrize(
+    "method,raw_id",
+    [
+        ("gdppr", "NHS_NUMBER_DEID"),
+        ("hes_apc", "PERSON_ID_DEID"),
+        ("hes_op", "PERSON_ID_DEID"),
+        ("hes_ae", "PERSON_ID_DEID"),
+        ("pillar_2", "Person_ID_DEID"),
+        ("ssnap", "Person_ID_DEID"),
+        ("sgss", "PERSON_ID_DEID"),
+        ("primary_care_meds", "Person_ID_DEID"),
+        ("chess", "PERSON_ID_DEID"),
+    ],
+)
+def test_standardise_rename_only_golden(spark, method, raw_id):
+    """Golden parity for the rename-only standardisers: exact person-id
+    rename per dataset (case matters: pillar_2/ssnap/primary_care_meds use
+    Person_ID_DEID, the rest PERSON_ID_DEID), remaining names cleaned,
+    values and row count untouched (reference table_management.py:209-300)."""
+    df = spark.createDataFrame(
+        [("p1", "Episode 1", 7), ("p2", None, 9)],
+        [raw_id, "Admission Method", "EPIKEY#"],
+    )
+    out = standardise_table(df, method)
+    # '#' -> '_' per the reference's clean_column_names (each invalid
+    # character becomes an underscore, no trailing strip)
+    assert out.columns == ["person_id", "admission_method", "epikey_"]
+    rows = sorted(out.collect(), key=lambda r: r["person_id"])
+    assert [tuple(r) for r in rows] == [("p1", "Episode 1", 7), ("p2", None, 9)]
+    # withColumnRenamed resolves case-insensitively under Spark's default
+    # spark.sql.caseSensitive=false — a differently-cased source column
+    # still renames, exactly as the reference's own Spark calls would
+    df2 = spark.createDataFrame([("px", 1)], [raw_id.swapcase(), "v"])
+    out2 = standardise_table(df2, method)
+    assert out2.columns == ["person_id", "v"]
+
+
 def test_standardise_unknown_method(spark):
     df = spark.createDataFrame([(1,)], ["a"])
     with pytest.raises(ValueError, match="not a recognised"):
