@@ -30,6 +30,7 @@ from .operators.dedup import (
     connected_components,
     dedup_clusters,
     duplicate_groups,
+    duplicated_ngram_stats,
     embedding_near_dup_pairs,
     exact_dedup,
     minhash_pairs,

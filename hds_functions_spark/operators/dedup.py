@@ -38,6 +38,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_pairs",
     "ngram_jaccard_pairs",
+    "duplicated_ngram_stats",
     "add_simhash",
     "simhash_pairs",
     "embedding_near_dup_pairs",
@@ -518,6 +519,76 @@ def ngram_jaccard_pairs(
         .select("id_a", "id_b", "jaccard")
     )
     return jac
+
+
+def duplicated_ngram_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document duplicated n-gram fractions — the corpus-level
+    exact-substring duplication signal (the "dedup training data at the
+    substring level" filter from the dedup literature; C4/RefinedWeb-style
+    pipelines drop or trim documents whose text is largely spans that also
+    appear elsewhere).
+
+    For every document with at least ``ngram`` tokens: ``n_grams`` (total
+    word-n-gram instances), ``n_dup_grams`` (instances whose n-gram occurs
+    more than once corpus-wide — in another document or repeated in this
+    one), ``n_cross_dup_grams`` (instances whose n-gram occurs in >= 2
+    distinct documents), and the two fractions. High ``cross_dup_fraction``
+    = boilerplate/mirror candidate; high ``dup_fraction`` with low cross =
+    internally repetitive (cf. ``add_repetition_stats``, which is
+    within-doc only and needs no shuffle).
+
+    Plan shape: n-grams are hashed to 60-bit longs BEFORE the exchange
+    (the shuffle carries (gram_hash, id, count) — fixed-width rows, never
+    the gram text, whose width grows with ``ngram``); per-(gram, doc)
+    pre-aggregation makes the gram-level aggregate's input one row per
+    distinct (gram, doc), so a pathological 10^6-instance gram in one doc
+    is ONE shuffle row. Gram stats re-attach on the same gram-hash key
+    (co-partitioned join, no broadcast of anything corpus-sized), then one
+    id-keyed aggregate. Costs three exchanges, all on bounded-width rows —
+    the corpus-frequency join is irreducible for a cross-document signal.
+    """
+    if ngram < 1:
+        raise ValueError(f"ngram must be >= 1 (got {ngram})")
+    df = ensure_min_partitions(df)  # parallelise the n-gram explode
+    instances = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(word_ngrams(tokens(F.col(text_col)), ngram)).alias("_gram"),
+    ).select("_id", stable_hash64(F.col("_gram")).alias("_gh"))
+    per_doc_gram = instances.groupBy("_gh", "_id").agg(
+        F.count("*").alias("_c")
+    )
+    gram_stats = per_doc_gram.groupBy("_gh").agg(
+        F.sum("_c").alias("_total"), F.count("*").alias("_n_docs")
+    )
+    dup = F.when(F.col("_total") > 1, F.col("_c")).otherwise(F.lit(0))
+    cross = F.when(F.col("_n_docs") >= 2, F.col("_c")).otherwise(F.lit(0))
+    return (
+        per_doc_gram.join(gram_stats, on="_gh")
+        .groupBy("_id")
+        .agg(
+            F.sum("_c").alias("n_grams"),
+            F.sum(dup).alias("n_dup_grams"),
+            F.sum(cross).alias("n_cross_dup_grams"),
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "n_grams",
+            "n_dup_grams",
+            "n_cross_dup_grams",
+            F.round(
+                F.col("n_dup_grams") / F.col("n_grams"), round_digits
+            ).alias("dup_fraction"),
+            F.round(
+                F.col("n_cross_dup_grams") / F.col("n_grams"), round_digits
+            ).alias("cross_dup_fraction"),
+        )
+    )
 
 
 # --- SimHash -------------------------------------------------------------

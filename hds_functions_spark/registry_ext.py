@@ -423,6 +423,52 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+_DNG_N = 5
+
+
+@_register(
+    "dedup_substring_signal",
+    f"""
+WITH toks AS (
+    SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+), g AS (
+    SELECT doc_id,
+           {stable_hash_sql(f"array_to_string(t[i:i+{_DNG_N - 1}], ' ')")} AS gh
+    FROM toks, UNNEST(generate_series(1, len(t) - {_DNG_N - 1})) AS s(i)
+    WHERE len(t) >= {_DNG_N}
+), pg AS (
+    SELECT doc_id, gh, count(*) AS c FROM g GROUP BY 1, 2
+), gs AS (
+    SELECT gh, CAST(sum(c) AS BIGINT) AS total, count(*) AS n_docs
+    FROM pg GROUP BY 1
+)
+SELECT doc_id,
+  CAST(sum(c) AS BIGINT) AS n_grams,
+  CAST(sum(CASE WHEN total > 1 THEN c ELSE 0 END) AS BIGINT) AS n_dup_grams,
+  CAST(sum(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) AS BIGINT)
+      AS n_cross_dup_grams,
+  round(sum(CASE WHEN total > 1 THEN c ELSE 0 END) / sum(c), 6)
+      AS dup_fraction,
+  round(sum(CASE WHEN n_docs >= 2 THEN c ELSE 0 END) / sum(c), 6)
+      AS cross_dup_fraction
+FROM pg JOIN gs USING (gh)
+GROUP BY doc_id
+""",
+)
+def dedup_substring_signal(spark, sf_dir):
+    """Corpus-level exact-substring duplication signal: per-document
+    fraction of word-5-gram instances that also occur elsewhere (anywhere /
+    in another document). The C4/RefinedWeb-style "mostly duplicated
+    spans" filter input. Grams are hashed to 60-bit longs BEFORE the
+    exchange; the (gram, doc) pre-aggregate bounds every shuffle row to
+    fixed width."""
+    from .operators.dedup import duplicated_ngram_stats
+
+    return duplicated_ngram_stats(
+        _t(spark, sf_dir, "documents"), ngram=_DNG_N
+    )
+
+
 _SH_BITS = 32
 
 

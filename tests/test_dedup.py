@@ -210,3 +210,31 @@ def test_connected_components_string_ids(spark):
     )
     got = {r["id"]: r["component"] for r in connected_components(pairs).collect()}
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_duplicated_ngram_stats(spark):
+    from hds_functions_spark.operators.dedup import duplicated_ngram_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),      # shares 2 trigrams with 2
+            (2, "see the quick brown fox"),
+            (3, "totally unique words here now"),  # no duplication
+            (4, "x y z x y z x y"),                # within-doc repeats only
+            (5, "ab"),                             # < n tokens: no output row
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r["doc_id"]: r for r in duplicated_ngram_stats(df, ngram=3).collect()}
+    assert set(out) == {1, 2, 3, 4}
+    assert (out[1]["n_grams"], out[1]["n_dup_grams"], out[1]["n_cross_dup_grams"]) == (3, 2, 2)
+    assert out[1]["dup_fraction"] == pytest.approx(2 / 3, abs=1e-6)
+    assert (out[2]["n_grams"], out[2]["n_dup_grams"]) == (3, 2)
+    assert (out[3]["n_dup_grams"], out[3]["n_cross_dup_grams"]) == (0, 0)
+    # doc 4: 6 trigram instances, every gram repeats WITHIN the doc but
+    # never crosses documents
+    assert (out[4]["n_grams"], out[4]["n_dup_grams"], out[4]["n_cross_dup_grams"]) == (6, 6, 0)
+    assert out[4]["cross_dup_fraction"] == 0.0
+
+    with pytest.raises(ValueError, match="ngram"):
+        duplicated_ngram_stats(df, ngram=0)
