@@ -70,6 +70,8 @@ from .operators.similarity import (
     embedding_centroids,
     ivf_cosine_topk,
     lsh_cosine_topk,
+    quantize_embeddings,
+    quantized_cosine_topk,
 )
 from .operators.privacy import (
     redact_low_counts,

@@ -30,6 +30,8 @@ __all__ = [
     "hyperplanes",
     "plane_signature",
     "ivf_cosine_topk",
+    "quantize_embeddings",
+    "quantized_cosine_topk",
 ]
 
 
@@ -80,6 +82,100 @@ def cosine_topk(
             "cosine_sim",
             F.round(cosine_similarity(F.col("_qvec"), F.col("_cvec")), round_digits),
         )
+    )
+    top = first_row(
+        scored,
+        n=k,
+        partition_by=["_qid"],
+        order_by=[F.col("cosine_sim").desc(), F.col("_cid").asc()],
+        return_index_column=True,
+        index_column_name="row_index",
+    )
+    return top.select(
+        F.col("_qid").alias(query_id),
+        F.col("_cid").alias(corpus_id),
+        "cosine_sim",
+        F.col("row_index").cast("int").alias("row_index"),
+    )
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    qvec_col: str = "qvec",
+    scale_col: str = "scale",
+) -> DataFrame:
+    """Symmetric int8 quantization of an embedding column: per-vector
+    ``scale = max(|v_i|) / 127`` and ``q_i = round(v_i / scale)`` in
+    [-127, 127] (``v_i ~= q_i * scale``). An all-zero vector quantizes to
+    all zeros with scale 0.
+
+    At corpus scale this is the memory lever for vector workloads: a
+    64-dim float64 embedding is 512 B, its int8 form 64 B + one float —
+    ~8x more vectors per executor/page before any index structure. Cosine
+    is scale-invariant, so quantized cosine needs only the int vectors;
+    ``scale`` is carried for dot/L2 reconstruction.
+
+    Pure projection (HOF transform, no UDF, no shuffle).
+    """
+    v = F.col(vec_col).cast("array<double>")
+    max_abs = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = (max_abs / F.lit(127.0)).alias(scale_col)
+    q = F.when(
+        max_abs > 0,
+        F.transform(v, lambda x: F.round(x * 127.0 / max_abs).cast("int")),
+    ).otherwise(F.transform(v, lambda x: F.lit(0)))
+    return df.select(
+        F.col(id_col), scale, q.alias(qvec_col)
+    )
+
+
+def quantized_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Brute-force top-k cosine over int8-QUANTIZED vectors — the memory-
+    bounded scale path: same plan shape as :func:`cosine_topk` but the
+    broadcast query table and the corpus scan carry 1-byte components, and
+    the inner fold is integer multiply-accumulate (exact in long — no
+    float rounding inside the dot product). Cosine is scale-invariant, so
+    the per-vector quantization scale cancels; the result approximates the
+    float cosine with O(1/127) component error.
+
+    Output schema matches :func:`cosine_topk`; self-matches excluded,
+    ties broken by corpus id.
+    """
+    def int_cos(a: Column, b: Column) -> Column:
+        prod = F.zip_with(a, b, lambda x, y: x.cast("long") * y.cast("long"))
+        dot = F.aggregate(prod, F.lit(0).cast("long"), lambda acc, v: acc + v)
+        na = F.aggregate(
+            F.transform(a, lambda x: x.cast("long") * x.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        nb = F.aggregate(
+            F.transform(b, lambda x: x.cast("long") * x.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        denom = F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))
+        return F.when(denom > 0, dot.cast("double") / denom)
+
+    q = quantize_embeddings(queries, query_id, vec_col).select(
+        F.col(query_id).alias("_qid"), F.col("qvec").alias("_qvec")
+    )
+    c = quantize_embeddings(
+        ensure_min_partitions(corpus), corpus_id, vec_col
+    ).select(F.col(corpus_id).alias("_cid"), F.col("qvec").alias("_cvec"))
+    scored = c.join(F.broadcast(q), F.col("_qid") != F.col("_cid")).withColumn(
+        "cosine_sim",
+        F.round(int_cos(F.col("_qvec"), F.col("_cvec")), round_digits),
     )
     top = first_row(
         scored,

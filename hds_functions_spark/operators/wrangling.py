@@ -135,6 +135,8 @@ def winsorize_columns(
     upper: float = 0.99,
     group_by: list[str] | None = None,
     round_digits: int = 6,
+    method: str = "exact",
+    approx_accuracy: int = 10_000,
 ) -> DataFrame:
     """Clip each listed numeric column to its [``lower``, ``upper``]
     quantiles — per group when ``group_by`` is given, else globally.
@@ -153,10 +155,19 @@ def winsorize_columns(
     aggs per column, grouped or global), then re-attaches — grouped via an
     equi-join on the group key (bounds table has one row per group;
     planner/AQE broadcasts when small), global via a 1-row broadcast
-    crossJoin. The clip itself is a codegen ``when`` projection; exact
-    percentiles sort within the aggregate — swap to ``percentile_approx``
-    only if group cardinalities make that prohibitive.
+    crossJoin. The clip itself is a codegen ``when`` projection.
+
+    ``method='exact'`` (default) sorts each group's values inside the
+    aggregate — measured fine to 16x sf0.1 (BASELINE.md round 5).
+    ``method='approx'`` swaps in ``percentile_approx`` with
+    ``approx_accuracy`` (bounded-memory sketch, error <= 1/accuracy
+    of rank) — the switch for group value-counts far beyond that
+    envelope, where the exact sort's per-group memory becomes the
+    bottleneck. Approx bounds differ from exact at the quantile
+    boundaries, so results are not bit-identical between methods.
     """
+    if method not in ("exact", "approx"):
+        raise ValueError(f"method must be 'exact' or 'approx' (got {method!r})")
     if not columns:
         raise ValueError("columns must name at least one column")
     missing = [c for c in columns if c not in df.columns]
@@ -165,14 +176,19 @@ def winsorize_columns(
     if not (0.0 <= lower < upper <= 1.0):
         raise ValueError("need 0 <= lower < upper <= 1")
 
+    if method == "exact":
+        def pct(c: str, q: float):
+            return F.percentile(F.col(c), F.lit(q))
+    else:
+        def pct(c: str, q: float):
+            return F.percentile_approx(
+                F.col(c), F.lit(q), F.lit(approx_accuracy)
+            ).cast("double")
+
     aggs = []
     for c in columns:
-        aggs.append(
-            F.percentile(F.col(c), F.lit(lower)).alias(f"_hds_lo_{c}")
-        )
-        aggs.append(
-            F.percentile(F.col(c), F.lit(upper)).alias(f"_hds_hi_{c}")
-        )
+        aggs.append(pct(c, lower).alias(f"_hds_lo_{c}"))
+        aggs.append(pct(c, upper).alias(f"_hds_hi_{c}"))
     if group_by:
         bounds = df.groupBy(*group_by).agg(*aggs)
         joined = df.join(bounds, on=list(group_by), how="left")

@@ -563,6 +563,51 @@ def similarity_knn(spark, sf_dir):
     return cosine_topk(emb, queries, k=_KNN_K)
 
 
+@_register(
+    "similarity_quantized_knn",
+    f"""
+WITH m AS (
+    SELECT vec_id, embedding,
+           list_max(list_transform(embedding, x -> abs(x))) AS ma
+    FROM embeddings
+), qq AS (
+    SELECT vec_id,
+           CASE WHEN ma > 0
+                THEN list_transform(embedding, x -> round(x * 127 / ma))
+                ELSE list_transform(embedding, x -> 0.0) END AS qv
+    FROM m
+), scored AS (
+    SELECT a.vec_id AS query_id, b.vec_id,
+           round(list_dot_product(a.qv, b.qv) /
+                 NULLIF(sqrt(list_dot_product(a.qv, a.qv)) *
+                        sqrt(list_dot_product(b.qv, b.qv)), 0), 6)
+               AS cosine_sim
+    FROM qq a JOIN qq b ON b.vec_id <> a.vec_id
+    WHERE a.vec_id % {_KNN_QUERY_MOD} = 0
+)
+SELECT query_id, vec_id, cosine_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine_sim DESC, vec_id) AS INTEGER) AS row_index
+FROM scored
+QUALIFY row_index <= {_KNN_K}
+""",
+)
+def similarity_quantized_knn(spark, sf_dir):
+    """Brute-force top-5 cosine over int8-QUANTIZED embeddings — the
+    memory lever for 100 TB vector tables (~8x more vectors per executor
+    than float64; cosine is scale-invariant so the quantization scale
+    cancels). Integer multiply-accumulate inner loop, exact in long; the
+    oracle reproduces the identical quantize -> integer-cosine -> round
+    arithmetic, so this gates VALUES, not just plumbing."""
+    from .operators.similarity import quantized_cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % _KNN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return quantized_cosine_topk(emb, queries, k=_KNN_K)
+
+
 def _duck_lsh_knn_sql() -> str:
     # the LSH variant is *approximate vs brute force* but fully
     # deterministic: fixed hyperplanes -> same buckets in SQL

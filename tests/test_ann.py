@@ -124,3 +124,54 @@ def test_near_dup_subset_of_brute_force(spark, emb):
     }
     assert lsh <= brute
     assert len(brute) == 0 or len(lsh) / len(brute) > 0  # sanity: recall defined
+
+
+def test_quantize_embeddings_properties(spark):
+    from hds_functions_spark.operators.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [
+            (1, [3.0, -1.5, 0.75]),
+            (2, [0.0, 0.0, 0.0]),   # zero vector: scale 0, all-zero qvec
+            (3, [-2.54, 1.27, 0.0]),
+        ],
+        "vec_id: long, embedding: array<double>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert rows[1]["qvec"] == [127, -64, 32]  # round(±v/scale), half away from 0
+    assert rows[1]["scale"] == pytest.approx(3.0 / 127)
+    assert rows[2]["qvec"] == [0, 0, 0] and rows[2]["scale"] == 0.0
+    # 1.27*127/2.54 = 63.4999... in binary double -> 63 (not a true .5 tie)
+    assert rows[3]["qvec"] == [-127, 63, 0]
+    # every component within int8 symmetric range
+    for r in rows.values():
+        assert all(-127 <= x <= 127 for x in r["qvec"])
+
+
+def test_quantized_topk_matches_exact_on_separable_data(spark):
+    from hds_functions_spark.operators.similarity import (
+        cosine_topk,
+        quantized_cosine_topk,
+    )
+
+    # two well-separated directions: quantization error (<1%) cannot
+    # reorder neighbours across clusters
+    base_a, base_b = [1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 0.0, 1.0]
+    rows = []
+    for i in range(10):
+        v = list(base_a if i % 2 == 0 else base_b)
+        v[1] += 0.01 * i
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    qs = df.filter(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in cosine_topk(df, qs, k=3).collect()
+    }
+    quant = {
+        (r["query_id"], r["vec_id"])
+        for r in quantized_cosine_topk(df, qs, k=3).collect()
+    }
+    assert quant == exact

@@ -125,3 +125,20 @@ def test_winsorize_errors(spark):
         winsorize_columns(df, ["nope"])
     with pytest.raises(ValueError, match="lower < upper"):
         winsorize_columns(df, ["v"], 0.9, 0.1)
+    with pytest.raises(ValueError, match="exact"):
+        winsorize_columns(df, ["v"], method="median-ish")
+
+
+def test_winsorize_approx_method(spark):
+    from pyspark.sql import functions as F
+
+    from hds_functions_spark.operators.wrangling import winsorize_columns
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(1, 1001)] + [(1e9,)], "v: double"
+    )
+    out = winsorize_columns(df, ["v"], 0.05, 0.95, method="approx")
+    mx, mn = out.agg(F.max("v"), F.min("v")).first()
+    # outlier clipped to ~p95, low tail to ~p5 (sketch error is tiny here)
+    assert 900 <= mx <= 1000 and 40 <= mn <= 60
+    assert out.count() == df.count()
