@@ -74,6 +74,7 @@ from .operators.similarity import (
     quantized_cosine_topk,
 )
 from .operators.privacy import (
+    k_anonymity_violations,
     redact_low_counts,
     round_counts_to_multiple,
     suppress_small_groups,
@@ -82,6 +83,7 @@ from .operators.topk import first_dense_rank, first_rank, first_row, select_top_
 from .operators.wrangling import (
     align_to_schema,
     clean_column_names,
+    mad_outlier_flags,
     map_column_values,
     winsorize_columns,
 )

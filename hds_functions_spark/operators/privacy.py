@@ -14,7 +14,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
-__all__ = ["round_counts_to_multiple", "redact_low_counts", "suppress_small_groups"]
+__all__ = [
+    "round_counts_to_multiple",
+    "redact_low_counts",
+    "suppress_small_groups",
+    "k_anonymity_violations",
+]
 
 
 def _validate_columns_arg(columns) -> None:
@@ -122,3 +127,36 @@ def suppress_small_groups(
     if count_col not in df.columns:
         raise ValueError(f"Column '{count_col}' not found in DataFrame.")
     return df.filter(F.col(count_col) >= threshold)
+
+
+def k_anonymity_violations(
+    df: DataFrame, quasi_cols: List[str], k: int = 5
+) -> DataFrame:
+    """Quasi-identifier combinations held by fewer than ``k`` rows — the
+    re-identification audit run BEFORE releasing a table: every returned
+    combination pins its rows to a group small enough to single people
+    out, so it must be generalised, suppressed (see
+    :func:`suppress_small_groups`) or rounded before release. An empty
+    result certifies the table k-anonymous over ``quasi_cols``.
+
+    Output: the quasi-identifier columns + ``n_rows`` (< ``k``). Null is a
+    value here — an all-null combination that only a few rows share is
+    exactly as identifying as any other rare combination.
+
+    Plan shape: one groupBy over the quasi columns (map-side partial
+    combine; the shuffle carries one row per distinct combination, never
+    the data rows) + a count filter. Scale-invariant by construction.
+    """
+    _validate_columns_arg(quasi_cols)
+    if not quasi_cols:
+        raise ValueError("quasi_cols must name at least one column")
+    missing = [c for c in quasi_cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"quasi_cols not in DataFrame: {missing}")
+    if not isinstance(k, int) or isinstance(k, bool) or k <= 1:
+        raise ValueError("k must be an integer > 1")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count("*").alias("n_rows"))
+        .filter(F.col("n_rows") < k)
+    )

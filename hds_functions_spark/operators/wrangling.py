@@ -17,6 +17,7 @@ __all__ = [
     "map_column_values",
     "align_to_schema",
     "winsorize_columns",
+    "mad_outlier_flags",
 ]
 
 # Above this many entries a literal `create_map` expression gets unwieldy for
@@ -210,3 +211,69 @@ def winsorize_columns(
     }
     drop = [f"_hds_lo_{c}" for c in columns] + [f"_hds_hi_{c}" for c in columns]
     return joined.withColumns(clipped).drop(*drop)
+
+
+def mad_outlier_flags(
+    df: DataFrame,
+    column: str,
+    group_by: list[str] | None = None,
+    threshold: float = 3.5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Robust outlier flagging by modified z-score: ``z = 0.6745 * (x -
+    median) / MAD`` with ``MAD = median(|x - median|)`` (the Iglewicz-
+    Hoaglin rule; |z| > 3.5 is the conventional cut). Median/MAD resist
+    the very outliers a mean/stddev rule would absorb — the right default
+    for heavy-tailed quality and length features.
+
+    Adds ``{column}_robust_z`` (rounded) and ``{column}_is_outlier``.
+    Degenerate groups (MAD = 0: over half the values identical) yield
+    null z and ``false`` flags — no robust scale estimate exists there.
+    Null values and rows whose ``group_by`` key is null pass through with
+    null z / false flag.
+
+    Plan shape: two grouped aggregates (median, then MAD of residuals —
+    MAD's nesting is irreducibly two-pass), each re-attached by equi-join
+    on the group key (1 row/group; planner broadcasts small bounds
+    tables), global variant via 1-row broadcast crossJoin. Flag and z are
+    codegen projections. Exact ``percentile`` inside both aggregates —
+    same scale envelope as :func:`winsorize_columns` (BASELINE.md 16x).
+    """
+    if column not in df.columns:
+        raise ValueError(f"column not in DataFrame: {column}")
+    if threshold <= 0:
+        raise ValueError("threshold must be positive")
+
+    med_col, mad_col = f"_hds_med_{column}", f"_hds_mad_{column}"
+    med_agg = F.percentile(F.col(column), F.lit(0.5)).alias(med_col)
+    if group_by:
+        med = df.groupBy(*group_by).agg(med_agg)
+        with_med = df.join(med, on=list(group_by), how="left")
+    else:
+        with_med = df.crossJoin(F.broadcast(df.agg(med_agg)))
+
+    resid = F.abs(F.col(column) - F.col(med_col))
+    mad_agg = F.percentile(resid, F.lit(0.5)).alias(mad_col)
+    if group_by:
+        mad = with_med.groupBy(*group_by).agg(mad_agg)
+        joined = with_med.join(mad, on=list(group_by), how="left")
+    else:
+        joined = with_med.crossJoin(F.broadcast(with_med.agg(mad_agg)))
+
+    z = F.when(
+        F.col(mad_col) > 0,
+        F.round(
+            F.lit(0.6745) * (F.col(column) - F.col(med_col)) / F.col(mad_col),
+            round_digits,
+        ),
+    )
+    return (
+        joined.withColumn(f"{column}_robust_z", z)
+        .withColumn(
+            f"{column}_is_outlier",
+            F.coalesce(
+                F.abs(F.col(f"{column}_robust_z")) > threshold, F.lit(False)
+            ),
+        )
+        .drop(med_col, mad_col)
+    )

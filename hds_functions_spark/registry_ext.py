@@ -2338,6 +2338,75 @@ def privacy_suppress(spark, sf_dir):
     return suppress_small_groups(counts, "n", 400)
 
 
+_KANON_K = 8
+
+
+@_register(
+    "privacy_k_anonymity",
+    f"""
+SELECT c_mktsegment, c_nationkey, count(*) AS n_rows
+FROM customer
+GROUP BY 1, 2
+HAVING count(*) < {_KANON_K}
+""",
+)
+def privacy_k_anonymity(spark, sf_dir):
+    """Pre-release k-anonymity audit: quasi-identifier combinations
+    (market segment x nation) held by fewer than k=8 customers — each is
+    a re-identification risk to generalise or suppress. One groupBy whose
+    shuffle carries one row per distinct combination."""
+    from .operators.privacy import k_anonymity_violations
+
+    return k_anonymity_violations(
+        _t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey"),
+        ["c_mktsegment", "c_nationkey"],
+        k=_KANON_K,
+    )
+
+
+@_register(
+    "wrangle_mad_outliers",
+    """
+WITH med AS (
+    SELECT l_returnflag, quantile_cont(l_extendedprice, 0.5) AS m
+    FROM lineitem GROUP BY 1
+), r AS (
+    SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+           l.l_extendedprice, med.m
+    FROM lineitem l JOIN med USING (l_returnflag)
+), mad AS (
+    SELECT l_returnflag,
+           quantile_cont(abs(l_extendedprice - m), 0.5) AS d
+    FROM r GROUP BY 1
+), z AS (
+    SELECT r.l_orderkey, r.l_linenumber, r.l_returnflag, r.l_extendedprice,
+           CASE WHEN mad.d > 0
+                THEN round(0.6745 * (r.l_extendedprice - r.m) / mad.d, 6)
+           END AS l_extendedprice_robust_z
+    FROM r JOIN mad USING (l_returnflag)
+)
+SELECT *,
+       coalesce(abs(l_extendedprice_robust_z) > 3.5, false)
+           AS l_extendedprice_is_outlier
+FROM z
+""",
+)
+def wrangle_mad_outliers(spark, sf_dir):
+    """Robust (median/MAD) outlier flagging of lineitem prices per return
+    flag — the Iglewicz-Hoaglin modified z-score at the conventional 3.5
+    cut. Two grouped exact-percentile aggregates re-attached by equi-join
+    on the 3-row group key; the oracle recomputes the identical two-pass
+    median -> MAD -> z arithmetic."""
+    from .operators.wrangling import mad_outlier_flags
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice"
+    )
+    return mad_outlier_flags(
+        li, "l_extendedprice", group_by=["l_returnflag"], threshold=3.5
+    )
+
+
 @_register(
     "table_standardise_hes",
     """

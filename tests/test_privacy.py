@@ -104,3 +104,30 @@ def test_suppress_small_groups(spark):
         suppress_small_groups(df, "n", 0)
     with pytest.raises(ValueError, match="not found"):
         suppress_small_groups(df, "missing", 5)
+
+
+def test_k_anonymity_violations(spark):
+    from pyspark.sql import functions as F
+
+    from hds_functions_spark.operators.privacy import k_anonymity_violations
+
+    df = spark.createDataFrame(
+        [("a", 1)] * 5 + [("a", 2)] * 2 + [("b", 1)] * 1 + [(None, None)] * 2,
+        "seg: string, nat: int",
+    )
+    out = {
+        (r["seg"], r["nat"]): r["n_rows"]
+        for r in k_anonymity_violations(df, ["seg", "nat"], k=5).collect()
+    }
+    # (a,1) has 5 rows >= k: safe. The rare combos — including the all-null
+    # one — are flagged with their sizes.
+    assert out == {("a", 2): 2, ("b", 1): 1, (None, None): 2}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="k must be"):
+        k_anonymity_violations(df, ["seg"], k=1)
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        k_anonymity_violations(df, ["nope"])
+    with pytest.raises(ValueError, match="at least one"):
+        k_anonymity_violations(df, [])

@@ -142,3 +142,29 @@ def test_winsorize_approx_method(spark):
     # outlier clipped to ~p95, low tail to ~p5 (sketch error is tiny here)
     assert 900 <= mx <= 1000 and 40 <= mn <= 60
     assert out.count() == df.count()
+
+
+def test_mad_outlier_flags(spark):
+    from hds_functions_spark.operators.wrangling import mad_outlier_flags
+
+    # group g (7 values incl. outlier): median 5, MAD 2 -> z(100) ~ 32
+    data = [("g", float(v)) for v in (2, 3, 4, 5, 6, 7)] + [("g", 100.0)]
+    # group h: all-identical values -> MAD 0 -> null z, false flag
+    data += [("h", 2.0)] * 4
+    df = spark.createDataFrame(data, "grp: string, v: double")
+    out = mad_outlier_flags(df, "v", group_by=["grp"])
+    rows = out.collect()
+    assert out.count() == len(data)  # row-preserving
+    g = {r["v"]: r for r in rows if r["grp"] == "g"}
+    assert g[100.0]["v_is_outlier"] is True
+    assert g[5.0]["v_robust_z"] == 0.0 and g[5.0]["v_is_outlier"] is False
+    assert g[3.0]["v_is_outlier"] is False
+    h = [r for r in rows if r["grp"] == "h"]
+    assert all(r["v_robust_z"] is None and r["v_is_outlier"] is False for r in h)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        mad_outlier_flags(df, "nope")
+    with pytest.raises(ValueError, match="positive"):
+        mad_outlier_flags(df, "v", threshold=0)
