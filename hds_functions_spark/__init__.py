@@ -50,6 +50,7 @@ from .operators.packing import chunk_documents, pack_sequences
 from .operators.quality import referential_orphans
 from .operators.profiling import (
     bigram_logprob_scores,
+    build_vocabulary,
     char_entropy_scores,
     group_quantiles,
     key_skew_profile,

@@ -25,6 +25,7 @@ __all__ = [
     "add_language_id",
     "add_fingerprint",
     "add_repetition_stats",
+    "add_script_ratios",
     "STOPWORDS",
     "remove_stopwords",
 ]
@@ -273,3 +274,45 @@ def remove_stopwords(toks: Column, words: list[str]) -> Column:
     ``array_except``, which dedups). Pure array expression."""
     wl = F.array(*[F.lit(w) for w in words])
     return F.filter(toks, lambda t: ~F.array_contains(wl, F.lower(t)))
+
+
+#: Script classes for :func:`add_script_ratios`: output column -> Java
+#: regex character class (Spark side). The DuckDB oracle uses RE2's
+#: spelling of the same Unicode script property (``\p{Latin}`` vs Java's
+#: ``\p{IsLatin}``); both engines implement the Unicode script database.
+SCRIPT_CLASSES: dict[str, str] = {
+    "latin": r"\p{IsLatin}",
+    "cyrillic": r"\p{IsCyrillic}",
+    "han": r"\p{IsHan}",
+    "arabic": r"\p{IsArabic}",
+    "digit": r"\p{Nd}",
+    "space": r"\s",
+}
+
+
+def add_script_ratios(
+    df: DataFrame, text_col: str = "text", round_digits: int = 6
+) -> DataFrame:
+    """Per-document character-class composition: ``{class}_ratio`` for each
+    entry in :data:`SCRIPT_CLASSES` plus ``other_ratio`` (the remainder) —
+    the script-mixture signal real corpus pipelines use next to language
+    ID: a "French" document that is 40% Han characters is mislabelled or
+    spam; a high digit ratio flags tables/logs masquerading as prose.
+
+    Ratios are over total characters, rounded; empty documents get null
+    ratios. Pure projection (regexp count per class — codegen, no UDF, no
+    shuffle at any scale).
+    """
+    c = F.col(text_col)
+    n = F.length(c)
+    ratio_cols: dict[str, Column] = {}
+    total = F.lit(0.0)
+    for name, cls in SCRIPT_CLASSES.items():
+        cnt = n - F.length(F.regexp_replace(c, cls, ""))
+        r = F.when(n > 0, F.round(cnt / n, round_digits))
+        ratio_cols[f"{name}_ratio"] = r
+        total = total + F.coalesce(cnt / n, F.lit(0.0))
+    ratio_cols["other_ratio"] = F.when(
+        n > 0, F.round(F.lit(1.0) - total, round_digits)
+    )
+    return df.withColumns(ratio_cols)

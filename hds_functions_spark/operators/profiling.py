@@ -22,6 +22,7 @@ __all__ = [
     "key_skew_profile",
     "bigram_logprob_scores",
     "char_entropy_scores",
+    "build_vocabulary",
 ]
 
 
@@ -298,4 +299,44 @@ def char_entropy_scores(
             F.log(n.cast("double")) - F.col("_clogc") / n,
             round_digits,
         ).alias("entropy"),
+    )
+
+
+def build_vocabulary(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+    lowercase: bool = True,
+) -> DataFrame:
+    """Corpus vocabulary with frequency-ranked ids: every token occurring
+    at least ``min_count`` times, as ``(token, count, vocab_id)`` with
+    ``vocab_id`` = 0-based dense rank by (count desc, token asc) — the
+    id assignment convention tokenizer training and embedding-table
+    construction expect (frequent tokens get small ids).
+
+    Plan shape: token explode -> token-keyed count (map-side combine; the
+    shuffle carries distinct tokens) -> ``min_count`` filter -> global
+    ordering via :func:`~hds_functions_spark.operators.ids.assign_dense_ids`
+    (range-partition + per-partition offsets — a data-parallel total
+    order, NOT a one-partition ``row_number`` window, so a 100M-token
+    vocabulary ranks without serialising onto one task).
+    """
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1 (got {min_count})")
+    from ..functions.text import tokens as _tokens
+    from .ids import assign_dense_ids
+
+    tok = F.explode(_tokens(F.col(text_col))).alias("token")
+    counts = (
+        df.select(tok)
+        .select(F.lower(F.col("token")).alias("token") if lowercase
+                else F.col("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("count"))
+        .filter(F.col("count") >= min_count)
+    )
+    return assign_dense_ids(
+        counts,
+        order_by=[F.col("count").desc(), F.col("token").asc()],
+        id_col="vocab_id",
     )

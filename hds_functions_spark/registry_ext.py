@@ -99,6 +99,90 @@ def text_stats(spark, sf_dir):
     )
 
 
+def _duck_script_ratio(cls: str) -> str:
+    return (
+        f"(length(text) - length(regexp_replace(text, '{cls}', '', 'g')))"
+        "::DOUBLE / length(text)"
+    )
+
+
+_DUCK_SCRIPT_RE2 = {
+    "latin": r"\p{Latin}",
+    "cyrillic": r"\p{Cyrillic}",
+    "han": r"\p{Han}",
+    "arabic": r"\p{Arabic}",
+    "digit": r"\p{Nd}",
+    "space": r"\s",
+}
+_SCRIPT_RATIO_COLS = ",\n  ".join(
+    "CASE WHEN length(text) > 0 THEN round("
+    + _duck_script_ratio(cls)
+    + f", 6) END AS {name}_ratio"
+    for name, cls in _DUCK_SCRIPT_RE2.items()
+)
+_SCRIPT_RATIO_SUM = " + ".join(
+    _duck_script_ratio(cls) for cls in _DUCK_SCRIPT_RE2.values()
+)
+
+
+@_register(
+    "text_script_ratios",
+    f"""
+SELECT doc_id,
+  {_SCRIPT_RATIO_COLS},
+  CASE WHEN length(text) > 0
+       THEN round(1.0 - ({_SCRIPT_RATIO_SUM}), 6) END AS other_ratio
+FROM documents
+""",
+)
+def text_script_ratios(spark, sf_dir):
+    """Unicode script-mixture signal: per-document character-class ratios
+    (Latin/Cyrillic/Han/Arabic/digits/whitespace/other) — the cross-check
+    against the language label that real pipelines run (a 'French' doc
+    that is 40% Han is mislabelled or spam). Pure regexp-count projection,
+    zero shuffle; Java and RE2 spell the same Unicode script property
+    differently but both engines implement the Unicode script database."""
+    from .functions.text import add_script_ratios
+
+    return add_script_ratios(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).drop("text")
+
+
+_VOCAB_MIN_COUNT = 5
+
+
+@_register(
+    "text_vocab_build",
+    f"""
+WITH toks AS (
+    SELECT unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END)
+        AS token
+    FROM documents
+), counts AS (
+    SELECT token, count(*) AS count FROM toks GROUP BY 1
+    HAVING count(*) >= {_VOCAB_MIN_COUNT}
+)
+SELECT token, count,
+       CAST(row_number() OVER (ORDER BY count DESC, token ASC) - 1 AS BIGINT)
+           AS vocab_id
+FROM counts
+""",
+)
+def text_vocab_build(spark, sf_dir):
+    """Frequency-ranked corpus vocabulary (count >= 5, lowercased) — the
+    tokenizer-training/embedding-table input. Global rank assigned by the
+    range-partitioned dense-id machinery, not a one-partition window, so
+    a 100M-token vocabulary ranks data-parallel."""
+    from .operators.profiling import build_vocabulary
+
+    return build_vocabulary(
+        _t(spark, sf_dir, "documents").select("text"),
+        min_count=_VOCAB_MIN_COUNT,
+    )
+
+
 @_register(
     "text_quality",
     f"""

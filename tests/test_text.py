@@ -198,3 +198,53 @@ def test_char_entropy_scores(spark):
     assert abs(out[2]["entropy"] - round(math.log(2), 4)) < 1e-9  # two equiprobable
     assert abs(out[3]["entropy"] - round(math.log(4), 4)) < 1e-9  # uniform over 4
     assert out[3]["n_chars"] == 4
+
+
+def test_add_script_ratios(spark):
+    from hds_functions_spark.functions.text import add_script_ratios
+
+    df = spark.createDataFrame(
+        [
+            (1, "abcd 12"),          # 4 latin, 2 digit, 1 space
+            (2, "Привет мир"),       # cyrillic + 1 space
+            (3, "你好ab"),            # 2 han, 2 latin
+            (4, ""),                 # empty -> null ratios
+            (5, "!!!"),              # all 'other'
+        ],
+        "doc_id: long, text: string",
+    )
+    rows = {r["doc_id"]: r for r in add_script_ratios(df).collect()}
+    assert rows[1]["latin_ratio"] == pytest.approx(4 / 7, abs=1e-6)
+    assert rows[1]["digit_ratio"] == pytest.approx(2 / 7, abs=1e-6)
+    assert rows[1]["space_ratio"] == pytest.approx(1 / 7, abs=1e-6)
+    assert rows[1]["other_ratio"] == pytest.approx(0.0, abs=1e-6)
+    assert rows[2]["cyrillic_ratio"] == pytest.approx(9 / 10, abs=1e-6)
+    assert rows[3]["han_ratio"] == pytest.approx(0.5, abs=1e-6)
+    assert rows[3]["latin_ratio"] == pytest.approx(0.5, abs=1e-6)
+    assert rows[4]["latin_ratio"] is None and rows[4]["other_ratio"] is None
+    assert rows[5]["other_ratio"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_build_vocabulary(spark):
+    from hds_functions_spark.operators.profiling import build_vocabulary
+
+    df = spark.createDataFrame(
+        [("the cat sat",), ("the cat ran",), ("THE dog",), ("",)],
+        "text: string",
+    )
+    rows = {r["token"]: r for r in build_vocabulary(df, min_count=2).collect()}
+    # 'the' x3 (case-folded), 'cat' x2 survive min_count=2
+    assert set(rows) == {"the", "cat"}
+    assert rows["the"]["count"] == 3 and rows["the"]["vocab_id"] == 0
+    assert rows["cat"]["count"] == 2 and rows["cat"]["vocab_id"] == 1
+    # min_count=1: ties rank deterministically by token asc after count desc
+    all_rows = build_vocabulary(df, min_count=1).collect()
+    ordered = sorted(all_rows, key=lambda r: r["vocab_id"])
+    keys = [(r["count"], r["token"]) for r in ordered]
+    assert keys == sorted(keys, key=lambda t: (-t[0], t[1]))
+    assert [r["vocab_id"] for r in ordered] == list(range(len(ordered)))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="min_count"):
+        build_vocabulary(df, min_count=0)
