@@ -3335,3 +3335,112 @@ def text_char_entropy(spark, sf_dir):
     from .operators.profiling import char_entropy_scores
 
     return char_entropy_scores(_t(spark, sf_dir, "documents"))
+
+
+_PP_NGRAM = 5
+_PP_MAX_CROSS = 0.5
+_PP_EVAL_MOD = 97
+_PP_WEIGHTS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def _duck_pretrain_prep_sql() -> str:
+    gram = stable_hash_sql(
+        f"array_to_string(t[i:i+{_PP_NGRAM - 1}], ' ')"
+    )
+    split_case = hash_split_sql("doc_id", _PP_WEIGHTS)
+    return f"""
+WITH toks AS (
+    SELECT doc_id, text, {_DUCK_TOKENS} AS t FROM documents
+), inst AS (
+    SELECT doc_id, {gram} AS gh
+    FROM toks, UNNEST(generate_series(1, len(t) - {_PP_NGRAM - 1})) AS s(i)
+    WHERE len(t) >= {_PP_NGRAM}
+), pg AS (
+    SELECT doc_id, gh, count(*) AS c FROM inst GROUP BY 1, 2
+), gs AS (
+    SELECT gh, count(*) AS n_docs FROM pg GROUP BY 1
+), frac AS (
+    SELECT doc_id,
+           sum(CASE WHEN n_docs >= 2 THEN c ELSE 0 END)::DOUBLE / sum(c)
+               AS cross_frac
+    FROM pg JOIN gs USING (gh) GROUP BY 1
+), kept AS (
+    SELECT b.doc_id, b.text FROM toks b LEFT JOIN frac USING (doc_id)
+    WHERE coalesce(cross_frac, 0) <= {_PP_MAX_CROSS}
+), ltoks AS (
+    SELECT doc_id, text, {_DUCK_TOKENS_LOWER} AS t FROM kept
+), lgrams AS (
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(t) < {_PP_NGRAM} THEN []::VARCHAR[]
+             ELSE list_transform(
+                 generate_series(1, len(t) - {_PP_NGRAM - 1}),
+                 i -> array_to_string(t[i:i+{_PP_NGRAM - 1}], ' '))
+        END)) AS gram
+    FROM ltoks
+), eval_grams AS (
+    SELECT DISTINCT gram FROM lgrams WHERE doc_id % {_PP_EVAL_MOD} = 0
+), contaminated AS (
+    SELECT DISTINCT doc_id FROM lgrams JOIN eval_grams USING (gram)
+), clean AS (
+    SELECT k.doc_id, k.text FROM kept k
+    LEFT JOIN contaminated c USING (doc_id)
+    WHERE c.doc_id IS NULL AND k.doc_id % {_PP_EVAL_MOD} <> 0
+), split AS (
+    SELECT doc_id, text, {split_case} AS split FROM clean
+), stoks AS (
+    SELECT split, {_DUCK_TOKENS} AS t FROM split
+)
+SELECT split, count(*) AS n_docs,
+       CAST(sum(len(t)) AS BIGINT) AS total_tokens
+FROM stoks GROUP BY 1
+"""
+
+
+@_register("pipeline_pretrain_prep", None)  # oracle attached below
+def pipeline_pretrain_prep(spark, sf_dir):
+    """Pretraining-corpus preparation as ONE lazy Catalyst plan — the
+    second end-to-end DAG (pipeline_curation covers quality+privacy; this
+    covers the dedup -> decontaminate -> split spine of an actual training
+    run): corpus-level substring-duplication filter (drop docs whose
+    cross-document duplicated-5-gram fraction exceeds 0.5), n-gram
+    decontamination against a synthetic held-out benchmark (every 97th
+    doc; contaminated docs AND the benchmark itself removed),
+    deterministic hash split 90/5/5, then per-split document and
+    whitespace-token totals — the numbers a training job budgets against.
+
+    Every stage is an existing registered operator; the composition stays
+    lazy end-to-end (no intermediate materialisation), so Catalyst prunes
+    columns through all five stages."""
+    from .operators.contamination import ngram_contamination
+    from .operators.dedup import duplicated_ngram_stats
+    from .functions.text import token_count
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dup = duplicated_ngram_stats(docs, ngram=_PP_NGRAM).select(
+        "doc_id", "cross_dup_fraction"
+    )
+    kept = (
+        docs.join(dup, on="doc_id", how="left")
+        .filter(
+            F.coalesce(F.col("cross_dup_fraction"), F.lit(0.0))
+            <= _PP_MAX_CROSS
+        )
+        .select("doc_id", "text")
+    )
+    evals = docs.filter(F.col("doc_id") % _PP_EVAL_MOD == 0).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    contaminated = ngram_contamination(
+        kept, evals, ngram=_PP_NGRAM, min_shared=1
+    ).select("doc_id")
+    clean = kept.join(contaminated, on="doc_id", how="left_anti").filter(
+        F.col("doc_id") % _PP_EVAL_MOD != 0
+    )
+    split = hash_split(clean, "doc_id", _PP_WEIGHTS)
+    return split.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count(F.col("text"))).cast("long").alias("total_tokens"),
+    )
+
+
+ORACLES["pipeline_pretrain_prep"] = _duck_pretrain_prep_sql()

@@ -136,3 +136,18 @@ def test_round2_operators_on_empty_input(spark):
     assert scrub_pii(empty).count() == 0
     assert filter_lines(empty).count() == 0
     assert mixture_sample(empty, "doc_id", "lang", {"en": 1.0}).count() == 0
+
+
+def test_pipeline_pretrain_prep_invariants(spark):
+    """The composite pretrain-prep query: splits partition the clean set,
+    every benchmark doc (id % 97 == 0) is excluded, and token totals are
+    consistent with doc counts."""
+    from hds_functions_spark.registry import QUERIES
+    import hds_functions_spark.registry_ext  # noqa: F401
+
+    out = QUERIES["pipeline_pretrain_prep"](spark, "/root/testdata/sf0.001")
+    rows = {r["split"]: r for r in out.collect()}
+    assert set(rows) <= {"train", "val", "test"}
+    n_total = sum(r["n_docs"] for r in rows.values())
+    assert rows["train"]["n_docs"] > 0.7 * n_total  # 90% weight dominates
+    assert all(r["total_tokens"] > r["n_docs"] for r in rows.values())
