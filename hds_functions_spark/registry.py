@@ -734,7 +734,12 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: rotates the window to the 50 queries with NO row in CORRECTNESS_r04.json
 #: (they were last driver-verified in r01-r03 and judge-re-verified on r4
 #: code), so after this round every registered query has a driver-green row
-#: within a two-round rolling window on current code.
+#: within a two-round rolling window on current code. The eight NEW round-5
+#: registrations (multimodal_video_real, dedup_substring_signal,
+#: similarity_quantized_knn, privacy_k_anonymity, wrangle_mad_outliers,
+#: text_script_ratios, text_vocab_build, pipeline_pretrain_prep) are each
+#: locally oracle-verified by tools/compare_oracle.py this round and queue
+#: for the round-6 driver window.
 DRIVER_PRIORITY: list[str] = [
     # -- cohort / topk / privacy / tables (last driver row r01-r03) --
     "cohort_flowchart",
