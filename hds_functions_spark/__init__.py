@@ -24,6 +24,7 @@ from .operators.cleaning import (
     filter_lines,
     normalize_unicode_nfc,
     scrub_pii,
+    strip_markup,
 )
 from .operators.contamination import ngram_contamination
 from .operators.dedup import (
@@ -73,6 +74,7 @@ from .operators.similarity import (
     lsh_cosine_topk,
     quantize_embeddings,
     quantized_cosine_topk,
+    random_projection,
 )
 from .operators.privacy import (
     k_anonymity_violations,

@@ -35,6 +35,19 @@ __all__ = [
     "normalize_unicode_nfc",
     "dedup_lines",
     "dedup_lines_across_corpus",
+    "strip_markup",
+]
+
+#: HTML entities :func:`strip_markup` unescapes, in application order.
+#: ``&amp;`` is deliberately LAST: unescaping it first would turn
+#: ``&amp;lt;`` into ``&lt;`` and then into ``<`` — double-unescape.
+MARKUP_ENTITIES: list[tuple[str, str]] = [
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&nbsp;", " "),
+    ("&amp;", "&"),
 ]
 
 #: (name, pattern, replacement) — ordered; applied left to right. Patterns
@@ -222,3 +235,32 @@ def dedup_lines(
     if kept_col:
         out = out.withColumn(kept_col, F.size(kept).cast("long"))
     return out.withColumn(out_col, F.array_join(kept, "\n"))
+
+
+def strip_markup(
+    df: DataFrame, text_col: str = "text", out_col: str | None = None
+) -> DataFrame:
+    """Strip HTML/XML markup down to its text content: script and style
+    blocks are removed WITH their contents, remaining tags are replaced by
+    a space (so ``a<br>b`` stays two words), the common entities
+    (:data:`MARKUP_ENTITIES`) are unescaped, and whitespace collapses to
+    single spaces — the first cleaning pass for web-scraped corpora.
+
+    Regex-only on purpose (no HTML parser): at corpus scale the input is
+    overwhelmingly tag soup, a parser is 100x the cost, and the failure
+    mode of regex stripping (rare pathological markup keeps a fragment) is
+    acceptable for corpus text where the document would be quality-filtered
+    anyway. Patterns avoid backreferences so the same expressions run on
+    Java regex and RE2. Pure projection: no UDF, no shuffle.
+    """
+    c = F.col(text_col)
+    for blk in ("script", "style"):
+        c = F.regexp_replace(
+            c, f"(?is)<{blk}\\b[^>]*>.*?</{blk}>", " "
+        )
+    c = F.regexp_replace(c, r"(?s)<[^>]*>", " ")
+    for ent, repl in MARKUP_ENTITIES:
+        # literal (non-regex) replace on both engines
+        c = F.replace(c, F.lit(ent), F.lit(repl))
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn(out_col or text_col, c)

@@ -32,6 +32,7 @@ __all__ = [
     "ivf_cosine_topk",
     "quantize_embeddings",
     "quantized_cosine_topk",
+    "random_projection",
 ]
 
 
@@ -207,6 +208,51 @@ def hyperplanes(n_planes: int, dim: int) -> list[list[float]]:
             row.append((state % 2_000_001) / 1_000_000.0 - 1.0)
         planes.append(row)
     return planes
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "projected",
+    dim: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction with a FIXED
+    deterministic projection matrix (the same xorshift64 stream as
+    :func:`hyperplanes`, scaled ``1/sqrt(out_dim)``) — distances and inner
+    products are preserved within JL distortion, so a 64 -> 16 projection
+    makes every downstream brute-force / LSH / IVF pass ~4x cheaper as a
+    prefilter, re-scoring survivors at full dimension.
+
+    Determinism is the point: the matrix is code, not state — any two
+    sessions (and the SQL oracle) project identically, so projected
+    vectors are joinable across runs. Pure HOF projection: the matrix
+    embeds as literals, no shuffle, no UDF, whole-stage codegen.
+    """
+    if out_dim < 1:
+        raise ValueError(f"out_dim must be >= 1 (got {out_dim})")
+    planes = hyperplanes(out_dim, dim)
+    scale = 1.0 / (out_dim ** 0.5)
+    v = F.col(vec_col).cast("array<double>")
+    comps = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    v,
+                    F.array(*[F.lit(p) for p in plane]),
+                    lambda x, y: x * y,
+                ),
+                F.lit(0.0),
+                lambda acc, val: acc + val,
+            )
+            * F.lit(scale),
+            round_digits,
+        )
+        for plane in planes
+    ]
+    return df.select(F.col(id_col), F.array(*comps).alias(out_col))
 
 
 def plane_signature(vec: Column, planes: list[list[float]]) -> Column:

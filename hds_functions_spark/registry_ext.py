@@ -3444,3 +3444,89 @@ def pipeline_pretrain_prep(spark, sf_dir):
 
 
 ORACLES["pipeline_pretrain_prep"] = _duck_pretrain_prep_sql()
+
+
+_RP_OUT_DIM = 8
+
+
+def _duck_random_projection_sql() -> str:
+    from .operators.similarity import hyperplanes as _hp
+
+    planes = _hp(_RP_OUT_DIM, 64)
+    scale = repr(1.0 / (_RP_OUT_DIM ** 0.5))
+    comps = ", ".join(
+        "round(list_dot_product(embedding::DOUBLE[], ["
+        + ", ".join(repr(w) for w in plane)
+        + f"]::DOUBLE[]) * {scale}, 6)"
+        for plane in planes
+    )
+    return f"SELECT vec_id, [{comps}] AS projected FROM embeddings"
+
+
+@_register("similarity_random_projection", None)  # oracle attached below
+def similarity_random_projection(spark, sf_dir):
+    """Johnson-Lindenstrauss 64 -> 8 reduction with a fixed deterministic
+    matrix (same xorshift stream as the LSH hyperplanes): the ANN
+    prefilter that makes every downstream distance pass 8x cheaper, with
+    re-scoring at full dimension for survivors. Matrix-as-literals pure
+    projection — no shuffle; the oracle embeds the identical matrix."""
+    from .operators.similarity import random_projection
+
+    return random_projection(
+        _t(spark, sf_dir, "embeddings"), out_dim=_RP_OUT_DIM
+    )
+
+
+ORACLES["similarity_random_projection"] = _duck_random_projection_sql()
+
+
+def _duck_strip_markup(expr: str) -> str:
+    out = expr
+    for blk in ("script", "style"):
+        out = (
+            f"regexp_replace({out}, "
+            f"'(?is)<{blk}\\b[^>]*>.*?</{blk}>', ' ', 'g')"
+        )
+    out = f"regexp_replace({out}, '(?s)<[^>]*>', ' ', 'g')"
+    for ent, repl in (
+        ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+        ("&#39;", "''"), ("&nbsp;", " "), ("&amp;", "&"),
+    ):
+        out = f"replace({out}, '{ent}', '{repl}')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
+@_register(
+    "clean_strip_markup",
+    f"""
+WITH wrapped AS (
+    SELECT doc_id,
+           '<p class="x">' || substr(text, 1, 40)
+           || '</p><script type="text/javascript">var x = 1;</script>'
+           || '&amp;lt; <b>' || lang || '</b>&nbsp;tail' AS text
+    FROM documents
+)
+SELECT doc_id, {_duck_strip_markup('text')} AS text
+FROM wrapped
+""",
+)
+def clean_strip_markup(spark, sf_dir):
+    """Markup stripping over synthesized tag soup (paragraph wrapper +
+    script block + entities): script/style blocks drop with contents,
+    tags become spaces, entities unescape in double-unescape-safe order,
+    whitespace collapses. Same regex/replace chain on both engines (the
+    patterns avoid backreferences for Java-regex/RE2 portability)."""
+    from .operators.cleaning import strip_markup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit('<p class="x">'),
+            F.substring("text", 1, 40),
+            F.lit('</p><script type="text/javascript">var x = 1;</script>'),
+            F.lit("&amp;lt; <b>"),
+            F.col("lang"),
+            F.lit("</b>&nbsp;tail"),
+        ).alias("text"),
+    )
+    return strip_markup(docs)

@@ -175,3 +175,43 @@ def test_quantized_topk_matches_exact_on_separable_data(spark):
         for r in quantized_cosine_topk(df, qs, k=3).collect()
     }
     assert quant == exact
+
+
+def test_random_projection_deterministic_and_jl(spark):
+    from hds_functions_spark.operators.similarity import (
+        cosine_similarity,
+        random_projection,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(60)
+    p1 = random_projection(emb, out_dim=16)
+    p2 = random_projection(emb, out_dim=16)
+    assert [r["projected"] for r in p1.orderBy("vec_id").collect()] == [
+        r["projected"] for r in p2.orderBy("vec_id").collect()
+    ]  # matrix is code, not state
+    row = p1.first()
+    assert len(row["projected"]) == 16
+    # JL property: projected cosine correlates with full-dim cosine
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    full = (
+        a.join(b, F.col("ia") < F.col("ib"))
+        .withColumn("cf", cosine_similarity(F.col("va"), F.col("vb")))
+        .select("ia", "ib", "cf")
+    )
+    pa = p1.select(F.col("vec_id").alias("ia"), F.col("projected").alias("pa"))
+    pb = p1.select(F.col("vec_id").alias("ib"), F.col("projected").alias("pb"))
+    proj = (
+        pa.join(pb, F.col("ia") < F.col("ib"))
+        .withColumn("cp", cosine_similarity(F.col("pa"), F.col("pb")))
+        .select("ia", "ib", "cp")
+    )
+    corr = full.join(proj, on=["ia", "ib"]).agg(F.corr("cf", "cp")).first()[0]
+    # the testdata embeddings are near-uniform random — the JL worst case
+    # (all true cosines cluster near 0, so distortion dominates); even
+    # there the correlation must be clearly positive. Clustered data gives
+    # far higher values (cf. BASELINE.md planted-cluster sweep).
+    assert corr > 0.3
+
+    with pytest.raises(ValueError, match="out_dim"):
+        random_projection(emb, out_dim=0)

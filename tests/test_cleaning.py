@@ -103,3 +103,27 @@ def test_dedup_lines_across_corpus_all_boilerplate(spark):
     # every doc loses its only line but is NOT dropped from the output
     assert len(out) == 4
     assert all(r["text"] == "" and r["n_lines_kept"] == 0 for r in out)
+
+
+def test_strip_markup(spark):
+    from hds_functions_spark.operators.cleaning import strip_markup
+
+    df = spark.createDataFrame(
+        [
+            (1, '<p class="big">Hello <b>world</b></p>'),
+            (2, "<script>var x = '<secret>';</script>keep"),
+            (3, "<style type=text/css>body{}</style>styled"),
+            (4, "a&lt;b &amp;amp; c&nbsp;d"),
+            (5, "a<br>b"),
+            (6, "no markup at all"),
+        ],
+        "doc_id: long, text: string",
+    )
+    out = {r["doc_id"]: r["text"] for r in strip_markup(df).collect()}
+    assert out[1] == "Hello world"
+    assert out[2] == "keep"          # script content removed entirely
+    assert out[3] == "styled"
+    # &amp; unescapes LAST: '&amp;amp;' -> '&amp;' (no double unescape)
+    assert out[4] == "a<b &amp; c d"
+    assert out[5] == "a b"           # tag becomes a space, words separated
+    assert out[6] == "no markup at all"
