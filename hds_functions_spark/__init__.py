@@ -41,6 +41,7 @@ from .operators.dedup import (
 from .operators.events import (
     as_of_join,
     densify_timeline,
+    densify_timeline_calendar,
     interval_join,
     session_stats,
     sessionize,

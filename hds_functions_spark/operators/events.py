@@ -33,6 +33,7 @@ __all__ = [
     "as_of_join",
     "interval_join",
     "densify_timeline",
+    "densify_timeline_calendar",
 ]
 
 
@@ -373,6 +374,63 @@ def densify_timeline(
         F.explode(
             F.expr(f"sequence(_b0, _b1, interval {int(bucket_seconds)} seconds)")
         ).alias("bucket"),
+    )
+    return axis.join(counts, on=[*key_cols, "bucket"], how="left").select(
+        *key_cols,
+        "bucket",
+        F.coalesce(F.col(count_col), F.lit(0)).alias(count_col),
+    )
+
+
+#: unit -> sequence step for :func:`densify_timeline_calendar`.
+_CALENDAR_UNITS = {
+    "day": "interval 1 day",
+    "week": "interval 1 week",
+    "month": "interval 1 month",
+    "quarter": "interval 3 month",
+    "year": "interval 1 year",
+}
+
+
+def densify_timeline_calendar(
+    df: DataFrame,
+    key_cols,
+    ts_col: str = "ts",
+    unit: str = "month",
+    count_col: str = "n_events",
+):
+    """Gap-filled per-key timeline on CALENDAR buckets (day / week /
+    month / quarter / year) — the variant :func:`densify_timeline` cannot
+    express, because calendar units are irregular (months are 28-31 days,
+    weeks cross month boundaries, DST shifts day lengths): buckets come
+    from ``date_trunc`` and the dense axis advances by calendar interval
+    arithmetic, not fixed seconds. Weeks are ISO Monday-start (the
+    ``date_trunc('week')`` convention Spark and DuckDB share).
+
+    Same contract and plan shape as :func:`densify_timeline`: one
+    ``date_trunc`` projection -> per-key span aggregate -> ``sequence()``
+    explode generates the bucket axis executor-side (data-proportional,
+    no driver loop) -> left join of per-bucket counts on (key, bucket),
+    co-partitioned; ``count_col`` = 0 where nothing happened.
+    """
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    step = _CALENDAR_UNITS.get(unit)
+    if step is None:
+        raise ValueError(
+            f"unit must be one of {sorted(_CALENDAR_UNITS)} (got {unit!r})"
+        )
+    bucket = F.date_trunc(unit if unit != "quarter" else "quarter", F.col(ts_col))
+    bucketed = df.select(*key_cols, bucket.alias("bucket"))
+    counts = bucketed.groupBy(*key_cols, "bucket").agg(
+        F.count("*").alias(count_col)
+    )
+    spans = bucketed.groupBy(*key_cols).agg(
+        F.min("bucket").alias("_b0"), F.max("bucket").alias("_b1")
+    )
+    axis = spans.select(
+        *key_cols,
+        F.explode(F.expr(f"sequence(_b0, _b1, {step})")).alias("bucket"),
     )
     return axis.join(counts, on=[*key_cols, "bucket"], how="left").select(
         *key_cols,

@@ -3309,6 +3309,37 @@ def events_densified(spark, sf_dir):
 
 
 @_register(
+    "events_densified_monthly",
+    """
+WITH b AS (
+    SELECT event_type, date_trunc('month', ts) AS bucket FROM events
+), counts AS (
+    SELECT event_type, bucket, count(*) AS n_events FROM b GROUP BY 1, 2
+), spans AS (
+    SELECT event_type, min(bucket) AS b0, max(bucket) AS b1 FROM b GROUP BY 1
+), axis AS (
+    SELECT event_type,
+           unnest(generate_series(b0, b1, INTERVAL 1 MONTH)) AS bucket
+    FROM spans
+)
+SELECT a.event_type, a.bucket,
+       coalesce(c.n_events, 0) AS n_events
+FROM axis a LEFT JOIN counts c USING (event_type, bucket)
+""",
+)
+def events_densified_monthly(spark, sf_dir):
+    """Gap-filled CALENDAR-month timeline per event type — irregular
+    month lengths mean fixed-second bucketing cannot express this;
+    date_trunc buckets + calendar-interval sequence() generate the dense
+    axis executor-side, counts re-attach co-partitioned."""
+    from .operators.events import densify_timeline_calendar
+
+    return densify_timeline_calendar(
+        _t(spark, sf_dir, "events"), "event_type", unit="month"
+    )
+
+
+@_register(
     "text_char_entropy",
     """
 WITH chars AS (

@@ -334,3 +334,56 @@ def test_densify_timeline_pre_epoch_floors(spark):
         "1960-01-01 01:00:00": 0,
         "1960-01-01 02:00:00": 1,
     }
+
+
+def test_densify_timeline_calendar_months(spark):
+    from pyspark.sql import functions as F
+
+    from hds_functions_spark.operators.events import densify_timeline_calendar
+
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-01-15 10:00:00"),
+            ("a", "2024-01-20 11:00:00"),
+            ("a", "2024-04-02 09:00:00"),  # feb, mar are gaps
+            ("b", "2024-02-29 23:59:59"),  # leap-day edge
+        ],
+        "k: string, ts_str: string",
+    ).select("k", F.col("ts_str").cast("timestamp").alias("ts"))
+    out = {
+        (r["k"], str(r["bucket"])): r["n_events"]
+        for r in densify_timeline_calendar(df, "k", unit="month").collect()
+    }
+    assert out == {
+        ("a", "2024-01-01 00:00:00"): 2,
+        ("a", "2024-02-01 00:00:00"): 0,
+        ("a", "2024-03-01 00:00:00"): 0,
+        ("a", "2024-04-01 00:00:00"): 1,
+        ("b", "2024-02-01 00:00:00"): 1,
+    }
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unit"):
+        densify_timeline_calendar(df, "k", unit="fortnight")
+
+
+def test_densify_timeline_calendar_weeks_iso_monday(spark):
+    from pyspark.sql import functions as F
+
+    from hds_functions_spark.operators.events import densify_timeline_calendar
+
+    # 2024-01-03 is a Wednesday; its ISO week starts Monday 2024-01-01
+    df = spark.createDataFrame(
+        [("a", "2024-01-03 12:00:00"), ("a", "2024-01-16 08:00:00")],
+        "k: string, ts_str: string",
+    ).select("k", F.col("ts_str").cast("timestamp").alias("ts"))
+    out = {
+        str(r["bucket"]): r["n_events"]
+        for r in densify_timeline_calendar(df, "k", unit="week").collect()
+    }
+    assert out == {
+        "2024-01-01 00:00:00": 1,
+        "2024-01-08 00:00:00": 0,
+        "2024-01-15 00:00:00": 1,
+    }
