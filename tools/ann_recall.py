@@ -188,6 +188,38 @@ def main() -> None:
         cand = round(n_queries * n_corpus * n_probe / 16)
         rows.append((f"ivf n_probe={n_probe}", recall_of(approx), cand))
 
+    # round-5 paths: int8 quantized brute force (memory lever, full
+    # candidate set) and JL random-projection prefilter (project to
+    # out_dim, take top 4k candidates by projected cosine, exact re-score)
+    from hds_functions_spark.operators.similarity import (
+        quantized_cosine_topk,
+        random_projection,
+    )
+
+    rows.append((
+        "quantized int8",
+        recall_of(quantized_cosine_topk(emb, queries, k=k)),
+        brute_candidates,
+    ))
+    for out_dim in (8, 16):
+        proj = random_projection(emb, out_dim=out_dim).select(
+            "vec_id", F.col("projected").alias("embedding")
+        )
+        pq = random_projection(
+            queries.select(F.col("query_id").alias("vec_id"), "embedding"),
+            out_dim=out_dim,
+        ).select(F.col("vec_id").alias("query_id"),
+                 F.col("projected").alias("embedding"))
+        cands = cosine_topk(proj, pq, k=4 * k).select("query_id", "vec_id")
+        # recall of "exact top-k restricted to projected top-4k candidates":
+        # the true neighbours the prefilter keeps for exact re-scoring
+        hit = exact.join(cands, ["query_id", "vec_id"], "leftsemi").count()
+        rows.append((
+            f"jl d={out_dim} c=4k",
+            hit / n_exact,
+            n_queries * n_corpus * out_dim // 64,  # projected-space scorings
+        ))
+
     print(f"{'config':<18} {'recall@'+str(k):>9} {'scorings':>10} {'vs brute':>9}")
     for name, r, cand in rows:
         print(f"{name:<18} {r:>9.3f} {cand:>10} {cand/brute_candidates:>8.1%}")
