@@ -78,6 +78,7 @@ from .operators.similarity import (
     random_projection,
 )
 from .operators.privacy import (
+    generalize_columns,
     k_anonymity_violations,
     redact_low_counts,
     round_counts_to_multiple,

@@ -19,6 +19,7 @@ __all__ = [
     "redact_low_counts",
     "suppress_small_groups",
     "k_anonymity_violations",
+    "generalize_columns",
 ]
 
 
@@ -160,3 +161,66 @@ def k_anonymity_violations(
         .agg(F.count("*").alias("n_rows"))
         .filter(F.col("n_rows") < k)
     )
+
+
+def generalize_columns(
+    df: DataFrame,
+    spec: dict,
+) -> DataFrame:
+    """Generalise quasi-identifier columns — the standard REMEDY applied
+    after :func:`k_anonymity_violations` flags risky combinations:
+    coarser values merge rare combinations into common ones until groups
+    clear ``k``.
+
+    ``spec`` maps column name -> rule:
+
+    - ``("bin", width)`` — numeric to half-open range labels
+      ``"[lo, hi)"`` with ``lo = floor(x / width) * width`` (floor, so
+      negatives bin correctly);
+    - ``("date_trunc", unit)`` — date/timestamp truncated to ``unit``
+      (``"year"``, ``"month"``, ``"week"``, ...), returned as a date;
+    - ``("prefix", n)`` — string truncated to its first ``n`` characters
+      (postcode-style generalisation).
+
+    Nulls pass through as null (a null generalises to null). Pure
+    projection: zero shuffle at any scale; re-run the audit afterwards to
+    confirm the table now clears ``k``.
+    """
+    if not spec:
+        raise ValueError("spec must map at least one column to a rule")
+    missing = [c for c in spec if c not in df.columns]
+    if missing:
+        raise ValueError(f"spec columns not in DataFrame: {missing}")
+    out = {}
+    for col, rule in spec.items():
+        if not isinstance(rule, tuple) or len(rule) != 2:
+            raise ValueError(f"rule for '{col}' must be a (kind, arg) tuple")
+        kind, arg = rule
+        c = F.col(col)
+        if kind == "bin":
+            if not isinstance(arg, (int, float)) or arg <= 0:
+                raise ValueError(f"bin width for '{col}' must be positive")
+            lo = F.floor(c / F.lit(arg)) * F.lit(arg)
+            hi = lo + F.lit(arg)
+            # integer widths render integer bounds (no '10.0' labels)
+            if isinstance(arg, int):
+                lo, hi = lo.cast("long"), hi.cast("long")
+            out[col] = F.when(
+                c.isNotNull(),
+                F.concat(F.lit("["), lo.cast("string"), F.lit(", "),
+                         hi.cast("string"), F.lit(")")),
+            )
+        elif kind == "date_trunc":
+            out[col] = F.when(
+                c.isNotNull(), F.date_trunc(arg, c).cast("date")
+            )
+        elif kind == "prefix":
+            if not isinstance(arg, int) or arg < 1:
+                raise ValueError(f"prefix length for '{col}' must be >= 1")
+            out[col] = F.substring(c, 1, arg)
+        else:
+            raise ValueError(
+                f"unknown rule kind {kind!r} for '{col}' "
+                "(expected bin | date_trunc | prefix)"
+            )
+    return df.withColumns(out)

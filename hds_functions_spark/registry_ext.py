@@ -2449,6 +2449,42 @@ def privacy_k_anonymity(spark, sf_dir):
 
 
 @_register(
+    "privacy_generalize",
+    """
+SELECT date_trunc('year', o_orderdate)::DATE AS o_orderdate,
+       '[' || (floor(o_totalprice / 50000) * 50000)::BIGINT::VARCHAR
+           || ', '
+           || (floor(o_totalprice / 50000) * 50000 + 50000)::BIGINT::VARCHAR
+           || ')' AS o_totalprice,
+       substr(o_orderpriority, 1, 1) AS o_orderpriority,
+       count(*) AS n_rows
+FROM orders GROUP BY 1, 2, 3
+""",
+)
+def privacy_generalize(spark, sf_dir):
+    """Quasi-identifier generalisation — the k-anonymity REMEDY paired
+    with the audit: order dates truncate to year, prices bin to half-open
+    50k ranges, priorities truncate to their digit prefix; the grouped
+    counts show every combination's size after coarsening. Pure
+    projection + one groupBy."""
+    from .operators.privacy import generalize_columns
+
+    gen = generalize_columns(
+        _t(spark, sf_dir, "orders").select(
+            "o_orderdate", "o_totalprice", "o_orderpriority"
+        ),
+        {
+            "o_orderdate": ("date_trunc", "year"),
+            "o_totalprice": ("bin", 50000),
+            "o_orderpriority": ("prefix", 1),
+        },
+    )
+    return gen.groupBy(
+        "o_orderdate", "o_totalprice", "o_orderpriority"
+    ).agg(F.count("*").alias("n_rows"))
+
+
+@_register(
     "wrangle_mad_outliers",
     """
 WITH med AS (

@@ -131,3 +131,47 @@ def test_k_anonymity_violations(spark):
         k_anonymity_violations(df, ["nope"])
     with pytest.raises(ValueError, match="at least one"):
         k_anonymity_violations(df, [])
+
+
+def test_generalize_columns(spark):
+    import datetime
+
+    from hds_functions_spark.operators.privacy import (
+        generalize_columns,
+        k_anonymity_violations,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (23, datetime.date(2021, 3, 15), "SW1A 1AA"),
+            (27, datetime.date(2021, 7, 2), "SW1B 2BB"),
+            (-5, datetime.date(2020, 1, 1), "EC2"),
+            (None, None, None),
+        ],
+        "age: int, reg: date, postcode: string",
+    )
+    out = generalize_columns(
+        df,
+        {"age": ("bin", 10), "reg": ("date_trunc", "year"),
+         "postcode": ("prefix", 3)},
+    )
+    rows = out.collect()
+    got = {(r["age"], str(r["reg"]), r["postcode"]) for r in rows}
+    assert ("[20, 30)", "2021-01-01", "SW1") in got
+    assert ("[-10, 0)", "2020-01-01", "EC2") in got  # floor bins negatives
+    assert (None, "None", None) in got               # nulls pass through
+    # generalisation merges the two 2021 rows into one quasi-combo of 2
+    viol = k_anonymity_violations(out, ["age", "reg", "postcode"], k=2)
+    flagged = {(r["age"], str(r["reg"])) for r in viol.collect()}
+    assert ("[20, 30)", "2021-01-01") not in flagged
+
+    import pytest
+
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        generalize_columns(df, {"nope": ("bin", 10)})
+    with pytest.raises(ValueError, match="unknown rule"):
+        generalize_columns(df, {"age": ("hash", 1)})
+    with pytest.raises(ValueError, match="positive"):
+        generalize_columns(df, {"age": ("bin", 0)})
+    with pytest.raises(ValueError, match="at least one"):
+        generalize_columns(df, {})
