@@ -320,3 +320,16 @@ def test_fake_audio_decode(spark):
     assert r["n_channels"] in (1, 2)
     assert 100 <= r["duration_ms"] < 600100
     assert r["rms_q8"] == d[9]
+
+
+def test_y4m_parse_c422_and_multiframe():
+    from hds_functions_spark.operators.media_codecs import parse_y4m
+
+    raw = (b"YUV4MPEG2 W4 H2 F25:1 C422\n"
+           + b"FRAME\n" + bytes(16)
+           + b"FRAME Ixyz\n" + bytes(range(16)))  # per-frame params allowed
+    info = parse_y4m(raw)
+    assert info["frame_size"] == 2 * 4 * 2 == 16
+    assert info["n_frames"] == 2
+    lo, hi = info["frame_spans"][1]
+    assert raw[lo:hi] == bytes(range(16))
