@@ -398,3 +398,34 @@ def test_referential_orphans(spark):
         referential_orphans({})
     with pytest.raises(ValueError, match="same length"):
         referential_orphans({"bad": (child, ["fk"], parent, [])})
+
+
+def test_archive_lifecycle_format_pluggable(spark, tmp_path):
+    """The archive lifecycle is storage-format-pluggable via the config
+    'format' field: the full snapshot -> versions -> latest-load cycle
+    runs identically on ORC (exercised here because it ships with Spark).
+    A Delta config ({"format": "delta"}) takes the same path and works
+    wherever delta-spark is on the classpath; only parquet/orc/json are
+    exercisable in this environment."""
+    import datetime as dt
+
+    from hds_functions_spark.sources.tables import (
+        get_archive_versions,
+        load_table,
+        save_archive_snapshot,
+    )
+
+    td = {"t": {"path": str(tmp_path / "orc_archive"), "format": "orc"}}
+    df1 = spark.createDataFrame([("a", 1)], "k: string, v: int")
+    df2 = spark.createDataFrame([("b", 2)], "k: string, v: int")
+    save_archive_snapshot(df1, "t", "2024-01-01", table_directory=td)
+    save_archive_snapshot(df2, "t", "2024-06-01", table_directory=td)
+    full = load_table("t", table_directory=td)
+    assert get_archive_versions(full) == ["2024-01-01", "2024-06-01"]
+    latest = load_table(
+        "t", table_directory={"t": {**td["t"], "archive_date": "latest"}}
+    )
+    assert [(r["k"], r["v"]) for r in latest.collect()] == [("b", 2)]
+    # the on-disk layout really is ORC, partitioned by snapshot
+    part = tmp_path / "orc_archive" / "archived_on=2024-01-01"
+    assert any(p.name.endswith(".orc") for p in part.iterdir())
