@@ -67,6 +67,7 @@ from .operators.sampling import (
     solve_mixture_cutoffs,
     split_bucket,
     stratified_sample,
+    weighted_sample,
 )
 from .operators.similarity import (
     cosine_topk,

@@ -29,6 +29,7 @@ __all__ = [
     "hash_split",
     "hash_split_sql",
     "deterministic_sample",
+    "weighted_sample",
     "stratified_sample",
     "mixture_sample",
     "solve_mixture_cutoffs",
@@ -126,6 +127,36 @@ def deterministic_sample(
         raise ValueError(f"fraction must be in [0, 1] (got {fraction})")
     bound = int(round(fraction * BUCKETS))
     return df.filter(split_bucket(id_col, salt) < F.lit(bound))
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    scale: float = 1.0,
+    salt: str = "",
+) -> DataFrame:
+    """Per-row Bernoulli keep with probability ``clamp(weight * scale,
+    0, 1)``, decided by the row's id hash — deterministic weighted
+    subsampling (quality-weighted corpus thinning, importance-style
+    upweighting of rare slices without an RNG).
+
+    Same reproducibility contract as :func:`deterministic_sample`:
+    membership is a pure function of (id, salt), so runs/AQE/partitioning
+    never change the sample, and raising ``scale`` strictly GROWS the
+    kept set (a row kept at scale s is kept at any s' > s) — nested
+    ablations stay comparable. Null or negative weights drop the row;
+    weights >= 1/scale always keep it. Plain filter: pushdown-eligible,
+    zero shuffle.
+    """
+    if scale <= 0:
+        raise ValueError(f"scale must be positive (got {scale})")
+    prob = F.least(
+        F.greatest(F.col(weight_col) * F.lit(scale), F.lit(0.0)), F.lit(1.0)
+    )
+    return df.filter(
+        split_bucket(id_col, salt) < (prob * F.lit(BUCKETS)).cast("long")
+    )
 
 
 def stratified_sample(

@@ -1612,6 +1612,30 @@ def sample_hash_split(spark, sf_dir):
 
 
 @_register(
+    "sample_weighted",
+    f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE {_duck_bucket('doc_id', '')}
+      < CAST(floor(least(greatest((n_chars / 1000.0), 0), 1) * 10000)
+             AS BIGINT)
+""",
+)
+def sample_weighted(spark, sf_dir):
+    """Deterministic quality-weighted subsampling: keep probability =
+    clamp(n_chars/1000, 0, 1), decided by the id hash — longer documents
+    kept proportionally more often, membership reproducible across runs
+    and partitionings, samples nest as the scale grows. Pushdown-eligible
+    filter, zero shuffle."""
+    from .operators.sampling import weighted_sample
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars",
+        (F.col("n_chars") / 1000.0).alias("_w"),
+    )
+    return weighted_sample(docs, "doc_id", "_w").drop("_w")
+
+
+@_register(
     "sample_stratified",
     f"""
 SELECT doc_id, lang FROM documents

@@ -196,3 +196,35 @@ def test_cap_per_group(spark):
     assert ids5 == ids5b
     with pytest.raises(ValueError, match="positive"):
         cap_per_group(df, "doc_id", "src", 0)
+
+
+def test_weighted_sample(spark):
+    from pyspark.sql import functions as F
+
+    from hds_functions_spark.operators.sampling import weighted_sample
+
+    df = spark.createDataFrame(
+        [(i, w) for i in range(2000)
+         for w in ([0.0] if i % 4 == 0 else [1.0] if i % 4 == 1 else [0.5, ][0:1])],
+        "id: long, w: double",
+    )
+    kept = weighted_sample(df, "id", "w")
+    rows = kept.collect()
+    ids = {r["id"] for r in rows}
+    # weight 0 -> never kept; weight 1 -> always kept
+    assert all(r["w"] > 0 for r in rows)
+    assert all(i in ids for i in range(2000) if i % 4 == 1)
+    # weight 0.5 keeps roughly half
+    half = sum(1 for r in rows if r["w"] == 0.5)
+    n_half = df.filter("w = 0.5").count()
+    assert 0.4 * n_half < half < 0.6 * n_half
+    # determinism + monotone nesting in scale
+    again = {r["id"] for r in weighted_sample(df, "id", "w").collect()}
+    assert again == ids
+    grown = {r["id"] for r in weighted_sample(df, "id", "w", scale=1.5).collect()}
+    assert ids <= grown
+
+    import pytest
+
+    with pytest.raises(ValueError, match="scale"):
+        weighted_sample(df, "id", "w", scale=0)

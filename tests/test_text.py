@@ -248,3 +248,29 @@ def test_build_vocabulary(spark):
 
     with pytest.raises(ValueError, match="min_count"):
         build_vocabulary(df, min_count=0)
+
+
+def test_profile_columns_approx_mode(spark):
+    from hds_functions_spark.operators.profiling import profile_columns
+
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    exact = {r["column_name"]: r for r in profile_columns(df).collect()}
+    approx = {
+        r["column_name"]: r
+        for r in profile_columns(df, approx_distinct=True).collect()
+    }
+    assert set(approx) == set(exact)
+    for c in exact:
+        assert approx[c]["n_rows"] == exact[c]["n_rows"]
+        assert approx[c]["n_nulls"] == exact[c]["n_nulls"]
+        assert approx[c]["min_value"] == exact[c]["min_value"]
+        assert approx[c]["max_value"] == exact[c]["max_value"]
+        # HLL default rsd is 5%; allow ~2 sigma
+        e, a = exact[c]["n_distinct"], approx[c]["n_distinct"]
+        assert abs(a - e) <= max(1, 0.10 * e)
+    # approx path has NO per-value exchange wider than the single aggregate
+    plan = profile_columns(df, approx_distinct=True)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 0
