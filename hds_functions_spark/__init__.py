@@ -49,7 +49,7 @@ from .operators.events import (
 )
 from .operators.joins import salted_join
 from .operators.packing import chunk_documents, pack_sequences
-from .operators.quality import referential_orphans
+from .operators.quality import observe_metrics, referential_orphans
 from .operators.profiling import (
     bigram_logprob_scores,
     build_vocabulary,

@@ -12,7 +12,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["referential_orphans"]
+__all__ = ["referential_orphans", "observe_metrics"]
+
+
+def observe_metrics(df, name: str, metrics: dict):
+    """Attach zero-cost pipeline instrumentation via Spark's Observation
+    API: the named aggregates are computed AS A SIDE EFFECT of whatever
+    action next materialises ``df`` — no second scan, which at 100 TB is
+    the difference between "metrics are free" and "metrics double the
+    job". The canonical use: row/null/total counters on every production
+    write, asserted against expectations after the write returns.
+
+    Returns ``(observed_df, observation)``: run any action on
+    ``observed_df``, then read ``observation.get`` (a dict of metric name
+    -> value; blocks until the action finishes). Each Observation is
+    single-use — pass a fresh one per action, same as Spark's own API.
+
+    ``metrics`` maps output name -> aggregate Column (``F.count``,
+    ``F.sum``, ``F.count(F.when(...))`` — any non-distinct aggregate).
+    """
+    from pyspark.sql import Observation
+
+    if not metrics:
+        raise ValueError("metrics must map at least one name to an aggregate")
+    obs = Observation(name)
+    observed = df.observe(obs, *[c.alias(n) for n, c in metrics.items()])
+    return observed, obs
 
 
 def referential_orphans(

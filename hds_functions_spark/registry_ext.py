@@ -1612,6 +1612,49 @@ def sample_hash_split(spark, sf_dir):
 
 
 @_register(
+    "quality_observed_metrics",
+    """
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 END)
+            AS BIGINT) AS n_empty,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM documents
+""",
+)
+def quality_observed_metrics(spark, sf_dir):
+    """Zero-extra-pass pipeline instrumentation (Spark Observation API):
+    the quality counters are computed as a side effect of the ONE pass
+    that materialises the frame — at production scale metrics ride the
+    write instead of doubling the job. (``n_langs`` uses a plain exact
+    aggregate here; observe() itself disallows distinct aggregates, which
+    the operator docstring notes.)"""
+    from .operators.quality import observe_metrics
+
+    docs = _t(spark, sf_dir, "documents")
+    observed, obs = observe_metrics(
+        docs,
+        "corpus_quality",
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_empty": F.count(
+                F.when(
+                    F.col("text").isNull() | (F.length("text") == 0), 1
+                )
+            ),
+            "total_chars": F.sum("n_chars"),
+        },
+    )
+    n_langs = docs.select("lang").distinct().count()
+    observed.write.format("noop").mode("overwrite").save()  # the ONE pass
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_empty"], m["total_chars"], n_langs)],
+        "n_rows: long, n_empty: long, total_chars: long, n_langs: long",
+    )
+
+
+@_register(
     "sample_weighted",
     f"""
 SELECT doc_id, lang, n_chars FROM documents

@@ -62,3 +62,23 @@ def test_operators_leave_no_net_new_caches(spark, op):
     assert tracked_count() >= 1  # the operator registered its persist
     release_operator_caches()
     assert _n_persistent(spark) == base  # no net-new persisted tables
+
+
+def test_observe_metrics_single_pass(spark):
+    from pyspark.sql import functions as F
+
+    from hds_functions_spark.operators.quality import observe_metrics
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], "id: long, v: string"
+    )
+    observed, obs = observe_metrics(
+        df, "t", {"n": F.count(F.lit(1)), "nulls": F.count(F.when(F.col("v").isNull(), 1))}
+    )
+    assert observed.count() == 3  # the action that fires the observation
+    assert obs.get == {"n": 3, "nulls": 1}
+
+    import pytest
+
+    with pytest.raises(ValueError, match="at least one"):
+        observe_metrics(df, "t2", {})
