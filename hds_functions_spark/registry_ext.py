@@ -3664,3 +3664,61 @@ def clean_strip_markup(spark, sf_dir):
         ).alias("text"),
     )
     return strip_markup(docs)
+
+
+_ZO_BITS = 8
+
+
+def _duck_zorder_sql() -> str:
+    def quant(expr: str, lo: float, hi: float) -> str:
+        n = (1 << _ZO_BITS) - 1
+        return (
+            f"least(greatest(floor((({expr})::DOUBLE - {float(lo)!r}) "
+            f"/ {float(hi - lo)!r} * {float(n)!r}), 0), {n})::BIGINT"
+        )
+
+    a = quant("o_totalprice", 0.0, 600000.0)
+    b = quant("o_custkey", 0.0, 150000.0)
+    terms = []
+    for i in range(_ZO_BITS):
+        terms.append(f"(((a >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((b >> {i}) & 1) << {2 * i + 1})")
+    interleave = " + ".join(terms)
+    return f"""
+WITH q AS (
+    SELECT o_orderkey, {a} AS a, {b} AS b FROM orders
+)
+SELECT o_orderkey, a AS price_bin, b AS cust_bin,
+       ({interleave})::BIGINT AS zcode
+FROM q
+"""
+
+
+@_register("layout_zorder", None)  # oracle attached below
+def layout_zorder(spark, sf_dir):
+    """Z-order (Morton) codes over (price, customer) — the
+    Delta/Iceberg-style multi-dimensional clustering key, as a plain
+    codegen bit-interleave expression usable with save_table(sort_by=...)
+    on any format: sorting by zcode clusters rows close in BOTH
+    dimensions into the same files, so parquet min/max stats prune 2-D
+    predicates. Oracle reproduces quantize + interleave bit-for-bit."""
+    from .functions.layout import morton_code, quantize_to_bins
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        quantize_to_bins("o_totalprice", 0.0, 600000.0, _ZO_BITS)
+            .alias("price_bin"),
+        quantize_to_bins("o_custkey", 0.0, 150000.0, _ZO_BITS)
+            .alias("cust_bin"),
+    )
+    return orders.select(
+        "o_orderkey",
+        "price_bin",
+        "cust_bin",
+        morton_code(
+            F.col("price_bin"), F.col("cust_bin"), _ZO_BITS
+        ).alias("zcode"),
+    )
+
+
+ORACLES["layout_zorder"] = _duck_zorder_sql()

@@ -1,0 +1,72 @@
+"""Z-order layout tests: bit-exact Morton codes and the locality property
+that makes z-sorted files prunable for 2-D predicates."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hds_functions_spark.functions.layout import (
+    morton_code,
+    quantize_to_bins,
+    zorder_column,
+)
+
+
+def test_morton_code_bit_exact(spark):
+    df = spark.createDataFrame(
+        [(0, 0), (1, 0), (0, 1), (3, 5), (255, 255)], "a: long, b: long"
+    )
+    rows = df.select(morton_code(F.col("a"), F.col("b"), 8).alias("z")).collect()
+
+    def py_morton(a, b, bits=8):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i)
+            z |= ((b >> i) & 1) << (2 * i + 1)
+        return z
+
+    assert [r["z"] for r in rows] == [
+        py_morton(a, b) for a, b in [(0, 0), (1, 0), (0, 1), (3, 5), (255, 255)]
+    ]
+    # canonical small cases: (1,0)->1, (0,1)->2, (1,1)->3
+    assert py_morton(1, 0) == 1 and py_morton(0, 1) == 2
+
+
+def test_quantize_bins_clamp_and_null(spark):
+    df = spark.createDataFrame(
+        [(0.0,), (50.0,), (100.0,), (-5.0,), (200.0,), (None,)], "v: double"
+    )
+    out = [r["q"] for r in df.select(
+        quantize_to_bins("v", 0.0, 100.0, 4).alias("q")).collect()]
+    assert out[0] == 0 and out[2] == 15       # edges map to first/last bin
+    assert out[3] == 0 and out[4] == 15       # out-of-range clamps
+    assert out[5] is None                     # null passes through
+    assert 6 <= out[1] <= 8                   # midpoint lands mid-bin
+
+    with pytest.raises(ValueError, match="lo < hi"):
+        quantize_to_bins("v", 5.0, 5.0)
+    with pytest.raises(ValueError, match="bits"):
+        morton_code(F.col("v"), F.col("v"), 0)
+
+
+def test_zorder_locality_beats_single_column_sort(spark):
+    """Rows adjacent in z-order are close in BOTH dimensions: the mean
+    2-D neighbour distance under z-sort must clearly beat a sort on one
+    column alone (which leaves the other dimension random)."""
+    import random
+
+    rng = random.Random(3)
+    rows = [(i, rng.uniform(0, 1000), rng.uniform(0, 1000)) for i in range(2000)]
+    df = spark.createDataFrame(rows, "id: long, x: double, y: double")
+    z = df.select(
+        "x", "y",
+        zorder_column("x", "y", 0.0, 1000.0, 0.0, 1000.0, bits=8).alias("z"),
+    )
+
+    def mean_neighbour_dist(ordered):
+        pts = [(r["x"], r["y"]) for r in ordered]
+        d = [abs(a[0] - b[0]) + abs(a[1] - b[1]) for a, b in zip(pts, pts[1:])]
+        return sum(d) / len(d)
+
+    d_z = mean_neighbour_dist(z.orderBy("z").collect())
+    d_x = mean_neighbour_dist(z.orderBy("x").collect())
+    assert d_z < 0.5 * d_x  # z-sort halves (at least) the 2-D spread
