@@ -110,8 +110,10 @@ from .sources.environment import (
 )
 from .sources import tables as _tables
 from .sources.tables import (
+    build_rollup,
     get_archive_versions,
     load_table,
+    merge_rollup,
     save_archive_snapshot,
     save_table,
     table_diff,

@@ -3722,3 +3722,38 @@ def layout_zorder(spark, sf_dir):
 
 
 ORACLES["layout_zorder"] = _duck_zorder_sql()
+
+
+@_register(
+    "table_rollup_merge",
+    """
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       sum(o_totalprice) AS o_totalprice_sum,
+       min(o_totalprice) AS o_totalprice_min,
+       max(o_totalprice) AS o_totalprice_max
+FROM orders GROUP BY 1
+""",
+)
+def table_rollup_merge(spark, sf_dir):
+    """Incremental rollup maintenance, proven equivalent to a full
+    recompute: history (2/3 of orders) and a delta (1/3) are rolled up
+    SEPARATELY and merged with merge_rollup; the oracle computes the
+    rollup over everything in one pass. Equality = the merge is exact, so
+    a daily delta updates the state without rescanning history. The merge
+    shuffle carries one row per (key, side) — state-sized at any data
+    size."""
+    from .sources.tables import build_rollup, merge_rollup
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    history = build_rollup(
+        orders.filter(F.col("o_orderkey") % 3 != 0),
+        "o_orderstatus", "o_totalprice",
+    )
+    delta = build_rollup(
+        orders.filter(F.col("o_orderkey") % 3 == 0),
+        "o_orderstatus", "o_totalprice",
+    )
+    return merge_rollup(history, delta, "o_orderstatus")

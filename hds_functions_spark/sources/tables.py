@@ -35,6 +35,8 @@ __all__ = [
     "upsert_table",
     "get_archive_versions",
     "table_diff",
+    "build_rollup",
+    "merge_rollup",
     "standardise_table",
     "STANDARDISERS",
     # per-dataset named wrappers (appended at module bottom to match the
@@ -392,6 +394,69 @@ def table_diff(
         .otherwise(F.array().cast("array<string>"))
         .alias("changed_columns"),
     )
+
+
+def build_rollup(
+    df: DataFrame, key_cols, value_cols
+) -> DataFrame:
+    """Mergeable per-key aggregate state over raw rows: ``n_rows`` plus
+    ``{col}_sum`` / ``{col}_min`` / ``{col}_max`` for each value column —
+    exactly the statistics that re-combine associatively, which is what
+    makes the rollup INCREMENTALLY maintainable (averages derive as
+    sum/count downstream; medians/distincts do not merge and are excluded
+    by design)."""
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    if isinstance(value_cols, str):
+        value_cols = [value_cols]
+    if not key_cols or not value_cols:
+        raise ValueError("key_cols and value_cols must be non-empty")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in value_cols:
+        aggs += [
+            F.sum(c).alias(f"{c}_sum"),
+            F.min(c).alias(f"{c}_min"),
+            F.max(c).alias(f"{c}_max"),
+        ]
+    return df.groupBy(*key_cols).agg(*aggs)
+
+
+def merge_rollup(state: DataFrame, new_state: DataFrame, key_cols) -> DataFrame:
+    """Combine two rollup states (same schema, produced by
+    :func:`build_rollup`) into one — the incremental-maintenance step: a
+    day's delta is rolled up alone (touching only the delta) and merged
+    into yesterday's state, never rescanning history. Counts and sums
+    add; mins/maxes take min/max. Keys present in only one side pass
+    through unchanged. Counts/mins/maxes merge EXACTLY; double sums are
+    exact only up to fp addition order (~1 ulp per fold) — use decimal
+    value columns where bit-identical totals matter.
+
+    Plan shape: union + one groupBy on the key — the shuffle carries one
+    row per (key, side), i.e. state-sized, never raw-data-sized.
+    """
+    if isinstance(key_cols, str):
+        key_cols = [key_cols]
+    if set(state.columns) != set(new_state.columns):
+        raise ValueError(
+            f"rollup schemas differ: {sorted(state.columns)} vs "
+            f"{sorted(new_state.columns)}"
+        )
+    aggs = []
+    for c in state.columns:
+        if c in key_cols:
+            continue
+        if c == "n_rows" or c.endswith("_sum"):
+            aggs.append(F.sum(c).alias(c))
+        elif c.endswith("_min"):
+            aggs.append(F.min(c).alias(c))
+        elif c.endswith("_max"):
+            aggs.append(F.max(c).alias(c))
+        else:
+            raise ValueError(
+                f"column '{c}' is not a mergeable rollup statistic "
+                "(expected n_rows / *_sum / *_min / *_max)"
+            )
+    return state.unionByName(new_state).groupBy(*key_cols).agg(*aggs)
 
 
 # --- data-driven standardisation registry -------------------------------

@@ -429,3 +429,33 @@ def test_archive_lifecycle_format_pluggable(spark, tmp_path):
     # the on-disk layout really is ORC, partitioned by snapshot
     part = tmp_path / "orc_archive" / "archived_on=2024-01-01"
     assert any(p.name.endswith(".orc") for p in part.iterdir())
+
+
+def test_rollup_build_and_merge(spark):
+    from hds_functions_spark.sources.tables import build_rollup, merge_rollup
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", 5.0), ("c", -1.0)],
+        "k: string, v: double",
+    )
+    full = {r["k"]: r for r in build_rollup(df, "k", "v").collect()}
+    assert full["a"]["n_rows"] == 2 and full["a"]["v_sum"] == 4.0
+    assert full["a"]["v_min"] == 1.0 and full["a"]["v_max"] == 3.0
+
+    # split arbitrarily, roll up separately, merge: identical to full
+    h = build_rollup(df.filter("v >= 3"), "k", "v")
+    d = build_rollup(df.filter("v < 3"), "k", "v")
+    merged = {r["k"]: r for r in merge_rollup(h, d, "k").collect()}
+    assert {k: tuple(r) for k, r in merged.items()} == {
+        k: tuple(r) for k, r in full.items()
+    }
+
+    import pytest
+
+    with pytest.raises(ValueError, match="schemas differ"):
+        merge_rollup(h, d.drop("v_min"), "k")
+    with pytest.raises(ValueError, match="non-empty"):
+        build_rollup(df, [], "v")
+    bad = h.withColumnRenamed("v_sum", "v_avg")
+    with pytest.raises(ValueError, match="mergeable"):
+        merge_rollup(bad, bad, "k")
