@@ -38,6 +38,11 @@ from .operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
 )
+from .operators.clustering import (
+    kmeans_assign,
+    kmeans_fit,
+    kmeans_fit_assign,
+)
 from .operators.events import (
     as_of_join,
     densify_timeline,
@@ -45,15 +50,22 @@ from .operators.events import (
     interval_join,
     session_stats,
     sessionize,
+    time_decayed_agg,
+    transition_counts,
     tumbling_window_agg,
 )
 from .operators.joins import salted_join
-from .operators.packing import chunk_documents, pack_sequences
+from .operators.packing import (
+    chunk_documents,
+    pack_sequences,
+    padding_waste_profile,
+)
 from .operators.quality import observe_metrics, referential_orphans
 from .operators.profiling import (
     bigram_logprob_scores,
     build_vocabulary,
     char_entropy_scores,
+    oov_rate,
     group_quantiles,
     key_skew_profile,
     profile_columns,

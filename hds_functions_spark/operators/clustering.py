@@ -1,0 +1,182 @@
+"""Distributed k-means clustering over embedding columns.
+
+Lloyd's algorithm re-expressed for Spark's execution model — the
+semantic-clustering primitive a pretraining pipeline uses to group a
+corpus by topic before per-cluster dedup / sampling (SemDeDup-style):
+
+- **Assignment is a pure projection.** Centroids are k*d driver-side
+  floats embedded as codegen literals, so each iteration's assignment is
+  whole-stage-codegen arithmetic over the vector column — no join, no
+  shuffle, no UDF, and Catalyst folds the constants.
+- **The update is ONE map-side-combinable groupBy** producing k rows of
+  (d per-dimension sums + a count); only ``k * (dim + 1)`` scalars ever
+  reach the driver per iteration. At 100 TB that is the same few
+  kilobytes as at 500 rows — the driver boundary does not grow with
+  data size.
+- **Determinism**: init = the vectors of the ``k`` lowest ids
+  (takeOrdered — a top-k, never a global sort); per-iteration means are
+  rounded to ``round_digits`` before being re-embedded as literals, so
+  an oracle that rounds identically computes every later iteration from
+  bit-identical centroids regardless of partial-aggregation order.
+  Squared-L2 distances are built as LEFT-ASSOCIATIVE chained additions
+  (term order = dimension order) so a SQL oracle spelling the same chain
+  reproduces the exact IEEE result.
+
+No reference analogue (``hds_functions`` has no ML surface); this is
+part of the LLM-data-pipeline extension bar.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["kmeans_fit", "kmeans_assign", "kmeans_fit_assign"]
+
+
+def _sq_dist(vec_col: str, centroid: list[float]) -> Column:
+    """Squared L2 distance to a literal centroid via ``zip_with`` +
+    ``aggregate`` higher-order functions: the centroid is ONE array
+    literal and the expression tree stays a handful of nodes, where an
+    unrolled per-dimension chain (k * d terms, duplicated per centroid)
+    blows past janino's method-size limit and costs seconds of codegen
+    per iteration. The fold is left-to-right starting at 0.0, so the
+    IEEE result equals the explicit left-associative chain a SQL oracle
+    spells (``0.0 + t1 == t1`` exactly — squares are never -0.0).
+    Floats widen to double exactly (same promotion SQL engines use)."""
+    cvec = F.lit([float(x) for x in centroid])
+    diffs = F.zip_with(
+        F.col(vec_col).cast("array<double>"),
+        cvec,
+        lambda x, y: (x - y) * (x - y),
+    )
+    return F.aggregate(diffs, F.lit(0.0), lambda acc, t: acc + t)
+
+
+def _best_centroid(vec_col: str, centroids: list[list[float]]) -> Column:
+    """``struct(dist, idx)`` of the nearest centroid, via ONE
+    ``array_min`` over an array of structs: struct comparison is
+    lexicographic, so the minimum is (smallest distance, lowest index
+    among ties) — argmin and min-distance from a single expression tree
+    instead of duplicating the k*d-term distance array in both
+    ``array_min`` and ``array_position`` (keeps the generated code half
+    the size; identical tie-break: lowest cluster index wins)."""
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    _sq_dist(vec_col, c).alias("d"), F.lit(i).alias("i")
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_iter: int = 2,
+    dim: int | None = None,
+    round_digits: int = 6,
+) -> list[list[float]]:
+    """Fit k-means and return the final centroids (k lists of dim floats).
+
+    Runs ``n_iter`` Lloyd iterations. Each iteration is one Spark job:
+    a codegen assignment projection feeding a single groupBy that ships
+    ``k * (dim + 1)`` scalars to the driver. Empty clusters keep their
+    previous centroid (standard Lloyd convention, deterministic).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_iter < 0:
+        raise ValueError(f"n_iter must be >= 0, got {n_iter}")
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            raise ValueError("cannot fit k-means on an empty DataFrame")
+        dim = first["d"]
+
+    init_rows = (
+        df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+    )
+    if len(init_rows) < k:
+        raise ValueError(
+            f"k={k} but only {len(init_rows)} rows available for init"
+        )
+    centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
+
+    for _ in range(n_iter):
+        assigned = df.select(
+            _best_centroid(vec_col, centroids)["i"]
+            .cast("int")
+            .alias("_km_cluster"),
+            F.col(vec_col),
+        )
+        sums = [
+            F.sum(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(
+                f"_s{i}"
+            )
+            for i in range(dim)
+        ]
+        stats = (
+            assigned.groupBy("_km_cluster")
+            .agg(F.count(F.lit(1)).alias("_n"), *sums)
+            .collect()
+        )
+        by_cluster = {r["_km_cluster"]: r for r in stats}
+        nxt = []
+        for ci in range(k):
+            r = by_cluster.get(ci)
+            if r is None or r["_n"] == 0:
+                nxt.append(centroids[ci])  # empty cluster: keep previous
+            else:
+                n = r["_n"]
+                nxt.append(
+                    [round(r[f"_s{i}"] / n, round_digits) for i in range(dim)]
+                )
+        centroids = nxt
+    return centroids
+
+
+def kmeans_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    cluster_col: str = "cluster",
+    dist_col: str | None = "dist",
+) -> DataFrame:
+    """Attach nearest-centroid assignment (and optionally the squared-L2
+    distance) as pure codegen columns — no shuffle, usable as a cheap
+    bucketing key for per-cluster downstream work. The duplicated
+    extraction of the shared best-struct tree is collapsed by codegen
+    subexpression elimination (one evaluation per row)."""
+    best = _best_centroid(vec_col, centroids)
+    out = df.withColumn(cluster_col, best["i"].cast("int"))
+    if dist_col is not None:
+        out = out.withColumn(dist_col, best["d"])
+    return out
+
+
+def kmeans_fit_assign(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_iter: int = 2,
+    dim: int | None = None,
+    round_digits: int = 6,
+    cluster_col: str = "cluster",
+    dist_col: str | None = "dist",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Fit, then assign every row to its nearest final centroid."""
+    centroids = kmeans_fit(
+        df, vec_col, id_col, k=k, n_iter=n_iter, dim=dim,
+        round_digits=round_digits,
+    )
+    return (
+        kmeans_assign(df, centroids, vec_col, cluster_col, dist_col),
+        centroids,
+    )

@@ -22,6 +22,8 @@ Scale notes:
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -34,6 +36,8 @@ __all__ = [
     "interval_join",
     "densify_timeline",
     "densify_timeline_calendar",
+    "transition_counts",
+    "time_decayed_agg",
 ]
 
 
@@ -436,4 +440,77 @@ def densify_timeline_calendar(
         *key_cols,
         "bucket",
         F.coalesce(F.col(count_col), F.lit(0)).alias(count_col),
+    )
+
+
+def transition_counts(
+    df: DataFrame,
+    key_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    tie_col: str | None = "event_id",
+) -> DataFrame:
+    """First-order Markov transition counts: how often ``type_col`` value A
+    is immediately followed by value B within the same ``key_col`` stream,
+    ordered by event time (``tie_col`` breaks equal timestamps
+    deterministically).
+
+    The behavioural-sequence feature every session-modelling / funnel
+    pipeline derives. Plan shape: ONE shuffle (window partitioned by key)
+    for the ``lead`` pairing, then a map-side-combinable count keyed by
+    (from, to) — the second exchange carries at most |types|^2 rows, a
+    constant independent of data size. No self-join: pairing adjacent
+    rows via ``lead`` touches each row once, where the naive
+    join-on-rank doubles the shuffle.
+    """
+    order = [F.col(ts_col)] + ([F.col(tie_col)] if tie_col else [])
+    w = Window.partitionBy(key_col).orderBy(*order)
+    pairs = df.select(
+        F.col(type_col).alias("from_type"),
+        F.lead(F.col(type_col)).over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    return pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+
+
+def time_decayed_agg(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    half_life_days: float = 30.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-key exponentially time-decayed sum and count: each row weighs
+    ``exp(-ln2 * age_days / half_life_days)`` where age is measured from
+    the GLOBAL max timestamp (recency-weighted activity — the classic
+    engagement / freshness feature).
+
+    Two-phase plan: a scalar aggregate finds the reference instant (one
+    row, attached by 1-row-broadcast crossJoin — the same pattern as
+    winsorize bounds), then ONE map-side-combinable groupBy computes the
+    decayed sums. Weights are pure codegen arithmetic; nothing wider
+    than (key, two doubles) crosses the exchange, at any data size.
+    """
+    if half_life_days <= 0:
+        raise ValueError(
+            f"half_life_days must be > 0 (got {half_life_days})"
+        )
+    ref = df.agg(F.max(F.unix_micros(F.col(ts_col))).alias("_ref_us"))
+    lam = math.log(2.0) / float(half_life_days)
+    age_days = (F.col("_ref_us") - F.unix_micros(F.col(ts_col))) / F.lit(
+        86400e6
+    )
+    weight = F.exp(-F.lit(lam) * age_days)
+    return (
+        df.crossJoin(F.broadcast(ref))
+        .groupBy(key_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(weight), round_digits).alias("decayed_count"),
+            F.round(
+                F.sum(weight * F.col(value_col)), round_digits
+            ).alias("decayed_value"),
+        )
     )

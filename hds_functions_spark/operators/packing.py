@@ -26,7 +26,7 @@ from ..functions.partitioning import ensure_min_partitions
 from ..functions.text import token_count, tokens
 from .sampling import split_bucket
 
-__all__ = ["pack_sequences", "chunk_documents"]
+__all__ = ["pack_sequences", "chunk_documents", "padding_waste_profile"]
 
 
 def chunk_documents(
@@ -156,4 +156,46 @@ def pack_sequences(
         )
         .drop("_before")
         .withColumnRenamed("_n_tokens", "n_tokens")
+    )
+
+
+def padding_waste_profile(
+    df: DataFrame,
+    len_col: str,
+    bucket: int = 64,
+    max_len: int = 512,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Length-bucketed padding-waste analysis: if sequences are batched by
+    rounding their (truncated) length up to the next multiple of
+    ``bucket``, how many pad tokens does each bucket burn? The
+    batch-shaping diagnostic used to pick bucket boundaries before
+    training.
+
+    ``seq_len = least(len, max_len)`` (truncation), ``bucket_len =
+    ceil(max(seq_len, 1) / bucket) * bucket``. Output per bucket_len:
+    ``n_seqs``, ``total_tokens``, ``total_padding``, and ``pad_frac`` =
+    padding / (padding + tokens). ONE map-side-combinable groupBy whose
+    exchange carries at most ``max_len / bucket`` rows — a constant.
+    """
+    if bucket < 1 or max_len < 1:
+        raise ValueError("bucket and max_len must be >= 1")
+    seq = F.least(F.col(len_col).cast("long"), F.lit(int(max_len)))
+    blen = (
+        F.ceil(F.greatest(seq, F.lit(1)) / F.lit(int(bucket)))
+        * F.lit(int(bucket))
+    ).cast("long")
+    return (
+        df.select(seq.alias("_seq"), blen.alias("bucket_len"))
+        .groupBy("bucket_len")
+        .agg(
+            F.count(F.lit(1)).alias("n_seqs"),
+            F.sum("_seq").alias("total_tokens"),
+            F.sum(F.col("bucket_len") - F.col("_seq")).alias("total_padding"),
+            F.round(
+                F.sum(F.col("bucket_len") - F.col("_seq"))
+                / (F.count(F.lit(1)) * F.col("bucket_len")),
+                round_digits,
+            ).alias("pad_frac"),
+        )
     )

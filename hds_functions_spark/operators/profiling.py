@@ -23,6 +23,7 @@ __all__ = [
     "bigram_logprob_scores",
     "char_entropy_scores",
     "build_vocabulary",
+    "oov_rate",
 ]
 
 
@@ -370,4 +371,55 @@ def build_vocabulary(
         counts,
         order_by=[F.col("count").desc(), F.col("token").asc()],
         id_col="vocab_id",
+    )
+
+
+def oov_rate(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    vocab_token_col: str = "token",
+    lowercase: bool = True,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document out-of-vocabulary rate against a vocabulary table —
+    the tokenizer-coverage check run before committing a vocab: how much
+    of each document would map to <unk>.
+
+    Output: ``(id_col, n_tokens, n_oov, oov_rate)``; empty documents get
+    ``n_tokens = 0`` and a NULL rate. Plan shape: token explode (outer,
+    so empty docs survive) -> **broadcast** left join against the vocab
+    (a vocabulary is bounded by distinct-token count, small relative to
+    the corpus — never shuffle the corpus to meet it) -> one map-side-
+    combinable groupBy back to documents. The exchange carries only
+    (doc_id, two ints).
+    """
+    from ..functions.text import tokens as _tokens
+
+    tok = F.explode_outer(_tokens(F.col(text_col))).alias("_tok")
+    exploded = docs.select(F.col(id_col), tok)
+    if lowercase:
+        exploded = exploded.withColumn("_tok", F.lower(F.col("_tok")))
+    hits = exploded.join(
+        F.broadcast(
+            vocab.select(F.col(vocab_token_col).alias("_tok"))
+            .withColumn("_in_vocab", F.lit(1))
+        ),
+        on="_tok",
+        how="left",
+    )
+    return hits.groupBy(id_col).agg(
+        F.count("_tok").alias("n_tokens"),
+        F.count(F.when(F.col("_tok").isNotNull()
+                       & F.col("_in_vocab").isNull(), 1)).alias("n_oov"),
+        F.when(
+            F.count("_tok") > 0,
+            F.round(
+                F.count(F.when(F.col("_tok").isNotNull()
+                               & F.col("_in_vocab").isNull(), 1))
+                / F.count("_tok"),
+                round_digits,
+            ),
+        ).alias("oov_rate"),
     )

@@ -3757,3 +3757,6 @@ def table_rollup_merge(spark, sf_dir):
         "o_orderstatus", "o_totalprice",
     )
     return merge_rollup(history, delta, "o_orderstatus")
+
+
+from . import registry_ext2  # noqa: E402,F401  (round-5 part-2 registrations)

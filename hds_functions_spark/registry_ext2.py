@@ -1,0 +1,403 @@
+"""Extension-layer query registry, part 2 (round-5 additions).
+
+Same contract as ``registry_ext.py``: every query has a DuckDB oracle
+generated from the SAME constants so both sides compute identical values
+by construction. Oracles that build on an already-registered query's
+semantics embed that query's oracle SQL as a subquery, keeping the two
+registries in lockstep automatically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from .registry import ORACLES, QUERIES, _register, _t  # noqa: F401
+
+# --- distributed k-means over embeddings ---------------------------------
+
+#: k-means constants shared by the Spark operator call and the oracle.
+_KM_K = 10
+_KM_ITER = 2
+_KM_DIM = 64
+_KM_RD = 4  # centroid/means rounding digits (see clustering.py docstring)
+
+
+def _duck_kmeans_cte() -> str:
+    """Unrolled Lloyd iterations as DuckDB CTEs, mirroring
+    :mod:`~hds_functions_spark.operators.clustering` exactly: init = k
+    lowest vec_ids; each assignment computes the squared-L2 distance as
+    the SAME left-associative 64-term chain the Spark side spells, so
+    IEEE results are bit-identical; per-iteration means are rounded to
+    ``_KM_RD`` digits on both sides before re-use, making every later
+    iteration independent of partial-aggregation order."""
+    d = _KM_DIM
+    dist = " + ".join(
+        f"(e.embedding[{i}]::DOUBLE - c.c[{i}]) * "
+        f"(e.embedding[{i}]::DOUBLE - c.c[{i}])"
+        for i in range(1, d + 1)
+    )
+    means = ", ".join(
+        f"round(sum(e.embedding[{i}]::DOUBLE) / count(*), {_KM_RD}) AS s{i}"
+        for i in range(1, d + 1)
+    )
+    listv = ", ".join(f"m.s{i}" for i in range(1, d + 1))
+    parts = [
+        f"""
+init AS (
+  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {_KM_K}
+),
+c0 AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+         list_transform(embedding, x -> x::DOUBLE) AS c
+  FROM init
+)"""
+    ]
+    prev = "c0"
+    # _KM_ITER mean-updates, then one final assignment with the result.
+    for it in range(1, _KM_ITER + 2):
+        parts.append(
+            f""",
+a{it} AS (
+  SELECT e.vec_id, c.cluster, {dist} AS dist
+  FROM embeddings e CROSS JOIN {prev} c
+),
+asn{it} AS (
+  SELECT vec_id, cluster, dist FROM (
+    SELECT vec_id, cluster, dist,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cluster) AS rn
+    FROM a{it}
+  ) WHERE rn = 1
+)"""
+        )
+        if it <= _KM_ITER:
+            parts.append(
+                f""",
+m{it} AS (
+  SELECT a.cluster, {means}
+  FROM asn{it} a JOIN embeddings e USING (vec_id) GROUP BY a.cluster
+),
+c{it} AS (
+  SELECT p.cluster,
+         CASE WHEN m.cluster IS NULL THEN p.c ELSE [{listv}] END AS c
+  FROM {prev} p LEFT JOIN m{it} m ON p.cluster = m.cluster
+)"""
+            )
+            prev = f"c{it}"
+    return "WITH " + "".join(parts)
+
+
+_KM_FINAL = f"asn{_KM_ITER + 1}"
+
+#: Session-scoped fitted-centroid cache, keyed by (applicationId, sf_dir)
+#: — same lifecycle idea as ``registry_ext._shared_clusters``, but the
+#: fit result is k*dim driver-side floats, so there is nothing to persist
+#: or unpersist: both cluster_* queries share one fit (4 Spark jobs) and
+#: re-assignment is a single codegen projection.
+_KMEANS_CACHE: dict[tuple[str, str], list[list[float]]] = {}
+
+
+def _shared_kmeans_centroids(spark, sf_dir) -> list[list[float]]:
+    from .operators.clustering import kmeans_fit
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cents = _KMEANS_CACHE.get(key)
+    if cents is None:
+        emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        cents = kmeans_fit(
+            emb, k=_KM_K, n_iter=_KM_ITER, dim=_KM_DIM,
+            round_digits=_KM_RD,
+        )
+        _KMEANS_CACHE[key] = cents
+    return cents
+
+
+@_register(
+    "cluster_kmeans",
+    f"""
+{_duck_kmeans_cte()}
+SELECT vec_id, cluster, round(dist, {_KM_RD}) AS dist FROM {_KM_FINAL}
+""",
+)
+def cluster_kmeans(spark, sf_dir):
+    """Distributed Lloyd's k-means over the embedding corpus (k=10, 2
+    iterations, deterministic lowest-id init) — the SemDeDup-style
+    semantic bucketing primitive. Assignment is a broadcast-literal
+    codegen projection (no join/shuffle/UDF); each update ships only
+    k*(dim+1) scalars to the driver, a constant at any corpus size. The
+    oracle unrolls the same iterations as CTEs with the same rounding
+    and the same left-associative distance chains."""
+    from .operators.clustering import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned = kmeans_assign(emb, _shared_kmeans_centroids(spark, sf_dir))
+    return assigned.select(
+        "vec_id", "cluster", F.round("dist", _KM_RD).alias("dist")
+    )
+
+
+@_register(
+    "cluster_kmeans_profile",
+    f"""
+{_duck_kmeans_cte()},
+lab AS (
+  SELECT a.cluster, e.label, count(*) AS cnt
+  FROM {_KM_FINAL} a JOIN embeddings e USING (vec_id) GROUP BY 1, 2
+),
+tot AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+         round(avg(dist), {_KM_RD}) AS avg_dist
+  FROM {_KM_FINAL} GROUP BY 1
+),
+top AS (
+  SELECT cluster, label, cnt,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY cnt DESC, label) AS rn
+  FROM lab
+)
+SELECT t.cluster, t.n_members, t.avg_dist, p.label AS top_label,
+       round(p.cnt::DOUBLE / t.n_members, {_KM_RD}) AS top_label_share
+FROM tot t JOIN top p ON t.cluster = p.cluster AND p.rn = 1
+""",
+)
+def cluster_kmeans_profile(spark, sf_dir):
+    """Cluster evaluation table: size, mean squared distance, and
+    majority label + its share per k-means cluster — the label-mixture
+    audit run after clustering (the testdata labels are independent of
+    the vectors, so shares sit near uniform; on separable data this IS
+    the purity table). Two tiny aggregates over the assignment (k rows
+    each) joined broadcast-side."""
+    from .operators.clustering import kmeans_assign
+
+    emb = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    assigned = kmeans_assign(emb, _shared_kmeans_centroids(spark, sf_dir))
+    counts = assigned.groupBy("cluster", "label").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wn = Window.partitionBy("cluster").orderBy(
+        F.col("cnt").desc(), F.col("label")
+    )
+    top = (
+        counts.withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") == 1)
+        .select("cluster", F.col("label").alias("top_label"), "cnt")
+    )
+    tot = assigned.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.avg("dist"), _KM_RD).alias("avg_dist"),
+    )
+    return tot.join(F.broadcast(top), on="cluster").select(
+        "cluster",
+        "n_members",
+        "avg_dist",
+        "top_label",
+        F.round(F.col("cnt") / F.col("n_members"), _KM_RD).alias(
+            "top_label_share"
+        ),
+    )
+
+
+# --- event-stream behavioural features -----------------------------------
+
+
+@_register(
+    "events_transitions",
+    """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+)
+SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+""",
+)
+def events_transitions(spark, sf_dir):
+    """First-order Markov transition counts between event types within
+    each user stream — ONE window shuffle for the ``lead`` pairing, then
+    a count whose exchange carries at most |types|^2 rows."""
+    from .operators.events import transition_counts
+
+    return transition_counts(
+        _t(spark, sf_dir, "events"),
+        key_col="user_id",
+        type_col="event_type",
+        ts_col="ts",
+        tie_col="event_id",
+    )
+
+
+_TD_HALF_LIFE = 30.0
+
+
+def _duck_time_decay_sql() -> str:
+    import math
+
+    lam = math.log(2.0) / _TD_HALF_LIFE
+    w = f"exp(-{lam!r} * ((ref_us - epoch_us(ts)) / 86400000000.0))"
+    return f"""
+WITH ref AS (SELECT max(epoch_us(ts)) AS ref_us FROM events)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum({w}), 6) AS decayed_count,
+       round(sum({w} * value), 6) AS decayed_value
+FROM events, ref GROUP BY 1
+"""
+
+
+@_register("events_time_decay", None)  # oracle attached below
+def events_time_decay(spark, sf_dir):
+    """Per-user exponentially time-decayed activity (half-life 30 days,
+    anchored at the global max timestamp) — the recency-weighted
+    engagement feature. Scalar aggregate -> 1-row broadcast attach ->
+    ONE map-side-combinable groupBy; weights are codegen arithmetic."""
+    from .operators.events import time_decayed_agg
+
+    return time_decayed_agg(
+        _t(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        value_col="value",
+        half_life_days=_TD_HALF_LIFE,
+    )
+
+
+ORACLES["events_time_decay"] = _duck_time_decay_sql()
+
+
+# --- tokenizer coverage / batch shaping / curation sweeps ----------------
+
+
+@_register(
+    "text_oov_rate",
+    f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(CASE WHEN trim(text) = '' THEN [NULL]::VARCHAR[]
+                ELSE string_split_regex(trim(lower(text)), '\\s+')
+                END) AS tok
+  FROM documents
+), vocab AS (
+  SELECT token FROM ({ORACLES["text_vocab_build"]})
+), j AS (
+  SELECT t.doc_id, t.tok, v.token IS NOT NULL AS in_v
+  FROM toks t LEFT JOIN vocab v ON t.tok = v.token
+)
+SELECT doc_id,
+       CAST(count(tok) AS BIGINT) AS n_tokens,
+       CAST(count(CASE WHEN tok IS NOT NULL AND NOT in_v THEN 1 END)
+            AS BIGINT) AS n_oov,
+       CASE WHEN count(tok) > 0 THEN
+         round(count(CASE WHEN tok IS NOT NULL AND NOT in_v THEN 1 END)
+               ::DOUBLE / count(tok), 6)
+       END AS oov_rate
+FROM j GROUP BY 1
+""",
+)
+def text_oov_rate(spark, sf_dir):
+    """Per-document out-of-vocabulary rate against the corpus vocabulary
+    (count >= 5) — the tokenizer-coverage audit. Token explode (outer,
+    empty docs survive) -> broadcast join against the bounded vocab ->
+    one groupBy back to documents. The oracle embeds the registered
+    vocab oracle as a subquery so the two stay in lockstep."""
+    from .operators.profiling import build_vocabulary, oov_rate
+    from .registry_ext import _VOCAB_MIN_COUNT
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = build_vocabulary(docs, min_count=_VOCAB_MIN_COUNT)
+    return oov_rate(docs, vocab)
+
+
+@_register(
+    "text_quality_retention",
+    f"""
+WITH g AS (
+  SELECT quality_score, count(*) AS n_docs
+  FROM ({ORACLES["text_quality"]}) GROUP BY 1
+)
+SELECT quality_score,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(sum(n_docs) OVER (ORDER BY quality_score DESC
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           AS n_retained,
+       round(sum(n_docs) OVER (ORDER BY quality_score DESC
+                               ROWS UNBOUNDED PRECEDING)::DOUBLE
+             / sum(n_docs) OVER (), 6) AS retained_frac
+FROM g
+""",
+)
+def text_quality_retention(spark, sf_dir):
+    """Threshold-sweep retention curve for the heuristic quality score:
+    for each score level, how many documents a 'keep score >= s' filter
+    retains — the curve a curation run reads before picking a cutoff.
+    The groupBy collapses the corpus to <= 5 rows BEFORE the cumulative
+    window, so the one-partition window is constant-sized by
+    construction (same pattern as the flowchart operator). The oracle
+    embeds the registered text_quality oracle as a subquery."""
+    from .functions.text import add_quality_score
+
+    scored = add_quality_score(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
+    g = scored.groupBy("quality_score").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w_cum = Window.orderBy(F.col("quality_score").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    return g.select(
+        "quality_score",
+        "n_docs",
+        F.sum("n_docs").over(w_cum).alias("n_retained"),
+        F.round(
+            F.sum("n_docs").over(w_cum) / F.sum("n_docs").over(w_all), 6
+        ).alias("retained_frac"),
+    )
+
+
+_PACK_BUCKET = 64
+_PACK_MAX_LEN = 512
+
+
+@_register(
+    "pack_efficiency",
+    f"""
+WITH lens AS (
+  SELECT least(CASE WHEN trim(text) = '' THEN 0
+               ELSE len(string_split_regex(trim(text), '\\s+')) END,
+               {_PACK_MAX_LEN})::BIGINT AS seq
+  FROM documents
+), shaped AS (
+  SELECT seq,
+         (ceil(greatest(seq, 1)::DOUBLE / {_PACK_BUCKET})
+          * {_PACK_BUCKET})::BIGINT AS bucket_len
+  FROM lens
+)
+SELECT bucket_len,
+       CAST(count(*) AS BIGINT) AS n_seqs,
+       CAST(sum(seq) AS BIGINT) AS total_tokens,
+       CAST(sum(bucket_len - seq) AS BIGINT) AS total_padding,
+       round(sum(bucket_len - seq)::DOUBLE / (count(*) * bucket_len), 6)
+           AS pad_frac
+FROM shaped GROUP BY 1
+""",
+)
+def pack_efficiency(spark, sf_dir):
+    """Length-bucketed padding-waste profile (bucket=64, truncate at
+    512): how many pad tokens each batch-shape bucket burns — the
+    batch-shaping diagnostic before training. ONE map-side-combinable
+    groupBy; the exchange carries at most max_len/bucket rows."""
+    from .functions.text import tokens
+    from .operators.packing import padding_waste_profile
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.size(tokens(F.col("text"))).alias("n_tokens")
+    )
+    return padding_waste_profile(
+        docs, "n_tokens", bucket=_PACK_BUCKET, max_len=_PACK_MAX_LEN
+    )

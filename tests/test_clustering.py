@@ -1,0 +1,105 @@
+"""Distributed k-means: determinism, Lloyd semantics, edge cases, and
+plan shape (assignment must stay a shuffle-free projection)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hds_functions_spark.operators.clustering import (
+    kmeans_assign,
+    kmeans_fit,
+    kmeans_fit_assign,
+)
+
+
+def _toy(spark):
+    # two tight planted clusters around (0,0) and (10,10)
+    rows = [
+        (1, [0.0, 0.1]),
+        (2, [0.1, 0.0]),
+        (3, [0.0, 0.0]),
+        (4, [10.0, 10.1]),
+        (5, [10.1, 10.0]),
+        (6, [10.0, 10.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_two_planted_clusters_recovered(spark):
+    df = _toy(spark)
+    assigned, cents = kmeans_fit_assign(
+        df, k=2, n_iter=3, dim=2, round_digits=6
+    )
+    out = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+    assert out[1] == out[2] == out[3]
+    assert out[4] == out[5] == out[6]
+    assert out[1] != out[4]
+    # centroids converge to the rounded cluster means
+    lo = sorted(cents)[0]
+    assert lo == [pytest.approx(0.033333, abs=1e-6),
+                  pytest.approx(0.033333, abs=1e-6)]
+
+
+def test_fit_deterministic_across_runs(spark):
+    df = _toy(spark)
+    c1 = kmeans_fit(df, k=2, n_iter=2, dim=2)
+    c2 = kmeans_fit(df, k=2, n_iter=2, dim=2)
+    assert c1 == c2  # exact float equality: same literals, same rounding
+
+
+def test_zero_iterations_returns_init_vectors(spark):
+    df = _toy(spark)
+    cents = kmeans_fit(df, k=2, n_iter=0, dim=2)
+    # init = vectors of the 2 lowest vec_ids
+    assert cents == [[0.0, 0.1], [0.1, 0.0]]
+
+
+def test_empty_cluster_keeps_previous_centroid(spark):
+    # k=3 with only 2 distinct points: one centroid never wins a row
+    rows = [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [9.0, 9.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(df, k=3, n_iter=2, dim=2)
+    # init was rows 1..3; centroid 1 (duplicate of centroid 0's point)
+    # never gets an assignment (ties go to the lowest index) and must
+    # survive unchanged
+    assert cents[1] == [0.0, 0.0]
+
+
+def test_tie_breaks_to_lowest_cluster_index(spark):
+    rows = [(1, [5.0]), (2, [0.0]), (3, [10.0])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # centroids equidistant from 5.0
+    out = kmeans_assign(
+        df, [[0.0], [10.0]], cluster_col="c", dist_col="d"
+    ).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    assert by_id[1]["c"] == 0 and by_id[1]["d"] == 25.0
+    assert by_id[2]["c"] == 0
+    assert by_id[3]["c"] == 1
+
+
+def test_validation_errors(spark):
+    df = _toy(spark)
+    with pytest.raises(ValueError, match="k must be"):
+        kmeans_fit(df, k=0, dim=2)
+    with pytest.raises(ValueError, match="n_iter"):
+        kmeans_fit(df, k=2, n_iter=-1, dim=2)
+    with pytest.raises(ValueError, match="only 6 rows"):
+        kmeans_fit(df, k=7, dim=2)
+    with pytest.raises(ValueError, match="empty"):
+        kmeans_fit(df.filter(F.lit(False)), k=1)
+
+
+def test_assignment_plan_is_shuffle_free(spark):
+    df = _toy(spark)
+    plan = kmeans_assign(df, [[0.0, 0.0], [10.0, 10.0]])._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "Exchange" not in plan  # pure projection, no shuffle/join
+
+
+def test_float_input_promotes_exactly(spark):
+    # float32 storage (the real embeddings schema) must widen exactly
+    rows = [(1, [0.5, 0.25]), (2, [8.0, 8.5])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    assigned, cents = kmeans_fit_assign(df, k=2, n_iter=1, dim=2)
+    got = {r["vec_id"]: r["dist"] for r in assigned.collect()}
+    assert got[1] == 0.0 and got[2] == 0.0  # centroids land on the points

@@ -1,0 +1,133 @@
+"""Unit tests for the round-5 additions: Markov transitions, time-decayed
+aggregates, OOV rate, and padding-waste profiling."""
+
+import math
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from hds_functions_spark.operators.events import (
+    time_decayed_agg,
+    transition_counts,
+)
+from hds_functions_spark.operators.packing import padding_waste_profile
+from hds_functions_spark.operators.profiling import oov_rate
+
+
+def _events(spark):
+    rows = [
+        (1, 10, datetime(2024, 1, 1, 0, 0), "view", 1.0),
+        (2, 10, datetime(2024, 1, 1, 0, 1), "click", 2.0),
+        (3, 10, datetime(2024, 1, 1, 0, 2), "buy", 4.0),
+        (4, 20, datetime(2024, 1, 1, 0, 0), "view", 1.0),
+        (5, 20, datetime(2024, 1, 1, 0, 3), "view", 1.0),
+        # same-ts pair for user 30: event_id breaks the tie
+        (6, 30, datetime(2024, 1, 1, 0, 0), "click", 0.0),
+        (7, 30, datetime(2024, 1, 1, 0, 0), "view", 0.0),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string, value double"
+    )
+
+
+def test_transition_counts_basic(spark):
+    out = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in transition_counts(_events(spark)).collect()
+    }
+    assert out[("view", "click")] == 1
+    assert out[("click", "buy")] == 1
+    assert out[("view", "view")] == 1
+    assert out[("click", "view")] == 1  # user 30, ordered by event_id
+    assert sum(out.values()) == 4  # last event of each user emits nothing
+
+
+def test_transition_counts_no_cross_user_pairing(spark):
+    # single-event users produce no transitions
+    df = _events(spark).filter(F.col("event_id").isin(3, 4))
+    assert transition_counts(df).count() == 0
+
+
+def test_time_decay_anchor_and_halflife(spark):
+    df = _events(spark).filter(F.col("user_id").isin(10, 20))
+    out = {
+        r["user_id"]: r
+        for r in time_decayed_agg(
+            df, half_life_days=1 / 1440  # half-life = 1 minute
+        ).collect()
+    }
+    # global max ts = 00:03 (user 20). user 20: events at age 3min, 0min
+    # -> weights 1/8 and 1
+    assert out[20]["decayed_count"] == pytest.approx(1.125, abs=1e-6)
+    # user 10: ages 3,2,1 min -> weights 1/8,1/4,1/2; values 1,2,4
+    assert out[10]["decayed_count"] == pytest.approx(0.875, abs=1e-6)
+    assert out[10]["decayed_value"] == pytest.approx(
+        1 / 8 + 2 / 4 + 4 / 2, abs=1e-6
+    )
+    assert out[10]["n_events"] == 3
+
+
+def test_time_decay_rejects_bad_halflife(spark):
+    with pytest.raises(ValueError, match="half_life_days"):
+        time_decayed_agg(_events(spark), half_life_days=0)
+
+
+def _docs(spark):
+    rows = [
+        (1, "the cat sat on the mat"),
+        (2, "the dog"),
+        (3, ""),  # empty doc must survive with NULL rate
+        (4, "zzz qqq"),  # fully OOV
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_oov_rate(spark):
+    docs = _docs(spark)
+    vocab = spark.createDataFrame(
+        [("the",), ("cat",), ("dog",), ("mat",)], "token string"
+    )
+    out = {r["doc_id"]: r for r in oov_rate(docs, vocab).collect()}
+    assert out[1]["n_tokens"] == 6 and out[1]["n_oov"] == 2  # sat, on
+    assert out[1]["oov_rate"] == pytest.approx(2 / 6, abs=1e-6)
+    assert out[2]["n_oov"] == 0 and out[2]["oov_rate"] == 0.0
+    assert out[3]["n_tokens"] == 0 and out[3]["oov_rate"] is None
+    assert out[4]["oov_rate"] == 1.0
+
+
+def test_oov_rate_lowercases_against_vocab(spark):
+    docs = spark.createDataFrame([(1, "The THE the")], "doc_id long, text string")
+    vocab = spark.createDataFrame([("the",)], "token string")
+    (row,) = oov_rate(docs, vocab).collect()
+    assert row["n_oov"] == 0
+
+
+def test_padding_waste_profile(spark):
+    lens = spark.createDataFrame(
+        [(0,), (1,), (64,), (65,), (100,), (600,)], "n long"
+    )
+    out = {
+        r["bucket_len"]: r
+        for r in padding_waste_profile(
+            lens, "n", bucket=64, max_len=512
+        ).collect()
+    }
+    # len 0 and 1 and 64 -> bucket 64; 65 and 100 -> 128; 600 trunc 512
+    assert out[64]["n_seqs"] == 3
+    assert out[64]["total_tokens"] == 65
+    assert out[64]["total_padding"] == 3 * 64 - 65
+    assert out[128]["n_seqs"] == 2
+    assert out[128]["total_padding"] == (128 - 65) + (128 - 100)
+    assert out[512]["n_seqs"] == 1 and out[512]["total_padding"] == 0
+    assert out[512]["pad_frac"] == 0.0
+    assert out[128]["pad_frac"] == pytest.approx(
+        ((128 - 65) + (128 - 100)) / (2 * 128), abs=1e-6
+    )
+
+
+def test_padding_waste_validates(spark):
+    lens = spark.createDataFrame([(1,)], "n long")
+    with pytest.raises(ValueError):
+        padding_waste_profile(lens, "n", bucket=0)
