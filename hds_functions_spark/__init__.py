@@ -28,6 +28,7 @@ from .operators.cleaning import (
 )
 from .operators.contamination import ngram_contamination
 from .operators.dedup import (
+    degree_distribution,
     connected_components,
     dedup_clusters,
     duplicate_groups,
@@ -39,12 +40,15 @@ from .operators.dedup import (
     simhash_pairs,
 )
 from .operators.clustering import (
+    cluster_near_pairs,
     kmeans_assign,
     kmeans_fit,
     kmeans_fit_assign,
+    semantic_dedup,
 )
 from .operators.events import (
     as_of_join,
+    daily_count_anomalies,
     densify_timeline,
     densify_timeline_calendar,
     interval_join,

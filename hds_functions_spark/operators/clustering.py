@@ -31,7 +31,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["kmeans_fit", "kmeans_assign", "kmeans_fit_assign"]
+__all__ = [
+    "kmeans_fit",
+    "kmeans_assign",
+    "kmeans_fit_assign",
+    "cluster_near_pairs",
+    "semantic_dedup",
+]
 
 
 def _sq_dist(vec_col: str, centroid: list[float]) -> Column:
@@ -179,4 +185,76 @@ def kmeans_fit_assign(
     return (
         kmeans_assign(df, centroids, vec_col, cluster_col, dist_col),
         centroids,
+    )
+
+
+def cluster_near_pairs(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.25,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Within-cluster near-duplicate candidate pairs: rows sharing a
+    k-means cluster whose dot product (cosine, for unit-norm vectors)
+    rounds to >= ``threshold``. Output ``(id_a, id_b, dot)`` with
+    ``id_a < id_b``.
+
+    This is the SemDeDup shape: the cluster assignment bounds the
+    candidate set to within-cluster pairs, so the self-join is equi on
+    the cluster key — quadratic only in CLUSTER size, never in corpus
+    size. Pick k so clusters stay bounded (work per cluster ~ (n/k)^2);
+    for heavy-tailed cluster sizes, fall back to the hyperplane-banded
+    ``embedding_near_dup_pairs`` which bounds per-row fanout instead.
+    Vectors ride the single cluster-key shuffle — each side is scanned
+    once; the dot is a left-fold over zipped elements, matching an
+    explicit left-associative SQL chain IEEE-exactly.
+    """
+    a = kmeans_assign(df, centroids, vec_col, dist_col=None).select(
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).cast("array<double>").alias("_va"),
+        F.col("cluster"),
+    )
+    b = kmeans_assign(df, centroids, vec_col, dist_col=None).select(
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).cast("array<double>").alias("_vb"),
+        F.col("cluster"),
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    return (
+        a.join(b, on="cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dot", F.round(dot, round_digits))
+        .filter(F.col("dot") >= threshold)
+        .select("id_a", "id_b", "dot")
+    )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.25,
+) -> DataFrame:
+    """Greedy within-cluster semantic dedup: drop every row that has a
+    near-duplicate (dot >= threshold, same cluster) with a SMALLER id —
+    the lowest id of each near-dup neighbourhood survives. Returns the
+    kept rows of ``df`` with their cluster attached.
+
+    One left-anti join of the corpus against the distinct higher ids of
+    the pair list — key-only, broadcastable when the dup fraction is
+    small (the common case).
+    """
+    pairs = cluster_near_pairs(
+        df, centroids, vec_col, id_col, threshold=threshold
+    )
+    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return kmeans_assign(df, centroids, vec_col, dist_col=None).join(
+        drop, on=id_col, how="left_anti"
     )

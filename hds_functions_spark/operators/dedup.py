@@ -44,6 +44,7 @@ __all__ = [
     "embedding_near_dup_pairs",
     "connected_components",
     "dedup_clusters",
+    "degree_distribution",
 ]
 
 
@@ -774,4 +775,26 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+def degree_distribution(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b"
+) -> DataFrame:
+    """Degree histogram of an undirected pair list: for each node degree,
+    how many nodes have it — the similarity-graph shape check run before
+    clustering (a heavy tail here predicts hot components and skewed
+    connected-components rounds; a spike at high degree usually means a
+    degenerate band/shingle, cf. the one-bucket blowup guard).
+
+    Output ``(degree, n_nodes)``; nodes appearing in no pair are absent.
+    Plan shape: symmetrise by union -> two map-side-combinable counts.
+    Both exchanges carry at most one row per node / per distinct degree.
+    """
+    sym = pairs.select(F.col(id_a).alias("node")).unionAll(
+        pairs.select(F.col(id_b).alias("node"))
+    )
+    degrees = sym.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return degrees.groupBy("degree").agg(
+        F.count(F.lit(1)).alias("n_nodes")
     )

@@ -38,6 +38,7 @@ __all__ = [
     "densify_timeline_calendar",
     "transition_counts",
     "time_decayed_agg",
+    "daily_count_anomalies",
 ]
 
 
@@ -513,4 +514,41 @@ def time_decayed_agg(
                 F.sum(weight * F.col(value_col)), round_digits
             ).alias("decayed_value"),
         )
+    )
+
+
+def daily_count_anomalies(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    z_threshold: float = 2.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Flag per-key days whose event count deviates from that key's own
+    daily baseline by ``|z| >= z_threshold`` (sample stddev) — the
+    volume-anomaly sweep an ops pipeline runs over activity streams.
+
+    Plan shape: ONE map-side-combinable groupBy to (key, day) counts —
+    the corpus collapses to at most keys*days rows here — then a per-key
+    window for mean/stddev over that collapsed frame. Keys whose count
+    never varies (stddev 0 -> NULL z) are not flagged. The comparison is
+    applied to the ROUNDED z-score so an oracle rounding identically
+    agrees at the threshold boundary.
+    """
+    daily = (
+        df.select(
+            F.col(key_col),
+            F.date_trunc("day", F.col(ts_col)).cast("date").alias("day"),
+        )
+        .groupBy(key_col, "day")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = Window.partitionBy(key_col)
+    z = (F.col("n_events") - F.avg("n_events").over(w)) / F.nullif(
+        F.stddev("n_events").over(w), F.lit(0.0)
+    )
+    return (
+        daily.withColumn("z", F.round(z, round_digits))
+        .filter(F.abs(F.col("z")) >= z_threshold)
+        .select(key_col, "day", "n_events", "z")
     )

@@ -401,3 +401,143 @@ def pack_efficiency(spark, sf_dir):
     return padding_waste_profile(
         docs, "n_tokens", bucket=_PACK_BUCKET, max_len=_PACK_MAX_LEN
     )
+
+
+# --- graph shape / anomaly / OLAP cube / semantic dedup ------------------
+
+
+@_register(
+    "dedup_degree_stats",
+    f"""
+WITH sym AS (
+  SELECT id_a AS node FROM ({ORACLES["dedup_minhash_pairs"]}) p1
+  UNION ALL
+  SELECT id_b AS node FROM ({ORACLES["dedup_minhash_pairs"]}) p2
+), deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree FROM sym GROUP BY 1
+)
+SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes FROM deg GROUP BY 1
+""",
+)
+def dedup_degree_stats(spark, sf_dir):
+    """Degree histogram of the MinHash near-dup graph — the shape check
+    run before connected components (a heavy tail predicts hot
+    components; a spike means a degenerate band). Reuses the registered
+    pair generator verbatim; two count aggregates on top."""
+    from .operators.dedup import degree_distribution, minhash_pairs
+    from .registry_ext import _MH_BANDS, _MH_NUM_HASHES, _MH_SHINGLE
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.length("text") >= _MH_SHINGLE
+    )
+    pairs = minhash_pairs(
+        docs, num_hashes=_MH_NUM_HASHES, shingle_size=_MH_SHINGLE,
+        bands=_MH_BANDS,
+    )
+    return degree_distribution(pairs)
+
+
+@_register(
+    "events_anomaly_daily",
+    """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts)::DATE AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), scored AS (
+  SELECT user_id, day, n_events,
+         round((n_events - avg(n_events) OVER w)
+               / nullif(stddev(n_events) OVER w, 0.0), 6) AS z
+  FROM daily WINDOW w AS (PARTITION BY user_id)
+)
+SELECT user_id, day, n_events, z FROM scored WHERE abs(z) >= 2.0
+""",
+)
+def events_anomaly_daily(spark, sf_dir):
+    """Per-user daily-volume anomalies: days deviating >= 2 sample
+    stddevs from that user's own daily baseline. The corpus collapses to
+    (user, day) counts in ONE map-side-combinable aggregate before the
+    per-user stats window touches anything."""
+    from .operators.events import daily_count_anomalies
+
+    return daily_count_anomalies(
+        _t(spark, sf_dir, "events"), key_col="user_id", ts_col="ts",
+        z_threshold=2.0,
+    )
+
+
+@_register(
+    "analytics_cube",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS revenue_cents,
+       CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+       CAST(GROUPING(o_orderpriority) AS INT) AS g_priority
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def analytics_cube(spark, sf_dir):
+    """OLAP cube over orders: revenue and counts at every (status,
+    priority) granularity including subtotals and the grand total —
+    Spark's Expand-based CUBE (one scan, map-side combinable partial
+    aggregation per grouping set). GROUPING flags disambiguate rolled-up
+    NULLs. Integer-cent accumulation keeps the sums order-independent
+    and oracle-exact."""
+    rev = F.round(F.col("o_totalprice") * 100).cast("long")
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_orderstatus", "o_orderpriority", rev.alias("_cents"))
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("_cents").alias("revenue_cents"),
+            F.grouping("o_orderstatus").cast("int").alias("g_status"),
+            F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        )
+    )
+
+
+_SD_THRESHOLD = 0.25
+
+
+def _duck_semantic_dedup_sql() -> str:
+    dot = " + ".join(
+        f"ea.embedding[{i}]::DOUBLE * eb.embedding[{i}]::DOUBLE"
+        for i in range(1, _KM_DIM + 1)
+    )
+    return f"""
+{_duck_kmeans_cte()},
+pr AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, round({dot}, 6) AS dot
+  FROM {_KM_FINAL} a
+  JOIN {_KM_FINAL} b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+)
+SELECT a.vec_id, a.cluster
+FROM {_KM_FINAL} a
+WHERE a.vec_id NOT IN (
+  SELECT id_b FROM pr WHERE dot >= {_SD_THRESHOLD}
+)
+"""
+
+
+@_register("cluster_semantic_dedup", None)  # oracle attached below
+def cluster_semantic_dedup(spark, sf_dir):
+    """SemDeDup end-to-end: k-means bucketing -> within-cluster dot >=
+    0.25 pairs (quadratic in CLUSTER size only, never corpus size) ->
+    greedy keep-lowest-id. Returns the surviving (vec_id, cluster) rows.
+    Shares the session centroid cache with the other cluster queries."""
+    from .operators.clustering import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    kept = semantic_dedup(
+        emb, _shared_kmeans_centroids(spark, sf_dir),
+        threshold=_SD_THRESHOLD,
+    )
+    return kept.select("vec_id", "cluster")
+
+
+ORACLES["cluster_semantic_dedup"] = _duck_semantic_dedup_sql()

@@ -131,3 +131,74 @@ def test_padding_waste_validates(spark):
     lens = spark.createDataFrame([(1,)], "n long")
     with pytest.raises(ValueError):
         padding_waste_profile(lens, "n", bucket=0)
+
+
+def test_daily_count_anomalies(spark):
+    from hds_functions_spark.operators.events import daily_count_anomalies
+
+    # user 1: 29 quiet days (1 event) + one 20-event spike
+    rows = []
+    eid = 0
+    for d in range(1, 30):
+        rows.append((eid, 1, datetime(2024, 1, d, 12), "e", 0.0)); eid += 1
+    for _ in range(20):
+        rows.append((eid, 1, datetime(2024, 1, 30, 12), "e", 0.0)); eid += 1
+    # user 2: constant volume -> stddev 0 -> no flags
+    for d in range(1, 11):
+        rows.append((eid, 2, datetime(2024, 1, d, 12), "e", 0.0)); eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string, value double"
+    )
+    out = daily_count_anomalies(df, z_threshold=2.0).collect()
+    assert len(out) == 1
+    assert out[0]["user_id"] == 1 and out[0]["n_events"] == 20
+    assert out[0]["z"] > 5
+
+
+def test_degree_distribution(spark):
+    from hds_functions_spark.operators.dedup import degree_distribution
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3)], "id_a long, id_b long"
+    )
+    out = {r["degree"]: r["n_nodes"] for r in degree_distribution(pairs).collect()}
+    # node 1 has degree 3; nodes 2,3 degree 2; node 4 degree 1
+    assert out == {3: 1, 2: 2, 1: 1}
+
+
+def test_cluster_near_pairs_and_semantic_dedup(spark):
+    from hds_functions_spark.operators.clustering import (
+        cluster_near_pairs,
+        semantic_dedup,
+    )
+
+    # cluster A near (1,0): ids 1,2 are near-dups; id 3 orthogonal-ish
+    # but same cluster; cluster B near (-1,0): ids 4,5 near-dups
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.999, 0.04]),
+        (3, [0.5, 0.86]),
+        (4, [-1.0, 0.0]),
+        (5, [-0.999, -0.04]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [[1.0, 0.0], [-1.0, 0.0]]
+    pairs = cluster_near_pairs(df, cents, threshold=0.95).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in got and (4, 5) in got
+    assert all(a < b for a, b in got)
+    assert (1, 3) not in got  # dot = 0.5 < 0.95
+
+    kept = {r["vec_id"] for r in semantic_dedup(df, cents, threshold=0.95).collect()}
+    assert kept == {1, 3, 4}  # 2 and 5 lose to their lower-id near-dups
+
+
+def test_semantic_dedup_no_pairs_keeps_all(spark):
+    from hds_functions_spark.operators.clustering import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "vec_id long, embedding array<double>"
+    )
+    kept = semantic_dedup(df, [[1.0, 0.0], [0.0, 1.0]], threshold=0.99)
+    assert kept.count() == 2
