@@ -58,13 +58,24 @@ from .operators.events import (
     transition_counts,
     tumbling_window_agg,
 )
+from .functions.layout import (
+    bucket_by_quantiles,
+    morton_code,
+    pruning_simulation,
+    quantize_to_bins,
+    zorder_column,
+)
 from .operators.joins import salted_join
 from .operators.packing import (
     chunk_documents,
     pack_sequences,
     padding_waste_profile,
 )
-from .operators.quality import observe_metrics, referential_orphans
+from .operators.quality import (
+    join_key_audit,
+    observe_metrics,
+    referential_orphans,
+)
 from .operators.profiling import (
     bigram_logprob_scores,
     build_vocabulary,

@@ -21,7 +21,13 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-__all__ = ["quantize_to_bins", "morton_code", "zorder_column"]
+__all__ = [
+    "quantize_to_bins",
+    "morton_code",
+    "zorder_column",
+    "bucket_by_quantiles",
+    "pruning_simulation",
+]
 
 
 def quantize_to_bins(
@@ -89,3 +95,98 @@ def zorder_column(
         quantize_to_bins(col_b, lo_b, hi_b, bits),
         bits,
     )
+
+
+def bucket_by_quantiles(
+    df,
+    col: str,
+    n_buckets: int,
+    bucket_col: str = "bucket",
+    round_digits: int = 6,
+):
+    """Assign each row to one of ``n_buckets`` equal-frequency buckets of
+    ``col`` — the range-partitioning a sorted write produces (Spark's
+    RangePartitioner does the same with sampled bounds; here the bounds
+    are exact type-7 percentiles so an oracle reproduces them, with the
+    documented ``percentile_approx`` switch if the exact sort ever
+    matters at scale).
+
+    ONE aggregate computes all cut points (rounded to ``round_digits``
+    so engines agree at boundaries), attached by 1-row-broadcast
+    crossJoin; the bucket id is then a pure codegen filter-count over
+    the literal cuts array — no global sort, no one-partition window.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2 (got {n_buckets})")
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.agg(
+        F.transform(
+            F.percentile(F.col(col), F.lit(fracs)),
+            lambda x: F.round(x, round_digits),
+        ).alias("_cuts")
+    )
+    bucket = F.size(
+        F.filter(F.col("_cuts"), lambda c: c <= F.col(col))
+    ).cast("int")
+    return (
+        df.crossJoin(F.broadcast(cuts))
+        .withColumn(bucket_col, bucket)
+        .drop("_cuts")
+    )
+
+
+def pruning_simulation(
+    df,
+    arrival_col: str,
+    zcode_col: str,
+    bin_a: str,
+    bin_b: str,
+    n_files: int,
+    box: tuple[float, float, float, float],
+    round_digits: int = 6,
+):
+    """Quantify what a Z-order layout buys: simulate writing ``df`` into
+    ``n_files`` equal-frequency files under (a) arrival order and (b)
+    Z-order, compute per-file min/max statistics of the two bin columns
+    (exactly what parquet row-group stats store), and count how many
+    files a 2-D range predicate ``bin_a in [a_lo, a_hi] AND bin_b in
+    [b_lo, b_hi]`` must read under each layout.
+
+    Output: one row per layout with ``(layout, n_files, n_scanned,
+    scan_frac)``. Everything after bucketing is a file-count-sized
+    aggregate; at any data size only n_files rows move.
+    """
+    a_lo, a_hi, b_lo, b_hi = box
+    parts = []
+    for layout, col in (("arrival", arrival_col), ("zorder", zcode_col)):
+        b = bucket_by_quantiles(
+            df.select(col, bin_a, bin_b), col, n_files,
+            round_digits=round_digits,
+        )
+        stats = b.groupBy("bucket").agg(
+            F.min(bin_a).alias("_min_a"),
+            F.max(bin_a).alias("_max_a"),
+            F.min(bin_b).alias("_min_b"),
+            F.max(bin_b).alias("_max_b"),
+        )
+        overlaps = (
+            (F.col("_max_a") >= a_lo) & (F.col("_min_a") <= a_hi)
+            & (F.col("_max_b") >= b_lo) & (F.col("_min_b") <= b_hi)
+        )
+        parts.append(
+            stats.agg(
+                F.lit(layout).alias("layout"),
+                F.count(F.lit(1)).alias("n_files"),
+                F.sum(overlaps.cast("long")).alias("n_scanned"),
+            ).select(
+                "layout",
+                "n_files",
+                "n_scanned",
+                F.round(F.col("n_scanned") / F.col("n_files"), round_digits)
+                .alias("scan_frac"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

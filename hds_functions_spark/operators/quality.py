@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["referential_orphans", "observe_metrics"]
+__all__ = ["referential_orphans", "observe_metrics", "join_key_audit"]
 
 
 def observe_metrics(df, name: str, metrics: dict):
@@ -92,3 +92,43 @@ def referential_orphans(
     for b in branches[1:]:
         out = out.unionByName(b)
     return out
+
+
+def join_key_audit(
+    left,
+    right,
+    left_key: str,
+    right_key: str,
+):
+    """Pre-join cardinality audit: before running an expensive join,
+    report how the key spaces overlap and what the join would produce —
+    ``n_left_keys / n_right_keys / n_both / n_left_only / n_right_only``,
+    the maximum per-key multiplicity on each side (a large product warns
+    of a hot-key blowup), and ``n_join_rows``, the EXACT inner-join
+    output cardinality (sum over shared keys of left-count *
+    right-count).
+
+    Plan shape: each side collapses to one row per distinct key (map-
+    side combinable) before the full-outer key join, so the join touches
+    key counts, never the data rows; the final scalar aggregate returns
+    ONE row. The audit costs two aggregates however large the join
+    inputs are.
+    """
+    lc = left.groupBy(F.col(left_key).alias("_k")).agg(
+        F.count(F.lit(1)).alias("_ln")
+    )
+    rc = right.groupBy(F.col(right_key).alias("_k")).agg(
+        F.count(F.lit(1)).alias("_rn")
+    )
+    j = lc.join(rc, on="_k", how="full_outer")
+    both = F.col("_ln").isNotNull() & F.col("_rn").isNotNull()
+    return j.agg(
+        F.count("_ln").alias("n_left_keys"),
+        F.count("_rn").alias("n_right_keys"),
+        F.sum(both.cast("long")).alias("n_both"),
+        F.sum((F.col("_rn").isNull()).cast("long")).alias("n_left_only"),
+        F.sum((F.col("_ln").isNull()).cast("long")).alias("n_right_only"),
+        F.max("_ln").alias("max_left_mult"),
+        F.max("_rn").alias("max_right_mult"),
+        F.sum(F.when(both, F.col("_ln") * F.col("_rn"))).alias("n_join_rows"),
+    )

@@ -541,3 +541,150 @@ def cluster_semantic_dedup(spark, sf_dir):
 
 
 ORACLES["cluster_semantic_dedup"] = _duck_semantic_dedup_sql()
+
+
+# --- layout pruning simulation / join audit ------------------------------
+
+_PS_FILES = 64
+_PS_BOX = (64, 127, 46, 81)  # price bins 150k-300k x date bins ~year 1996
+_PS_BITS = 8
+_PS_PRICE = (0.0, 600000.0)
+_PS_DAYS = (9000.0, 11700.0)  # epoch-day bounds covering the order dates
+
+
+def _duck_pruning_sql() -> str:
+    fracs = ", ".join(repr(i / _PS_FILES) for i in range(1, _PS_FILES))
+    a_lo, a_hi, b_lo, b_hi = _PS_BOX
+    n = (1 << _PS_BITS) - 1
+
+    def quant(expr: str, lo: float, hi: float) -> str:
+        return (
+            f"least(greatest(floor((({expr})::DOUBLE - {lo!r}) "
+            f"/ {hi - lo!r} * {float(n)!r}), 0), {n})::BIGINT"
+        )
+
+    qa = quant("o_totalprice", *_PS_PRICE)
+    qb = quant("epoch_us(o_orderdate) / 86400000000.0", *_PS_DAYS)
+    terms = []
+    for i in range(_PS_BITS):
+        terms.append(f"(((a >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((b >> {i}) & 1) << {2 * i + 1})")
+    interleave = " + ".join(terms)
+
+    def layout(tag: str, name: str, col: str) -> str:
+        return f"""
+{tag}_cuts AS (
+  SELECT list_transform(quantile_cont({col}, [{fracs}]),
+                        x -> round(x, 6)) AS cuts
+  FROM z
+),
+{tag}_b AS (
+  SELECT z.price_bin, z.date_bin,
+         len(list_filter(c.cuts, v -> v <= z.{col}))::INT AS bucket
+  FROM z, {tag}_cuts c
+),
+{tag}_s AS (
+  SELECT bucket,
+         min(price_bin) AS mina, max(price_bin) AS maxa,
+         min(date_bin) AS minb, max(date_bin) AS maxb
+  FROM {tag}_b GROUP BY 1
+),
+{tag}_agg AS (
+  SELECT '{name}' AS layout,
+         CAST(count(*) AS BIGINT) AS n_files,
+         CAST(sum(CASE WHEN maxa >= {a_lo} AND mina <= {a_hi}
+                        AND maxb >= {b_lo} AND minb <= {b_hi}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_scanned
+  FROM {tag}_s
+)"""
+
+    return f"""
+WITH q AS (
+  SELECT o_orderkey, {qa} AS a, {qb} AS b FROM orders
+),
+z AS (
+  SELECT o_orderkey, a AS price_bin, b AS date_bin,
+         ({interleave})::BIGINT AS zcode
+  FROM q
+),
+{layout("arr", "arrival", "o_orderkey")[1:]},
+{layout("zo", "zorder", "zcode")[1:]}
+SELECT layout, n_files, n_scanned,
+       round(n_scanned::DOUBLE / n_files, 6) AS scan_frac
+FROM (SELECT * FROM arr_agg UNION ALL SELECT * FROM zo_agg)
+"""
+
+
+@_register("layout_pruning_sim", None)  # oracle attached below
+def layout_pruning_sim(spark, sf_dir):
+    """What Z-order buys, measured: simulate 64 equal-frequency files
+    under arrival order vs (price, date) Z-order, compute per-file
+    min/max stats (what parquet row groups store), and count the files a
+    2-D range predicate (a price band within one year) must read under
+    each layout. Bucketing is exact-percentile cuts attached by 1-row
+    broadcast (no global sort, no one-partition window); after bucketing
+    only 64 rows per layout move."""
+    from .functions.layout import (
+        morton_code,
+        pruning_simulation,
+        quantize_to_bins,
+    )
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        quantize_to_bins("o_totalprice", *_PS_PRICE, _PS_BITS)
+            .alias("price_bin"),
+        quantize_to_bins(
+            F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+            / F.lit(86400000000.0),
+            *_PS_DAYS,
+            _PS_BITS,
+        ).alias("date_bin"),
+    )
+    z = orders.withColumn(
+        "zcode", morton_code(F.col("price_bin"), F.col("date_bin"), _PS_BITS)
+    )
+    return pruning_simulation(
+        z, "o_orderkey", "zcode", "price_bin", "date_bin",
+        n_files=_PS_FILES, box=_PS_BOX,
+    )
+
+
+ORACLES["layout_pruning_sim"] = _duck_pruning_sql()
+
+
+@_register(
+    "quality_join_audit",
+    """
+WITH lc AS (SELECT o_custkey AS k, count(*) AS ln FROM orders GROUP BY 1),
+rc AS (SELECT c_custkey AS k, count(*) AS rn FROM customer GROUP BY 1),
+j AS (SELECT lc.ln, rc.rn FROM lc FULL OUTER JOIN rc USING (k))
+SELECT CAST(count(ln) AS BIGINT) AS n_left_keys,
+       CAST(count(rn) AS BIGINT) AS n_right_keys,
+       CAST(sum(CASE WHEN ln IS NOT NULL AND rn IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+       CAST(sum(CASE WHEN rn IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_left_only,
+       CAST(sum(CASE WHEN ln IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_right_only,
+       CAST(max(ln) AS BIGINT) AS max_left_mult,
+       CAST(max(rn) AS BIGINT) AS max_right_mult,
+       CAST(sum(CASE WHEN ln IS NOT NULL AND rn IS NOT NULL
+                THEN ln * rn END) AS BIGINT) AS n_join_rows
+FROM j
+""",
+)
+def quality_join_audit(spark, sf_dir):
+    """Pre-join cardinality audit of orders JOIN customer on custkey:
+    key-space overlap, per-side max multiplicity (hot-key blowup
+    warning), and the exact inner-join output cardinality — computed
+    from per-key counts, so the audit never joins the data rows
+    themselves."""
+    from .operators.quality import join_key_audit
+
+    return join_key_audit(
+        _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "customer"),
+        "o_custkey",
+        "c_custkey",
+    )

@@ -70,3 +70,81 @@ def test_zorder_locality_beats_single_column_sort(spark):
     d_z = mean_neighbour_dist(z.orderBy("z").collect())
     d_x = mean_neighbour_dist(z.orderBy("x").collect())
     assert d_z < 0.5 * d_x  # z-sort halves (at least) the 2-D spread
+
+
+def test_bucket_by_quantiles_balanced(spark):
+    from hds_functions_spark.functions.layout import bucket_by_quantiles
+
+    df = spark.range(0, 1000).withColumnRenamed("id", "v")
+    out = bucket_by_quantiles(df, "v", 4)
+    sizes = {r["bucket"]: r["count"] for r in out.groupBy("bucket").count().collect()}
+    assert set(sizes) == {0, 1, 2, 3}
+    assert all(200 <= n <= 300 for n in sizes.values())  # ~equal frequency
+    # monotone: every value in bucket i is <= every value in bucket i+1
+    maxes = {r["bucket"]: r["m"] for r in
+             out.groupBy("bucket").agg(F.max("v").alias("m")).collect()}
+    mins = {r["bucket"]: r["m"] for r in
+            out.groupBy("bucket").agg(F.min("v").alias("m")).collect()}
+    for i in range(3):
+        assert maxes[i] <= mins[i + 1]
+
+
+def test_bucket_by_quantiles_validates(spark):
+    import pytest
+    from hds_functions_spark.functions.layout import bucket_by_quantiles
+
+    with pytest.raises(ValueError, match="n_buckets"):
+        bucket_by_quantiles(spark.range(5), "id", 1)
+
+
+def test_bucket_by_quantiles_no_global_sort(spark):
+    from hds_functions_spark.functions.layout import bucket_by_quantiles
+
+    plan = bucket_by_quantiles(
+        spark.range(0, 100).withColumnRenamed("id", "v"), "v", 8
+    )._jdf.queryExecution().executedPlan().toString()
+    # the docstring claims: no global sort, no one-partition window
+    assert "rangepartitioning" not in plan.lower()
+    assert "Window" not in plan
+
+
+def test_pruning_simulation_sorted_layout_prunes(spark):
+    from hds_functions_spark.functions.layout import pruning_simulation
+
+    # 1024 rows where bin_a == sort key bucket: sorting by 'good' makes
+    # files pure in bin_a; 'bad' (a shuffled arrival key) does not
+    df = (
+        spark.range(0, 1024)
+        .select(
+            F.col("id").alias("good"),
+            ((F.col("id") * 7919) % 1024).alias("bad"),
+            (F.col("id") / 64).cast("long").alias("bin_a"),
+            F.lit(0).cast("long").alias("bin_b"),
+        )
+    )
+    out = {
+        r["layout"]: r
+        for r in pruning_simulation(
+            df, "bad", "good", "bin_a", "bin_b",
+            n_files=16, box=(2, 3, 0, 0),
+        ).collect()
+    }
+    assert out["zorder"]["n_scanned"] == 2   # bins 2,3 -> 2 of 16 files
+    assert out["arrival"]["n_scanned"] == 16  # shuffled: every file overlaps
+    assert out["zorder"]["scan_frac"] == 0.125
+
+
+def test_join_key_audit(spark):
+    from hds_functions_spark.operators.quality import join_key_audit
+
+    left = spark.createDataFrame(
+        [(1,), (1,), (1,), (2,), (3,)], "k long"
+    )
+    right = spark.createDataFrame([(1,), (2,), (2,), (4,)], "rk long")
+    row = join_key_audit(left, right, "k", "rk").first()
+    assert row["n_left_keys"] == 3 and row["n_right_keys"] == 3
+    assert row["n_both"] == 2
+    assert row["n_left_only"] == 1 and row["n_right_only"] == 1
+    assert row["max_left_mult"] == 3 and row["max_right_mult"] == 2
+    # exact inner-join cardinality: key 1 -> 3*1, key 2 -> 1*2
+    assert row["n_join_rows"] == 5

