@@ -78,6 +78,7 @@ from .operators.quality import (
 )
 from .operators.profiling import (
     bigram_logprob_scores,
+    bpe_pair_counts,
     build_vocabulary,
     char_entropy_scores,
     oov_rate,
@@ -114,6 +115,7 @@ from .operators.privacy import (
 )
 from .operators.topk import first_dense_rank, first_rank, first_row, select_top_rows
 from .operators.wrangling import (
+    pivot_counts,
     align_to_schema,
     clean_column_names,
     mad_outlier_flags,
@@ -143,6 +145,7 @@ from .sources.tables import (
     merge_rollup,
     save_archive_snapshot,
     save_table,
+    scd2_collapse,
     table_diff,
     upsert_table,
     standardise_table,

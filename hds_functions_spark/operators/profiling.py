@@ -24,6 +24,7 @@ __all__ = [
     "char_entropy_scores",
     "build_vocabulary",
     "oov_rate",
+    "bpe_pair_counts",
 ]
 
 
@@ -422,4 +423,48 @@ def oov_rate(
                 round_digits,
             ),
         ).alias("oov_rate"),
+    )
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 50,
+) -> DataFrame:
+    """One BPE merge step, distributed: count adjacent character pairs
+    inside lowercased whitespace tokens across the corpus and return the
+    ``top_n`` most frequent — the statistic a byte-pair-encoding
+    tokenizer trainer computes per merge round (iterate externally,
+    applying merges between rounds).
+
+    Plan shape: pairs are generated JVM-side with sequence/substr HOFs
+    (no UDF), the count is map-side combinable (the exchange carries
+    distinct pairs, bounded by |alphabet|^2), and the global top-n goes
+    through the rank-then-filter path Catalyst rewrites to
+    WindowGroupLimit — never a single-partition sort of the pair table.
+    """
+    from ..functions.text import tokens as _tokens
+    from .topk import select_top_rows
+
+    t = F.col("_tok")
+    pair_idx = F.when(
+        F.length(t) >= 2, F.sequence(F.lit(1), F.length(t) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    pairs = (
+        df.select(F.explode(_tokens(F.col(text_col))).alias("_tok"))
+        .select(F.lower(t).alias("_tok"))
+        .select(
+            F.explode(
+                F.transform(pair_idx, lambda i: t.substr(i, F.lit(2)))
+            ).alias("pair")
+        )
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    return select_top_rows(
+        pairs,
+        method="row_number",
+        n=top_n,
+        partition_by=None,
+        order_by=[F.col("count").desc(), F.col("pair").asc()],
     )

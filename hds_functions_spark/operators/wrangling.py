@@ -18,6 +18,7 @@ __all__ = [
     "align_to_schema",
     "winsorize_columns",
     "mad_outlier_flags",
+    "pivot_counts",
 ]
 
 # Above this many entries a literal `create_map` expression gets unwieldy for
@@ -276,4 +277,40 @@ def mad_outlier_flags(
             ),
         )
         .drop(med_col, mad_col)
+    )
+
+
+def pivot_counts(
+    df: DataFrame,
+    key_col: str,
+    pivot_col: str,
+    values: list[str],
+    count_col_prefix: str = "",
+) -> DataFrame:
+    """Long-to-wide: one row per key with a count column per ``values``
+    entry of ``pivot_col`` (absent combinations -> 0, values outside the
+    list ignored).
+
+    ``values`` is REQUIRED, not discovered: ``pivot()`` without explicit
+    values runs a hidden collect-distinct job over the whole input
+    before planning — an extra full pass at 100 TB, and an unbounded
+    output schema if the column is dirty. With the list given, this is
+    ONE map-side-combinable aggregate whose exchange carries (key,
+    |values| longs).
+    """
+    if not values:
+        raise ValueError("values must be a non-empty explicit list")
+    agged = (
+        df.groupBy(key_col)
+        .pivot(pivot_col, values)
+        .agg(F.count(F.lit(1)))
+    )
+    return agged.select(
+        key_col,
+        *[
+            F.coalesce(F.col(f"`{v}`"), F.lit(0)).alias(
+                f"{count_col_prefix}{v}"
+            )
+            for v in values
+        ],
     )

@@ -688,3 +688,148 @@ def quality_join_audit(spark, sf_dir):
         "o_custkey",
         "c_custkey",
     )
+
+
+# --- pivot / SCD2 history / BPE pair counting ----------------------------
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@_register(
+    "wrangle_pivot",
+    f"""
+SELECT user_id,
+  {", ".join(
+    f"CAST(count(CASE WHEN event_type = '{t}' THEN 1 END) AS BIGINT)"
+    f" AS n_{t}" for t in _EVENT_TYPES)}
+FROM events GROUP BY 1
+""",
+)
+def wrangle_pivot(spark, sf_dir):
+    """Long-to-wide event-type counts per user via pivot with EXPLICIT
+    values — no hidden collect-distinct pass, one map-side-combinable
+    aggregate. The oracle is the equivalent conditional aggregation."""
+    from .operators.wrangling import pivot_counts
+
+    return pivot_counts(
+        _t(spark, sf_dir, "events"),
+        key_col="user_id",
+        pivot_col="event_type",
+        values=_EVENT_TYPES,
+        count_col_prefix="n_",
+    )
+
+
+@_register(
+    "table_scd2",
+    """
+WITH base AS (
+  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS p
+  FROM orders
+), v AS (
+  SELECT k, st, p, 1 AS version FROM base
+  UNION ALL
+  SELECT k, st, CASE WHEN k % 7 = 0 THEN p + 1.0 ELSE p END, 2
+  FROM base WHERE k % 11 <> 0
+  UNION ALL
+  SELECT k, st,
+         p + CASE WHEN k % 7 = 0 THEN 1.0 ELSE 0.0 END
+           + CASE WHEN k % 5 = 0 THEN 2.0 ELSE 0.0 END, 3
+  FROM base
+), marked AS (
+  SELECT k, st, p, version,
+         CASE WHEN lag(version) OVER w IS NULL
+                OR st IS DISTINCT FROM lag(st) OVER w
+                OR p IS DISTINCT FROM lag(p) OVER w
+                OR version <> lag(version) OVER w + 1
+         THEN 1 ELSE 0 END AS new_run
+  FROM v WINDOW w AS (PARTITION BY k ORDER BY version)
+), isl AS (
+  SELECT *,
+         sum(new_run) OVER (PARTITION BY k ORDER BY version
+                            ROWS UNBOUNDED PRECEDING) AS run,
+         max(version) OVER (PARTITION BY k) AS kmv
+  FROM marked
+)
+SELECT k AS o_orderkey,
+       min(st) AS o_orderstatus,
+       min(p) AS o_totalprice,
+       CAST(min(version) AS INT) AS valid_from,
+       CAST(CASE WHEN max(version) < min(kmv) THEN max(version) END AS INT)
+           AS valid_to
+FROM isl GROUP BY k, run
+""",
+)
+def table_scd2(spark, sf_dir):
+    """Slowly-changing-dimension type-2 build: three deterministic
+    snapshot versions of orders (price bumps for key%7 at v2, key%5 at
+    v3; key%11 absent from v2 — a gap that must split validity) are
+    collapsed into per-key validity ranges with the distributed
+    gaps-and-islands plan (ONE key shuffle). valid_to NULL = current."""
+    from .sources.tables import scd2_collapse
+
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"), F.col("o_orderstatus"), F.col("o_totalprice")
+    )
+    v1 = base.withColumn("version", F.lit(1))
+    v2 = (
+        base.filter(F.col("o_orderkey") % 11 != 0)
+        .withColumn(
+            "o_totalprice",
+            F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.0
+            ).otherwise(F.col("o_totalprice")),
+        )
+        .withColumn("version", F.lit(2))
+    )
+    v3 = base.withColumn(
+        "o_totalprice",
+        F.col("o_totalprice")
+        + F.when(F.col("o_orderkey") % 7 == 0, 1.0).otherwise(0.0)
+        + F.when(F.col("o_orderkey") % 5 == 0, 2.0).otherwise(0.0),
+    ).withColumn("version", F.lit(3))
+    return scd2_collapse(
+        v1.unionByName(v2).unionByName(v3),
+        key_cols=["o_orderkey"],
+        version_col="version",
+        compare_cols=["o_orderstatus", "o_totalprice"],
+    )
+
+
+_BPE_TOP_N = 50
+
+
+@_register(
+    "text_bpe_pairs",
+    f"""
+WITH toks AS (
+  SELECT unnest(CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                ELSE string_split_regex(trim(lower(text)), '\\s+')
+                END) AS tok
+  FROM documents
+), pairs AS (
+  SELECT unnest(list_transform(range(1, greatest(length(tok), 1)),
+                               i -> tok[i:i+1])) AS pair
+  FROM toks
+), counts AS (
+  SELECT pair, CAST(count(*) AS BIGINT) AS count FROM pairs GROUP BY 1
+)
+SELECT pair, count FROM (
+  SELECT pair, count,
+         row_number() OVER (ORDER BY count DESC, pair) AS rn
+  FROM counts
+) WHERE rn <= {_BPE_TOP_N}
+""",
+)
+def text_bpe_pairs(spark, sf_dir):
+    """One distributed BPE merge step: the 50 most frequent adjacent
+    character pairs inside lowercased tokens — the per-round statistic
+    of byte-pair-encoding tokenizer training. Pair generation is
+    sequence/substr HOFs (no UDF); the count exchange is bounded by
+    |alphabet|^2; the global top-n is rank-then-filter
+    (WindowGroupLimit)."""
+    from .operators.profiling import bpe_pair_counts
+
+    return bpe_pair_counts(
+        _t(spark, sf_dir, "documents"), top_n=_BPE_TOP_N
+    )

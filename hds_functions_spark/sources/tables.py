@@ -22,6 +22,7 @@ from dataclasses import dataclass, field
 from typing import List, Optional
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from ..operators.wrangling import clean_column_names
@@ -35,6 +36,7 @@ __all__ = [
     "upsert_table",
     "get_archive_versions",
     "table_diff",
+    "scd2_collapse",
     "build_rollup",
     "merge_rollup",
     "standardise_table",
@@ -393,6 +395,63 @@ def table_diff(
         )
         .otherwise(F.array().cast("array<string>"))
         .alias("changed_columns"),
+    )
+
+
+def scd2_collapse(
+    df,
+    key_cols: list[str],
+    version_col: str,
+    compare_cols: list[str],
+) -> "DataFrame":
+    """Collapse a stack of integer-versioned snapshots into
+    slowly-changing-dimension type-2 history: one row per (key,
+    unchanged-attribute run) with ``valid_from`` / ``valid_to`` version
+    bounds (``valid_to`` NULL = still current in the latest version the
+    key appears in). A key absent from an intermediate version starts a
+    NEW run when it returns (the gap ends the previous validity).
+
+    The gaps-and-islands classic, distributed: per-key window ordered by
+    version, a run starts when any compared attribute differs from the
+    previous version (null-safe) OR the version is not the immediate
+    successor; a running sum of starts numbers the islands, and one
+    groupBy per (key, island) emits the validity range. ONE shuffle on
+    the key (window + island aggregate co-partition); nothing wider
+    than the compared columns moves.
+    """
+    if not key_cols or not compare_cols:
+        raise ValueError("key_cols and compare_cols must be non-empty")
+    w = Window.partitionBy(*key_cols).orderBy(version_col)
+    changed = F.lit(False)
+    for c in compare_cols:
+        changed = changed | ~F.col(c).eqNullSafe(F.lag(c).over(w))
+    gap = F.col(version_col) != F.lag(version_col).over(w) + 1
+    new_run = F.when(
+        F.lag(version_col).over(w).isNull() | changed | gap, 1
+    ).otherwise(0)
+    runs = df.withColumn(
+        "_run",
+        F.sum(new_run).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    max_v = Window.partitionBy(*key_cols)
+    runs = runs.withColumn("_key_max_v", F.max(version_col).over(max_v))
+    out = runs.groupBy(*key_cols, "_run").agg(
+        # values are constant within a run by construction; min is the
+        # order-independent way to carry them through the aggregate
+        *[F.min(c).alias(c) for c in compare_cols],
+        F.min(version_col).alias("valid_from"),
+        F.max(version_col).alias("_run_max_v"),
+        F.min("_key_max_v").alias("_kmv"),
+    )
+    return out.select(
+        *key_cols,
+        *compare_cols,
+        "valid_from",
+        F.when(
+            F.col("_run_max_v") < F.col("_kmv"), F.col("_run_max_v")
+        ).alias("valid_to"),
     )
 
 

@@ -202,3 +202,73 @@ def test_semantic_dedup_no_pairs_keeps_all(spark):
     )
     kept = semantic_dedup(df, [[1.0, 0.0], [0.0, 1.0]], threshold=0.99)
     assert kept.count() == 2
+
+
+def test_pivot_counts(spark):
+    from hds_functions_spark.operators.wrangling import pivot_counts
+
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "a"), (1, "b"), (2, "b"), (2, "zzz")],
+        "k long, t string",
+    )
+    out = {r["k"]: r for r in pivot_counts(df, "k", "t", ["a", "b"],
+                                           count_col_prefix="n_").collect()}
+    assert out[1]["n_a"] == 2 and out[1]["n_b"] == 1
+    assert out[2]["n_a"] == 0 and out[2]["n_b"] == 1  # absent -> 0, zzz ignored
+    import pytest
+    with pytest.raises(ValueError, match="values"):
+        pivot_counts(df, "k", "t", [])
+
+
+def test_scd2_collapse(spark):
+    from hds_functions_spark.sources.tables import scd2_collapse
+
+    rows = [
+        # key 1: value changes at v3 -> two runs
+        (1, "x", 1), (1, "x", 2), (1, "y", 3),
+        # key 2: constant across all versions -> one current run
+        (2, "x", 1), (2, "x", 2), (2, "x", 3),
+        # key 3: absent at v2 with SAME value -> gap splits the run
+        (3, "x", 1), (3, "x", 3),
+        # key 4: only in v1 (deleted): run ends at its own max -> current
+        (4, "x", 1),
+    ]
+    df = spark.createDataFrame(rows, "k long, v string, version int")
+    out = scd2_collapse(df, ["k"], "version", ["v"])
+    got = {(r["k"], r["valid_from"]): (r["v"], r["valid_to"])
+           for r in out.collect()}
+    assert got[(1, 1)] == ("x", 2) and got[(1, 3)] == ("y", None)
+    assert got[(2, 1)] == ("x", None)
+    assert got[(3, 1)] == ("x", 1) and got[(3, 3)] == ("x", None)
+    assert got[(4, 1)] == ("x", None)
+    assert len(got) == 6
+
+
+def test_scd2_validates(spark):
+    import pytest
+    from hds_functions_spark.sources.tables import scd2_collapse
+
+    df = spark.createDataFrame([(1, "x", 1)], "k long, v string, version int")
+    with pytest.raises(ValueError, match="non-empty"):
+        scd2_collapse(df, [], "version", ["v"])
+
+
+def test_bpe_pair_counts(spark):
+    from hds_functions_spark.operators.profiling import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "aab AAB x"), (2, "ab")], "doc_id long, text string"
+    )
+    out = {r["pair"]: r["count"] for r in
+           bpe_pair_counts(df, top_n=10).collect()}
+    # 'aab' twice (lowercased) -> aa x2, ab x2; plus 'ab' -> ab x3
+    assert out["ab"] == 3 and out["aa"] == 2
+    assert "x" not in out  # single-char tokens emit no pairs
+
+
+def test_bpe_pair_counts_top_n_deterministic(spark):
+    from hds_functions_spark.operators.profiling import bpe_pair_counts
+
+    df = spark.createDataFrame([(1, "ba ab ba ab")], "doc_id long, text string")
+    out = bpe_pair_counts(df, top_n=1).collect()
+    assert len(out) == 1 and out[0]["pair"] == "ab"  # tie -> lexical order
