@@ -49,6 +49,8 @@ from .operators.clustering import (
 from .operators.events import (
     as_of_join,
     daily_count_anomalies,
+    rfm_scores,
+    type_cooccurrence_pmi,
     densify_timeline,
     densify_timeline_calendar,
     interval_join,

@@ -39,6 +39,8 @@ __all__ = [
     "transition_counts",
     "time_decayed_agg",
     "daily_count_anomalies",
+    "rfm_scores",
+    "type_cooccurrence_pmi",
 ]
 
 
@@ -551,4 +553,113 @@ def daily_count_anomalies(
         daily.withColumn("z", F.round(z, round_digits))
         .filter(F.abs(F.col("z")) >= z_threshold)
         .select(key_col, "day", "n_events", "z")
+    )
+
+
+def rfm_scores(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    n_tiles: int = 4,
+    round_digits: int = 6,
+) -> DataFrame:
+    """RFM segmentation: per key, recency (days since last event,
+    anchored at the global max timestamp), frequency (event count) and
+    monetary (value sum), each scored into ``n_tiles`` equal-frequency
+    tiles (0 = lowest value of the dimension; note recency LOW means
+    RECENT, so r_score 0 is the most recently active tile).
+
+    Plan shape: the corpus collapses to one row per key in ONE
+    map-side-combinable aggregate; the three tile assignments reuse
+    :func:`~hds_functions_spark.functions.layout.bucket_by_quantiles`
+    (exact-percentile cuts + broadcast attach — no global sort, no
+    one-partition window, unlike the textbook ntile() spelling).
+    Metrics are rounded BEFORE scoring so an oracle rounding identically
+    places boundary keys in the same tile.
+    """
+    from ..functions.layout import bucket_by_quantiles
+
+    ref = df.agg(F.max(F.unix_micros(F.col(ts_col))).alias("_ref_us"))
+    per_key = (
+        df.crossJoin(F.broadcast(ref))
+        .groupBy(key_col)
+        .agg(
+            F.round(
+                (F.min("_ref_us") - F.max(F.unix_micros(F.col(ts_col))))
+                / F.lit(86400e6),
+                round_digits,
+            ).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.round(F.sum(value_col), round_digits).alias("monetary"),
+        )
+    )
+    out = per_key
+    for col, score in (
+        ("recency_days", "r_score"),
+        ("frequency", "f_score"),
+        ("monetary", "m_score"),
+    ):
+        out = bucket_by_quantiles(
+            out, col, n_tiles, bucket_col=score, round_digits=round_digits
+        )
+    return out
+
+
+def type_cooccurrence_pmi(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    gap_seconds: int = 1800,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pointwise mutual information between event types co-occurring in
+    the same session: ``pmi = ln(n_ab * N / (n_a * n_b))`` over session
+    presence — the association signal behind market-basket / next-action
+    analyses. Output ``(type_a, type_b, n_ab, pmi)`` with type_a <
+    type_b.
+
+    Plan shape: sessionise (one key shuffle), collapse to DISTINCT
+    (session, type) — the frame is bounded by sessions * |types| — then
+    a self-join on the session key whose fanout is at most |types|^2
+    per session; marginals and the session total are tiny aggregates
+    broadcast back. No stage touches raw events twice.
+    """
+    s = sessionize(df, key_col, ts_col, gap_seconds)
+    st = s.select(
+        F.col(key_col).alias("_k"),
+        F.col("session_id").alias("_s"),
+        F.col(type_col).alias("_t"),
+    ).distinct()
+    n_sessions = st.select("_k", "_s").distinct().agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    marg = st.groupBy("_t").agg(F.count(F.lit(1)).alias("_m"))
+    a = st.select("_k", "_s", F.col("_t").alias("type_a"))
+    b = st.select("_k", "_s", F.col("_t").alias("type_b"))
+    pairs = (
+        a.join(b, on=["_k", "_s"])
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+    )
+    ma = marg.select(F.col("_t").alias("type_a"), F.col("_m").alias("_ma"))
+    mb = marg.select(F.col("_t").alias("type_b"), F.col("_m").alias("_mb"))
+    return (
+        pairs.join(F.broadcast(ma), "type_a")
+        .join(F.broadcast(mb), "type_b")
+        .crossJoin(F.broadcast(n_sessions))
+        .select(
+            "type_a",
+            "type_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab").cast("double") * F.col("_n")
+                    / (F.col("_ma") * F.col("_mb"))
+                ),
+                round_digits,
+            ).alias("pmi"),
+        )
     )

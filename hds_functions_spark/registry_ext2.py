@@ -833,3 +833,134 @@ def text_bpe_pairs(spark, sf_dir):
     return bpe_pair_counts(
         _t(spark, sf_dir, "documents"), top_n=_BPE_TOP_N
     )
+
+
+# --- RFM segmentation / co-occurrence PMI / cluster-size histogram -------
+
+_RFM_TILES = 4
+
+
+def _duck_rfm_sql() -> str:
+    fracs = ", ".join(repr(i / _RFM_TILES) for i in range(1, _RFM_TILES))
+
+    def cuts(tag: str, col: str) -> str:
+        return (
+            f"{tag} AS (SELECT list_transform("
+            f"quantile_cont({col}, [{fracs}]), x -> round(x, 6)) AS cuts "
+            f"FROM pk)"
+        )
+
+    def score(tag: str, col: str) -> str:
+        return f"len(list_filter({tag}.cuts, c -> c <= {col}))::INT"
+
+    return f"""
+WITH ref AS (SELECT max(epoch_us(ts)) AS ref_us FROM events),
+pk AS (
+  SELECT user_id,
+         round((min(ref_us) - max(epoch_us(ts))) / 86400000000.0, 6)
+             AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         round(sum(value), 6) AS monetary
+  FROM events, ref GROUP BY 1
+),
+{cuts("rc", "recency_days")},
+{cuts("fc", "frequency")},
+{cuts("mc", "monetary")}
+SELECT user_id, recency_days, frequency, monetary,
+       {score("rc", "recency_days")} AS r_score,
+       {score("fc", "frequency")} AS f_score,
+       {score("mc", "monetary")} AS m_score
+FROM pk, rc, fc, mc
+"""
+
+
+@_register("events_rfm", None)  # oracle attached below
+def events_rfm(spark, sf_dir):
+    """RFM segmentation: per-user recency/frequency/monetary collapsed
+    in ONE aggregate, each dimension scored into quartiles via the
+    exact-percentile bucket machinery (broadcast cuts — no ntile over a
+    one-partition window)."""
+    from .operators.events import rfm_scores
+
+    return rfm_scores(
+        _t(spark, sf_dir, "events"), key_col="user_id", ts_col="ts",
+        value_col="value", n_tiles=_RFM_TILES,
+    )
+
+
+ORACLES["events_rfm"] = _duck_rfm_sql()
+
+
+@_register(
+    "events_cooccurrence",
+    """
+WITH ordered AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, event_type,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS s
+  FROM ordered
+), st AS (
+  SELECT DISTINCT user_id, s, event_type FROM sess
+), n AS (
+  SELECT count(*) AS n FROM (SELECT DISTINCT user_id, s FROM st)
+), marg AS (
+  SELECT event_type, count(*) AS m FROM st GROUP BY 1
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         CAST(count(*) AS BIGINT) AS n_ab
+  FROM st a
+  JOIN st b ON a.user_id = b.user_id AND a.s = b.s
+           AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT type_a, type_b, n_ab,
+       round(ln(n_ab::DOUBLE * n.n / (ma.m * mb.m)), 6) AS pmi
+FROM pairs
+JOIN marg ma ON ma.event_type = pairs.type_a
+JOIN marg mb ON mb.event_type = pairs.type_b
+CROSS JOIN n
+""",
+)
+def events_cooccurrence(spark, sf_dir):
+    """Session-level PMI between event types (30-minute sessions): the
+    association table behind market-basket / next-action analysis.
+    Events collapse to distinct (session, type) — bounded by sessions *
+    |types| — before the session-key self-join; marginals broadcast
+    back."""
+    from .operators.events import type_cooccurrence_pmi
+
+    return type_cooccurrence_pmi(
+        _t(spark, sf_dir, "events"), key_col="user_id", ts_col="ts",
+        type_col="event_type", gap_seconds=1800,
+    )
+
+
+@_register(
+    "dedup_cluster_sizes",
+    f"""
+WITH comp AS (SELECT * FROM ({ORACLES["dedup_clusters_cc"]})),
+sizes AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS size FROM comp GROUP BY 1
+)
+SELECT size, CAST(count(*) AS BIGINT) AS n_clusters FROM sizes GROUP BY 1
+""",
+)
+def dedup_cluster_sizes(spark, sf_dir):
+    """Near-dup component-size histogram — THE dedup report (how much
+    of the corpus sits in how-big duplicate families; a heavy tail here
+    means a hot component and motivates the banded pair caps). Two
+    count aggregates over the session-shared persisted clusters table —
+    the expensive MinHash + connected-components work is not repeated."""
+    from .registry_ext import _shared_clusters
+
+    cl = _shared_clusters(spark, sf_dir)
+    sizes = cl.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    return sizes.groupBy("size").agg(
+        F.count(F.lit(1)).alias("n_clusters")
+    )

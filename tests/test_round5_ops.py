@@ -272,3 +272,70 @@ def test_bpe_pair_counts_top_n_deterministic(spark):
     df = spark.createDataFrame([(1, "ba ab ba ab")], "doc_id long, text string")
     out = bpe_pair_counts(df, top_n=1).collect()
     assert len(out) == 1 and out[0]["pair"] == "ab"  # tie -> lexical order
+
+
+def test_rfm_scores(spark):
+    from hds_functions_spark.operators.events import rfm_scores
+
+    rows = []
+    eid = 0
+    # 8 users with increasing frequency and value, decreasing recency
+    for u in range(8):
+        for i in range(u + 1):
+            rows.append((eid, u, datetime(2024, 1, 1 + u, 12), "e", float(u)))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string, value double"
+    )
+    out = {r["user_id"]: r for r in rfm_scores(df, n_tiles=4).collect()}
+    assert out[7]["recency_days"] == 0.0 and out[7]["frequency"] == 8
+    assert out[7]["monetary"] == 7.0 * 8
+    # most recent, most frequent, highest value user: top tile for f/m,
+    # bottom (best) tile for recency
+    assert out[7]["f_score"] == 3 and out[7]["m_score"] == 3
+    assert out[7]["r_score"] == 0
+    assert out[0]["f_score"] == 0 and out[0]["r_score"] == 3
+    for r in out.values():
+        for c in ("r_score", "f_score", "m_score"):
+            assert 0 <= r[c] <= 3
+
+
+def test_type_cooccurrence_pmi(spark):
+    import math
+    from hds_functions_spark.operators.events import type_cooccurrence_pmi
+
+    # 4 sessions (users, single burst each): ab, ab, a, c
+    rows = [
+        (1, 1, datetime(2024, 1, 1, 0, 0), "a", 0.0),
+        (2, 1, datetime(2024, 1, 1, 0, 1), "b", 0.0),
+        (3, 2, datetime(2024, 1, 1, 0, 0), "a", 0.0),
+        (4, 2, datetime(2024, 1, 1, 0, 1), "b", 0.0),
+        (5, 3, datetime(2024, 1, 1, 0, 0), "a", 0.0),
+        (6, 4, datetime(2024, 1, 1, 0, 0), "c", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string, value double"
+    )
+    out = type_cooccurrence_pmi(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["type_a"], r["type_b"], r["n_ab"]) == ("a", "b", 2)
+    # pmi = ln(n_ab * N / (n_a * n_b)) = ln(2*4 / (3*2))
+    assert r["pmi"] == pytest.approx(round(math.log(8 / 6), 6), abs=1e-9)
+
+
+def test_type_cooccurrence_sessions_split(spark):
+    from hds_functions_spark.operators.events import type_cooccurrence_pmi
+
+    # same user, two bursts 2h apart: a+b never share a session
+    rows = [
+        (1, 1, datetime(2024, 1, 1, 0, 0), "a", 0.0),
+        (2, 1, datetime(2024, 1, 1, 2, 0), "b", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string, value double"
+    )
+    assert type_cooccurrence_pmi(df, gap_seconds=1800).count() == 0
