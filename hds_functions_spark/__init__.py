@@ -108,6 +108,14 @@ from .operators.similarity import (
     quantized_cosine_topk,
     random_projection,
 )
+from .operators.multimodal import (
+    ahash_duplicate_groups,
+    attach_binary_payload,
+    decode_image_features,
+    image_ahash,
+    sample_video_frames,
+    synthesize_media_payloads,
+)
 from .operators.privacy import (
     generalize_columns,
     k_anonymity_violations,

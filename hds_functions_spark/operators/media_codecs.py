@@ -61,6 +61,9 @@ __all__ = [
     "parse_y4m",
     "resize_ppm_nearest",
     "ppm_pixel_data",
+    "bmp_pixel_data",
+    "image_pixel_data",
+    "ahash64",
 ]
 
 WAV_RATES = [8000, 16000, 22050, 44100, 48000]
@@ -417,3 +420,104 @@ def parse_y4m(payload: bytes | None) -> dict | None:
         "n_frames": len(spans),
         "frame_spans": spans,
     }
+
+
+def bmp_pixel_data(payload: bytes) -> tuple[int, int, bytes] | None:
+    """24bpp BMP payload -> (width, height, top-down raw RGB bytes), or
+    None for anything else. Handles bottom-up (positive height) and
+    top-down (negative height) storage and row-stride padding;
+    numpy-vectorized like the other codecs."""
+    p = bytes(payload)
+    if p[:2] != b"BM" or len(p) < 54:
+        return None
+    off = struct.unpack_from("<I", p, 10)[0]
+    w = struct.unpack_from("<i", p, 18)[0]
+    h = struct.unpack_from("<i", p, 22)[0]
+    bpp = struct.unpack_from("<H", p, 28)[0]
+    if bpp != 24 or w <= 0 or h == 0:
+        return None
+    top_down = h < 0
+    h = abs(h)
+    stride = (3 * w + 3) // 4 * 4
+    if len(p) < off + stride * h:
+        return None
+    if np is not None:
+        rows = np.frombuffer(
+            p, dtype=np.uint8, count=stride * h, offset=off
+        ).reshape(h, stride)
+        bgr = rows[:, : 3 * w].reshape(h, w, 3)
+        if not top_down:
+            bgr = bgr[::-1]
+        return w, h, bgr[:, :, ::-1].tobytes()
+    out = bytearray()
+    rng = range(h) if top_down else range(h - 1, -1, -1)
+    for y in rng:
+        base = off + y * stride
+        for x in range(w):
+            b0 = base + 3 * x
+            out += bytes((p[b0 + 2], p[b0 + 1], p[b0]))
+    return w, h, bytes(out)
+
+
+def image_pixel_data(payload: bytes | None) -> tuple[int, int, bytes] | None:
+    """Sniff the container and return (width, height, top-down RGB bytes)
+    for P6 PPM or 24bpp BMP payloads; None for anything else."""
+    if not payload:
+        return None
+    p = bytes(payload)
+    if p[:2] == b"P6":
+        return ppm_pixel_data(p)
+    if p[:2] == b"BM":
+        return bmp_pixel_data(p)
+    return None
+
+
+def ahash64(
+    payload: bytes | None, grid: int = 8
+) -> tuple[int, int, int, int] | None:
+    """Perceptual average-hash of a decodable image: sample a grid x grid
+    pixel lattice with the SAME floor mapping as resize_ppm_nearest
+    (``src = (i * h // grid, j * w // grid)`` — integer, SQL-mirrorable),
+    take per-sample RGB sums, and set bit ``i*grid + j`` when the sample
+    is STRICTLY above the grid mean (``s * grid^2 > total``). Identical
+    content hashes identically across containers (PPM and BMP decode to
+    the same pixels); small pixel edits flip few bits, so Hamming
+    distance measures visual similarity.
+
+    Returns (width, height, hash_hi32, hash_lo32) or None if the payload
+    is not a decodable image. Split halves keep each value in signed-64
+    range for engines without unsigned ints.
+    """
+    parsed = image_pixel_data(payload)
+    if parsed is None:
+        return None
+    w, h, pixels = parsed
+    n = grid * grid
+    if np is not None:
+        px = (
+            np.frombuffer(pixels, dtype=np.uint8)[: w * h * 3]
+            .astype(np.int64)
+            .reshape(h, w, 3)
+        )
+        sy = (np.arange(grid) * h) // grid
+        sx = (np.arange(grid) * w) // grid
+        s = px[sy][:, sx].sum(axis=2).flatten()
+        total = int(s.sum())
+        val = 0
+        for idx in range(n):
+            if int(s[idx]) * n > total:
+                val |= 1 << idx
+    else:
+        sums = []
+        for i in range(grid):
+            for j in range(grid):
+                base = ((i * h // grid) * w + (j * w // grid)) * 3
+                sums.append(
+                    pixels[base] + pixels[base + 1] + pixels[base + 2]
+                )
+        total = sum(sums)
+        val = 0
+        for idx, sv in enumerate(sums):
+            if sv * n > total:
+                val |= 1 << idx
+    return w, h, (val >> 32) & 0xFFFFFFFF, val & 0xFFFFFFFF

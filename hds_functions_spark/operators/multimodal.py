@@ -61,6 +61,9 @@ __all__ = [
     "binary_metadata",
     "synthesize_media_payloads",
     "decode_image_features",
+    "image_ahash",
+    "ahash_duplicate_groups",
+    "AHASH_SCHEMA",
     "decode_audio_features",
     "resize_image",
     "sample_video_frames",
@@ -513,4 +516,73 @@ def decode_audio_features(
 
     return df.select(id_col, payload_col).mapInPandas(
         process, schema=AUDIO_FEATURE_SCHEMA
+    )
+
+
+#: One row per image: dims + the 64-bit average-hash split into two
+#: 32-bit halves (unsigned-safe in engines without uint64).
+AHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("ahash_hi", LongType()),
+        StructField("ahash_lo", LongType()),
+    ]
+)
+
+
+def image_ahash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    grid: int = 8,
+) -> DataFrame:
+    """Perceptual average-hash over a binary image column — the
+    image-level near-duplicate signature (identical content hashes
+    identically across PPM/BMP containers; small edits flip few bits, so
+    Hamming distance over the 64 bits measures visual similarity).
+
+    Arrow-batched ``mapInPandas`` over the REAL decode path
+    (:func:`media_codecs.ahash64`): numpy lattice sampling + threshold,
+    one pass over the payload bytes, no shuffle. Undecodable payloads
+    yield null hash halves rather than failing the stage.
+    """
+
+    def process(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from .media_codecs import ahash64
+
+        for pdf in batches:
+            hashed = [
+                ahash64(p, grid=grid) if p is not None else None
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": [r[0] if r else None for r in hashed],
+                    "height": [r[1] if r else None for r in hashed],
+                    "ahash_hi": [r[2] if r else None for r in hashed],
+                    "ahash_lo": [r[3] if r else None for r in hashed],
+                }
+            )
+
+    return df.mapInPandas(process, AHASH_SCHEMA)
+
+
+def ahash_duplicate_groups(hashes: DataFrame) -> DataFrame:
+    """Collapse identical perceptual hashes into duplicate-image groups:
+    one row per hash value seen more than once, with the group size and
+    the lowest doc_id as canonical. ONE map-side-combinable aggregate
+    keyed by the two hash halves."""
+    return (
+        hashes.filter(F.col("ahash_hi").isNotNull())
+        .groupBy("ahash_hi", "ahash_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_images") > 1)
     )

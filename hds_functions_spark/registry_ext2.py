@@ -964,3 +964,90 @@ def dedup_cluster_sizes(spark, sf_dir):
     return sizes.groupBy("size").agg(
         F.count(F.lit(1)).alias("n_clusters")
     )
+
+
+# --- perceptual image hashing --------------------------------------------
+
+
+def _duck_ahash_sql() -> str:
+    """Mirror of synthesize_image + media_codecs.ahash64: dims and the
+    ramp pixel pattern come from md5(seed) by the fixed synthesis
+    protocol, so the 8x8 lattice samples, the strict-mean threshold and
+    the split hash halves are all integer-computable in SQL — the oracle
+    checks the REAL decode+hash path bit-for-bit."""
+    return """
+WITH b AS (
+  SELECT doc_id,
+         1 + ('0x' || substr(md5(text), 1, 2))::INTEGER % 64 AS w,
+         1 + ('0x' || substr(md5(text), 3, 2))::INTEGER % 64 AS h,
+         ('0x' || substr(md5(text), 7, 2))::INTEGER AS d3
+  FROM documents
+), g AS (
+  SELECT doc_id, w, h, (i.i * 8 + j.j) AS idx,
+         ((d3 + (((i.i * h) // 8) * w + ((j.j * w) // 8)) * 3) % 256)
+         + ((d3 + (((i.i * h) // 8) * w + ((j.j * w) // 8)) * 3 + 1) % 256)
+         + ((d3 + (((i.i * h) // 8) * w + ((j.j * w) // 8)) * 3 + 2) % 256)
+             AS s
+  FROM b, range(0, 8) i(i), range(0, 8) j(j)
+), t AS (
+  SELECT doc_id, sum(s) AS total FROM g GROUP BY 1
+), bits AS (
+  SELECT g.doc_id, g.w, g.h, idx,
+         CASE WHEN s * 64 > t.total THEN 1 ELSE 0 END AS bit
+  FROM g JOIN t USING (doc_id)
+)
+SELECT doc_id,
+       CAST(min(w) AS INTEGER) AS width,
+       CAST(min(h) AS INTEGER) AS height,
+       CAST(sum(CASE WHEN idx >= 32 THEN bit::BIGINT << (idx - 32)
+                ELSE 0 END) AS BIGINT) AS ahash_hi,
+       CAST(sum(CASE WHEN idx < 32 THEN bit::BIGINT << idx
+                ELSE 0 END) AS BIGINT) AS ahash_lo
+FROM bits GROUP BY doc_id
+"""
+
+
+@_register("multimodal_ahash", None)  # oracle attached below
+def multimodal_ahash(spark, sf_dir):
+    """Perceptual average-hash of every synthesized image through the
+    REAL decode path (PPM/BMP byte parsing -> numpy lattice sample ->
+    strict-mean threshold), Arrow-batched, no shuffle. The oracle
+    recomputes the 64 bits integer-exactly from the synthesis
+    protocol."""
+    from .operators.multimodal import image_ahash, synthesize_media_payloads
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return image_ahash(synthesize_media_payloads(docs, "image"))
+
+
+ORACLES["multimodal_ahash"] = _duck_ahash_sql()
+
+
+@_register("multimodal_ahash_dups", None)  # oracle attached below
+def multimodal_ahash_dups(spark, sf_dir):
+    """Image-level duplicate groups by perceptual hash: identical
+    content hashes identically regardless of container, and VISUALLY
+    equivalent content (the synthetic ramp images produce recurring
+    brightness-stripe patterns) collapses too — which is precisely what
+    a perceptual hash is for. One combinable aggregate on the hash
+    halves; near-miss detection at small Hamming distance is pinned by
+    the unit tests with perturbed pixels."""
+    from .operators.multimodal import (
+        ahash_duplicate_groups,
+        image_ahash,
+        synthesize_media_payloads,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return ahash_duplicate_groups(
+        image_ahash(synthesize_media_payloads(docs, "image"))
+    )
+
+
+ORACLES["multimodal_ahash_dups"] = f"""
+WITH h AS ({_duck_ahash_sql()})
+SELECT ahash_hi, ahash_lo,
+       CAST(count(*) AS BIGINT) AS n_images,
+       min(doc_id) AS canonical_doc_id
+FROM h GROUP BY 1, 2 HAVING count(*) > 1
+"""

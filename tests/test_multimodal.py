@@ -333,3 +333,84 @@ def test_y4m_parse_c422_and_multiframe():
     assert info["n_frames"] == 2
     lo, hi = info["frame_spans"][1]
     assert raw[lo:hi] == bytes(range(16))
+
+
+class TestImageAhash:
+    def test_hash_identical_across_containers(self, spark):
+        from hds_functions_spark.operators.media_codecs import (
+            ahash64,
+            synthesize_bmp,
+            synthesize_ppm,
+        )
+
+        for seed in ("alpha", "beta", "gamma"):
+            a = ahash64(synthesize_ppm(seed))
+            b = ahash64(synthesize_bmp(seed))
+            assert a == b  # same pixels -> same dims and hash
+
+    def test_small_edit_small_hamming(self, spark):
+        from hds_functions_spark.operators.media_codecs import (
+            ahash64,
+            ppm_pixel_data,
+            synthesize_ppm,
+        )
+
+        payload = synthesize_ppm("hello world")
+        w, h, _ = ppm_pixel_data(payload)
+        base = ahash64(payload)
+        # perturb ONE sampled lattice pixel (i=j=0 -> pixel (0,0))
+        p = bytearray(payload)
+        off = len(payload) - 3 * w * h
+        p[off] = p[off + 1] = p[off + 2] = 255
+        edited = ahash64(bytes(p))
+        ham = bin(
+            ((base[2] << 32 | base[3]) ^ (edited[2] << 32 | edited[3]))
+        ).count("1")
+        assert 1 <= ham <= 4  # one sample changed -> few bits flip
+
+    def test_undecodable_payload_nulls(self, spark):
+        from hds_functions_spark.operators.multimodal import image_ahash
+
+        df = spark.createDataFrame(
+            [(1, bytearray(b"not an image")), (2, None)],
+            "doc_id long, payload binary",
+        )
+        out = {r["doc_id"]: r for r in image_ahash(df).collect()}
+        assert out[1]["ahash_hi"] is None and out[2]["ahash_hi"] is None
+
+    def test_duplicate_groups(self, spark):
+        from hds_functions_spark.operators.media_codecs import (
+            synthesize_bmp,
+            synthesize_ppm,
+        )
+        from hds_functions_spark.operators.multimodal import (
+            ahash_duplicate_groups,
+            image_ahash,
+        )
+
+        rows = [
+            (1, bytearray(synthesize_ppm("x"))),
+            (2, bytearray(synthesize_bmp("x"))),  # same image, other box
+            (3, bytearray(synthesize_ppm("y"))),
+            (4, bytearray(b"junk")),
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, payload binary")
+        groups = ahash_duplicate_groups(image_ahash(df)).collect()
+        assert len(groups) == 1
+        assert groups[0]["n_images"] == 2
+        assert groups[0]["canonical_doc_id"] == 1
+
+    def test_bmp_bottom_up_and_stride(self, spark):
+        from hds_functions_spark.operators.media_codecs import (
+            bmp_pixel_data,
+            ppm_pixel_data,
+            synthesize_bmp,
+            synthesize_ppm,
+        )
+
+        # width not divisible by 4 exercises stride padding
+        for seed in ("pad1", "pad22", "pad333"):
+            pw, ph, ppx = ppm_pixel_data(synthesize_ppm(seed))
+            bw, bh, bpx = bmp_pixel_data(synthesize_bmp(seed))
+            assert (pw, ph) == (bw, bh)
+            assert ppx == bpx  # identical top-down RGB after unpadding
