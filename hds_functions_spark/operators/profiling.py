@@ -383,6 +383,7 @@ def oov_rate(
     vocab_token_col: str = "token",
     lowercase: bool = True,
     round_digits: int = 6,
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Per-document out-of-vocabulary rate against a vocabulary table —
     the tokenizer-coverage check run before committing a vocab: how much
@@ -395,6 +396,11 @@ def oov_rate(
     the corpus — never shuffle the corpus to meet it) -> one map-side-
     combinable groupBy back to documents. The exchange carries only
     (doc_id, two ints).
+
+    ``broadcast_vocab=False`` drops the hint for vocabularies too large
+    to ship to every executor (100M+ entries): the join then shuffles
+    the exploded corpus on the token key — correct, one extra exchange
+    — and the planner may still choose broadcast from real stats.
     """
     from ..functions.text import tokens as _tokens
 
@@ -402,14 +408,12 @@ def oov_rate(
     exploded = docs.select(F.col(id_col), tok)
     if lowercase:
         exploded = exploded.withColumn("_tok", F.lower(F.col("_tok")))
-    hits = exploded.join(
-        F.broadcast(
-            vocab.select(F.col(vocab_token_col).alias("_tok"))
-            .withColumn("_in_vocab", F.lit(1))
-        ),
-        on="_tok",
-        how="left",
+    vocab_side = vocab.select(F.col(vocab_token_col).alias("_tok")).withColumn(
+        "_in_vocab", F.lit(1)
     )
+    if broadcast_vocab:
+        vocab_side = F.broadcast(vocab_side)
+    hits = exploded.join(vocab_side, on="_tok", how="left")
     return hits.groupBy(id_col).agg(
         F.count("_tok").alias("n_tokens"),
         F.count(F.when(F.col("_tok").isNotNull()

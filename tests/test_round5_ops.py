@@ -339,3 +339,15 @@ def test_type_cooccurrence_sessions_split(spark):
               "event_type string, value double"
     )
     assert type_cooccurrence_pmi(df, gap_seconds=1800).count() == 0
+
+
+def test_oov_rate_shuffle_path_matches_broadcast_path(spark):
+    from hds_functions_spark.operators.profiling import oov_rate
+
+    docs = _docs(spark)
+    vocab = spark.createDataFrame(
+        [("the",), ("cat",), ("dog",), ("mat",)], "token string"
+    )
+    a = sorted(map(tuple, oov_rate(docs, vocab).collect()))
+    b = sorted(map(tuple, oov_rate(docs, vocab, broadcast_vocab=False).collect()))
+    assert a == b

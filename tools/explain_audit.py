@@ -23,7 +23,12 @@ sys.path.insert(0, ".")
 
 #: queries whose joins must degrade gracefully to shuffle joins when the
 #: per-document side is too big to broadcast
-_SCALE_GATED = ["dedup_minhash_pairs", "dedup_embedding", "analytics_top_orders"]
+_SCALE_GATED = [
+    "dedup_minhash_pairs",
+    "dedup_embedding",
+    "analytics_top_orders",
+    "cluster_semantic_dedup",
+]
 
 
 def scale_gate_audit(sf_dir: str) -> int:
