@@ -1051,3 +1051,36 @@ SELECT ahash_hi, ahash_lo,
        min(doc_id) AS canonical_doc_id
 FROM h GROUP BY 1, 2 HAVING count(*) > 1
 """
+
+
+# --- streaming: Markov pair stream (stream-batch parity) -----------------
+
+
+@_register(
+    "streaming_transitions",
+    """
+WITH pairs AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+)
+SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n_transitions
+FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2
+""",
+)
+def streaming_transitions(spark, sf_dir):
+    """Streaming Markov pairs via applyInPandasWithState (the last event
+    per key bridges micro-batch boundaries), drained AvailableNow and
+    counted — stream-batch parity: the result equals the batch
+    events_transitions oracle exactly."""
+    from .registry_ext import _STATE_PARTITIONS, _events_stream
+    from .streaming.stream_ops import run_stream_to_memory, stream_transitions
+
+    pairs = stream_transitions(_events_stream(spark, sf_dir))
+    drained = run_stream_to_memory(
+        pairs, output_mode="append", state_partitions=_STATE_PARTITIONS
+    )
+    return drained.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )

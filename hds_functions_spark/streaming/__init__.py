@@ -8,6 +8,7 @@ from .stream_ops import (
     stream_distinct_keys,
     stream_session_agg,
     stream_stateful_totals,
+    stream_transitions,
     stream_tumbling_agg,
 )
 
@@ -19,5 +20,6 @@ __all__ = [
     "stream_distinct_keys",
     "stream_session_agg",
     "stream_stateful_totals",
+    "stream_transitions",
     "stream_tumbling_agg",
 ]

@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -56,6 +57,7 @@ __all__ = [
     "stream_session_agg",
     "stream_distinct_keys",
     "stream_stateful_totals",
+    "stream_transitions",
 ]
 
 
@@ -364,3 +366,83 @@ def stream_interval_join(
         & (rw[right_ts] <= lw[left_ts] + F.expr(f"INTERVAL {window}"))
     )
     return lw.join(rw, cond, "inner").drop(rw[key_col])
+
+
+_TRANS_STATE = StructType(
+    [
+        StructField("last_us", LongType()),
+        StructField("last_eid", LongType()),
+        StructField("last_type", StringType()),
+    ]
+)
+
+_TRANS_OUT = StructType(
+    [
+        StructField("from_type", StringType()),
+        StructField("to_type", StringType()),
+    ]
+)
+
+
+def _transitions_fn(
+    key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+):
+    """Per-key adjacency emitter: rows within a micro-batch are sorted by
+    (event time, event_id); the last event of the previous batch is kept
+    in state so pairs bridge batch boundaries."""
+    import pandas as pd
+
+    parts = [pdf for pdf in batches]
+    pdf = (
+        pd.concat(parts).sort_values(["_us", "event_id"])
+        if parts
+        else pd.DataFrame(columns=["_us", "event_id", "event_type"])
+    )
+    types = [str(t) for t in pdf["event_type"]]
+    if state.exists:
+        _lu, _le, last_type = state.get
+        types = [last_type] + types
+    if len(pdf):
+        state.update(
+            (
+                int(pdf["_us"].iloc[-1]),
+                int(pdf["event_id"].iloc[-1]),
+                str(pdf["event_type"].iloc[-1]),
+            )
+        )
+    yield pd.DataFrame({"from_type": types[:-1], "to_type": types[1:]})
+
+
+def stream_transitions(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming Markov pair emitter: for each key, emit (from_type,
+    to_type) for every adjacent event pair, bridging micro-batch
+    boundaries through ``applyInPandasWithState`` keyed state (the last
+    seen event per key). Append semantics: each pair is emitted exactly
+    once, so a downstream count equals the batch
+    :func:`~hds_functions_spark.operators.events.transition_counts`.
+
+    Assumes per-key event-time order ACROSS micro-batches (the standard
+    replayed-log contract); order within a batch is free — rows are
+    sorted by (time, id) inside the state function. State is one
+    (ts, id, type) triple per key — constant per key, hash-partitioned
+    like every keyed state store.
+    """
+    prepped = events.select(
+        F.col(key_col).alias("user_id"),
+        F.col(id_col).alias("event_id"),
+        F.unix_micros(F.col(ts_col)).alias("_us"),
+        F.col(type_col).alias("event_type"),
+    )
+    return prepped.groupBy("user_id").applyInPandasWithState(
+        _transitions_fn,
+        outputStructType=_TRANS_OUT,
+        stateStructType=_TRANS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -285,3 +285,56 @@ def test_stream_to_parquet_zero_batches_returns_empty(spark, tmp_path):
     )
     assert out.collect() == []
     assert {f.name for f in out.schema} >= {"user_id", "n_events"}
+
+
+def test_stream_transitions_matches_batch(spark, tmp_path):
+    """Stream-batch parity: pairs drained from the stateful emitter and
+    counted equal the batch transition_counts on the same data, even
+    when the data arrives in MULTIPLE micro-batches (one file each —
+    state must bridge the boundary)."""
+    from datetime import datetime
+
+    from hds_functions_spark.operators.events import transition_counts
+    from hds_functions_spark.streaming.stream_ops import (
+        read_parquet_stream,
+        run_stream_to_memory,
+        stream_transitions,
+    )
+
+    rows1 = [
+        (1, 10, datetime(2024, 1, 1, 0, 0), "a", 0.0),
+        (2, 10, datetime(2024, 1, 1, 0, 1), "b", 0.0),
+        (3, 20, datetime(2024, 1, 1, 0, 0), "a", 0.0),
+    ]
+    rows2 = [
+        (4, 10, datetime(2024, 1, 1, 0, 2), "c", 0.0),  # bridges b -> c
+        (5, 20, datetime(2024, 1, 1, 0, 5), "a", 0.0),  # bridges a -> a
+    ]
+    schema = ("event_id long, user_id long, ts timestamp, "
+              "event_type string, value double")
+    import time
+
+    src = str(tmp_path / "events_stream")
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+    time.sleep(1.1)  # distinct mtimes: the file source processes in order
+    spark.createDataFrame(rows2, schema).coalesce(1).write.mode(
+        "append").parquet(src)
+
+    batch_df = spark.createDataFrame(rows1 + rows2, schema)
+    expected = {
+        (r["from_type"], r["to_type"]): r["n_transitions"]
+        for r in transition_counts(batch_df).collect()
+    }
+
+    stream = read_parquet_stream(spark, src, max_files_per_trigger=1)
+    pairs = run_stream_to_memory(
+        stream.transform(stream_transitions), output_mode="append",
+        state_partitions=2,
+    )
+    got = {}
+    for r in pairs.collect():
+        k = (r["from_type"], r["to_type"])
+        got[k] = got.get(k, 0) + 1
+    assert got == expected
+    assert got[("b", "c")] == 1 and got[("a", "a")] == 1  # cross-batch pairs
