@@ -108,6 +108,10 @@ def join_key_audit(
     output cardinality (sum over shared keys of left-count *
     right-count).
 
+    NULL keys surface as one ``*_only`` group per side and contribute
+    nothing to ``n_join_rows`` — exactly mirroring the real equi-join,
+    where NULL never matches NULL.
+
     Plan shape: each side collapses to one row per distinct key (map-
     side combinable) before the full-outer key join, so the join touches
     key counts, never the data rows; the final scalar aggregate returns
