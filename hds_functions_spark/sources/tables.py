@@ -415,7 +415,9 @@ def scd2_collapse(
     version, a run starts when any compared attribute differs from the
     previous version (null-safe) OR the version is not the immediate
     successor; a running sum of starts numbers the islands, and one
-    groupBy per (key, island) emits the validity range. ONE shuffle on
+    groupBy per (key, island) emits the validity range. Input
+    contract: (key, version) pairs are unique — a duplicated
+    snapshot row would read as a same-version gap and split its run. ONE shuffle on
     the key (window + island aggregate co-partition); nothing wider
     than the compared columns moves.
     """
