@@ -29,6 +29,7 @@ from .operators.cleaning import (
 from .operators.contamination import ngram_contamination
 from .operators.dedup import (
     degree_distribution,
+    ngram_containment_pairs,
     connected_components,
     dedup_clusters,
     duplicate_groups,

@@ -38,6 +38,7 @@ __all__ = [
     "minhash_signatures",
     "minhash_pairs",
     "ngram_jaccard_pairs",
+    "ngram_containment_pairs",
     "duplicated_ngram_stats",
     "add_simhash",
     "simhash_pairs",
@@ -479,6 +480,28 @@ def ngram_jaccard_pairs(
     Pass ``None`` to disable (exact classic Jaccard; unsafe at corpus
     scale).
     """
+    inter, na, nb = _capped_gram_pair_counts(
+        df, id_col, text_col, ngram, max_doc_freq
+    )
+    jac = (
+        inter.join(na, on="id_a")
+        .join(nb, on="id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_n_inter").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_n_inter")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return jac
+
+
+def _capped_gram_pair_counts(df, id_col, text_col, ngram, max_doc_freq):
+    """Shared candidate machinery for the n-gram pair similarities:
+    distinct-shingle explode -> hot-gram df cap -> gram-keyed self-join
+    intersection counts + per-doc gram counts (aliased for both join
+    directions). Returns (inter, na, nb)."""
     if max_doc_freq is not None and max_doc_freq < 2:
         raise ValueError(f"max_doc_freq must be >= 2 (got {max_doc_freq})")
     toks = tokens(F.col(text_col))
@@ -506,20 +529,62 @@ def ngram_jaccard_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("_n_inter"))
     )
-    na = gram_counts.select(F.col("_id").alias("id_a"), F.col("_n_grams").alias("_na"))
-    nb = gram_counts.select(F.col("_id").alias("id_b"), F.col("_n_grams").alias("_nb"))
-    jac = (
+    na = gram_counts.select(
+        F.col("_id").alias("id_a"), F.col("_n_grams").alias("_na")
+    )
+    nb = gram_counts.select(
+        F.col("_id").alias("id_b"), F.col("_n_grams").alias("_nb")
+    )
+    return inter, na, nb
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    min_containment: float = 0.5,
+    max_doc_freq: int | None = 10_000,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Asymmetric n-gram containment for every candidate pair:
+    ``containment(A in B) = |A ∩ B| / |A|`` over distinct word n-grams —
+    the quote/clone direction Jaccard hides (a short document fully
+    embedded in a long one scores low Jaccard but containment 1.0,
+    which is exactly what decontamination and quote-detection need).
+
+    Output ``(id_a, id_b, containment_a_in_b, containment_b_in_a)`` with
+    ``id_a < id_b``, kept when EITHER direction rounds to >=
+    ``min_containment``. Same capped-gram candidate plan as
+    :func:`ngram_jaccard_pairs` (shared machinery): hot-gram df cap
+    bounds the self-join fanout, and both containments come from the
+    one intersection count re-joined to the per-doc gram counts.
+    """
+    inter, na, nb = _capped_gram_pair_counts(
+        df, id_col, text_col, ngram, max_doc_freq
+    )
+    out = (
         inter.join(na, on="id_a")
         .join(nb, on="id_b")
         .withColumn(
-            "jaccard",
-            F.col("_n_inter").cast("double")
-            / (F.col("_na") + F.col("_nb") - F.col("_n_inter")),
+            "containment_a_in_b",
+            F.round(F.col("_n_inter") / F.col("_na"), round_digits),
         )
-        .filter(F.col("jaccard") >= min_jaccard)
-        .select("id_a", "id_b", "jaccard")
+        .withColumn(
+            "containment_b_in_a",
+            F.round(F.col("_n_inter") / F.col("_nb"), round_digits),
+        )
+        .filter(
+            F.greatest(
+                F.col("containment_a_in_b"), F.col("containment_b_in_a")
+            )
+            >= min_containment
+        )
+        .select(
+            "id_a", "id_b", "containment_a_in_b", "containment_b_in_a"
+        )
     )
-    return jac
+    return out
 
 
 def duplicated_ngram_stats(

@@ -1084,3 +1084,60 @@ def streaming_transitions(spark, sf_dir):
     return drained.groupBy("from_type", "to_type").agg(
         F.count(F.lit(1)).alias("n_transitions")
     )
+
+
+# --- asymmetric containment ----------------------------------------------
+
+_CT_NGRAM = 3
+_CT_MIN = 0.5
+_CT_MAX_DF = 5
+
+
+@_register(
+    "dedup_containment",
+    f"""
+WITH toks AS (
+    SELECT doc_id, CASE WHEN trim(text) = '' THEN []::VARCHAR[]
+                   ELSE string_split_regex(trim(text), '\\s+') END AS t
+    FROM documents
+), grams AS (
+    SELECT doc_id, unnest(list_distinct(
+        CASE WHEN len(t) < {_CT_NGRAM} THEN []::VARCHAR[]
+             ELSE list_transform(
+                 generate_series(1, len(t) - {_CT_NGRAM - 1}),
+                 i -> array_to_string(t[i:i+{_CT_NGRAM - 1}], ' '))
+        END)) AS gram
+    FROM toks
+), kept AS (
+    SELECT doc_id, gram FROM grams
+    QUALIFY count(*) OVER (PARTITION BY gram) <= {_CT_MAX_DF}
+), counts AS (
+    SELECT doc_id, count(*) AS n_grams FROM kept GROUP BY doc_id
+), inter AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+    FROM kept a JOIN kept b USING (gram)
+    WHERE a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_inter::DOUBLE / ca.n_grams, 6) AS containment_a_in_b,
+       round(n_inter::DOUBLE / cb.n_grams, 6) AS containment_b_in_a
+FROM inter
+JOIN counts ca ON ca.doc_id = id_a
+JOIN counts cb ON cb.doc_id = id_b
+WHERE greatest(round(n_inter::DOUBLE / ca.n_grams, 6),
+               round(n_inter::DOUBLE / cb.n_grams, 6)) >= {_CT_MIN}
+""",
+)
+def dedup_containment(spark, sf_dir):
+    """Asymmetric 3-gram containment pairs (either direction >= 0.5,
+    hot-gram df cap 5) — the quote/clone direction Jaccard hides; shares
+    the capped-gram candidate machinery with dedup_ngram_jaccard."""
+    from .operators.dedup import ngram_containment_pairs
+
+    return ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"),
+        ngram=_CT_NGRAM,
+        min_containment=_CT_MIN,
+        max_doc_freq=_CT_MAX_DF,
+    )

@@ -238,3 +238,41 @@ def test_duplicated_ngram_stats(spark):
 
     with pytest.raises(ValueError, match="ngram"):
         duplicated_ngram_stats(df, ngram=0)
+
+
+class TestContainmentPairs:
+    def test_full_containment_of_quoted_doc(self, spark):
+        from hds_functions_spark.operators.dedup import (
+            ngram_containment_pairs,
+        )
+
+        long_doc = "a b c d e f g h"
+        quote = "c d e f"  # every 3-gram of this is inside long_doc
+        df = spark.createDataFrame(
+            [(1, long_doc), (2, quote), (3, "x y z w")],
+            "doc_id long, text string",
+        )
+        out = ngram_containment_pairs(df, ngram=3, min_containment=0.5)
+        rows = {(r["id_a"], r["id_b"]): r for r in out.collect()}
+        assert (1, 2) in rows
+        r = rows[(1, 2)]
+        assert r["containment_b_in_a"] == 1.0  # quote fully inside long
+        # long doc only partially covered by the quote's grams
+        assert r["containment_a_in_b"] == pytest.approx(2 / 6, abs=1e-6)
+        assert (1, 3) not in rows and (2, 3) not in rows
+
+    def test_jaccard_would_miss_the_same_pair(self, spark):
+        from hds_functions_spark.operators.dedup import (
+            ngram_containment_pairs,
+            ngram_jaccard_pairs,
+        )
+
+        long_doc = " ".join(f"w{i}" for i in range(40))
+        quote = " ".join(f"w{i}" for i in range(10, 14))
+        df = spark.createDataFrame(
+            [(1, long_doc), (2, quote)], "doc_id long, text string"
+        )
+        jac = ngram_jaccard_pairs(df, ngram=3, min_jaccard=0.5)
+        cont = ngram_containment_pairs(df, ngram=3, min_containment=0.9)
+        assert jac.count() == 0  # low symmetric overlap
+        assert cont.count() == 1  # but the quote IS fully contained
