@@ -118,6 +118,7 @@ from .operators.multimodal import (
     synthesize_media_payloads,
 )
 from .operators.privacy import (
+    l_diversity_violations,
     generalize_columns,
     k_anonymity_violations,
     redact_low_counts,
@@ -127,6 +128,7 @@ from .operators.privacy import (
 from .operators.topk import first_dense_rank, first_rank, first_row, select_top_rows
 from .operators.wrangling import (
     pivot_counts,
+    unpivot_columns,
     align_to_schema,
     clean_column_names,
     mad_outlier_flags,

@@ -103,6 +103,7 @@ def bucket_by_quantiles(
     n_buckets: int,
     bucket_col: str = "bucket",
     round_digits: int = 6,
+    exact: bool = True,
 ):
     """Assign each row to one of ``n_buckets`` equal-frequency buckets of
     ``col`` — the range-partitioning a sorted write produces (Spark's
@@ -115,15 +116,24 @@ def bucket_by_quantiles(
     so engines agree at boundaries), attached by 1-row-broadcast
     crossJoin; the bucket id is then a pure codegen filter-count over
     the literal cuts array — no global sort, no one-partition window.
+
+    ``exact=False`` switches the cut computation to
+    ``percentile_approx`` (mergeable sketch): the exact ``percentile``
+    holds every value in the final aggregation buffer, which is the one
+    stage here that grows with data — flip the switch when the bucketed
+    column has billions of rows (bucket boundaries move by at most the
+    sketch error; assignment stays a codegen filter-count).
     """
     if n_buckets < 2:
         raise ValueError(f"n_buckets must be >= 2 (got {n_buckets})")
     fracs = [i / n_buckets for i in range(1, n_buckets)]
+    perc = (
+        F.percentile(F.col(col), F.lit(fracs))
+        if exact
+        else F.percentile_approx(F.col(col), F.lit(fracs))
+    )
     cuts = df.agg(
-        F.transform(
-            F.percentile(F.col(col), F.lit(fracs)),
-            lambda x: F.round(x, round_digits),
-        ).alias("_cuts")
+        F.transform(perc, lambda x: F.round(x, round_digits)).alias("_cuts")
     )
     bucket = F.size(
         F.filter(F.col("_cuts"), lambda c: c <= F.col(col))
@@ -144,6 +154,7 @@ def pruning_simulation(
     n_files: int,
     box: tuple[float, float, float, float],
     round_digits: int = 6,
+    exact: bool = True,
 ):
     """Quantify what a Z-order layout buys: simulate writing ``df`` into
     ``n_files`` equal-frequency files under (a) arrival order and (b)
@@ -154,14 +165,24 @@ def pruning_simulation(
 
     Output: one row per layout with ``(layout, n_files, n_scanned,
     scan_frac)``. Everything after bucketing is a file-count-sized
-    aggregate; at any data size only n_files rows move.
+    aggregate; at any data size only n_files rows move. ``exact=False``
+    flips the cut computation to the mergeable percentile_approx sketch
+    — at 16x sf0.1 the exact single-buffer percentile dominates the
+    wall clock (BASELINE.md), so that is the production setting.
     """
+    from ..caching import tracked_persist
+
     a_lo, a_hi, b_lo, b_hi = box
+    # both layouts read (cuts + stats = 4 passes) from this narrow frame;
+    # persist it once instead of re-scanning the source each pass
+    narrow = tracked_persist(
+        df.select(arrival_col, zcode_col, bin_a, bin_b)
+    )
     parts = []
     for layout, col in (("arrival", arrival_col), ("zorder", zcode_col)):
         b = bucket_by_quantiles(
-            df.select(col, bin_a, bin_b), col, n_files,
-            round_digits=round_digits,
+            narrow.select(col, bin_a, bin_b), col, n_files,
+            round_digits=round_digits, exact=exact,
         )
         stats = b.groupBy("bucket").agg(
             F.min(bin_a).alias("_min_a"),

@@ -20,6 +20,7 @@ __all__ = [
     "suppress_small_groups",
     "k_anonymity_violations",
     "generalize_columns",
+    "l_diversity_violations",
 ]
 
 
@@ -224,3 +225,33 @@ def generalize_columns(
                 "(expected bin | date_trunc | prefix)"
             )
     return df.withColumns(out)
+
+
+def l_diversity_violations(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """l-diversity audit — the disclosure check k-anonymity misses: a
+    quasi-identifier group can hold k people yet reveal the sensitive
+    attribute outright when every member SHARES it (homogeneity attack).
+    Returns the groups whose sensitive column takes fewer than ``l``
+    distinct values, with group size and the observed diversity.
+
+    ONE aggregate keyed by the quasi-identifier columns; the shuffle
+    carries per-combination partial states (count + distinct-set),
+    map-side combinable, one row per distinct combination.
+    """
+    if l < 2:
+        raise ValueError(f"l must be >= 2 (got {l})")
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(F.col(sensitive_col)).alias("n_distinct_sensitive"),
+        )
+        .filter(F.col("n_distinct_sensitive") < l)
+    )

@@ -19,6 +19,7 @@ __all__ = [
     "winsorize_columns",
     "mad_outlier_flags",
     "pivot_counts",
+    "unpivot_columns",
 ]
 
 # Above this many entries a literal `create_map` expression gets unwieldy for
@@ -314,3 +315,28 @@ def pivot_counts(
             for v in values
         ],
     )
+
+
+def unpivot_columns(
+    df: DataFrame,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_col: str = "metric",
+    value_col: str = "value",
+) -> DataFrame:
+    """Wide-to-long melt: one output row per (input row, entry of
+    ``value_cols``), with the source column name in ``var_col`` — the
+    inverse of :func:`pivot_counts`. Values are cast to double (the
+    melted column must be one type).
+
+    Implemented with the built-in ``unpivot`` (Expand under the hood:
+    ONE scan emitting len(value_cols) rows per input row, no
+    join/shuffle; the row multiplication is the operator's contract,
+    not overhead).
+    """
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+    casted = df.select(
+        *id_cols, *[F.col(c).cast("double").alias(c) for c in value_cols]
+    )
+    return casted.unpivot(id_cols, value_cols, var_col, value_col)

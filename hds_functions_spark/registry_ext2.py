@@ -1141,3 +1141,116 @@ def dedup_containment(spark, sf_dir):
         min_containment=_CT_MIN,
         max_doc_freq=_CT_MAX_DF,
     )
+
+
+# --- l-diversity / unpivot / revenue share -------------------------------
+
+_LDIV_L = 4
+
+
+@_register(
+    "privacy_l_diversity",
+    f"""
+SELECT c_mktsegment, c_nationkey,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(DISTINCT floor(c_acctbal / 2000)) AS BIGINT)
+           AS n_distinct_sensitive
+FROM customer
+GROUP BY 1, 2
+HAVING count(DISTINCT floor(c_acctbal / 2000)) < {_LDIV_L}
+""",
+)
+def privacy_l_diversity(spark, sf_dir):
+    """l-diversity audit (l=4) over (segment x nation) with the
+    coarse-binned account balance as the sensitive attribute — catches
+    the homogeneity attack k-anonymity misses: a large-enough group
+    whose members cluster on few sensitive values still discloses. One
+    combinable aggregate per quasi-identifier combination."""
+    from .operators.privacy import l_diversity_violations
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_nationkey",
+        F.floor(F.col("c_acctbal") / 2000).alias("_sensitive"),
+    )
+    return l_diversity_violations(
+        cust, ["c_mktsegment", "c_nationkey"], "_sensitive", l=_LDIV_L
+    ).select(
+        "c_mktsegment", "c_nationkey", "n_rows", "n_distinct_sensitive"
+    )
+
+
+@_register(
+    "wrangle_unpivot",
+    """
+SELECT l_orderkey, l_linenumber, metric, value FROM (
+  SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+         l_quantity::DOUBLE AS value FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_extendedprice',
+         l_extendedprice::DOUBLE FROM lineitem
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'l_discount',
+         l_discount::DOUBLE FROM lineitem
+)
+""",
+)
+def wrangle_unpivot(spark, sf_dir):
+    """Wide-to-long melt of three lineitem measures — the inverse of the
+    pivot: built-in unpivot (Expand: one scan, no join), one output row
+    per (row, measure)."""
+    from .operators.wrangling import unpivot_columns
+
+    return unpivot_columns(
+        _t(spark, sf_dir, "lineitem"),
+        id_cols=["l_orderkey", "l_linenumber"],
+        value_cols=["l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+
+@_register(
+    "analytics_share",
+    """
+WITH rev AS (
+  SELECT n.n_name,
+         date_trunc('year', o.o_orderdate)::DATE AS order_year,
+         CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+  FROM orders o
+  JOIN customer c ON c.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  GROUP BY 1, 2
+)
+SELECT n_name, order_year, revenue_cents,
+       round(revenue_cents::DOUBLE
+             / sum(revenue_cents) OVER (PARTITION BY order_year), 6)
+           AS year_share
+FROM rev
+""",
+)
+def analytics_share(spark, sf_dir):
+    """Ratio-to-report: each nation's share of yearly revenue — the
+    window-over-aggregate pattern. The corpus collapses to (nation,
+    year) integer-cent sums BEFORE the share window, so the window
+    partition is |nations| rows per year; nation is broadcast (25 rows
+    at every scale factor), customer is size-gated by the planner."""
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.date_trunc("year", F.col("o_orderdate")).cast("date")
+            .alias("order_year"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("_cents"),
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name", "order_year")
+        .agg(F.sum("_cents").alias("revenue_cents"))
+    )
+    w = Window.partitionBy("order_year")
+    return rev.select(
+        "n_name", "order_year", "revenue_cents",
+        F.round(
+            F.col("revenue_cents") / F.sum("revenue_cents").over(w), 6
+        ).alias("year_share"),
+    )

@@ -351,3 +351,35 @@ def test_oov_rate_shuffle_path_matches_broadcast_path(spark):
     a = sorted(map(tuple, oov_rate(docs, vocab).collect()))
     b = sorted(map(tuple, oov_rate(docs, vocab, broadcast_vocab=False).collect()))
     assert a == b
+
+
+def test_l_diversity_violations(spark):
+    from hds_functions_spark.operators.privacy import l_diversity_violations
+
+    rows = [
+        # group (a, 1): 3 rows, all sensitive 'x' -> homogeneous
+        ("a", 1, "x"), ("a", 1, "x"), ("a", 1, "x"),
+        # group (b, 1): diverse
+        ("b", 1, "x"), ("b", 1, "y"), ("b", 1, "z"),
+    ]
+    df = spark.createDataFrame(rows, "seg string, nat int, s string")
+    out = l_diversity_violations(df, ["seg", "nat"], "s", l=2).collect()
+    assert len(out) == 1
+    assert out[0]["seg"] == "a" and out[0]["n_distinct_sensitive"] == 1
+    assert out[0]["n_rows"] == 3  # k-anonymous yet disclosive
+    with pytest.raises(ValueError, match="l must be"):
+        l_diversity_violations(df, ["seg"], "s", l=1)
+
+
+def test_unpivot_columns_roundtrip(spark):
+    from hds_functions_spark.operators.wrangling import unpivot_columns
+
+    df = spark.createDataFrame(
+        [(1, 10.0, 2.5), (2, 20.0, 5.0)], "k long, a double, b double"
+    )
+    out = unpivot_columns(df, ["k"], ["a", "b"]).collect()
+    assert len(out) == 4
+    got = {(r["k"], r["metric"]): r["value"] for r in out}
+    assert got[(1, "a")] == 10.0 and got[(2, "b")] == 5.0
+    with pytest.raises(ValueError):
+        unpivot_columns(df, ["k"], [])
