@@ -121,10 +121,11 @@ def kmeans_fit(
             .alias("_km_cluster"),
             F.col(vec_col),
         )
+        # F.get is null-safe on out-of-bounds (element_at THROWS under
+        # ANSI): a ragged vector contributes nulls, which sum ignores,
+        # instead of failing the driver's ANSI-on session
         sums = [
-            F.sum(F.element_at(F.col(vec_col), i + 1).cast("double")).alias(
-                f"_s{i}"
-            )
+            F.sum(F.get(F.col(vec_col), i).cast("double")).alias(f"_s{i}")
             for i in range(dim)
         ]
         stats = (
