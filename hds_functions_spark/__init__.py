@@ -82,6 +82,7 @@ from .operators.quality import (
 from .operators.profiling import (
     bigram_logprob_scores,
     bpe_pair_counts,
+    correlation_matrix,
     build_vocabulary,
     char_entropy_scores,
     oov_rate,
@@ -89,6 +90,7 @@ from .operators.profiling import (
     key_skew_profile,
     profile_columns,
     tf_idf_top_terms,
+    zipf_fit,
 )
 from .operators.sampling import (
     cap_per_group,

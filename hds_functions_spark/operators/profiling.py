@@ -25,6 +25,8 @@ __all__ = [
     "build_vocabulary",
     "oov_rate",
     "bpe_pair_counts",
+    "correlation_matrix",
+    "zipf_fit",
 ]
 
 
@@ -471,4 +473,65 @@ def bpe_pair_counts(
         n=top_n,
         partition_by=None,
         order_by=[F.col("count").desc(), F.col("pair").asc()],
+    )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    columns: list[str],
+    round_digits: int = 6,
+) -> DataFrame:
+    """Pairwise Pearson correlations of numeric columns, long format
+    ``(col_a, col_b, corr)`` with col_a < col_b — the colinearity screen
+    run before feature selection / leakage hunts.
+
+    ONE aggregate computes all k*(k-1)/2 coefficients (each an
+    order-insensitive co-moment aggregate, map-side combinable); the
+    wide single row is then melted with a constant-size Expand. Nothing
+    data-proportional leaves the aggregate.
+    """
+    if len(columns) < 2:
+        raise ValueError("need at least 2 columns")
+    pairs = [
+        (a, b)
+        for i, a in enumerate(columns)
+        for b in columns[i + 1:]
+    ]
+    wide = df.agg(
+        *[
+            F.round(F.corr(a, b), round_digits).alias(f"{a}|{b}")
+            for a, b in pairs
+        ]
+    )
+    stack_args = ", ".join(
+        f"'{a}', '{b}', `{a}|{b}`" for a, b in pairs
+    )
+    return wide.select(
+        F.expr(
+            f"stack({len(pairs)}, {stack_args}) AS (col_a, col_b, corr)"
+        )
+    )
+
+
+def zipf_fit(
+    vocab: DataFrame,
+    count_col: str = "count",
+    rank_col: str = "vocab_id",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Zipf's-law fit over a frequency-ranked vocabulary: ordinary
+    least squares of ``ln(count)`` on ``ln(rank)`` (rank = vocab_id + 1).
+    Natural text sits near slope -1; a corpus whose slope drifts far
+    from that is template-heavy (too flat) or boilerplate-dominated
+    (too steep) — a one-row corpus-health audit.
+
+    ONE regression aggregate (built-in ``regr_slope``/``regr_intercept``
+    co-moments, map-side combinable) over the vocabulary table.
+    """
+    x = F.log(F.col(rank_col).cast("double") + 1.0)
+    y = F.log(F.col(count_col).cast("double"))
+    return vocab.agg(
+        F.round(F.regr_slope(y, x), round_digits).alias("zipf_slope"),
+        F.round(F.regr_intercept(y, x), round_digits).alias("zipf_intercept"),
+        F.count(F.lit(1)).alias("n_vocab"),
     )

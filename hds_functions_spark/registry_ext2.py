@@ -1254,3 +1254,72 @@ def analytics_share(spark, sf_dir):
             F.col("revenue_cents") / F.sum("revenue_cents").over(w), 6
         ).alias("year_share"),
     )
+
+
+# --- correlation screen / Zipf audit -------------------------------------
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@_register(
+    "profile_correlations",
+    f"""
+WITH w AS (
+  SELECT
+    {", ".join(
+        f"round(corr({a}, {b}), 6) AS c_{i}"
+        for i, (a, b) in enumerate(
+            (a, b)
+            for j, a in enumerate(_CORR_COLS)
+            for b in _CORR_COLS[j + 1:]
+        )
+    )}
+  FROM lineitem
+)
+{" UNION ALL ".join(
+    f"SELECT '{a}' AS col_a, '{b}' AS col_b, c_{i} AS corr FROM w"
+    for i, (a, b) in enumerate(
+        (a, b)
+        for j, a in enumerate(_CORR_COLS)
+        for b in _CORR_COLS[j + 1:]
+    )
+)}
+""",
+)
+def profile_correlations(spark, sf_dir):
+    """Pairwise Pearson correlation screen over the lineitem measures —
+    ONE co-moment aggregate computes all six coefficients, then a
+    constant-size Expand melts the row to long format."""
+    from .operators.profiling import correlation_matrix
+
+    return correlation_matrix(
+        _t(spark, sf_dir, "lineitem").select(*_CORR_COLS), _CORR_COLS
+    )
+
+
+@_register(
+    "text_zipf",
+    f"""
+WITH vocab AS ({ORACLES["text_vocab_build"]})
+SELECT round(regr_slope(ln(count::DOUBLE), ln((vocab_id + 1)::DOUBLE)), 6)
+           AS zipf_slope,
+       round(regr_intercept(ln(count::DOUBLE),
+                            ln((vocab_id + 1)::DOUBLE)), 6)
+           AS zipf_intercept,
+       CAST(count(*) AS BIGINT) AS n_vocab
+FROM vocab
+""",
+)
+def text_zipf(spark, sf_dir):
+    """Zipf's-law fit of the corpus vocabulary (OLS of ln-frequency on
+    ln-rank; natural text sits near slope -1) — a one-row corpus-health
+    audit computed by a single regression co-moment aggregate over the
+    registered vocabulary. The oracle embeds the vocab oracle."""
+    from .operators.profiling import build_vocabulary, zipf_fit
+    from .registry_ext import _VOCAB_MIN_COUNT
+
+    vocab = build_vocabulary(
+        _t(spark, sf_dir, "documents").select("text"),
+        min_count=_VOCAB_MIN_COUNT,
+    )
+    return zipf_fit(vocab)

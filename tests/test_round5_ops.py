@@ -383,3 +383,30 @@ def test_unpivot_columns_roundtrip(spark):
     assert got[(1, "a")] == 10.0 and got[(2, "b")] == 5.0
     with pytest.raises(ValueError):
         unpivot_columns(df, ["k"], [])
+
+
+def test_correlation_matrix(spark):
+    from hds_functions_spark.operators.profiling import correlation_matrix
+
+    # y = 2x exactly, z anti-correlated with x
+    rows = [(float(i), 2.0 * i, float(10 - i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "x double, y double, z double")
+    out = {(r["col_a"], r["col_b"]): r["corr"]
+           for r in correlation_matrix(df, ["x", "y", "z"]).collect()}
+    assert out[("x", "y")] == 1.0
+    assert out[("x", "z")] == -1.0
+    assert out[("y", "z")] == -1.0
+    assert len(out) == 3
+    with pytest.raises(ValueError):
+        correlation_matrix(df, ["x"])
+
+
+def test_zipf_fit_recovers_planted_slope(spark):
+    from hds_functions_spark.operators.profiling import zipf_fit
+
+    # counts = C * rank^-1.5 exactly -> slope -1.5, zero residual
+    rows = [(i, 1000000.0 * (i + 1) ** -1.5) for i in range(100)]
+    vocab = spark.createDataFrame(rows, "vocab_id long, count double")
+    (r,) = zipf_fit(vocab).collect()
+    assert r["zipf_slope"] == pytest.approx(-1.5, abs=1e-6)
+    assert r["n_vocab"] == 100
