@@ -1323,3 +1323,47 @@ def text_zipf(spark, sf_dir):
         min_count=_VOCAB_MIN_COUNT,
     )
     return zipf_fit(vocab)
+
+
+# --- ORC source roundtrip -------------------------------------------------
+
+
+@_register(
+    "source_orc_roundtrip",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS price_cents
+FROM lineitem
+GROUP BY 1, 2
+""",
+)
+def source_orc_roundtrip(spark, sf_dir):
+    """Multi-format source coverage: lineitem written as ORC (Spark's
+    other native columnar format — predicate pushdown and column pruning
+    work the same as parquet) and read back through save_table/
+    load_table's format plumbing; the grouped integer-cent aggregate
+    over the roundtripped data must equal the oracle computed from the
+    original parquet — the roundtrip is exact or the hash breaks."""
+    import os
+    import shutil
+    import tempfile
+
+    from .registry import _stable_dir_tag
+
+    base = os.path.join(
+        tempfile.gettempdir(), "hds_orc_rt_" + _stable_dir_tag(sf_dir)
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_extendedprice"
+    )
+    li.write.format("orc").mode("overwrite").save(base)
+    back = spark.read.format("orc").load(base)
+    return back.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(
+            F.round(F.col("l_extendedprice") * 100).cast("long")
+        ).alias("price_cents"),
+    )
