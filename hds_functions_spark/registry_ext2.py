@@ -1367,3 +1367,84 @@ def source_orc_roundtrip(spark, sf_dir):
             F.round(F.col("l_extendedprice") * 100).cast("long")
         ).alias("price_cents"),
     )
+
+
+# --- semantic pretraining-prep pipeline ----------------------------------
+
+_SP_MIN_QUALITY = 0.5
+
+
+def _duck_semantic_prep_sql() -> str:
+    dot = " + ".join(
+        f"ea.embedding[{i}]::DOUBLE * eb.embedding[{i}]::DOUBLE"
+        for i in range(1, _KM_DIM + 1)
+    )
+    return f"""
+{_duck_kmeans_cte()},
+pr AS (
+  SELECT b.vec_id AS id_b
+  FROM {_KM_FINAL} a
+  JOIN {_KM_FINAL} b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE round({dot}, 6) >= {_SD_THRESHOLD}
+),
+surv AS (
+  SELECT a.vec_id, a.cluster FROM {_KM_FINAL} a
+  WHERE a.vec_id NOT IN (SELECT id_b FROM pr)
+),
+q AS (
+  SELECT doc_id, quality_score FROM ({{QUALITY}})
+),
+kept AS (
+  SELECT s.cluster, d.doc_id, d.text, q.quality_score
+  FROM surv s
+  JOIN documents d ON d.doc_id = s.vec_id
+  JOIN q ON q.doc_id = d.doc_id
+  WHERE q.quality_score >= {_SP_MIN_QUALITY}
+),
+ktoks AS (
+  SELECT cluster, quality_score,
+         CASE WHEN trim(text) = '' THEN 0
+         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok
+  FROM kept
+)
+SELECT cluster,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+       round(avg(quality_score), 6) AS mean_quality
+FROM ktoks GROUP BY 1
+"""
+
+
+@_register("pipeline_semantic_prep", None)  # oracle attached below
+def pipeline_semantic_prep(spark, sf_dir):
+    """Semantic training-data preparation as ONE lazy plan composing the
+    round-5 capabilities: k-means bucketing -> within-cluster semantic
+    dedup (keep-lowest-id) -> heuristic quality gate (>= 0.5) -> per-
+    cluster token budgets — the table a data-mixture planner reads to
+    weight semantic buckets. Documents and embeddings align on id; the
+    doc join is key-equi after the ids-only dedup, so nothing wider than
+    (id, cluster) moves until the surviving texts are read."""
+    from .functions.text import add_quality_score, token_count
+    from .operators.clustering import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    surv = semantic_dedup(
+        emb, _shared_kmeans_centroids(spark, sf_dir),
+        threshold=_SD_THRESHOLD,
+    ).select(F.col("vec_id").alias("doc_id"), "cluster")
+    docs = add_quality_score(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).filter(F.col("quality_score") >= _SP_MIN_QUALITY)
+    kept = surv.join(docs, on="doc_id")
+    return kept.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count(F.col("text"))).alias("total_tokens"),
+        F.round(F.avg("quality_score"), 6).alias("mean_quality"),
+    )
+
+
+ORACLES["pipeline_semantic_prep"] = _duck_semantic_prep_sql().replace(
+    "{QUALITY}", ORACLES["text_quality"]
+)

@@ -410,3 +410,30 @@ def test_zipf_fit_recovers_planted_slope(spark):
     (r,) = zipf_fit(vocab).collect()
     assert r["zipf_slope"] == pytest.approx(-1.5, abs=1e-6)
     assert r["n_vocab"] == 100
+
+
+def test_pipeline_semantic_prep_invariants(spark):
+    import builtins
+
+    import __spark_entry__ as e
+    from hds_functions_spark.registry_ext2 import (
+        _shared_kmeans_centroids,
+    )
+    from hds_functions_spark.operators.clustering import kmeans_assign
+
+    sf = "/root/testdata/sf0.001"
+    out = e.queries()["pipeline_semantic_prep"](spark, sf).collect()
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    sizes = {
+        r["cluster"]: r["count"]
+        for r in kmeans_assign(emb, _shared_kmeans_centroids(spark, sf))
+        .groupBy("cluster").count().collect()
+    }
+    n_docs = builtins.sum(r["n_docs"] for r in out)
+    assert 0 < n_docs <= emb.count()
+    for r in out:
+        assert r["n_docs"] <= sizes[r["cluster"]]  # gate only removes
+        assert 0.5 <= r["mean_quality"] <= 1.0
+        assert r["total_tokens"] > 0
