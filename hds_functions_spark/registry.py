@@ -740,6 +740,17 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: text_script_ratios, text_vocab_build, pipeline_pretrain_prep) are each
 #: locally oracle-verified by tools/compare_oracle.py this round and queue
 #: for the round-6 driver window.
+#: ROUND-6 ROTATION NOTE: the round-5 window below re-proved the 50
+#: queries whose last driver row was r01-r03. The ~30 queries ADDED in
+#: round 5 (cluster_*, events_transitions/time_decay/anomaly_daily/rfm/
+#: cooccurrence, text_oov_rate/quality_retention/bpe_pairs/zipf,
+#: pack_efficiency, dedup_degree_stats/cluster_sizes/containment,
+#: analytics_cube/share, wrangle_pivot/unpivot, table_scd2,
+#: layout_pruning_sim, quality_join_audit, privacy_l_diversity,
+#: multimodal_ahash*, streaming_transitions, profile_correlations,
+#: source_orc_roundtrip, pipeline_semantic_prep) have judge-side
+#: compare_oracle green runs (ANSI on AND off) but no driver row yet —
+#: hoist THEM next round.
 DRIVER_PRIORITY: list[str] = [
     # -- cohort / topk / privacy / tables (last driver row r01-r03) --
     "cohort_flowchart",
