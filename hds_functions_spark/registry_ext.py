@@ -3561,7 +3561,10 @@ def pipeline_pretrain_prep(spark, sf_dir):
         )
         .select("doc_id", "text")
     )
-    evals = docs.filter(F.col("doc_id") % _PP_EVAL_MOD == 0).select(
+    # benchmark drawn from the KEPT corpus (an eval doc that was itself
+    # dup-filtered must not act as a contamination source) — at sf0.1
+    # several every-97th docs ARE dup-filtered, so the basis matters
+    evals = kept.filter(F.col("doc_id") % _PP_EVAL_MOD == 0).select(
         F.col("doc_id").alias("eval_id"), "text"
     )
     contaminated = ngram_contamination(
