@@ -189,6 +189,55 @@ def kmeans_fit_assign(
     )
 
 
+def _near_pairs_from_assigned(
+    assigned: DataFrame,
+    threshold: float,
+    round_digits: int,
+) -> DataFrame:
+    """Pair generation over a pre-computed ``(id_a-ready) assignment``
+    frame with columns (_id, _v, cluster): cluster-equi self-join, dot
+    product as a zipped left fold, rounded-threshold filter."""
+    a = assigned.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "cluster"
+    )
+    b = assigned.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "cluster"
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, t: acc + t,
+    )
+    return (
+        a.join(b, on="cluster")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("dot", F.round(dot, round_digits))
+        .filter(F.col("dot") >= threshold)
+        .select("id_a", "id_b", "dot")
+    )
+
+
+def _assigned_frame(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Assignment computed ONCE and persisted (tracked): both sides of
+    the pair self-join and the final keep-list read it, instead of each
+    re-evaluating the k*d-literal assignment projection (measured ~3x
+    the assignment work without the persist)."""
+    from ..caching import tracked_persist
+
+    return tracked_persist(
+        kmeans_assign(df, centroids, vec_col, dist_col=None).select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+            "cluster",
+        )
+    )
+
+
 def cluster_near_pairs(
     df: DataFrame,
     centroids: list[list[float]],
@@ -208,32 +257,12 @@ def cluster_near_pairs(
     size. Pick k so clusters stay bounded (work per cluster ~ (n/k)^2);
     for heavy-tailed cluster sizes, fall back to the hyperplane-banded
     ``embedding_near_dup_pairs`` which bounds per-row fanout instead.
-    Vectors ride the single cluster-key shuffle — each side is scanned
-    once; the dot is a left-fold over zipped elements, matching an
-    explicit left-associative SQL chain IEEE-exactly.
+    The assignment is computed once into a tracked-persisted frame both
+    join sides read; the dot is a left-fold over zipped elements,
+    matching an explicit left-associative SQL chain IEEE-exactly.
     """
-    a = kmeans_assign(df, centroids, vec_col, dist_col=None).select(
-        F.col(id_col).alias("id_a"),
-        F.col(vec_col).cast("array<double>").alias("_va"),
-        F.col("cluster"),
-    )
-    b = kmeans_assign(df, centroids, vec_col, dist_col=None).select(
-        F.col(id_col).alias("id_b"),
-        F.col(vec_col).cast("array<double>").alias("_vb"),
-        F.col("cluster"),
-    )
-    dot = F.aggregate(
-        F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, t: acc + t,
-    )
-    return (
-        a.join(b, on="cluster")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("dot", F.round(dot, round_digits))
-        .filter(F.col("dot") >= threshold)
-        .select("id_a", "id_b", "dot")
-    )
+    assigned = _assigned_frame(df, centroids, vec_col, id_col)
+    return _near_pairs_from_assigned(assigned, threshold, round_digits)
 
 
 def semantic_dedup(
@@ -250,12 +279,13 @@ def semantic_dedup(
 
     One left-anti join of the corpus against the distinct higher ids of
     the pair list — key-only, broadcastable when the dup fraction is
-    small (the common case).
+    small (the common case). The assignment frame is computed once
+    (tracked persist) and shared by the pair join and the output.
     """
-    pairs = cluster_near_pairs(
-        df, centroids, vec_col, id_col, threshold=threshold
+    assigned = _assigned_frame(df, centroids, vec_col, id_col)
+    pairs = _near_pairs_from_assigned(assigned, threshold, 6)
+    drop = pairs.select(F.col("id_b").alias("_id")).distinct()
+    kept = assigned.join(drop, on="_id", how="left_anti").select(
+        F.col("_id").alias(id_col), "cluster"
     )
-    drop = pairs.select(F.col("id_b").alias(id_col)).distinct()
-    return kmeans_assign(df, centroids, vec_col, dist_col=None).join(
-        drop, on=id_col, how="left_anti"
-    )
+    return df.join(kept, on=id_col).select(*df.columns, "cluster")
