@@ -50,6 +50,8 @@ from .operators.clustering import (
 from .operators.events import (
     as_of_join,
     daily_count_anomalies,
+    dedup_events_in_window,
+    top_types_per_window,
     rfm_scores,
     type_cooccurrence_pmi,
     densify_timeline,
@@ -93,6 +95,7 @@ from .operators.profiling import (
     zipf_fit,
 )
 from .operators.sampling import (
+    temperature_weights,
     cap_per_group,
     deterministic_sample,
     hash_split,

@@ -41,6 +41,8 @@ __all__ = [
     "daily_count_anomalies",
     "rfm_scores",
     "type_cooccurrence_pmi",
+    "dedup_events_in_window",
+    "top_types_per_window",
 ]
 
 
@@ -676,5 +678,67 @@ def type_cooccurrence_pmi(
                 ),
                 round_digits,
             ).alias("pmi"),
+        )
+    )
+
+
+def dedup_events_in_window(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    window_seconds: int = 300,
+    tie_col: str | None = "event_id",
+) -> DataFrame:
+    """Telemetry deduplication: keep only the FIRST event per key
+    combination within each fixed time window (the batch mirror of
+    streaming dedup-within-watermark; collapses retry storms and
+    double-fires). Window = integer epoch floor, so bucket boundaries
+    are engine-independent.
+
+    Rank-then-filter per (keys, bucket) — Catalyst rewrites it to
+    WindowGroupLimit, so each shuffle partition pre-prunes to one row
+    per group before the exchange.
+    """
+    bucket = F.floor(
+        F.unix_micros(F.col(ts_col)) / F.lit(window_seconds * 1_000_000)
+    )
+    order = [F.col(ts_col)] + ([F.col(tie_col)] if tie_col else [])
+    w = Window.partitionBy(*key_cols, "_bucket").orderBy(*order)
+    return (
+        df.withColumn("_bucket", bucket)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_bucket", "_rn")
+    )
+
+
+def top_types_per_window(
+    df: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    duration: str = "1 hour",
+    top_n: int = 1,
+) -> DataFrame:
+    """Most frequent ``type_col`` value(s) per tumbling window — the
+    'what dominated each hour' operational rollup. Counts collapse per
+    (window, type) map-side first; the per-window rank runs over at
+    most |types| rows per window (ties break by type ascending).
+    Output: ``window_start, window_end, {type_col}, n_events``.
+    """
+    win = F.window(F.col(ts_col), duration)
+    counts = df.groupBy(win.alias("_w"), F.col(type_col)).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    w = Window.partitionBy("_w").orderBy(
+        F.col("n_events").desc(), F.col(type_col)
+    )
+    return (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= top_n)
+        .select(
+            F.col("_w.start").alias("window_start"),
+            F.col("_w.end").alias("window_end"),
+            type_col,
+            "n_events",
         )
     )

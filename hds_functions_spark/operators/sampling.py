@@ -35,6 +35,7 @@ __all__ = [
     "solve_mixture_cutoffs",
     "cap_per_group",
     "BUCKETS",
+    "temperature_weights",
 ]
 
 #: hash-space resolution: weights are quantised to 1/10000
@@ -294,3 +295,45 @@ def mixture_sample(
     ]
     bound = F.create_map(*pairs)[F.col(source_col)]
     return df.filter(split_bucket(id_col, salt) < F.coalesce(bound, F.lit(0)))
+
+
+def temperature_weights(
+    df: DataFrame,
+    source_col: str = "source",
+    alpha: float = 0.7,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Temperature-based mixture weights over sources: ``p_i =
+    n_i^alpha / sum_j n_j^alpha`` — the standard up-weighting of
+    low-resource sources (alpha < 1 flattens the natural distribution;
+    alpha = 1 keeps it; alpha = 0 is uniform) used to plan multilingual
+    / multi-source sampling.
+
+    Output per source: ``n_docs``, ``weight`` (the mixture share) and
+    ``per_doc_rate`` (weight / natural share — how much each document
+    of the source is over/under-sampled relative to uniform draw).
+    The corpus collapses to one row per source; the normaliser is one
+    more aggregate over that tiny frame, broadcast back.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0 (got {alpha})")
+    counts = df.groupBy(source_col).agg(F.count(F.lit(1)).alias("n_docs"))
+    powed = counts.withColumn(
+        "_p", F.pow(F.col("n_docs").cast("double"), F.lit(float(alpha)))
+    )
+    norm = powed.agg(
+        F.sum("_p").alias("_z"), F.sum("n_docs").alias("_n")
+    )
+    return (
+        powed.crossJoin(F.broadcast(norm))
+        .select(
+            source_col,
+            "n_docs",
+            F.round(F.col("_p") / F.col("_z"), round_digits).alias("weight"),
+            F.round(
+                (F.col("_p") / F.col("_z"))
+                / (F.col("n_docs") / F.col("_n")),
+                round_digits,
+            ).alias("per_doc_rate"),
+        )
+    )

@@ -1448,3 +1448,100 @@ def pipeline_semantic_prep(spark, sf_dir):
 ORACLES["pipeline_semantic_prep"] = _duck_semantic_prep_sql().replace(
     "{QUALITY}", ORACLES["text_quality"]
 )
+
+
+# --- window dedup / hourly top type / temperature mixture ----------------
+
+
+@_register(
+    "events_window_dedup",
+    """
+WITH b AS (
+  SELECT event_id, user_id, ts, event_type,
+         floor(epoch_us(ts) / 300000000.0)::BIGINT AS bucket
+  FROM events
+), r AS (
+  SELECT event_id, user_id, ts, event_type,
+         row_number() OVER (PARTITION BY user_id, event_type, bucket
+                            ORDER BY ts, event_id) AS rn
+  FROM b
+)
+SELECT event_id, user_id, ts, event_type FROM r WHERE rn = 1
+""",
+)
+def events_window_dedup(spark, sf_dir):
+    """Telemetry dedup: first event per (user, type, 5-minute bucket) —
+    retry storms and double-fires collapse to one row. Rank-then-filter
+    goes through WindowGroupLimit (partial pruning before the
+    exchange)."""
+    from .operators.events import dedup_events_in_window
+
+    return dedup_events_in_window(
+        _t(spark, sf_dir, "events").select(
+            "event_id", "user_id", "ts", "event_type"
+        ),
+        key_cols=["user_id", "event_type"],
+        window_seconds=300,
+    )
+
+
+@_register(
+    "events_top_type_hourly",
+    """
+WITH c AS (
+  SELECT date_trunc('hour', ts) AS window_start, event_type,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT window_start, event_type, n_events,
+         row_number() OVER (PARTITION BY window_start
+                            ORDER BY n_events DESC, event_type) AS rn
+  FROM c
+)
+SELECT window_start, window_start + INTERVAL 1 HOUR AS window_end,
+       event_type, n_events
+FROM r WHERE rn = 1
+""",
+)
+def events_top_type_hourly(spark, sf_dir):
+    """Dominant event type per hour — counts collapse map-side per
+    (window, type) before a rank over at most |types| rows per
+    window."""
+    from .operators.events import top_types_per_window
+
+    return top_types_per_window(
+        _t(spark, sf_dir, "events"), duration="1 hour", top_n=1
+    )
+
+
+_TW_ALPHA = 0.7
+
+
+@_register(
+    "sample_temperature",
+    f"""
+WITH c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+  FROM documents GROUP BY 1
+), z AS (
+  SELECT sum(pow(n_docs::DOUBLE, {_TW_ALPHA})) AS z,
+         sum(n_docs) AS n FROM c
+)
+SELECT source, n_docs,
+       round(pow(n_docs::DOUBLE, {_TW_ALPHA}) / z.z, 6) AS weight,
+       round((pow(n_docs::DOUBLE, {_TW_ALPHA}) / z.z)
+             / (n_docs::DOUBLE / z.n), 6) AS per_doc_rate
+FROM c, z
+""",
+)
+def sample_temperature(spark, sf_dir):
+    """Temperature-based mixture weights over document sources (alpha =
+    0.7): p_i = n_i^alpha / sum n_j^alpha — the standard low-resource
+    up-weighting a multi-source sampling plan starts from. One
+    per-source aggregate + a broadcast normaliser."""
+    from .operators.sampling import temperature_weights
+
+    return temperature_weights(
+        _t(spark, sf_dir, "documents"), source_col="source",
+        alpha=_TW_ALPHA,
+    )

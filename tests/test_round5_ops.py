@@ -437,3 +437,60 @@ def test_pipeline_semantic_prep_invariants(spark):
         assert r["n_docs"] <= sizes[r["cluster"]]  # gate only removes
         assert 0.5 <= r["mean_quality"] <= 1.0
         assert r["total_tokens"] > 0
+
+
+def test_dedup_events_in_window(spark):
+    from hds_functions_spark.operators.events import dedup_events_in_window
+
+    rows = [
+        (1, 10, datetime(2024, 1, 1, 0, 0, 0), "a", 0.0),
+        (2, 10, datetime(2024, 1, 1, 0, 2, 0), "a", 0.0),  # same 5-min bucket
+        (3, 10, datetime(2024, 1, 1, 0, 6, 0), "a", 0.0),  # next bucket
+        (4, 10, datetime(2024, 1, 1, 0, 0, 30), "b", 0.0),  # other type kept
+        (5, 20, datetime(2024, 1, 1, 0, 0, 0), "a", 0.0),  # other user kept
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string, value double"
+    )
+    kept = {r["event_id"] for r in dedup_events_in_window(
+        df, ["user_id", "event_type"], window_seconds=300).collect()}
+    assert kept == {1, 3, 4, 5}
+
+
+def test_top_types_per_window(spark):
+    from hds_functions_spark.operators.events import top_types_per_window
+
+    rows = [
+        (1, 1, datetime(2024, 1, 1, 0, 10), "a", 0.0),
+        (2, 1, datetime(2024, 1, 1, 0, 20), "a", 0.0),
+        (3, 1, datetime(2024, 1, 1, 0, 30), "b", 0.0),
+        (4, 1, datetime(2024, 1, 1, 1, 10), "b", 0.0),
+        (5, 1, datetime(2024, 1, 1, 1, 20), "c", 0.0),  # tie -> 'b' wins
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string, value double"
+    )
+    out = {r["window_start"].hour: (r["event_type"], r["n_events"])
+           for r in top_types_per_window(df).collect()}
+    assert out[0] == ("a", 2)
+    assert out[1] == ("b", 1)  # tie with c, type ascending wins
+
+
+def test_temperature_weights(spark):
+    from hds_functions_spark.operators.sampling import temperature_weights
+
+    rows = [("big", ) for _ in range(80)] + [("small", ) for _ in range(20)]
+    df = spark.createDataFrame(rows, "source string")
+    out = {r["source"]: r for r in temperature_weights(df, alpha=0.5).collect()}
+    import math
+    z = math.sqrt(80) + math.sqrt(20)
+    assert out["big"]["weight"] == pytest.approx(round(math.sqrt(80) / z, 6), abs=1e-9)
+    # flattening: small source over-sampled per doc, big under-sampled
+    assert out["small"]["per_doc_rate"] > 1 > out["big"]["per_doc_rate"]
+    # alpha=0 -> uniform across sources
+    u = {r["source"]: r["weight"] for r in temperature_weights(df, alpha=0.0).collect()}
+    assert u["big"] == u["small"] == 0.5
+    with pytest.raises(ValueError):
+        temperature_weights(df, alpha=-1)
