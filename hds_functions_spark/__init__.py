@@ -48,6 +48,7 @@ from .operators.clustering import (
     semantic_dedup,
 )
 from .operators.events import (
+    active_user_stats,
     as_of_join,
     daily_count_anomalies,
     dedup_events_in_window,

@@ -28,6 +28,7 @@ __all__ = [
     "add_script_ratios",
     "STOPWORDS",
     "remove_stopwords",
+    "add_type_token_ratio",
 ]
 
 #: Tiny per-language stopword lists for the heuristic language identifier.
@@ -316,3 +317,23 @@ def add_script_ratios(
         n > 0, F.round(F.lit(1.0) - total, round_digits)
     )
     return df.withColumns(ratio_cols)
+
+
+def add_type_token_ratio(
+    df: DataFrame,
+    text_col: str = "text",
+    ttr_col: str = "type_token_ratio",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Lexical diversity: distinct lowercased tokens / total tokens per
+    document (empty docs -> NULL). Boilerplate and template text sit
+    low; natural prose high. Pure array expressions, zero shuffle."""
+    toks = F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
+    n = F.size(toks)
+    return df.withColumn(
+        ttr_col,
+        F.when(
+            n > 0,
+            F.round(F.size(F.array_distinct(toks)) / n, round_digits),
+        ),
+    )

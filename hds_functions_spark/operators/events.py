@@ -43,6 +43,7 @@ __all__ = [
     "type_cooccurrence_pmi",
     "dedup_events_in_window",
     "top_types_per_window",
+    "active_user_stats",
 ]
 
 
@@ -740,5 +741,45 @@ def top_types_per_window(
             F.col("_w.end").alias("window_end"),
             type_col,
             "n_events",
+        )
+    )
+
+
+def active_user_stats(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Daily/monthly active users and stickiness: per calendar day,
+    ``dau``, the enclosing month's ``mau``, and ``stickiness = dau /
+    mau`` — the engagement headline metric. Two distinct-count
+    aggregates ((day, user) and (month, user) frames, both map-side
+    combinable after the per-grain distinct) joined broadcast-side on
+    the month (one row per month).
+    """
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    month = F.date_trunc("month", F.col(ts_col)).cast("date")
+    dau = (
+        df.select(day.alias("day"), F.col(key_col))
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("dau"))
+    )
+    mau = (
+        df.select(month.alias("_month"), F.col(key_col))
+        .distinct()
+        .groupBy("_month")
+        .agg(F.count(F.lit(1)).alias("mau"))
+    )
+    return (
+        dau.withColumn("_month", F.date_trunc("month", F.col("day")).cast("date"))
+        .join(F.broadcast(mau), on="_month")
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.round(F.col("dau") / F.col("mau"), round_digits)
+            .alias("stickiness"),
         )
     )

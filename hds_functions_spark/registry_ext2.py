@@ -1545,3 +1545,59 @@ def sample_temperature(spark, sf_dir):
         _t(spark, sf_dir, "documents"), source_col="source",
         alpha=_TW_ALPHA,
     )
+
+
+# --- engagement metrics / lexical diversity ------------------------------
+
+
+@_register(
+    "events_active_users",
+    """
+WITH dau AS (
+  SELECT day, CAST(count(*) AS BIGINT) AS dau FROM (
+    SELECT DISTINCT date_trunc('day', ts)::DATE AS day, user_id
+    FROM events
+  ) GROUP BY 1
+), mau AS (
+  SELECT m, CAST(count(*) AS BIGINT) AS mau FROM (
+    SELECT DISTINCT date_trunc('month', ts)::DATE AS m, user_id
+    FROM events
+  ) GROUP BY 1
+)
+SELECT day, dau, mau, round(dau::DOUBLE / mau, 6) AS stickiness
+FROM dau JOIN mau ON date_trunc('month', day)::DATE = mau.m
+""",
+)
+def events_active_users(spark, sf_dir):
+    """DAU / MAU / stickiness per day — the engagement headline. Two
+    per-grain distinct aggregates; the month table (one row per month)
+    joins broadcast-side."""
+    from .operators.events import active_user_stats
+
+    return active_user_stats(_t(spark, sf_dir, "events"))
+
+
+@_register(
+    "text_ttr",
+    """
+WITH toks AS (
+  SELECT doc_id, CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+  FROM documents
+)
+SELECT doc_id,
+       CASE WHEN len(t) > 0
+            THEN round(len(list_distinct(t))::DOUBLE / len(t), 6)
+       END AS type_token_ratio
+FROM toks
+""",
+)
+def text_ttr(spark, sf_dir):
+    """Per-document type-token ratio (lexical diversity) — template and
+    boilerplate text scores low. Pure array expressions, zero
+    shuffle."""
+    from .functions.text import add_type_token_ratio
+
+    return add_type_token_ratio(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    ).select("doc_id", "type_token_ratio")

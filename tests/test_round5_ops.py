@@ -494,3 +494,37 @@ def test_temperature_weights(spark):
     assert u["big"] == u["small"] == 0.5
     with pytest.raises(ValueError):
         temperature_weights(df, alpha=-1)
+
+
+def test_active_user_stats(spark):
+    from hds_functions_spark.operators.events import active_user_stats
+
+    rows = [
+        (1, 1, datetime(2024, 1, 1, 10), "e", 0.0),
+        (2, 2, datetime(2024, 1, 1, 11), "e", 0.0),
+        (3, 1, datetime(2024, 1, 2, 10), "e", 0.0),
+        (4, 3, datetime(2024, 2, 1, 10), "e", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+              "event_type string, value double"
+    )
+    out = {str(r["day"]): r for r in active_user_stats(df).collect()}
+    assert out["2024-01-01"]["dau"] == 2 and out["2024-01-01"]["mau"] == 2
+    assert out["2024-01-01"]["stickiness"] == 1.0
+    assert out["2024-01-02"]["dau"] == 1 and out["2024-01-02"]["mau"] == 2
+    assert out["2024-01-02"]["stickiness"] == 0.5
+    assert out["2024-02-01"]["mau"] == 1
+
+
+def test_type_token_ratio(spark):
+    from hds_functions_spark.functions.text import add_type_token_ratio
+
+    df = spark.createDataFrame(
+        [(1, "a b a B"), (2, "x y z"), (3, "")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["type_token_ratio"]
+           for r in add_type_token_ratio(df).collect()}
+    assert out[1] == 0.5   # {a, b} over 4 tokens, case-folded
+    assert out[2] == 1.0
+    assert out[3] is None
