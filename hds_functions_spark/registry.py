@@ -730,84 +730,66 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 #: Queries the driver's correctness gate should see first. The gate verifies
-#: exactly the first 50 entries of ``queries()`` in iteration order. Round 5
-#: rotates the window to the 50 queries with NO row in CORRECTNESS_r04.json
-#: (they were last driver-verified in r01-r03 and judge-re-verified on r4
-#: code), so after this round every registered query has a driver-green row
-#: within a two-round rolling window on current code. The eight NEW round-5
-#: registrations (multimodal_video_real, dedup_substring_signal,
-#: similarity_quantized_knn, privacy_k_anonymity, wrangle_mad_outliers,
-#: text_script_ratios, text_vocab_build, pipeline_pretrain_prep) are each
-#: locally oracle-verified by tools/compare_oracle.py this round and queue
-#: for the round-6 driver window.
-#: ROUND-6 ROTATION NOTE: the round-5 window below re-proved the 50
-#: queries whose last driver row was r01-r03. The ~30 queries ADDED in
-#: round 5 (cluster_*, events_transitions/time_decay/anomaly_daily/rfm/
-#: cooccurrence, text_oov_rate/quality_retention/bpe_pairs/zipf,
-#: pack_efficiency, dedup_degree_stats/cluster_sizes/containment,
-#: analytics_cube/share, wrangle_pivot/unpivot, table_scd2,
-#: layout_pruning_sim, quality_join_audit, privacy_l_diversity,
-#: multimodal_ahash*, streaming_transitions, profile_correlations,
-#: source_orc_roundtrip, pipeline_semantic_prep) have judge-side
-#: compare_oracle green runs (ANSI on AND off) but no driver row yet —
-#: hoist THEM next round.
+#: exactly the first 50 entries of ``queries()`` in iteration order.
+#: ROUND-6 ROTATION: the 51 queries below are every registered query with NO
+#: driver row in CORRECTNESS_r01-r05 (the whole round-5 build-out; computed
+#: by tools/driver_coverage.py). The driver window is 50, so the last entry
+#: (clean_strip_markup — pure-regex op with the strongest pytest cover of
+#: the set) waits for the round-7 window; everything else gains a durable
+#: driver-green row this round. The 100 queries already driver-checked in
+#: r01-r05 fall back to registration order after these.
 DRIVER_PRIORITY: list[str] = [
-    # -- cohort / topk / privacy / tables (last driver row r01-r03) --
-    "cohort_flowchart",
-    "cohort_filter",
-    "topk_row_number",
-    "topk_rank",
-    "topk_dense_rank",
-    "topk_global",
-    "privacy_round",
-    "privacy_suppress",
-    "table_upsert_incremental",
-    "table_standardise_hes",
-    # -- streaming (rows-only checks; no r04 row) --
-    "streaming_sessions",
-    "streaming_dedup",
-    "streaming_stateful_totals",
-    "streaming_interval_join",
-    # -- events --
-    "events_sliding",
-    "events_asof_forward",
-    "events_asof_tolerance",
-    "events_trailing",
-    "events_gap_quantiles",
-    "events_retention",
-    "events_funnel",
-    "events_json_props",
-    "events_interval_binned",
-    # -- sampling / splits --
-    "sample_hash_split",
-    "sample_stratified",
-    "sample_nested",
-    "sample_mixture",
-    "sample_cap_per_group",
-    # -- text / curation --
-    "dedup_ngram_jaccard",
-    "pipeline_curation",
-    "pipeline_best_of_cluster",
-    "text_tfidf",
-    "text_repetition",
-    "text_stopword_filter",
-    "text_langid_confusion",
-    "pack_sequences",
-    "chunk_documents",
-    "decontam_ngram_overlap",
-    "clean_scrub_pii",
-    "clean_filter_lines",
-    "clean_unicode_nfc",
-    "clean_dedup_lines",
-    "clean_dedup_lines_corpus",
-    # -- profiling / analytics / embeddings --
-    "profile_lineitem",
-    "doclen_quantiles",
-    "doclen_histogram",
-    "embedding_centroids",
-    "analytics_top_orders",
-    "analytics_region_revenue",
-    "analytics_promo_revenue",
+    "analytics_cube",
+    "analytics_share",
+    "cluster_kmeans",
+    "cluster_kmeans_profile",
+    "cluster_semantic_dedup",
+    "dedup_cluster_sizes",
+    "dedup_containment",
+    "dedup_degree_stats",
+    "dedup_substring_signal",
+    "events_active_users",
+    "events_anomaly_daily",
+    "events_cooccurrence",
+    "events_densified_monthly",
+    "events_rfm",
+    "events_time_decay",
+    "events_top_type_hourly",
+    "events_transitions",
+    "events_window_dedup",
+    "layout_pruning_sim",
+    "layout_zorder",
+    "multimodal_ahash",
+    "multimodal_ahash_dups",
+    "multimodal_video_real",
+    "pack_efficiency",
+    "pipeline_pretrain_prep",
+    "pipeline_semantic_prep",
+    "privacy_generalize",
+    "privacy_k_anonymity",
+    "privacy_l_diversity",
+    "profile_correlations",
+    "quality_join_audit",
+    "quality_observed_metrics",
+    "sample_temperature",
+    "sample_weighted",
+    "similarity_quantized_knn",
+    "similarity_random_projection",
+    "source_orc_roundtrip",
+    "streaming_transitions",
+    "table_rollup_merge",
+    "table_scd2",
+    "text_bpe_pairs",
+    "text_oov_rate",
+    "text_quality_retention",
+    "text_script_ratios",
+    "text_ttr",
+    "text_vocab_build",
+    "text_zipf",
+    "wrangle_mad_outliers",
+    "wrangle_pivot",
+    "wrangle_unpivot",
+    "clean_strip_markup",
 ]
 
 

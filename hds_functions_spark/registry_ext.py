@@ -2495,22 +2495,33 @@ _KANON_K = 8
 @_register(
     "privacy_k_anonymity",
     f"""
-SELECT c_mktsegment, c_nationkey, count(*) AS n_rows
+SELECT c_mktsegment, c_nationkey,
+       CAST(floor(c_acctbal / 1000) AS BIGINT) AS acctbal_band,
+       count(*) AS n_rows
 FROM customer
-GROUP BY 1, 2
+GROUP BY 1, 2, 3
 HAVING count(*) < {_KANON_K}
 """,
 )
 def privacy_k_anonymity(spark, sf_dir):
     """Pre-release k-anonymity audit: quasi-identifier combinations
-    (market segment x nation) held by fewer than k=8 customers — each is
-    a re-identification risk to generalise or suppress. One groupBy whose
-    shuffle carries one row per distinct combination."""
+    (market segment x nation x 1000-wide balance band) held by fewer than
+    k=8 customers — each is a re-identification risk to generalise or
+    suppress. The balance band keeps the audit NON-VACUOUS at every test
+    scale (segment x nation alone saturates past ~10k customers and the
+    audit would certify trivially: 207 violations at sf0.1, 901 at
+    sf0.01). One groupBy whose shuffle carries one row per distinct
+    combination."""
     from .operators.privacy import k_anonymity_violations
 
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_mktsegment",
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("long").alias("acctbal_band"),
+    )
     return k_anonymity_violations(
-        _t(spark, sf_dir, "customer").select("c_mktsegment", "c_nationkey"),
-        ["c_mktsegment", "c_nationkey"],
+        cust,
+        ["c_mktsegment", "c_nationkey", "acctbal_band"],
         k=_KANON_K,
     )
 
