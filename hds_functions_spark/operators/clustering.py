@@ -13,10 +13,16 @@ corpus by topic before per-cluster dedup / sampling (SemDeDup-style):
   reach the driver per iteration. At 100 TB that is the same few
   kilobytes as at 500 rows — the driver boundary does not grow with
   data size.
-- **Determinism**: init = the vectors of the ``k`` lowest ids
-  (takeOrdered — a top-k, never a global sort); per-iteration means are
-  rounded to ``round_digits`` before being re-embedded as literals, so
-  an oracle that rounds identically computes every later iteration from
+- **Determinism**: init = the vectors of the ``k`` rows with the
+  smallest multiplicative hash of their id (a distributed top-k, never
+  a global sort). The hash is plain 64-bit integer arithmetic
+  (``((id % 1000003) * 2654435761) % 2147483647``), so a SQL oracle
+  spells the identical key; scattering by hash instead of taking the k
+  LOWEST ids keeps the seeds spread when adjacent ids are correlated
+  (a corpus sorted by source/topic — the common layout), which
+  first-k-rows init degenerates on. Per-iteration means are rounded to
+  ``round_digits`` before being re-embedded as literals, so an oracle
+  that rounds identically computes every later iteration from
   bit-identical centroids regardless of partial-aggregation order.
   Squared-L2 distances are built as LEFT-ASSOCIATIVE chained additions
   (term order = dimension order) so a SQL oracle spelling the same chain
@@ -38,6 +44,24 @@ __all__ = [
     "cluster_near_pairs",
     "semantic_dedup",
 ]
+
+#: Init-seed hash constants — shared verbatim by the DuckDB oracle CTE
+#: (``registry_ext2._duck_kmeans_cte``). Knuth's multiplicative constant
+#: over a prime-reduced id: max intermediate is 1000002 * 2654435761
+#: ~ 2.7e15, far inside int64, so the same expression is exact (and
+#: ANSI-safe — no overflow) in both engines.
+INIT_HASH_PRIME = 1_000_003
+INIT_HASH_MULT = 2_654_435_761
+INIT_HASH_MOD = 2_147_483_647
+
+
+def init_seed_key(id_col: str) -> Column:
+    """Deterministic spread key: multiplicative hash of the id, computed
+    with plain int64 arithmetic so the SQL oracle reproduces it exactly."""
+    return (
+        (F.col(id_col).cast("long") % INIT_HASH_PRIME)
+        * F.lit(INIT_HASH_MULT)
+    ) % INIT_HASH_MOD
 
 
 def _sq_dist(vec_col: str, centroid: list[float]) -> Column:
@@ -66,12 +90,21 @@ def _best_centroid(vec_col: str, centroids: list[list[float]]) -> Column:
     among ties) — argmin and min-distance from a single expression tree
     instead of duplicating the k*d-term distance array in both
     ``array_min`` and ``array_position`` (keeps the generated code half
-    the size; identical tie-break: lowest cluster index wins)."""
+    the size; identical tie-break: lowest cluster index wins).
+
+    A ragged/short vector makes ``zip_with`` pad with nulls, so its
+    distance folds to NULL — and struct comparison over a NULL field
+    would make the argmin arbitrary. Coalescing each distance to +Inf
+    pins malformed vectors deterministically (all-Inf ties break to
+    cluster 0); :func:`kmeans_assign` then masks them to NULL outright."""
     return F.array_min(
         F.array(
             *[
                 F.struct(
-                    _sq_dist(vec_col, c).alias("d"), F.lit(i).alias("i")
+                    F.coalesce(
+                        _sq_dist(vec_col, c), F.lit(float("inf"))
+                    ).alias("d"),
+                    F.lit(i).alias("i"),
                 )
                 for i, c in enumerate(centroids)
             ]
@@ -105,13 +138,23 @@ def kmeans_fit(
             raise ValueError("cannot fit k-means on an empty DataFrame")
         dim = first["d"]
 
+    # Hash-spread seed selection: the k smallest (hash(id), id) rows — a
+    # distributed TakeOrderedAndProject, no global sort. Adjacent-id rows
+    # scatter across the hash range, so a topic/source-sorted corpus still
+    # seeds from k well-separated regions (first-k-rows init collapses all
+    # seeds into the first topic). Centroid INDEX order stays sorted by id
+    # so the oracle's row_number() OVER (ORDER BY vec_id) matches.
     init_rows = (
-        df.select(id_col, vec_col).orderBy(id_col).limit(k).collect()
+        df.select(id_col, vec_col)
+        .orderBy(init_seed_key(id_col), id_col)
+        .limit(k)
+        .collect()
     )
     if len(init_rows) < k:
         raise ValueError(
             f"k={k} but only {len(init_rows)} rows available for init"
         )
+    init_rows.sort(key=lambda r: r[id_col])
     centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
 
     for _ in range(n_iter):
@@ -159,11 +202,20 @@ def kmeans_assign(
     distance) as pure codegen columns — no shuffle, usable as a cheap
     bucketing key for per-cluster downstream work. The duplicated
     extraction of the shared best-struct tree is collapsed by codegen
-    subexpression elimination (one evaluation per row)."""
+    subexpression elimination (one evaluation per row).
+
+    Rows whose vector is NULL or whose length differs from the centroid
+    dimension get a NULL cluster (and NULL distance) instead of an
+    arbitrary one — the fit path already ignores them via null-safe
+    ``F.get``; this makes the assignment path equally explicit."""
+    dim = len(centroids[0])
+    well_formed = F.size(F.col(vec_col)) == dim
     best = _best_centroid(vec_col, centroids)
-    out = df.withColumn(cluster_col, best["i"].cast("int"))
+    out = df.withColumn(
+        cluster_col, F.when(well_formed, best["i"].cast("int"))
+    )
     if dist_col is not None:
-        out = out.withColumn(dist_col, best["d"])
+        out = out.withColumn(dist_col, F.when(well_formed, best["d"]))
     return out
 
 

@@ -25,13 +25,24 @@ _KM_RD = 4  # centroid/means rounding digits (see clustering.py docstring)
 
 def _duck_kmeans_cte() -> str:
     """Unrolled Lloyd iterations as DuckDB CTEs, mirroring
-    :mod:`~hds_functions_spark.operators.clustering` exactly: init = k
-    lowest vec_ids; each assignment computes the squared-L2 distance as
-    the SAME left-associative 64-term chain the Spark side spells, so
-    IEEE results are bit-identical; per-iteration means are rounded to
+    :mod:`~hds_functions_spark.operators.clustering` exactly: init = the
+    k vec_ids with the smallest multiplicative hash (same int64
+    arithmetic as ``clustering.init_seed_key``, so the selected seed set
+    is identical; centroid INDEX order is by vec_id on both sides); each
+    assignment computes the squared-L2 distance as the SAME
+    left-associative 64-term chain the Spark side spells, so IEEE
+    results are bit-identical; per-iteration means are rounded to
     ``_KM_RD`` digits on both sides before re-use, making every later
     iteration independent of partial-aggregation order."""
+    from .operators.clustering import (
+        INIT_HASH_MOD, INIT_HASH_MULT, INIT_HASH_PRIME,
+    )
+
     d = _KM_DIM
+    seed_key = (
+        f"((vec_id % {INIT_HASH_PRIME}) * {INIT_HASH_MULT})"
+        f" % {INIT_HASH_MOD}"
+    )
     dist = " + ".join(
         f"(e.embedding[{i}]::DOUBLE - c.c[{i}]) * "
         f"(e.embedding[{i}]::DOUBLE - c.c[{i}])"
@@ -45,7 +56,8 @@ def _duck_kmeans_cte() -> str:
     parts = [
         f"""
 init AS (
-  SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT {_KM_K}
+  SELECT vec_id, embedding FROM embeddings
+  ORDER BY {seed_key}, vec_id LIMIT {_KM_K}
 ),
 c0 AS (
   SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,

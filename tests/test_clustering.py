@@ -5,6 +5,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from hds_functions_spark.operators.clustering import (
+    init_seed_key,
     kmeans_assign,
     kmeans_fit,
     kmeans_fit_assign,
@@ -49,8 +50,51 @@ def test_fit_deterministic_across_runs(spark):
 def test_zero_iterations_returns_init_vectors(spark):
     df = _toy(spark)
     cents = kmeans_fit(df, k=2, n_iter=0, dim=2)
-    # init = vectors of the 2 lowest vec_ids
-    assert cents == [[0.0, 0.1], [0.1, 0.0]]
+    # hash-spread init: ids 5 and 1 have the smallest seed keys
+    # (((id % 1000003) * 2654435761) % 2147483647 -> 387276923, 506952114);
+    # centroid index order is by id, so id 1's vector comes first
+    assert cents == [[0.0, 0.1], [10.1, 10.0]]
+
+
+def test_init_seed_key_matches_python_arithmetic(spark):
+    # the oracle spells the same int64 expression; pin it here
+    df = _toy(spark)
+    got = {
+        r["vec_id"]: r["h"]
+        for r in df.select(
+            "vec_id", init_seed_key("vec_id").alias("h")
+        ).collect()
+    }
+    assert got == {
+        i: ((i % 1000003) * 2654435761) % 2147483647 for i in range(1, 7)
+    }
+
+
+def test_spread_init_beats_first_k_on_sorted_corpus(spark):
+    # ids sorted by planted cluster: first-k seeds all land in cluster 0,
+    # hash-spread seeds must touch both planted clusters
+    rows = [(i, [0.0 + i * 0.01, 0.0]) for i in range(10)] + [
+        (10 + i, [50.0 + i * 0.01, 50.0]) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = kmeans_fit(df, k=2, n_iter=0, dim=2)
+    # n_iter=0 exposes the raw seeds: one from each planted cluster
+    planted = sorted(c[1] for c in cents)
+    assert planted[0] == 0.0 and planted[1] == 50.0
+
+
+def test_ragged_vector_assigns_null_cluster(spark):
+    rows = [(1, [0.0, 0.0]), (2, [9.0]), (3, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        r["vec_id"]: (r["c"], r["d"])
+        for r in kmeans_assign(
+            df, [[0.0, 0.0], [10.0, 10.0]], cluster_col="c", dist_col="d"
+        ).collect()
+    }
+    assert out[1] == (0, 0.0)
+    assert out[2] == (None, None)  # short vector: explicit NULL, not arbitrary
+    assert out[3] == (None, None)
 
 
 def test_empty_cluster_keeps_previous_centroid(spark):
