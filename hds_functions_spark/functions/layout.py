@@ -135,8 +135,12 @@ def bucket_by_quantiles(
     cuts = df.agg(
         F.transform(perc, lambda x: F.round(x, round_digits)).alias("_cuts")
     )
-    bucket = F.size(
-        F.filter(F.col("_cuts"), lambda c: c <= F.col(col))
+    # NULL input -> NULL bucket: without the guard the filter predicate
+    # `c <= NULL` is NULL, every cut drops, and size()=0 silently conflates
+    # NULLs with the lowest-quantile bucket
+    bucket = F.when(
+        F.col(col).isNotNull(),
+        F.size(F.filter(F.col("_cuts"), lambda c: c <= F.col(col))),
     ).cast("int")
     return (
         df.crossJoin(F.broadcast(cuts))

@@ -615,10 +615,13 @@ def rfm_scores(
     )
     out = per_key.crossJoin(F.broadcast(cuts))
     for c, score in dims:
+        # NULL metric (e.g. all-NULL values -> NULL monetary) scores NULL,
+        # not tile 0 — same guard as layout.bucket_by_quantiles
         out = out.withColumn(
             score,
-            F.size(
-                F.filter(F.col(f"_cuts_{c}"), lambda v: v <= F.col(c))
+            F.when(
+                F.col(c).isNotNull(),
+                F.size(F.filter(F.col(f"_cuts_{c}"), lambda v: v <= F.col(c))),
             ).cast("int"),
         )
     return out.drop(*[f"_cuts_{c}" for c, _ in dims])
@@ -700,6 +703,11 @@ def dedup_events_in_window(
     WindowGroupLimit, so each shuffle partition pre-prunes to one row
     per group before the exchange.
     """
+    if not isinstance(window_seconds, int) or isinstance(window_seconds, bool) \
+            or window_seconds < 1:
+        raise ValueError(
+            f"window_seconds must be an integer >= 1 (got {window_seconds})"
+        )
     bucket = F.floor(
         F.unix_micros(F.col(ts_col)) / F.lit(window_seconds * 1_000_000)
     )

@@ -89,6 +89,18 @@ def test_bucket_by_quantiles_balanced(spark):
         assert maxes[i] <= mins[i + 1]
 
 
+def test_bucket_by_quantiles_null_gets_null_bucket(spark):
+    from hds_functions_spark.functions.layout import bucket_by_quantiles
+
+    df = spark.createDataFrame(
+        [(0, 1.0), (1, 2.0), (2, 3.0), (3, 4.0), (4, None)],
+        "id long, v double",
+    )
+    out = {r["id"]: r["bucket"] for r in bucket_by_quantiles(df, "v", 2).collect()}
+    assert out[4] is None  # NULL input must not land in bucket 0
+    assert out[0] == 0 and out[3] == 1
+
+
 def test_bucket_by_quantiles_validates(spark):
     import pytest
     from hds_functions_spark.functions.layout import bucket_by_quantiles

@@ -458,6 +458,39 @@ def test_dedup_events_in_window(spark):
     assert kept == {1, 3, 4, 5}
 
 
+def test_dedup_events_in_window_validates_window(spark):
+    import pytest
+
+    from hds_functions_spark.operators.events import dedup_events_in_window
+
+    df = spark.createDataFrame(
+        [(1, 10, datetime(2024, 1, 1), "a", 0.0)],
+        "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double",
+    )
+    for bad in (0, -300, True, 1.5):
+        with pytest.raises(ValueError, match="window_seconds"):
+            dedup_events_in_window(df, ["user_id"], window_seconds=bad)
+
+
+def test_rfm_null_metric_scores_null(spark):
+    from hds_functions_spark.operators.events import rfm_scores
+
+    rows = [
+        (10, datetime(2024, 1, 1), None),
+        (10, datetime(2024, 1, 2), None),  # all-NULL values: NULL monetary
+        (20, datetime(2024, 1, 3), 5.0),
+        (20, datetime(2024, 1, 4), 7.0),
+        (30, datetime(2024, 1, 5), 1.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    out = {r["user_id"]: r for r in rfm_scores(df, n_tiles=2).collect()}
+    assert out[10]["monetary"] is None and out[10]["m_score"] is None
+    assert out[20]["m_score"] is not None
+    # the other dimensions still score for the all-NULL-value key
+    assert out[10]["r_score"] is not None and out[10]["f_score"] is not None
+
+
 def test_top_types_per_window(spark):
     from hds_functions_spark.operators.events import top_types_per_window
 
