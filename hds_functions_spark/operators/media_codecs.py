@@ -41,6 +41,7 @@ from __future__ import annotations
 import hashlib
 import math
 import struct
+import zlib
 from array import array
 
 try:  # numpy ships with the Arrow/pandas stack; loops below are the fallback
@@ -54,16 +55,20 @@ __all__ = [
     "synthesize_image",
     "synthesize_ppm",
     "synthesize_bmp",
+    "synthesize_png",
     "synthesize_wav",
     "synthesize_y4m",
     "parse_image",
+    "parse_png",
     "parse_wav",
     "parse_y4m",
     "resize_ppm_nearest",
     "ppm_pixel_data",
     "bmp_pixel_data",
+    "png_pixel_data",
     "image_pixel_data",
     "ahash64",
+    "ahash64_from_pixels",
 ]
 
 WAV_RATES = [8000, 16000, 22050, 44100, 48000]
@@ -158,6 +163,210 @@ def synthesize_wav(seed: str) -> bytes:
     return header + data
 
 
+# --- PNG (real zlib inflate + filter reconstruction) ---------------------
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def _png_filter_row(ftype: int, row: bytes, prev: bytes, bpp: int) -> bytes:
+    """Apply PNG filter ``ftype`` to a raw scanline (encoder side).
+    ``prev`` is the RAW previous scanline (zeros for the first row)."""
+    n = len(row)
+    if ftype == 0:
+        return bytes(row)
+    out = bytearray(n)
+    for i in range(n):
+        a = row[i - bpp] if i >= bpp else 0
+        b = prev[i]
+        if ftype == 1:  # Sub
+            out[i] = (row[i] - a) & 0xFF
+        elif ftype == 2:  # Up
+            out[i] = (row[i] - b) & 0xFF
+        elif ftype == 3:  # Average
+            out[i] = (row[i] - (a + b) // 2) & 0xFF
+        else:  # Paeth
+            c = prev[i - bpp] if i >= bpp else 0
+            pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - c - c)
+            pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            out[i] = (row[i] - pred) & 0xFF
+    return bytes(out)
+
+
+def synthesize_png(seed: str) -> bytes:
+    """Deterministic 8-bit truecolor PNG with the SAME dims and ramp
+    pixel pattern as the PPM/BMP synthesis (``w = 1 + d0 % 64``,
+    ``h = 1 + d1 % 64``, pixel byte ``j`` = ``(d3 + j) % 256`` top-down
+    row-major RGB) — so every pixel-level oracle (ahash lattice, byte
+    sums) carries over unchanged across containers. Each scanline uses
+    filter type ``(d4 + row) % 5``, cycling through all five PNG filters
+    so a decoder that mis-handles any of Sub/Up/Average/Paeth produces
+    wrong pixels and fails the content checks, not just a header test.
+    """
+    w, h, d = _dims(seed)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # RGB8, no interlace
+    stride = 3 * w
+    if np is not None:
+        raw = ((d[3] + np.arange(h * stride)) % 256).astype(np.uint8)
+        rows = raw.reshape(h, stride)
+    else:
+        rows = [
+            bytes((d[3] + y * stride + i) % 256 for i in range(stride))
+            for y in range(h)
+        ]
+    filtered = bytearray()
+    prev = bytes(stride)
+    for y in range(h):
+        row = bytes(rows[y])
+        ftype = (d[4] + y) % 5
+        filtered.append(ftype)
+        filtered += _png_filter_row(ftype, row, prev, 3)
+        prev = row
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(filtered), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _png_unfilter(raw: bytes, w: int, h: int, bpp: int) -> bytes | None:
+    """Reverse per-scanline filtering -> raw pixel bytes (decoder side).
+    ``raw`` is the inflated IDAT stream: h * (1 + w*bpp) bytes. The
+    recurrences are sequential per row, but rows are short (<=64 px in
+    the fixtures) and the whole decode runs inside an Arrow batch."""
+    stride = w * bpp
+    if len(raw) < h * (1 + stride):
+        return None
+    out = bytearray(h * stride)
+    prev = bytes(stride)
+    pos = 0
+    for y in range(h):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - c - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            return None  # unknown filter type: corrupt
+        out[y * stride : (y + 1) * stride] = line
+        prev = bytes(line)
+    return bytes(out)
+
+
+#: PNG color type -> (mode, samples per pixel); 8-bit depth only.
+_PNG_COLOR_TYPES = {0: ("L", 1), 2: ("RGB", 3), 6: ("RGBA", 4)}
+
+
+def _png_decode(payload: bytes) -> tuple[int, int, str, int, bytes] | None:
+    """Full PNG decode -> (w, h, mode, bpp, raw pixel bytes) or None.
+
+    Real decoder: signature + chunk walk with CRC verification, IDAT
+    concatenation, zlib inflate, and filter reconstruction. Supports
+    8-bit greyscale / truecolor / truecolor+alpha, non-interlaced (the
+    overwhelming majority of real-world PNGs; Adam7 and palette/16-bit
+    variants are rejected as unsupported, not half-parsed).
+    """
+    p = bytes(payload)
+    if len(p) < 8 or p[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, n = 8, len(p)
+    ihdr = None
+    idat = bytearray()
+    while pos + 12 <= n:
+        (length,) = struct.unpack_from(">I", p, pos)
+        if pos + 12 + length > n:
+            return None  # truncated chunk
+        ctype = p[pos + 4 : pos + 8]
+        body = p[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", p, pos + 8 + length)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            return None  # corrupt chunk
+        if ctype == b"IHDR":
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat += body
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None or len(ihdr) < 13 or not idat:
+        return None
+    w, h, depth, color, comp, filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr
+    )
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        return None
+    mode_bpp = _PNG_COLOR_TYPES.get(color)
+    if mode_bpp is None or w <= 0 or h <= 0:
+        return None
+    mode, bpp = mode_bpp
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error:
+        return None
+    pixels = _png_unfilter(raw, w, h, bpp)
+    if pixels is None:
+        return None
+    return w, h, mode, bpp, pixels
+
+
+def parse_png(payload: bytes | None) -> dict | None:
+    """PNG payload -> ``{"width", "height", "mode", "format"}`` via the
+    FULL decode (inflate + unfilter — a corrupt body rejects even when
+    the header reads clean), or None."""
+    if not payload:
+        return None
+    decoded = _png_decode(payload)
+    if decoded is None:
+        return None
+    w, h, mode, _bpp, _pixels = decoded
+    return {"width": w, "height": h, "mode": mode, "format": "png"}
+
+
+def png_pixel_data(payload: bytes) -> tuple[int, int, bytes] | None:
+    """PNG payload -> (width, height, top-down raw RGB bytes), or None.
+    Greyscale replicates to RGB; alpha is dropped — same RGB surface as
+    the PPM/BMP decoders, so perceptual hashes agree across containers."""
+    decoded = _png_decode(bytes(payload))
+    if decoded is None:
+        return None
+    w, h, mode, bpp, pixels = decoded
+    if mode == "RGB":
+        return w, h, pixels
+    if np is not None:
+        px = np.frombuffer(pixels, dtype=np.uint8).reshape(-1, bpp)
+        rgb = np.repeat(px, 3, axis=1) if mode == "L" else px[:, :3]
+        return w, h, rgb.tobytes()
+    out = bytearray()
+    for i in range(0, len(pixels), bpp):
+        if mode == "L":
+            out += pixels[i : i + 1] * 3
+        else:
+            out += pixels[i : i + 3]
+    return w, h, bytes(out)
+
+
 # --- parsing -------------------------------------------------------------
 
 def _ppm_header(payload: bytes) -> tuple[int, int, int, int] | None:
@@ -211,6 +420,8 @@ def parse_image(payload: bytes | None) -> dict | None:
         if w <= 0 or h == 0 or mode is None:
             return None
         return {"width": w, "height": abs(h), "mode": mode, "format": "bmp"}
+    if p[:8] == b"\x89PNG\r\n\x1a\n":
+        return parse_png(p)
     return None
 
 
@@ -469,6 +680,8 @@ def image_pixel_data(payload: bytes | None) -> tuple[int, int, bytes] | None:
         return ppm_pixel_data(p)
     if p[:2] == b"BM":
         return bmp_pixel_data(p)
+    if p[:8] == b"\x89PNG\r\n\x1a\n":
+        return png_pixel_data(p)
     return None
 
 
@@ -492,6 +705,14 @@ def ahash64(
     if parsed is None:
         return None
     w, h, pixels = parsed
+    return ahash64_from_pixels(w, h, pixels, grid)
+
+
+def ahash64_from_pixels(
+    w: int, h: int, pixels: bytes, grid: int = 8
+) -> tuple[int, int, int, int]:
+    """:func:`ahash64` core over already-decoded top-down RGB bytes —
+    lets single-pass audits hash without re-decoding the container."""
     n = grid * grid
     if np is not None:
         px = (

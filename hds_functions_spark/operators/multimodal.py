@@ -62,8 +62,10 @@ __all__ = [
     "synthesize_media_payloads",
     "decode_image_features",
     "image_ahash",
+    "image_content_profile",
     "ahash_duplicate_groups",
     "AHASH_SCHEMA",
+    "CONTENT_PROFILE_SCHEMA",
     "decode_audio_features",
     "resize_image",
     "sample_video_frames",
@@ -122,16 +124,20 @@ def synthesize_media_payloads(
     distributes like any other stage).
 
     ``kind``: ``'image'`` (PPM/BMP mix sniff-selected by md5 byte 2),
-    ``'ppm'``, ``'wav'``, or ``'y4m'`` (uncompressed C444 video). The
+    ``'ppm'``, ``'png'`` (zlib-compressed, per-row filter cycle),
+    ``'wav'``, or ``'y4m'`` (uncompressed C444 video). The
     synthesis rules are the fixed protocol in
     :mod:`media_codecs`, chosen so every observable the real decoders
     extract is also computable in ANSI SQL from the seed text — that is
     what lets the registry run real codec paths under the DuckDB gate.
     """
+    from .media_codecs import synthesize_png
+
     synth = {"image": synthesize_image, "ppm": synthesize_ppm,
-             "wav": synthesize_wav, "y4m": synthesize_y4m}.get(kind)
+             "png": synthesize_png, "wav": synthesize_wav,
+             "y4m": synthesize_y4m}.get(kind)
     if synth is None:
-        raise ValueError(f"kind must be image|ppm|wav|y4m (got {kind!r})")
+        raise ValueError(f"kind must be image|ppm|png|wav|y4m (got {kind!r})")
     schema = StructType(
         [
             StructField("doc_id", LongType()),
@@ -570,6 +576,61 @@ def image_ahash(
             )
 
     return df.mapInPandas(process, AHASH_SCHEMA)
+
+
+#: One row per image: dims + full-content byte checksum + perceptual
+#: hash halves — the strongest single-pass content audit of a decode.
+CONTENT_PROFILE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("pixel_sum", LongType()),
+        StructField("ahash_hi", LongType()),
+        StructField("ahash_lo", LongType()),
+    ]
+)
+
+
+def image_content_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    grid: int = 8,
+) -> DataFrame:
+    """Decode each image ONCE and emit dims, the exact sum of every
+    decoded RGB byte, and the perceptual average-hash — the audit row
+    that proves a codec path end-to-end (for compressed containers like
+    PNG, ``pixel_sum`` covers every scanline, so a wrong filter
+    reconstruction anywhere in the image changes it; the ahash lattice
+    alone samples only ``grid``^2 pixels). Arrow-batched ``mapInPandas``
+    over the real decoders, no shuffle; undecodable payloads yield null
+    features."""
+
+    def process(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from .media_codecs import ahash64_from_pixels, image_pixel_data
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "width", "height", "pixel_sum", "ahash_hi", "ahash_lo")}
+            for p in pdf[payload_col]:
+                parsed = image_pixel_data(p) if p is not None else None
+                if parsed is None:
+                    for k in rows:
+                        rows[k].append(None)
+                    continue
+                w, h, pixels = parsed
+                _, _, hi, lo = ahash64_from_pixels(w, h, pixels, grid)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["pixel_sum"].append(_byte_sum(pixels))
+                rows["ahash_hi"].append(hi)
+                rows["ahash_lo"].append(lo)
+            yield pd.DataFrame({"doc_id": pdf[id_col], **rows})
+
+    return df.mapInPandas(process, CONTENT_PROFILE_SCHEMA)
 
 
 def ahash_duplicate_groups(hashes: DataFrame) -> DataFrame:

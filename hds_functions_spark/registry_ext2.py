@@ -1056,6 +1056,52 @@ def multimodal_ahash_dups(spark, sf_dir):
     )
 
 
+@_register("multimodal_image_png", None)  # oracle attached below
+def multimodal_image_png(spark, sf_dir):
+    """REAL compressed-image path: synthesize deterministic PNGs
+    worker-side (zlib-compressed scanlines whose filter types cycle
+    through all five of None/Sub/Up/Average/Paeth), then run the FULL
+    pure-stdlib decode — signature + CRC walk, inflate, filter
+    reconstruction — and emit dims, the exact sum of every decoded RGB
+    byte, and the perceptual hash. The pixel pattern matches the PPM/BMP
+    synthesis, so the oracle predicts the post-DECOMPRESSION content
+    closed-form: a wrong Paeth predictor or row offset anywhere changes
+    ``pixel_sum``; the ahash halves equal the uncompressed containers'
+    (cross-container invariance). Arrow-batched ``mapInPandas``, no
+    shuffle, 1 row in -> 1 row out."""
+    from .operators.multimodal import (
+        image_content_profile,
+        synthesize_media_payloads,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return image_content_profile(synthesize_media_payloads(docs, "png"))
+
+
+# pixel_sum closed form: the decoded bytes are the ramp (d3+j)%256 for
+# j in 0..L-1 (L = 3*w*h); any 256 consecutive j sum to 32640, and the
+# remainder is the same split-range CASE the video oracle uses (i=0).
+ORACLES["multimodal_image_png"] = f"""
+WITH h AS ({_duck_ahash_sql()}),
+b AS (
+  SELECT doc_id,
+         3 * (1 + ('0x' || substr(md5(text), 1, 2))::INTEGER % 64)
+           * (1 + ('0x' || substr(md5(text), 3, 2))::INTEGER % 64) AS L,
+         ('0x' || substr(md5(text), 7, 2))::INTEGER AS a
+  FROM documents
+)
+SELECT h.doc_id, h.width, h.height,
+       (b.L // 256 * 32640 +
+        CASE WHEN b.a + (b.L % 256) <= 256
+             THEN (b.L % 256) * b.a + (b.L % 256) * ((b.L % 256) - 1) // 2
+             ELSE (b.a + 255) * (256 - b.a) // 2
+                  + ((b.L % 256) + b.a - 256) * ((b.L % 256) + b.a - 257) // 2
+        END)::BIGINT AS pixel_sum,
+       h.ahash_hi, h.ahash_lo
+FROM h JOIN b USING (doc_id)
+"""
+
+
 ORACLES["multimodal_ahash_dups"] = f"""
 WITH h AS ({_duck_ahash_sql()})
 SELECT ahash_hi, ahash_lo,

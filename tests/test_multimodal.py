@@ -414,3 +414,157 @@ class TestImageAhash:
             bw, bh, bpx = bmp_pixel_data(synthesize_bmp(seed))
             assert (pw, ph) == (bw, bh)
             assert ppx == bpx  # identical top-down RGB after unpadding
+
+
+class TestPng:
+    """Real PNG codec: full inflate + filter reconstruction."""
+
+    def test_roundtrip_pixels_match_protocol(self):
+        from hds_functions_spark.operators.media_codecs import (
+            png_pixel_data, synthesize_png,
+        )
+
+        for seed in ("png-a", "png-b", "png-c", "png-d", "png-e"):
+            d = hashlib.md5(seed.encode()).digest()
+            w, h = 1 + d[0] % 64, 1 + d[1] % 64
+            pw, ph, pixels = png_pixel_data(synthesize_png(seed))
+            assert (pw, ph) == (w, h)
+            assert pixels == bytes((d[3] + j) % 256 for j in range(3 * w * h))
+
+    def test_all_five_filters_reconstruct(self):
+        # handcraft one image per filter type; decoded pixels must equal raw
+        import zlib
+
+        from hds_functions_spark.operators.media_codecs import png_pixel_data
+
+        def chunk(t, b):
+            return (
+                struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+            )
+
+        from hds_functions_spark.operators.media_codecs import _png_filter_row
+
+        w, h = 5, 4
+        raw_rows = [
+            bytes((17 * (y * w * 3 + i) + 3) % 256 for i in range(w * 3))
+            for y in range(h)
+        ]
+        for ftype in range(5):
+            filtered = bytearray()
+            prev = bytes(w * 3)
+            for row in raw_rows:
+                filtered.append(ftype)
+                filtered += _png_filter_row(ftype, row, prev, 3)
+                prev = row
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+            png = (
+                b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(bytes(filtered)))
+                + chunk(b"IEND", b"")
+            )
+            got = png_pixel_data(png)
+            assert got is not None, f"filter {ftype} failed to decode"
+            assert got == (w, h, b"".join(raw_rows)), f"filter {ftype} wrong"
+
+    def test_grey_and_rgba_normalise_to_rgb(self):
+        import zlib
+
+        from hds_functions_spark.operators.media_codecs import (
+            parse_png, png_pixel_data,
+        )
+
+        def chunk(t, b):
+            return (
+                struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+            )
+
+        def make(color, bpp, pix, w=2, h=2):
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+            raw = b"".join(
+                b"\x00" + pix[y * w * bpp:(y + 1) * w * bpp] for y in range(h)
+            )
+            return (
+                b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+            )
+
+        grey = make(0, 1, bytes([9, 18, 27, 36]))
+        assert parse_png(grey)["mode"] == "L"
+        assert png_pixel_data(grey)[2] == bytes(
+            [9] * 3 + [18] * 3 + [27] * 3 + [36] * 3
+        )
+        rgba = make(6, 4, bytes(range(16)))
+        assert parse_png(rgba)["mode"] == "RGBA"
+        assert png_pixel_data(rgba)[2] == bytes(
+            [0, 1, 2, 4, 5, 6, 8, 9, 10, 12, 13, 14]
+        )
+
+    def test_corrupt_and_unsupported_reject(self):
+        import zlib
+
+        from hds_functions_spark.operators.media_codecs import (
+            parse_png, synthesize_png,
+        )
+
+        png = synthesize_png("corrupt-me")
+        assert parse_png(None) is None
+        assert parse_png(b"") is None
+        assert parse_png(png[:30]) is None  # truncated mid-chunk
+        flipped = bytearray(png)
+        flipped[60] ^= 0xFF
+        assert parse_png(bytes(flipped)) is None  # CRC catches body damage
+
+        def chunk(t, b):
+            return (
+                struct.pack(">I", len(b)) + t + b
+                + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+            )
+
+        # interlaced and 16-bit depth are unsupported -> None, not garbage
+        for depth, interlace in ((8, 1), (16, 0)):
+            ihdr = struct.pack(">IIBBBBB", 2, 2, depth, 2, 0, 0, interlace)
+            p = (
+                b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+                + chunk(b"IDAT", zlib.compress(b"\x00" * 14))
+                + chunk(b"IEND", b"")
+            )
+            assert parse_png(p) is None
+
+    def test_ahash_invariant_across_all_containers(self):
+        from hds_functions_spark.operators.media_codecs import (
+            ahash64, synthesize_bmp, synthesize_png,
+        )
+
+        for seed in ("inv-1", "inv-2", "inv-3"):
+            assert (
+                ahash64(synthesize_png(seed))
+                == ahash64(synthesize_ppm(seed))
+                == ahash64(synthesize_bmp(seed))
+            )
+
+    def test_content_profile_through_spark(self, spark):
+        from hds_functions_spark.operators.multimodal import (
+            image_content_profile, synthesize_media_payloads,
+        )
+
+        docs = spark.createDataFrame(
+            [(1, "alpha"), (2, "beta"), (3, None)], "doc_id long, text string"
+        )
+        out = {
+            r["doc_id"]: r
+            for r in image_content_profile(
+                synthesize_media_payloads(docs, "png")
+            ).collect()
+        }
+        for doc_id, seed in ((1, "alpha"), (2, "beta")):
+            d = hashlib.md5(seed.encode()).digest()
+            w, h = 1 + d[0] % 64, 1 + d[1] % 64
+            r = out[doc_id]
+            assert (r["width"], r["height"]) == (w, h)
+            assert r["pixel_sum"] == sum(
+                (d[3] + j) % 256 for j in range(3 * w * h)
+            )
+            assert r["ahash_hi"] is not None
+        assert out[3]["width"] is None and out[3]["pixel_sum"] is None
