@@ -176,10 +176,35 @@ def _png_chunk(ctype: bytes, body: bytes) -> bytes:
 
 def _png_filter_row(ftype: int, row: bytes, prev: bytes, bpp: int) -> bytes:
     """Apply PNG filter ``ftype`` to a raw scanline (encoder side).
-    ``prev`` is the RAW previous scanline (zeros for the first row)."""
+    ``prev`` is the RAW previous scanline (zeros for the first row).
+
+    Unlike the decoder's unfilter (whose Sub/Average/Paeth recurrences
+    consume their own OUTPUT and are inherently sequential), the encoder
+    predicts from raw neighbour bytes only, so every filter vectorizes:
+    the numpy path shifts the row/prev arrays and subtracts whole lanes.
+    """
     n = len(row)
     if ftype == 0:
         return bytes(row)
+    if np is not None:
+        x = np.frombuffer(row, dtype=np.uint8).astype(np.int16)
+        b = np.frombuffer(prev, dtype=np.uint8).astype(np.int16)
+        a = np.zeros(n, dtype=np.int16)
+        a[bpp:] = x[:-bpp]
+        if ftype == 1:  # Sub
+            pred = a
+        elif ftype == 2:  # Up
+            pred = b
+        elif ftype == 3:  # Average
+            pred = (a + b) // 2
+        else:  # Paeth
+            c = np.zeros(n, dtype=np.int16)
+            c[bpp:] = b[:-bpp]
+            pa, pb, pc = np.abs(b - c), np.abs(a - c), np.abs(a + b - 2 * c)
+            pred = np.where(
+                (pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c)
+            )
+        return ((x - pred) & 0xFF).astype(np.uint8).tobytes()
     out = bytearray(n)
     for i in range(n):
         a = row[i - bpp] if i >= bpp else 0
@@ -250,7 +275,27 @@ def _png_unfilter(raw: bytes, w: int, h: int, bpp: int) -> bytes | None:
         ftype = raw[pos]
         line = bytearray(raw[pos + 1 : pos + 1 + stride])
         pos += 1 + stride
-        if ftype == 1:  # Sub
+        # numpy pays off only on real-world-sized rows: at fixture widths
+        # (<=192 bytes) array setup costs more than the byte loop saves
+        if np is not None and ftype in (1, 2) and stride >= 1024:
+            lv = np.frombuffer(bytes(line), dtype=np.uint8)
+            if ftype == 1:
+                # Sub's left-neighbour recurrence is a per-lane running
+                # sum: cumsum each of the bpp byte lanes mod 256
+                lanes = lv.reshape(w, bpp).astype(np.uint64)
+                line = bytearray(
+                    (lanes.cumsum(axis=0) % 256)
+                    .astype(np.uint8)
+                    .tobytes()
+                )
+            else:  # Up: whole-row add of the previous scanline
+                pv = np.frombuffer(prev, dtype=np.uint8)
+                line = bytearray(
+                    ((lv.astype(np.int16) + pv) & 0xFF)
+                    .astype(np.uint8)
+                    .tobytes()
+                )
+        elif ftype == 1:  # Sub
             for i in range(bpp, stride):
                 line[i] = (line[i] + line[i - bpp]) & 0xFF
         elif ftype == 2:  # Up
