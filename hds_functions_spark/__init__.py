@@ -106,6 +106,12 @@ from .operators.sampling import (
     stratified_sample,
     weighted_sample,
 )
+from .operators.retrieval import (
+    bm25_scores,
+    bm25_topk,
+    doc_postings,
+    retrieval_decontam,
+)
 from .operators.similarity import (
     cosine_topk,
     embedding_centroids,

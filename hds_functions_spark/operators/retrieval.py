@@ -1,0 +1,199 @@
+"""Distributed BM25 retrieval over a document corpus.
+
+The sparse-retrieval primitive a pretraining pipeline uses for
+decontamination-by-retrieval (does any benchmark prompt retrieve a
+training document too well?) and for nearest-document audits where no
+embedding model is in the loop. No reference analogue (``hds_functions``
+has no retrieval surface); part of the LLM-data-pipeline extension bar.
+
+Spark-first shape:
+
+- **Postings are a DataFrame, not an index structure.** ``(doc_id, term,
+  tf)`` from one explode + one map-side-combinable groupBy; document
+  lengths and the corpus aggregate (N, avgdl) are tiny frames attached
+  by 1-row-broadcast crossJoin.
+- **The scoring join is equi on the term key.** Query terms (small —
+  benchmark suites are thousands of rows, corpora are billions)
+  broadcast against the postings; per-(query, doc) partial scores
+  combine map-side in ONE aggregate.
+- **The stopword pressure valve bounds fanout.** A term matching half
+  the corpus contributes ~zero idf but would explode the join
+  (|queries| x df rows for that term). ``max_df_frac`` drops terms
+  with df > frac * N from BOTH sides — same design as the hot-gram cap
+  in :mod:`dedup` (measured there: 17.5x at 16x scale). At 100 TB this
+  is the difference between a bounded join and a broadcast storm.
+- **Determinism**: scores round to ``round_digits`` BEFORE the top-k
+  rank (ties then break by doc_id ascending), so an oracle rounding
+  identically ranks identically; the rank-filter rides Catalyst's
+  WindowGroupLimit (per-partition pre-prune before the exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens, word_ngrams
+
+__all__ = [
+    "doc_postings",
+    "bm25_scores",
+    "bm25_topk",
+    "retrieval_decontam",
+]
+
+
+def _terms(text_col: str, term_ngram: int) -> Column:
+    """Lowercased whitespace-token terms; ``term_ngram > 1`` switches to
+    space-joined word n-grams — the right unit when the unigram
+    vocabulary is small/undiscriminative (phrase retrieval)."""
+    lowered = F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
+    if term_ngram == 1:
+        return lowered
+    return word_ngrams(lowered, term_ngram)
+
+
+def doc_postings(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    term_ngram: int = 1,
+) -> DataFrame:
+    """``(doc_id, term, tf)`` postings + per-doc length ``dl`` — the
+    whole 'index build' is one explode and one combinable groupBy;
+    whitespace tokens of lowercased trimmed text (the registry's shared
+    tokenizer convention)."""
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_terms(text_col, term_ngram)).alias("term"),
+    )
+    return (
+        toks.groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn(
+            "dl", F.sum("tf").over(Window.partitionBy("doc_id"))
+        )
+    )
+
+
+def bm25_scores(
+    docs: DataFrame,
+    queries: DataFrame,
+    doc_id_col: str = "doc_id",
+    doc_text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_frac: float = 0.5,
+    term_ngram: int = 1,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Okapi BM25 score of every (query, document) pair sharing at least
+    one term: ``sum over shared terms of idf(t) * tf*(k1+1) / (tf + k1*
+    (1 - b + b*dl/avgdl))`` with the always-positive idf
+    ``ln(1 + (N - df + 0.5)/(df + 0.5))``. Query terms are DISTINCT per
+    query (standard for short queries; repeated prompt words do not
+    multiply the score). Terms with ``df > max_df_frac * N`` are dropped
+    from both sides — near-zero idf, unbounded join fanout (see module
+    docstring). Output: ``(query_id, doc_id, score)`` rounded.
+    """
+    if not 0 < max_df_frac <= 1:
+        raise ValueError(f"max_df_frac must be in (0, 1] (got {max_df_frac})")
+    if k1 < 0 or not 0 <= b <= 1:
+        raise ValueError(f"need k1 >= 0 and 0 <= b <= 1 (got {k1}, {b})")
+    if term_ngram < 1:
+        raise ValueError(f"term_ngram must be >= 1 (got {term_ngram})")
+
+    post = doc_postings(docs, doc_id_col, doc_text_col, term_ngram)
+    # corpus stats: one row, broadcast everywhere; dl/avgdl count TERMS
+    # (ngram occurrences), consistently with the postings
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("_n"),
+        (
+            F.sum(F.size(_terms(doc_text_col, term_ngram)))
+            / F.count(F.lit(1))
+        ).alias("_avgdl"),
+    )
+    df_t = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    kept = (
+        df_t.crossJoin(F.broadcast(stats))
+        .filter(F.col("df") <= F.col("_n") * max_df_frac)
+        .select(
+            "term",
+            "df",
+            F.log(
+                F.lit(1.0)
+                + (F.col("_n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+            ).alias("idf"),
+            "_avgdl",
+        )
+    )
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(_terms(query_text_col, term_ngram)).alias("term"),
+    ).distinct()
+    scored = (
+        post.join(kept, on="term")
+        .join(F.broadcast(qterms), on="term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("idf")
+                    * (F.col("tf") * (k1 + 1))
+                    / (
+                        F.col("tf")
+                        + k1
+                        * (1 - b + b * F.col("dl") / F.col("_avgdl"))
+                    )
+                ),
+                round_digits,
+            ).alias("score")
+        )
+    )
+    return scored
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    **kwargs,
+) -> DataFrame:
+    """Top-``k`` documents per query by BM25 — rank over the ROUNDED
+    score (ties by doc_id ascending) so engines agree at boundaries;
+    rank-then-filter rides WindowGroupLimit. Output ``(query_id, doc_id,
+    score, rank)``."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    scored = bm25_scores(docs, queries, **kwargs)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def retrieval_decontam(
+    docs: DataFrame,
+    queries: DataFrame,
+    threshold: float,
+    **kwargs,
+) -> DataFrame:
+    """Decontamination-by-retrieval: per corpus document, how many
+    benchmark queries retrieve it with BM25 >= ``threshold`` and the
+    strongest such score — the flag list fed to the removal join.
+    ONE combinable aggregate over the scored pairs; output ``(doc_id,
+    n_hits, max_score)``, hit documents only."""
+    scored = bm25_scores(docs, queries, **kwargs)
+    return (
+        scored.filter(F.col("score") >= threshold)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_hits"),
+            F.max("score").alias("max_score"),
+        )
+    )

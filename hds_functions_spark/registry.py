@@ -738,6 +738,11 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the set) waits for the round-7 window; everything else gains a durable
 #: driver-green row this round. The 100 queries already driver-checked in
 #: r01-r05 fall back to registration order after these.
+#: ROUND-7 QUEUE: clean_strip_markup plus the queries ADDED in round 6
+#: (multimodal_image_png, retrieval_bm25, retrieval_decontam, and any
+#: later additions — run tools/driver_coverage.py for the authoritative
+#: list) have compare_oracle green runs but no driver row; hoist them
+#: next rotation.
 DRIVER_PRIORITY: list[str] = [
     "analytics_cube",
     "analytics_share",

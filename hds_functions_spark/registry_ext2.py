@@ -1667,3 +1667,6 @@ def text_ttr(spark, sf_dir):
     return add_type_token_ratio(
         _t(spark, sf_dir, "documents").select("doc_id", "text")
     ).select("doc_id", "type_token_ratio")
+
+
+from . import registry_ext3  # noqa: E402,F401  (round-6 registrations)

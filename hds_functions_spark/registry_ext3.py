@@ -1,0 +1,147 @@
+"""Extension-layer query registry, part 3 (round-6 additions).
+
+Same contract as ``registry_ext.py``: every query has a DuckDB oracle
+generated from the SAME constants so both sides compute identical values
+by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import ORACLES, QUERIES, _register, _t  # noqa: F401
+
+# --- BM25 retrieval / decontamination-by-retrieval -----------------------
+
+#: BM25 constants shared by the Spark operators and the oracles. Terms
+#: are word BIGRAMS: the synthetic corpus has a ~31-word vocabulary where
+#: every unigram appears in ~78% of documents (pure stopwords — the
+#: df cap correctly drops them all and unigram retrieval is vacuous);
+#: bigrams give a 900+-term discriminative vocabulary (median df ~6%).
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_MAX_DF = 0.5
+_BM25_NGRAM = 2
+_BM25_TOPK = 5
+_BM25_QUERY_MOD = 101  # doc_id % mod == 0 rows serve as the query set
+_BM25_QUERY_TOKENS = 9  # first 9 tokens -> 8 query bigrams
+_DECON_THRESHOLD = 9.0
+
+#: DuckDB fragments shared by the BM25 oracles.
+_DUCK_TOK = (
+    "CASE WHEN trim(text) = '' THEN []::VARCHAR[] "
+    "ELSE string_split_regex(trim(lower(text)), '\\s+') END"
+)
+
+
+def _duck_bigrams(lst: str) -> str:
+    return (
+        f"CASE WHEN len({lst}) < 2 THEN []::VARCHAR[] "
+        f"ELSE list_transform(generate_series(1, len({lst}) - 1), "
+        f"i -> {lst}[i] || ' ' || {lst}[i + 1]) END"
+    )
+
+
+def _duck_bm25_scored() -> str:
+    """Shared CTE chain ending in ``scored(query_id, doc_id, score)`` —
+    the oracle mirror of :func:`operators.retrieval.bm25_scores` with
+    the registry constants baked in."""
+    k1, b = _BM25_K1, _BM25_B
+    return f"""
+d AS (SELECT doc_id, {_DUCK_TOK} AS t FROM documents),
+bg AS (SELECT doc_id, {_duck_bigrams('t')} AS g FROM d),
+toks AS (SELECT doc_id, unnest(g) AS term FROM bg),
+post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
+stats AS (SELECT count(*) AS n, sum(len(g))::DOUBLE / count(*) AS avgdl
+          FROM bg),
+df_t AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+kept AS (
+  SELECT term, ln(1 + (n - df + 0.5) / (df + 0.5)) AS idf, avgdl
+  FROM df_t CROSS JOIN stats WHERE df <= n * {_BM25_MAX_DF}),
+q AS (SELECT doc_id AS query_id, t[1:{_BM25_QUERY_TOKENS}] AS qt
+      FROM d WHERE doc_id % {_BM25_QUERY_MOD} = 0),
+qbg AS (SELECT query_id, {_duck_bigrams('qt')} AS g FROM q),
+qterms AS (SELECT DISTINCT query_id, unnest(g) AS term FROM qbg),
+scored AS (
+  SELECT query_id, p.doc_id,
+         round(sum(idf * (tf * {k1 + 1}) /
+                   (tf + {k1} * ({1 - b} + {b} * dl.dl / avgdl))), 6)
+             AS score
+  FROM post p JOIN kept USING (term) JOIN qterms USING (term)
+  JOIN dl ON p.doc_id = dl.doc_id
+  GROUP BY 1, 2)
+"""
+
+
+def _bm25_inputs(spark, sf_dir):
+    from .functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    queries = docs.filter(
+        F.col("doc_id") % _BM25_QUERY_MOD == 0
+    ).select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(tokens(F.col("text")), 1, _BM25_QUERY_TOKENS), " "
+        ).alias("query_text"),
+    )
+    return docs, queries
+
+
+@_register(
+    "retrieval_bm25",
+    f"""
+WITH {_duck_bm25_scored()}
+SELECT query_id, doc_id, score,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY score DESC, doc_id) AS INTEGER)
+           AS rank
+FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY score DESC, doc_id) <= {_BM25_TOPK}
+""",
+)
+def retrieval_bm25(spark, sf_dir):
+    """Okapi BM25 top-5 retrieval over bigram postings: every ~101st
+    document's first 9 tokens serve as a benchmark query against the
+    full corpus. Postings build is one explode + one combinable groupBy;
+    the scoring join is equi on the term key with the df>50% stopword
+    valve bounding fanout (the hot-gram-cap design); query terms
+    broadcast; the top-k rank runs over rounded scores and rides
+    WindowGroupLimit. Self-retrieval sanity is built in: each query's
+    own source document must surface."""
+    from .operators.retrieval import bm25_topk
+
+    docs, queries = _bm25_inputs(spark, sf_dir)
+    return bm25_topk(
+        docs, queries, k=_BM25_TOPK,
+        k1=_BM25_K1, b=_BM25_B, max_df_frac=_BM25_MAX_DF,
+        term_ngram=_BM25_NGRAM,
+    )
+
+
+@_register(
+    "retrieval_decontam",
+    f"""
+WITH {_duck_bm25_scored()}
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits,
+       max(score) AS max_score
+FROM scored WHERE score >= {_DECON_THRESHOLD} GROUP BY 1
+""",
+)
+def retrieval_decontam(spark, sf_dir):
+    """Decontamination-by-retrieval: corpus documents any benchmark
+    query retrieves with BM25 >= {threshold} — the flag list a removal
+    join consumes (the sparse-retrieval complement to the n-gram-overlap
+    decontaminator, catching paraphrase-adjacent leakage n-gram equality
+    misses). Same bounded scoring join as retrieval_bm25, then ONE
+    combinable aggregate per flagged document."""
+    from .operators.retrieval import retrieval_decontam as _op
+
+    docs, queries = _bm25_inputs(spark, sf_dir)
+    return _op(
+        docs, queries, threshold=_DECON_THRESHOLD,
+        k1=_BM25_K1, b=_BM25_B, max_df_frac=_BM25_MAX_DF,
+        term_ngram=_BM25_NGRAM,
+    )

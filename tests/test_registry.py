@@ -32,7 +32,10 @@ def test_driver_priority_queries_land_in_first_50():
     unregistered = [n for n in DRIVER_PRIORITY if n not in names]
     assert not unregistered, f"priority names not registered: {unregistered}"
     window = set(names[:50])
-    outside = [n for n in DRIVER_PRIORITY if n not in window]
+    # the list may exceed the 50-slot window (round 6 rotates 51 names in;
+    # the surplus deliberately queues for the next round) — what must hold
+    # is that the first 50 priority names actually fill the gate
+    outside = [n for n in DRIVER_PRIORITY[:50] if n not in window]
     assert not outside, f"priority queries outside the first-50 gate: {outside}"
     # queries() and oracle_sql() iterate in the same order (oracle-less
     # streaming-style entries excepted).

@@ -1,0 +1,151 @@
+"""BM25 retrieval: hand-computed scores, self-retrieval, the df stopword
+valve, determinism, and validation."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from hds_functions_spark.operators.retrieval import (
+    bm25_scores,
+    bm25_topk,
+    doc_postings,
+    retrieval_decontam,
+)
+
+
+def _corpus(spark):
+    rows = [
+        (0, "apple banana cherry"),
+        (1, "apple apple date"),
+        (2, "banana date elder fig"),
+        (3, "grape grape grape grape"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _queries(spark, rows):
+    return spark.createDataFrame(rows, "query_id long, query_text string")
+
+
+def test_postings_tf_and_dl(spark):
+    post = {
+        (r["doc_id"], r["term"]): (r["tf"], r["dl"])
+        for r in doc_postings(_corpus(spark)).collect()
+    }
+    assert post[(1, "apple")] == (2, 3)
+    assert post[(0, "banana")] == (1, 3)
+    assert post[(3, "grape")] == (4, 4)
+
+
+def test_bm25_matches_hand_computation(spark):
+    docs = _corpus(spark)
+    queries = _queries(spark, [(100, "apple")])
+    got = {
+        (r["query_id"], r["doc_id"]): r["score"]
+        for r in bm25_scores(docs, queries).collect()
+    }
+    # N=4, df(apple)=2, idf = ln(1 + (4-2+0.5)/(2+0.5)) = ln(2)
+    # avgdl = (3+3+4+4)/4 = 3.5
+    idf = math.log(2.0)
+
+    def s(tf, dl):
+        return round(
+            idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / 3.5)), 6
+        )
+
+    assert got == {(100, 0): s(1, 3), (100, 1): s(2, 3)}
+    assert got[(100, 1)] > got[(100, 0)]  # higher tf, same length -> higher
+
+
+def test_query_terms_are_distinct(spark):
+    docs = _corpus(spark)
+    once = bm25_scores(docs, _queries(spark, [(1, "apple")])).collect()
+    thrice = bm25_scores(
+        docs, _queries(spark, [(1, "apple apple apple")])
+    ).collect()
+    assert sorted(map(tuple, once)) == sorted(map(tuple, thrice))
+
+
+def test_df_cap_drops_stopword_terms(spark):
+    # 'date' appears in 2/4 docs = exactly the 0.5 frac -> kept;
+    # drop the cap to 0.25 and it disappears
+    docs = _corpus(spark)
+    q = _queries(spark, [(1, "date")])
+    assert bm25_scores(docs, q).count() == 2
+    assert bm25_scores(docs, q, max_df_frac=0.25).count() == 0
+
+
+def test_topk_rank_and_ties(spark):
+    docs = _corpus(spark)
+    q = _queries(spark, [(7, "apple banana")])
+    out = bm25_topk(docs, q, k=2).orderBy("rank").collect()
+    assert [r["rank"] for r in out] == [1, 2]
+    assert out[0]["score"] >= out[1]["score"]
+
+
+def test_self_retrieval_ranks_first(spark):
+    # each doc queried with its own full text must retrieve itself at rank 1
+    docs = _corpus(spark)
+    q = docs.select(
+        F.col("doc_id").alias("query_id"),
+        F.col("text").alias("query_text"),
+    )
+    top1 = bm25_topk(docs, q, k=1).collect()
+    assert {r["query_id"]: r["doc_id"] for r in top1} == {
+        0: 0, 1: 1, 2: 2, 3: 3
+    }
+
+
+def test_bigram_terms(spark):
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, "b c d"), (2, "x y z")],
+        "doc_id long, text string",
+    )
+    q = _queries(spark, [(9, "b c")])
+    # "b c" has df 2/3 > the default 0.5 cap; lift the cap to score it
+    got = {
+        r["doc_id"]
+        for r in bm25_scores(
+            docs, q, term_ngram=2, max_df_frac=1.0
+        ).collect()
+    }
+    assert got == {0, 1}  # only docs containing the bigram "b c"
+
+
+def test_decontam_threshold_and_hits(spark):
+    docs = _corpus(spark)
+    q = _queries(spark, [(1, "apple"), (2, "apple date")])
+    out = {
+        r["doc_id"]: (r["n_hits"], r["max_score"])
+        for r in retrieval_decontam(docs, q, threshold=0.0).collect()
+    }
+    assert out[1][0] == 2  # doc 1 matches both queries
+    assert all(v[1] > 0 for v in out.values())
+    high = retrieval_decontam(docs, q, threshold=1e9)
+    assert high.count() == 0
+
+
+def test_validation_errors(spark):
+    docs = _corpus(spark)
+    q = _queries(spark, [(1, "apple")])
+    with pytest.raises(ValueError, match="max_df_frac"):
+        bm25_scores(docs, q, max_df_frac=0.0)
+    with pytest.raises(ValueError, match="k1"):
+        bm25_scores(docs, q, k1=-1)
+    with pytest.raises(ValueError, match="term_ngram"):
+        bm25_scores(docs, q, term_ngram=0)
+    with pytest.raises(ValueError, match="k must be"):
+        bm25_topk(docs, q, k=0)
+
+
+def test_scoring_join_broadcasts_queries(spark):
+    docs = _corpus(spark)
+    q = _queries(spark, [(1, "apple")])
+    plan = (
+        bm25_scores(docs, q)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan  # query terms never shuffle the corpus
