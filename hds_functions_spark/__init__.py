@@ -106,6 +106,10 @@ from .operators.sampling import (
     stratified_sample,
     weighted_sample,
 )
+from .functions.sketches import (
+    kmv_distinct,
+    kmv_hash,
+)
 from .operators.retrieval import (
     bm25_scores,
     bm25_topk,

@@ -1,0 +1,85 @@
+"""KMV distinct sketch: exactness below k, estimator accuracy above k,
+hash determinism, null handling, plan shape."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from hds_functions_spark.functions.sketches import kmv_distinct, kmv_hash
+
+
+def test_hash_matches_md5_arithmetic(spark):
+    df = spark.createDataFrame([(1,), (42,), (999,)], "v long")
+    got = {
+        r["v"]: r["u"]
+        for r in df.select("v", kmv_hash("v").alias("u")).collect()
+    }
+    for v in (1, 42, 999):
+        expect = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16) / (
+            1 << 60
+        )
+        assert got[v] == expect
+
+
+def test_exact_below_k(spark):
+    # 10 distinct values, k=64 -> sketch holds everything, estimate exact
+    df = spark.range(100).select((F.col("id") % 10).alias("v"))
+    row = kmv_distinct(df, "v", k=64).collect()[0]
+    assert row["n_kept"] == 10
+    assert row["estimate"] == 10.0
+
+
+def test_estimator_within_bound_above_k(spark):
+    # 5000 distinct, k=256 -> relative error well inside 5/sqrt(k-2)
+    df = spark.range(5000).select(F.col("id").alias("v"))
+    row = kmv_distinct(df, "v", k=256).collect()[0]
+    assert row["n_kept"] == 256
+    assert abs(row["estimate"] - 5000) / 5000 < 5 / (254 ** 0.5)
+
+
+def test_grouped_estimates(spark):
+    df = spark.range(3000).select(
+        (F.col("id") % 3).alias("g"),
+        F.col("id").alias("v"),  # 1000 distinct per group
+    )
+    rows = {r["g"]: r for r in kmv_distinct(df, "v", ["g"], k=128).collect()}
+    assert set(rows) == {0, 1, 2}
+    for r in rows.values():
+        assert abs(r["estimate"] - 1000) / 1000 < 5 / (126 ** 0.5)
+
+
+def test_nulls_never_enter_sketch(spark):
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,), (None,)], "v: long"
+    )
+    row = kmv_distinct(df, "v", k=8).collect()[0]
+    assert row["n_kept"] == 2 and row["estimate"] == 2.0
+
+
+def test_duplicates_do_not_inflate(spark):
+    once = spark.range(500).select(F.col("id").alias("v"))
+    tenfold = once.crossJoin(spark.range(10)).select("v")
+    a = kmv_distinct(once, "v", k=64).collect()[0]
+    b = kmv_distinct(tenfold, "v", k=64).collect()[0]
+    assert a["estimate"] == b["estimate"]  # sketch sees distinct values only
+
+
+def test_validates_k(spark):
+    df = spark.range(5).select(F.col("id").alias("v"))
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_distinct(df, "v", k=2)
+
+
+def test_global_sketch_avoids_single_partition_window(spark):
+    df = spark.range(1000).select(F.col("id").alias("v"))
+    plan = (
+        kmv_distinct(df, "v", k=16)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # ungrouped path must be the distributed TakeOrdered top-k, not a
+    # row_number window over one partition
+    assert "TakeOrderedAndProject" in plan
+    assert "Window" not in plan
