@@ -71,6 +71,7 @@ from .functions.layout import (
     quantize_to_bins,
     zorder_column,
 )
+from .operators.graph import pagerank
 from .operators.joins import salted_join
 from .operators.packing import (
     chunk_documents,

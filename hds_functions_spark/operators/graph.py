@@ -1,0 +1,117 @@
+"""Distributed PageRank over an edge DataFrame.
+
+The graph-centrality primitive a corpus pipeline uses for
+quality-weighting by link structure (domain PageRank over a web-crawl
+link graph is the classic pretraining quality signal). Complements the
+connected-components operator in :mod:`dedup` (which answers "which
+nodes form one group"); PageRank answers "which nodes matter most".
+No reference analogue; part of the LLM-data-pipeline extension bar.
+
+Spark-first shape, same determinism contract as k-means
+(:mod:`clustering`) so the whole iteration is oracle-unrollable:
+
+- **One lazy plan, no per-iteration action.** Each Lloyd-style round is
+  a rank⨝edges equi-join on the source key + ONE map-side-combinable
+  groupBy on the destination; ``n_iter`` rounds chain into a single DAG
+  the engine executes once. The edge frame is normalised, persisted and
+  pre-partitioned by source ONCE — every iteration reuses that
+  partitioning instead of re-shuffling the raw edges.
+- **Dangling mass stays distributed.** Nodes without out-edges leak
+  rank; their aggregate mass is a 1-row frame crossJoin-broadcast back
+  each round — never a driver round-trip.
+- **Determinism**: ranks round to ``round_digits`` after every
+  iteration, so a SQL oracle that rounds identically reproduces every
+  later iteration bit-for-bit regardless of partial-aggregation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["pagerank"]
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 3,
+    damping: float = 0.85,
+    round_digits: int = 9,
+) -> DataFrame:
+    """Power-iteration PageRank: ``r(v) = (1-d)/N + d * (sum over
+    in-neighbours u of r(u)/outdeg(u) + dangling_mass/N)``, ``n_iter``
+    rounds from the uniform start ``1/N``. Returns ``(node, rank)`` for
+    every node appearing as a source or destination. Duplicate edges are
+    collapsed (simple-graph semantics); for an undirected graph pass
+    both directions.
+    """
+    if n_iter < 0:
+        raise ValueError(f"n_iter must be >= 0 (got {n_iter})")
+    if not 0 <= damping <= 1:
+        raise ValueError(f"damping must be in [0, 1] (got {damping})")
+
+    from ..caching import tracked_persist
+
+    e = (
+        edges.select(
+            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+        )
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    # normalise once: per-edge weight 1/outdeg(src); partitioned by src so
+    # every iteration's rank join lands on an existing partitioning
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+    norm_edges = tracked_persist(
+        e.join(out_deg, on="src")
+        .select("src", "dst", (F.lit(1.0) / F.col("_deg")).alias("_w"))
+        .repartition("src")
+    )
+    nodes = tracked_persist(
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n_frame = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    has_out = out_deg.select(F.col("src").alias("node"))
+
+    ranks = nodes.crossJoin(F.broadcast(n_frame)).select(
+        "node", F.round(F.lit(1.0) / F.col("_n"), round_digits).alias("rank")
+    )
+    d = float(damping)
+    for _ in range(n_iter):
+        # each round reads the previous ranks from TWO branches (the
+        # contribution join and the dangling aggregate); persisting
+        # bounds the plan instead of letting it double per iteration.
+        # Ranks are one row per node — the small frame of the
+        # computation.
+        ranks = tracked_persist(ranks)
+        contrib = (
+            ranks.join(norm_edges, ranks["node"] == norm_edges["src"])
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum(F.col("rank") * F.col("_w")).alias("_in"))
+        )
+        dangling = (
+            ranks.join(has_out, on="node", how="left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+        )
+        ranks = (
+            nodes.join(contrib, on="node", how="left")
+            .crossJoin(F.broadcast(n_frame))
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                F.round(
+                    (1 - d) / F.col("_n")
+                    + d
+                    * (
+                        F.coalesce(F.col("_in"), F.lit(0.0))
+                        + F.col("_dm") / F.col("_n")
+                    ),
+                    round_digits,
+                ).alias("rank"),
+            )
+        )
+    return ranks

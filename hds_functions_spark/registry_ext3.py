@@ -219,3 +219,83 @@ def sketch_kmv_distinct(spark, sf_dir):
             4,
         ).alias("rel_error"),
     )
+
+
+# --- PageRank (link-structure quality weighting) -------------------------
+
+_PR_ITER = 2
+_PR_DAMPING = 0.85
+_PR_RD = 9
+
+
+def _duck_pagerank_sql() -> str:
+    """Unrolled power iterations as DuckDB CTEs, mirroring
+    :func:`operators.graph.pagerank` exactly: same uniform init, same
+    per-iteration rounding to ``_PR_RD`` digits (so later iterations are
+    independent of partial-aggregation order), same dangling-mass term
+    (identically zero on this undirected graph, kept for formula
+    parity)."""
+    d = _PR_DAMPING
+    parts = [f"""
+base AS (
+  SELECT DISTINCT 'c' || o.o_custkey AS c, 's' || l.l_suppkey AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+e AS (SELECT c AS src, s AS dst FROM base
+      UNION SELECT s, c FROM base),
+deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+n AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT node, round(1.0 / n.n, {_PR_RD}) AS rank
+       FROM nodes CROSS JOIN n)"""]
+    prev = "r0"
+    for i in range(1, _PR_ITER + 1):
+        parts.append(f""",
+c{i} AS (
+  SELECT e.dst AS node, sum(r.rank * (1.0 / deg.deg)) AS cin
+  FROM {prev} r JOIN e ON r.node = e.src JOIN deg ON e.src = deg.src
+  GROUP BY 1),
+d{i} AS (
+  SELECT coalesce(sum(rank), 0) AS dm FROM {prev}
+  WHERE node NOT IN (SELECT src FROM deg)),
+r{i} AS (
+  SELECT nodes.node,
+         round({1 - d} / n.n
+               + {d} * (coalesce(cin, 0) + dm / n.n), {_PR_RD}) AS rank
+  FROM nodes LEFT JOIN c{i} USING (node)
+  CROSS JOIN n CROSS JOIN d{i})""")
+        prev = f"r{i}"
+    return "WITH " + "".join(parts) + f"\nSELECT node, rank FROM {prev}"
+
+
+@_register("graph_pagerank", None)  # oracle attached below
+def graph_pagerank(spark, sf_dir):
+    """PageRank over the undirected customer-supplier co-purchase graph
+    (edges = distinct (customer, supplier) pairs connected through an
+    order, both directions) — the link-structure quality weighting a
+    crawl pipeline applies at domain level. Each of the 2 power
+    iterations is one equi-join on the pre-partitioned persisted edge
+    frame + one combinable groupBy; dangling mass is a broadcast scalar
+    frame (zero here — every node has out-edges — but the term is
+    computed, not assumed); per-iteration rounding makes the DuckDB
+    unrolled-CTE oracle reproduce every iteration bit-for-bit."""
+    from .operators.graph import pagerank
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(
+        F.col("c").alias("src"), F.col("s").alias("dst")
+    ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+    return pagerank(
+        edges, n_iter=_PR_ITER, damping=_PR_DAMPING, round_digits=_PR_RD
+    )
+
+
+ORACLES["graph_pagerank"] = _duck_pagerank_sql()

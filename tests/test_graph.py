@@ -1,0 +1,86 @@
+"""PageRank: hand-computed ranks, dangling mass, conservation,
+determinism, validation, and plan boundedness."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from hds_functions_spark.operators.graph import pagerank
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_uniform_init_zero_iterations(spark):
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    out = {r["node"]: r["rank"] for r in pagerank(e, n_iter=0).collect()}
+    assert out == {"a": round(1 / 3, 9), "b": round(1 / 3, 9),
+                   "c": round(1 / 3, 9)}
+
+
+def test_cycle_is_stationary(spark):
+    # a 3-cycle's uniform distribution is the exact fixed point
+    e = _edges(spark, [("a", "b"), ("b", "c"), ("c", "a")])
+    out = {r["node"]: r["rank"] for r in pagerank(e, n_iter=4).collect()}
+    for v in out.values():
+        assert v == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_hand_computed_one_iteration(spark):
+    # a -> b, a -> c, b -> c; c dangling. N=3, d=0.85, r0 = 1/3 each.
+    # dangling mass = r(c) = 1/3
+    # in(b) = r(a)/2; in(c) = r(a)/2 + r(b)/1
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "c")])
+    out = {r["node"]: r["rank"] for r in pagerank(e, n_iter=1).collect()}
+    r0 = round(1 / 3, 9)
+    base = 0.15 / 3 + 0.85 * (r0 / 3)
+    assert out["a"] == pytest.approx(base, abs=1e-9)
+    assert out["b"] == pytest.approx(base + 0.85 * (r0 / 2), abs=1e-9)
+    assert out["c"] == pytest.approx(base + 0.85 * (r0 / 2 + r0), abs=1e-9)
+
+
+def test_total_rank_conserved(spark):
+    # with dangling redistribution the ranks stay a probability vector
+    e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "c"), ("d", "a")])
+    total = (
+        pagerank(e, n_iter=3).agg(F.sum("rank")).collect()[0][0]
+    )
+    assert total == pytest.approx(1.0, abs=1e-6)
+
+
+def test_higher_indegree_ranks_higher(spark):
+    # hub: everyone links to z
+    e = _edges(spark, [("a", "z"), ("b", "z"), ("c", "z"), ("z", "a")])
+    out = {r["node"]: r["rank"] for r in pagerank(e, n_iter=3).collect()}
+    assert out["z"] == max(out.values())
+
+
+def test_duplicate_edges_collapse(spark):
+    once = _edges(spark, [("a", "b"), ("b", "a")])
+    dup = _edges(spark, [("a", "b"), ("a", "b"), ("b", "a")])
+    r1 = sorted(map(tuple, pagerank(once, n_iter=2).collect()))
+    r2 = sorted(map(tuple, pagerank(dup, n_iter=2).collect()))
+    assert r1 == r2
+
+
+def test_deterministic_across_runs(spark):
+    e = _edges(spark, [(f"n{i}", f"n{(i * 7) % 20}") for i in range(40)])
+    a = sorted(map(tuple, pagerank(e, n_iter=3).collect()))
+    b = sorted(map(tuple, pagerank(e, n_iter=3).collect()))
+    assert a == b
+
+
+def test_validation(spark):
+    e = _edges(spark, [("a", "b")])
+    with pytest.raises(ValueError, match="n_iter"):
+        pagerank(e, n_iter=-1)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(e, damping=1.5)
+
+
+def test_null_endpoints_dropped(spark):
+    e = spark.createDataFrame(
+        [("a", "b"), (None, "c"), ("c", None)], "src: string, dst: string"
+    )
+    nodes = {r["node"] for r in pagerank(e, n_iter=1).collect()}
+    assert nodes == {"a", "b"}  # null-endpoint edges contribute nothing
