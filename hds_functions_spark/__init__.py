@@ -101,6 +101,7 @@ from .operators.sampling import (
     cap_per_group,
     deterministic_sample,
     hash_split,
+    leakage_safe_split,
     mixture_sample,
     solve_mixture_cutoffs,
     split_bucket,

@@ -28,6 +28,7 @@ __all__ = [
     "split_bucket",
     "hash_split",
     "hash_split_sql",
+    "leakage_safe_split",
     "deterministic_sample",
     "weighted_sample",
     "stratified_sample",
@@ -112,6 +113,47 @@ def hash_split_sql(
     if not branches:
         return f"'{names[-1]}'"
     return f"CASE {' '.join(branches)} ELSE '{names[-1]}' END"
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    cluster_col: str = "component",
+    salt: str = "",
+    split_col: str = "split",
+) -> DataFrame:
+    """Train/val/test split by DUPLICATE CLUSTER, not by row.
+
+    A row-level hash split leaks through near-duplicates: two copies of
+    one document land in train and test and the eval is contaminated.
+    Here every row is assigned its cluster id from ``clusters``
+    (``(id, cluster)``; rows absent from the map are their own singleton
+    group via ``coalesce``), and :func:`hash_split` runs on the GROUP
+    key — so a whole near-dup family moves to one split by construction.
+
+    Plan shape: one equi-join on the id (the cluster map is small —
+    only duplicated docs need rows — so AQE broadcasts it when it fits);
+    the split itself stays a pure hash projection. Output: ``df``'s
+    columns + the group key (``_split_group``) + ``split_col``.
+    """
+    if id_col not in df.columns:
+        raise ValueError(f"id_col '{id_col}' not in DataFrame")
+    if cluster_col not in clusters.columns:
+        raise ValueError(f"cluster_col '{cluster_col}' not in clusters")
+    cmap = clusters.select(
+        F.col(id_col).alias("_cid"), F.col(cluster_col).alias("_component")
+    )
+    joined = df.join(
+        cmap, df[id_col] == cmap["_cid"], how="left"
+    ).drop("_cid")
+    grouped = joined.withColumn(
+        "_split_group", F.coalesce(F.col("_component"), F.col(id_col))
+    ).drop("_component")
+    return hash_split(
+        grouped, "_split_group", weights, salt=salt, split_col=split_col
+    )
 
 
 def deterministic_sample(

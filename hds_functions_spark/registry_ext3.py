@@ -299,3 +299,65 @@ def graph_pagerank(spark, sf_dir):
 
 
 ORACLES["graph_pagerank"] = _duck_pagerank_sql()
+
+
+# --- leakage-safe train/val/test split -----------------------------------
+
+_SPLIT_WEIGHTS = {"train": 0.8, "val": 0.1, "test": 0.1}
+
+
+@_register("split_leakage_safe", None)  # oracle attached below
+def split_leakage_safe(spark, sf_dir):
+    """Cluster-aware corpus split: every near-duplicate family (the
+    session-shared MinHash+CC clusters table) moves to ONE split, so a
+    benchmark built from the test split cannot be contaminated by a
+    train-side near-copy. Emits per-split document and group counts plus
+    ``n_straddling`` — components spanning more than one split, zero by
+    construction, computed (not assumed) so the oracle verifies the
+    guarantee itself. One id-equi-join against the cluster map + a pure
+    hash projection; the audit is two tiny aggregates."""
+    from .operators.sampling import leakage_safe_split
+    from .registry_ext import _shared_clusters
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    clusters = _shared_clusters(spark, sf_dir).select("doc_id", "component")
+    s = leakage_safe_split(docs, clusters, "doc_id", _SPLIT_WEIGHTS)
+    straddle = (
+        s.groupBy("_split_group")
+        .agg(F.countDistinct("split").alias("_ns"))
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("_ns") > 1, 1)), F.lit(0)
+            ).cast("long").alias("n_straddling")
+        )
+    )
+    return (
+        s.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("_split_group").alias("n_groups"),
+        )
+        .crossJoin(F.broadcast(straddle))
+    )
+
+
+def _duck_split_sql() -> str:
+    from .operators.sampling import hash_split_sql
+
+    case = hash_split_sql("coalesce(c.component, d.doc_id)", _SPLIT_WEIGHTS)
+    return f"""
+WITH comp AS (SELECT * FROM ({ORACLES["dedup_clusters_cc"]})),
+s AS (
+  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS g, {case} AS split
+  FROM documents d LEFT JOIN comp c USING (doc_id)),
+str AS (
+  SELECT CAST(coalesce(sum(CASE WHEN ns > 1 THEN 1 END), 0) AS BIGINT)
+             AS n_straddling
+  FROM (SELECT g, count(DISTINCT split) AS ns FROM s GROUP BY g))
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT g) AS BIGINT) AS n_groups, n_straddling
+FROM s CROSS JOIN str GROUP BY split, n_straddling
+"""
+
+
+ORACLES["split_leakage_safe"] = _duck_split_sql()

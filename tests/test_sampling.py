@@ -228,3 +228,66 @@ def test_weighted_sample(spark):
 
     with pytest.raises(ValueError, match="scale"):
         weighted_sample(df, "id", "w", scale=0)
+
+
+class TestLeakageSafeSplit:
+    def test_families_stay_together(self, spark):
+        from hds_functions_spark.operators.sampling import leakage_safe_split
+
+        docs = spark.range(100).select(F.col("id").alias("doc_id"))
+        # 10 clusters of 10 docs each: component = floor(id/10)*10
+        clusters = docs.select(
+            "doc_id",
+            (F.floor(F.col("doc_id") / 10) * 10).alias("component"),
+        )
+        out = leakage_safe_split(
+            docs, clusters, "doc_id", {"train": 0.5, "test": 0.5}
+        )
+        per_group = (
+            out.groupBy("_split_group")
+            .agg(F.countDistinct("split").alias("ns"))
+            .collect()
+        )
+        assert all(r["ns"] == 1 for r in per_group)  # no straddling family
+        assert out.count() == 100
+
+    def test_unmapped_rows_are_singletons(self, spark):
+        from hds_functions_spark.operators.sampling import leakage_safe_split
+
+        docs = spark.range(20).select(F.col("id").alias("doc_id"))
+        clusters = spark.createDataFrame(
+            [(0, 0), (1, 0)], "doc_id long, component long"
+        )
+        out = leakage_safe_split(
+            docs, clusters, "doc_id", {"a": 0.5, "b": 0.5}
+        ).collect()
+        groups = {r["doc_id"]: r["_split_group"] for r in out}
+        assert groups[0] == 0 and groups[1] == 0  # mapped pair shares a group
+        assert all(groups[i] == i for i in range(2, 20))  # rest: singletons
+
+    def test_split_matches_row_level_hash_on_group_key(self, spark):
+        from hds_functions_spark.operators.sampling import (
+            hash_split, leakage_safe_split,
+        )
+
+        docs = spark.range(50).select(F.col("id").alias("doc_id"))
+        clusters = docs.select("doc_id", F.col("doc_id").alias("component"))
+        a = {r["doc_id"]: r["split"] for r in leakage_safe_split(
+            docs, clusters, "doc_id", {"x": 0.3, "y": 0.7}).collect()}
+        b = {r["doc_id"]: r["split"] for r in hash_split(
+            docs, "doc_id", {"x": 0.3, "y": 0.7}).collect()}
+        assert a == b  # all-singleton clustering degenerates to row split
+
+    def test_validates_columns(self, spark):
+        import pytest
+
+        from hds_functions_spark.operators.sampling import leakage_safe_split
+
+        docs = spark.range(5).select(F.col("id").alias("doc_id"))
+        clusters = docs.select("doc_id", F.col("doc_id").alias("component"))
+        with pytest.raises(ValueError, match="id_col"):
+            leakage_safe_split(docs, clusters, "nope", {"a": 1.0})
+        with pytest.raises(ValueError, match="cluster_col"):
+            leakage_safe_split(
+                docs, clusters, "doc_id", {"a": 1.0}, cluster_col="nope"
+            )
