@@ -109,6 +109,7 @@ from .operators.sampling import (
     weighted_sample,
 )
 from .functions.sketches import (
+    hll_distinct,
     kmv_distinct,
     kmv_hash,
 )

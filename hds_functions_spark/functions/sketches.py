@@ -1,15 +1,23 @@
-"""Distinct-count sketching (KMV / k-minimum-values).
+"""Distinct-count sketching: KMV (k-minimum-values) and HyperLogLog.
 
-The cardinality primitive a 100 TB profiler needs when exact
-``count(DISTINCT x)`` is too expensive: the KMV estimator keeps only the
-``k`` smallest hash values per group and estimates ``n_distinct ~
-(k - 1) / u_k`` where ``u_k`` is the k-th smallest hash normalised to
-[0, 1) — standard error ~ 1/sqrt(k - 2) (Bar-Yossef et al. 2002; the
-theta-sketch family's base estimator). Spark ships HyperLogLog behind
-``approx_count_distinct``, but its binary sketch is not
-oracle-reproducible; KMV with an md5-derived hash is EXACTLY computable
-in any SQL engine, so the estimate itself sits under the correctness
-gate — the estimator's arithmetic is verified, not trusted.
+The cardinality primitives a 100 TB profiler needs when exact
+``count(DISTINCT x)`` is too expensive. Two estimators with different
+scale trade-offs:
+
+- **KMV** keeps the ``k`` smallest hash values per group and estimates
+  ``n_distinct ~ (k - 1) / u_k`` (Bar-Yossef et al. 2002; the
+  theta-sketch family's base estimator; standard error ~ 1/sqrt(k-2)).
+  Exact below ``k``; pays a distinct-pair shuffle.
+- **HLL** folds every value into 2^p max-registers (Flajolet et al.
+  2007) — fully map-side combinable, constant per-group state, no
+  window and no distinct-pair shuffle; the better shape for grouped
+  profiling at extreme cardinality.
+
+Spark ships HyperLogLog behind ``approx_count_distinct``, but its
+binary sketch is not oracle-reproducible; both estimators here use an
+md5-derived hash and explicit arithmetic that any SQL engine computes
+identically, so the estimates sit under the correctness gate — the
+estimator's arithmetic is verified, not trusted.
 
 Spark-first shape (per group):
 
@@ -33,6 +41,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "kmv_hash",
     "kmv_distinct",
+    "hll_distinct",
 ]
 
 #: Hash domain: 15 hex digits of md5 = 60 bits, exact in int64 AND in a
@@ -107,4 +116,82 @@ def kmv_distinct(
             .otherwise((F.lit(k) - 1) / F.col("kth_u")),
             round_digits,
         ).alias("estimate"),
+    )
+
+
+#: HLL geometry: p=8 -> m=256 registers; the 60-bit md5 hash splits into
+#: an 8-bit bucket index and a 52-bit tail whose leading-zero run feeds
+#: the register. alpha_m is Flajolet's bias constant for m=256.
+_HLL_P = 8
+_HLL_M = 1 << _HLL_P
+_HLL_TAIL_BITS = _KMV_BITS - _HLL_P  # 52
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+
+
+def hll_distinct(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    round_digits: int = 4,
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate of ``value_col`` per group,
+    computed with EXPLICIT register arithmetic so the estimate is
+    bit-reproducible in any SQL engine (Spark's own
+    ``approx_count_distinct`` is also HLL but its binary sketch is
+    opaque to an oracle).
+
+    Registers: bucket ``j`` = top 8 bits of the 60-bit md5 hash; the
+    register value is the max over values of ``rho`` = 1 + leading-zero
+    count of the 52-bit tail (via the binary-string length of the tail —
+    integer-exact, no float log). Estimate = ``alpha_m * m^2 /
+    (sum over present buckets of 2^-M_j + (m - #present))`` with
+    Flajolet's small-range correction ``m * ln(m / V)`` when ``E <=
+    2.5m`` and empty registers remain.
+
+    Scale shape — the reason to prefer this over :func:`kmv_distinct`
+    for grouped profiling: both aggregates (per-(group, bucket) max,
+    then the per-group fold) are map-side combinable with NO window and
+    NO distinct-pair shuffle; per-group state is exactly m registers at
+    any cardinality. Standard error ~ 1.04/sqrt(m) (~6.5% at m=256).
+    """
+    gcols = list(group_cols or [])
+    h60 = (
+        F.conv(
+            F.substring(F.md5(F.col(value_col).cast("string")), 1, 15),
+            16, 10,
+        ).cast("long")
+    )
+    # integer bit ops, not float division: a 60-bit value cast to double
+    # rounds its low bits and can mis-floor at a bucket boundary
+    bucket = F.shiftright(h60, _HLL_TAIL_BITS)
+    tail = h60.bitwiseAND(F.lit((1 << _HLL_TAIL_BITS) - 1))
+    # floor(log2(tail)) + 1 == length of the binary string; rho counts
+    # leading zeros in the 52-bit field + 1; an all-zero tail maxes out
+    rho = F.when(
+        F.col("_tail") == 0, F.lit(_HLL_TAIL_BITS + 1)
+    ).otherwise(F.lit(_HLL_TAIL_BITS + 1) - F.length(F.bin(F.col("_tail"))))
+    regs = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*gcols, bucket.alias("_b"), tail.alias("_tail"))
+        .withColumn("_rho", rho)
+        .groupBy(*gcols, "_b")
+        .agg(F.max("_rho").alias("_m"))
+    )
+    folded = regs.groupBy(*gcols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("_m"))).alias("_sum_present"),
+        F.count(F.lit(1)).alias("_present"),
+    )
+    raw = (
+        F.lit(_HLL_ALPHA * _HLL_M * _HLL_M)
+        / (F.col("_sum_present") + (F.lit(_HLL_M) - F.col("_present")))
+    )
+    zeros = F.lit(_HLL_M) - F.col("_present")
+    corrected = F.when(
+        (raw <= 2.5 * _HLL_M) & (zeros > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / zeros),
+    ).otherwise(raw)
+    return folded.select(
+        *gcols,
+        F.col("_present").alias("n_registers"),
+        F.round(corrected, round_digits).alias("estimate"),
     )

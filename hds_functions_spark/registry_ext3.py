@@ -361,3 +361,96 @@ FROM s CROSS JOIN str GROUP BY split, n_straddling
 
 
 ORACLES["split_leakage_safe"] = _duck_split_sql()
+
+
+# --- HLL distinct-count sketch -------------------------------------------
+
+
+def _duck_hll_sql() -> str:
+    """Oracle mirror of :func:`functions.sketches.hll_distinct` over the
+    same groups/column as the KMV query, with the exact-count audit. The
+    alpha*m^2 constant is embedded via Python float repr so both engines
+    parse the identical double; rho uses the binary-string length of the
+    integer tail — no float log2."""
+    from .functions.sketches import _HLL_ALPHA, _HLL_M, _HLL_TAIL_BITS
+
+    am2 = repr(_HLL_ALPHA * _HLL_M * _HLL_M)
+    t = _HLL_TAIL_BITS
+    return f"""
+WITH h AS (
+  SELECT l_returnflag, l_linestatus,
+         ('0x' || substr(md5(l_partkey::VARCHAR), 1, 15))::BIGINT AS h60
+  FROM lineitem WHERE l_partkey IS NOT NULL),
+rt AS (
+  SELECT l_returnflag, l_linestatus,
+         h60 >> {t} AS b, h60 & {(1 << t) - 1} AS tail
+  FROM h),
+regs AS (
+  SELECT l_returnflag, l_linestatus, b,
+         max(CASE WHEN tail = 0 THEN {t + 1}
+             ELSE {t + 1} - length(format('{{:b}}', tail)) END) AS m
+  FROM rt GROUP BY 1, 2, 3),
+folded AS (
+  SELECT l_returnflag, l_linestatus,
+         sum(power(2.0, -m)) AS sum_present,
+         CAST(count(*) AS BIGINT) AS present
+  FROM regs GROUP BY 1, 2),
+est AS (
+  SELECT l_returnflag, l_linestatus, present,
+         {am2} / (sum_present + ({_HLL_M} - present)) AS raw,
+         {_HLL_M} - present AS zeros
+  FROM folded),
+fin AS (
+  SELECT l_returnflag, l_linestatus, present,
+         CASE WHEN raw <= {2.5 * _HLL_M} AND zeros > 0
+              THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / zeros)
+              ELSE raw END AS estimate
+  FROM est),
+ex AS (
+  SELECT l_returnflag, l_linestatus,
+         CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+  FROM lineitem GROUP BY 1, 2)
+SELECT f.l_returnflag, f.l_linestatus,
+       present AS n_registers,
+       round(estimate, 4) AS estimate,
+       exact_distinct,
+       round(abs(round(estimate, 4) - exact_distinct) / exact_distinct, 4)
+           AS rel_error
+FROM fin f JOIN ex USING (l_returnflag, l_linestatus)
+"""
+
+
+@_register("sketch_hll_distinct", None)  # oracle attached below
+def sketch_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct parts per (returnflag, linestatus) with
+    explicit register arithmetic — the MERGEABLE counterpart to
+    sketch_kmv_distinct: per-group state is exactly 256 registers at any
+    cardinality and both aggregates are map-side combinable (no window,
+    no distinct-pair shuffle), which is the grouped-profiling shape that
+    wins at 100 TB. Same exact-count audit columns (~10% observed error
+    at sf0.1 — within 2 sigma of the 1.04/sqrt(256) bound, correlated
+    across groups because they share one partkey universe); the oracle
+    recomputes every register and the Flajolet small-range correction
+    bit-for-bit."""
+    from .functions.sketches import hll_distinct
+
+    li = _t(spark, sf_dir, "lineitem")
+    gcols = ["l_returnflag", "l_linestatus"]
+    est = hll_distinct(li, "l_partkey", gcols)
+    exact = li.groupBy(*gcols).agg(
+        F.countDistinct("l_partkey").alias("exact_distinct")
+    )
+    return est.join(exact, on=gcols).select(
+        *gcols,
+        "n_registers",
+        "estimate",
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_error"),
+    )
+
+
+ORACLES["sketch_hll_distinct"] = _duck_hll_sql()

@@ -83,3 +83,67 @@ def test_global_sketch_avoids_single_partition_window(spark):
     # row_number window over one partition
     assert "TakeOrderedAndProject" in plan
     assert "Window" not in plan
+
+
+class TestHll:
+    def test_matches_python_reference(self, spark):
+        import math
+
+        from hds_functions_spark.functions.sketches import hll_distinct
+
+        def ref(values, m=256, t=52):
+            regs = {}
+            for v in values:
+                h = int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+                b, tail = h >> t, h & ((1 << t) - 1)
+                rho = t + 1 if tail == 0 else t + 1 - tail.bit_length()
+                regs[b] = max(regs.get(b, 0), rho)
+            alpha = 0.7213 / (1 + 1.079 / m)
+            s = sum(2.0 ** -r for r in regs.values()) + (m - len(regs))
+            e = alpha * m * m / s
+            zeros = m - len(regs)
+            if e <= 2.5 * m and zeros > 0:
+                e = m * math.log(m / zeros)
+            return round(e, 4)
+
+        for n in (50, 1000):
+            df = spark.range(n).select(F.col("id").alias("v"))
+            row = hll_distinct(df, "v").collect()[0]
+            assert row["estimate"] == ref(range(n))
+
+    def test_accuracy_within_bound(self, spark):
+        from hds_functions_spark.functions.sketches import hll_distinct
+
+        df = spark.range(10000).select(F.col("id").alias("v"))
+        row = hll_distinct(df, "v").collect()[0]
+        # 3 sigma of the 1.04/sqrt(256) standard error
+        assert abs(row["estimate"] - 10000) / 10000 < 3 * 1.04 / 16
+
+    def test_duplicates_and_nulls_ignored(self, spark):
+        from hds_functions_spark.functions.sketches import hll_distinct
+
+        once = spark.range(300).select(F.col("id").alias("v"))
+        dup = once.crossJoin(spark.range(5)).select("v").unionByName(
+            spark.createDataFrame([(None,)], "v: long")
+        )
+        a = hll_distinct(once, "v").collect()[0]["estimate"]
+        b = hll_distinct(dup, "v").collect()[0]["estimate"]
+        assert a == b
+
+    def test_grouped_no_window_in_plan(self, spark):
+        from hds_functions_spark.functions.sketches import hll_distinct
+
+        df = spark.range(1000).select(
+            (F.col("id") % 4).alias("g"), F.col("id").alias("v")
+        )
+        plan = (
+            hll_distinct(df, "v", ["g"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Window" not in plan  # two combinable aggregates only
+        rows = {r["g"]: r["estimate"] for r in
+                hll_distinct(df, "v", ["g"]).collect()}
+        for est in rows.values():
+            assert abs(est - 250) / 250 < 3 * 1.04 / 16
