@@ -73,6 +73,10 @@ from .functions.layout import (
 )
 from .operators.graph import pagerank
 from .operators.joins import salted_join
+from .operators.linkage import (
+    canonical_name_map,
+    fuzzy_name_pairs,
+)
 from .operators.packing import (
     chunk_documents,
     pack_sequences,

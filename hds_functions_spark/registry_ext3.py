@@ -454,3 +454,98 @@ def sketch_hll_distinct(spark, sf_dir):
 
 
 ORACLES["sketch_hll_distinct"] = _duck_hll_sql()
+
+
+# --- fuzzy record linkage ------------------------------------------------
+
+_FUZZY_MAX_DIST = 2
+
+_DUCK_FUZZY_BASE = r"""
+names AS (
+  SELECT DISTINCT lower(trim(p_name)) AS n FROM part
+  WHERE p_name IS NOT NULL AND lower(trim(p_name)) != ''),
+toks AS (
+  SELECT DISTINCT n, unnest(string_split_regex(n, '\s+')) AS tok
+  FROM names),
+cand AS (
+  SELECT DISTINCT a.n AS name_a, b.n AS name_b
+  FROM toks a JOIN toks b USING (tok) WHERE a.n < b.n),
+fuzzy AS (
+  SELECT name_a, name_b,
+         CAST(levenshtein(name_a, name_b) AS INTEGER) AS distance
+  FROM cand WHERE levenshtein(name_a, name_b) <= {maxd})
+""".replace("{maxd}", str(_FUZZY_MAX_DIST))
+
+
+@_register(
+    "fuzzy_name_pairs",
+    f"""
+WITH {_DUCK_FUZZY_BASE}
+SELECT name_a, name_b, distance FROM fuzzy
+""",
+)
+def fuzzy_name_pairs(spark, sf_dir):
+    """Edit-distance record linkage over the part-name dictionary:
+    near-identical name pairs (Levenshtein <= 2) among DISTINCT
+    normalised names — the quadratic-ish work runs on the
+    name vocabulary (64 strings here, scale-independent), never the
+    corpus rows; candidates come from shared-token blocking; the exact
+    distance verifies only candidates. Both engines compute the same
+    built-in Levenshtein."""
+    from .operators.linkage import fuzzy_name_pairs as _op
+
+    return _op(
+        _t(spark, sf_dir, "part"), "p_name", max_distance=_FUZZY_MAX_DIST
+    )
+
+
+@_register(
+    "fuzzy_canonical_entities",
+    f"""
+WITH RECURSIVE {_DUCK_FUZZY_BASE},
+sym AS (
+  SELECT name_a AS src, name_b AS dst FROM fuzzy
+  UNION SELECT name_b, name_a FROM fuzzy),
+reach(src, dst) AS (
+  SELECT n, n FROM names
+  UNION
+  SELECT r.src, s.dst FROM reach r JOIN sym s ON r.dst = s.src),
+cmap AS (
+  SELECT src AS name, min(dst) AS canonical_name FROM reach GROUP BY src),
+parts AS (
+  SELECT lower(trim(p_name)) AS name, count(*) AS n_parts
+  FROM part WHERE p_name IS NOT NULL GROUP BY 1)
+SELECT c.canonical_name,
+       CAST(count(*) AS BIGINT) AS n_variants,
+       CAST(sum(p.n_parts) AS BIGINT) AS n_parts
+FROM cmap c JOIN parts p USING (name)
+GROUP BY 1
+""",
+)
+def fuzzy_canonical_entities(spark, sf_dir):
+    """Entity canonicalisation end-to-end: fuzzy pairs -> connected
+    components over the name graph (transitive closure, so chains of
+    variants collapse even when the chain ends exceed the distance
+    bound; canonical = lexicographic min) -> corpus rows rejoin the
+    dictionary-sized map by exact key. Output: one row per entity with
+    its variant and part counts. The CC loop reuses the
+    large-star/small-star machinery and runs over a vocabulary-sized
+    frame that does not grow with the corpus."""
+    from .operators.linkage import canonical_name_map
+
+    part = _t(spark, sf_dir, "part")
+    cmap = canonical_name_map(part, "p_name", max_distance=_FUZZY_MAX_DIST)
+    per_name = (
+        part.filter(F.col("p_name").isNotNull())
+        .select(F.lower(F.trim(F.col("p_name"))).alias("name"))
+        .groupBy("name")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    return (
+        cmap.join(per_name, on="name")
+        .groupBy("canonical_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_variants"),
+            F.sum("n_parts").alias("n_parts"),
+        )
+    )
