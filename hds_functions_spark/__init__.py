@@ -66,6 +66,7 @@ from .operators.events import (
 )
 from .functions.layout import (
     bucket_by_quantiles,
+    plan_compaction,
     morton_code,
     pruning_simulation,
     quantize_to_bins,

@@ -27,6 +27,7 @@ __all__ = [
     "zorder_column",
     "bucket_by_quantiles",
     "pruning_simulation",
+    "plan_compaction",
 ]
 
 
@@ -215,3 +216,47 @@ def pruning_simulation(
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+def plan_compaction(
+    files,
+    size_col: str = "size_bytes",
+    file_col: str = "file_id",
+    target_bytes: int = 128 * 1024 * 1024,
+    partition_cols: list[str] | None = None,
+):
+    """Small-files compaction plan: assign files to output bins of
+    ~``target_bytes`` each, per table partition — the maintenance job
+    behind every lakehouse OPTIMIZE. Input is the FILE MANIFEST (one row
+    per file), which is metadata-sized however big the table is, so the
+    per-partition running-sum window is over file counts, not data.
+
+    Bin assignment is sequential-fill over files ordered by (size desc,
+    id): ``bin = floor((cumsative size before this file) / target)`` —
+    the streaming-friendly spelling whose bins overshoot the target by
+    at most one file (first-fit-decreasing packs marginally tighter but
+    is inherently sequential state; the running-sum form is one window
+    expression any engine computes identically). Files >= target get a
+    bin of their own by the same arithmetic. Output: the manifest +
+    ``bin`` + per-bin ``bin_bytes`` / ``bin_files`` for the rewrite job
+    to consume.
+    """
+    if target_bytes < 1:
+        raise ValueError(f"target_bytes must be >= 1 (got {target_bytes})")
+    from pyspark.sql import Window
+
+    pcols = list(partition_cols or [])
+    w = (
+        Window.partitionBy(*pcols) if pcols else Window.partitionBy()
+    ).orderBy(F.col(size_col).desc(), F.col(file_col))
+    before = F.coalesce(
+        F.sum(size_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    binned = files.withColumn(
+        "bin", F.floor(before / F.lit(int(target_bytes))).cast("long")
+    )
+    wb = Window.partitionBy(*pcols, "bin")
+    return binned.withColumn(
+        "bin_bytes", F.sum(size_col).over(wb)
+    ).withColumn("bin_files", F.count(F.lit(1)).over(wb))

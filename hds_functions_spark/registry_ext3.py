@@ -549,3 +549,66 @@ def fuzzy_canonical_entities(spark, sf_dir):
             F.sum("n_parts").alias("n_parts"),
         )
     )
+
+
+# --- compaction planning -------------------------------------------------
+
+_COMPACT_TARGET = 256_000_000  # ~3 day-files per bin at the test scales
+
+
+@_register(
+    "layout_compaction_plan",
+    f"""
+WITH manifest AS (
+  SELECT date_trunc('month', o_orderdate)::DATE AS part_month,
+         CAST(date_part('day', o_orderdate) AS BIGINT) AS file_id,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS size_bytes
+  FROM orders GROUP BY 1, 2),
+binned AS (
+  SELECT *,
+         CAST(floor(coalesce(sum(size_bytes) OVER (
+             PARTITION BY part_month
+             ORDER BY size_bytes DESC, file_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             / {_COMPACT_TARGET}) AS BIGINT) AS bin
+  FROM manifest)
+SELECT part_month, file_id, size_bytes, bin,
+       CAST(sum(size_bytes) OVER (PARTITION BY part_month, bin) AS BIGINT)
+           AS bin_bytes,
+       CAST(count(*) OVER (PARTITION BY part_month, bin) AS BIGINT)
+           AS bin_files
+FROM binned
+""",
+)
+def layout_compaction_plan(spark, sf_dir):
+    """Small-files compaction plan over a synthetic per-day file
+    manifest (one 'file' per order day, size = that day's revenue in
+    cents): running-sum sequential-fill bins of ~256MB per month
+    partition — the lakehouse OPTIMIZE planning step. The manifest is
+    metadata-sized at any table size, so the per-partition window is
+    over file counts; integer running sums and floor division are
+    engine-exact, no rounding knobs needed."""
+    from .functions.layout import plan_compaction
+
+    orders = _t(spark, sf_dir, "orders")
+    manifest = (
+        orders.select(
+            F.date_trunc("month", F.col("o_orderdate"))
+            .cast("date")
+            .alias("part_month"),
+            F.dayofmonth("o_orderdate").cast("long").alias("file_id"),
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("_cents"),
+        )
+        .groupBy("part_month", "file_id")
+        .agg(F.sum("_cents").alias("size_bytes"))
+    )
+    return plan_compaction(
+        manifest,
+        size_col="size_bytes",
+        file_col="file_id",
+        target_bytes=_COMPACT_TARGET,
+        partition_cols=["part_month"],
+    )

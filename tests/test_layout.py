@@ -160,3 +160,69 @@ def test_join_key_audit(spark):
     assert row["max_left_mult"] == 3 and row["max_right_mult"] == 2
     # exact inner-join cardinality: key 1 -> 3*1, key 2 -> 1*2
     assert row["n_join_rows"] == 5
+
+
+class TestPlanCompaction:
+    def _manifest(self, spark, sizes, part=None):
+        rows = [
+            ((part or "p"), i, s) for i, s in enumerate(sizes)
+        ]
+        return spark.createDataFrame(
+            rows, "part string, file_id long, size_bytes long"
+        )
+
+    def test_sequential_fill_bins(self, spark):
+        from hds_functions_spark.functions.layout import plan_compaction
+
+        # sizes sorted desc: 90, 80, 40, 30, 10; target 100
+        # cumulative-before: 0, 90, 170, 210, 240 -> bins 0,0,1,2,2
+        m = self._manifest(spark, [40, 90, 10, 80, 30])
+        out = {
+            r["file_id"]: (r["bin"], r["bin_bytes"], r["bin_files"])
+            for r in plan_compaction(
+                m, target_bytes=100, partition_cols=["part"]
+            ).collect()
+        }
+        assert out[1] == (0, 170, 2)   # 90 opens bin 0
+        assert out[3] == (0, 170, 2)   # 80 still fits the window
+        assert out[0] == (1, 40, 1)    # 40 crosses the target boundary
+        assert out[4] == (2, 40, 2)
+        assert out[2] == (2, 40, 2)
+
+    def test_oversize_file_gets_own_bin(self, spark):
+        from hds_functions_spark.functions.layout import plan_compaction
+
+        m = self._manifest(spark, [500, 50, 40])
+        out = {
+            r["file_id"]: r["bin"]
+            for r in plan_compaction(
+                m, target_bytes=100, partition_cols=["part"]
+            ).collect()
+        }
+        assert out[0] == 0
+        assert out[1] == 5  # cumulative 500 before it
+        assert out[2] == 5
+
+    def test_partitions_independent(self, spark):
+        from hds_functions_spark.functions.layout import plan_compaction
+
+        # cumulative-before fill: 0, 60, 120 -> bins 0, 0, 1 per partition
+        # (the second 60 overshoots the target by one file, by design)
+        a = self._manifest(spark, [60, 60, 60], part="a")
+        b = self._manifest(spark, [60, 60, 60], part="b")
+        out = plan_compaction(
+            a.unionByName(b), target_bytes=100, partition_cols=["part"]
+        ).collect()
+        by_part = {}
+        for r in out:
+            by_part.setdefault(r["part"], set()).add(r["bin"])
+        assert by_part == {"a": {0, 1}, "b": {0, 1}}
+
+    def test_validates_target(self, spark):
+        import pytest
+
+        from hds_functions_spark.functions.layout import plan_compaction
+
+        m = self._manifest(spark, [10])
+        with pytest.raises(ValueError, match="target_bytes"):
+            plan_compaction(m, target_bytes=0)
