@@ -49,6 +49,7 @@ from .operators.clustering import (
 )
 from .operators.events import (
     active_user_stats,
+    attribute_conversions,
     as_of_join,
     daily_count_anomalies,
     dedup_events_in_window,

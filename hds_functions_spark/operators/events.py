@@ -44,6 +44,7 @@ __all__ = [
     "dedup_events_in_window",
     "top_types_per_window",
     "active_user_stats",
+    "attribute_conversions",
 ]
 
 
@@ -790,4 +791,93 @@ def active_user_stats(
             F.round(F.col("dau") / F.col("mau"), round_digits)
             .alias("stickiness"),
         )
+    )
+
+
+def attribute_conversions(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    event_id_col: str = "event_id",
+    conversion_type: str = "purchase",
+    touch_types: tuple[str, ...] = ("click", "view"),
+    lookback_seconds: int = 86400,
+    model: str = "linear",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Marketing-style conversion attribution: credit each conversion
+    event to the touch events (``touch_types``) that PRECEDED it within
+    ``lookback_seconds`` for the same key, then report credit per touch
+    type. Models: ``linear`` (1/n to each of the n touches in the
+    window), ``last_touch`` / ``first_touch`` (all credit to the latest
+    / earliest touch; ties break on event id). Conversions with no
+    in-window touch earn no row (organic — report them via the count
+    difference against the conversion total).
+
+    Plan shape: the conversion-touch pairing is the BINNED range-join
+    trick (both sides bucket by the lookback span; a conversion probes
+    its own and the previous bucket), so the join is equi on (key,
+    bucket) with per-row fanout bounded by the window's touch density —
+    never a full per-key cross product. The rank models prune via
+    WindowGroupLimit; the report is one combinable aggregate.
+
+    Output: ``({type_col}, n_conversions, total_credit)``.
+    """
+    if model not in ("linear", "last_touch", "first_touch"):
+        raise ValueError(
+            f"model must be linear|last_touch|first_touch (got {model!r})"
+        )
+    if lookback_seconds < 1:
+        raise ValueError(
+            f"lookback_seconds must be >= 1 (got {lookback_seconds})"
+        )
+    span_us = int(lookback_seconds) * 1_000_000
+    conv = df.filter(F.col(type_col) == conversion_type).select(
+        F.col(key_col).alias("_k"),
+        F.col(event_id_col).alias("_conv_id"),
+        F.unix_micros(F.col(ts_col)).alias("_conv_us"),
+    )
+    touch = df.filter(F.col(type_col).isin(list(touch_types))).select(
+        F.col(key_col).alias("_k"),
+        F.col(type_col).alias("_touch_type"),
+        F.col(event_id_col).alias("_touch_id"),
+        F.unix_micros(F.col(ts_col)).alias("_touch_us"),
+    )
+    cb = conv.withColumn(
+        "_bucket",
+        F.explode(
+            F.array(
+                F.floor(F.col("_conv_us") / span_us),
+                F.floor(F.col("_conv_us") / span_us) - 1,
+            )
+        ),
+    )
+    tb = touch.withColumn("_bucket", F.floor(F.col("_touch_us") / span_us))
+    pairs = cb.join(tb, on=["_k", "_bucket"]).filter(
+        (F.col("_touch_us") < F.col("_conv_us"))
+        & (F.col("_touch_us") >= F.col("_conv_us") - span_us)
+    )
+    if model == "linear":
+        w = Window.partitionBy("_conv_id")
+        credited = pairs.withColumn(
+            "_credit", F.lit(1.0) / F.count(F.lit(1)).over(w)
+        )
+    else:
+        order = (
+            [F.col("_touch_us").desc(), F.col("_touch_id").desc()]
+            if model == "last_touch"
+            else [F.col("_touch_us").asc(), F.col("_touch_id").asc()]
+        )
+        w = Window.partitionBy("_conv_id").orderBy(*order)
+        credited = (
+            pairs.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .withColumn("_credit", F.lit(1.0))
+        )
+    return credited.groupBy(
+        F.col("_touch_type").alias(type_col)
+    ).agg(
+        F.countDistinct("_conv_id").alias("n_conversions"),
+        F.round(F.sum("_credit"), round_digits).alias("total_credit"),
     )

@@ -612,3 +612,69 @@ def layout_compaction_plan(spark, sf_dir):
         target_bytes=_COMPACT_TARGET,
         partition_cols=["part_month"],
     )
+
+
+# --- conversion attribution ----------------------------------------------
+
+_ATTR_LOOKBACK = 86400  # 1 day
+_ATTR_CONV = "purchase"
+_ATTR_TOUCHES = ("click", "view")
+
+
+@_register(
+    "events_attribution",
+    f"""
+WITH conv AS (
+  SELECT user_id AS k, event_id AS cid, epoch_us(ts) AS cus
+  FROM events WHERE event_type = '{_ATTR_CONV}'),
+touch AS (
+  SELECT user_id AS k, event_type AS tt, event_id AS tid,
+         epoch_us(ts) AS tus
+  FROM events WHERE event_type IN {_ATTR_TOUCHES!r}),
+pairs AS (
+  SELECT c.cid, t.tt, t.tid, t.tus
+  FROM conv c JOIN touch t USING (k)
+  WHERE t.tus < c.cus AND t.tus >= c.cus - {_ATTR_LOOKBACK * 1_000_000}),
+linear AS (
+  SELECT tt, cid,
+         1.0::DOUBLE / count(*) OVER (PARTITION BY cid) AS credit
+  FROM pairs),
+last_t AS (
+  SELECT tt, cid, 1.0::DOUBLE AS credit FROM (
+    SELECT *, row_number() OVER (PARTITION BY cid
+                                 ORDER BY tus DESC, tid DESC) AS rn
+    FROM pairs) WHERE rn = 1)
+SELECT 'linear' AS model, tt AS event_type,
+       CAST(count(DISTINCT cid) AS BIGINT) AS n_conversions,
+       round(sum(credit), 6) AS total_credit
+FROM linear GROUP BY 2
+UNION ALL
+SELECT 'last_touch', tt, CAST(count(DISTINCT cid) AS BIGINT),
+       round(sum(credit), 6)
+FROM last_t GROUP BY 2
+""",
+)
+def events_attribution(spark, sf_dir):
+    """Conversion attribution over the event stream: purchases credit
+    their preceding click/view touches within a 1-day lookback, under
+    the linear (1/n) and last-touch models side by side — the
+    marketing-analytics staple. The conversion-touch pairing is a
+    BINNED range join (equi on (key, lookback bucket), each conversion
+    probing two buckets), so fanout is bounded by in-window touch
+    density, never a per-key cross product; last-touch prunes via
+    WindowGroupLimit; each report is one combinable aggregate."""
+    from .operators.events import attribute_conversions
+
+    ev = _t(spark, sf_dir, "events")
+    out = []
+    for model in ("linear", "last_touch"):
+        out.append(
+            attribute_conversions(
+                ev,
+                conversion_type=_ATTR_CONV,
+                touch_types=_ATTR_TOUCHES,
+                lookback_seconds=_ATTR_LOOKBACK,
+                model=model,
+            ).select(F.lit(model).alias("model"), "*")
+        )
+    return out[0].unionByName(out[1])

@@ -561,3 +561,84 @@ def test_type_token_ratio(spark):
     assert out[1] == 0.5   # {a, b} over 4 tokens, case-folded
     assert out[2] == 1.0
     assert out[3] is None
+
+
+class TestAttribution:
+    def _events(self, spark):
+        rows = [
+            # user 10: two touches then a purchase within lookback
+            (1, 10, datetime(2024, 1, 1, 10, 0), "click", 0.0),
+            (2, 10, datetime(2024, 1, 1, 11, 0), "view", 0.0),
+            (3, 10, datetime(2024, 1, 1, 12, 0), "purchase", 9.0),
+            # user 20: touch OUTSIDE the 1h lookback -> organic conversion
+            (4, 20, datetime(2024, 1, 1, 8, 0), "click", 0.0),
+            (5, 20, datetime(2024, 1, 1, 12, 0), "purchase", 5.0),
+            # user 30: touch AFTER the purchase never credits
+            (6, 30, datetime(2024, 1, 1, 12, 0), "purchase", 1.0),
+            (7, 30, datetime(2024, 1, 1, 13, 0), "click", 0.0),
+        ]
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, "
+                  "event_type string, value double"
+        )
+
+    def test_linear_splits_credit(self, spark):
+        from hds_functions_spark.operators.events import attribute_conversions
+
+        out = {
+            r["event_type"]: (r["n_conversions"], r["total_credit"])
+            for r in attribute_conversions(
+                self._events(spark), lookback_seconds=3 * 3600,
+                model="linear",
+            ).collect()
+        }
+        # only user 10's purchase credits: 0.5 click + 0.5 view
+        assert out == {"click": (1, 0.5), "view": (1, 0.5)}
+
+    def test_last_touch_takes_all(self, spark):
+        from hds_functions_spark.operators.events import attribute_conversions
+
+        out = {
+            r["event_type"]: r["total_credit"]
+            for r in attribute_conversions(
+                self._events(spark), lookback_seconds=3 * 3600,
+                model="last_touch",
+            ).collect()
+        }
+        assert out == {"view": 1.0}  # the latest pre-purchase touch
+
+    def test_first_touch(self, spark):
+        from hds_functions_spark.operators.events import attribute_conversions
+
+        out = {
+            r["event_type"]: r["total_credit"]
+            for r in attribute_conversions(
+                self._events(spark), lookback_seconds=3 * 3600,
+                model="first_touch",
+            ).collect()
+        }
+        assert out == {"click": 1.0}
+
+    def test_lookback_and_causality(self, spark):
+        from hds_functions_spark.operators.events import attribute_conversions
+
+        # lookback long enough to reach user 20's early click
+        out = attribute_conversions(
+            self._events(spark), lookback_seconds=6 * 3600, model="linear"
+        )
+        total = {r["event_type"]: r["n_conversions"] for r in out.collect()}
+        assert total["click"] == 2  # users 10 and 20 both credit clicks
+        # user 30's post-purchase click still never credits: credit mass
+        # equals the number of credited conversions
+        mass = sum(r["total_credit"] for r in out.collect())
+        assert mass == 2.0
+
+    def test_validation(self, spark):
+        import pytest
+
+        from hds_functions_spark.operators.events import attribute_conversions
+
+        with pytest.raises(ValueError, match="model"):
+            attribute_conversions(self._events(spark), model="u_shaped")
+        with pytest.raises(ValueError, match="lookback"):
+            attribute_conversions(self._events(spark), lookback_seconds=0)
