@@ -12,6 +12,10 @@ from .functions.dates import (
     parse_date_instruction,
     validate_date_string,
 )
+from .operators.bpe import (
+    bpe_train_merges,
+    word_frequency_table,
+)
 from .operators.cohort import (
     apply_inclusion_criteria,
     create_inclusion_columns,

@@ -1,0 +1,144 @@
+"""Distributed BPE (byte-pair-encoding) merge training.
+
+The tokenizer-training primitive: learn the first ``n_merges`` BPE merge
+rules from a corpus — the statistic behind every modern subword
+vocabulary (Sennrich et al. 2016). Complements the existing
+``bpe_pair_counts`` (which scores ONE merge step); this runs the actual
+iterative training loop, distributed.
+
+Spark-first shape, and the reason it scales:
+
+- **Train on the word-frequency dictionary, not the corpus.** Classic
+  BPE counts pairs over (word, count) — the corpus collapses to its
+  vocabulary in ONE map-side-combinable aggregate, and every later step
+  works on the dictionary-sized frame (same principle as the fuzzy
+  linkage module).
+- **The whole loop is ONE lazy plan.** Each step: adjacent-pair counts
+  (explode + combinable groupBy), the argmax pair as a 1-row frame
+  (``min(struct(-count, a, b))`` — max count, ties to the
+  lexicographically smallest pair, the deterministic convention),
+  crossJoin-broadcast back, and the merge applied with the COLUMN-valued
+  literal ``replace`` — no per-iteration driver collect at all. The
+  dictionary is persisted per step so the plan stays bounded.
+- **The merge rewrite is exact greedy BPE via plain ``replace``.**
+  Symbols are kept space-joined with a TWO-space separator and a
+  two-space border: the pattern ``' a  b '`` consumes one space from
+  each side, so after replacement every boundary still has two spaces
+  and consecutive non-overlapping occurrences all merge in one
+  left-to-right pass — precisely the standard BPE merge semantics, in
+  an expression every SQL engine evaluates identically (``replace`` is
+  literal and non-overlapping in Spark and DuckDB alike).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+__all__ = ["word_frequency_table", "bpe_train_merges"]
+
+#: Separator protocol shared with the oracle: symbols joined by TWO
+#: spaces, two-space border. See module docstring for why two.
+_SEP = "  "
+
+
+def word_frequency_table(
+    docs: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """``(word, n)`` over lowercased whitespace tokens — the dictionary
+    BPE trains on. One explode + one combinable groupBy."""
+    toks = docs.select(
+        F.explode(
+            F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
+        ).alias("word")
+    )
+    return toks.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _initial_symbols(word_col) -> "F.Column":
+    # split('') yields the character array; join with the 2-space
+    # separator and add the 2-space border
+    chars = F.split(word_col, "")
+    return F.concat(
+        F.lit(_SEP), F.array_join(chars, _SEP), F.lit(_SEP)
+    )
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 3,
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges. Returns one row per
+    step: ``(step, merge_left, merge_right, pair_count)`` — the merge rule chosen at
+    that step and how many weighted adjacent occurrences it had.
+
+    Deterministic by construction (exact integer pair counts; ties on
+    count break to the lexicographically smallest pair), so an oracle
+    unrolling the same steps reproduces the merge table exactly.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1 (got {n_merges})")
+
+    from ..caching import tracked_persist
+
+    words = tracked_persist(
+        word_frequency_table(docs, text_col).select(
+            "n", _initial_symbols(F.col("word")).alias("sym")
+        )
+    )
+    merges = []
+    for step in range(1, n_merges + 1):
+        arr = F.split(F.trim(F.col("sym")), _SEP)
+        pairs = words.select(
+            "n",
+            F.explode(
+                F.arrays_zip(
+                    F.slice(arr, 1, F.size(arr) - 1).alias("a"),
+                    F.slice(arr, 2, F.size(arr) - 1).alias("b"),
+                )
+            ).alias("p"),
+        ).select("n", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        best = (
+            pairs.groupBy("a", "b")
+            .agg(F.sum("n").alias("cnt"))
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("cnt")).alias("neg"),
+                        F.col("a").alias("a"),
+                        F.col("b").alias("b"),
+                    )
+                ).alias("best")
+            )
+            .select(
+                F.col("best.a").alias("_ba"),
+                F.col("best.b").alias("_bb"),
+                (-F.col("best.neg")).alias("_bcnt"),
+            )
+        )
+        merges.append(
+            best.select(
+                F.lit(step).alias("step"),
+                F.col("_ba").alias("merge_left"),
+                F.col("_bb").alias("merge_right"),
+                F.col("_bcnt").alias("pair_count"),
+            )
+        )
+        pattern = F.concat(
+            F.lit(" "), F.col("_ba"), F.lit(_SEP), F.col("_bb"), F.lit(" ")
+        )
+        replacement = F.concat(
+            F.lit(" "), F.col("_ba"), F.col("_bb"), F.lit(" ")
+        )
+        words = tracked_persist(
+            words.crossJoin(F.broadcast(best)).select(
+                "n", F.replace(F.col("sym"), pattern, replacement).alias("sym")
+            )
+        )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionByName(m)
+    return out

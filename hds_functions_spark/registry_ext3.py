@@ -678,3 +678,64 @@ def events_attribution(spark, sf_dir):
             ).select(F.lit(model).alias("model"), "*")
         )
     return out[0].unionByName(out[1])
+
+
+# --- BPE merge training --------------------------------------------------
+
+_BPE_MERGES = 5
+
+
+def _duck_bpe_sql() -> str:
+    """Unrolled BPE training steps as DuckDB CTEs, mirroring
+    :func:`operators.bpe.bpe_train_merges` exactly: the same two-space
+    separator protocol, the same literal non-overlapping ``replace``
+    merge rewrite, the same (count DESC, pair ASC) argmax."""
+    parts = [f"""
+wf AS (
+  SELECT word, count(*) AS n FROM (
+    SELECT unnest({_DUCK_TOK}) AS word FROM documents)
+  GROUP BY 1),
+w0 AS (
+  SELECT n, '  ' || array_to_string(string_split(word, ''), '  ') || '  '
+             AS sym
+  FROM wf)"""]
+    sel = []
+    for i in range(1, _BPE_MERGES + 1):
+        parts.append(f""",
+p{i} AS (
+  SELECT t[j] AS a, t[j + 1] AS b, sum(n) AS cnt
+  FROM (SELECT n, string_split(trim(sym), '  ') AS t FROM w{i - 1}),
+       UNNEST(generate_series(1, len(t) - 1)) AS u(j)
+  GROUP BY 1, 2),
+b{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),
+w{i} AS (
+  SELECT n, replace(sym, ' ' || b.a || '  ' || b.b || ' ',
+                    ' ' || b.a || b.b || ' ') AS sym
+  FROM w{i - 1}, b{i} b)""")
+        sel.append(
+            f"SELECT {i} AS step, a AS merge_left, b AS merge_right,\n"
+            f"       CAST(cnt AS BIGINT) AS pair_count FROM b{i}"
+        )
+    return "WITH " + "".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+@_register("text_bpe_train", None)  # oracle attached below
+def text_bpe_train(spark, sf_dir):
+    """Distributed BPE tokenizer training: the first 5 merge rules
+    learned from the corpus word-frequency dictionary — the full
+    iterative loop, not just one step's pair counts. The corpus
+    collapses to its vocabulary in one aggregate; each step is an
+    explode + combinable groupBy + a 1-row argmax broadcast back, and
+    the merge rewrite is the two-space-separator ``replace`` protocol
+    (exact greedy left-to-right BPE, identical in any SQL engine), so
+    the WHOLE training run is one lazy plan with no per-step driver
+    collect. The oracle unrolls the same 5 steps and must reproduce the
+    merge table exactly."""
+    from .operators.bpe import bpe_train_merges
+
+    return bpe_train_merges(
+        _t(spark, sf_dir, "documents"), n_merges=_BPE_MERGES
+    )
+
+
+ORACLES["text_bpe_train"] = _duck_bpe_sql()

@@ -1,0 +1,101 @@
+"""Distributed BPE training: exact parity with a pure-Python reference
+trainer, greedy-merge semantics, tie-breaks, validation."""
+
+import collections
+
+import pytest
+
+from hds_functions_spark.operators.bpe import (
+    bpe_train_merges,
+    word_frequency_table,
+)
+
+
+def _ref_merges(words, n_merges):
+    """Classic in-memory BPE trainer (Sennrich-style) for parity checks."""
+    dic = collections.Counter(tuple(w) for w in words)
+    merges = []
+    for _ in range(n_merges):
+        pc = collections.Counter()
+        for syms, c in dic.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((a, b, cnt))
+        new = collections.Counter()
+        for syms, c in dic.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            new[tuple(out)] += c
+        dic = new
+    return merges
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_word_frequency_table(spark):
+    wf = {
+        r["word"]: r["n"]
+        for r in word_frequency_table(
+            _docs(spark, ["Low low NEW", "low"])
+        ).collect()
+    }
+    assert wf == {"low": 3, "new": 1}
+
+
+def test_matches_reference_trainer(spark):
+    texts = ["low low low lower lowest", "new newer newest low"]
+    out = [
+        (r["merge_left"], r["merge_right"], r["pair_count"])
+        for r in bpe_train_merges(_docs(spark, texts), n_merges=6)
+        .orderBy("step")
+        .collect()
+    ]
+    words = " ".join(texts).split()
+    assert out == _ref_merges(words, 6)
+
+
+def test_greedy_nonoverlapping_merge(spark):
+    # 'aaaa' with top pair (a,a): greedy left-to-right gives aa|aa, so
+    # step 2's top pair must be (aa, aa)
+    out = [
+        (r["merge_left"], r["merge_right"])
+        for r in bpe_train_merges(_docs(spark, ["aaaa"]), n_merges=2)
+        .orderBy("step")
+        .collect()
+    ]
+    assert out == [("a", "a"), ("aa", "aa")]
+
+
+def test_tie_breaks_to_lexicographic_pair(spark):
+    # 'ba' and 'dc': both pairs count 1; (b,a) < (d,c) lexicographically
+    out = bpe_train_merges(_docs(spark, ["ba dc"]), n_merges=1).collect()
+    assert (out[0]["merge_left"], out[0]["merge_right"]) == ("b", "a")
+
+
+def test_merged_symbol_participates_next_step(spark):
+    # after (l,o)->lo the pair (lo,w) must be countable and win
+    out = [
+        (r["merge_left"], r["merge_right"])
+        for r in bpe_train_merges(
+            _docs(spark, ["low low low"]), n_merges=2
+        ).orderBy("step").collect()
+    ]
+    assert out == [("l", "o"), ("lo", "w")]
+
+
+def test_validates_n_merges(spark):
+    with pytest.raises(ValueError, match="n_merges"):
+        bpe_train_merges(_docs(spark, ["x"]), n_merges=0)
