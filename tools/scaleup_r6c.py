@@ -1,6 +1,7 @@
 """16x scale-up for the round-6 wave-3 operators: HLL registers, fuzzy
-linkage (dictionary-sized by design — the 16x corpus must NOT grow its
-cost), and the compaction planner. Protocol/caveat as tools/scaleup.py.
+linkage and BPE training (both dictionary-sized by design — the 16x
+corpus must NOT grow their post-aggregate cost), the compaction planner,
+and conversion attribution. Protocol/caveat as tools/scaleup.py.
 
 Usage: python tools/scaleup_r6c.py [sf_dir]
 """
@@ -20,6 +21,8 @@ def main():
 
     from hds_functions_spark.caching import release_operator_caches
     from hds_functions_spark.functions.layout import plan_compaction
+    from hds_functions_spark.operators.bpe import bpe_train_merges
+    from hds_functions_spark.operators.events import attribute_conversions
     from hds_functions_spark.functions.sketches import hll_distinct
     from hds_functions_spark.operators.linkage import canonical_name_map
     from hds_functions_spark.plans import build_session
@@ -36,6 +39,13 @@ def main():
     spark.sparkContext.setLogLevel("ERROR")
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    from hds_functions_spark.registry import normalise_event_ts
+    events = normalise_event_ts(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    )
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
 
@@ -50,6 +60,8 @@ def main():
         return out
 
     li16 = widen(li, ["l_orderkey"])
+    docs16 = widen(docs, ["doc_id"])
+    events16 = widen(events, ["event_id", "user_id"])
     part16 = widen(part, ["p_partkey"])  # same 64-name dictionary, 16x rows
     orders16 = widen(orders, ["o_orderkey"])
 
@@ -77,6 +89,11 @@ def main():
         "compaction": (lambda o: plan_compaction(
             manifest_of(o), target_bytes=256_000_000,
             partition_cols=["part_month"]), orders, orders16),
+        "bpe_train": (
+            lambda d: bpe_train_merges(d, n_merges=5), docs, docs16),
+        "attribution": (
+            lambda e: attribute_conversions(e, model="linear"),
+            events, events16),
     }
     for name, (fn, one, sixteen) in ops.items():
         for label, d in (("1x", one), ("16x", sixteen)):
