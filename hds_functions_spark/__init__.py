@@ -13,7 +13,9 @@ from .functions.dates import (
     validate_date_string,
 )
 from .operators.bpe import (
+    bpe_encode_stats,
     bpe_train_merges,
+    bpe_word_segmentation,
     word_frequency_table,
 )
 from .operators.cohort import (

@@ -37,7 +37,12 @@ from pyspark.sql import functions as F
 
 from ..functions.text import tokens
 
-__all__ = ["word_frequency_table", "bpe_train_merges"]
+__all__ = [
+    "word_frequency_table",
+    "bpe_train_merges",
+    "bpe_word_segmentation",
+    "bpe_encode_stats",
+]
 
 #: Separator protocol shared with the oracle: symbols joined by TWO
 #: spaces, two-space border. See module docstring for why two.
@@ -66,27 +71,17 @@ def _initial_symbols(word_col) -> "F.Column":
     )
 
 
-def bpe_train_merges(
-    docs: DataFrame,
-    text_col: str = "text",
-    n_merges: int = 3,
-) -> DataFrame:
-    """Learn the first ``n_merges`` BPE merges. Returns one row per
-    step: ``(step, merge_left, merge_right, pair_count)`` — the merge rule chosen at
-    that step and how many weighted adjacent occurrences it had.
-
-    Deterministic by construction (exact integer pair counts; ties on
-    count break to the lexicographically smallest pair), so an oracle
-    unrolling the same steps reproduces the merge table exactly.
-    """
-    if n_merges < 1:
-        raise ValueError(f"n_merges must be >= 1 (got {n_merges})")
-
+def _train(
+    docs: DataFrame, text_col: str, n_merges: int
+) -> tuple[list[DataFrame], DataFrame]:
+    """Shared training loop: returns the per-step 1-row merge frames and
+    the FINAL word dictionary ``(word, n, sym)`` after all merges —
+    training reads the former, encoding reads the latter."""
     from ..caching import tracked_persist
 
     words = tracked_persist(
         word_frequency_table(docs, text_col).select(
-            "n", _initial_symbols(F.col("word")).alias("sym")
+            "word", "n", _initial_symbols(F.col("word")).alias("sym")
         )
     )
     merges = []
@@ -118,6 +113,9 @@ def bpe_train_merges(
                 F.col("best.b").alias("_bb"),
                 (-F.col("best.neg")).alias("_bcnt"),
             )
+            # 1 row; materialised once and reused by the merge output,
+            # the rewrite crossJoin, and later steps' lineage
+            .localCheckpoint()
         )
         merges.append(
             best.select(
@@ -133,12 +131,97 @@ def bpe_train_merges(
         replacement = F.concat(
             F.lit(" "), F.col("_ba"), F.col("_bb"), F.lit(" ")
         )
-        words = tracked_persist(
-            words.crossJoin(F.broadcast(best)).select(
-                "n", F.replace(F.col("sym"), pattern, replacement).alias("sym")
-            )
-        )
+        # localCheckpoint, not persist: each step's plan embeds the
+        # previous step's TWICE (argmax + rewrite), so without lineage
+        # truncation the plan tree grows ~3^steps and the driver OOMs
+        # just STRINGIFYING it past ~6 merges. The dictionary is
+        # vocabulary-sized, so materialising it per step is cheap — the
+        # same precedent as the connected-components contraction loop
+        # (dedup.py); swap for reliable checkpoint() on a real cluster.
+        words = words.crossJoin(F.broadcast(best)).select(
+            "word",
+            "n",
+            F.replace(F.col("sym"), pattern, replacement).alias("sym"),
+        ).localCheckpoint()
+    return merges, words
+
+
+def bpe_train_merges(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 3,
+) -> DataFrame:
+    """Learn the first ``n_merges`` BPE merges. Returns one row per
+    step: ``(step, merge_left, merge_right, pair_count)`` — the merge
+    rule chosen at that step and how many weighted adjacent occurrences
+    it had.
+
+    Deterministic by construction (exact integer pair counts; ties on
+    count break to the lexicographically smallest pair), so an oracle
+    unrolling the same steps reproduces the merge table exactly.
+    """
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1 (got {n_merges})")
+    merges, _ = _train(docs, text_col, n_merges)
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)
     return out
+
+
+def bpe_word_segmentation(
+    docs: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 3,
+) -> DataFrame:
+    """The learned tokenizer as a lookup table: ``(word, n,
+    subwords, n_subwords)`` after applying all ``n_merges`` merges to
+    the word dictionary. Dictionary-sized at any corpus scale."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges must be >= 1 (got {n_merges})")
+    _, words = _train(docs, text_col, n_merges)
+    sub = F.split(F.trim(F.col("sym")), _SEP)
+    return words.select(
+        "word",
+        "n",
+        sub.alias("subwords"),
+        F.size(sub).alias("n_subwords"),
+    )
+
+
+def bpe_encode_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_merges: int = 3,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Apply the learned tokenizer back to the corpus: per document,
+    whitespace word count, subword token count under the trained merges,
+    and the subwords-per-word ratio (the compression the tokenizer
+    achieves — THE metric a vocabulary is judged by). One equi-join of
+    exploded doc words against the broadcastable dictionary + one
+    combinable aggregate; documents with no tokens yield no row."""
+    seg = bpe_word_segmentation(docs, text_col, n_merges).select(
+        "word", "n_subwords"
+    )
+    doc_words = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
+        ).alias("word"),
+    )
+    return (
+        doc_words.join(seg, on="word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_subwords").alias("n_subwords"),
+        )
+        .withColumn(
+            "subwords_per_word",
+            F.round(
+                F.col("n_subwords") / F.col("n_words"), round_digits
+            ),
+        )
+    )

@@ -685,21 +685,22 @@ def events_attribution(spark, sf_dir):
 _BPE_MERGES = 5
 
 
-def _duck_bpe_sql() -> str:
-    """Unrolled BPE training steps as DuckDB CTEs, mirroring
-    :func:`operators.bpe.bpe_train_merges` exactly: the same two-space
-    separator protocol, the same literal non-overlapping ``replace``
-    merge rewrite, the same (count DESC, pair ASC) argmax."""
+def _duck_bpe_parts() -> str:
+    """Shared unrolled BPE CTE chain (mirrors :mod:`operators.bpe`: the
+    same two-space separator protocol, the same literal non-overlapping
+    ``replace`` merge rewrite, the same (count DESC, pair ASC) argmax).
+    Ends with ``w{_BPE_MERGES}`` = the fully-merged word dictionary and
+    ``b{i}`` = each step's chosen merge."""
     parts = [f"""
 wf AS (
   SELECT word, count(*) AS n FROM (
     SELECT unnest({_DUCK_TOK}) AS word FROM documents)
   GROUP BY 1),
 w0 AS (
-  SELECT n, '  ' || array_to_string(string_split(word, ''), '  ') || '  '
+  SELECT word, n,
+         '  ' || array_to_string(string_split(word, ''), '  ') || '  '
              AS sym
   FROM wf)"""]
-    sel = []
     for i in range(1, _BPE_MERGES + 1):
         parts.append(f""",
 p{i} AS (
@@ -709,14 +710,19 @@ p{i} AS (
   GROUP BY 1, 2),
 b{i} AS (SELECT a, b, cnt FROM p{i} ORDER BY cnt DESC, a, b LIMIT 1),
 w{i} AS (
-  SELECT n, replace(sym, ' ' || b.a || '  ' || b.b || ' ',
-                    ' ' || b.a || b.b || ' ') AS sym
+  SELECT word, n, replace(sym, ' ' || b.a || '  ' || b.b || ' ',
+                          ' ' || b.a || b.b || ' ') AS sym
   FROM w{i - 1}, b{i} b)""")
-        sel.append(
-            f"SELECT {i} AS step, a AS merge_left, b AS merge_right,\n"
-            f"       CAST(cnt AS BIGINT) AS pair_count FROM b{i}"
-        )
-    return "WITH " + "".join(parts) + "\n" + "\nUNION ALL\n".join(sel)
+    return "".join(parts)
+
+
+def _duck_bpe_sql() -> str:
+    sel = [
+        f"SELECT {i} AS step, a AS merge_left, b AS merge_right,\n"
+        f"       CAST(cnt AS BIGINT) AS pair_count FROM b{i}"
+        for i in range(1, _BPE_MERGES + 1)
+    ]
+    return "WITH " + _duck_bpe_parts() + "\n" + "\nUNION ALL\n".join(sel)
 
 
 @_register("text_bpe_train", None)  # oracle attached below
@@ -739,3 +745,35 @@ def text_bpe_train(spark, sf_dir):
 
 
 ORACLES["text_bpe_train"] = _duck_bpe_sql()
+
+
+@_register("text_bpe_encode", None)  # oracle attached below
+def text_bpe_encode(spark, sf_dir):
+    """The trained tokenizer applied back to the corpus: per document,
+    word count, subword count under the 5 learned merges, and
+    subwords-per-word — the compression metric a vocabulary is judged
+    by. The dictionary (word -> subword count after all merges) is
+    vocabulary-sized and joins the exploded corpus words equi-key; the
+    oracle re-derives the same merges and the same dictionary in SQL,
+    so a drift anywhere in the training chain surfaces here too."""
+    from .operators.bpe import bpe_encode_stats
+
+    return bpe_encode_stats(
+        _t(spark, sf_dir, "documents"), n_merges=_BPE_MERGES
+    )
+
+
+ORACLES["text_bpe_encode"] = f"""
+WITH {_duck_bpe_parts()},
+final_dict AS (
+  SELECT word, len(string_split(trim(sym), '  ')) AS n_sub
+  FROM w{_BPE_MERGES}),
+doc_words AS (
+  SELECT doc_id, unnest({_DUCK_TOK}) AS word FROM documents)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+       round(sum(n_sub)::DOUBLE / count(*), 6) AS subwords_per_word
+FROM doc_words JOIN final_dict USING (word)
+GROUP BY 1
+"""

@@ -99,3 +99,36 @@ def test_merged_symbol_participates_next_step(spark):
 def test_validates_n_merges(spark):
     with pytest.raises(ValueError, match="n_merges"):
         bpe_train_merges(_docs(spark, ["x"]), n_merges=0)
+
+
+def test_word_segmentation_after_merges(spark):
+    from hds_functions_spark.operators.bpe import bpe_word_segmentation
+
+    seg = {
+        r["word"]: (list(r["subwords"]), r["n_subwords"])
+        for r in bpe_word_segmentation(
+            _docs(spark, ["low low low lower"]), n_merges=2
+        ).collect()
+    }
+    # merges learned: (l,o) then (lo,w) -> 'low' is one token
+    assert seg["low"] == (["low"], 1)
+    assert seg["lower"] == (["low", "e", "r"], 3)
+
+
+def test_encode_stats_compression(spark):
+    from hds_functions_spark.operators.bpe import bpe_encode_stats
+
+    docs = _docs(spark, ["low low lower", "low"])
+    out = {r["doc_id"]: r for r in bpe_encode_stats(docs, n_merges=2).collect()}
+    # doc 0: words low(1) low(1) lower(3) -> 5 subwords / 3 words
+    assert out[0]["n_words"] == 3 and out[0]["n_subwords"] == 5
+    assert out[0]["subwords_per_word"] == round(5 / 3, 6)
+    assert out[1]["n_words"] == 1 and out[1]["n_subwords"] == 1
+
+
+def test_encode_drops_empty_docs(spark):
+    from hds_functions_spark.operators.bpe import bpe_encode_stats
+
+    docs = _docs(spark, ["low", ""])
+    out = bpe_encode_stats(docs, n_merges=1).collect()
+    assert {r["doc_id"] for r in out} == {0}
