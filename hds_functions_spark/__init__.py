@@ -43,6 +43,7 @@ from .operators.dedup import (
     embedding_near_dup_pairs,
     exact_dedup,
     minhash_pairs,
+    minhash_pairs_incremental,
     ngram_jaccard_pairs,
     simhash_pairs,
 )

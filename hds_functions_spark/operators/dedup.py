@@ -37,6 +37,7 @@ __all__ = [
     "duplicate_groups",
     "minhash_signatures",
     "minhash_pairs",
+    "minhash_pairs_incremental",
     "ngram_jaccard_pairs",
     "ngram_containment_pairs",
     "duplicated_ngram_stats",
@@ -862,4 +863,115 @@ def degree_distribution(
     degrees = sym.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
     return degrees.groupBy("degree").agg(
         F.count(F.lit(1)).alias("n_nodes")
+    )
+
+
+def minhash_pairs_incremental(
+    new_docs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    shingle_size: int = 5,
+    bands: int = 8,
+    min_jaccard: float = 0.0,
+) -> DataFrame:
+    """Incremental near-dup detection: MinHash-LSH candidate pairs where
+    at least one side comes from ``new_docs`` — the continuous-ingest
+    shape. A nightly batch must be checked against itself AND the
+    standing corpus, but the corpus x corpus work (already done when
+    those docs arrived) must NOT be repeated: the banded join here puts
+    ONLY the new batch on the probe side, so candidate generation costs
+    |new| x bucket-density instead of |corpus|^2. Output: ``(id_a,
+    id_b, est_jaccard, cross_batch)`` with ``id_a < id_b`` for
+    new-new pairs and ``id_a`` = the new doc for new-corpus pairs
+    (``cross_batch`` distinguishes them). Ids must be disjoint across
+    the two frames.
+
+    At 100 TB this is THE dedup shape that matters: the corpus side
+    needs only its banded bucket table (in practice persisted/bucketed
+    once and reused per batch), and each ingest pays work proportional
+    to its own size.
+    """
+    assert num_hashes % bands == 0, "bands must divide num_hashes"
+    rows_per_band = num_hashes // bands
+
+    def prep(df):
+        filtered = df.filter(F.length(F.col(text_col)) >= shingle_size)
+        return minhash_signatures(
+            ensure_min_partitions(filtered), id_col, text_col,
+            num_hashes, shingle_size,
+        )
+
+    from ..caching import tracked_persist
+
+    new_sigs = tracked_persist(prep(new_docs))
+    corpus_sigs = tracked_persist(prep(corpus))
+
+    def band_hash(b: int):
+        elems = [
+            F.element_at(F.col("signature"), i).cast("string")
+            for i in range(b * rows_per_band + 1, (b + 1) * rows_per_band + 1)
+        ]
+        return stable_hash64(F.concat_ws("-", *elems))
+
+    def banded(sigs):
+        return sigs.select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            band_hash(b).alias("band_hash"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bh"),
+        ).select(id_col, "bh.band", "bh.band_hash")
+
+    probe = banded(new_sigs).select(
+        F.col(id_col).alias("id_a"), "band", "band_hash"
+    )
+    # build side = corpus buckets + the new batch's own buckets (so the
+    # batch dedups against itself); the corpus is never self-joined
+    build = (
+        banded(corpus_sigs)
+        .withColumn("_new", F.lit(False))
+        .unionByName(banded(new_sigs).withColumn("_new", F.lit(True)))
+        .select(F.col(id_col).alias("id_b"), "band", "band_hash", "_new")
+    )
+    pairs = (
+        probe.join(build, on=["band", "band_hash"])
+        # new-new pairs would appear in both orientations: keep id_a<id_b;
+        # new-corpus pairs keep the new doc as id_a unconditionally
+        .filter(
+            (~F.col("_new") & (F.col("id_a") != F.col("id_b")))
+            | (F.col("_new") & (F.col("id_a") < F.col("id_b")))
+        )
+        .select("id_a", "id_b", (~F.col("_new")).alias("cross_batch"))
+        .distinct()
+    )
+    sig_a = new_sigs.select(
+        F.col(id_col).alias("id_a"), F.col("signature").alias("sig_a")
+    )
+    all_sigs = corpus_sigs.unionByName(new_sigs)
+    sig_b = all_sigs.select(
+        F.col(id_col).alias("id_b"), F.col("signature").alias("sig_b")
+    )
+    agree = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    est = (agree.cast("double") / F.lit(float(num_hashes))).alias(
+        "est_jaccard"
+    )
+    return (
+        pairs.join(sig_a, on="id_a")
+        .join(sig_b, on="id_b")
+        .select("id_a", "id_b", "cross_batch", est)
+        .filter(F.col("est_jaccard") >= min_jaccard)
     )

@@ -777,3 +777,48 @@ SELECT doc_id,
 FROM doc_words JOIN final_dict USING (word)
 GROUP BY 1
 """
+
+
+# --- incremental (new-batch vs corpus) dedup -----------------------------
+
+_INC_MOD = 10       # doc_id % 10 == 0 plays the nightly ingest batch
+_INC_MIN_J = 0.25
+
+
+@_register("dedup_incremental", None)  # oracle attached below
+def dedup_incremental(spark, sf_dir):
+    """Continuous-ingest dedup: MinHash-LSH candidates where at least
+    one side is in the new batch (every 10th doc), probing the standing
+    corpus's bucket table — corpus x corpus work is never repeated, so
+    each ingest pays cost proportional to ITS size, the only dedup
+    shape that survives a continuously-growing 100 TB corpus. Output
+    distinguishes within-batch pairs from batch-vs-corpus pairs."""
+    from .operators.dedup import minhash_pairs_incremental
+    from .registry_ext import _MH_BANDS, _MH_NUM_HASHES, _MH_SHINGLE
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    new = docs.filter(F.col("doc_id") % _INC_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % _INC_MOD != 0)
+    return minhash_pairs_incremental(
+        new, corpus,
+        num_hashes=_MH_NUM_HASHES, shingle_size=_MH_SHINGLE,
+        bands=_MH_BANDS, min_jaccard=_INC_MIN_J,
+    )
+
+
+def _duck_incremental_sql() -> str:
+    return f"""
+WITH base AS (SELECT * FROM ({ORACLES["dedup_minhash_pairs"]})),
+f AS (SELECT * FROM base
+      WHERE (id_a % {_INC_MOD} = 0 OR id_b % {_INC_MOD} = 0)
+        AND est_jaccard >= {_INC_MIN_J})
+SELECT CASE WHEN id_a % {_INC_MOD} = 0 THEN id_a ELSE id_b END AS id_a,
+       CASE WHEN id_a % {_INC_MOD} = 0 THEN id_b ELSE id_a END AS id_b,
+       NOT (id_a % {_INC_MOD} = 0 AND id_b % {_INC_MOD} = 0)
+           AS cross_batch,
+       est_jaccard
+FROM f
+"""
+
+
+ORACLES["dedup_incremental"] = _duck_incremental_sql()

@@ -276,3 +276,75 @@ class TestContainmentPairs:
         cont = ngram_containment_pairs(df, ngram=3, min_containment=0.9)
         assert jac.count() == 0  # low symmetric overlap
         assert cont.count() == 1  # but the quote IS fully contained
+
+
+class TestIncrementalMinhash:
+    def _frames(self, spark):
+        base = "the quick brown fox jumps over the lazy dog and runs away"
+        rows_corpus = [
+            (1, base),
+            (2, base + " slightly changed tail here"),
+            (3, "completely different content about spark query engines"),
+        ]
+        rows_new = [
+            (100, base),  # near-dup of corpus docs 1 and 2
+            (101, base + " slightly changed tail here"),
+            (102, "nothing like anything else in any corpus at all zzz"),
+        ]
+        mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+        return mk(rows_new), mk(rows_corpus)
+
+    def test_finds_cross_and_within_batch_pairs(self, spark):
+        from hds_functions_spark.operators.dedup import (
+            minhash_pairs_incremental,
+        )
+
+        new, corpus = self._frames(spark)
+        out = minhash_pairs_incremental(
+            new, corpus, min_jaccard=0.5
+        ).collect()
+        got = {(r["id_a"], r["id_b"]): r["cross_batch"] for r in out}
+        # new doc 100 duplicates corpus doc 1 (cross-batch, new id first)
+        assert got.get((100, 1)) is True
+        assert got.get((101, 2)) is True
+        # within the new batch 100 and 101 are near (same base text)
+        assert (100, 101) in got and got[(100, 101)] is False
+        # the unique new doc matches nothing
+        assert not any(100 < a < 200 and a == 102 for a, _ in got)
+
+    def test_corpus_pairs_never_emitted(self, spark):
+        from hds_functions_spark.operators.dedup import (
+            minhash_pairs_incremental,
+        )
+
+        new, corpus = self._frames(spark)
+        out = minhash_pairs_incremental(new, corpus, min_jaccard=0.0).collect()
+        # corpus docs 1 and 2 are near-dups of each other, but that pair
+        # is old work — it must NOT reappear
+        assert all(r["id_a"] >= 100 for r in out)
+
+    def test_matches_full_pairs_on_the_new_slice(self, spark):
+        from hds_functions_spark.operators.dedup import (
+            minhash_pairs,
+            minhash_pairs_incremental,
+        )
+
+        new, corpus = self._frames(spark)
+        full = {
+            (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"])): r[
+                "est_jaccard"
+            ]
+            for r in minhash_pairs(
+                new.unionByName(corpus), min_jaccard=0.5
+            ).collect()
+            if r["id_a"] >= 100 or r["id_b"] >= 100
+        }
+        inc = {
+            (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"])): r[
+                "est_jaccard"
+            ]
+            for r in minhash_pairs_incremental(
+                new, corpus, min_jaccard=0.5
+            ).collect()
+        }
+        assert inc == full  # identical pairs + identical estimates
