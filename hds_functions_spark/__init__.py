@@ -60,6 +60,7 @@ from .operators.events import (
     as_of_join,
     daily_count_anomalies,
     dedup_events_in_window,
+    top_session_paths,
     top_types_per_window,
     rfm_scores,
     type_cooccurrence_pmi,

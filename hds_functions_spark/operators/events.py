@@ -45,6 +45,7 @@ __all__ = [
     "top_types_per_window",
     "active_user_stats",
     "attribute_conversions",
+    "top_session_paths",
 ]
 
 
@@ -880,4 +881,66 @@ def attribute_conversions(
     ).agg(
         F.countDistinct("_conv_id").alias("n_conversions"),
         F.round(F.sum("_credit"), round_digits).alias("total_credit"),
+    )
+
+
+def top_session_paths(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    event_id_col: str = "event_id",
+    gap_seconds: int = 1800,
+    max_steps: int = 5,
+    top_n: int = 10,
+) -> DataFrame:
+    """Most common user journeys: sessionise, take each session's first
+    ``max_steps`` event types in time order (ties on timestamp break by
+    event id), join them into a path string, and return the ``top_n``
+    paths by session count (ties by path ascending) — the
+    product-analytics 'what do users actually do' table.
+
+    Plan shape: one key shuffle for sessionisation, then ONE aggregate
+    per (key, session) whose state is capped at ``max_steps`` + the
+    in-session prefix (sessions are bounded by the gap rule; the slice
+    caps the path regardless); path counting is a combinable groupBy
+    and the final top-n is a distributed TakeOrdered, not a global
+    sort.
+
+    Output: ``(path, n_sessions)``.
+    """
+    if max_steps < 1 or top_n < 1:
+        raise ValueError(
+            f"max_steps and top_n must be >= 1 (got {max_steps}, {top_n})"
+        )
+    s = sessionize(df, key_col, ts_col, gap_seconds)
+    per_session = (
+        s.groupBy(key_col, "session_id")
+        .agg(
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.unix_micros(F.col(ts_col)).alias("t"),
+                                    F.col(event_id_col).alias("e"),
+                                    F.col(type_col).alias("y"),
+                                )
+                            )
+                        ),
+                        lambda x: x["y"],
+                    ),
+                    1,
+                    max_steps,
+                ),
+                " > ",
+            ).alias("path")
+        )
+    )
+    return (
+        per_session.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path"))
+        .limit(top_n)
     )

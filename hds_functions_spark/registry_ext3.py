@@ -822,3 +822,50 @@ FROM f
 
 
 ORACLES["dedup_incremental"] = _duck_incremental_sql()
+
+
+# --- session path mining -------------------------------------------------
+
+_PATH_STEPS = 5
+_PATH_TOP = 10
+
+
+@_register(
+    "events_top_paths",
+    f"""
+WITH ordered AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM ordered
+), paths AS (
+  SELECT user_id, session_id,
+         array_to_string(
+           (list(event_type ORDER BY ts, event_id))[1:{_PATH_STEPS}],
+           ' > ') AS path
+  FROM sess GROUP BY 1, 2
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY 1
+ORDER BY n_sessions DESC, path
+LIMIT {_PATH_TOP}
+""",
+)
+def events_top_paths(spark, sf_dir):
+    """Top user journeys: the 10 most common first-5-event-type session
+    paths (30-minute sessions) — 'what do users actually do'. One key
+    shuffle to sessionise, one per-session aggregate whose state caps at
+    the path prefix, a combinable path count, and a distributed
+    TakeOrdered finish."""
+    from .operators.events import top_session_paths
+
+    return top_session_paths(
+        _t(spark, sf_dir, "events"),
+        gap_seconds=1800, max_steps=_PATH_STEPS, top_n=_PATH_TOP,
+    )

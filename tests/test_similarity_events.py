@@ -387,3 +387,62 @@ def test_densify_timeline_calendar_weeks_iso_monday(spark):
         "2024-01-08 00:00:00": 0,
         "2024-01-15 00:00:00": 1,
     }
+
+
+class TestTopSessionPaths:
+    def test_paths_and_ranking(self, spark):
+        from datetime import datetime
+
+        from hds_functions_spark.operators.events import top_session_paths
+
+        rows = [
+            # user 1, one session: view > click > buy
+            (1, 1, datetime(2024, 1, 1, 10, 0), "view", 0.0),
+            (2, 1, datetime(2024, 1, 1, 10, 1), "click", 0.0),
+            (3, 1, datetime(2024, 1, 1, 10, 2), "buy", 0.0),
+            # user 2, same journey
+            (4, 2, datetime(2024, 1, 1, 11, 0), "view", 0.0),
+            (5, 2, datetime(2024, 1, 1, 11, 1), "click", 0.0),
+            (6, 2, datetime(2024, 1, 1, 11, 2), "buy", 0.0),
+            # user 2, SECOND session (gap > 30 min): view only
+            (7, 2, datetime(2024, 1, 1, 15, 0), "view", 0.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, "
+                  "event_type string, value double"
+        )
+        out = [
+            (r["path"], r["n_sessions"])
+            for r in top_session_paths(df, gap_seconds=1800).collect()
+        ]
+        assert out[0] == ("view > click > buy", 2)
+        assert ("view", 1) in out
+
+    def test_max_steps_truncates_and_ties_break_by_event_id(self, spark):
+        from datetime import datetime
+
+        from hds_functions_spark.operators.events import top_session_paths
+
+        ts = datetime(2024, 1, 1, 10, 0)
+        rows = [(i, 1, ts, t, 0.0) for i, t in
+                enumerate(["a", "b", "c", "d"])]  # same ts: id order rules
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp, "
+                  "event_type string, value double"
+        )
+        out = top_session_paths(df, max_steps=3).collect()
+        assert out[0]["path"] == "a > b > c"
+
+    def test_validation(self, spark):
+        import pytest
+        from datetime import datetime
+
+        from hds_functions_spark.operators.events import top_session_paths
+
+        df = spark.createDataFrame(
+            [(1, 1, datetime(2024, 1, 1), "a", 0.0)],
+            "event_id long, user_id long, ts timestamp, "
+            "event_type string, value double",
+        )
+        with pytest.raises(ValueError, match="max_steps"):
+            top_session_paths(df, max_steps=0)
