@@ -54,7 +54,11 @@ def pagerank(
 
     from ..caching import tracked_persist
 
-    e = (
+    # the normalised edge set feeds FOUR consumers (out-degree, the
+    # weighted edge build, the node universe, and every iteration's
+    # dangling check) — persist it once or each re-runs the caller's
+    # whole edge-construction pipeline
+    e = tracked_persist(
         edges.select(
             F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
         )

@@ -238,7 +238,7 @@ def _duck_pagerank_sql() -> str:
     d = _PR_DAMPING
     parts = [f"""
 base AS (
-  SELECT DISTINCT 'c' || o.o_custkey AS c, 's' || l.l_suppkey AS s
+  SELECT DISTINCT 2 * o.o_custkey AS c, 2 * l.l_suppkey + 1 AS s
   FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
 e AS (SELECT c AS src, s AS dst FROM base
       UNION SELECT s, c FROM base),
@@ -271,7 +271,8 @@ r{i} AS (
 def graph_pagerank(spark, sf_dir):
     """PageRank over the undirected customer-supplier co-purchase graph
     (edges = distinct (customer, supplier) pairs connected through an
-    order, both directions) — the link-structure quality weighting a
+    order, both directions; node ids are integers — customers even,
+    suppliers odd) — the link-structure quality weighting a
     crawl pipeline applies at domain level. Each of the 2 power
     iterations is one equi-join on the pre-partitioned persisted edge
     frame + one combinable groupBy; dangling mass is a broadcast scalar
@@ -282,17 +283,25 @@ def graph_pagerank(spark, sf_dir):
 
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    pairs = (
-        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
-        .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
-        )
-        .distinct()
+    # integer node ids — customers on even, suppliers on odd — instead
+    # of string prefixes: int64 keys shuffle, hash and compare several
+    # times cheaper than strings across every stage of the iteration
+    # no .distinct() here: the pagerank operator dedups its edge input
+    # anyway, so a pre-distinct would just add a full 600k-row shuffle
+    pairs = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).select(
+        (2 * F.col("o_custkey")).alias("c"),
+        (2 * F.col("l_suppkey") + 1).alias("s"),
     )
+    # both directions from ONE scan (an explode, not a self-union — the
+    # union spelling re-ran the orders x lineitem join once per branch)
     edges = pairs.select(
-        F.col("c").alias("src"), F.col("s").alias("dst")
-    ).unionByName(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        F.explode(
+            F.array(
+                F.struct(F.col("c").alias("src"), F.col("s").alias("dst")),
+                F.struct(F.col("s").alias("src"), F.col("c").alias("dst")),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst")
     return pagerank(
         edges, n_iter=_PR_ITER, damping=_PR_DAMPING, round_digits=_PR_RD
     )
