@@ -66,12 +66,21 @@ def char_ngrams(col: Column | str, n: int) -> Column:
 
     Texts shorter than ``n`` yield an empty array (guarded: Spark's
     ``sequence(1, 0)`` would count DOWN, not produce an empty sequence).
+
+    Same evaluation-count discipline as :func:`word_ngrams`: the
+    ``substr``-per-position lambda re-evaluated the captured string
+    expression once PER SHINGLE (O(len^2) when callers pass
+    ``lower(text)`` — the MinHash hot path); the zip_with fold over
+    ``n`` shifted slices of the char array evaluates it ``n`` times
+    per row.
     """
     c = _c(col)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.length(c) - F.lit(n - 1)),
-        lambda i: c.substr(i, F.lit(n)),
-    )
+    chars = F.split(c, "")
+    m = F.size(chars) - F.lit(n - 1)
+    shifted = [F.slice(chars, F.lit(k + 1), m) for k in range(n)]
+    grams = shifted[0]
+    for part in shifted[1:]:
+        grams = F.zip_with(grams, part, lambda a, b: F.concat(a, b))
     return F.when(F.length(c) < n, F.array().cast("array<string>")).otherwise(grams)
 
 
