@@ -123,6 +123,8 @@ from .operators.sampling import (
     weighted_sample,
 )
 from .functions.sketches import (
+    count_min_lookup,
+    count_min_table,
     hll_distinct,
     kmv_distinct,
     kmv_hash,

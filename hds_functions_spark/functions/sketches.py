@@ -42,6 +42,8 @@ __all__ = [
     "kmv_hash",
     "kmv_distinct",
     "hll_distinct",
+    "count_min_table",
+    "count_min_lookup",
 ]
 
 #: Hash domain: 15 hex digits of md5 = 60 bits, exact in int64 AND in a
@@ -194,4 +196,96 @@ def hll_distinct(
         *gcols,
         F.col("_present").alias("n_registers"),
         F.round(corrected, round_digits).alias("estimate"),
+    )
+
+
+#: Count-min geometry: depth x width counters; each row uses an
+#: independent md5-derived hash (value salted with the row index).
+_CM_DEPTH = 3
+_CM_WIDTH = 256
+
+
+def _cm_col(value, row: int, width: int) -> Column:
+    """Counter column for ``value`` in sketch row ``row``: md5 of the
+    salted string, 15 hex digits, mod width — same int64-exact recipe
+    as the KMV/HLL hashes, so any SQL engine reproduces it."""
+    salted = F.concat(value.cast("string"), F.lit(f"#{row}"))
+    return (
+        F.conv(F.substring(F.md5(salted), 1, 15), 16, 10)
+        .cast("long")
+        % width
+    )
+
+
+def count_min_table(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    depth: int = _CM_DEPTH,
+    width: int = _CM_WIDTH,
+) -> DataFrame:
+    """The count-min sketch as a DataFrame: ``(group..., cm_row,
+    cm_col, cm_count)`` — at most ``depth * width`` rows per group at
+    ANY input size, built by one explode (depth rows per input) and one
+    map-side-combinable groupBy. Mergeable across partitions, batches
+    and days by summing matching cells."""
+    if depth < 1 or width < 2:
+        raise ValueError(f"need depth >= 1 and width >= 2 (got {depth}, {width})")
+    gcols = list(group_cols or [])
+    v = F.col(value_col)
+    cells = df.filter(v.isNotNull()).select(
+        *gcols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("cm_row"),
+                        _cm_col(v, j, width).alias("cm_col"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("_c"),
+    ).select(*gcols, "_c.cm_row", "_c.cm_col")
+    return cells.groupBy(*gcols, "cm_row", "cm_col").agg(
+        F.count(F.lit(1)).alias("cm_count")
+    )
+
+
+def count_min_lookup(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    group_cols: list[str] | None = None,
+    depth: int = _CM_DEPTH,
+    width: int = _CM_WIDTH,
+) -> DataFrame:
+    """Point-query the sketch for each row of ``items``: the estimate is
+    ``min`` over the depth rows of the addressed counters — NEVER below
+    the true count (collisions only add; the classic count-min
+    guarantee, which the registry query verifies against exact counts
+    rather than assuming). One equi-join of the depth-exploded items
+    against the fixed-size sketch + one combinable min."""
+    gcols = list(group_cols or [])
+    v = F.col(item_col)
+    probes = items.select(
+        *gcols,
+        item_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("cm_row"),
+                        _cm_col(v, j, width).alias("cm_col"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("_c"),
+    ).select(*gcols, item_col, "_c.cm_row", "_c.cm_col")
+    joined = probes.join(
+        sketch, on=[*gcols, "cm_row", "cm_col"], how="left"
+    ).withColumn("_cnt", F.coalesce(F.col("cm_count"), F.lit(0)))
+    return joined.groupBy(*gcols, item_col).agg(
+        F.min("_cnt").alias("estimate")
     )

@@ -878,3 +878,85 @@ def events_top_paths(spark, sf_dir):
         _t(spark, sf_dir, "events"),
         gap_seconds=1800, max_steps=_PATH_STEPS, top_n=_PATH_TOP,
     )
+
+
+# --- count-min frequency sketch ------------------------------------------
+
+_CM_TOP = 10
+
+
+def _duck_countmin_sql() -> str:
+    from .functions.sketches import _CM_DEPTH, _CM_WIDTH
+
+    def cm_col(expr, j):
+        return (
+            f"('0x' || substr(md5({expr} || '#{j}'), 1, 15))::BIGINT"
+            f" % {_CM_WIDTH}"
+        )
+
+    cell_rows = "\nUNION ALL\n".join(
+        f"SELECT {j} AS cm_row, {cm_col('l_partkey::VARCHAR', j)} AS cm_col"
+        f" FROM lineitem WHERE l_partkey IS NOT NULL"
+        for j in range(_CM_DEPTH)
+    )
+    probe_rows = "\nUNION ALL\n".join(
+        f"SELECT l_partkey, {j} AS cm_row,"
+        f" {cm_col('l_partkey::VARCHAR', j)} AS cm_col FROM top"
+        for j in range(_CM_DEPTH)
+    )
+    return f"""
+WITH cells AS ({cell_rows}),
+sketch AS (
+  SELECT cm_row, cm_col, count(*) AS cm_count FROM cells GROUP BY 1, 2),
+exact AS (
+  SELECT l_partkey, CAST(count(*) AS BIGINT) AS exact_count
+  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+top AS (
+  SELECT l_partkey, exact_count FROM exact
+  ORDER BY exact_count DESC, l_partkey LIMIT {_CM_TOP}),
+probes AS ({probe_rows}),
+est AS (
+  SELECT p.l_partkey, min(coalesce(s.cm_count, 0)) AS estimate
+  FROM probes p LEFT JOIN sketch s USING (cm_row, cm_col)
+  GROUP BY 1)
+SELECT t.l_partkey, CAST(e.estimate AS BIGINT) AS estimate,
+       t.exact_count,
+       e.estimate >= t.exact_count AS never_underestimates
+FROM top t JOIN est e USING (l_partkey)
+"""
+
+
+@_register("sketch_countmin_topk", None)  # oracle attached below
+def sketch_countmin_topk(spark, sf_dir):
+    """Count-min frequency sketch over part keys: the 3x256-counter
+    table is fixed-size and mergeable at ANY input size (one explode +
+    one combinable groupBy), and the query point-reads it for the 10
+    most frequent parts WITH their exact counts and the classic
+    never-underestimates guarantee as a computed column — the sketch's
+    defining property is oracle-verified, not assumed. At 100 TB the
+    sketch is the only thing that moves; the exact side here is the
+    audit."""
+    from .functions.sketches import count_min_lookup, count_min_table
+
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey")
+    sketch = count_min_table(li, "l_partkey")
+    exact = (
+        li.filter(F.col("l_partkey").isNotNull())
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+    )
+    top = exact.orderBy(
+        F.col("exact_count").desc(), F.col("l_partkey")
+    ).limit(_CM_TOP)
+    est = count_min_lookup(sketch, top.select("l_partkey"), "l_partkey")
+    return top.join(est, on="l_partkey").select(
+        "l_partkey",
+        "estimate",
+        "exact_count",
+        (F.col("estimate") >= F.col("exact_count")).alias(
+            "never_underestimates"
+        ),
+    )
+
+
+ORACLES["sketch_countmin_topk"] = _duck_countmin_sql()

@@ -147,3 +147,76 @@ class TestHll:
                 hll_distinct(df, "v", ["g"]).collect()}
         for est in rows.values():
             assert abs(est - 250) / 250 < 3 * 1.04 / 16
+
+
+class TestCountMin:
+    def test_never_underestimates_and_exact_when_sparse(self, spark):
+        from hds_functions_spark.functions.sketches import (
+            count_min_lookup, count_min_table,
+        )
+
+        # 5 distinct values, width 256 -> collisions vanishingly unlikely
+        rows = [(v,) for v in ["a"] * 50 + ["b"] * 30 + ["c"] * 10 + ["d", "e"]]
+        df = spark.createDataFrame(rows, "v: string")
+        sketch = count_min_table(df, "v")
+        items = spark.createDataFrame(
+            [("a",), ("b",), ("c",), ("d",), ("e",), ("missing",)],
+            "v: string",
+        )
+        est = {r["v"]: r["estimate"] for r in
+               count_min_lookup(sketch, items, "v").collect()}
+        assert est["a"] == 50 and est["b"] == 30 and est["c"] == 10
+        assert est["d"] == 1 and est["e"] == 1
+        assert est["missing"] >= 0  # absent items: only collision mass
+
+    def test_overestimate_property_under_heavy_collisions(self, spark):
+        import hashlib
+
+        from hds_functions_spark.functions.sketches import (
+            count_min_lookup, count_min_table,
+        )
+
+        # 2000 distinct values into width 16: collisions guaranteed
+        df = spark.range(2000).select(F.col("id").cast("string").alias("v"))
+        sketch = count_min_table(df, "v", width=16)
+        items = df.limit(40)
+        out = count_min_lookup(sketch, items, "v", width=16).collect()
+        assert all(r["estimate"] >= 1 for r in out)  # true count is 1
+
+        # cross-check one estimate against a python reference
+        def col(v, j, w=16):
+            return int(hashlib.md5(f"{v}#{j}".encode()).hexdigest()[:15], 16) % w
+
+        counters = {}
+        for i in range(2000):
+            for j in range(3):
+                key = (j, col(str(i), j))
+                counters[key] = counters.get(key, 0) + 1
+        probe = out[0]["v"]
+        expect = min(counters.get((j, col(probe, j)), 0) for j in range(3))
+        assert next(r["estimate"] for r in out if r["v"] == probe) == expect
+
+    def test_sketch_size_bounded_and_mergeable(self, spark):
+        from hds_functions_spark.functions.sketches import count_min_table
+
+        df = spark.range(5000).select(F.col("id").cast("string").alias("v"))
+        sketch = count_min_table(df, "v", depth=3, width=64)
+        assert sketch.count() <= 3 * 64
+        # merging two halves' sketches == sketch of the union
+        a = count_min_table(df.filter(F.col("v").cast("long") < 2500),
+                            "v", depth=3, width=64)
+        b = count_min_table(df.filter(F.col("v").cast("long") >= 2500),
+                            "v", depth=3, width=64)
+        merged = (a.unionByName(b).groupBy("cm_row", "cm_col")
+                  .agg(F.sum("cm_count").alias("cm_count")))
+        assert sorted(map(tuple, merged.collect())) == sorted(
+            map(tuple, sketch.collect()))
+
+    def test_validates_geometry(self, spark):
+        import pytest
+
+        from hds_functions_spark.functions.sketches import count_min_table
+
+        df = spark.range(5).select(F.col("id").cast("string").alias("v"))
+        with pytest.raises(ValueError, match="depth"):
+            count_min_table(df, "v", depth=0)
