@@ -738,11 +738,15 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the set) waits for the round-7 window; everything else gains a durable
 #: driver-green row this round. The 100 queries already driver-checked in
 #: r01-r05 fall back to registration order after these.
-#: ROUND-7 QUEUE: clean_strip_markup plus the queries ADDED in round 6
-#: (multimodal_image_png, retrieval_bm25, retrieval_decontam, and any
-#: later additions — run tools/driver_coverage.py for the authoritative
-#: list) have compare_oracle green runs but no driver row; hoist them
-#: next rotation.
+#: ROUND-7 QUEUE (exact, from tools/driver_coverage.py at round-6 close;
+#: 17 names, all compare_oracle-green at sf0.01+sf0.1 AND under ANSI ON
+#: but with no driver row yet — make these the next window's head):
+#: clean_strip_markup, multimodal_image_png, retrieval_bm25,
+#: retrieval_decontam, sketch_kmv_distinct, sketch_hll_distinct,
+#: sketch_countmin_topk, graph_pagerank, split_leakage_safe,
+#: fuzzy_name_pairs, fuzzy_canonical_entities, layout_compaction_plan,
+#: events_attribution, events_top_paths, text_bpe_train,
+#: text_bpe_encode, dedup_incremental.
 DRIVER_PRIORITY: list[str] = [
     "analytics_cube",
     "analytics_share",
