@@ -731,74 +731,36 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Queries the driver's correctness gate should see first. The gate verifies
 #: exactly the first 50 entries of ``queries()`` in iteration order.
-#: ROUND-6 ROTATION: the 51 queries below are every registered query with NO
-#: driver row in CORRECTNESS_r01-r05 (the whole round-5 build-out; computed
-#: by tools/driver_coverage.py). The driver window is 50, so the last entry
-#: (clean_strip_markup — pure-regex op with the strongest pytest cover of
-#: the set) waits for the round-7 window; everything else gains a durable
-#: driver-green row this round. The 100 queries already driver-checked in
-#: r01-r05 fall back to registration order after these.
-#: ROUND-7 QUEUE (exact, from tools/driver_coverage.py at round-6 close;
-#: 17 names, all compare_oracle-green at sf0.01+sf0.1 AND under ANSI ON
-#: but with no driver row yet — make these the next window's head):
-#: clean_strip_markup, multimodal_image_png, retrieval_bm25,
-#: retrieval_decontam, sketch_kmv_distinct, sketch_hll_distinct,
-#: sketch_countmin_topk, graph_pagerank, split_leakage_safe,
-#: fuzzy_name_pairs, fuzzy_canonical_entities, layout_compaction_plan,
-#: events_attribution, events_top_paths, text_bpe_train,
-#: text_bpe_encode, dedup_incremental.
+#: ROUND-7 ROTATION: head = the two round-6 driver-reds (both fixed this
+#: round: table_rollup_merge now sums integer cents so split-merge ==
+#: one-pass bit-exactly; similarity_random_projection now emits scalar
+#: proj_0..proj_7 so the driver's pandas canonicalisation can sort it),
+#: then the 17 queries with no driver row in CORRECTNESS_r01-r06 (the
+#: round-6 build-out, judge-verified green at sf0.1 but never
+#: driver-checked — computed by tools/driver_coverage.py at round-6
+#: close). Round-7 additions are appended after these so they land a
+#: driver row in the same round they ship. The remaining window slots
+#: fall back to registration order (all driver-green in r01-r06).
 DRIVER_PRIORITY: list[str] = [
-    "analytics_cube",
-    "analytics_share",
-    "cluster_kmeans",
-    "cluster_kmeans_profile",
-    "cluster_semantic_dedup",
-    "dedup_cluster_sizes",
-    "dedup_containment",
-    "dedup_degree_stats",
-    "dedup_substring_signal",
-    "events_active_users",
-    "events_anomaly_daily",
-    "events_cooccurrence",
-    "events_densified_monthly",
-    "events_rfm",
-    "events_time_decay",
-    "events_top_type_hourly",
-    "events_transitions",
-    "events_window_dedup",
-    "layout_pruning_sim",
-    "layout_zorder",
-    "multimodal_ahash",
-    "multimodal_ahash_dups",
-    "multimodal_video_real",
-    "pack_efficiency",
-    "pipeline_pretrain_prep",
-    "pipeline_semantic_prep",
-    "privacy_generalize",
-    "privacy_k_anonymity",
-    "privacy_l_diversity",
-    "profile_correlations",
-    "quality_join_audit",
-    "quality_observed_metrics",
-    "sample_temperature",
-    "sample_weighted",
-    "similarity_quantized_knn",
-    "similarity_random_projection",
-    "source_orc_roundtrip",
-    "streaming_transitions",
     "table_rollup_merge",
-    "table_scd2",
-    "text_bpe_pairs",
-    "text_oov_rate",
-    "text_quality_retention",
-    "text_script_ratios",
-    "text_ttr",
-    "text_vocab_build",
-    "text_zipf",
-    "wrangle_mad_outliers",
-    "wrangle_pivot",
-    "wrangle_unpivot",
+    "similarity_random_projection",
     "clean_strip_markup",
+    "multimodal_image_png",
+    "retrieval_bm25",
+    "retrieval_decontam",
+    "sketch_kmv_distinct",
+    "sketch_hll_distinct",
+    "sketch_countmin_topk",
+    "graph_pagerank",
+    "split_leakage_safe",
+    "fuzzy_name_pairs",
+    "fuzzy_canonical_entities",
+    "layout_compaction_plan",
+    "events_attribution",
+    "events_top_paths",
+    "text_bpe_train",
+    "text_bpe_encode",
+    "dedup_incremental",
 ]
 
 

@@ -3605,10 +3605,10 @@ def _duck_random_projection_sql() -> str:
     comps = ", ".join(
         "round(list_dot_product(embedding::DOUBLE[], ["
         + ", ".join(repr(w) for w in plane)
-        + f"]::DOUBLE[]) * {scale}, 6)"
-        for plane in planes
+        + f"]::DOUBLE[]) * {scale}, 6) AS proj_{i}"
+        for i, plane in enumerate(planes)
     )
-    return f"SELECT vec_id, [{comps}] AS projected FROM embeddings"
+    return f"SELECT vec_id, {comps} FROM embeddings"
 
 
 @_register("similarity_random_projection", None)  # oracle attached below
@@ -3617,11 +3617,22 @@ def similarity_random_projection(spark, sf_dir):
     matrix (same xorshift stream as the LSH hyperplanes): the ANN
     prefilter that makes every downstream distance pass 8x cheaper, with
     re-scoring at full dimension for survivors. Matrix-as-literals pure
-    projection — no shuffle; the oracle embeds the identical matrix."""
+    projection — no shuffle; the oracle embeds the identical matrix.
+    The library API returns an array<double> column; this registry view
+    flattens it to scalar proj_0..proj_7 columns because the driver's
+    canonicalisation (pandas sort_values + exact hash) cannot order
+    list-typed cells — same plan, Catalyst collapses the two projections."""
     from .operators.similarity import random_projection
 
-    return random_projection(
+    proj = random_projection(
         _t(spark, sf_dir, "embeddings"), out_dim=_RP_OUT_DIM
+    )
+    return proj.select(
+        "vec_id",
+        *[
+            F.col("projected")[i].alias(f"proj_{i}")
+            for i in range(_RP_OUT_DIM)
+        ],
     )
 
 
@@ -3743,9 +3754,12 @@ ORACLES["layout_zorder"] = _duck_zorder_sql()
     """
 SELECT o_orderstatus,
        CAST(count(*) AS BIGINT) AS n_rows,
-       sum(o_totalprice) AS o_totalprice_sum,
-       min(o_totalprice) AS o_totalprice_min,
-       max(o_totalprice) AS o_totalprice_max
+       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS price_cents_sum,
+       CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS price_cents_min,
+       CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS price_cents_max
 FROM orders GROUP BY 1
 """,
 )
@@ -3756,19 +3770,26 @@ def table_rollup_merge(spark, sf_dir):
     rollup over everything in one pass. Equality = the merge is exact, so
     a daily delta updates the state without rescanning history. The merge
     shuffle carries one row per (key, side) — state-sized at any data
-    size."""
+    size. Money is carried as integer cents (the repo's established
+    exact-sum pattern) so the split-sum merge is bit-identical to the
+    one-pass oracle — long sums are associative where double sums are
+    only ~1-ulp-per-fold close."""
     from .sources.tables import build_rollup, merge_rollup
 
     orders = _t(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus", "o_totalprice"
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias(
+            "price_cents"
+        ),
     )
     history = build_rollup(
         orders.filter(F.col("o_orderkey") % 3 != 0),
-        "o_orderstatus", "o_totalprice",
+        "o_orderstatus", "price_cents",
     )
     delta = build_rollup(
         orders.filter(F.col("o_orderkey") % 3 == 0),
-        "o_orderstatus", "o_totalprice",
+        "o_orderstatus", "price_cents",
     )
     return merge_rollup(history, delta, "o_orderstatus")
 

@@ -459,3 +459,36 @@ def test_rollup_build_and_merge(spark):
     bad = h.withColumnRenamed("v_sum", "v_avg")
     with pytest.raises(ValueError, match="mergeable"):
         merge_rollup(bad, bad, "k")
+
+
+def test_rollup_merge_bit_exact_on_long_cents(spark):
+    """Property: for integer (cents) value columns, any split of the rows
+    into history/delta merges to EXACTLY the one-pass rollup — long sums
+    are associative, which is why the registry's table_rollup_merge view
+    carries money as cents (double sums are only ~1-ulp-per-fold close,
+    and the driver hashes exact values)."""
+    import random
+
+    from hds_functions_spark.sources.tables import build_rollup, merge_rollup
+
+    rng = random.Random(7)
+    rows = [
+        (f"k{rng.randrange(5)}", rng.randrange(-10**12, 10**12))
+        for _ in range(400)
+    ]
+    df = spark.createDataFrame(rows, "k: string, cents: long").cache()
+    full = {
+        r["k"]: tuple(r) for r in build_rollup(df, "k", "cents").collect()
+    }
+    for mod in (2, 3, 7):
+        h = build_rollup(
+            df.filter(F.abs(F.hash("cents")) % mod != 0), "k", "cents"
+        )
+        d = build_rollup(
+            df.filter(F.abs(F.hash("cents")) % mod == 0), "k", "cents"
+        )
+        merged = {
+            r["k"]: tuple(r) for r in merge_rollup(h, d, "k").collect()
+        }
+        assert merged == full
+    df.unpersist()

@@ -2,10 +2,19 @@
 
 Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` on DuckDB
 against the same sf directory, then compares row count + order-insensitive
-values (columns sorted by name, doubles rounded to 9 significant-ish dp,
+values (columns sorted by name, doubles rounded to 6 significant digits,
 dates/timestamps normalised to ISO strings).
 
-Usage: python tools/compare_oracle.py [sf_dir] [query ...]
+``--exact`` switches to DRIVER-STRENGTH comparison (the round-6 lesson:
+two queries were green under 6-sig-fig rounding + tupled list cells but
+red at the driver, which hashes exact values after a pandas
+``sort_values`` canonicalisation that cannot order list cells). In exact
+mode doubles are compared bit-for-bit via ``repr`` (shortest round-trip)
+and any list/array-typed output column is an immediate FAIL — the driver
+harness errors on those, so they must be flattened to scalars in the
+registry view.
+
+Usage: python tools/compare_oracle.py [--exact] [sf_dir] [query ...]
 """
 
 from __future__ import annotations
@@ -20,6 +29,12 @@ TABLES = [
     "orders", "lineitem", "events", "documents", "embeddings",
 ]
 
+EXACT = False
+
+
+class ListCell(Exception):
+    """Raised in --exact mode on a list-typed cell (driver-unsortable)."""
+
 
 def norm_cell(v):
     import datetime
@@ -27,6 +42,9 @@ def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
+        if EXACT:
+            # shortest round-trip repr == exact double bits (modulo -0.0)
+            return repr(v)
         return f"{v:.6g}"
     if isinstance(v, datetime.datetime):
         return v.isoformat()
@@ -35,6 +53,11 @@ def norm_cell(v):
     if isinstance(v, bytes):
         return v.hex()
     if isinstance(v, list):
+        if EXACT:
+            raise ListCell(
+                "list-typed cell: the driver's pandas sort_values "
+                "canonicalisation cannot order it — flatten to scalars"
+            )
         return tuple(norm_cell(x) for x in v)
     if isinstance(v, bool):
         return int(v)
@@ -49,8 +72,11 @@ def norm_rows(columns, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    global EXACT
+    argv = [a for a in sys.argv[1:] if a != "--exact"]
+    EXACT = "--exact" in sys.argv[1:]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import duckdb
 
@@ -126,8 +152,13 @@ def main():
                     f"WARN {name}: column '{s_cols[a]}' type drift "
                     f"spark={ta} duck={tb}"
                 )
-        sn, cols = norm_rows(s_cols, s_rows)
-        dn, _ = norm_rows(d_cols, d_rows)
+        try:
+            sn, cols = norm_rows(s_cols, s_rows)
+            dn, _ = norm_rows(d_cols, d_rows)
+        except ListCell as e:
+            failures.append(name)
+            print(f"FAIL {name}: {e}")
+            continue
         if len(sn) != len(dn):
             failures.append(name)
             print(f"FAIL {name}: rowcount spark={len(sn)} duck={len(dn)}")
