@@ -159,7 +159,7 @@ def pruning_simulation(
     n_files: int,
     box: tuple[float, float, float, float],
     round_digits: int = 6,
-    exact: bool = True,
+    exact: bool = False,
 ):
     """Quantify what a Z-order layout buys: simulate writing ``df`` into
     ``n_files`` equal-frequency files under (a) arrival order and (b)
@@ -170,10 +170,14 @@ def pruning_simulation(
 
     Output: one row per layout with ``(layout, n_files, n_scanned,
     scan_frac)``. Everything after bucketing is a file-count-sized
-    aggregate; at any data size only n_files rows move. ``exact=False``
-    flips the cut computation to the mergeable percentile_approx sketch
-    — at 16x sf0.1 the exact single-buffer percentile dominates the
-    wall clock (BASELINE.md), so that is the production setting.
+    aggregate; at any data size only n_files rows move. The default
+    ``exact=False`` computes cuts with the mergeable percentile_approx
+    sketch — the production setting: at 16x sf0.1 the exact
+    single-buffer percentile dominates the wall clock (34.8 -> 4.5 s,
+    BASELINE.md) and is the only data-proportional buffer in the plan,
+    while the sketch moved NO pruning decision in the measured sweep.
+    ``exact=True`` (exact percentile cuts) exists for deterministic
+    oracle comparison — the registry's ``layout_pruning_sim`` pins it.
     """
     from ..caching import tracked_persist
 

@@ -13,13 +13,17 @@ Spark-first shape, and the reason it scales:
   vocabulary in ONE map-side-combinable aggregate, and every later step
   works on the dictionary-sized frame (same principle as the fuzzy
   linkage module).
-- **The whole loop is ONE lazy plan.** Each step: adjacent-pair counts
+- **No data-sized driver round-trips.** Each step: adjacent-pair counts
   (explode + combinable groupBy), the argmax pair as a 1-row frame
   (``min(struct(-count, a, b))`` — max count, ties to the
   lexicographically smallest pair, the deterministic convention),
   crossJoin-broadcast back, and the merge applied with the COLUMN-valued
-  literal ``replace`` — no per-iteration driver collect at all. The
-  dictionary is persisted per step so the plan stays bounded.
+  literal ``replace``. Each step eagerly materialises the
+  vocabulary-sized dictionary and the 1-row argmax via
+  ``localCheckpoint`` (one to two Spark jobs per step — lineage
+  truncation, see the inline comment); what never happens is corpus- or
+  vocabulary-sized data reaching the driver. The only driver-side value
+  per step is the 1-row argmax probe that detects exhaustion (below).
 - **The merge rewrite is exact greedy BPE via plain ``replace``.**
   Symbols are kept space-joined with a TWO-space separator and a
   two-space border: the pattern ``' a  b '`` consumes one space from
@@ -117,6 +121,16 @@ def _train(
             # the rewrite crossJoin, and later steps' lineage
             .localCheckpoint()
         )
+        # Exhaustion guard: when no adjacent pair exists anywhere (every
+        # word already one symbol, or an empty/degenerate corpus) the
+        # min(struct) over zero rows yields one all-NULL row; emitting it
+        # would corrupt every later rewrite (replace with NULL pattern
+        # nulls 'sym' for the whole dictionary). Stop instead — the same
+        # early exit as the classic in-memory trainer's `if not pc`.
+        # best is already materialised, so this reads one local row.
+        probe = best.first()
+        if probe is None or probe["_bcnt"] is None:
+            break
         merges.append(
             best.select(
                 F.lit(step).alias("step"),
@@ -162,7 +176,15 @@ def bpe_train_merges(
     """
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1 (got {n_merges})")
-    merges, _ = _train(docs, text_col, n_merges)
+    merges, words = _train(docs, text_col, n_merges)
+    if not merges:
+        # pair-exhausted at step 1 (all words single-symbol / empty
+        # corpus): zero merge rows, with the documented schema
+        return words.sparkSession.createDataFrame(
+            [],
+            "step: int, merge_left: string, merge_right: string, "
+            "pair_count: bigint",
+        )
     out = merges[0]
     for m in merges[1:]:
         out = out.unionByName(m)

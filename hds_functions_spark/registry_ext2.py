@@ -656,9 +656,12 @@ def layout_pruning_sim(spark, sf_dir):
     z = orders.withColumn(
         "zcode", morton_code(F.col("price_bin"), F.col("date_bin"), _PS_BITS)
     )
+    # exact=True pinned: the oracle unrolls exact percentile cuts, and
+    # the registry gate needs determinism; the library default is the
+    # approx sketch (the production setting — see pruning_simulation)
     return pruning_simulation(
         z, "o_orderkey", "zcode", "price_bin", "date_bin",
-        n_files=_PS_FILES, box=_PS_BOX,
+        n_files=_PS_FILES, box=_PS_BOX, exact=True,
     )
 
 

@@ -132,3 +132,40 @@ def test_encode_drops_empty_docs(spark):
     docs = _docs(spark, ["low", ""])
     out = bpe_encode_stats(docs, n_merges=1).collect()
     assert {r["doc_id"] for r in out} == {0}
+
+
+def test_exhaustion_stops_early_single_char_words(spark):
+    """No adjacent pairs anywhere (every word is one char): the trainer
+    must emit ZERO merges — not an all-NULL row that would corrupt the
+    dictionary rewrite — mirroring the reference trainer's `if not pc`
+    early exit."""
+    out = bpe_train_merges(_docs(spark, ["a b c a", "b c"]), n_merges=3)
+    assert out.count() == 0
+    # matches the in-memory reference on the same corpus
+    assert _ref_merges("a b c a b c".split(), 3) == []
+
+
+def test_exhaustion_mid_training_keeps_valid_prefix(spark):
+    """Pairs run out after some merges: emit exactly the valid prefix and
+    leave segmentation/encoding usable (sym not NULLed)."""
+    from hds_functions_spark.operators.bpe import (
+        bpe_encode_stats,
+        bpe_word_segmentation,
+    )
+
+    texts = ["ab ab ab"]
+    out = [
+        (r["merge_left"], r["merge_right"], r["pair_count"])
+        for r in bpe_train_merges(_docs(spark, texts), n_merges=5)
+        .orderBy("step")
+        .collect()
+    ]
+    assert out == _ref_merges("ab ab ab".split(), 5) == [("a", "b", 3)]
+    seg = {
+        r["word"]: list(r["subwords"])
+        for r in bpe_word_segmentation(_docs(spark, texts), n_merges=5)
+        .collect()
+    }
+    assert seg == {"ab": ["ab"]}
+    enc = bpe_encode_stats(_docs(spark, texts), n_merges=5).collect()
+    assert enc[0]["n_subwords"] == 3

@@ -138,12 +138,25 @@ def test_pruning_simulation_sorted_layout_prunes(spark):
         r["layout"]: r
         for r in pruning_simulation(
             df, "bad", "good", "bin_a", "bin_b",
-            n_files=16, box=(2, 3, 0, 0),
+            n_files=16, box=(2, 3, 0, 0), exact=True,
         ).collect()
     }
     assert out["zorder"]["n_scanned"] == 2   # bins 2,3 -> 2 of 16 files
     assert out["arrival"]["n_scanned"] == 16  # shuffled: every file overlaps
     assert out["zorder"]["scan_frac"] == 0.125
+
+    # the default (exact=False, approx sketch cuts — the production
+    # setting) must still show the layout effect: the sorted layout
+    # prunes nearly everything, arrival order prunes nothing
+    approx = {
+        r["layout"]: r
+        for r in pruning_simulation(
+            df, "bad", "good", "bin_a", "bin_b",
+            n_files=16, box=(2, 3, 0, 0),
+        ).collect()
+    }
+    assert approx["arrival"]["n_scanned"] == 16
+    assert approx["zorder"]["n_scanned"] <= 3  # cuts off by <= sketch err
 
 
 def test_join_key_audit(spark):
