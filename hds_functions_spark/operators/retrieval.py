@@ -39,6 +39,7 @@ __all__ = [
     "doc_postings",
     "bm25_scores",
     "bm25_topk",
+    "bm25_topk_pruned",
     "retrieval_decontam",
 ]
 
@@ -98,6 +99,25 @@ def bm25_scores(
     from both sides — near-zero idf, unbounded join fanout (see module
     docstring). Output: ``(query_id, doc_id, score)`` rounded.
     """
+    post, kept, qterms = _bm25_frames(
+        docs, queries, doc_id_col, doc_text_col, query_id_col,
+        query_text_col, k1, b, max_df_frac, term_ngram,
+    )
+    return (
+        post.join(kept, on="term")
+        .join(F.broadcast(qterms), on="term")
+        .groupBy("query_id", "doc_id")
+        .agg(_score_agg(k1, b, round_digits))
+    )
+
+
+def _bm25_frames(
+    docs, queries, doc_id_col, doc_text_col, query_id_col,
+    query_text_col, k1, b, max_df_frac, term_ngram,
+):
+    """Validate + build the three BM25 frames: corpus postings, the
+    df-capped term stats (term, df, idf, _avgdl), and the distinct query
+    terms. Shared by the full scorer and the max-score-pruned top-k."""
     if not 0 < max_df_frac <= 1:
         raise ValueError(f"max_df_frac must be in (0, 1] (got {max_df_frac})")
     if k1 < 0 or not 0 <= b <= 1:
@@ -133,26 +153,24 @@ def bm25_scores(
         F.col(query_id_col).alias("query_id"),
         F.explode(_terms(query_text_col, term_ngram)).alias("term"),
     ).distinct()
-    scored = (
-        post.join(kept, on="term")
-        .join(F.broadcast(qterms), on="term")
-        .groupBy("query_id", "doc_id")
-        .agg(
-            F.round(
-                F.sum(
-                    F.col("idf")
-                    * (F.col("tf") * (k1 + 1))
-                    / (
-                        F.col("tf")
-                        + k1
-                        * (1 - b + b * F.col("dl") / F.col("_avgdl"))
-                    )
-                ),
-                round_digits,
-            ).alias("score")
-        )
-    )
-    return scored
+    return post, kept, qterms
+
+
+def _score_agg(k1: float, b: float, round_digits: int):
+    """The BM25 per-(query, doc) aggregate over joined posting rows
+    carrying (tf, dl, idf, _avgdl) — one expression, so the full scorer
+    and the pruned scorer cannot drift."""
+    return F.round(
+        F.sum(
+            F.col("idf")
+            * (F.col("tf") * (k1 + 1))
+            / (
+                F.col("tf")
+                + k1 * (1 - b + b * F.col("dl") / F.col("_avgdl"))
+            )
+        ),
+        round_digits,
+    ).alias("score")
 
 
 def bm25_topk(
@@ -173,6 +191,149 @@ def bm25_topk(
     )
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def bm25_topk_pruned(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    seed_terms: int = 2,
+    doc_id_col: str = "doc_id",
+    doc_text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_frac: float = 0.5,
+    term_ngram: int = 1,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-``k`` BM25 with MaxScore dynamic pruning (Turtle & Flood 1995
+    / the WAND family, PAPERS.md) — returns EXACTLY :func:`bm25_topk`'s
+    rows, provably, while never joining the frequent query terms'
+    posting lists against the whole corpus. Two passes:
+
+    1. **Seed**: per query, the ``seed_terms`` terms with the largest
+       score upper bound ``ub(t) = idf(t) * (k1+1)`` (the highest-idf =
+       RAREST terms, so their posting lists are the shortest). Docs
+       holding a seed term get a PARTIAL score over the seed terms only
+       — a lower bound of their full score, so the k-th best rounded
+       partial is a valid (slightly loose) pruning threshold
+       ``theta(q)`` at the cost of only ``|queries| * df(seed)`` pair
+       rows — no full scoring in phase 1.
+    2. **Prune**: sort each query's terms by ub ascending; a prefix
+       whose running ub total rounds below ``theta`` is *non-essential*
+       — a doc matching ONLY those terms scores ``s <= sum(ub) <
+       theta`` and (rounding being monotone) ``round(s) <= round(sum
+       ub) < theta``, while every doc at/above theta's partial bound
+       survives, so nothing prunable can displace the true top-k. Only
+       the *essential* terms' postings join the corpus; candidate docs
+       (seed hits + essential hits) are then scored over ALL their
+       query terms via the doc_id-side join, which reuses the postings'
+       existing doc_id hash partitioning (the ``dl`` window already
+       exchanged on it — at 100 TB, bucket the postings table by doc_id
+       and this join is shuffle-free).
+
+    Why this is the scale win: the full scoring join shuffles
+    ``sum over query terms of df(t)`` pair rows — dominated by frequent
+    terms times every query that mentions them. Pruned, the frequent
+    terms (small idf => small ub => non-essential first) never fan out;
+    shuffle volume drops to the candidates' own posting rows. Queries
+    with fewer than ``k`` seed-scored docs get no theta and fall back to
+    exact full scoring of all their term hits — still correct, never
+    wrong, just unpruned.
+
+    Output ``(query_id, doc_id, score, rank)`` — byte-identical to
+    ``bm25_topk`` (the registry oracle pins this: the pruned query's
+    oracle IS the full-scoring SQL).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    if seed_terms < 1:
+        raise ValueError(f"seed_terms must be >= 1 (got {seed_terms})")
+    from ..caching import tracked_persist
+
+    post, kept, qterms = _bm25_frames(
+        docs, queries, doc_id_col, doc_text_col, query_id_col,
+        query_text_col, k1, b, max_df_frac, term_ngram,
+    )
+    post = tracked_persist(post)
+    # per-(query, term) upper bound; suite-sized frame (distinct query
+    # terms only), every later per-query window runs on it
+    qub = tracked_persist(
+        qterms.join(kept.select("term", "idf"), on="term").select(
+            "query_id", "term", (F.col("idf") * (k1 + 1)).alias("_ub")
+        )
+    )
+
+    def exact_scores(cand: DataFrame) -> DataFrame:
+        """Score candidate (query_id, doc_id) pairs over ALL their query
+        terms: doc_id-equi join into the postings (reuses the dl
+        window's hash partitioning), then the shared aggregate. No
+        broadcast hint on the candidate side — it grows with df(seed
+        terms), i.e. with the corpus; AQE picks broadcast when it
+        measures small (the scale-gate convention)."""
+        return (
+            post.join(cand, on="doc_id")
+            .join(F.broadcast(qterms), on=["query_id", "term"])
+            .join(kept, on="term")
+            .groupBy("query_id", "doc_id")
+            .agg(_score_agg(k1, b, round_digits))
+        )
+
+    w_seed = Window.partitionBy("query_id").orderBy(
+        F.col("_ub").desc(), F.col("term")
+    )
+    seed = (
+        qub.withColumn("_r", F.row_number().over(w_seed))
+        .filter(F.col("_r") <= seed_terms)
+        .select("query_id", "term")
+    )
+    seed_hits = post.join(F.broadcast(seed), on="term")
+    cand_seed = seed_hits.select("query_id", "doc_id").distinct()
+    # partial score over seed terms only: a LOWER bound of the full
+    # score (idf/tf/dl all non-negative), so its k-th best is a valid
+    # pruning threshold without a full-scoring pass
+    seed_partial = (
+        seed_hits.join(kept, on="term")
+        .groupBy("query_id", "doc_id")
+        .agg(_score_agg(k1, b, round_digits))
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    theta = (
+        seed_partial.withColumn("_r", F.row_number().over(w_rank))
+        .filter(F.col("_r") == k)
+        .select("query_id", F.col("score").alias("_theta"))
+    )
+    # essential terms: ascending-ub running total; a term is essential
+    # once round(running total) >= theta (no theta row -> no pruning)
+    w_cum = (
+        Window.partitionBy("query_id")
+        .orderBy(F.col("_ub").asc(), F.col("term"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    essential = (
+        qub.withColumn("_cum", F.sum("_ub").over(w_cum))
+        .join(F.broadcast(theta), on="query_id", how="left")
+        .filter(
+            F.col("_theta").isNull()
+            | (F.round(F.col("_cum"), round_digits) >= F.col("_theta"))
+        )
+        .select("query_id", "term")
+    )
+    cand = (
+        post.join(F.broadcast(essential), on="term")
+        .select("query_id", "doc_id")
+        .unionByName(cand_seed)
+        .distinct()
+    )
+    return (
+        exact_scores(cand)
+        .withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= k)
     )
 

@@ -761,6 +761,8 @@ DRIVER_PRIORITY: list[str] = [
     "text_bpe_train",
     "text_bpe_encode",
     "dedup_incremental",
+    # round-7 additions (land driver rows the round they ship):
+    "retrieval_bm25_pruned",
 ]
 
 

@@ -960,3 +960,6 @@ def sketch_countmin_topk(spark, sf_dir):
 
 
 ORACLES["sketch_countmin_topk"] = _duck_countmin_sql()
+
+
+from . import registry_ext4  # noqa: E402,F401  (round-7 registrations)

@@ -149,3 +149,65 @@ def test_scoring_join_broadcasts_queries(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan  # query terms never shuffle the corpus
+
+
+# --- MaxScore dynamic pruning: exactness vs the full scorer --------------
+
+def _assert_same_topk(spark, docs, queries, k, **kw):
+    from hds_functions_spark.operators.retrieval import bm25_topk_pruned
+
+    full = sorted(
+        tuple(r) for r in bm25_topk(docs, queries, k=k, **kw).collect()
+    )
+    pruned = sorted(
+        tuple(r)
+        for r in bm25_topk_pruned(docs, queries, k=k, **kw).collect()
+    )
+    assert pruned == full
+
+
+def test_pruned_equals_full_small_corpus(spark):
+    qs = _queries(spark, [(10, "apple date"), (11, "grape fig banana")])
+    for k in (1, 2, 4):
+        _assert_same_topk(spark, _corpus(spark), qs, k)
+
+
+def test_pruned_equals_full_real_documents(spark):
+    """The real documents table with the registry's bigram config: the
+    pruning path must reproduce the full top-k byte-for-byte."""
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    queries = docs.filter(F.col("doc_id") % 29 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 60).alias("query_text"),
+    )
+    _assert_same_topk(
+        spark, docs, queries, 5, term_ngram=2, max_df_frac=0.5
+    )
+
+
+def test_pruned_fallback_fewer_than_k_matches(spark):
+    # one rare term; only 1 doc matches but k=3 -> no theta, unpruned
+    qs = _queries(spark, [(1, "elder")])
+    _assert_same_topk(spark, _corpus(spark), qs, 3)
+
+
+def test_pruned_all_terms_df_capped(spark):
+    # every query term above the df cap: empty output from both paths
+    docs = spark.createDataFrame(
+        [(i, "common word") for i in range(4)], "doc_id long, text string"
+    )
+    qs = _queries(spark, [(1, "common word")])
+    _assert_same_topk(spark, docs, qs, 2, max_df_frac=0.4)
+
+
+def test_pruned_validation(spark):
+    from hds_functions_spark.operators.retrieval import bm25_topk_pruned
+
+    qs = _queries(spark, [(1, "apple")])
+    with pytest.raises(ValueError, match="k must be"):
+        bm25_topk_pruned(_corpus(spark), qs, k=0)
+    with pytest.raises(ValueError, match="seed_terms"):
+        bm25_topk_pruned(_corpus(spark), qs, seed_terms=0)
