@@ -81,7 +81,7 @@ from .functions.layout import (
     quantize_to_bins,
     zorder_column,
 )
-from .operators.graph import pagerank
+from .operators.graph import pagerank, triangle_count
 from .operators.joins import salted_join
 from .operators.linkage import (
     canonical_name_map,

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank"]
+__all__ = ["pagerank", "triangle_count"]
 
 
 def pagerank(
@@ -119,3 +119,94 @@ def pagerank(
             )
         )
     return ranks
+
+
+def triangle_count(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Exact per-node triangle counts — the local clustering signal a
+    dedup pipeline reads off its similarity graph (near-duplicate
+    clusters are near-cliques; a node in many triangles sits deep
+    inside one, a bridge node in few). Input edges are undirected
+    (either orientation, duplicates/self-loops tolerated); output is
+    ``(node, n_triangles)`` for every node of at least one triangle.
+
+    The classic degree-ordered compact-forward scheme (Latapy 2008;
+    the shape every distributed triangle counter uses):
+
+    1. Canonicalise to ``a < b`` distinct edges, drop self-loops.
+    2. Orient every edge from the (degree, id)-SMALLER endpoint to the
+       larger. This makes out-degree O(sqrt(m)) for every node — a
+       total order, so each triangle is found exactly once, at its
+       smallest apex.
+    3. Wedges = oriented ⨝ oriented on the shared apex (out-neighbour
+       pairs); a wedge closes iff its (v, w) leg is itself an oriented
+       edge — one more equi-join. Shuffle volume is sum(outdeg^2) <=
+       m^1.5, the theoretical bound, NOT the quadratic per-node
+       neighbourhood blowup a naive apex grouping gives on skewed
+       degree distributions (the whole point of step 2 at 100 TB:
+       a celebrity node of degree 10M contributes nothing to the
+       fanout unless its neighbours are also high-degree).
+    4. Explode each triangle to its three corners + one combinable
+       groupBy.
+    """
+    from ..caching import tracked_persist
+
+    a, b = F.col(src_col), F.col(dst_col)
+    und = (
+        edges.filter(a != b)
+        .select(
+            F.least(a, b).alias("a"), F.greatest(a, b).alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("n"))
+        .unionAll(und.select(F.col("b").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient by the (deg, id) total order; persisted — three consumers
+    oriented = tracked_persist(
+        und.join(deg.withColumnRenamed("n", "a"), on="a")
+        .withColumnRenamed("deg", "deg_a")
+        .join(
+            deg.select(F.col("n").alias("b"), F.col("deg").alias("deg_b")),
+            on="b",
+        )
+        .select(
+            F.when(
+                (F.col("deg_a") < F.col("deg_b"))
+                | (
+                    (F.col("deg_a") == F.col("deg_b"))
+                    & (F.col("a") < F.col("b"))
+                ),
+                F.struct(F.col("a").alias("u"), F.col("b").alias("v")),
+            )
+            .otherwise(
+                F.struct(F.col("b").alias("u"), F.col("a").alias("v"))
+            )
+            .alias("e")
+        )
+        .select("e.u", "e.v")
+    )
+    e1 = oriented.select(F.col("u"), F.col("v").alias("x"))
+    e2 = oriented.select(F.col("u"), F.col("v").alias("y"))
+    wedges = e1.join(e2, on="u").filter(F.col("x") < F.col("y"))
+    # a wedge (u; x, y) closes iff x->y or y->x is an edge; both x,y
+    # follow u in the order but their mutual order is unknown -> probe
+    # the canonical (min, max) against BOTH orientations via least/greatest
+    tri = wedges.join(
+        oriented.select(
+            F.least("u", "v").alias("x"), F.greatest("u", "v").alias("y")
+        ),
+        on=["x", "y"],
+    )
+    corners = tri.select(
+        F.explode(F.array("u", "x", "y")).alias("node")
+    )
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )

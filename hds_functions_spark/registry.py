@@ -763,6 +763,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_incremental",
     # round-7 additions (land driver rows the round they ship):
     "retrieval_bm25_pruned",
+    "graph_triangles",
 ]
 
 

@@ -57,3 +57,61 @@ def retrieval_bm25_pruned(spark, sf_dir):
         k1=_BM25_K1, b=_BM25_B, max_df_frac=_BM25_MAX_DF,
         term_ngram=_BM25_NGRAM,
     )
+
+
+# --- triangle counting on the similarity graph ---------------------------
+
+_TRI_MIN_JACCARD = 0.5
+
+
+def _duck_triangles_sql() -> str:
+    from .registry_ext import _duck_minhash_sql
+
+    return f"""
+WITH mh AS (SELECT * FROM ({_duck_minhash_sql()})),
+e AS (SELECT id_a AS a, id_b AS b FROM mh
+      WHERE est_jaccard >= {_TRI_MIN_JACCARD}),
+deg AS (SELECT n, count(*) AS deg
+        FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e)
+        GROUP BY 1),
+o AS (SELECT CASE WHEN (da.deg, a) < (db.deg, b) THEN a ELSE b END AS u,
+             CASE WHEN (da.deg, a) < (db.deg, b) THEN b ELSE a END AS v
+      FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n),
+w AS (SELECT e1.u AS u, e1.v AS x, e2.v AS y
+      FROM o e1 JOIN o e2 ON e1.u = e2.u WHERE e1.v < e2.v),
+t AS (SELECT w.u, w.x, w.y
+      FROM w JOIN (SELECT least(u, v) AS x, greatest(u, v) AS y FROM o) c
+      USING (x, y)),
+corners AS (SELECT unnest([u, x, y]) AS node FROM t)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM corners GROUP BY 1
+"""
+
+
+@_register("graph_triangles", None)  # oracle attached below
+def graph_triangles(spark, sf_dir):
+    """Per-node triangle counts over the MinHash similarity graph
+    (edges = LSH candidate pairs with est_jaccard >= 0.5 — the same
+    edge set the connected-components dedup consumes): the local
+    clustering signal that separates core near-duplicates (deep in a
+    near-clique, many triangles) from bridge documents chaining two
+    unrelated clusters together (few). Degree-ordered compact-forward
+    scheme — sum(outdeg^2) <= m^1.5 wedge fanout, each triangle found
+    once at its smallest apex; see operators/graph.py:triangle_count."""
+    from .operators.graph import triangle_count
+    from .operators.dedup import minhash_pairs
+    from .registry_ext import _MH_BANDS, _MH_NUM_HASHES, _MH_SHINGLE
+
+    docs = _t(spark, sf_dir, "documents").filter(
+        F.length("text") >= _MH_SHINGLE
+    )
+    pairs = minhash_pairs(
+        docs,
+        num_hashes=_MH_NUM_HASHES,
+        shingle_size=_MH_SHINGLE,
+        bands=_MH_BANDS,
+    ).filter(F.col("est_jaccard") >= _TRI_MIN_JACCARD)
+    return triangle_count(pairs, "id_a", "id_b")
+
+
+ORACLES["graph_triangles"] = _duck_triangles_sql()

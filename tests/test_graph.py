@@ -84,3 +84,59 @@ def test_null_endpoints_dropped(spark):
     )
     nodes = {r["node"] for r in pagerank(e, n_iter=1).collect()}
     assert nodes == {"a", "b"}  # null-endpoint edges contribute nothing
+
+
+# --- triangle counting ---------------------------------------------------
+
+def _tri(spark, edges):
+    from hds_functions_spark.operators.graph import triangle_count
+
+    df = spark.createDataFrame(edges, "src: long, dst: long")
+    return {r["node"]: r["n_triangles"] for r in triangle_count(df).collect()}
+
+
+def test_single_triangle(spark):
+    assert _tri(spark, [(1, 2), (2, 3), (3, 1)]) == {1: 1, 2: 1, 3: 1}
+
+
+def test_square_has_no_triangles(spark):
+    assert _tri(spark, [(1, 2), (2, 3), (3, 4), (4, 1)]) == {}
+
+
+def test_k4_four_triangles(spark):
+    # K4: each node sits in C(3,2) = 3 triangles; 4 triangles total
+    edges = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    assert _tri(spark, edges) == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_duplicates_self_loops_and_orientation_collapse(spark):
+    # same triangle given twice in mixed orientations + a self-loop
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 3), (2, 2)]
+    assert _tri(spark, edges) == {1: 1, 2: 1, 3: 1}
+
+
+def test_two_triangles_sharing_an_edge(spark):
+    # {1,2,3} and {2,3,4}: nodes 2,3 in both
+    edges = [(1, 2), (2, 3), (3, 1), (2, 4), (3, 4)]
+    assert _tri(spark, edges) == {1: 1, 2: 2, 3: 2, 4: 1}
+
+
+def test_matches_bruteforce_random_graph(spark):
+    import itertools
+    import random
+
+    rng = random.Random(13)
+    nodes = range(30)
+    edges = [
+        (a, b)
+        for a in nodes
+        for b in nodes
+        if a < b and rng.random() < 0.25
+    ]
+    eset = set(edges)
+    expect = {}
+    for x, y, z in itertools.combinations(nodes, 3):
+        if (x, y) in eset and (y, z) in eset and (x, z) in eset:
+            for n in (x, y, z):
+                expect[n] = expect.get(n, 0) + 1
+    assert _tri(spark, edges) == expect
