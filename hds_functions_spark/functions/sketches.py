@@ -41,6 +41,7 @@ from pyspark.sql import functions as F
 __all__ = [
     "kmv_hash",
     "kmv_distinct",
+    "kmv_pairwise_ops",
     "hll_distinct",
     "count_min_table",
     "count_min_lookup",
@@ -288,4 +289,114 @@ def count_min_lookup(
     ).withColumn("_cnt", F.coalesce(F.col("cm_count"), F.lit(0)))
     return joined.groupBy(*gcols, item_col).agg(
         F.min("_cnt").alias("estimate")
+    )
+
+
+def kmv_pairwise_ops(
+    df: DataFrame,
+    value_col: str,
+    set_col: str,
+    k: int = 256,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Theta-sketch set algebra over KMV sketches (the Dasgupta et al. /
+    DataSketches construction): for every unordered pair of sets in
+    ``set_col``, estimate the distinct-value UNION, INTERSECTION and
+    Jaccard of their ``value_col`` populations — without ever joining
+    the raw populations against each other. The profiling question at
+    100 TB ("how much do these two sources/shards/days overlap?") where
+    an exact pairwise ``count(DISTINCT)`` would pay a full shuffle per
+    pair; here each set is sketched ONCE (k smallest hashes) and every
+    pairwise estimate is arithmetic over k-row sketches.
+
+    Estimator, per pair (A, B): ``theta_X = kth hash of X`` when the
+    sketch is full else 1.0 (a non-full sketch holds its whole
+    population — exact); ``theta = min(theta_A, theta_B)``; valid
+    samples are sketch hashes strictly below theta; ``union_est =
+    |S_A u S_B| / theta``, ``intersect_est = |S_A n S_B| / theta``,
+    ``jaccard_est`` their sample ratio. Hash identity = value identity
+    (same md5-derived 60-bit hash as :func:`kmv_distinct`), so the
+    whole computation is oracle-replicable in any SQL engine.
+
+    Output per pair: ``(set_a, set_b, theta, union_n, intersect_n,
+    union_est, intersect_est, jaccard_est)`` with counts raw and
+    estimates rounded. Estimates are EXACT whenever both sketches are
+    non-full. Pair expansion is |sets|^2-bounded (sketch rows times
+    sets), the intended regime: set counts are profiling dimensions
+    (sources, days, shards), not data-sized.
+    """
+    if k < 3:
+        raise ValueError(f"k must be >= 3 (got {k})")
+    from ..caching import tracked_persist
+
+    distinct = (
+        df.filter(F.col(value_col).isNotNull())
+        .select(F.col(set_col).alias("_set"), F.col(value_col).alias("_v"))
+        .distinct()
+    )
+    hashed = distinct.select("_set", kmv_hash("_v").alias("_u"))
+    w = Window.partitionBy("_set").orderBy("_u")
+    sk = tracked_persist(
+        hashed.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .select("_set", "_u")
+    )
+    meta = sk.groupBy("_set").agg(
+        F.count(F.lit(1)).alias("_n_kept"), F.max("_u").alias("_kth")
+    ).select(
+        "_set",
+        F.when(F.col("_n_kept") < k, F.lit(1.0))
+        .otherwise(F.col("_kth"))
+        .alias("_theta"),
+    )
+    a = meta.select(
+        F.col("_set").alias("set_a"), F.col("_theta").alias("_ta")
+    )
+    b = meta.select(
+        F.col("_set").alias("set_b"), F.col("_theta").alias("_tb")
+    )
+    pairs = (
+        a.crossJoin(b)
+        .filter(F.col("set_a") < F.col("set_b"))
+        .select(
+            "set_a", "set_b",
+            F.least("_ta", "_tb").alias("theta"),
+        )
+    )
+    ra = sk.join(
+        F.broadcast(pairs), sk["_set"] == F.col("set_a")
+    ).filter(F.col("_u") < F.col("theta")).select(
+        "set_a", "set_b", "theta", "_u",
+        F.lit(1).alias("_in_a"), F.lit(0).alias("_in_b"),
+    )
+    rb = sk.join(
+        F.broadcast(pairs), sk["_set"] == F.col("set_b")
+    ).filter(F.col("_u") < F.col("theta")).select(
+        "set_a", "set_b", "theta", "_u",
+        F.lit(0).alias("_in_a"), F.lit(1).alias("_in_b"),
+    )
+    merged = (
+        ra.unionByName(rb)
+        .groupBy("set_a", "set_b", "theta", "_u")
+        .agg(F.max("_in_a").alias("_a"), F.max("_in_b").alias("_b"))
+    )
+    agg = merged.groupBy("set_a", "set_b", "theta").agg(
+        F.count(F.lit(1)).alias("union_n"),
+        F.sum(F.col("_a") * F.col("_b")).alias("intersect_n"),
+    )
+    return agg.select(
+        "set_a",
+        "set_b",
+        F.round("theta", 9).alias("theta"),
+        "union_n",
+        "intersect_n",
+        F.round(F.col("union_n") / F.col("theta"), round_digits).alias(
+            "union_est"
+        ),
+        F.round(
+            F.col("intersect_n") / F.col("theta"), round_digits
+        ).alias("intersect_est"),
+        F.round(
+            F.col("intersect_n") / F.col("union_n"), round_digits
+        ).alias("jaccard_est"),
     )

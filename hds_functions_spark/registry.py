@@ -764,6 +764,7 @@ DRIVER_PRIORITY: list[str] = [
     # round-7 additions (land driver rows the round they ship):
     "retrieval_bm25_pruned",
     "graph_triangles",
+    "sketch_theta_ops",
 ]
 
 

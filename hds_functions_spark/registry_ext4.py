@@ -115,3 +115,140 @@ def graph_triangles(spark, sf_dir):
 
 
 ORACLES["graph_triangles"] = _duck_triangles_sql()
+
+
+# --- theta-sketch set algebra over KMV sketches --------------------------
+
+_THETA_K = 256
+_THETA_DOMAIN_INT = 1 << 60
+
+
+def _duck_theta_ops_sql() -> str:
+    k = _THETA_K
+    return f"""
+WITH dv AS (
+  SELECT DISTINCT l_returnflag AS s, l_orderkey AS v
+  FROM lineitem WHERE l_orderkey IS NOT NULL),
+h AS (
+  SELECT s, v,
+         ('0x' || substr(md5(v::VARCHAR), 1, 15))::BIGINT
+             / {_THETA_DOMAIN_INT}.0 AS u
+  FROM dv),
+sk AS (
+  SELECT s, u FROM h QUALIFY row_number() OVER (
+    PARTITION BY s ORDER BY u) <= {k}),
+meta AS (
+  SELECT s, CASE WHEN count(*) < {k} THEN 1.0 ELSE max(u) END AS theta
+  FROM sk GROUP BY 1),
+pp AS (
+  SELECT a.s AS set_a, b.s AS set_b, least(a.theta, b.theta) AS theta
+  FROM meta a JOIN meta b ON a.s < b.s),
+rr AS (
+  SELECT set_a, set_b, theta, u, 1 AS ia, 0 AS ib
+  FROM sk JOIN pp ON sk.s = pp.set_a WHERE u < theta
+  UNION ALL
+  SELECT set_a, set_b, theta, u, 0, 1
+  FROM sk JOIN pp ON sk.s = pp.set_b WHERE u < theta),
+m AS (
+  SELECT set_a, set_b, theta, u, max(ia) AS a, max(ib) AS b
+  FROM rr GROUP BY 1, 2, 3, 4),
+agg AS (
+  SELECT set_a, set_b, theta,
+         CAST(count(*) AS BIGINT) AS union_n,
+         CAST(sum(a * b) AS BIGINT) AS intersect_n
+  FROM m GROUP BY 1, 2, 3),
+ex AS (
+  SELECT a.s AS set_a, b.s AS set_b,
+         CAST(count(*) AS BIGINT) AS exact_intersect
+  FROM dv a JOIN dv b ON a.v = b.v AND a.s < b.s GROUP BY 1, 2),
+sizes AS (SELECT s, CAST(count(*) AS BIGINT) AS n FROM dv GROUP BY 1)
+SELECT agg.set_a, agg.set_b, round(agg.theta, 9) AS theta,
+       union_n, intersect_n,
+       round(union_n / agg.theta, 4) AS union_est,
+       round(intersect_n / agg.theta, 4) AS intersect_est,
+       round(intersect_n::DOUBLE / union_n, 4) AS jaccard_est,
+       sa.n + sb.n - coalesce(exact_intersect, 0) AS exact_union,
+       coalesce(exact_intersect, 0) AS exact_intersect,
+       round(abs(round(union_n / agg.theta, 4)
+                 - (sa.n + sb.n - coalesce(exact_intersect, 0)))
+             / (sa.n + sb.n - coalesce(exact_intersect, 0)), 4)
+           AS union_rel_err
+FROM agg
+LEFT JOIN ex ON agg.set_a = ex.set_a AND agg.set_b = ex.set_b
+JOIN sizes sa ON agg.set_a = sa.s
+JOIN sizes sb ON agg.set_b = sb.s
+"""
+
+
+@_register("sketch_theta_ops", None)  # oracle attached below
+def sketch_theta_ops(spark, sf_dir):
+    """Theta-sketch set algebra: estimated distinct-order union /
+    intersection / Jaccard for every pair of return flags, each set
+    sketched ONCE (k=256 minimum hashes) — the pairwise-overlap
+    profiler that at 100 TB replaces |sets|^2 exact distinct joins with
+    arithmetic over k-row sketches. Ships WITH the exact audit columns
+    (the kmv_distinct convention): the estimator runs under a measured
+    accuracy gate, not on trust. See
+    functions/sketches.py:kmv_pairwise_ops."""
+    from .functions.sketches import kmv_pairwise_ops
+
+    li = _t(spark, sf_dir, "lineitem")
+    ops = kmv_pairwise_ops(li, "l_orderkey", "l_returnflag", k=_THETA_K)
+    dv = (
+        li.filter(F.col("l_orderkey").isNotNull())
+        .select(F.col("l_returnflag").alias("s"), F.col("l_orderkey").alias("v"))
+        .distinct()
+    )
+    inter = (
+        dv.alias("a")
+        .join(
+            dv.alias("b"),
+            (F.col("a.v") == F.col("b.v")) & (F.col("a.s") < F.col("b.s")),
+        )
+        .groupBy(
+            F.col("a.s").alias("set_a"), F.col("b.s").alias("set_b")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_intersect"))
+    )
+    sizes = dv.groupBy("s").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        ops.join(inter, on=["set_a", "set_b"], how="left")
+        .join(
+            F.broadcast(sizes.select(F.col("s").alias("set_a"),
+                                     F.col("n").alias("_na"))),
+            on="set_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("s").alias("set_b"),
+                                     F.col("n").alias("_nb"))),
+            on="set_b",
+        )
+        .select(
+            "set_a", "set_b", "theta", "union_n", "intersect_n",
+            "union_est", "intersect_est", "jaccard_est",
+            (
+                F.col("_na") + F.col("_nb")
+                - F.coalesce(F.col("exact_intersect"), F.lit(0))
+            ).alias("exact_union"),
+            F.coalesce(F.col("exact_intersect"), F.lit(0)).alias(
+                "exact_intersect"
+            ),
+            F.round(
+                F.abs(
+                    F.col("union_est")
+                    - (
+                        F.col("_na") + F.col("_nb")
+                        - F.coalesce(F.col("exact_intersect"), F.lit(0))
+                    )
+                )
+                / (
+                    F.col("_na") + F.col("_nb")
+                    - F.coalesce(F.col("exact_intersect"), F.lit(0))
+                ),
+                4,
+            ).alias("union_rel_err"),
+        )
+    )
+
+
+ORACLES["sketch_theta_ops"] = _duck_theta_ops_sql()

@@ -220,3 +220,80 @@ class TestCountMin:
         df = spark.range(5).select(F.col("id").cast("string").alias("v"))
         with pytest.raises(ValueError, match="depth"):
             count_min_table(df, "v", depth=0)
+
+
+# --- KMV pairwise set algebra (theta-sketch construction) ----------------
+
+def _sets_df(spark, mapping):
+    rows = [(s, v) for s, vs in mapping.items() for v in vs]
+    return spark.createDataFrame(rows, "s: string, v: long")
+
+
+def _ops(spark, mapping, k=256):
+    from hds_functions_spark.functions.sketches import kmv_pairwise_ops
+
+    df = _sets_df(spark, mapping)
+    return {
+        (r["set_a"], r["set_b"]): r
+        for r in kmv_pairwise_ops(df, "v", "s", k=k).collect()
+    }
+
+
+def test_pairwise_exact_when_sketches_not_full(spark):
+    out = _ops(spark, {
+        "a": range(0, 100),
+        "b": range(50, 150),
+        "c": range(200, 210),
+    })
+    ab = out[("a", "b")]
+    assert ab["theta"] == 1.0
+    assert ab["union_n"] == 150 and ab["intersect_n"] == 50
+    assert ab["union_est"] == 150.0 and ab["intersect_est"] == 50.0
+    assert ab["jaccard_est"] == round(50 / 150, 4)
+    ac = out[("a", "c")]
+    assert ac["intersect_n"] == 0 and ac["union_n"] == 110
+    assert ac["jaccard_est"] == 0.0
+
+
+def test_pairwise_duplicates_collapse(spark):
+    out = _ops(spark, {"a": [1, 1, 2, 2], "b": [2, 2, 3]})
+    ab = out[("a", "b")]
+    assert ab["union_n"] == 3 and ab["intersect_n"] == 1
+
+
+def test_pairwise_estimates_within_bound_full_sketches(spark):
+    # two 5000-element sets overlapping by 2500; k=256 full sketches
+    out = _ops(spark, {
+        "a": range(0, 5000),
+        "b": range(2500, 7500),
+    }, k=256)
+    ab = out[("a", "b")]
+    assert ab["theta"] < 1.0  # both sketches full
+    # ~3 standard errors of 1/sqrt(k-2) ~ 19%
+    assert abs(ab["union_est"] - 7500) / 7500 < 0.2
+    assert abs(ab["intersect_est"] - 2500) / 2500 < 0.35
+    j = ab["jaccard_est"]
+    assert abs(j - 2500 / 7500) < 0.12
+
+
+def test_pairwise_consistent_with_single_sketch_estimates(spark):
+    # restricting either side's samples to theta keeps the single-set
+    # estimator recoverable: union >= max single estimate
+    from hds_functions_spark.functions.sketches import kmv_distinct
+
+    mapping = {"a": range(0, 4000), "b": range(1000, 6000)}
+    df = _sets_df(spark, mapping)
+    singles = {
+        r["s"]: r["estimate"]
+        for r in kmv_distinct(df, "v", ["s"], k=256).collect()
+    }
+    out = _ops(spark, mapping, k=256)[("a", "b")]
+    assert out["union_est"] >= max(singles.values()) * 0.85
+
+
+def test_pairwise_validates_k(spark):
+    import pytest
+    from hds_functions_spark.functions.sketches import kmv_pairwise_ops
+
+    with pytest.raises(ValueError, match="k must be"):
+        kmv_pairwise_ops(_sets_df(spark, {"a": [1]}), "v", "s", k=2)
