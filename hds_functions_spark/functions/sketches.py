@@ -42,6 +42,7 @@ __all__ = [
     "kmv_hash",
     "kmv_distinct",
     "kmv_pairwise_ops",
+    "histogram_quantiles",
     "hll_distinct",
     "count_min_table",
     "count_min_lookup",
@@ -399,4 +400,108 @@ def kmv_pairwise_ops(
         F.round(
             F.col("intersect_n") / F.col("union_n"), round_digits
         ).alias("jaccard_est"),
+    )
+
+
+def histogram_quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs: list[float],
+    group_cols: list[str] | None = None,
+    n_bins: int = 128,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Quantile estimates from a MERGEABLE fixed-width histogram — the
+    distributed-quantile shape that scales where exact ``percentile``
+    cannot: per-group state is ``n_bins`` counts that combine by
+    addition (map-side, across batches, across days — the same
+    merge-by-sum contract as :func:`build_rollup` state), while the
+    exact percentile holds every value in one aggregation buffer (the
+    measured 10.5x-at-16x regime that got ``pruning_simulation``'s
+    exact mode demoted to opt-in).
+
+    Two cheap exact passes frame the sketch: a global min/max fixes the
+    bin range (deterministic — no sampling), then one combinable
+    ``(group, bin)`` count. Quantile ``p`` reads the cumulative
+    histogram at rank ``p * n`` with linear interpolation inside the
+    crossing bin; the estimate's error is bounded by one bin width.
+    Everything is explicit arithmetic, so a SQL oracle reproduces the
+    estimates bit-for-bit (the sketch-under-audit convention of this
+    module).
+
+    Output: one row per group x prob: ``(group..., prob, estimate)``.
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1 (got {n_bins})")
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    for p in probs:
+        if not 0 < p <= 1:
+            raise ValueError(f"probs must be in (0, 1] (got {p})")
+    gcols = list(group_cols or [])
+    vals = df.filter(F.col(value_col).isNotNull()).select(
+        *gcols, F.col(value_col).cast("double").alias("_x")
+    )
+    # global range: one mergeable min/max pass, broadcast everywhere
+    rng = vals.agg(
+        F.min("_x").alias("_lo"), F.max("_x").alias("_hi")
+    ).select(
+        "_lo",
+        ((F.col("_hi") - F.col("_lo")) / n_bins).alias("_w"),
+    )
+    binned = vals.crossJoin(F.broadcast(rng)).select(
+        *gcols,
+        "_lo",
+        "_w",
+        F.when(F.col("_w") == 0, F.lit(0))
+        .otherwise(
+            F.least(
+                F.floor((F.col("_x") - F.col("_lo")) / F.col("_w")),
+                F.lit(n_bins - 1),
+            )
+        )
+        .cast("int")
+        .alias("_bin"),
+    )
+    counts = binned.groupBy(*gcols, "_lo", "_w", "_bin").agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    w_cum = (
+        Window.partitionBy(*gcols)
+        .orderBy("_bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(*gcols)
+    cum = counts.select(
+        *gcols,
+        "_lo",
+        "_w",
+        "_bin",
+        "_cnt",
+        F.sum("_cnt").over(w_cum).alias("_cum"),
+        F.sum("_cnt").over(w_tot).alias("_n"),
+    )
+    pframe = F.explode(
+        F.array(*[F.lit(float(p)) for p in probs])
+    ).alias("prob")
+    expanded = cum.select(*cum.columns, pframe).withColumn(
+        "_target", F.col("prob") * F.col("_n")
+    )
+    hits = expanded.filter(
+        (F.col("_cum") >= F.col("_target"))
+        & ((F.col("_cum") - F.col("_cnt")) < F.col("_target"))
+    )
+    return hits.select(
+        *gcols,
+        "prob",
+        F.round(
+            F.when(F.col("_w") == 0, F.col("_lo")).otherwise(
+                F.col("_lo")
+                + F.col("_bin") * F.col("_w")
+                + F.col("_w")
+                * (F.col("_target") - (F.col("_cum") - F.col("_cnt")))
+                / F.col("_cnt")
+            ),
+            round_digits,
+        ).alias("estimate"),
     )

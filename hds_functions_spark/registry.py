@@ -765,6 +765,7 @@ DRIVER_PRIORITY: list[str] = [
     "retrieval_bm25_pruned",
     "graph_triangles",
     "sketch_theta_ops",
+    "sketch_histogram_quantiles",
 ]
 
 

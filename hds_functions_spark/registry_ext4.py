@@ -252,3 +252,104 @@ def sketch_theta_ops(spark, sf_dir):
 
 
 ORACLES["sketch_theta_ops"] = _duck_theta_ops_sql()
+
+
+# --- mergeable histogram quantiles ---------------------------------------
+
+_HQ_BINS = 128
+_HQ_PROBS = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def _duck_histogram_quantiles_sql() -> str:
+    probs = ", ".join(repr(p) for p in _HQ_PROBS)
+    nb = _HQ_BINS
+    return f"""
+WITH v AS (SELECT o_orderstatus AS g, o_totalprice::DOUBLE AS x
+           FROM orders WHERE o_totalprice IS NOT NULL),
+r AS (SELECT min(x) AS lo, (max(x) - min(x)) / {nb} AS w FROM v),
+b AS (SELECT g, lo, w,
+             CASE WHEN w = 0 THEN 0
+                  ELSE CAST(least(floor((x - lo) / w), {nb - 1}) AS INT)
+             END AS bin
+      FROM v CROSS JOIN r),
+c AS (SELECT g, lo, w, bin, count(*) AS cnt FROM b GROUP BY 1, 2, 3, 4),
+cm AS (SELECT *, sum(cnt) OVER (PARTITION BY g ORDER BY bin) AS cum,
+              sum(cnt) OVER (PARTITION BY g) AS n
+       FROM c),
+p AS (SELECT CAST(unnest([{probs}]) AS DOUBLE) AS prob),
+e AS (SELECT g, prob, lo, w, bin, cnt, cum, prob * n AS target
+      FROM cm CROSS JOIN p),
+h AS (SELECT * FROM e WHERE cum >= target AND (cum - cnt) < target),
+ex AS (SELECT g, CAST(unnest([{probs}]) AS DOUBLE) AS prob,
+              unnest([{", ".join(f"quantile_cont(x, {p!r})" for p in _HQ_PROBS)}])
+                  AS exact
+       FROM v GROUP BY g)
+SELECT h.g AS o_orderstatus, h.prob,
+       round(CASE WHEN w = 0 THEN lo
+             ELSE lo + bin * w + w * (target - (cum - cnt)) / cnt
+             END, 6) AS estimate,
+       round(ex.exact, 6) AS exact,
+       round(abs(round(CASE WHEN w = 0 THEN lo
+                       ELSE lo + bin * w + w * (target - (cum - cnt)) / cnt
+                       END, 6) - round(ex.exact, 6)), 6) AS abs_err
+FROM h JOIN ex ON h.g = ex.g AND h.prob = ex.prob
+"""
+
+
+@_register("sketch_histogram_quantiles", None)  # oracle attached below
+def sketch_histogram_quantiles(spark, sf_dir):
+    """Order-price quantiles per order status from a 128-bin MERGEABLE
+    histogram, audited against the exact percentile in the same row —
+    the distributed-quantile state that merges by addition (across
+    partitions, batches, days; the rollup-state contract), where the
+    exact percentile holds every value in one buffer. Estimate error is
+    bounded by one bin width; measured abs_err lands well inside it.
+    See functions/sketches.py:histogram_quantiles."""
+    from .functions.sketches import histogram_quantiles
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_totalprice"
+    )
+    est = histogram_quantiles(
+        orders, "o_totalprice", _HQ_PROBS, ["o_orderstatus"],
+        n_bins=_HQ_BINS,
+    )
+    exact = (
+        orders.filter(F.col("o_totalprice").isNotNull())
+        .groupBy("o_orderstatus")
+        .agg(
+            F.percentile(
+                F.col("o_totalprice").cast("double"),
+                F.array(*[F.lit(p) for p in _HQ_PROBS]),
+            ).alias("_ex")
+        )
+        .select(
+            "o_orderstatus",
+            F.explode(
+                F.arrays_zip(
+                    F.array(*[F.lit(p) for p in _HQ_PROBS]).alias("prob"),
+                    F.col("_ex").alias("exact"),
+                )
+            ).alias("_z"),
+        )
+        .select(
+            "o_orderstatus",
+            F.col("_z.prob").alias("prob"),
+            F.round(F.col("_z.exact"), 6).alias("exact"),
+        )
+    )
+    return (
+        est.join(exact, on=["o_orderstatus", "prob"])
+        .select(
+            "o_orderstatus",
+            "prob",
+            "estimate",
+            "exact",
+            F.round(F.abs(F.col("estimate") - F.col("exact")), 6).alias(
+                "abs_err"
+            ),
+        )
+    )
+
+
+ORACLES["sketch_histogram_quantiles"] = _duck_histogram_quantiles_sql()

