@@ -766,6 +766,7 @@ DRIVER_PRIORITY: list[str] = [
     "graph_triangles",
     "sketch_theta_ops",
     "sketch_histogram_quantiles",
+    "dedup_winnowing",
 ]
 
 

@@ -353,3 +353,68 @@ def sketch_histogram_quantiles(spark, sf_dir):
 
 
 ORACLES["sketch_histogram_quantiles"] = _duck_histogram_quantiles_sql()
+
+
+# --- robust winnowing (MOSS) substring-copy detection --------------------
+
+_WN_GRAM = 8
+_WN_WINDOW = 12
+_WN_MIN_SHARED = 4
+_WN_MAX_DF = 50
+
+
+def _duck_winnowing_sql() -> str:
+    from .functions.hashing import stable_hash_sql
+
+    k, w = _WN_GRAM, _WN_WINDOW
+    ghash = stable_hash_sql(f"substr(s, i, {k})")
+    return f"""
+WITH t AS (SELECT doc_id, lower(text) AS s FROM documents
+           WHERE length(text) >= {k + w - 1}),
+h AS (SELECT doc_id,
+             list_transform(generate_series(1, length(s) - {k} + 1),
+                            i -> {ghash}) AS hs
+      FROM t),
+sel AS (SELECT doc_id,
+               list_distinct(list_transform(
+                 generate_series(1, len(hs) - {w} + 1),
+                 j -> list_min(hs[j:j + {w} - 1]))) AS fps
+        FROM h),
+fp AS (SELECT doc_id, unnest(fps) AS fingerprint FROM sel),
+dfreq AS (SELECT fingerprint, count(*) AS df FROM fp GROUP BY 1),
+kept AS (SELECT fp.doc_id, fp.fingerprint
+         FROM fp JOIN dfreq USING (fingerprint) WHERE df <= {_WN_MAX_DF})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(count(*) AS BIGINT) AS n_shared
+FROM kept a JOIN kept b
+  ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+GROUP BY 1, 2 HAVING count(*) >= {_WN_MIN_SHARED}
+"""
+
+
+@_register("dedup_winnowing", None)  # oracle attached below
+def dedup_winnowing(spark, sf_dir):
+    """Robust winnowing (the MOSS copy-detector): document pairs
+    sharing >= 4 window-minimum 8-gram fingerprints — the VERBATIM-copy
+    signal that complements MinHash's whole-document set overlap (any
+    shared substring of 15+ chars is guaranteed to leave an identical
+    fingerprint in both docs, at ~2/(window+1) sampling of the grams).
+    Fingerprint extraction is pure per-doc array HOFs (no shuffle);
+    pairing is the fingerprint-keyed equi self-join with the hot-
+    fingerprint df cap. See operators/dedup.py:winnowing_fingerprints."""
+    from .operators.dedup import (
+        winnowing_fingerprints,
+        winnowing_overlap_pairs,
+    )
+
+    fps = winnowing_fingerprints(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        gram_size=_WN_GRAM,
+        window=_WN_WINDOW,
+    )
+    return winnowing_overlap_pairs(
+        fps, min_shared=_WN_MIN_SHARED, max_doc_freq=_WN_MAX_DF
+    )
+
+
+ORACLES["dedup_winnowing"] = _duck_winnowing_sql()

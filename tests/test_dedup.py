@@ -348,3 +348,100 @@ class TestIncrementalMinhash:
             ).collect()
         }
         assert inc == full  # identical pairs + identical estimates
+
+
+# --- robust winnowing fingerprints ---------------------------------------
+
+def _wfp(spark, rows, **kw):
+    from hds_functions_spark.operators.dedup import winnowing_fingerprints
+
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    out = {}
+    for r in winnowing_fingerprints(df, **kw).collect():
+        out.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    return out
+
+
+def _ref_winnow(text, k, w):
+    """Pure-Python reference: min hash value per window of k-gram hashes."""
+    import hashlib
+
+    s = text.lower()
+    if len(s) < k + w - 1:
+        return set()
+    hs = [
+        int(hashlib.md5(s[i:i + k].encode()).hexdigest()[:15], 16)
+        for i in range(len(s) - k + 1)
+    ]
+    return {min(hs[j:j + w]) for j in range(len(hs) - w + 1)}
+
+
+def test_winnowing_matches_python_reference(spark):
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "aaaaaaaaaaaaaaaaaaaa",
+        "short",
+    ]
+    rows = list(enumerate(texts))
+    out = _wfp(spark, rows, gram_size=5, window=4)
+    for i, t in rows:
+        expect = _ref_winnow(t, 5, 4)
+        assert out.get(i, set()) == expect, i
+
+
+def test_winnowing_shared_substring_guarantee(spark):
+    # docs sharing a substring of length >= k + w - 1 share a fingerprint
+    shared = "unmistakable-shared-run-of-text"
+    rows = [
+        (1, "prefix one " + shared + " suffix alpha"),
+        (2, "totally different opening " + shared + " and ending"),
+    ]
+    out = _wfp(spark, rows, gram_size=8, window=8)
+    assert out[1] & out[2]
+
+
+def test_winnowing_short_docs_excluded(spark):
+    out = _wfp(spark, [(1, "tiny")], gram_size=8, window=8)
+    assert out == {}
+
+
+def test_winnowing_overlap_pairs_and_df_cap(spark):
+    from hds_functions_spark.operators.dedup import (
+        winnowing_fingerprints,
+        winnowing_overlap_pairs,
+    )
+
+    shared = "a long enough duplicated passage of text here"
+    rows = [
+        (1, shared + " one"),
+        (2, shared + " two"),
+        (3, "entirely unrelated content with no copying at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    fps = winnowing_fingerprints(df, gram_size=8, window=8)
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in winnowing_overlap_pairs(fps, min_shared=2).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert not any(3 in p for p in pairs)
+    # df cap of 1 drops every fingerprint shared by 2+ docs -> no pairs
+    none = winnowing_overlap_pairs(fps, min_shared=1, max_doc_freq=1)
+    assert none.count() == 0
+
+
+def test_winnowing_validation(spark):
+    import pytest
+    from hds_functions_spark.operators.dedup import (
+        winnowing_fingerprints,
+        winnowing_overlap_pairs,
+    )
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id: long, text: string")
+    with pytest.raises(ValueError, match="gram_size"):
+        winnowing_fingerprints(df, gram_size=0)
+    with pytest.raises(ValueError, match="window"):
+        winnowing_fingerprints(df, window=0)
+    with pytest.raises(ValueError, match="min_shared"):
+        winnowing_overlap_pairs(df.selectExpr("doc_id", "'x' AS fingerprint"), min_shared=0)
