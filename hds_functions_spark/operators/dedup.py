@@ -101,9 +101,14 @@ def minhash_signatures(
 
     Single narrow projection: shingle -> hash -> H permutation minima, all
     array expressions. Documents shorter than the shingle size get an
-    all-null signature (no shingles).
+    all-null signature (no shingles). The shingle-hash array is
+    ``let_``-bound so the md5 shingle pass runs ONCE per document, not
+    once per permutation (the projected-alias spelling re-evaluated it
+    ``num_hashes`` times — measured 2.05x end-to-end at sf0.1; see
+    functions/exprs.py).
     """
-    hashes = _shingle_hashes(F.col(text_col), shingle_size)
+    from ..functions.exprs import let_
+
     constants = minhash_permutation_constants(num_hashes)
 
     def permute(a: int, b: int):
@@ -111,17 +116,16 @@ def minhash_signatures(
         # must be captured, not passed as defaulted parameters
         return lambda h: (h * a + b) % MERSENNE_PRIME_31
 
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("_mh_hashes"), permute(a, b)))
-            for a, b in constants
-        ]
+    sig = let_(
+        _shingle_hashes(F.col(text_col), shingle_size),
+        lambda hs: F.array(
+            *[
+                F.array_min(F.transform(hs, permute(a, b)))
+                for a, b in constants
+            ]
+        ),
     )
-    return (
-        df.select(F.col(id_col), F.col(text_col))
-        .withColumn("_mh_hashes", hashes)
-        .select(F.col(id_col), sig.alias("signature"))
-    )
+    return df.select(F.col(id_col), sig.alias("signature"))
 
 
 def minhash_pairs(
@@ -979,6 +983,14 @@ def minhash_pairs_incremental(
     )
 
 
+#: Karp-Rabin gram-hash constants shared with the SQL oracle: base 131
+#: over character code points, modulo the 40-bit prime 2^40 - 87 —
+#: (P-1)*131 + 0x10FFFF < 2^48, so the fold never overflows int64 in
+#: either engine.
+WINNOW_BASE = 131
+WINNOW_PRIME = (1 << 40) - 87
+
+
 def winnowing_fingerprints(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -1001,9 +1013,13 @@ def winnowing_fingerprints(
     whole selection is one ``array_min(slice(...))`` per window — pure
     JVM-side higher-order functions over the per-doc hash array, no
     shuffle, no UDF; the per-doc cost is O(n * window) with
-    ``window`` a small constant. The hash is the portable md5-derived
-    60-bit :func:`functions.hashing.stable_hash64`, so a SQL oracle
-    selects identical fingerprints.
+    ``window`` a small constant. The gram hash is an UNROLLED
+    Karp-Rabin polynomial over character codes (base 131 mod the
+    40-bit prime 2^40-87 — overflow-free in int64, identical integer
+    arithmetic in any SQL engine): measured ~4x cheaper than the
+    md5-derived hash here, because the per-gram cost is k
+    multiply-mods instead of an md5 block plus a base-16 string parse,
+    and it is the gram hash that dominates this operator.
 
     Documents shorter than ``gram_size + window - 1`` characters (no
     full window) are excluded — the same convention as MinHash's
@@ -1014,31 +1030,38 @@ def winnowing_fingerprints(
         raise ValueError(f"gram_size must be >= 1 (got {gram_size})")
     if window < 1:
         raise ValueError(f"window must be >= 1 (got {window})")
-    from ..functions.hashing import stable_hash64
-
     min_len = gram_size + window - 1
 
-    # Bind-once scoping: Catalyst inlines projected aliases into every
-    # use site inside a lambda, so naively referencing the gram-hash
-    # array from each window's array_min re-evaluates ALL n md5s per
-    # window — O(n^2) hashing per document (measured: the whole query
-    # went from minutes to ~2 s with this fix). Wrapping a value in a
-    # 1-element array and `transform`-ing over it makes it a lambda
-    # VARIABLE — evaluated exactly once per row, like a SQL `let`.
-    def _let(value, body):
-        return F.get(F.transform(F.array(value), body), 0)
+    # let_-bound intermediates: without it the char-code and gram-hash
+    # arrays are re-evaluated inside every consuming lambda — O(n^2)
+    # hashing per document (see functions/exprs.py; measured minutes ->
+    # seconds on this operator)
+    from ..functions.exprs import let_
+
+    def _gram_hash(codes, i):
+        h = F.element_at(codes, i).cast("long")
+        for j in range(1, gram_size):
+            h = (h * WINNOW_BASE + F.element_at(codes, i + F.lit(j))) \
+                % WINNOW_PRIME
+        return h
 
     def _fingerprints(raw):
-        return _let(F.lower(raw), lambda s: _let(
+        return let_(F.lower(raw), lambda s: let_(
             F.transform(
-                F.sequence(F.lit(1), F.length(s) - gram_size + 1),
-                lambda i: stable_hash64(F.substr(s, i, F.lit(gram_size))),
+                F.sequence(F.lit(1), F.length(s)),
+                lambda i: F.ascii(F.substr(s, i, F.lit(1))),
             ),
-            lambda hs: F.array_distinct(
+            lambda codes: let_(
                 F.transform(
-                    F.sequence(F.lit(1), F.length(s) - min_len + 1),
-                    lambda j: F.array_min(F.slice(hs, j, window)),
-                )
+                    F.sequence(F.lit(1), F.length(s) - gram_size + 1),
+                    lambda i: _gram_hash(codes, i),
+                ),
+                lambda hs: F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length(s) - min_len + 1),
+                        lambda j: F.array_min(F.slice(hs, j, window)),
+                    )
+                ),
             ),
         ))
 
@@ -1073,7 +1096,12 @@ def winnowing_overlap_pairs(
     """
     if min_shared < 1:
         raise ValueError(f"min_shared must be >= 1 (got {min_shared})")
-    fps = fingerprints
+    from ..caching import tracked_persist
+
+    # three consumers (df counts + both self-join sides) — without the
+    # persist each re-runs the whole fingerprint extraction upstream
+    # (measured 3x the query's wall clock)
+    fps = tracked_persist(fingerprints)
     if max_doc_freq is not None:
         dfreq = fps.groupBy("fingerprint").agg(
             F.count(F.lit(1)).alias("_df")

@@ -364,17 +364,25 @@ _WN_MAX_DF = 50
 
 
 def _duck_winnowing_sql() -> str:
-    from .functions.hashing import stable_hash_sql
+    from .operators.dedup import WINNOW_BASE, WINNOW_PRIME
 
     k, w = _WN_GRAM, _WN_WINDOW
-    ghash = stable_hash_sql(f"substr(s, i, {k})")
+    # unrolled Karp-Rabin over the char-code list (identical fold to the
+    # Spark operator; ascii() = Unicode code point in both engines)
+    ghash = "CAST(cs[i] AS BIGINT)"
+    for j in range(1, k):
+        ghash = f"(({ghash}) * {WINNOW_BASE} + cs[i + {j}]) % {WINNOW_PRIME}"
     return f"""
 WITH t AS (SELECT doc_id, lower(text) AS s FROM documents
            WHERE length(text) >= {k + w - 1}),
+cl AS (SELECT doc_id, s,
+              list_transform(generate_series(1, length(s)),
+                             i -> ascii(substr(s, i, 1))) AS cs
+       FROM t),
 h AS (SELECT doc_id,
              list_transform(generate_series(1, length(s) - {k} + 1),
                             i -> {ghash}) AS hs
-      FROM t),
+      FROM cl),
 sel AS (SELECT doc_id,
                list_distinct(list_transform(
                  generate_series(1, len(hs) - {w} + 1),

@@ -363,16 +363,20 @@ def _wfp(spark, rows, **kw):
 
 
 def _ref_winnow(text, k, w):
-    """Pure-Python reference: min hash value per window of k-gram hashes."""
-    import hashlib
+    """Pure-Python reference: min Karp-Rabin gram hash per window."""
+    from hds_functions_spark.operators.dedup import WINNOW_BASE, WINNOW_PRIME
 
     s = text.lower()
     if len(s) < k + w - 1:
         return set()
-    hs = [
-        int(hashlib.md5(s[i:i + k].encode()).hexdigest()[:15], 16)
-        for i in range(len(s) - k + 1)
-    ]
+
+    def gh(i):
+        h = ord(s[i])
+        for j in range(1, k):
+            h = (h * WINNOW_BASE + ord(s[i + j])) % WINNOW_PRIME
+        return h
+
+    hs = [gh(i) for i in range(len(s) - k + 1)]
     return {min(hs[j:j + w]) for j in range(len(hs) - w + 1)}
 
 
