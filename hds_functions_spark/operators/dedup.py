@@ -678,6 +678,15 @@ def add_simhash(
     iff the sum is positive. Pure array expressions (bits × tokens adds) —
     fine for curation-sized texts; a Pandas-UDF variant would be the pick
     if profiling ever showed this projection dominating.
+
+    Deliberately NOT ``let_``-bound (functions/exprs.py): an A/B at
+    sf0.1 measured the let_ spelling 2.7x SLOWER here — the projected
+    ``_sh_hashes`` alias is non-cheap and multiply-referenced, so
+    CollapseProject already keeps it materialised once, and the
+    1-element-array wrapper only forces the 32 aggregates down the
+    interpreted path. let_ pays off when the re-evaluation actually
+    happens (winnowing's per-window lambda, minhash's per-permutation
+    transform) — measure before applying it.
     """
     token_hashes = F.transform(tokens(F.col(text_col)), stable_hash64)
     df = df.withColumn("_sh_hashes", token_hashes)

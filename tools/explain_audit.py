@@ -22,18 +22,41 @@ sys.path.insert(0, ".")
 
 
 #: queries whose joins must degrade gracefully to shuffle joins when the
-#: per-document side is too big to broadcast
-_SCALE_GATED = [
-    "dedup_minhash_pairs",
-    "dedup_embedding",
-    "analytics_top_orders",
-    "cluster_semantic_dedup",
+#: per-document side is too big to broadcast, with the number of
+#: EXPLICIT broadcast hints each is allowed to keep under threshold=-1
+#: (every allowed hint must be a provably data-size-INDEPENDENT side:
+#: a dimension table, the benchmark query suite, or a 1-row stats frame)
+_SCALE_GATED = {
+    "dedup_minhash_pairs": 0,
+    "dedup_embedding": 0,
+    # the 25-row nation dim broadcast is correct at ANY fact size
+    "analytics_top_orders": 1,
+    "cluster_semantic_dedup": 0,
     # round 6: the incremental probe's signature re-attach joins and the
     # BM25 postings/stats joins must fall back to shuffle joins when the
     # corpus-sized side cannot broadcast
-    "dedup_incremental",
-    "retrieval_bm25",
-]
+    "dedup_incremental": 0,
+    # the explicit query-terms broadcast is correct at any CORPUS size —
+    # the benchmark query set is bounded by the suite, not the data (the
+    # corpus-sized postings/df sides must still fall back, and do)
+    "retrieval_bm25": 1,
+    # round 7: seed/essential/theta/query-terms are all query-suite-
+    # bounded; the CANDIDATE side carries no hint (grows with df of the
+    # seed terms) and must fall back. 5, not 4: the seed-hits subtree
+    # (and its broadcast(seed) join) appears twice in the physical plan
+    # — once under cand_seed, once under the theta partial scores
+    "retrieval_bm25_pruned": (5, 1),
+    # wedge/closure joins carry no hints at all (min_small=0: nothing
+    # SHOULD broadcast — both sides are edge-scale); the minhash edge
+    # build re-attach is size-gated upstream
+    "graph_triangles": (0, 0),
+    # pair metadata (|sets|^2 rows, sets = a dimension column) twice +
+    # per-set sizes twice — group-cardinality-bounded, like a dim table
+    "sketch_theta_ops": 4,
+    # the 1-row global min/max range frame
+    "sketch_histogram_quantiles": 1,
+    "dedup_winnowing": 0,
+}
 
 
 def scale_gate_audit(sf_dir: str) -> int:
@@ -51,7 +74,8 @@ def scale_gate_audit(sf_dir: str) -> int:
     queries = entry_mod.queries()
     failures = 0
     default_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    for name in _SCALE_GATED:
+    for name, spec in _SCALE_GATED.items():
+        allowed_big, min_small = spec if isinstance(spec, tuple) else (spec, 1)
         # big-corpus simulation: nothing is broadcast-able
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
@@ -67,15 +91,7 @@ def scale_gate_audit(sf_dir: str) -> int:
         )
         big_bhj = plan_big.count("BroadcastHashJoin")
         small_bhj = plan_small.count("BroadcastHashJoin")
-        # analytics_top_orders: the 25-row nation dim broadcast is correct
-        # at ANY fact size. retrieval_bm25: the explicit query-terms
-        # broadcast is correct at any CORPUS size — the benchmark query
-        # set is bounded by the suite, not the data (the corpus-sized
-        # postings/df sides must still fall back, and do).
-        allowed_big = 1 if name in (
-            "analytics_top_orders", "retrieval_bm25"
-        ) else 0
-        ok = big_bhj <= allowed_big and small_bhj >= 1
+        ok = big_bhj <= allowed_big and small_bhj >= min_small
         failures += 0 if ok else 1
         print(
             f"{name:28s} threshold=-1: BHJ x{big_bhj} (allowed {allowed_big}),"
