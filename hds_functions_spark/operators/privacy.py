@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Union
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
@@ -21,6 +21,7 @@ __all__ = [
     "k_anonymity_violations",
     "generalize_columns",
     "l_diversity_violations",
+    "t_closeness_violations",
 ]
 
 
@@ -255,3 +256,82 @@ def l_diversity_violations(
         )
         .filter(F.col("n_distinct_sensitive") < l)
     )
+
+
+def t_closeness_violations(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.2,
+    round_digits: int = 6,
+) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    disclosure check l-diversity misses: a group can hold many DISTINCT
+    sensitive values yet still leak (skewness attack) when its value
+    DISTRIBUTION differs sharply from the table's (e.g. a group where
+    90% share the rare top income band). For an ORDERED sensitive
+    attribute the distance is the Earth Mover's Distance over the value
+    order: ``EMD = sum_i |cumP_i - cumQ_i| / (m - 1)`` with P the
+    group's distribution, Q the global one, m the number of distinct
+    values. Returns groups with ``t_distance > t`` (plus size and
+    distance); empty result certifies t-closeness at level ``t``.
+
+    Plan shape, all group-cardinality-bounded: the global distribution
+    and its cumulative are value-cardinality frames; the per-group grid
+    is groups x values (both dimension-sized — this is an audit over
+    released categories, not raw data keys); one window cumsum per
+    group and one combinable aggregate. The only data-proportional
+    stages are the two groupBy counts any release audit pays.
+    """
+    if not quasi_cols:
+        raise ValueError("quasi_cols must be non-empty")
+    if not 0 <= t <= 1:
+        raise ValueError(f"t must be in [0, 1] (got {t})")
+    from ..caching import tracked_persist
+
+    s = F.col(sensitive_col)
+    base = tracked_persist(
+        df.filter(s.isNotNull()).select(*quasi_cols, sensitive_col)
+    )
+    # global distribution + cumulative, ordered by the sensitive value
+    gl = base.groupBy(sensitive_col).agg(F.count(F.lit(1)).alias("_gn"))
+    w_all = Window.orderBy(sensitive_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    glob = gl.select(
+        sensitive_col,
+        (
+            F.sum("_gn").over(w_all)
+            / F.sum("_gn").over(Window.partitionBy())
+        ).alias("_cumq"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("_m"),
+    )
+    groups = base.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    grid = groups.crossJoin(
+        F.broadcast(glob.select(sensitive_col, "_cumq", "_m"))
+    )
+    cv = base.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count(F.lit(1)).alias("_cn")
+    )
+    w_grp = (
+        Window.partitionBy(*quasi_cols)
+        .orderBy(sensitive_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    joined = (
+        grid.join(cv, on=[*quasi_cols, sensitive_col], how="left")
+        .withColumn("_cn", F.coalesce(F.col("_cn"), F.lit(0)))
+        .withColumn(
+            "_cump", F.sum("_cn").over(w_grp) / F.col("n_rows")
+        )
+    )
+    emd = joined.groupBy(*quasi_cols, "n_rows").agg(
+        F.round(
+            F.sum(F.abs(F.col("_cump") - F.col("_cumq")))
+            / (F.max("_m") - 1),
+            round_digits,
+        ).alias("t_distance")
+    )
+    return emd.filter(F.col("t_distance") > t)

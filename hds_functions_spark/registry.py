@@ -767,6 +767,7 @@ DRIVER_PRIORITY: list[str] = [
     "sketch_theta_ops",
     "sketch_histogram_quantiles",
     "dedup_winnowing",
+    "privacy_t_closeness",
 ]
 
 

@@ -426,3 +426,70 @@ def dedup_winnowing(spark, sf_dir):
 
 
 ORACLES["dedup_winnowing"] = _duck_winnowing_sql()
+
+
+# --- t-closeness privacy audit -------------------------------------------
+
+_TC_BAND = 50000.0
+_TC_T = 0.005
+
+
+def _duck_t_closeness_sql() -> str:
+    return f"""
+WITH base AS (
+  SELECT o_orderstatus, year(o_orderdate) AS yr,
+         CAST(floor(o_totalprice / {_TC_BAND}) AS BIGINT) AS s
+  FROM orders WHERE o_totalprice IS NOT NULL),
+gl AS (SELECT s, count(*) AS gn FROM base GROUP BY 1),
+gq AS (
+  SELECT s,
+         sum(gn) OVER (ORDER BY s) / (sum(gn) OVER ()) AS cumq,
+         count(*) OVER () AS m
+  FROM gl),
+groups AS (
+  SELECT o_orderstatus, yr, CAST(count(*) AS BIGINT) AS n_rows
+  FROM base GROUP BY 1, 2),
+grid AS (SELECT * FROM groups CROSS JOIN gq),
+cv AS (
+  SELECT o_orderstatus, yr, s, count(*) AS cn
+  FROM base GROUP BY 1, 2, 3),
+j AS (
+  SELECT grid.*, coalesce(cn, 0) AS cn
+  FROM grid LEFT JOIN cv USING (o_orderstatus, yr, s)),
+c AS (
+  SELECT *, sum(cn) OVER (PARTITION BY o_orderstatus, yr
+                          ORDER BY s) / n_rows::DOUBLE AS cump
+  FROM j),
+emd AS (
+  SELECT o_orderstatus, yr, n_rows,
+         round(sum(abs(cump - cumq)) / (max(m) - 1), 6) AS t_distance
+  FROM c GROUP BY 1, 2, 3)
+SELECT * FROM emd WHERE t_distance > {_TC_T}
+"""
+
+
+@_register("privacy_t_closeness", None)  # oracle attached below
+def privacy_t_closeness(spark, sf_dir):
+    """t-closeness audit over (order status, order year) groups with the
+    price band (50k-wide, ordered) as the sensitive attribute — the
+    skewness-attack check that completes the k-anonymity /
+    l-diversity / t-closeness release-audit trio: a group can be large
+    AND diverse yet still leak when its value DISTRIBUTION deviates
+    from the table's. Ordered EMD via one cumulative window per group
+    over a groups x values grid — every stage group-cardinality-
+    bounded. See operators/privacy.py:t_closeness_violations."""
+    from .operators.privacy import t_closeness_violations
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.year(F.col("o_orderdate")).alias("yr"),
+        F.floor(F.col("o_totalprice") / _TC_BAND)
+        .cast("long")
+        .alias("s"),
+    )
+    return t_closeness_violations(
+        orders, ["o_orderstatus", "yr"], "s", t=_TC_T
+    )
+
+
+ORACLES["privacy_t_closeness"] = _duck_t_closeness_sql()

@@ -175,3 +175,69 @@ def test_generalize_columns(spark):
         generalize_columns(df, {"age": ("bin", 0)})
     with pytest.raises(ValueError, match="at least one"):
         generalize_columns(df, {})
+
+
+# --- t-closeness ---------------------------------------------------------
+
+def _tc(spark, rows, t=0.2, quasi=("g",)):
+    from hds_functions_spark.operators.privacy import t_closeness_violations
+
+    df = spark.createDataFrame(rows, "g: string, s: long")
+    return {
+        r["g"]: (r["n_rows"], r["t_distance"])
+        for r in t_closeness_violations(df, list(quasi), "s", t=t).collect()
+    }
+
+
+def _ref_emd(rows, group):
+    """Reference ordered-EMD: sum |cumP - cumQ| / (m - 1)."""
+    vals = sorted({s for _, s in rows})
+    n = len(rows)
+    grp = [s for g, s in rows if g == group]
+    cumq = cump = 0.0
+    total = 0.0
+    for v in vals:
+        cumq += sum(1 for _, s in rows if s == v) / n
+        cump += sum(1 for s in grp if s == v) / len(grp)
+        total += abs(cump - cumq)
+    return round(total / (len(vals) - 1), 6)
+
+
+def test_t_closeness_identical_distributions_pass(spark):
+    # both groups mirror the global distribution exactly -> EMD 0
+    rows = [("a", v) for v in (1, 2, 3)] * 4 + [("b", v) for v in (1, 2, 3)] * 4
+    assert _tc(spark, rows, t=0.0) == {}
+
+
+def test_t_closeness_skewed_group_flagged(spark):
+    # group 'b' concentrates on the top value -> large EMD
+    rows = [("a", v) for v in (1, 2, 3)] * 10 + [("b", 3)] * 10
+    out = _tc(spark, rows, t=0.2)
+    assert list(out) == ["b"]
+    n, d = out["b"]
+    assert n == 10 and d == _ref_emd(rows, "b")
+
+
+def test_t_closeness_matches_reference_random(spark):
+    import random
+
+    rng = random.Random(3)
+    rows = [
+        (rng.choice("abc"), rng.randrange(5)) for _ in range(300)
+    ]
+    out = _tc(spark, rows, t=1e-12)  # tiny t: flag every skewed group
+    for g in "abc":
+        expect = _ref_emd(rows, g)
+        if expect > 1e-12:
+            assert out[g][1] == expect, g
+
+
+def test_t_closeness_validation(spark):
+    import pytest
+    from hds_functions_spark.operators.privacy import t_closeness_violations
+
+    df = spark.createDataFrame([("a", 1)], "g: string, s: long")
+    with pytest.raises(ValueError, match="quasi_cols"):
+        t_closeness_violations(df, [], "s")
+    with pytest.raises(ValueError, match="t must be"):
+        t_closeness_violations(df, ["g"], "s", t=1.5)
