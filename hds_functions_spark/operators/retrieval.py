@@ -40,6 +40,7 @@ __all__ = [
     "bm25_scores",
     "bm25_topk",
     "bm25_topk_pruned",
+    "tfidf_doc_topk",
     "retrieval_decontam",
 ]
 
@@ -357,4 +358,109 @@ def retrieval_decontam(
             F.count(F.lit(1)).alias("n_hits"),
             F.max("score").alias("max_score"),
         )
+    )
+
+
+def tfidf_doc_topk(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    term_ngram: int = 2,
+    max_df_frac: float = 0.05,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Top-``k`` nearest documents per document by TF-IDF cosine — the
+    classic all-pairs similarity search (APSS) over the sparse term
+    space, the no-embedding-model complement to the dense
+    ``similarity.cosine_topk``: MinHash answers "are these sets of
+    shingles similar", this answers "do these documents emphasise the
+    same DISCRIMINATIVE terms" (weighted, not set-based).
+
+    Plan: postings -> df-capped idf weights (``w = tf * idf``,
+    ``idf = ln(1 + N/df)``) -> per-doc norms (one combinable groupBy)
+    -> term-keyed self-join (never all-pairs; the df cap bounds
+    per-term fanout at ``(max_df_frac * N)^2`` — the hot-gram-cap
+    design, and as with ``ngram_jaccard_pairs`` the cosine is computed
+    over the KEPT terms on both sides, so it stays a true cosine over
+    that vocabulary) -> both directions of each pair -> rank riding
+    WindowGroupLimit. Cosines round to ``round_digits`` before the
+    rank (ties then break by neighbour id), so a SQL oracle ranks
+    identically. Output ``(doc_id, neighbor_id, cosine, rank)``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    if not 0 < max_df_frac <= 1:
+        raise ValueError(f"max_df_frac must be in (0, 1] (got {max_df_frac})")
+    from ..caching import tracked_persist
+
+    post = doc_postings(docs, id_col, text_col, term_ngram).drop("dl")
+    stats = docs.agg(F.count(F.lit(1)).alias("_n"))
+    df_t = post.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    kept = (
+        df_t.crossJoin(F.broadcast(stats))
+        .filter(F.col("df") <= F.col("_n") * max_df_frac)
+        .select(
+            "term",
+            F.log(F.lit(1.0) + F.col("_n") / F.col("df")).alias("idf"),
+        )
+    )
+    w = tracked_persist(
+        post.join(kept, on="term").select(
+            "doc_id", "term", (F.col("tf") * F.col("idf")).alias("w")
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("norm")
+    )
+    a = w.select(
+        F.col("term"), F.col("doc_id").alias("id_a"), F.col("w").alias("wa")
+    )
+    b = w.select(
+        F.col("term"), F.col("doc_id").alias("id_b"), F.col("w").alias("wb")
+    )
+    dots = (
+        a.join(b, on="term")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dot"))
+    )
+    cos = (
+        dots.join(
+            norms.select(
+                F.col("doc_id").alias("id_a"), F.col("norm").alias("_na")
+            ),
+            on="id_a",
+        )
+        .join(
+            norms.select(
+                F.col("doc_id").alias("id_b"), F.col("norm").alias("_nb")
+            ),
+            on="id_b",
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("dot") / (F.col("_na") * F.col("_nb")), round_digits
+            ).alias("cosine"),
+        )
+    )
+    both = cos.select(
+        F.col("id_a").alias("doc_id"),
+        F.col("id_b").alias("neighbor_id"),
+        "cosine",
+    ).unionByName(
+        cos.select(
+            F.col("id_b").alias("doc_id"),
+            F.col("id_a").alias("neighbor_id"),
+            "cosine",
+        )
+    )
+    w_rank = Window.partitionBy("doc_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        both.withColumn("rank", F.row_number().over(w_rank))
+        .filter(F.col("rank") <= k)
     )

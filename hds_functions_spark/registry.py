@@ -768,6 +768,7 @@ DRIVER_PRIORITY: list[str] = [
     "sketch_histogram_quantiles",
     "dedup_winnowing",
     "privacy_t_closeness",
+    "similarity_tfidf_topk",
 ]
 
 

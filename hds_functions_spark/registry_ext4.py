@@ -493,3 +493,69 @@ def privacy_t_closeness(spark, sf_dir):
 
 
 ORACLES["privacy_t_closeness"] = _duck_t_closeness_sql()
+
+
+# --- TF-IDF all-pairs document similarity --------------------------------
+
+_APSS_MAX_DF = 0.05
+_APSS_K = 5
+
+
+def _duck_tfidf_topk_sql() -> str:
+    from .registry_ext3 import _DUCK_TOK, _duck_bigrams
+
+    return f"""
+WITH d AS (SELECT doc_id, {_DUCK_TOK} AS t FROM documents),
+bg AS (SELECT doc_id, {_duck_bigrams('t')} AS g FROM d),
+toks AS (SELECT doc_id, unnest(g) AS term FROM bg),
+post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+nn AS (SELECT count(*) AS n FROM documents),
+dft AS (SELECT term, count(*) AS df FROM post GROUP BY 1),
+kept AS (
+  SELECT term, ln(1 + n::DOUBLE / df) AS idf
+  FROM dft CROSS JOIN nn WHERE df <= n * {_APSS_MAX_DF}),
+w AS (SELECT doc_id, term, tf * idf AS w FROM post JOIN kept USING (term)),
+norms AS (SELECT doc_id, sqrt(sum(w * w)) AS norm FROM w GROUP BY 1),
+dots AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, sum(a.w * b.w) AS dot
+  FROM w a JOIN w b USING (term) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+cos AS (
+  SELECT id_a, id_b, round(dot / (na.norm * nb.norm), 6) AS cosine
+  FROM dots JOIN norms na ON id_a = na.doc_id
+  JOIN norms nb ON id_b = nb.doc_id),
+bidir AS (
+  SELECT id_a AS doc_id, id_b AS neighbor_id, cosine FROM cos
+  UNION ALL
+  SELECT id_b, id_a, cosine FROM cos)
+SELECT doc_id, neighbor_id, cosine,
+       CAST(row_number() OVER (PARTITION BY doc_id
+                               ORDER BY cosine DESC, neighbor_id)
+            AS INTEGER) AS rank
+FROM bidir
+QUALIFY row_number() OVER (PARTITION BY doc_id
+                           ORDER BY cosine DESC, neighbor_id) <= {_APSS_K}
+"""
+
+
+@_register("similarity_tfidf_topk", None)  # oracle attached below
+def similarity_tfidf_topk(spark, sf_dir):
+    """Top-5 nearest documents per document by TF-IDF cosine over
+    bigram terms — all-pairs similarity search in the SPARSE term
+    space: the no-embedding-model nearest-document audit (MinHash
+    measures shingle-set overlap, embeddings measure dense semantics;
+    this measures shared DISCRIMINATIVE vocabulary, weighted). The df
+    cap (5%) is doing the APSS prefix-filter's job: frequent terms
+    carry ~zero idf weight but dominate sum(df^2) join fanout — over
+    the kept vocabulary the cosine is exact. See
+    operators/retrieval.py:tfidf_doc_topk."""
+    from .operators.retrieval import tfidf_doc_topk
+
+    return tfidf_doc_topk(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        k=_APSS_K,
+        term_ngram=2,
+        max_df_frac=_APSS_MAX_DF,
+    )
+
+
+ORACLES["similarity_tfidf_topk"] = _duck_tfidf_topk_sql()

@@ -211,3 +211,112 @@ def test_pruned_validation(spark):
         bm25_topk_pruned(_corpus(spark), qs, k=0)
     with pytest.raises(ValueError, match="seed_terms"):
         bm25_topk_pruned(_corpus(spark), qs, seed_terms=0)
+
+
+# --- TF-IDF all-pairs document similarity --------------------------------
+
+def _ref_tfidf_topk(texts, k, ngram, max_df_frac):
+    """Pure-Python APSS reference mirroring tfidf_doc_topk."""
+    import math
+
+    def terms(t):
+        toks = t.lower().split()
+        if ngram == 1:
+            return toks
+        return [" ".join(toks[i:i + ngram]) for i in range(len(toks) - ngram + 1)]
+
+    n = len(texts)
+    tf = {i: {} for i in texts}
+    for i, t in texts.items():
+        for g in terms(t):
+            tf[i][g] = tf[i].get(g, 0) + 1
+    df = {}
+    for i in tf:
+        for g in tf[i]:
+            df[g] = df.get(g, 0) + 1
+    kept = {g for g, d in df.items() if d <= n * max_df_frac}
+    w = {
+        i: {g: c * math.log(1 + n / df[g]) for g, c in tf[i].items() if g in kept}
+        for i in tf
+    }
+    norm = {i: math.sqrt(sum(x * x for x in w[i].values())) for i in w}
+    out = {}
+    for a in w:
+        sims = []
+        for b in w:
+            if a == b:
+                continue
+            dot = sum(w[a][g] * w[b][g] for g in w[a] if g in w[b])
+            if dot > 0:
+                sims.append((round(dot / (norm[a] * norm[b]), 6), b))
+        sims.sort(key=lambda x: (-x[0], x[1]))
+        if sims:
+            out[a] = [(b, c) for c, b in sims[:k]]
+    return out
+
+
+def test_tfidf_topk_matches_reference(spark):
+    from hds_functions_spark.operators.retrieval import tfidf_doc_topk
+
+    texts = {
+        0: "alpha beta gamma delta",
+        1: "alpha beta gamma epsilon",
+        2: "zeta eta theta iota",
+        3: "zeta eta theta kappa",
+        4: "alpha zeta unrelated words here",
+    }
+    df = spark.createDataFrame(
+        list(texts.items()), "doc_id: long, text: string"
+    )
+    got = {}
+    for r in tfidf_doc_topk(
+        df, k=3, term_ngram=1, max_df_frac=0.9
+    ).orderBy("doc_id", "rank").collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["neighbor_id"], r["cosine"])
+        )
+    assert got == _ref_tfidf_topk(texts, 3, 1, 0.9)
+
+
+def test_tfidf_topk_symmetric_pairs(spark):
+    from hds_functions_spark.operators.retrieval import tfidf_doc_topk
+
+    df = spark.createDataFrame(
+        [(1, "aa bb cc"), (2, "aa bb dd"), (3, "ee ff gg")],
+        "doc_id: long, text: string",
+    )
+    rows = {
+        (r["doc_id"], r["neighbor_id"]): r["cosine"]
+        for r in tfidf_doc_topk(
+            df, k=1, term_ngram=1, max_df_frac=0.7
+        ).collect()
+    }
+    assert rows[(1, 2)] == rows[(2, 1)] > 0
+
+
+def test_tfidf_topk_df_cap_is_vocabulary_scoped(spark):
+    from hds_functions_spark.operators.retrieval import tfidf_doc_topk
+
+    # 'common' is in every doc -> dropped by the cap; docs sharing only
+    # 'common' never pair
+    df = spark.createDataFrame(
+        [(1, "common unique1"), (2, "common unique2"), (3, "common unique1")],
+        "doc_id: long, text: string",
+    )
+    rows = {
+        (r["doc_id"], r["neighbor_id"])
+        for r in tfidf_doc_topk(
+            df, k=2, term_ngram=1, max_df_frac=0.7
+        ).collect()
+    }
+    assert rows == {(1, 3), (3, 1)}
+
+
+def test_tfidf_topk_validation(spark):
+    from hds_functions_spark.operators.retrieval import tfidf_doc_topk
+
+    df = spark.createDataFrame([(1, "a")], "doc_id: long, text: string")
+    with pytest.raises(ValueError, match="k must be"):
+        tfidf_doc_topk(df, k=0)
+    with pytest.raises(ValueError, match="max_df_frac"):
+        tfidf_doc_topk(df, max_df_frac=0.0)
