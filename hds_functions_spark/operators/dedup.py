@@ -49,6 +49,7 @@ __all__ = [
     "degree_distribution",
     "winnowing_fingerprints",
     "winnowing_overlap_pairs",
+    "winnowing_overlap_incremental",
 ]
 
 
@@ -1128,4 +1129,70 @@ def winnowing_overlap_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnowing_overlap_incremental(
+    new_fps: DataFrame,
+    corpus_fps: DataFrame,
+    min_shared: int = 2,
+    max_doc_freq: int | None = 10_000,
+) -> DataFrame:
+    """Incremental substring-copy detection: winnowing-fingerprint
+    overlap pairs where at least one side comes from the NEW batch —
+    the continuous-ingest shape (mirror of
+    :func:`minhash_pairs_incremental`, for the verbatim-copy signal
+    instead of the set-overlap signal). A nightly batch must be checked
+    against itself AND the standing corpus, but corpus x corpus work is
+    never repeated: the fingerprint join puts only the batch on the
+    probe side, so each ingest costs |new| x bucket density. Inputs are
+    :func:`winnowing_fingerprints` outputs with DISJOINT doc ids; in
+    production the corpus table is persisted/bucketed by fingerprint
+    once and reused per batch.
+
+    The hot-fingerprint df cap counts frequency over corpus AND batch
+    together — the same totals the full-pairs builder would see, which
+    is what makes the incremental slice provably identical to
+    :func:`winnowing_overlap_pairs` restricted to pairs touching the
+    batch (pinned by test). Output: ``(id_a, id_b, n_shared,
+    cross_batch)`` — ``id_a < id_b`` for new-new pairs; ``id_a`` = the
+    new doc for new-corpus pairs.
+    """
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1 (got {min_shared})")
+    from ..caching import tracked_persist
+
+    new_p = tracked_persist(new_fps.select("doc_id", "fingerprint"))
+    corp_p = tracked_persist(corpus_fps.select("doc_id", "fingerprint"))
+    if max_doc_freq is not None:
+        dfreq = (
+            new_p.unionByName(corp_p)
+            .groupBy("fingerprint")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") <= max_doc_freq)
+            .select("fingerprint")
+        )
+        new_p = new_p.join(dfreq, on="fingerprint")
+        corp_p = corp_p.join(dfreq, on="fingerprint")
+    probe = new_p.select(
+        "fingerprint", F.col("doc_id").alias("id_a")
+    )
+    build = new_p.select(
+        "fingerprint",
+        F.col("doc_id").alias("id_b"),
+        F.lit(False).alias("cross_batch"),
+    ).unionByName(
+        corp_p.select(
+            "fingerprint",
+            F.col("doc_id").alias("id_b"),
+            F.lit(True).alias("cross_batch"),
+        )
+    )
+    return (
+        probe.join(build, on="fingerprint")
+        .filter(F.col("cross_batch") | (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b", "cross_batch")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select("id_a", "id_b", "n_shared", "cross_batch")
     )

@@ -769,6 +769,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_winnowing",
     "privacy_t_closeness",
     "similarity_tfidf_topk",
+    "dedup_winnowing_incremental",
 ]
 
 

@@ -363,7 +363,9 @@ _WN_MIN_SHARED = 4
 _WN_MAX_DF = 50
 
 
-def _duck_winnowing_sql() -> str:
+def _duck_winnow_fp_cte() -> str:
+    """CTE chain ending in ``kept(doc_id, fingerprint)`` — the df-capped
+    winnowing fingerprint table both winnowing oracles build on."""
     from .operators.dedup import WINNOW_BASE, WINNOW_PRIME
 
     k, w = _WN_GRAM, _WN_WINDOW
@@ -373,8 +375,8 @@ def _duck_winnowing_sql() -> str:
     for j in range(1, k):
         ghash = f"(({ghash}) * {WINNOW_BASE} + cs[i + {j}]) % {WINNOW_PRIME}"
     return f"""
-WITH t AS (SELECT doc_id, lower(text) AS s FROM documents
-           WHERE length(text) >= {k + w - 1}),
+t AS (SELECT doc_id, lower(text) AS s FROM documents
+      WHERE length(text) >= {k + w - 1}),
 cl AS (SELECT doc_id, s,
               list_transform(generate_series(1, length(s)),
                              i -> ascii(substr(s, i, 1))) AS cs
@@ -391,7 +393,12 @@ sel AS (SELECT doc_id,
 fp AS (SELECT doc_id, unnest(fps) AS fingerprint FROM sel),
 dfreq AS (SELECT fingerprint, count(*) AS df FROM fp GROUP BY 1),
 kept AS (SELECT fp.doc_id, fp.fingerprint
-         FROM fp JOIN dfreq USING (fingerprint) WHERE df <= {_WN_MAX_DF})
+         FROM fp JOIN dfreq USING (fingerprint) WHERE df <= {_WN_MAX_DF})"""
+
+
+def _duck_winnowing_sql() -> str:
+    return f"""
+WITH {_duck_winnow_fp_cte()}
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(count(*) AS BIGINT) AS n_shared
 FROM kept a JOIN kept b
@@ -559,3 +566,54 @@ def similarity_tfidf_topk(spark, sf_dir):
 
 
 ORACLES["similarity_tfidf_topk"] = _duck_tfidf_topk_sql()
+
+
+_WNI_MOD = 5  # doc_id % 5 == 0 -> the "nightly batch"; rest -> corpus
+
+
+def _duck_winnowing_incremental_sql() -> str:
+    return f"""
+WITH {_duck_winnow_fp_cte()},
+newf AS (SELECT * FROM kept WHERE doc_id % {_WNI_MOD} = 0),
+corpf AS (SELECT * FROM kept WHERE doc_id % {_WNI_MOD} != 0),
+build AS (
+  SELECT fingerprint, doc_id AS id_b, FALSE AS cross_batch FROM newf
+  UNION ALL
+  SELECT fingerprint, doc_id, TRUE FROM corpf)
+SELECT n.doc_id AS id_a, b.id_b, CAST(count(*) AS BIGINT) AS n_shared,
+       b.cross_batch
+FROM newf n JOIN build b USING (fingerprint)
+WHERE b.cross_batch OR n.doc_id < b.id_b
+GROUP BY 1, 2, 4 HAVING count(*) >= {_WN_MIN_SHARED}
+"""
+
+
+@_register("dedup_winnowing_incremental", None)  # oracle attached below
+def dedup_winnowing_incremental(spark, sf_dir):
+    """Continuous-ingest substring-copy detection: every ~5th document
+    plays the nightly batch probing the standing corpus's winnowing
+    fingerprint table — corpus x corpus work is never recomputed, each
+    ingest costs |batch| x bucket density (the verbatim-copy mirror of
+    dedup_incremental's MinHash shape). The df cap counts corpus AND
+    batch together, which makes the emitted slice provably identical
+    to the full pair build restricted to batch-touching pairs (pinned
+    by test). See operators/dedup.py:winnowing_overlap_incremental."""
+    from .operators.dedup import (
+        winnowing_fingerprints,
+        winnowing_overlap_incremental,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    fps = winnowing_fingerprints(
+        docs, gram_size=_WN_GRAM, window=_WN_WINDOW
+    )
+    is_new = F.col("doc_id") % _WNI_MOD == 0
+    return winnowing_overlap_incremental(
+        fps.filter(is_new),
+        fps.filter(~is_new),
+        min_shared=_WN_MIN_SHARED,
+        max_doc_freq=_WN_MAX_DF,
+    )
+
+
+ORACLES["dedup_winnowing_incremental"] = _duck_winnowing_incremental_sql()

@@ -449,3 +449,74 @@ def test_winnowing_validation(spark):
         winnowing_fingerprints(df, window=0)
     with pytest.raises(ValueError, match="min_shared"):
         winnowing_overlap_pairs(df.selectExpr("doc_id", "'x' AS fingerprint"), min_shared=0)
+
+
+def test_winnowing_incremental_slice_equals_full(spark):
+    """The incremental builder restricted to batch-touching pairs must
+    equal winnowing_overlap_pairs on the union corpus — the same
+    guarantee minhash_pairs_incremental pins (the df cap sees the same
+    totals either way)."""
+    from hds_functions_spark.operators.dedup import (
+        winnowing_fingerprints,
+        winnowing_overlap_incremental,
+        winnowing_overlap_pairs,
+    )
+
+    shared = "the same duplicated passage of shared text appears here"
+    rows = [
+        (1, shared + " corpus one"),
+        (2, shared + " corpus two"),
+        (3, "completely unrelated corpus document number three"),
+        (10, shared + " batch arrival"),
+        (11, "another unrelated batch document entirely"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    fps = winnowing_fingerprints(df, gram_size=8, window=8)
+    full = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in winnowing_overlap_pairs(fps, min_shared=2).collect()
+    }
+    new_ids = {10, 11}
+    expected = {
+        pair: n
+        for pair, n in full.items()
+        if pair[0] in new_ids or pair[1] in new_ids
+    }
+    new_fps = fps.filter(F.col("doc_id") >= 10)
+    corp_fps = fps.filter(F.col("doc_id") < 10)
+    got = {}
+    for r in winnowing_overlap_incremental(
+        new_fps, corp_fps, min_shared=2
+    ).collect():
+        a, b = r["id_a"], r["id_b"]
+        key = (min(a, b), max(a, b))
+        got[key] = r["n_shared"]
+        # cross-batch pairs lead with the new doc
+        if r["cross_batch"]:
+            assert a in new_ids and b not in new_ids
+        else:
+            assert a in new_ids and b in new_ids and a < b
+    assert got == expected
+    assert any(k[1] >= 10 or k[0] >= 10 for k in got)
+
+
+def test_winnowing_incremental_df_cap_counts_both_sides(spark):
+    from hds_functions_spark.operators.dedup import (
+        winnowing_fingerprints,
+        winnowing_overlap_incremental,
+    )
+
+    shared = "boilerplate string present everywhere in all documents"
+    rows = [(i, shared) for i in range(1, 4)] + [(10, shared), (11, shared)]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    fps = winnowing_fingerprints(df, gram_size=8, window=8)
+    new_fps = fps.filter(F.col("doc_id") >= 10)
+    corp_fps = fps.filter(F.col("doc_id") < 10)
+    # every fingerprint is in all 5 docs; cap 4 drops them all
+    assert winnowing_overlap_incremental(
+        new_fps, corp_fps, min_shared=1, max_doc_freq=4
+    ).count() == 0
+    # cap 5 keeps them
+    assert winnowing_overlap_incremental(
+        new_fps, corp_fps, min_shared=1, max_doc_freq=5
+    ).count() > 0
