@@ -88,6 +88,46 @@ FROM corners GROUP BY 1
 """
 
 
+#: Session-scoped cache of the thresholded similarity-edge table —
+#: the production shape: the similarity graph is built ONCE and every
+#: graph consumer (CC dedup, triangles, degree audits) reads the
+#: persisted table instead of re-running MinHash + banding. Same
+#: pattern (and lifecycle) as registry_ext._CLUSTERS_CACHE.
+_SIM_EDGES_CACHE: dict = {}
+
+
+def _shared_sim_edges(spark, sf_dir):
+    from pyspark import StorageLevel
+
+    from .operators.dedup import minhash_pairs
+    from .registry_ext import _MH_BANDS, _MH_NUM_HASHES, _MH_SHINGLE
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _SIM_EDGES_CACHE.get(key)
+    if df is None:
+        docs = _t(spark, sf_dir, "documents").filter(
+            F.length("text") >= _MH_SHINGLE
+        )
+        df = minhash_pairs(
+            docs,
+            num_hashes=_MH_NUM_HASHES,
+            shingle_size=_MH_SHINGLE,
+            bands=_MH_BANDS,
+        ).filter(
+            F.col("est_jaccard") >= _TRI_MIN_JACCARD
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _SIM_EDGES_CACHE[key] = df
+    return df
+
+
+def reset_shared_sim_edges(spark, sf_dir) -> None:
+    """Drop the session-scoped edge table (the cold path)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _SIM_EDGES_CACHE.pop(key, None)
+    if df is not None:
+        df.unpersist()
+
+
 @_register("graph_triangles", None)  # oracle attached below
 def graph_triangles(spark, sf_dir):
     """Per-node triangle counts over the MinHash similarity graph
@@ -97,21 +137,12 @@ def graph_triangles(spark, sf_dir):
     near-clique, many triangles) from bridge documents chaining two
     unrelated clusters together (few). Degree-ordered compact-forward
     scheme — sum(outdeg^2) <= m^1.5 wedge fanout, each triangle found
-    once at its smallest apex; see operators/graph.py:triangle_count."""
+    once at its smallest apex; see operators/graph.py:triangle_count.
+    Edges come from the session-shared persisted similarity-edge table
+    (built once per session, like the clusters table)."""
     from .operators.graph import triangle_count
-    from .operators.dedup import minhash_pairs
-    from .registry_ext import _MH_BANDS, _MH_NUM_HASHES, _MH_SHINGLE
 
-    docs = _t(spark, sf_dir, "documents").filter(
-        F.length("text") >= _MH_SHINGLE
-    )
-    pairs = minhash_pairs(
-        docs,
-        num_hashes=_MH_NUM_HASHES,
-        shingle_size=_MH_SHINGLE,
-        bands=_MH_BANDS,
-    ).filter(F.col("est_jaccard") >= _TRI_MIN_JACCARD)
-    return triangle_count(pairs, "id_a", "id_b")
+    return triangle_count(_shared_sim_edges(spark, sf_dir), "id_a", "id_b")
 
 
 ORACLES["graph_triangles"] = _duck_triangles_sql()
@@ -407,6 +438,37 @@ GROUP BY 1, 2 HAVING count(*) >= {_WN_MIN_SHARED}
 """
 
 
+#: Session-scoped cache of the df-capped-input winnowing fingerprint
+#: table (doc_id, fingerprint) — built once, consumed by the full pair
+#: build AND the incremental probe.
+_WINNOW_FP_CACHE: dict = {}
+
+
+def _shared_winnow_fps(spark, sf_dir):
+    from pyspark import StorageLevel
+
+    from .operators.dedup import winnowing_fingerprints
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _WINNOW_FP_CACHE.get(key)
+    if df is None:
+        df = winnowing_fingerprints(
+            _t(spark, sf_dir, "documents").select("doc_id", "text"),
+            gram_size=_WN_GRAM,
+            window=_WN_WINDOW,
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        _WINNOW_FP_CACHE[key] = df
+    return df
+
+
+def reset_shared_winnow_fps(spark, sf_dir) -> None:
+    """Drop the session-scoped fingerprint table (the cold path)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    df = _WINNOW_FP_CACHE.pop(key, None)
+    if df is not None:
+        df.unpersist()
+
+
 @_register("dedup_winnowing", None)  # oracle attached below
 def dedup_winnowing(spark, sf_dir):
     """Robust winnowing (the MOSS copy-detector): document pairs
@@ -417,18 +479,12 @@ def dedup_winnowing(spark, sf_dir):
     Fingerprint extraction is pure per-doc array HOFs (no shuffle);
     pairing is the fingerprint-keyed equi self-join with the hot-
     fingerprint df cap. See operators/dedup.py:winnowing_fingerprints."""
-    from .operators.dedup import (
-        winnowing_fingerprints,
-        winnowing_overlap_pairs,
-    )
+    from .operators.dedup import winnowing_overlap_pairs
 
-    fps = winnowing_fingerprints(
-        _t(spark, sf_dir, "documents").select("doc_id", "text"),
-        gram_size=_WN_GRAM,
-        window=_WN_WINDOW,
-    )
     return winnowing_overlap_pairs(
-        fps, min_shared=_WN_MIN_SHARED, max_doc_freq=_WN_MAX_DF
+        _shared_winnow_fps(spark, sf_dir),
+        min_shared=_WN_MIN_SHARED,
+        max_doc_freq=_WN_MAX_DF,
     )
 
 
@@ -598,15 +654,9 @@ def dedup_winnowing_incremental(spark, sf_dir):
     batch together, which makes the emitted slice provably identical
     to the full pair build restricted to batch-touching pairs (pinned
     by test). See operators/dedup.py:winnowing_overlap_incremental."""
-    from .operators.dedup import (
-        winnowing_fingerprints,
-        winnowing_overlap_incremental,
-    )
+    from .operators.dedup import winnowing_overlap_incremental
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    fps = winnowing_fingerprints(
-        docs, gram_size=_WN_GRAM, window=_WN_WINDOW
-    )
+    fps = _shared_winnow_fps(spark, sf_dir)
     is_new = F.col("doc_id") % _WNI_MOD == 0
     return winnowing_overlap_incremental(
         fps.filter(is_new),
