@@ -43,6 +43,7 @@ __all__ = [
     "kmv_distinct",
     "kmv_pairwise_ops",
     "histogram_quantiles",
+    "quantiles_from_bin_counts",
     "hll_distinct",
     "count_min_table",
     "count_min_lookup",
@@ -466,6 +467,22 @@ def histogram_quantiles(
     counts = binned.groupBy(*gcols, "_lo", "_w", "_bin").agg(
         F.count(F.lit(1)).alias("_cnt")
     )
+    return quantiles_from_bin_counts(counts, gcols, probs, round_digits)
+
+
+def quantiles_from_bin_counts(
+    counts: DataFrame,
+    group_cols: list[str],
+    probs: list[float],
+    round_digits: int = 6,
+) -> DataFrame:
+    """Quantile read-out from an already-aggregated histogram-state
+    frame ``(group..., _lo, _w, _bin, _cnt)`` — the interpolation tail
+    of :func:`histogram_quantiles`, shared so the batch operator and
+    the STREAMING bin aggregation (whose state arrives from the sink as
+    exactly such a frame) cannot drift. The input is bin-count-sized,
+    so every window here runs on sketch-state, not data."""
+    gcols = list(group_cols or [])
     w_cum = (
         Window.partitionBy(*gcols)
         .orderBy("_bin")

@@ -770,6 +770,7 @@ DRIVER_PRIORITY: list[str] = [
     "privacy_t_closeness",
     "similarity_tfidf_topk",
     "dedup_winnowing_incremental",
+    "streaming_histogram",
 ]
 
 

@@ -667,3 +667,70 @@ def dedup_winnowing_incremental(spark, sf_dir):
 
 
 ORACLES["dedup_winnowing_incremental"] = _duck_winnowing_incremental_sql()
+
+
+# --- streaming histogram quantiles ---------------------------------------
+
+_SH_BOUNDS = (0.0, 600.0)
+_SH_BINS = 64
+_SH_PROBS = [0.5, 0.9, 0.99]
+
+
+def _duck_stream_hist_sql() -> str:
+    lo, hi = _SH_BOUNDS
+    nb = _SH_BINS
+    w = (hi - lo) / nb
+    probs = ", ".join(repr(p) for p in _SH_PROBS)
+    return f"""
+WITH v AS (SELECT event_type, value::DOUBLE AS x FROM events
+           WHERE value IS NOT NULL),
+b AS (SELECT event_type,
+             CAST(least(greatest(floor((x - {lo!r}) / {w!r}), 0),
+                        {nb - 1}) AS INT) AS bin
+      FROM v),
+c AS (SELECT event_type, bin, count(*) AS cnt FROM b GROUP BY 1, 2),
+cm AS (SELECT *, sum(cnt) OVER (PARTITION BY event_type ORDER BY bin)
+               AS cum,
+              sum(cnt) OVER (PARTITION BY event_type) AS n
+       FROM c),
+p AS (SELECT CAST(unnest([{probs}]) AS DOUBLE) AS prob),
+e AS (SELECT event_type, prob, bin, cnt, cum, prob * n AS target
+      FROM cm CROSS JOIN p),
+h AS (SELECT * FROM e WHERE cum >= target AND (cum - cnt) < target)
+SELECT event_type, prob,
+       round({lo!r} + bin * {w!r}
+             + {w!r} * (target - (cum - cnt)) / cnt, 6) AS estimate
+FROM h
+"""
+
+
+@_register("streaming_histogram", None)  # oracle attached below
+def streaming_histogram(spark, sf_dir):
+    """Streaming per-event-type value quantiles from the mergeable
+    fixed-range histogram: the bin-count state folds micro-batch by
+    micro-batch (complete mode, AvailableNow), the drained state feeds
+    the SAME quantile read-out the batch operator uses
+    (quantiles_from_bin_counts — shared code, cannot drift), and the
+    oracle recomputes the identical fixed-bound histogram in one batch
+    pass. State per event type is 64 longs at any stream length. See
+    streaming/stream_ops.py:stream_histogram_bins."""
+    from .functions.sketches import quantiles_from_bin_counts
+    from .registry_ext import _STATE_PARTITIONS, _events_stream
+    from .streaming import run_stream_to_memory, stream_histogram_bins
+
+    bins = stream_histogram_bins(
+        _events_stream(spark, sf_dir),
+        "value",
+        bounds=_SH_BOUNDS,
+        n_bins=_SH_BINS,
+        group_by=["event_type"],
+    )
+    drained = run_stream_to_memory(
+        bins, output_mode="complete", state_partitions=_STATE_PARTITIONS
+    )
+    return quantiles_from_bin_counts(
+        drained, ["event_type"], _SH_PROBS
+    )
+
+
+ORACLES["streaming_histogram"] = _duck_stream_hist_sql()

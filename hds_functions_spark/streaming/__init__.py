@@ -6,6 +6,7 @@ from .stream_ops import (
     run_stream_to_memory,
     run_stream_to_parquet,
     stream_distinct_keys,
+    stream_histogram_bins,
     stream_session_agg,
     stream_stateful_totals,
     stream_transitions,
@@ -18,6 +19,7 @@ __all__ = [
     "run_stream_to_memory",
     "run_stream_to_parquet",
     "stream_distinct_keys",
+    "stream_histogram_bins",
     "stream_session_agg",
     "stream_stateful_totals",
     "stream_transitions",

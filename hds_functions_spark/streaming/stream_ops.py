@@ -58,6 +58,7 @@ __all__ = [
     "stream_distinct_keys",
     "stream_stateful_totals",
     "stream_transitions",
+    "stream_histogram_bins",
 ]
 
 
@@ -445,4 +446,57 @@ def stream_transitions(
         stateStructType=_TRANS_STATE,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_histogram_bins(
+    events: DataFrame,
+    value_col: str,
+    bounds: tuple[float, float],
+    n_bins: int = 128,
+    group_by: list[str] | None = None,
+    watermark: str | None = None,
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Streaming fixed-range histogram state: per-(group, bin) counts —
+    the incremental twin of ``functions.sketches.histogram_quantiles``,
+    and the operator that makes its mergeable-by-addition state claim
+    LITERAL: every micro-batch's partial bin counts fold into the
+    running aggregation state exactly the way partitions fold in batch.
+    The bin range is FIXED UP FRONT (a streaming sketch cannot re-derive
+    its min/max; fixed bounds are the production histogram contract) and
+    out-of-range values clamp into the edge bins.
+
+    Output schema ``(group..., _lo, _w, _bin, _cnt)`` — feed the drained
+    state straight into ``quantiles_from_bin_counts`` for the quantile
+    read-out; state per group is ``n_bins`` longs at any stream length.
+    """
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1 (got {n_bins})")
+    lo, hi = float(bounds[0]), float(bounds[1])
+    if not hi >= lo:
+        raise ValueError(f"bounds must satisfy hi >= lo (got {bounds})")
+    width = (hi - lo) / n_bins
+    if watermark is not None:
+        events = events.withWatermark(ts_col, watermark)
+    v = F.col(value_col).cast("double")
+    bin_col = (
+        F.lit(0)
+        if width == 0
+        else F.least(
+            F.greatest(F.floor((v - F.lit(lo)) / F.lit(width)), F.lit(0)),
+            F.lit(n_bins - 1),
+        )
+    )
+    return (
+        events.filter(v.isNotNull())
+        .groupBy(*(group_by or []), bin_col.cast("int").alias("_bin"))
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .select(
+            *(group_by or []),
+            F.lit(lo).alias("_lo"),
+            F.lit(width).alias("_w"),
+            "_bin",
+            "_cnt",
+        )
     )

@@ -338,3 +338,94 @@ def test_stream_transitions_matches_batch(spark, tmp_path):
         got[k] = got.get(k, 0) + 1
     assert got == expected
     assert got[("b", "c")] == 1 and got[("a", "a")] == 1  # cross-batch pairs
+
+
+def test_stream_histogram_equals_batch(spark, events_path):
+    """The streaming fixed-range histogram state, drained and fed to the
+    shared quantile read-out, must equal the same fixed-bound histogram
+    computed in one batch pass — the mergeable-by-addition state claim
+    made literal (micro-batches fold like partitions)."""
+    from hds_functions_spark.functions.sketches import (
+        quantiles_from_bin_counts,
+    )
+    from hds_functions_spark.streaming import stream_histogram_bins
+
+    bounds, nb, probs = (0.0, 100.0), 16, [0.5, 0.9]
+    sdf = read_parquet_stream(spark, events_path)
+    drained = run_stream_to_memory(
+        stream_histogram_bins(
+            sdf, "value", bounds=bounds, n_bins=nb,
+            group_by=["event_type"],
+        ),
+        output_mode="complete",
+        state_partitions=2,
+    )
+    got = {
+        (r["event_type"], r["prob"]): r["estimate"]
+        for r in quantiles_from_bin_counts(
+            drained, ["event_type"], probs
+        ).collect()
+    }
+
+    # batch twin: identical binning over the same fixed bounds
+    lo, hi = bounds
+    w = (hi - lo) / nb
+    batch = (
+        spark.read.parquet(events_path)
+        .filter(F.col("value").isNotNull())
+        .groupBy(
+            "event_type",
+            F.least(
+                F.greatest(
+                    F.floor((F.col("value") - lo) / w), F.lit(0)
+                ),
+                F.lit(nb - 1),
+            ).cast("int").alias("_bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+        .select(
+            "event_type", F.lit(lo).alias("_lo"), F.lit(w).alias("_w"),
+            "_bin", "_cnt",
+        )
+    )
+    expect = {
+        (r["event_type"], r["prob"]): r["estimate"]
+        for r in quantiles_from_bin_counts(
+            batch, ["event_type"], probs
+        ).collect()
+    }
+    assert got == expect
+    # value 99.99 lands in the top bin; clamping verified by a value
+    # beyond the bounds still counting (synthetic check on the op alone)
+
+
+def test_stream_histogram_clamps_out_of_range(spark, tmp_path):
+    from hds_functions_spark.streaming import stream_histogram_bins
+
+    df = spark.createDataFrame(
+        [(1, ts(0), 1, "t", -5.0), (2, ts(1), 1, "t", 500.0)],
+        "event_id: long, ts: timestamp, user_id: long, "
+        "event_type: string, value: double",
+    )
+    path = str(tmp_path / "clamp_events")
+    df.write.parquet(path)
+    drained = run_stream_to_memory(
+        stream_histogram_bins(
+            read_parquet_stream(spark, path), "value",
+            bounds=(0.0, 100.0), n_bins=10,
+        ),
+        output_mode="complete",
+        state_partitions=2,
+    )
+    rows = {r["_bin"]: r["_cnt"] for r in drained.collect()}
+    assert rows == {0: 1, 9: 1}
+
+
+def test_stream_histogram_validation(spark, events_path):
+    from hds_functions_spark.streaming import stream_histogram_bins
+
+    sdf = read_parquet_stream(spark, events_path)
+    with pytest.raises(ValueError, match="n_bins"):
+        stream_histogram_bins(sdf, "value", bounds=(0, 1), n_bins=0)
+    with pytest.raises(ValueError, match="bounds"):
+        stream_histogram_bins(sdf, "value", bounds=(5, 1))
