@@ -47,6 +47,7 @@ __all__ = [
     "hll_distinct",
     "count_min_table",
     "count_min_lookup",
+    "cm_inner_product",
 ]
 
 #: Hash domain: 15 hex digits of md5 = 60 bits, exact in int64 AND in a
@@ -521,4 +522,48 @@ def quantiles_from_bin_counts(
             ),
             round_digits,
         ).alias("estimate"),
+    )
+
+
+def cm_inner_product(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    depth: int = _CM_DEPTH,
+) -> DataFrame:
+    """Join-size estimation from two count-min sketches (Cormode &
+    Muthukrishnan 2005): the inner product ``sum_k f_A(k) * f_B(k)`` —
+    which IS the equi-join output cardinality on key k — estimated as
+    ``min over depth rows of sum_w CM_A[d][w] * CM_B[d][w]``. The
+    estimate NEVER underestimates (collisions only add mass) and its
+    excess is bounded by ``||f_A||_1 * ||f_B||_1 / width`` with high
+    probability — the planner primitive that prices a join from two
+    fixed-size states without scanning either table, and the
+    sketch-family completion of the exact ``join_key_audit``.
+
+    Inputs are :func:`count_min_table` outputs built with the SAME
+    depth/width; the cell join costs at most ``depth * width`` rows per
+    side at any data size — state-sized arithmetic, like every merge in
+    this module. Output: one row ``(join_size_est)``.
+    """
+    a = sketch_a.select(
+        "cm_row", "cm_col", F.col("cm_count").alias("_ca")
+    )
+    b = sketch_b.select(
+        "cm_row", "cm_col", F.col("cm_count").alias("_cb")
+    )
+    per_row = (
+        a.join(b, on=["cm_row", "cm_col"])
+        .groupBy("cm_row")
+        .agg(F.sum(F.col("_ca") * F.col("_cb")).alias("_dot"))
+    )
+    # a depth row with no matching cells has dot 0 (all products empty):
+    # account for absent rows by unioning explicit zeros per depth index
+    zeros = per_row.sparkSession.createDataFrame(
+        [(j, 0) for j in range(depth)], "cm_row: int, _dot: long"
+    )
+    return (
+        per_row.unionByName(zeros)
+        .groupBy("cm_row")
+        .agg(F.max("_dot").alias("_dot"))
+        .agg(F.min("_dot").cast("long").alias("join_size_est"))
     )

@@ -771,6 +771,7 @@ DRIVER_PRIORITY: list[str] = [
     "similarity_tfidf_topk",
     "dedup_winnowing_incremental",
     "streaming_histogram",
+    "quality_join_estimate",
 ]
 
 

@@ -734,3 +734,100 @@ def streaming_histogram(spark, sf_dir):
 
 
 ORACLES["streaming_histogram"] = _duck_stream_hist_sql()
+
+
+# --- count-min inner product: join-size estimation -----------------------
+
+
+#: wider than the default top-k sketch: the inner-product excess is
+#: ||f_A||_1 * ||f_B||_1 / width, so width prices estimate precision
+_JE_WIDTH = 8192
+
+
+def _duck_join_estimate_sql() -> str:
+    from .functions.sketches import _CM_DEPTH
+
+    def cm_col(expr, j):
+        return (
+            f"('0x' || substr(md5({expr} || '#{j}'), 1, 15))::BIGINT"
+            f" % {_JE_WIDTH}"
+        )
+
+    cells_a = "\nUNION ALL\n".join(
+        f"SELECT {j} AS cm_row, {cm_col('o_custkey::VARCHAR', j)} AS cm_col"
+        f" FROM orders WHERE o_custkey IS NOT NULL"
+        for j in range(_CM_DEPTH)
+    )
+    cells_b = "\nUNION ALL\n".join(
+        f"SELECT {j} AS cm_row, {cm_col('l_suppkey::VARCHAR', j)} AS cm_col"
+        f" FROM lineitem WHERE l_suppkey IS NOT NULL"
+        for j in range(_CM_DEPTH)
+    )
+    zeros = " UNION ALL ".join(
+        f"SELECT {j} AS cm_row, 0 AS dot" for j in range(_CM_DEPTH)
+    )
+    return f"""
+WITH ca AS ({cells_a}),
+sa AS (SELECT cm_row, cm_col, count(*) AS c FROM ca GROUP BY 1, 2),
+cb AS ({cells_b}),
+sb AS (SELECT cm_row, cm_col, count(*) AS c FROM cb GROUP BY 1, 2),
+dots AS (
+  SELECT sa.cm_row, sum(sa.c * sb.c) AS dot
+  FROM sa JOIN sb USING (cm_row, cm_col) GROUP BY 1),
+full_rows AS (
+  SELECT cm_row, max(dot) AS dot
+  FROM (SELECT * FROM dots UNION ALL {zeros}) GROUP BY 1),
+est AS (SELECT CAST(min(dot) AS BIGINT) AS join_size_est FROM full_rows),
+ex AS (
+  SELECT CAST(count(*) AS BIGINT) AS exact_join_size
+  FROM orders o JOIN lineitem l ON o.o_custkey = l.l_suppkey)
+SELECT join_size_est, exact_join_size,
+       CAST(join_size_est >= exact_join_size AS BOOLEAN)
+           AS never_underestimates,
+       round((join_size_est - exact_join_size)
+             / greatest(exact_join_size, 1)::DOUBLE, 4) AS rel_excess
+FROM est CROSS JOIN ex
+"""
+
+
+@_register("quality_join_estimate", None)  # oracle attached below
+def quality_join_estimate(spark, sf_dir):
+    """Join-size ESTIMATION from two count-min sketches (the Cormode-
+    Muthukrishnan inner-product estimator): price the orders-x-lineitem
+    equi-join (o_custkey = l_suppkey — a deliberately skewed,
+    non-FK pairing) from two depth-x-width states WITHOUT scanning
+    either table at decision time — the sketch-family counterpart of
+    the exact quality_join_audit, with the never-underestimates
+    guarantee and the measured excess as oracle-verified output
+    columns. At 100 TB the sketches are maintained incrementally
+    (count_min_table state merges by addition) and every join price is
+    depth*width arithmetic. See functions/sketches.py:cm_inner_product."""
+    from .functions.sketches import (
+        _CM_DEPTH,
+        cm_inner_product,
+        count_min_table,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    sa = count_min_table(orders, "o_custkey", width=_JE_WIDTH)
+    sb = count_min_table(li, "l_suppkey", width=_JE_WIDTH)
+    est = cm_inner_product(sa, sb, depth=_CM_DEPTH)
+    exact = orders.join(
+        li, orders["o_custkey"] == li["l_suppkey"]
+    ).agg(F.count(F.lit(1)).alias("exact_join_size"))
+    return est.crossJoin(F.broadcast(exact)).select(
+        "join_size_est",
+        "exact_join_size",
+        (F.col("join_size_est") >= F.col("exact_join_size")).alias(
+            "never_underestimates"
+        ),
+        F.round(
+            (F.col("join_size_est") - F.col("exact_join_size"))
+            / F.greatest(F.col("exact_join_size"), F.lit(1)).cast("double"),
+            4,
+        ).alias("rel_excess"),
+    )
+
+
+ORACLES["quality_join_estimate"] = _duck_join_estimate_sql()

@@ -379,3 +379,46 @@ def test_histogram_quantiles_validation(spark):
         histogram_quantiles(df, "x", [])
     with pytest.raises(ValueError, match="probs must be in"):
         histogram_quantiles(df, "x", [0.0])
+
+
+# --- count-min inner product (join-size estimation) ----------------------
+
+def _cm_pair(spark, va, vb, depth=4, width=64):
+    from hds_functions_spark.functions.sketches import (
+        cm_inner_product,
+        count_min_table,
+    )
+
+    da = spark.createDataFrame([(v,) for v in va], "k: long")
+    db = spark.createDataFrame([(v,) for v in vb], "k: long")
+    sa = count_min_table(da, "k", depth=depth, width=width)
+    sb = count_min_table(db, "k", depth=depth, width=width)
+    return cm_inner_product(sa, sb, depth=depth).collect()[0]["join_size_est"]
+
+
+def test_cm_inner_product_never_underestimates(spark):
+    import collections
+    import random
+
+    rng = random.Random(5)
+    va = [rng.randrange(200) for _ in range(500)]
+    vb = [rng.randrange(200) for _ in range(300)]
+    fa, fb = collections.Counter(va), collections.Counter(vb)
+    true = sum(fa[k] * fb[k] for k in fa)
+    est = _cm_pair(spark, va, vb)
+    assert est >= true
+    # CM error bound: excess <= ||fa||_1 ||fb||_1 / width whp per row;
+    # with depth 4 the min is comfortably inside 3x that
+    assert est - true <= 3 * len(va) * len(vb) / 64
+
+
+def test_cm_inner_product_exact_when_no_collisions(spark):
+    # few distinct keys, wide sketch -> no collisions -> exact
+    est = _cm_pair(spark, [1, 1, 2, 3], [1, 2, 2, 9], width=1024)
+    # true join size: key1 2*1 + key2 1*2 = 4 (key 3,9 unmatched)
+    assert est == 4
+
+
+def test_cm_inner_product_disjoint_keys(spark):
+    est = _cm_pair(spark, [1, 2, 3], [100001, 100002], width=4096)
+    assert est == 0
