@@ -741,6 +741,10 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: close). Round-7 additions are appended after these so they land a
 #: driver row in the same round they ship. The remaining window slots
 #: fall back to registration order (all driver-green in r01-r06).
+#: ROUND-8 ROTATION GUIDANCE: if CORRECTNESS_r07 comes back green for
+#: this window, the driver-verified union is 177/177 — rotate the next
+#: window onto the queries with the OLDEST driver rows (refresh, via
+#: tools/driver_coverage.py) and put any r07 reds at its head.
 DRIVER_PRIORITY: list[str] = [
     "table_rollup_merge",
     "similarity_random_projection",
