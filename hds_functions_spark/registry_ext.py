@@ -2639,8 +2639,8 @@ WITH gaps AS (
 )
 SELECT user_id % 10 AS user_bucket,
        count(*) AS n_rows,
-       round(quantile_cont(gap_us, 0.50), 6) AS p50,
-       round(quantile_cont(gap_us, 0.95), 6) AS p95
+       quantile_disc(gap_us, 0.50) AS p50,
+       quantile_disc(gap_us, 0.95) AS p95
 FROM gaps WHERE gap_us IS NOT NULL
 GROUP BY 1
 """,
@@ -2648,11 +2648,17 @@ GROUP BY 1
 def events_gap_quantiles(spark, sf_dir):
     """Inter-event-gap quantiles (microseconds) per user bucket — the
     activity-cadence feature behind session-gap threshold selection.
-    Composition: per-key lag window -> group_quantiles (exact type-7
-    percentile, matching DuckDB quantile_cont)."""
+    DISCRETE (nearest-rank) quantiles, deliberately: the values are
+    actual observed integer gaps selected by rank, so Spark's
+    percentile_disc and DuckDB's quantile_disc agree bit-for-bit at any
+    scale — the interpolating percentile's ``lo + frac*(hi-lo)`` is
+    fused differently across engines and at ~1e11-microsecond
+    magnitudes a 1-ulp difference (~3e-5) survives round(6): the
+    round-7 sf0.1 driver-strength sweep caught exactly that (p95
+    ...687.59996 vs ...59998). Interpolated quantiles remain fine where
+    magnitudes keep the ulp below the rounding grain (doclen_quantiles
+    at ~1e3)."""
     from pyspark.sql import Window
-
-    from .operators.profiling import group_quantiles
 
     ev = _t(spark, sf_dir, "events").select("user_id", "ts")
     w = Window.partitionBy("user_id").orderBy("ts")
@@ -2660,17 +2666,18 @@ def events_gap_quantiles(spark, sf_dir):
         "gap_us",
         F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w),
     ).filter(F.col("gap_us").isNotNull())
-    out = group_quantiles(
-        gaps.withColumn("user_bucket", F.col("user_id") % 10),
-        ["user_bucket"],
-        "gap_us",
-        quantiles=(0.50, 0.95),
-    )
-    return out.select(
-        "user_bucket",
-        "n_rows",
-        F.col("p50").alias("p50"),
-        F.col("p95").alias("p95"),
+    return (
+        gaps.withColumn("user_bucket", F.col("user_id") % 10)
+        .groupBy("user_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr(
+                "percentile_disc(0.50) WITHIN GROUP (ORDER BY gap_us)"
+            ).cast("long").alias("p50"),
+            F.expr(
+                "percentile_disc(0.95) WITHIN GROUP (ORDER BY gap_us)"
+            ).cast("long").alias("p95"),
+        )
     )
 
 
