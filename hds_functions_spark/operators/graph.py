@@ -39,13 +39,24 @@ def pagerank(
     n_iter: int = 3,
     damping: float = 0.85,
     round_digits: int = 9,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Power-iteration PageRank: ``r(v) = (1-d)/N + d * (sum over
-    in-neighbours u of r(u)/outdeg(u) + dangling_mass/N)``, ``n_iter``
-    rounds from the uniform start ``1/N``. Returns ``(node, rank)`` for
-    every node appearing as a source or destination. Duplicate edges are
-    collapsed (simple-graph semantics); for an undirected graph pass
-    both directions.
+    in-neighbours u of r(u) * w(u,v)/strength(u) + dangling_mass/N)``,
+    ``n_iter`` rounds from the uniform start ``1/N``. Returns ``(node,
+    rank)`` for every node appearing as a source or destination.
+
+    Unweighted (``weight_col=None``): duplicate edges collapse
+    (simple-graph semantics) and each out-edge carries ``1/outdeg``.
+    Weighted: rank flows proportionally to edge weight over the
+    source's total out-strength; duplicate (src, dst) edges SUM their
+    weights; non-positive/null weights are dropped (they carry no
+    rank). For an undirected graph pass both directions either way.
+    Determinism note: the per-iteration rank rounding keeps engines
+    aligned as long as the transition weights themselves are computed
+    identically — exact-dyadic weights (e.g. MinHash est_jaccard =
+    k/32) sum exactly in fp, so strength and w/strength are
+    bit-reproducible anywhere.
     """
     if n_iter < 0:
         raise ValueError(f"n_iter must be >= 0 (got {n_iter})")
@@ -58,21 +69,41 @@ def pagerank(
     # weighted edge build, the node universe, and every iteration's
     # dangling check) — persist it once or each re-runs the caller's
     # whole edge-construction pipeline
-    e = tracked_persist(
-        edges.select(
-            F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    if weight_col is None:
+        e = tracked_persist(
+            edges.select(
+                F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+            )
+            .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+            .distinct()
         )
-        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
-    )
-    # normalise once: per-edge weight 1/outdeg(src); partitioned by src so
-    # every iteration's rank join lands on an existing partitioning
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
-    norm_edges = tracked_persist(
-        e.join(out_deg, on="src")
-        .select("src", "dst", (F.lit(1.0) / F.col("_deg")).alias("_w"))
-        .repartition("src")
-    )
+        # per-edge weight 1/outdeg(src)
+        out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_deg"))
+        normed = e.join(out_deg, on="src").select(
+            "src", "dst", (F.lit(1.0) / F.col("_deg")).alias("_w")
+        )
+    else:
+        e = tracked_persist(
+            edges.select(
+                F.col(src_col).alias("src"),
+                F.col(dst_col).alias("dst"),
+                F.col(weight_col).cast("double").alias("_ew"),
+            )
+            .filter(
+                F.col("src").isNotNull()
+                & F.col("dst").isNotNull()
+                & (F.col("_ew") > 0)
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("_ew").alias("_ew"))
+        )
+        out_deg = e.groupBy("src").agg(F.sum("_ew").alias("_deg"))
+        normed = e.join(out_deg, on="src").select(
+            "src", "dst", (F.col("_ew") / F.col("_deg")).alias("_w")
+        )
+    # normalise once; partitioned by src so every iteration's rank join
+    # lands on an existing partitioning
+    norm_edges = tracked_persist(normed.repartition("src"))
     nodes = tracked_persist(
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))

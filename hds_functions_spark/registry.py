@@ -776,6 +776,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_winnowing_incremental",
     "streaming_histogram",
     "quality_join_estimate",
+    "graph_pagerank_weighted",
 ]
 
 

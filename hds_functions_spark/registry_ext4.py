@@ -831,3 +831,92 @@ def quality_join_estimate(spark, sf_dir):
 
 
 ORACLES["quality_join_estimate"] = _duck_join_estimate_sql()
+
+
+# --- similarity-weighted PageRank ----------------------------------------
+
+_WPR_ITER = 2
+_WPR_DAMPING = 0.85
+_WPR_RD = 9
+
+
+def _duck_weighted_pagerank_sql() -> str:
+    from .registry_ext import _duck_minhash_sql
+
+    d = _WPR_DAMPING
+    parts = [f"""
+mh AS (SELECT * FROM ({_duck_minhash_sql()})),
+be AS (
+  SELECT id_a AS src, id_b AS dst, est_jaccard AS w FROM mh
+  WHERE est_jaccard >= {_TRI_MIN_JACCARD}
+  UNION ALL
+  SELECT id_b, id_a, est_jaccard FROM mh
+  WHERE est_jaccard >= {_TRI_MIN_JACCARD}),
+e AS (SELECT src, dst, sum(w) AS w FROM be GROUP BY 1, 2),
+deg AS (SELECT src, sum(w) AS deg FROM e GROUP BY 1),
+ne AS (SELECT src, dst, e.w / deg AS w FROM e JOIN deg USING (src)),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+n AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT node, round(1.0 / n.n, {_WPR_RD}) AS rank
+       FROM nodes CROSS JOIN n)"""]
+    prev = "r0"
+    for i in range(1, _WPR_ITER + 1):
+        parts.append(f""",
+c{i} AS (
+  SELECT ne.dst AS node, sum(r.rank * ne.w) AS cin
+  FROM {prev} r JOIN ne ON r.node = ne.src
+  GROUP BY 1),
+d{i} AS (
+  SELECT coalesce(sum(rank), 0) AS dm FROM {prev}
+  WHERE node NOT IN (SELECT src FROM deg)),
+r{i} AS (
+  SELECT nodes.node,
+         round({1 - d} / n.n
+               + {d} * (coalesce(cin, 0) + dm / n.n), {_WPR_RD}) AS rank
+  FROM nodes LEFT JOIN c{i} USING (node)
+  CROSS JOIN n CROSS JOIN d{i})""")
+        prev = f"r{i}"
+    return "WITH " + "".join(parts) + f"\nSELECT node, rank FROM {prev}"
+
+
+@_register("graph_pagerank_weighted", None)  # oracle attached below
+def graph_pagerank_weighted(spark, sf_dir):
+    """Similarity-WEIGHTED PageRank over the shared MinHash edge table:
+    rank flows proportionally to est_jaccard, so a document central to
+    a tight near-duplicate neighbourhood outranks one with the same
+    degree but weaker ties — the curation centrality signal (which dup
+    is the canonical one?) that complements triangle counts (local
+    density) and CC (membership) on the SAME persisted graph.
+    est_jaccard values are exact dyadic rationals (k/32), so
+    out-strength sums and transition weights are bit-reproducible in
+    any engine — the unrolled-CTE oracle proves every iteration.
+    See operators/graph.py:pagerank (weight_col)."""
+    from .operators.graph import pagerank
+
+    pairs = _shared_sim_edges(spark, sf_dir)
+    edges = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("id_a").alias("src"),
+                    F.col("id_b").alias("dst"),
+                    F.col("est_jaccard").alias("w"),
+                ),
+                F.struct(
+                    F.col("id_b").alias("src"),
+                    F.col("id_a").alias("dst"),
+                    F.col("est_jaccard").alias("w"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.src", "e.dst", "e.w")
+    return pagerank(
+        edges,
+        n_iter=_WPR_ITER,
+        damping=_WPR_DAMPING,
+        round_digits=_WPR_RD,
+        weight_col="w",
+    )
+
+
+ORACLES["graph_pagerank_weighted"] = _duck_weighted_pagerank_sql()

@@ -140,3 +140,71 @@ def test_matches_bruteforce_random_graph(spark):
             for n in (x, y, z):
                 expect[n] = expect.get(n, 0) + 1
     assert _tri(spark, edges) == expect
+
+
+# --- weighted PageRank ---------------------------------------------------
+
+def test_weighted_pagerank_equal_weights_match_unweighted(spark):
+    e = spark.createDataFrame(
+        [("a", "b", 2.0), ("b", "c", 2.0), ("c", "a", 2.0), ("a", "c", 2.0)],
+        "src string, dst string, w double",
+    )
+    uw = {r["node"]: r["rank"] for r in pagerank(e, n_iter=3).collect()}
+    wt = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, n_iter=3, weight_col="w").collect()
+    }
+    assert uw == wt
+
+
+def test_weighted_pagerank_flow_proportional_to_weight(spark):
+    # a sends 9x more rank to b than to c
+    e = spark.createDataFrame(
+        [("a", "b", 9.0), ("a", "c", 1.0), ("b", "a", 1.0), ("c", "a", 1.0)],
+        "src string, dst string, w double",
+    )
+    out = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, n_iter=1, weight_col="w").collect()
+    }
+    # after one iteration from uniform: b gets 0.9 of a's rank share
+    assert out["b"] > out["c"]
+    d, n = 0.85, 3
+    expect_b = round((1 - d) / n + d * (0.9 / n), 9)
+    expect_c = round((1 - d) / n + d * (0.1 / n), 9)
+    assert out["b"] == expect_b and out["c"] == expect_c
+
+
+def test_weighted_pagerank_nonpositive_weights_dropped(spark):
+    e = spark.createDataFrame(
+        [("a", "b", 1.0), ("a", "c", 0.0), ("a", "d", None),
+         ("b", "a", 1.0)],
+        "src string, dst string, w double",
+    )
+    out = {
+        r["node"]: r["rank"]
+        for r in pagerank(e, n_iter=2, weight_col="w").collect()
+    }
+    # c and d receive no flow and are not sources: absent from the graph
+    assert set(out) == {"a", "b"}
+
+
+def test_weighted_pagerank_duplicate_edges_sum(spark):
+    dup = spark.createDataFrame(
+        [("a", "b", 1.0), ("a", "b", 2.0), ("a", "c", 3.0),
+         ("b", "a", 1.0), ("c", "a", 1.0)],
+        "src string, dst string, w double",
+    )
+    merged = spark.createDataFrame(
+        [("a", "b", 3.0), ("a", "c", 3.0), ("b", "a", 1.0),
+         ("c", "a", 1.0)],
+        "src string, dst string, w double",
+    )
+    r1 = sorted(
+        tuple(r) for r in pagerank(dup, n_iter=2, weight_col="w").collect()
+    )
+    r2 = sorted(
+        tuple(r)
+        for r in pagerank(merged, n_iter=2, weight_col="w").collect()
+    )
+    assert r1 == r2
