@@ -117,12 +117,16 @@ def pagerank(
     )
     d = float(damping)
     for _ in range(n_iter):
-        # each round reads the previous ranks from TWO branches (the
-        # contribution join and the dangling aggregate); persisting
-        # bounds the plan instead of letting it double per iteration.
-        # Ranks are one row per node — the small frame of the
-        # computation.
-        ranks = tracked_persist(ranks)
+        # each round reads the previous ranks from THREE branches (the
+        # contribution join, the dangling aggregate, and the recompose),
+        # so the plan TREE grows ~3^iterations if only persisted —
+        # persist bounds recompute, not plan size, and past ~6
+        # iterations the driver OOMs just holding the tree (the same
+        # failure mode the BPE trainer hit; measured here at n_iter=8).
+        # localCheckpoint truncates lineage per round; ranks are one
+        # row per node — the small frame of the computation. Swap for
+        # reliable checkpoint() on a real cluster.
+        ranks = ranks.localCheckpoint()
         contrib = (
             ranks.join(norm_edges, ranks["node"] == norm_edges["src"])
             .groupBy(F.col("dst").alias("node"))

@@ -777,6 +777,7 @@ DRIVER_PRIORITY: list[str] = [
     "streaming_histogram",
     "quality_join_estimate",
     "graph_pagerank_weighted",
+    "events_markov_stationary",
 ]
 
 

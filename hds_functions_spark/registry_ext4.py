@@ -920,3 +920,93 @@ def graph_pagerank_weighted(spark, sf_dir):
 
 
 ORACLES["graph_pagerank_weighted"] = _duck_weighted_pagerank_sql()
+
+
+# --- Markov stationary distribution of the event-type chain --------------
+
+_MS_ITER = 8
+_MS_RD = 9
+
+#: AS MATERIALIZED: without it DuckDB inlines the window CTE into every
+#: unrolled iteration's reference and the 8-fold re-evaluation of the
+#: events window OOMs at sf0.1
+_DUCK_TRANSITION_PAIRS = """
+tp AS MATERIALIZED (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS to_type
+  FROM events
+),
+tc AS MATERIALIZED (
+  SELECT from_type, to_type, count(*) AS n
+  FROM tp WHERE to_type IS NOT NULL GROUP BY 1, 2
+)"""
+
+
+def _duck_markov_stationary_sql() -> str:
+    parts = [f"""
+{_DUCK_TRANSITION_PAIRS},
+e AS (SELECT from_type AS src, to_type AS dst, n::DOUBLE AS w FROM tc),
+deg AS (SELECT src, sum(w) AS deg FROM e GROUP BY 1),
+ne AS (SELECT src, dst, e.w / deg AS w FROM e JOIN deg USING (src)),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+n AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT node, round(1.0 / n.n, {_MS_RD}) AS rank
+       FROM nodes CROSS JOIN n)"""]
+    prev = "r0"
+    for i in range(1, _MS_ITER + 1):
+        parts.append(f""",
+c{i} AS (
+  SELECT ne.dst AS node, sum(r.rank * ne.w) AS cin
+  FROM {prev} r JOIN ne ON r.node = ne.src GROUP BY 1),
+d{i} AS (
+  SELECT coalesce(sum(rank), 0) AS dm FROM {prev}
+  WHERE node NOT IN (SELECT src FROM deg)),
+r{i} AS (
+  SELECT nodes.node,
+         round(coalesce(cin, 0) + dm / n.n, {_MS_RD}) AS rank
+  FROM nodes LEFT JOIN c{i} USING (node)
+  CROSS JOIN n CROSS JOIN d{i})""")
+        prev = f"r{i}"
+    return (
+        "WITH " + "".join(parts)
+        + f"""
+SELECT node AS event_type, rank AS stationary_prob FROM {prev}"""
+    )
+
+
+@_register("events_markov_stationary", None)  # oracle attached below
+def events_markov_stationary(spark, sf_dir):
+    """Stationary distribution of the first-order event-type Markov
+    chain — where user behaviour SETTLES (the long-run share of each
+    event type under the learned transition dynamics), vs the
+    transition-count table's one-step view. Spark-first composition,
+    zero new machinery: transition_counts feeds pagerank with
+    damping=1.0 and count weights — the undamped weighted power
+    iteration IS pi = pi P (integer weights are fp-exact, strengths and
+    transition probabilities bit-reproducible; per-iteration rounding
+    makes the unrolled-CTE oracle reproduce all 8 iterations
+    bit-for-bit). Dangling term kept for formula parity (zero here:
+    every observed type transitions onward at these scales)."""
+    from .operators.events import transition_counts
+    from .operators.graph import pagerank
+    from .registry import normalise_event_ts
+
+    ev = normalise_event_ts(_t(spark, sf_dir, "events"))
+    tc = transition_counts(ev)
+    out = pagerank(
+        tc,
+        src_col="from_type",
+        dst_col="to_type",
+        n_iter=_MS_ITER,
+        damping=1.0,
+        round_digits=_MS_RD,
+        weight_col="n_transitions",
+    )
+    return out.select(
+        F.col("node").alias("event_type"),
+        F.col("rank").alias("stationary_prob"),
+    )
+
+
+ORACLES["events_markov_stationary"] = _duck_markov_stationary_sql()
