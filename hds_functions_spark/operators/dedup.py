@@ -50,6 +50,8 @@ __all__ = [
     "winnowing_fingerprints",
     "winnowing_overlap_pairs",
     "winnowing_overlap_incremental",
+    "exact_substring_spans",
+    "remove_duplicate_spans",
 ]
 
 
@@ -1195,4 +1197,211 @@ def winnowing_overlap_incremental(
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
         .select("id_a", "id_b", "n_shared", "cross_batch")
+    )
+
+
+def exact_substring_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 30,
+) -> DataFrame:
+    """Exact duplicated-substring spans, the Lee et al. operator
+    ("Deduplicating Training Data Makes Language Models Better",
+    ACL 2022): per document, the maximal character ranges every byte of
+    which lies inside some substring of length >= ``min_len`` that
+    occurs at least twice in the corpus (counting a second occurrence
+    anywhere — another document OR the same one). This is the operation
+    real pretraining dedup pipelines run; :func:`winnowing_fingerprints`
+    only *samples* shared substrings and :func:`duplicated_ngram_stats`
+    only *counts* fixed-k grams — neither can name the exact boundaries
+    to cut.
+
+    Equivalence that makes it distributable: a character at position
+    ``i`` is covered iff some ``min_len``-gram starting at
+    ``p in [i-min_len+1, i]`` is globally duplicated, so the duplicated
+    ranges are exactly the union of ``[p, p+min_len-1]`` over duplicated
+    gram starts ``p`` — no suffix array needed, just gram-frequency
+    grouping plus a per-document interval merge. Lee et al. build one
+    global suffix array (ibid. §4.1); the shuffle-bounded reformulation
+    here is the distributed equivalent: frequency counting over
+    fixed-length grams IS the depth-``min_len`` prefix bucket of the
+    suffix sort.
+
+    Plan shape (all JVM-side, zero UDFs, zero driver collects):
+
+    1. one projection explodes per-position 64-bit gram hashes
+       (``xxhash64`` over the length-``min_len`` substring — computed
+       in-place per doc, so the exchange carries 20-byte
+       ``(hash, doc, pos)`` rows, never the L-byte grams);
+    2. a map-side-combinable ``groupBy(hash)`` finds candidate hashes
+       with count >= 2;
+    3. candidates re-attach the REAL substring (join back to the docs
+       on ``doc_id`` — candidate positions only, the rare rows) and
+       re-group on it, which scrubs hash collisions: the final grouping
+       key is the actual text, so the result is exact no matter the
+       hash (all positions sharing a substring share a hash, hence
+       survive step 2 together);
+    4. per-doc interval merge via the gaps-and-islands window — equal-
+       length intervals sorted by start merge iff
+       ``pos - lag(pos) <= min_len``.
+
+    100 TB note: like the suffix array it replaces, this examines every
+    character position — the step-2 exchange is ~20 bytes per text byte
+    (pre-combine; natural-text gram distinctness leaves little combine
+    win), so size ``spark.sql.shuffle.partitions`` to the corpus, not
+    the doc count. When sampled detection is acceptable, winnowing is
+    the cheap alternative; this operator is for exact boundaries.
+
+    Documents shorter than ``min_len`` have no grams and yield no spans
+    (``F.sequence`` would count DOWN for them, hence the explicit
+    filter). Matching is case- and whitespace-sensitive (literal bytes
+    — exact dedup, unlike the normalised fuzzy family). Output:
+    ``(doc_id, span_start, span_end, span_len)`` with 1-based inclusive
+    character offsets.
+    """
+    if min_len < 2:
+        raise ValueError(f"min_len must be >= 2 (got {min_len})")
+    from ..caching import tracked_persist
+
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+    grams = (
+        base.filter(F.length("_text") >= min_len)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("_text") - min_len + 1),
+                    lambda p: F.struct(
+                        p.alias("pos"),
+                        F.xxhash64(
+                            F.substr(F.col("_text"), p, F.lit(min_len))
+                        ).alias("gh"),
+                    ),
+                )
+            ).alias("_g"),
+        )
+        .select("doc_id", F.col("_g.pos").alias("pos"), F.col("_g.gh").alias("gh"))
+    )
+    # two consumers (the frequency agg + the candidate re-join) — without
+    # the persist the per-position gram hashing runs twice
+    grams = tracked_persist(grams)
+    dup_hashes = (
+        grams.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("gh")
+    )
+    cand = grams.join(dup_hashes, on="gh").select("doc_id", "pos")
+    # collision scrub: the confirming group key is the REAL substring
+    with_gram = (
+        cand.join(base, on="doc_id")
+        .select(
+            "doc_id",
+            "pos",
+            F.substr(F.col("_text"), F.col("pos"), F.lit(min_len)).alias("_gram"),
+        )
+    )
+    with_gram = tracked_persist(with_gram)
+    dup_grams = (
+        with_gram.groupBy("_gram")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("_gram")
+    )
+    hits = with_gram.join(dup_grams, on="_gram").select("doc_id", "pos")
+    # gaps-and-islands merge: intervals [p, p+L-1] all equal-length, so
+    # end order == start order and lag(pos) alone decides the break
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (
+        hits.withColumn(
+            "_brk",
+            F.when(F.col("pos") - F.lag("pos").over(w) > min_len, 1).otherwise(0),
+        )
+        .withColumn("_isl", F.sum("_brk").over(w))
+        .groupBy("doc_id", "_isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + min_len - 1).cast("long").alias("span_end"),
+        )
+        .select(
+            "doc_id",
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
+        )
+    )
+    return spans
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cut the duplicated spans out of each document — the second half
+    of the Lee et al. pipeline (ibid. §4: drop one-side occurrences of
+    each duplicated range; here every occurrence is cut, the
+    conservative variant their released tooling defaults to). ``spans``
+    is :func:`exact_substring_spans` output (disjoint, per-doc); docs
+    without spans pass through verbatim, a fully-covered doc becomes
+    the empty string.
+
+    One groupBy collects each doc's (few) spans into a sorted array;
+    the cut itself is a single JVM ``aggregate`` fold over that array —
+    state ``(prev_end, acc)``, each step appends the kept segment
+    between the previous span and this one, the finisher appends the
+    tail. No shuffle beyond the span collection (doc-keyed, tiny), no
+    UDF, and the text column never enters an exchange: the fold runs
+    where the docs already live after the doc_id join.
+
+    Output: ``(doc_id, text_clean, n_removed)`` where ``n_removed`` is
+    the count of characters cut (original minus kept length).
+    """
+    base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+    per_doc = spans.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("span_start", "span_end"))
+        ).alias("_spans")
+    )
+    from ..functions.exprs import let_
+
+    def _cut(t: Column) -> Column:
+        folded = F.aggregate(
+            F.col("_spans"),
+            F.struct(
+                F.lit(0).cast("long").alias("prev_end"),
+                F.lit("").alias("acc"),
+            ),
+            lambda st, s: F.struct(
+                s["span_end"].alias("prev_end"),
+                F.concat(
+                    st["acc"],
+                    F.substr(
+                        t,
+                        (st["prev_end"] + 1).cast("int"),
+                        (s["span_start"] - st["prev_end"] - 1).cast("int"),
+                    ),
+                ).alias("acc"),
+            ),
+            lambda st: F.concat(
+                st["acc"],
+                F.substr(
+                    t,
+                    (st["prev_end"] + 1).cast("int"),
+                    (F.length(t) - st["prev_end"]).cast("int"),
+                ),
+            ),
+        )
+        return folded
+
+    joined = base.join(per_doc, on="doc_id", how="left")
+    clean = F.when(F.col("_spans").isNull(), F.col("_text")).otherwise(
+        let_(F.col("_text"), _cut)
+    )
+    return joined.select(
+        "doc_id",
+        clean.alias("text_clean"),
+        (F.length("_text") - F.length(clean)).cast("long").alias("n_removed"),
     )

@@ -1010,3 +1010,6 @@ def events_markov_stationary(spark, sf_dir):
 
 
 ORACLES["events_markov_stationary"] = _duck_markov_stationary_sql()
+
+
+from . import registry_ext5  # noqa: E402,F401  (round-8 registrations)
