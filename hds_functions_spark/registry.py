@@ -731,53 +731,72 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Queries the driver's correctness gate should see first. The gate verifies
 #: exactly the first 50 entries of ``queries()`` in iteration order.
-#: ROUND-7 ROTATION: head = the two round-6 driver-reds (both fixed this
-#: round: table_rollup_merge now sums integer cents so split-merge ==
-#: one-pass bit-exactly; similarity_random_projection now emits scalar
-#: proj_0..proj_7 so the driver's pandas canonicalisation can sort it),
-#: then the 17 queries with no driver row in CORRECTNESS_r01-r06 (the
-#: round-6 build-out, judge-verified green at sf0.1 but never
-#: driver-checked — computed by tools/driver_coverage.py at round-6
-#: close). Round-7 additions are appended after these so they land a
-#: driver row in the same round they ship. The remaining window slots
-#: fall back to registration order (all driver-green in r01-r06).
-#: ROUND-8 ROTATION GUIDANCE: if CORRECTNESS_r07 comes back green for
-#: this window, the driver-verified union is 177/177 — rotate the next
-#: window onto the queries with the OLDEST driver rows (refresh, via
-#: tools/driver_coverage.py) and put any r07 reds at its head.
+#: ROUND-9 ROTATION: head = the three round-8 additions (judge-verified
+#: green at sf0.01 --exact but never driver-checked — the r8 window was
+#: not rotated), then the 39 queries whose newest driver row is r04
+#: (tools/driver_coverage.py stale list at round-8 close), then the
+#: oldest r05 rows to fill the 50-slot window. Round-9 additions, if
+#: any, should be inserted at the head so they land a driver row the
+#: round they ship.
+#: ROUND-10 ROTATION GUIDANCE: if CORRECTNESS_r09 comes back green for
+#: this window, the driver-verified union is 182/182 with no row older
+#: than r05 — rotate the next window onto the oldest rows again
+#: (refresh via tools/driver_coverage.py) and put any r09 reds at the
+#: head.
 DRIVER_PRIORITY: list[str] = [
-    "table_rollup_merge",
-    "similarity_random_projection",
-    "clean_strip_markup",
-    "multimodal_image_png",
-    "retrieval_bm25",
-    "retrieval_decontam",
-    "sketch_kmv_distinct",
-    "sketch_hll_distinct",
-    "sketch_countmin_topk",
-    "graph_pagerank",
-    "split_leakage_safe",
-    "fuzzy_name_pairs",
-    "fuzzy_canonical_entities",
-    "layout_compaction_plan",
-    "events_attribution",
-    "events_top_paths",
-    "text_bpe_train",
-    "text_bpe_encode",
-    "dedup_incremental",
-    # round-7 additions (land driver rows the round they ship):
-    "retrieval_bm25_pruned",
-    "graph_triangles",
-    "sketch_theta_ops",
-    "sketch_histogram_quantiles",
-    "dedup_winnowing",
-    "privacy_t_closeness",
-    "similarity_tfidf_topk",
-    "dedup_winnowing_incremental",
-    "streaming_histogram",
-    "quality_join_estimate",
-    "graph_pagerank_weighted",
-    "events_markov_stationary",
+    # round-8 additions (never driver-checked):
+    "dedup_exact_spans",
+    "dedup_span_removal",
+    "pipeline_exact_dedup_prep",
+    # r04-vintage rows (stalest; 39):
+    "dedup_clusters_build",
+    "dedup_clusters_cc",
+    "dedup_embedding",
+    "dedup_exact",
+    "dedup_groups",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "events_asof_join",
+    "events_densified",
+    "events_interval_join",
+    "events_sessionize",
+    "events_sessions",
+    "events_tumbling",
+    "ids_dense_assign",
+    "join_salted",
+    "multimodal_audio",
+    "multimodal_features",
+    "multimodal_frames",
+    "multimodal_resize",
+    "profile_key_skew",
+    "quality_orphans",
+    "similarity_ivf_knn",
+    "similarity_knn",
+    "similarity_lsh_banded",
+    "similarity_lsh_knn",
+    "similarity_recall",
+    "source_csv_distributed",
+    "source_jsonl_corpus",
+    "streaming_tumbling",
+    "table_diff_versions",
+    "text_bigram_logprob",
+    "text_char_entropy",
+    "text_fingerprint",
+    "text_language",
+    "text_quality",
+    "text_stats",
+    "text_tokens",
+    "wrangle_winsorize",
+    # oldest r05 rows to fill the window (8):
+    "analytics_promo_revenue",
+    "analytics_region_revenue",
+    "analytics_top_orders",
+    "chunk_documents",
+    "clean_dedup_lines",
+    "clean_dedup_lines_corpus",
+    "clean_filter_lines",
+    "clean_scrub_pii",
 ]
 
 
