@@ -1400,8 +1400,15 @@ def remove_duplicate_spans(
     clean = F.when(F.col("_spans").isNull(), F.col("_text")).otherwise(
         let_(F.col("_text"), _cut)
     )
+    # project the fold ONCE, then derive n_removed from the projected
+    # column — referencing `clean` twice would double-evaluate the
+    # aggregate fold per row wherever CSE doesn't kick in
     return joined.select(
         "doc_id",
+        F.length("_text").cast("long").alias("_orig_len"),
         clean.alias("text_clean"),
-        (F.length("_text") - F.length(clean)).cast("long").alias("n_removed"),
+    ).select(
+        "doc_id",
+        "text_clean",
+        (F.col("_orig_len") - F.length("text_clean")).cast("long").alias("n_removed"),
     )

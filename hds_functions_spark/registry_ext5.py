@@ -200,9 +200,14 @@ def pipeline_exact_dedup_prep(spark, sf_dir):
     from .operators.contamination import ngram_contamination
     from .operators.dedup import exact_substring_spans, remove_duplicate_spans
 
+    from .caching import tracked_persist
+
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
     spans = exact_substring_spans(docs, min_len=_XS_MIN_LEN)
-    cleaned = remove_duplicate_spans(docs, spans)
+    # three consumers downstream (evals, corpus grams, final agg) — persist
+    # the expensive span-detection + removal subplan once instead of
+    # recomputing it per consumer
+    cleaned = tracked_persist(remove_duplicate_spans(docs, spans))
     evals = cleaned.filter(F.col("doc_id") % _XP_EVAL_MOD == 0).select(
         F.col("doc_id").alias("eval_id"), F.col("text_clean")
     )

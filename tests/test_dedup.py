@@ -520,3 +520,32 @@ def test_winnowing_incremental_df_cap_counts_both_sides(spark):
     assert winnowing_overlap_incremental(
         new_fps, corp_fps, min_shared=1, max_doc_freq=5
     ).count() > 0
+
+
+def test_exact_substring_spans_golden(spark):
+    """Golden end-to-end: two docs share one 12-char passage; the span
+    names its exact 1-based boundaries and the cut removes exactly it."""
+    from hds_functions_spark.operators.dedup import (
+        exact_substring_spans,
+        remove_duplicate_spans,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "intro SHARED-PASSAGE outro"),
+            (2, "xx SHARED-PASSAGE yy"),
+            (3, "completely original text"),
+        ],
+        "doc_id: long, text: string",
+    )
+    spans = exact_substring_spans(docs, min_len=10)
+    got = {(r.doc_id, r.span_start, r.span_end, r.span_len)
+           for r in spans.collect()}
+    # the shared region is " SHARED-PASSAGE " (16 chars — flanking
+    # spaces are shared too): doc 1 at 6..21, doc 2 at 3..18
+    assert got == {(1, 6, 21, 16), (2, 3, 18, 16)}
+    cut = {r.doc_id: (r.text_clean, r.n_removed)
+           for r in remove_duplicate_spans(docs, spans).collect()}
+    assert cut[1] == ("introoutro", 16)
+    assert cut[2] == ("xxyy", 16)
+    assert cut[3] == ("completely original text", 0)
