@@ -544,7 +544,32 @@ def cm_inner_product(
     depth/width; the cell join costs at most ``depth * width`` rows per
     side at any data size — state-sized arithmetic, like every merge in
     this module. Output: one row ``(join_size_est)``.
+
+    Width contract: a width mismatch between the two builds misaligns
+    the ``cm_col`` buckets and the "estimate" is meaningless — the
+    frame does not carry its width, so this is a caller contract (use
+    one ``width=`` for every sketch you intend to compare). What IS
+    detectable structurally is rejected here: a frame missing the
+    sketch columns, or carrying extra (group) columns — a GROUPED
+    sketch must be filtered to one group and stripped of its group
+    columns before pricing a join with it.
     """
+    _CM_COLS = {"cm_row", "cm_col", "cm_count"}
+    for name, sk in (("sketch_a", sketch_a), ("sketch_b", sketch_b)):
+        cols = set(sk.columns)
+        missing = _CM_COLS - cols
+        if missing:
+            raise ValueError(
+                f"{name} is not a count_min_table frame: missing "
+                f"column(s) {sorted(missing)}"
+            )
+        extra = cols - _CM_COLS
+        if extra:
+            raise ValueError(
+                f"{name} has extra column(s) {sorted(extra)} — looks "
+                "like a GROUPED sketch; filter to one group and select "
+                "only (cm_row, cm_col, cm_count) before cm_inner_product"
+            )
     a = sketch_a.select(
         "cm_row", "cm_col", F.col("cm_count").alias("_ca")
     )

@@ -40,6 +40,7 @@ def pagerank(
     damping: float = 0.85,
     round_digits: int = 9,
     weight_col: str | None = None,
+    checkpoint_every: int = 1,
 ) -> DataFrame:
     """Power-iteration PageRank: ``r(v) = (1-d)/N + d * (sum over
     in-neighbours u of r(u) * w(u,v)/strength(u) + dangling_mass/N)``,
@@ -52,6 +53,20 @@ def pagerank(
     source's total out-strength; duplicate (src, dst) edges SUM their
     weights; non-positive/null weights are dropped (they carry no
     rank). For an undirected graph pass both directions either way.
+
+    Lineage strategy (``checkpoint_every``): each round reads the
+    previous ranks from three branches, so the unbroken plan TREE grows
+    ~3^iterations — past ~6 rounds the driver OOMs just holding it.
+    Every ``checkpoint_every`` rounds the lineage is truncated: via
+    RELIABLE ``checkpoint()`` when the session has a checkpoint dir set
+    (``sc.setCheckpointDir`` — survives executor loss, the right mode
+    on a real cluster), else ``localCheckpoint()`` (executor-local
+    blocks, fine in local mode / ephemeral jobs but NOT fault-tolerant:
+    losing an executor kills the job). The rank frame is one row per
+    node — the small side of the computation — so either write is
+    cheap relative to the per-round contribution join. Plan size
+    between truncations grows ~3^cadence: keep ``checkpoint_every``
+    <= 3 (see tools/scaleup_r8.py for the cadence A/B).
     Determinism note: the per-iteration rank rounding keeps engines
     aligned as long as the transition weights themselves are computed
     identically — exact-dyadic weights (e.g. MinHash est_jaccard =
@@ -62,6 +77,10 @@ def pagerank(
         raise ValueError(f"n_iter must be >= 0 (got {n_iter})")
     if not 0 <= damping <= 1:
         raise ValueError(f"damping must be in [0, 1] (got {damping})")
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1 (got {checkpoint_every})"
+        )
 
     from ..caching import tracked_persist
 
@@ -116,17 +135,17 @@ def pagerank(
         "node", F.round(F.lit(1.0) / F.col("_n"), round_digits).alias("rank")
     )
     d = float(damping)
-    for _ in range(n_iter):
-        # each round reads the previous ranks from THREE branches (the
-        # contribution join, the dangling aggregate, and the recompose),
-        # so the plan TREE grows ~3^iterations if only persisted —
-        # persist bounds recompute, not plan size, and past ~6
-        # iterations the driver OOMs just holding the tree (the same
-        # failure mode the BPE trainer hit; measured here at n_iter=8).
-        # localCheckpoint truncates lineage per round; ranks are one
-        # row per node — the small frame of the computation. Swap for
-        # reliable checkpoint() on a real cluster.
-        ranks = ranks.localCheckpoint()
+    # reliable checkpoint when the session has a checkpoint dir (cluster
+    # mode: survives executor loss), executor-local blocks otherwise
+    sc = edges.sparkSession.sparkContext
+    _reliable = sc.getCheckpointDir() is not None
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if _reliable else df.localCheckpoint()
+
+    for i in range(n_iter):
+        if i % checkpoint_every == 0:
+            ranks = _truncate(ranks)
         contrib = (
             ranks.join(norm_edges, ranks["node"] == norm_edges["src"])
             .groupBy(F.col("dst").alias("node"))

@@ -327,10 +327,14 @@ def t_closeness_violations(
             "_cump", F.sum("_cn").over(w_grp) / F.col("n_rows")
         )
     )
+    # m = 1 distinct sensitive value means every group's distribution
+    # equals the global one — EMD is 0 — but the ordered-EMD normaliser
+    # (m - 1) would be 0 and error under ANSI; clamp to 1 (numerator is
+    # 0 in that case, so the clamp never changes a nonzero distance)
     emd = joined.groupBy(*quasi_cols, "n_rows").agg(
         F.round(
             F.sum(F.abs(F.col("_cump") - F.col("_cumq")))
-            / (F.max("_m") - 1),
+            / F.greatest(F.max("_m") - F.lit(1), F.lit(1)),
             round_digits,
         ).alias("t_distance")
     )

@@ -241,3 +241,19 @@ def test_t_closeness_validation(spark):
         t_closeness_violations(df, [], "s")
     with pytest.raises(ValueError, match="t must be"):
         t_closeness_violations(df, ["g"], "s", t=1.5)
+
+
+def test_t_closeness_single_distinct_sensitive_value(spark):
+    """m = 1 distinct sensitive value: every group's distribution IS the
+    global one, so EMD = 0 and no group violates — and the (m-1)
+    normaliser must not divide by zero (errors under ANSI)."""
+    from hds_functions_spark.operators.privacy import t_closeness_violations
+
+    df = spark.createDataFrame(
+        [("a", "only"), ("a", "only"), ("b", "only")], "g: string, s: string"
+    )
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        assert t_closeness_violations(df, ["g"], "s", t=0.0).count() == 0
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "false")

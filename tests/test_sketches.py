@@ -422,3 +422,22 @@ def test_cm_inner_product_exact_when_no_collisions(spark):
 def test_cm_inner_product_disjoint_keys(spark):
     est = _cm_pair(spark, [1, 2, 3], [100001, 100002], width=4096)
     assert est == 0
+
+
+def test_cm_inner_product_rejects_malformed_sketches(spark):
+    from hds_functions_spark.functions.sketches import (
+        cm_inner_product,
+        count_min_table,
+    )
+    import pytest as _pytest
+
+    df = spark.createDataFrame([(1, "k")], "g: int, v: string")
+    ok = count_min_table(df, "v", depth=2, width=8)
+    grouped = count_min_table(df, "v", group_cols=["g"], depth=2, width=8)
+    with _pytest.raises(ValueError, match="GROUPED"):
+        cm_inner_product(ok, grouped)
+    with _pytest.raises(ValueError, match="missing"):
+        cm_inner_product(ok.drop("cm_count"), ok)
+    # the grouped sketch is usable once filtered + stripped
+    one = grouped.filter("g = 1").select("cm_row", "cm_col", "cm_count")
+    assert cm_inner_product(ok, one, depth=2).collect()[0].join_size_est == 1
