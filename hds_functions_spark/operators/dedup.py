@@ -1205,6 +1205,7 @@ def exact_substring_spans(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_len: int = 30,
+    gram_persist: str = "memory_and_disk",
 ) -> DataFrame:
     """Exact duplicated-substring spans, the Lee et al. operator
     ("Deduplicating Training Data Makes Language Models Better",
@@ -1253,6 +1254,18 @@ def exact_substring_spans(
     the doc count. When sampled detection is acceptable, winnowing is
     the cheap alternative; this operator is for exact boundaries.
 
+    ``gram_persist`` controls the per-position grams cache, which two
+    plan branches consume (the frequency agg and the candidate
+    re-join) and whose size is ~20 B per corpus CHARACTER:
+    ``"memory_and_disk"`` (default — right in local/medium jobs where
+    the cache fits), ``"disk_only"`` (a corpus-scale cluster run,
+    where a corpus-sized cache must not evict executor storage
+    memory), or ``"none"`` (recompute the gram projection per branch —
+    trades one extra scan + hash pass for zero cache footprint; the
+    projection is cheap relative to the exchange, so this is the
+    honest choice when even local disk is tight). The 16x A/B backing
+    the default is in tools/scaleup_r8.py / BASELINE.md.
+
     Documents shorter than ``min_len`` have no grams and yield no spans
     (``F.sequence`` would count DOWN for them, hence the explicit
     filter). Matching is case- and whitespace-sensitive (literal bytes
@@ -1262,6 +1275,19 @@ def exact_substring_spans(
     """
     if min_len < 2:
         raise ValueError(f"min_len must be >= 2 (got {min_len})")
+    from pyspark.storagelevel import StorageLevel
+
+    _LEVELS = {
+        "memory_and_disk": StorageLevel.MEMORY_AND_DISK,
+        "disk_only": StorageLevel.DISK_ONLY,
+        "none": None,
+    }
+    if gram_persist not in _LEVELS:
+        raise ValueError(
+            f"gram_persist must be one of {sorted(_LEVELS)} "
+            f"(got {gram_persist!r})"
+        )
+    _gram_level = _LEVELS[gram_persist]
     from ..caching import tracked_persist
 
     base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
@@ -1284,8 +1310,10 @@ def exact_substring_spans(
         .select("doc_id", F.col("_g.pos").alias("pos"), F.col("_g.gh").alias("gh"))
     )
     # two consumers (the frequency agg + the candidate re-join) — without
-    # the persist the per-position gram hashing runs twice
-    grams = tracked_persist(grams)
+    # the persist the per-position gram hashing runs twice; level per the
+    # gram_persist contract above
+    if _gram_level is not None:
+        grams = tracked_persist(grams, level=_gram_level)
     dup_hashes = (
         grams.groupBy("gh")
         .agg(F.count(F.lit(1)).alias("_n"))

@@ -65,15 +65,46 @@ def resolve_path(path: str, repo: str | None = None) -> str:
 
 
 def find_project_folder(
-    marker_file: str = ".dbxproj", workspace_prefix: str = "/Workspace"
+    marker_file: str = ".dbxproj",
+    workspace_prefix: str = "/Workspace",
+    dbutils=None,
 ) -> str:
-    """Walk up from the current directory until ``marker_file`` is found.
+    """Locate the project root by searching upward for ``marker_file``.
 
-    The reference (``environment_utils.py:75-127``) walks up from the
-    Databricks notebook path; outside Databricks this generalises to walking
-    up from ``$PROJECT_FOLDER`` or the CWD. FileNotFoundError at filesystem
-    root.
+    Full parity with the reference (``environment_utils.py:75-127``):
+    when a ``dbutils`` handle is available — injected via the ``dbutils``
+    argument (testable with a fake), or discoverable from the active
+    session — the search starts from the Databricks NOTEBOOK path
+    (``workspace_prefix`` + the notebook's folder, read from the
+    notebook context), skips unreadable directories, and raises
+    FileNotFoundError on reaching the workspace root. Outside Databricks
+    this generalises to walking up from ``$PROJECT_FOLDER`` or the CWD.
     """
+    if dbutils is None:
+        active = SparkSession.getActiveSession()
+        if active is not None:
+            dbutils = get_dbutils(active)
+    if dbutils is not None:
+        context = (
+            dbutils.notebook.entry_point.getDbutils().notebook().getContext()
+        )
+        notebook_folder = (
+            f"{workspace_prefix}{os.path.dirname(context.notebookPath().get())}"
+        )
+        current = notebook_folder
+        while True:
+            if current in ("", "/"):
+                raise FileNotFoundError(
+                    f"Marker file '{marker_file}' not found in any parent "
+                    f"directories of {notebook_folder}."
+                )
+            try:
+                if marker_file in os.listdir(current):
+                    return current
+            except (FileNotFoundError, PermissionError, NotADirectoryError):
+                pass  # skip inaccessible levels, keep walking up
+            current = os.path.dirname(current)
+    # non-Databricks generalisation: walk up from $PROJECT_FOLDER / CWD
     start = os.environ.get("PROJECT_FOLDER", os.getcwd())
     current = os.path.abspath(start)
     while True:

@@ -52,3 +52,65 @@ def test_get_dbutils_outside_databricks(spark):
     assert get_dbutils(spark) is None  # feature-gate default
     with pytest.raises(RuntimeError, match="dbutils is not available"):
         get_dbutils(spark, strict=True)  # reference parity mode
+
+
+class _FakeDbutils:
+    """Fake of the dbutils.notebook.entry_point context-chain the
+    reference walks (environment_utils.py:98-107)."""
+
+    def __init__(self, notebook_path: str):
+        class _Path:
+            def __init__(self, p): self._p = p
+            def get(self): return self._p
+
+        class _Context:
+            def __init__(self, p): self._p = p
+            def notebookPath(self): return _Path(self._p)
+
+        class _Notebook2:
+            def __init__(self, p): self._p = p
+            def getContext(self): return _Context(self._p)
+
+        class _Inner:
+            def __init__(self, p): self._p = p
+            def notebook(self): return _Notebook2(self._p)
+
+        class _EntryPoint:
+            def __init__(self, p): self._p = p
+            def getDbutils(self): return _Inner(self._p)
+
+        class _NotebookNS:
+            def __init__(self, p): self.entry_point = _EntryPoint(p)
+
+        self.notebook = _NotebookNS(notebook_path)
+
+
+def test_find_project_folder_notebook_path_branch(tmp_path):
+    # workspace layout: <ws>/Users/alice/my_project/{.dbxproj,notebooks/}
+    proj = tmp_path / "Users" / "alice" / "my_project"
+    (proj / "notebooks").mkdir(parents=True)
+    (proj / ".dbxproj").touch()
+    fake = _FakeDbutils("/Users/alice/my_project/notebooks/analysis")
+    got = find_project_folder(
+        workspace_prefix=str(tmp_path), dbutils=fake
+    )
+    assert got == str(proj)
+
+
+def test_find_project_folder_notebook_path_not_found(tmp_path):
+    (tmp_path / "Users" / "bob" / "nb").mkdir(parents=True)
+    fake = _FakeDbutils("/Users/bob/nb/analysis")
+    with pytest.raises(FileNotFoundError, match="not found in any parent"):
+        find_project_folder(workspace_prefix=str(tmp_path), dbutils=fake)
+
+
+def test_find_project_folder_notebook_path_skips_unreadable(tmp_path):
+    # the notebook's own folder does not exist on the driver (common:
+    # workspace paths are not locally mounted below the repo root) —
+    # the walk must skip it and still find the marker above
+    proj = tmp_path / "proj"
+    proj.mkdir()
+    (proj / ".dbxproj").touch()
+    fake = _FakeDbutils("/proj/not_mounted/deeper/analysis")
+    got = find_project_folder(workspace_prefix=str(tmp_path), dbutils=fake)
+    assert got == str(proj)
