@@ -40,6 +40,8 @@ __all__ = [
     "bm25_scores",
     "bm25_topk",
     "bm25_topk_pruned",
+    "bm25_topk_auto",
+    "bm25_prune_volume_ratio",
     "tfidf_doc_topk",
     "retrieval_decontam",
 ]
@@ -337,6 +339,129 @@ def bm25_topk_pruned(
         .withColumn("rank", F.row_number().over(w_rank))
         .filter(F.col("rank") <= k)
     )
+
+
+def bm25_prune_volume_ratio(
+    docs: DataFrame,
+    queries: DataFrame,
+    seed_terms: int = 2,
+    doc_id_col: str = "doc_id",
+    doc_text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "query_text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    max_df_frac: float = 0.5,
+    term_ngram: int = 1,
+) -> float:
+    """The MaxScore regime probe: PREDICTED pruned/full scoring-join
+    volume, from a driver-free simulation of the pruning decision over
+    the suite-sized ``(query, term, ub, df)`` frame.
+
+    The regime is query-dependent, not a corpus property (a corpus-only
+    idf-dispersion statistic cannot separate the measured regimes —
+    tools/bm25_prune_regime.py records the failed attempt), so the
+    probe replays MaxScore's own arithmetic per query with one
+    approximation: the unknown threshold ``theta(q)`` (the k-th best
+    seed PARTIAL score, which would cost the seed join to compute) is
+    estimated as ``sum(seed ubs) / (k1+1)`` — a doc matching every
+    seed term at tf=1 and dl=avgdl, the typical k-th candidate. Terms
+    in a query's ascending-ub prefix whose running total stays below
+    theta-hat are predicted non-essential; the prediction is
+
+        ratio = (seed df + essential df) / total query-term df
+
+    i.e. pruned pair rows (seed pass + candidate scoring, both
+    df-proportional) over the full join's pair rows. Flat ub profiles
+    predict ratio >= 1 (nothing non-essential, the seed pass is pure
+    overhead); stopword-tailed profiles predict <<1. Costs ONE
+    postings/df build (a corpus scan + one state-sized aggregate);
+    everything after the ``kept`` join is suite-sized. Empty inputs
+    return 1.0 (no reason to prune).
+    """
+    post, kept, qterms = _bm25_frames(
+        docs, queries, doc_id_col, doc_text_col, query_id_col,
+        query_text_col, k1, b, max_df_frac, term_ngram,
+    )
+    qub = qterms.join(
+        kept.select("term", "idf", "df"), on="term"
+    ).select(
+        "query_id", "term", "df",
+        (F.col("idf") * (k1 + 1)).alias("_ub"),
+    )
+    w_seed = Window.partitionBy("query_id").orderBy(
+        F.col("_ub").desc(), F.col("term")
+    )
+    w_cum = (
+        Window.partitionBy("query_id")
+        .orderBy(F.col("_ub").asc(), F.col("term"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = (
+        qub.withColumn("_seed", F.row_number().over(w_seed) <= seed_terms)
+        .withColumn("_cum", F.sum("_ub").over(w_cum))
+        .withColumn(
+            "_theta_hat",
+            F.sum(F.when(F.col("_seed"), F.col("_ub")).otherwise(0.0)).over(
+                Window.partitionBy("query_id")
+            ) / (k1 + 1),
+        )
+        .withColumn("_essential", F.col("_cum") >= F.col("_theta_hat"))
+    )
+    row = flagged.agg(
+        F.sum("df").alias("_full"),
+        F.sum(
+            F.when(F.col("_seed"), F.col("df")).otherwise(0)
+            + F.when(F.col("_essential"), F.col("df")).otherwise(0)
+        ).alias("_pruned"),
+    ).collect()[0]
+    if not row._full:
+        return 1.0
+    return float(row._pruned) / float(row._full)
+
+
+def bm25_topk_auto(
+    docs: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    max_volume_ratio: float = 0.8,
+    **kwargs,
+) -> DataFrame:
+    """Top-``k`` BM25 with the pruning regime chosen by measurement,
+    not by the caller (both regimes return byte-identical rows — this
+    picks the CHEAPER one). Runs :func:`bm25_prune_volume_ratio`;
+    below ``max_volume_ratio`` the predicted candidate volume makes
+    :func:`bm25_topk_pruned` the win, at/above it the ub profile is
+    too flat for pruning to shed volume and the seed pass is pure
+    overhead (measured 1.21x shuffle on the flat synthetic corpus —
+    tools/bm25_prune_regime.py), so plain :func:`bm25_topk` runs. The
+    decision and the predicted ratio are logged at INFO on the
+    ``hds_functions_spark.retrieval`` logger. The 0.8 default is
+    calibrated by the same tool: the planted-Zipf corpus (measured
+    0.58x volume, pruning wins) predicts well under it, the flat
+    synthetic corpus (measured 1.21x, pruning loses) predicts >= 1.
+    """
+    import logging
+
+    probe_kw = {
+        key: kwargs[key]
+        for key in (
+            "seed_terms", "doc_id_col", "doc_text_col", "query_id_col",
+            "query_text_col", "k1", "b", "max_df_frac", "term_ngram",
+        )
+        if key in kwargs
+    }
+    ratio = bm25_prune_volume_ratio(docs, queries, **probe_kw)
+    prune = ratio < max_volume_ratio
+    logging.getLogger("hds_functions_spark.retrieval").info(
+        "bm25_topk_auto: predicted_volume_ratio=%.3f threshold=%.3f -> %s",
+        ratio, max_volume_ratio, "pruned" if prune else "full",
+    )
+    if prune:
+        return bm25_topk_pruned(docs, queries, k=k, **kwargs)
+    # bm25_topk routes remaining kwargs to bm25_scores (no seed_terms)
+    kwargs.pop("seed_terms", None)
+    return bm25_topk(docs, queries, k=k, **kwargs)
 
 
 def retrieval_decontam(

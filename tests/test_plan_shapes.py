@@ -165,3 +165,83 @@ def test_semantic_pairs_join_on_cluster_key(emb):
     # never a cartesian product
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_exact_spans_gram_hashes_not_text_in_shuffle(docs):
+    """exact_substring_spans: the full-corpus per-position exchange (the
+    gh-frequency groupBy) carries (doc_id, pos, 64-bit hash) rows —
+    never the gram text; the document text column never enters ANY
+    exchange. The collision-scrub exchange keyed ON _gram is allowed:
+    it carries candidate-position rows only (the rare ones)."""
+    from hds_functions_spark.operators.dedup import exact_substring_spans
+
+    plan = _plan(exact_substring_spans(docs, min_len=30))
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "_text" not in line, line
+            if "hashpartitioning(gh#" in line:
+                assert "_gram" not in line, line
+
+
+def test_span_removal_text_never_enters_exchange(docs):
+    """remove_duplicate_spans: the cut is a JVM fold where the docs
+    live — the text column must not appear in any Exchange."""
+    from hds_functions_spark.operators.dedup import (
+        exact_substring_spans,
+        remove_duplicate_spans,
+    )
+
+    spans = exact_substring_spans(docs, min_len=30)
+    plan = _plan(remove_duplicate_spans(docs, spans))
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "_text" not in line, line
+            assert "text_clean" not in line, line
+
+
+def test_winnowing_fingerprint_extraction_single_exchange(docs):
+    """winnowing_fingerprints per-doc extraction: grams hash and window
+    -minimise in place; the only exchange is the fingerprint-dedup
+    groupBy (hash + position, no text)."""
+    from hds_functions_spark.operators.dedup import winnowing_fingerprints
+
+    plan = _plan(winnowing_fingerprints(docs, gram_size=8, window=8))
+    exchanges = [
+        line for line in plan.splitlines() if "Exchange hashpartitioning" in line
+    ]
+    assert len(exchanges) <= 1, plan
+    for line in exchanges:
+        assert "text" not in line, line
+
+
+def test_bm25_pruned_broadcasts_only_suite_sized_frames(spark, docs):
+    """bm25_topk_pruned: with size-based auto-broadcast disabled, the
+    only BroadcastExchanges left are the operator's EXPLICIT hints on
+    suite-sized frames (seed/query/essential terms, theta) — and the
+    corpus-sided candidate-scoring join on doc_id must be a shuffle
+    join (a re-hinted corpus-side broadcast would flip it to
+    BroadcastHashJoin on doc_id and fail here)."""
+    from hds_functions_spark.operators.retrieval import bm25_topk_pruned
+
+    qs = docs.filter(F.col("doc_id") % 50 == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.substring("text", 1, 60).alias("query_text"),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(bm25_topk_pruned(docs, qs, k=3))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    # explicit hints survive the disabled threshold
+    assert "BroadcastHashJoin" in plan
+    # the doc_id-keyed candidate scoring join stays a shuffle join
+    doc_joins = [
+        line for line in plan.splitlines()
+        if "Join" in line and "doc_id" in line
+    ]
+    assert doc_joins, "no doc_id join found — operator changed?"
+    assert not any("Broadcast" in line for line in doc_joins), (
+        "corpus-side doc_id join became a broadcast:\n"
+        + "\n".join(doc_joins)
+    )

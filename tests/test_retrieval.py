@@ -320,3 +320,56 @@ def test_tfidf_topk_validation(spark):
         tfidf_doc_topk(df, k=0)
     with pytest.raises(ValueError, match="max_df_frac"):
         tfidf_doc_topk(df, max_df_frac=0.0)
+
+
+def test_bm25_auto_dispatch_regimes(spark):
+    """The probe sends flat-ub queries to the full scorer and
+    stopword-tailed ones to the pruned scorer — and rows are identical
+    to bm25_topk either way."""
+    from hds_functions_spark.operators.retrieval import (
+        bm25_prune_volume_ratio,
+        bm25_topk,
+        bm25_topk_auto,
+    )
+
+    # flat: every term appears in exactly 2 of 40 docs — uniform ub, so
+    # the ascending-ub running total crosses theta-hat at the first
+    # term, nothing is non-essential, and the predicted ratio >= 1
+    # (the seed pass is counted as pure overhead)
+    flat = spark.createDataFrame(
+        [(i, f"t{i % 20} u{i % 20}") for i in range(40)],
+        "doc_id long, text string",
+    )
+    flat_qs = spark.createDataFrame(
+        [(1, "t3 u4 t5"), (2, "t7 u7 u9")],
+        "query_id long, query_text string",
+    )
+    # zipf-ish: six filler terms in half the docs (df = N/2 — under the
+    # df cap so the probe sees them; a true every-doc stopword is
+    # already removed by max_df_frac) plus a rare topic term per doc;
+    # queries mix the rare topic term with the frequent tail, so the
+    # tail is predicted non-essential and its df mass drops out
+    zipf = spark.createDataFrame(
+        [
+            (i, ("f0 f1 f2 f3 f4 f5 " if i % 2 == 0 else "")
+                + f"topic{i % 100}")
+            for i in range(200)
+        ],
+        "doc_id long, text string",
+    )
+    zipf_qs = spark.createDataFrame(
+        [(1, "topic4 f0 f1 f2 f3"), (2, "topic9 f1 f2 f4 f5")],
+        "query_id long, query_text string",
+    )
+    r_flat = bm25_prune_volume_ratio(flat, flat_qs)
+    r_zipf = bm25_prune_volume_ratio(zipf, zipf_qs)
+    assert r_zipf < 0.8 <= r_flat, (r_flat, r_zipf)
+
+    for corpus, queries in ((flat, flat_qs), (zipf, zipf_qs)):
+        want = sorted(
+            tuple(r) for r in bm25_topk(corpus, queries, k=3).collect()
+        )
+        got = sorted(
+            tuple(r) for r in bm25_topk_auto(corpus, queries, k=3).collect()
+        )
+        assert got == want

@@ -166,6 +166,29 @@ def main():
     ).cache()
     measure(z, zq, "planted-zipf-unigram", 1, 0.9)
 
+    # --- the auto-dispatcher: probe each corpus+suite, check it picks
+    # the regime the measurements above say is cheaper. (A corpus-only
+    # idf-dispersion statistic was tried first and FAILED calibration:
+    # rare-term outliers push the synthetic bigram corpus's dispersion
+    # to ~0.6, indistinguishable from the Zipf corpus's ~0.64, despite
+    # opposite measured regimes — the regime is query-dependent, so the
+    # probe simulates MaxScore per query instead.) ---
+    from hds_functions_spark.operators.retrieval import (
+        bm25_prune_volume_ratio,
+    )
+
+    r_flat = bm25_prune_volume_ratio(
+        docs, queries, max_df_frac=0.5, term_ngram=2)
+    r_zipf = bm25_prune_volume_ratio(z, zq, max_df_frac=0.9, term_ngram=1)
+    pick = lambda r: "pruned" if r < 0.8 else "full"
+    print(f"probe testdata-bigram   : predicted ratio={r_flat:.3f} -> "
+          f"{pick(r_flat)} (measured 1.207 -> want full)")
+    print(f"probe planted-zipf      : predicted ratio={r_zipf:.3f} -> "
+          f"{pick(r_zipf)} (measured 0.577 -> want pruned)")
+    assert pick(r_flat) == "full" and pick(r_zipf) == "pruned", \
+        "auto-dispatcher picked the wrong regime"
+    print("auto-dispatcher picks the measured-cheaper regime on both corpora")
+
 
 if __name__ == "__main__":
     import __spark_entry__  # noqa: F401  (registry import order)
