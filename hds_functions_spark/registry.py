@@ -744,6 +744,9 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (refresh via tools/driver_coverage.py) and put any r09 reds at the
 #: head.
 DRIVER_PRIORITY: list[str] = [
+    # round-9 additions (land driver rows the round they ship):
+    "select_dsir_weights",
+    "select_dsir_topk",
     # round-8 additions (never driver-checked):
     "dedup_exact_spans",
     "dedup_span_removal",
@@ -797,6 +800,8 @@ DRIVER_PRIORITY: list[str] = [
     "clean_dedup_lines_corpus",
     "clean_filter_lines",
     "clean_scrub_pii",
+    # (the last two r05 fillers rotated out to keep the window at 50
+    # with the round-9 heads added)
 ]
 
 

@@ -233,3 +233,5 @@ def pipeline_exact_dedup_prep(spark, sf_dir):
 
 
 ORACLES["pipeline_exact_dedup_prep"] = _duck_exact_dedup_prep_sql()
+
+from . import registry_ext6  # noqa: E402,F401  (round-9 registrations)

@@ -1,0 +1,145 @@
+"""Extension-layer query registry, part 6 (round-9 additions).
+
+Same contract as ``registry_ext.py``: every query has a DuckDB oracle
+generated from the SAME constants so both sides compute identical
+values by construction. Round-9 focus: DSIR importance-resampling data
+selection (Xie et al. 2023) — score every raw-pool document by how
+target-like it is under hashed bag-of-ngram models, then draw the
+selection with deterministic Gumbel top-k. The md5 bucket hash and the
+hash-derived Gumbel noise are bit-identical in DuckDB, so the oracle
+replays SELECTION end-to-end, not just the weights.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import ORACLES, QUERIES, _register, _t  # noqa: F401
+
+# --- DSIR importance resampling (Xie et al. 2023) --------------------------
+
+#: hashed-feature space size (the paper's 10k buckets)
+_DSIR_BUCKETS = 10_000
+#: add-alpha smoothing for both bucket distributions
+_DSIR_ALPHA = 1.0
+#: resample size for the Gumbel top-k query
+_DSIR_K = 50
+#: selection salt (changes the Gumbel draw, never the weights)
+_DSIR_SALT = "r9"
+#: the target corpus: English docs; the raw pool: everything else
+_DSIR_TARGET_LANG = "en"
+
+_DUCK_TOK = (
+    "CASE WHEN trim(text) = '' THEN []::VARCHAR[] "
+    "ELSE string_split_regex(trim(lower(text)), '\\s+') END"
+)
+
+
+def _duck_bigrams(lst: str) -> str:
+    return (
+        f"CASE WHEN len({lst}) < 2 THEN []::VARCHAR[] "
+        f"ELSE list_transform(generate_series(1, len({lst}) - 1), "
+        f"i -> {lst}[i] || ' ' || {lst}[i + 1]) END"
+    )
+
+
+def _duck_dsir_weights_cte() -> str:
+    """CTE chain ending in ``weights(doc_id, log_weight)`` — the oracle
+    mirror of :func:`operators.selection.dsir_log_weights` over the
+    documents table with the registry constants baked in (target =
+    lang = 'en', raw pool = the rest; unigram+bigram features hashed
+    into ``_DSIR_BUCKETS`` md5 buckets; add-``_DSIR_ALPHA``-smoothed
+    log ratio summed per doc; tokenless raw docs weigh 0)."""
+    buckets, a = _DSIR_BUCKETS, _DSIR_ALPHA
+    return f"""
+d AS (SELECT doc_id, lang, {_DUCK_TOK} AS t FROM documents),
+g AS (SELECT doc_id, lang, list_concat(t, {_duck_bigrams('t')}) AS gs FROM d),
+fb AS (SELECT doc_id, lang,
+              (('0x' || substr(md5(unnest(gs)), 1, 15))::BIGINT) % {buckets}
+                  AS bucket
+       FROM g),
+rawb AS (SELECT doc_id, bucket, count(*) AS cnt FROM fb
+         WHERE lang <> '{_DSIR_TARGET_LANG}' GROUP BY 1, 2),
+tgtd AS (SELECT bucket, count(*) AS ct FROM fb
+         WHERE lang = '{_DSIR_TARGET_LANG}' GROUP BY 1),
+rdist AS (SELECT bucket, sum(cnt) AS cr FROM rawb GROUP BY 1),
+rtot AS (SELECT sum(cr) AS tr FROM rdist),
+ttot AS (SELECT coalesce(sum(ct), 0) AS tt FROM tgtd),
+ratio AS (
+  SELECT bucket,
+         ln((coalesce(ct, 0) + {a}) / (tt + {a} * {buckets}))
+         - ln((cr + {a}) / (tr + {a} * {buckets})) AS lr
+  FROM rdist LEFT JOIN tgtd USING (bucket)
+  CROSS JOIN rtot CROSS JOIN ttot),
+scored AS (
+  SELECT doc_id, round(sum(cnt * lr), 6) AS log_weight
+  FROM rawb JOIN ratio USING (bucket) GROUP BY 1),
+weights AS (
+  SELECT raw.doc_id, coalesce(log_weight, 0.0) AS log_weight
+  FROM (SELECT doc_id FROM documents
+        WHERE lang <> '{_DSIR_TARGET_LANG}') raw
+  LEFT JOIN scored USING (doc_id))
+"""
+
+
+def _dsir_inputs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    raw = docs.filter(F.col("lang") != _DSIR_TARGET_LANG)
+    target = docs.filter(F.col("lang") == _DSIR_TARGET_LANG)
+    return raw, target
+
+
+@_register(
+    "select_dsir_weights",
+    f"WITH {_duck_dsir_weights_cte()} SELECT doc_id, log_weight FROM weights",
+)
+def select_dsir_weights(spark, sf_dir):
+    """DSIR log importance weights (Xie et al. 2023): every
+    non-English document in the pool scored by how English-target-like
+    its hashed unigram+bigram bag is — ln p_target - ln p_raw summed
+    over the doc's features under add-1-smoothed 10k-bucket models.
+    Both distribution builds are one combinable groupBy; the log-ratio
+    table (<= buckets rows) broadcasts into one map-side-combinable
+    scoring aggregate; tokenless docs weigh 0. The md5 bucket hash is
+    bit-identical in DuckDB, so the oracle replays the full model."""
+    from .operators.selection import dsir_log_weights
+
+    raw, target = _dsir_inputs(spark, sf_dir)
+    return dsir_log_weights(
+        raw, target, buckets=_DSIR_BUCKETS, alpha=_DSIR_ALPHA
+    )
+
+
+@_register(
+    "select_dsir_topk",
+    f"""
+WITH {_duck_dsir_weights_cte()},
+sel AS (
+  SELECT doc_id, log_weight,
+         round(log_weight - ln(-ln(
+             ((('0x' || substr(md5(doc_id::VARCHAR || '{_DSIR_SALT}'), 1, 15))
+                   ::BIGINT) % 1000000 + 0.5) / 1000000.0)), 6) AS sel_key
+  FROM weights)
+SELECT doc_id, log_weight, sel_key,
+       CAST(row_number() OVER (ORDER BY sel_key DESC, doc_id) AS INTEGER)
+           AS rank
+FROM sel
+QUALIFY row_number() OVER (ORDER BY sel_key DESC, doc_id) <= {_DSIR_K}
+""",
+)
+def select_dsir_topk(spark, sf_dir):
+    """The DSIR resampling step: draw {k} documents from the raw pool
+    without replacement with probability proportional to exp(weight),
+    via HASH-deterministic Gumbel top-k (selection key = weight +
+    Gumbel noise derived from md5(doc_id, salt) — a pure function of
+    the inputs, so re-runs, retries and repartitioning cannot change
+    the selection and the oracle reproduces it row-for-row). The
+    global top-k executes as TakeOrderedAndProject, never a one-task
+    global sort.""".format(k=_DSIR_K)
+    from .operators.selection import dsir_gumbel_topk, dsir_log_weights
+
+    raw, target = _dsir_inputs(spark, sf_dir)
+    weights = dsir_log_weights(
+        raw, target, buckets=_DSIR_BUCKETS, alpha=_DSIR_ALPHA
+    )
+    return dsir_gumbel_topk(weights, k=_DSIR_K, salt=_DSIR_SALT)
