@@ -51,6 +51,7 @@ __all__ = [
     "winnowing_overlap_pairs",
     "winnowing_overlap_incremental",
     "exact_substring_spans",
+    "exact_substring_spans_incremental",
     "remove_duplicate_spans",
 ]
 
@@ -1291,24 +1292,7 @@ def exact_substring_spans(
     from ..caching import tracked_persist
 
     base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
-    grams = (
-        base.filter(F.length("_text") >= min_len)
-        .select(
-            "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.length("_text") - min_len + 1),
-                    lambda p: F.struct(
-                        p.alias("pos"),
-                        F.xxhash64(
-                            F.substr(F.col("_text"), p, F.lit(min_len))
-                        ).alias("gh"),
-                    ),
-                )
-            ).alias("_g"),
-        )
-        .select("doc_id", F.col("_g.pos").alias("pos"), F.col("_g.gh").alias("gh"))
-    )
+    grams = _span_gram_explode(base, min_len)
     # two consumers (the frequency agg + the candidate re-join) — without
     # the persist the per-position gram hashing runs twice; level per the
     # gram_persist contract above
@@ -1338,10 +1322,41 @@ def exact_substring_spans(
         .select("_gram")
     )
     hits = with_gram.join(dup_grams, on="_gram").select("doc_id", "pos")
-    # gaps-and-islands merge: intervals [p, p+L-1] all equal-length, so
-    # end order == start order and lag(pos) alone decides the break
+    return _merge_covered_islands(hits, min_len)
+
+
+def _span_gram_explode(base: DataFrame, min_len: int) -> DataFrame:
+    """``(doc_id, pos, gh)`` per-position xxhash64 of the length-
+    ``min_len`` substring, for docs long enough to have one — the
+    shared step-1 projection of the exact-span family. The exchange
+    downstream carries these 20-byte rows, never the gram text."""
+    return (
+        base.filter(F.length("_text") >= min_len)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("_text") - min_len + 1),
+                    lambda p: F.struct(
+                        p.alias("pos"),
+                        F.xxhash64(
+                            F.substr(F.col("_text"), p, F.lit(min_len))
+                        ).alias("gh"),
+                    ),
+                )
+            ).alias("_g"),
+        )
+        .select("doc_id", F.col("_g.pos").alias("pos"), F.col("_g.gh").alias("gh"))
+    )
+
+
+def _merge_covered_islands(hits: DataFrame, min_len: int) -> DataFrame:
+    """Gaps-and-islands merge of covered gram-start positions into
+    maximal ``(doc_id, span_start, span_end, span_len)`` spans:
+    intervals [p, p+L-1] are all equal-length, so end order == start
+    order and lag(pos) alone decides the break."""
     w = Window.partitionBy("doc_id").orderBy("pos")
-    spans = (
+    return (
         hits.withColumn(
             "_brk",
             F.when(F.col("pos") - F.lag("pos").over(w) > min_len, 1).otherwise(0),
@@ -1359,7 +1374,104 @@ def exact_substring_spans(
             (F.col("span_end") - F.col("span_start") + 1).alias("span_len"),
         )
     )
-    return spans
+
+
+def exact_substring_spans_incremental(
+    batch_docs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 30,
+) -> DataFrame:
+    """Exact duplicated-substring spans for a NEW BATCH against an
+    existing corpus — the continuous-ingest mode of
+    :func:`exact_substring_spans` (the same design move as
+    :func:`winnowing_overlap_incremental` and
+    :func:`minhash_pairs_incremental`): a batch character is covered
+    iff some ``min_len``-gram through it occurs AGAIN anywhere — a
+    second time inside the batch, or at least once in the corpus.
+
+    Provably equal to the full build on ``corpus + batch`` restricted
+    to batch docs (every batch gram occurrence g satisfies
+    ``count_full(g) = count_batch(g) + count_corpus(g) >= 2`` iff
+    ``count_batch >= 2 or count_corpus >= 1``, ``count_batch >= 1``
+    holding by membership); the registry oracle and the property suite
+    pin exactly that slice identity. Corpus-internal duplication is
+    never recomputed — the full build's corpus-side frequency work
+    drops out.
+
+    Plan: the batch explodes per-position hashes (batch-sized); the
+    corpus explodes ONLY to probe — its gram rows semi-join the
+    batch's distinct hashes immediately, so corpus work is one scan +
+    hash projection and the surviving corpus rows are batch-selective
+    (at 100 TB: the corpus side never aggregates, never self-joins,
+    and the join key is a long — with the corpus gram table maintained
+    as a bucketed artifact keyed on gh, the probe is shuffle-free on
+    the corpus side). Candidate hashes (batch count >= 2 OR any corpus
+    hit) re-attach the REAL substrings on both sides — the collision
+    scrub, making the result exact regardless of the 64-bit hash —
+    then the per-doc island merge runs on batch positions only.
+    Output: ``(doc_id, span_start, span_end, span_len)`` for batch
+    docs, 1-based inclusive.
+    """
+    if min_len < 2:
+        raise ValueError(f"min_len must be >= 2 (got {min_len})")
+    from ..caching import tracked_persist
+
+    b_base = batch_docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+    )
+    c_base = corpus_docs.select(
+        F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
+    )
+    # batch grams: three consumers (count, probe set, candidate re-join)
+    b_grams = tracked_persist(_span_gram_explode(b_base, min_len))
+    b_hashes = b_grams.select("gh").distinct()
+    # corpus probe: gram rows stream into the semi-join, batch-selective
+    # survivors only; two consumers (corpus count + confirm re-attach)
+    c_hits = tracked_persist(
+        _span_gram_explode(c_base, min_len).join(b_hashes, on="gh")
+    )
+    b_counts = b_grams.groupBy("gh").agg(F.count(F.lit(1)).alias("_nb"))
+    c_counts = c_hits.groupBy("gh").agg(F.count(F.lit(1)).alias("_nc"))
+    cand_hashes = (
+        b_counts.join(c_counts, on="gh", how="left")
+        .filter(
+            (F.col("_nb") >= 2) | (F.coalesce(F.col("_nc"), F.lit(0)) >= 1)
+        )
+        .select("gh")
+    )
+    # collision scrub on REAL substrings, both sides (candidate rows only)
+    b_with = tracked_persist(
+        b_grams.join(cand_hashes, on="gh")
+        .join(b_base, on="doc_id")
+        .select(
+            "doc_id",
+            "pos",
+            F.substr(F.col("_text"), F.col("pos"), F.lit(min_len)).alias("_gram"),
+        )
+    )
+    c_gram_counts = (
+        c_hits.join(cand_hashes, on="gh")
+        .join(c_base, on="doc_id")
+        .select(
+            F.substr(F.col("_text"), F.col("pos"), F.lit(min_len)).alias("_gram")
+        )
+        .groupBy("_gram")
+        .agg(F.count(F.lit(1)).alias("_nc"))
+    )
+    b_gram_counts = b_with.groupBy("_gram").agg(
+        F.count(F.lit(1)).alias("_nb")
+    )
+    dup_grams = (
+        b_gram_counts.join(c_gram_counts, on="_gram", how="left")
+        .filter(
+            (F.col("_nb") >= 2) | (F.coalesce(F.col("_nc"), F.lit(0)) >= 1)
+        )
+        .select("_gram")
+    )
+    hits = b_with.join(dup_grams, on="_gram").select("doc_id", "pos")
+    return _merge_covered_islands(hits, min_len)
 
 
 def remove_duplicate_spans(

@@ -747,6 +747,7 @@ DRIVER_PRIORITY: list[str] = [
     # round-9 additions (land driver rows the round they ship):
     "select_dsir_weights",
     "select_dsir_topk",
+    "dedup_exact_spans_incremental",
     # round-8 additions (never driver-checked):
     "dedup_exact_spans",
     "dedup_span_removal",
@@ -799,9 +800,8 @@ DRIVER_PRIORITY: list[str] = [
     "clean_dedup_lines",
     "clean_dedup_lines_corpus",
     "clean_filter_lines",
-    "clean_scrub_pii",
-    # (the last two r05 fillers rotated out to keep the window at 50
-    # with the round-9 heads added)
+    # (trailing r05 fillers rotated out to keep the window at 50
+    # as round-9 heads were added)
 ]
 
 

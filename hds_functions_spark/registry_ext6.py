@@ -143,3 +143,60 @@ def select_dsir_topk(spark, sf_dir):
         raw, target, buckets=_DSIR_BUCKETS, alpha=_DSIR_ALPHA
     )
     return dsir_gumbel_topk(weights, k=_DSIR_K, salt=_DSIR_SALT)
+
+
+# --- incremental exact-substring spans (continuous-ingest mode) ------------
+
+#: batch selector: every 13th document is "newly ingested"
+_XSI_BATCH_MOD = 13
+#: span detection length (same as the round-8 full-build queries)
+_XSI_MIN_LEN = 30
+
+
+@_register(
+    "dedup_exact_spans_incremental",
+    # the ORACLE is the slice-identity theorem itself: the full build
+    # over corpus+batch (registry_ext5's spans CTE semantics, inlined
+    # over ALL documents) restricted to batch docs must equal the
+    # incremental result
+    f"""
+WITH
+d AS (SELECT doc_id, text FROM documents),
+g AS (SELECT d.doc_id, p, substr(d.text, p, {_XSI_MIN_LEN}) AS gram
+      FROM d, LATERAL (SELECT unnest(range(1, length(d.text) - {_XSI_MIN_LEN} + 2)) AS p)),
+dupg AS (SELECT gram FROM g GROUP BY 1 HAVING count(*) >= 2),
+hit AS (SELECT doc_id, p FROM g JOIN dupg USING (gram)
+        WHERE doc_id % {_XSI_BATCH_MOD} = 0),
+brk AS (SELECT doc_id, p,
+               CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p)
+                         > {_XSI_MIN_LEN} THEN 1 ELSE 0 END AS is_brk
+        FROM hit),
+isl AS (SELECT doc_id, p,
+               sum(is_brk) OVER (PARTITION BY doc_id ORDER BY p) AS island
+        FROM brk)
+SELECT doc_id,
+       CAST(min(p) AS BIGINT) AS span_start,
+       CAST(max(p) + {_XSI_MIN_LEN} - 1 AS BIGINT) AS span_end,
+       CAST(max(p) + {_XSI_MIN_LEN} - min(p) AS BIGINT) AS span_len
+FROM isl GROUP BY doc_id, island
+""",
+)
+def dedup_exact_spans_incremental(spark, sf_dir):
+    """Continuous-ingest exact duplicated-substring spans: every 13th
+    document plays the newly-ingested batch, the rest the standing
+    corpus. The batch explodes per-position hashes; the corpus only
+    PROBES (its gram rows semi-join the batch's distinct hashes
+    immediately — no corpus-side aggregate, no corpus x corpus work);
+    candidates confirm on real substrings both sides (collision scrub)
+    and the island merge runs on batch positions only. The oracle IS
+    the slice-identity theorem: a full build over corpus+batch
+    restricted to batch docs. See
+    operators/dedup.py:exact_substring_spans_incremental."""
+    from .operators.dedup import exact_substring_spans_incremental
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % _XSI_BATCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % _XSI_BATCH_MOD != 0)
+    return exact_substring_spans_incremental(
+        batch, corpus, min_len=_XSI_MIN_LEN
+    )

@@ -189,3 +189,71 @@ def test_min_len_validation(spark):
     docs = spark.createDataFrame([(0, "abc")], "doc_id long, text string")
     with pytest.raises(ValueError, match="min_len"):
         exact_substring_spans(docs, min_len=1)
+
+
+@pytest.mark.parametrize("seed,min_len", [(19, 5), (83, 4)])
+def test_incremental_spans_equal_full_build_slice(spark, seed, min_len):
+    """The slice-identity theorem, fuzzed: incremental(batch, corpus)
+    == full build over corpus+batch restricted to batch docs."""
+    from hds_functions_spark.operators.dedup import (
+        exact_substring_spans,
+        exact_substring_spans_incremental,
+    )
+
+    corpus_all = _random_corpus(seed, alphabet="abc ", n_docs=24)
+    batch = {d: t for d, t in corpus_all.items() if d % 3 == 0}
+    corpus = {d: t for d, t in corpus_all.items() if d % 3 != 0}
+    bdf = spark.createDataFrame(list(batch.items()), "doc_id long, text string")
+    cdf = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    alldf = spark.createDataFrame(
+        list(corpus_all.items()), "doc_id long, text string"
+    )
+    inc = sorted(
+        tuple(r)
+        for r in exact_substring_spans_incremental(
+            bdf, cdf, min_len=min_len
+        ).collect()
+    )
+    full = sorted(
+        tuple(r)
+        for r in exact_substring_spans(alldf, min_len=min_len).collect()
+        if r.doc_id % 3 == 0
+    )
+    assert inc == full
+
+
+def test_incremental_spans_edge_cases(spark):
+    from hds_functions_spark.operators.dedup import (
+        exact_substring_spans_incremental,
+    )
+
+    L = 5
+    batch = {
+        0: "xxSHAREDyy",    # duplicated only via the corpus
+        1: "ab" * 10,       # duplicated only batch-internally (vs doc 2)
+        2: "zz" + "ab" * 10,
+        3: "nothing here",  # clean
+    }
+    corpus = {100: "ppSHAREDqq", 101: "corpus only text"}
+    bdf = spark.createDataFrame(list(batch.items()), "doc_id long, text string")
+    cdf = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.span_start, r.span_end)
+        for r in exact_substring_spans_incremental(bdf, cdf, min_len=L).collect()
+    }
+    # "SHARED" (6 chars) at 3..8 in doc 0 — found via the corpus probe
+    assert got[0] == (3, 8)
+    # the "ab"*10 block: fully covered in doc 1, offset by 2 in doc 2
+    assert got[1] == (1, 20) and got[2] == (3, 22)
+    assert 3 not in got
+    # corpus-internal duplication alone must NOT surface batch spans:
+    cdf2 = spark.createDataFrame(
+        [(100, "dup dup DUPLICATE!"), (101, "dup dup DUPLICATE!")],
+        "doc_id long, text string",
+    )
+    bdf2 = spark.createDataFrame(
+        [(0, "clean batch document")], "doc_id long, text string"
+    )
+    assert (
+        exact_substring_spans_incremental(bdf2, cdf2, min_len=L).count() == 0
+    )
