@@ -33,6 +33,9 @@ __all__ = [
     "quantize_embeddings",
     "quantized_cosine_topk",
     "random_projection",
+    "pq_train",
+    "pq_encode",
+    "pq_adc_topk",
 ]
 
 
@@ -535,4 +538,178 @@ def embedding_centroids(
         parts = [F.round(p, round_digits) for p in parts]
     return agged.select(
         *group_cols, "n_vectors", F.array(*parts).alias("centroid")
+    )
+
+
+# --- product quantization (Jegou, Douze & Schmid 2011) ---------------------
+
+def _pq_validate(dim: int, m: int):
+    if m < 1 or dim % m != 0:
+        raise ValueError(
+            f"m must divide the vector dimension (dim={dim}, m={m})"
+        )
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = 4,
+    k: int = 8,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    round_digits: int = 6,
+) -> list[list[list[float]]]:
+    """Train a product-quantization codebook (Jegou, Douze & Schmid,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+    split the vector into ``m`` contiguous subspaces and fit an
+    independent ``k``-centroid k-means per subspace. Returns ``m``
+    codebooks of ``k`` sub-centroids each.
+
+    The memory story PQ buys at corpus scale: a vector compresses to
+    ``m`` small codes (here one byte each at k <= 256) instead of
+    ``dim`` floats — with m=4, k=8 a 64-dim float64 vector is 4 bytes
+    of codes vs 512 raw, while ADC still scores against FLOAT
+    sub-centroids (quantization error only on the corpus side, not the
+    query — asymmetric distance, the paper's key accuracy move over
+    symmetric code-to-code distance).
+
+    Training reuses :func:`clustering.kmeans_fit` per subspace on a
+    sliced projection: each of the ``m * n_iter`` Lloyd rounds is one
+    codegen assignment + one groupBy shipping ``k*(dim/m + 1)`` scalars
+    to the driver; seeds derive from the deterministic id-hash spread,
+    so the codebook — and everything downstream — is reproducible by a
+    SQL oracle.
+    """
+    from .clustering import kmeans_fit
+
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            raise ValueError("cannot train PQ on an empty DataFrame")
+        dim = first["d"]
+    _pq_validate(dim, m)
+    sub = dim // m
+    books = []
+    for s in range(m):
+        sliced = df.select(
+            F.col(id_col).alias(id_col),
+            F.slice(F.col(vec_col), s * sub + 1, sub).alias("_sub"),
+        )
+        books.append(
+            kmeans_fit(
+                sliced, vec_col="_sub", id_col=id_col, k=k,
+                n_iter=n_iter, dim=sub, round_digits=round_digits,
+            )
+        )
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector as its per-subspace nearest-centroid indices:
+    ``(vec_id, code_0 .. code_{m-1})`` scalar int columns (scalar, not
+    array, so result frames canonicalise/sort cleanly). One pure
+    projection — the codebooks are array literals, the argmin is the
+    shared lexicographic struct-min (ties to the lowest index, malformed
+    vectors pinned to +Inf -> code 0) — zero shuffle, zero UDFs,
+    pushdown-friendly at any scale."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    cols = [F.col(id_col).alias("vec_id")]
+    for s in range(m):
+        sliced = F.slice(F.col(vec_col), s * sub + 1, sub)
+        best = _best_centroid_expr(sliced, codebooks[s])
+        cols.append(best["i"].cast("int").alias(f"code_{s}"))
+    return df.select(*cols)
+
+
+def _best_centroid_expr(vec_expr: Column, centroids: list[list[float]]) -> Column:
+    """:func:`clustering._best_centroid` generalised to a column
+    EXPRESSION (a slice) instead of a named column: struct(dist, idx)
+    argmin over literal centroids, +Inf-pinned on malformed input."""
+    def sq_dist(c: list[float]) -> Column:
+        cvec = F.lit([float(x) for x in c])
+        diffs = F.zip_with(
+            vec_expr.cast("array<double>"), cvec, lambda x, y: (x - y) * (x - y)
+        )
+        return F.aggregate(diffs, F.lit(0.0), lambda acc, t: acc + t)
+
+    return F.array_min(
+        F.array(
+            *[
+                F.struct(
+                    F.coalesce(sq_dist(c), F.lit(float("inf"))).alias("d"),
+                    F.lit(i).alias("i"),
+                )
+                for i, c in enumerate(centroids)
+            ]
+        )
+    )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Asymmetric-distance top-k: approximate nearest corpus vectors per
+    query, scoring the query's FLOAT subvectors against each corpus
+    vector's sub-CENTROIDS (codes look the centroid up; the query is
+    never quantized — ADC, the accurate half of the PQ paper's two
+    estimators). Distance = sum over subspaces of squared-L2(q_sub,
+    centroid[code_sub]).
+
+    Plan shape: the query side broadcasts (suite-sized) against the
+    codes table — which carries ``m`` ints per corpus vector, the whole
+    point: at 100 TB the scan side is ~byte-per-subspace, an order of
+    magnitude less I/O than raw vectors, and the distance arithmetic is
+    ``m`` small folds against literal codebooks instead of a ``dim``
+    fold. Self-matches (query_id == vec_id) are excluded, distances
+    round before the rank (ties by vec_id), and the per-query top-k
+    rides WindowGroupLimit. Output: ``(query_id, vec_id, adc_dist,
+    rank)``."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    dist = F.lit(0.0)
+    for s in range(m):
+        qsub = F.slice(F.col(vec_col), s * sub + 1, sub)
+        # centroid lookup: literal array-of-arrays indexed by the code
+        book = F.lit([[float(x) for x in c] for c in codebooks[s]])
+        cent = F.get(book, F.col(f"code_{s}"))
+        diffs = F.zip_with(
+            qsub.cast("array<double>"), cent, lambda x, y: (x - y) * (x - y)
+        )
+        dist = dist + F.aggregate(diffs, F.lit(0.0), lambda acc, t: acc + t)
+    scored = (
+        codes.join(
+            F.broadcast(
+                queries.select(F.col(query_id).alias("query_id"), vec_col)
+            ),
+            F.col("query_id") != F.col("vec_id"),
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(dist, round_digits).alias("adc_dist"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )

@@ -748,6 +748,8 @@ DRIVER_PRIORITY: list[str] = [
     "select_dsir_weights",
     "select_dsir_topk",
     "dedup_exact_spans_incremental",
+    "similarity_pq_codes",
+    "similarity_pq_adc_knn",
     # round-8 additions (never driver-checked):
     "dedup_exact_spans",
     "dedup_span_removal",
@@ -798,8 +800,6 @@ DRIVER_PRIORITY: list[str] = [
     "analytics_top_orders",
     "chunk_documents",
     "clean_dedup_lines",
-    "clean_dedup_lines_corpus",
-    "clean_filter_lines",
     # (trailing r05 fillers rotated out to keep the window at 50
     # as round-9 heads were added)
 ]

@@ -200,3 +200,211 @@ def dedup_exact_spans_incremental(spark, sf_dir):
     return exact_substring_spans_incremental(
         batch, corpus, min_len=_XSI_MIN_LEN
     )
+
+
+# --- product quantization ANN (Jegou, Douze & Schmid 2011) ------------------
+
+#: subspaces (64-dim embeddings -> 16-dim slices)
+_PQ_M = 4
+#: centroids per subspace codebook
+_PQ_K = 8
+#: Lloyd iterations per subspace
+_PQ_ITER = 2
+#: embedding dimension of the testdata
+_PQ_DIM = 64
+#: per-iteration centroid rounding (the agg-order decoupling trick,
+#: same convention as registry_ext2's k-means queries)
+_PQ_RD = 4
+#: ADC query selector
+_PQ_QUERY_MOD = 50
+_PQ_TOPK = 5
+
+
+def _duck_pq_cte() -> str:
+    """Per-subspace unrolled Lloyd iterations + final code assignment,
+    ending in ``codes(vec_id, code_0..code_{m-1})`` and per-subspace
+    final codebooks ``cb_s{s}(cluster, c)`` — the oracle mirror of
+    :func:`operators.similarity.pq_train` + :func:`pq_encode`
+    (generalising registry_ext2's ``_duck_kmeans_cte`` to sliced
+    subvectors; same seed hash, same left-associative distance chains,
+    same per-iteration mean rounding, same lowest-index tie-break)."""
+    from .operators.clustering import (
+        INIT_HASH_MOD, INIT_HASH_MULT, INIT_HASH_PRIME,
+    )
+
+    sub = _PQ_DIM // _PQ_M
+    seed_key = (
+        f"((vec_id % {INIT_HASH_PRIME}) * {INIT_HASH_MULT})"
+        f" % {INIT_HASH_MOD}"
+    )
+    parts = [
+        f"""
+init AS (
+  SELECT vec_id, embedding FROM embeddings
+  ORDER BY {seed_key}, vec_id LIMIT {_PQ_K}
+)"""
+    ]
+    final_asn = []
+    for s in range(_PQ_M):
+        off = s * sub
+        dist = " + ".join(
+            f"(e.embedding[{off + i}]::DOUBLE - c.c[{i}]) * "
+            f"(e.embedding[{off + i}]::DOUBLE - c.c[{i}])"
+            for i in range(1, sub + 1)
+        )
+        means = ", ".join(
+            f"round(sum(e.embedding[{off + i}]::DOUBLE) / count(*), {_PQ_RD})"
+            f" AS s{i}"
+            for i in range(1, sub + 1)
+        )
+        listv = ", ".join(f"m.s{i}" for i in range(1, sub + 1))
+        parts.append(
+            f""",
+c0_s{s} AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster,
+         list_transform(embedding[{off + 1}:{off + sub}],
+                        x -> x::DOUBLE) AS c
+  FROM init
+)"""
+        )
+        prev = f"c0_s{s}"
+        for it in range(1, _PQ_ITER + 2):
+            parts.append(
+                f""",
+a{it}_s{s} AS (
+  SELECT e.vec_id, c.cluster, {dist} AS dist
+  FROM embeddings e CROSS JOIN {prev} c
+),
+asn{it}_s{s} AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cluster) AS rn
+    FROM a{it}_s{s}
+  ) WHERE rn = 1
+)"""
+            )
+            if it <= _PQ_ITER:
+                parts.append(
+                    f""",
+m{it}_s{s} AS (
+  SELECT a.cluster, {means}
+  FROM asn{it}_s{s} a JOIN embeddings e USING (vec_id) GROUP BY a.cluster
+),
+c{it}_s{s} AS (
+  SELECT p.cluster,
+         CASE WHEN m.cluster IS NULL THEN p.c ELSE [{listv}] END AS c
+  FROM {prev} p LEFT JOIN m{it}_s{s} m ON p.cluster = m.cluster
+)"""
+                )
+                prev = f"c{it}_s{s}"
+        parts.append(f", cb_s{s} AS (SELECT * FROM {prev})")
+        final_asn.append(f"asn{_PQ_ITER + 1}_s{s}")
+    sel = ", ".join(
+        f"CAST(a{s}.cluster AS INTEGER) AS code_{s}" for s in range(_PQ_M)
+    )
+    joins = " ".join(
+        f"JOIN {final_asn[s]} a{s} USING (vec_id)" for s in range(1, _PQ_M)
+    )
+    parts.append(
+        f""",
+codes AS (
+  SELECT vec_id, {sel}
+  FROM {final_asn[0]} a0 {joins}
+)"""
+    )
+    return "WITH " + "".join(parts)
+
+
+#: session-scoped PQ codebook cache (driver-side floats; nothing to
+#: unpersist), keyed like registry_ext2's _KMEANS_CACHE
+_PQ_CACHE: dict[tuple[str, str], list] = {}
+
+
+def _shared_pq_codebooks(spark, sf_dir):
+    from .operators.similarity import pq_train
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    books = _PQ_CACHE.get(key)
+    if books is None:
+        emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        books = pq_train(
+            emb, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER, dim=_PQ_DIM,
+            round_digits=_PQ_RD,
+        )
+        _PQ_CACHE[key] = books
+    return books
+
+
+@_register(
+    "similarity_pq_codes",
+    f"""
+{_duck_pq_cte()}
+SELECT * FROM codes
+""",
+)
+def similarity_pq_codes(spark, sf_dir):
+    """Product-quantization encoding (Jegou, Douze & Schmid 2011):
+    64-dim embeddings compress to {m} one-byte codes — per 16-dim
+    subspace, the index of the nearest of {k} k-means sub-centroids.
+    Training is {m} independent sliced k-means fits (deterministic
+    hash-spread seeds, per-iteration mean rounding); encoding is ONE
+    pure projection against literal codebooks — zero shuffle. The
+    oracle re-runs every Lloyd iteration per subspace in SQL and must
+    agree on every code.""".format(m=_PQ_M, k=_PQ_K)
+    from .operators.similarity import pq_encode
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return pq_encode(emb, _shared_pq_codebooks(spark, sf_dir))
+
+
+@_register(
+    "similarity_pq_adc_knn",
+    f"""
+{_duck_pq_cte()},
+q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+      WHERE vec_id % {_PQ_QUERY_MOD} = 0),
+adc AS (
+  SELECT q.query_id, codes.vec_id,
+         round({" + ".join(
+             "(" + " + ".join(
+                 f"(q.embedding[{s * (_PQ_DIM // _PQ_M) + i}]::DOUBLE"
+                 f" - b{s}.c[{i}]) * "
+                 f"(q.embedding[{s * (_PQ_DIM // _PQ_M) + i}]::DOUBLE"
+                 f" - b{s}.c[{i}])"
+                 for i in range(1, _PQ_DIM // _PQ_M + 1)
+             ) + ")"
+             for s in range(_PQ_M)
+         )}, 6) AS adc_dist
+  FROM codes
+  CROSS JOIN q
+  {" ".join(f"JOIN cb_s{s} b{s} ON b{s}.cluster = codes.code_{s}"
+             for s in range(_PQ_M))}
+  WHERE q.query_id <> codes.vec_id
+)
+SELECT query_id, vec_id, adc_dist,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist, vec_id) AS INTEGER) AS rank
+FROM adc
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY adc_dist, vec_id) <= {_PQ_TOPK}
+""",
+)
+def similarity_pq_adc_knn(spark, sf_dir):
+    """Asymmetric-distance top-{k} ANN over PQ codes: each query's
+    FLOAT subvectors score against the corpus vectors' sub-centroids
+    (the query is never quantized — ADC, the accurate estimator of the
+    PQ paper). The corpus scan carries {m} ints per vector instead of
+    {d} floats — the I/O and memory win that makes PQ the
+    billion-vector scale path — and the distance is {m} literal-
+    codebook folds. Suite-sized query side broadcasts; the rank rides
+    WindowGroupLimit.""".format(k=_PQ_TOPK, m=_PQ_M, d=_PQ_DIM)
+    from .operators.similarity import pq_adc_topk, pq_encode
+
+    books = _shared_pq_codebooks(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    codes = pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") % _PQ_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return pq_adc_topk(codes, queries, books, k=_PQ_TOPK)

@@ -215,3 +215,52 @@ def test_random_projection_deterministic_and_jl(spark):
 
     with pytest.raises(ValueError, match="out_dim"):
         random_projection(emb, out_dim=0)
+
+
+def test_pq_roundtrip_reduces_distance_error(spark):
+    """PQ contracts: codes are valid indices; ADC distance approximates
+    the true distance; reconstruction beats a random codebook."""
+    import random
+
+    from hds_functions_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_encode,
+        pq_train,
+    )
+
+    rng = random.Random(5)
+    dim, m, k = 16, 4, 4
+    # three planted clusters so codebooks have structure to learn
+    centers = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(3)]
+    rows = []
+    for i in range(90):
+        c = centers[i % 3]
+        rows.append((i, [x + rng.uniform(-0.05, 0.05) for x in c]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = pq_train(emb, m=m, k=k, n_iter=2, dim=dim)
+    assert len(books) == m and all(len(b) == k for b in books)
+    codes = pq_encode(emb, books)
+    pdf = codes.toPandas()
+    assert set(pdf.columns) == {"vec_id", "code_0", "code_1", "code_2", "code_3"}
+    for s in range(m):
+        assert pdf[f"code_{s}"].between(0, k - 1).all()
+    # ADC knn: same-cluster vectors must dominate each query's top-k
+    queries = emb.filter("vec_id % 30 = 0").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    top = pq_adc_topk(codes, queries, books, k=5).collect()
+    assert len(top) == 15  # 3 queries x 5
+    hits = sum(1 for r in top if r.vec_id % 3 == r.query_id % 3)
+    assert hits >= 12, f"ADC ranked cross-cluster vectors too high: {hits}/15"
+
+
+def test_pq_validation(spark):
+    from hds_functions_spark.operators.similarity import pq_adc_topk, pq_train
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="divide"):
+        pq_train(emb, m=2, dim=3)
+    with pytest.raises(ValueError, match="k must be"):
+        pq_adc_topk(emb, emb, [[[0.0]]], k=0)
