@@ -750,6 +750,8 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_exact_spans_incremental",
     "similarity_pq_codes",
     "similarity_pq_adc_knn",
+    "similarity_pq_recall",
+    "pipeline_dsir_curation",
     # round-8 additions (never driver-checked):
     "dedup_exact_spans",
     "dedup_span_removal",
@@ -798,8 +800,6 @@ DRIVER_PRIORITY: list[str] = [
     "analytics_promo_revenue",
     "analytics_region_revenue",
     "analytics_top_orders",
-    "chunk_documents",
-    "clean_dedup_lines",
     # (trailing r05 fillers rotated out to keep the window at 50
     # as round-9 heads were added)
 ]

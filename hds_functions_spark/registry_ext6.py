@@ -408,3 +408,102 @@ def similarity_pq_adc_knn(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return pq_adc_topk(codes, queries, books, k=_PQ_TOPK)
+
+
+# --- PQ recall audit + DSIR curation pipeline -------------------------------
+
+def _duck_pq_recall_sql() -> str:
+    """Recall@k of the ADC path vs the exact brute-force oracle, composed
+    from the two registered oracles as subqueries (the
+    similarity_recall DRY pattern: drift propagates)."""
+    return f"""
+WITH exact AS ({ORACLES['similarity_knn']}),
+pq AS ({ORACLES['similarity_pq_adc_knn']}),
+hits AS (
+    SELECT count(*) AS n_hit FROM pq a
+    WHERE EXISTS (SELECT 1 FROM exact e
+                  WHERE e.query_id = a.query_id AND e.vec_id = a.vec_id)
+)
+SELECT 'pq_adc' AS method, CAST(n_hit AS BIGINT) AS n_hit,
+       CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+       round(n_hit / (SELECT count(*) FROM exact), 4) AS recall
+FROM hits
+"""
+
+
+@_register("similarity_pq_recall", _duck_pq_recall_sql())
+def similarity_pq_recall(spark, sf_dir):
+    """Measured recall@5 of PQ asymmetric-distance search against the
+    exact cosine top-5 — the compression/quality tradeoff of the
+    byte-per-subspace scale path, quantified under the correctness
+    gate (the similarity_recall audit pattern applied to the PQ
+    family; note ADC ranks by L2 distance while the exact baseline
+    ranks by cosine, so recall also absorbs the metric gap on
+    unnormalised vectors). The exact side is suite-sized (queries x k
+    rows) and broadcast into the semi join."""
+    from .registry_ext import similarity_knn
+
+    exact = similarity_knn(spark, sf_dir).select("query_id", "vec_id")
+    approx = similarity_pq_adc_knn(spark, sf_dir).select("query_id", "vec_id")
+    hits = approx.join(
+        F.broadcast(exact), on=["query_id", "vec_id"]
+    ).agg(F.count(F.lit(1)).alias("n_hit"))
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        hits.crossJoin(F.broadcast(n_exact))
+        .select(
+            F.lit("pq_adc").alias("method"),
+            F.col("n_hit").cast("long").alias("n_hit"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.round(F.col("n_hit") / F.col("n_exact"), 4).alias("recall"),
+        )
+    )
+
+
+@_register(
+    "pipeline_dsir_curation",
+    f"""
+WITH {_duck_dsir_weights_cte()},
+sel AS (
+  SELECT doc_id, log_weight,
+         round(log_weight - ln(-ln(
+             ((('0x' || substr(md5(doc_id::VARCHAR || '{_DSIR_SALT}'), 1, 15))
+                   ::BIGINT) % 1000000 + 0.5) / 1000000.0)), 6) AS sel_key
+  FROM weights
+  QUALIFY row_number() OVER (ORDER BY sel_key DESC, doc_id) <= {_DSIR_K}
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(d.text)) AS BIGINT) AS total_chars,
+       round(avg(s.log_weight), 6) AS mean_weight
+FROM sel s JOIN documents d USING (doc_id)
+GROUP BY d.lang
+""",
+)
+def pipeline_dsir_curation(spark, sf_dir):
+    """The DSIR curation spine end-to-end as ONE lazy plan: hashed-ngram
+    importance weights over the non-English pool -> deterministic
+    Gumbel top-{k} selection -> re-attach the selected documents ->
+    per-language composition of the curated set (docs, characters,
+    mean importance). The inspection a mixture-curation run ships with
+    its selection: which languages the target-matched sample actually
+    drew from.""".format(k=_DSIR_K)
+    from .operators.selection import dsir_gumbel_topk, dsir_log_weights
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    raw, target = _dsir_inputs(spark, sf_dir)
+    weights = dsir_log_weights(
+        raw, target, buckets=_DSIR_BUCKETS, alpha=_DSIR_ALPHA
+    )
+    sel = dsir_gumbel_topk(weights, k=_DSIR_K, salt=_DSIR_SALT)
+    return (
+        sel.join(docs, on="doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("total_chars"),
+            F.round(F.avg("log_weight"), 6).alias("mean_weight"),
+        )
+    )
