@@ -752,6 +752,7 @@ DRIVER_PRIORITY: list[str] = [
     "similarity_pq_adc_knn",
     "similarity_pq_recall",
     "pipeline_dsir_curation",
+    "text_kn_trigram_logprob",
     # round-8 additions (never driver-checked):
     "dedup_exact_spans",
     "dedup_span_removal",

@@ -507,3 +507,88 @@ def pipeline_dsir_curation(spark, sf_dir):
             F.round(F.avg("log_weight"), 6).alias("mean_weight"),
         )
     )
+
+
+# --- interpolated Kneser-Ney trigram LM scoring -----------------------------
+
+#: absolute discount (the Chen & Goodman default regime)
+_KN_D = 0.75
+#: train split: even doc_ids train the model, ALL docs are scored
+_KN_TRAIN_MOD = 2
+
+#: whitespace tokens, no lowercasing — the text-family convention
+_DUCK_TOKENS_KN = (
+    "CASE WHEN trim(text) = '' THEN []::VARCHAR[] "
+    "ELSE string_split_regex(trim(text), '\\s+') END"
+)
+
+
+@_register(
+    "text_kn_trigram_logprob",
+    f"""
+WITH toks AS (
+    SELECT doc_id, {_DUCK_TOKENS_KN} AS t FROM documents
+), tri_all AS (
+    SELECT doc_id, t[i] AS u, t[i + 1] AS v, t[i + 2] AS w
+    FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+    WHERE len(t) >= 3
+), tri AS (
+    SELECT * FROM tri_all WHERE doc_id % {_KN_TRAIN_MOD} = 0
+), c3 AS (
+    SELECT u, v, w, count(*) AS c3 FROM tri GROUP BY 1, 2, 3
+), ctx3 AS (
+    SELECT u, v, sum(c3) AS c3ctx, count(*) AS t3 FROM c3 GROUP BY 1, 2
+), n2 AS (
+    SELECT v, w, count(*) AS n2 FROM c3 GROUP BY 1, 2
+), ctx2 AS (
+    SELECT v, sum(n2) AS ctx2, count(*) AS t2 FROM n2 GROUP BY 1
+), n1 AS (
+    SELECT w, count(*) AS n1 FROM n2 GROUP BY 1
+), tot1 AS (
+    SELECT sum(n1) AS tot1 FROM n1
+), scored AS (
+    SELECT s.doc_id, n1.n1,
+           ln(CASE WHEN ctx3.c3ctx IS NOT NULL THEN
+                 greatest(coalesce(c3.c3, 0) - {_KN_D}, 0.0) / ctx3.c3ctx
+                 + {_KN_D} * ctx3.t3 / ctx3.c3ctx *
+                   (CASE WHEN ctx2.ctx2 IS NOT NULL THEN
+                        greatest(coalesce(n2.n2, 0) - {_KN_D}, 0.0) / ctx2.ctx2
+                        + {_KN_D} * ctx2.t2 / ctx2.ctx2 * (n1.n1 / tot1.tot1)
+                    ELSE n1.n1 / tot1.tot1 END)
+               WHEN ctx2.ctx2 IS NOT NULL THEN
+                 greatest(coalesce(n2.n2, 0) - {_KN_D}, 0.0) / ctx2.ctx2
+                 + {_KN_D} * ctx2.t2 / ctx2.ctx2 * (n1.n1 / tot1.tot1)
+               ELSE n1.n1 / tot1.tot1 END) AS lp
+    FROM tri_all s
+    LEFT JOIN c3 USING (u, v, w)
+    LEFT JOIN ctx3 USING (u, v)
+    LEFT JOIN n2 USING (v, w)
+    LEFT JOIN ctx2 USING (v)
+    LEFT JOIN n1 USING (w)
+    CROSS JOIN tot1
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_trigrams,
+       CAST(count(lp) AS BIGINT) AS n_scored,
+       round(count(lp) / count(*), 4) AS coverage,
+       round(avg(lp), 4) AS avg_logprob
+FROM scored
+GROUP BY 1
+HAVING count(lp) >= 1
+""",
+)
+def text_kn_trigram_logprob(spark, sf_dir):
+    """Per-document average trigram log-likelihood under an interpolated
+    Kneser-Ney model (Chen & Goodman 1999) trained on the even-id half
+    of the corpus and scoring every document — the KenLM/CCNet-style
+    perplexity filter with principled held-out smoothing: absolute
+    discounting, continuation-count backoff ('francisco' stops looking
+    plausible outside 'san'), graceful OOV/unseen-context degradation
+    reported via the coverage column. Five vocabulary-bounded gram
+    aggregates, gram-keyed equi-joins with no fanout, one per-doc
+    aggregate. See operators/profiling.py:kn_trigram_logprob_scores."""
+    from .operators.profiling import kn_trigram_logprob_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % _KN_TRAIN_MOD == 0)
+    return kn_trigram_logprob_scores(train, docs, discount=_KN_D)

@@ -274,3 +274,115 @@ def test_profile_columns_approx_mode(spark):
     plan = profile_columns(df, approx_distinct=True)._jdf.queryExecution() \
         .executedPlan().toString()
     assert plan.count("Exchange hashpartitioning") == 0
+
+
+def _py_kn(train, score, D=0.75):
+    """Pure-Python interpolated Kneser-Ney trigram oracle."""
+    import collections, math
+
+    def tris(text):
+        t = text.split()
+        return [(t[i], t[i+1], t[i+2]) for i in range(len(t) - 2)]
+
+    c3 = collections.Counter()
+    for txt in train.values():
+        for g in tris(txt):
+            c3[g] += 1
+    c3ctx, t3 = collections.Counter(), collections.Counter()
+    n2 = collections.Counter()
+    for (u, v, w), c in c3.items():
+        c3ctx[(u, v)] += c
+        t3[(u, v)] += 1
+        n2[(v, w)] += 1
+    ctx2, t2, n1 = collections.Counter(), collections.Counter(), collections.Counter()
+    for (v, w), c in n2.items():
+        ctx2[v] += c
+        t2[v] += 1
+        n1[w] += 1
+    tot1 = sum(n1.values())
+    out = {}
+    for d, txt in score.items():
+        lps, n = [], 0
+        for (u, v, w) in tris(txt):
+            n += 1
+            if w not in n1:
+                continue
+            p1 = n1[w] / tot1
+            if v in ctx2:
+                p2 = max(n2.get((v, w), 0) - D, 0.0) / ctx2[v] \
+                     + D * t2[v] / ctx2[v] * p1
+            else:
+                p2 = p1
+            if (u, v) in c3ctx:
+                p3 = max(c3.get((u, v, w), 0) - D, 0.0) / c3ctx[(u, v)] \
+                     + D * t3[(u, v)] / c3ctx[(u, v)] * p2
+            else:
+                p3 = p2
+            lps.append(math.log(p3))
+        if lps:
+            out[d] = (n, len(lps), round(len(lps) / n, 4),
+                      round(sum(lps) / len(lps), 4))
+    return out
+
+
+def test_kn_trigram_matches_python_oracle(spark):
+    import random
+
+    from hds_functions_spark.operators.profiling import (
+        kn_trigram_logprob_scores,
+    )
+
+    rng = random.Random(17)
+    vocab = ["the", "cat", "sat", "on", "mat", "dog", "ran", "far", "san",
+             "francisco"]
+    def doc():
+        words = []
+        for _ in range(rng.randint(0, 15)):
+            w = rng.choice(vocab)
+            words.append(w)
+            if w == "san":
+                words.append("francisco")  # the KN showcase collocation
+        return " ".join(words)
+
+    train = {i: doc() for i in range(40)}
+    score = {100 + i: doc() for i in range(20)}
+    score[200] = "completely novel tokens here"       # all-OOV -> no row
+    score[201] = "the cat xyzzy"                      # OOV w excluded
+    tdf = spark.createDataFrame(list(train.items()), "doc_id long, text string")
+    sdf = spark.createDataFrame(list(score.items()), "doc_id long, text string")
+    got = {
+        r.doc_id: (r.n_trigrams, r.n_scored, r.coverage, r.avg_logprob)
+        for r in kn_trigram_logprob_scores(tdf, sdf).collect()
+    }
+    exp = _py_kn(train, score)
+    assert set(got) == set(exp)
+    for d in exp:
+        assert got[d][:3] == exp[d][:3], d
+        assert got[d][3] == pytest.approx(exp[d][3], abs=2e-4), d
+    assert 200 not in got  # all trigrams OOV -> filtered
+
+
+def test_kn_trigram_continuation_beats_raw_frequency(spark):
+    """The KN property: 'francisco' is frequent but occurs after ONE
+    context type, so as a continuation elsewhere it must score below a
+    word with many context types of equal frequency."""
+    import math
+
+    from hds_functions_spark.operators.profiling import (
+        kn_trigram_logprob_scores,
+    )
+
+    # 'common' follows 6 distinct contexts; 'francisco' only 'san' — at
+    # similar raw frequency
+    rows = [(i, f"w{i} x{i} common extra") for i in range(6)]
+    rows += [(10 + i, "a b san francisco") for i in range(6)]
+    train = spark.createDataFrame(rows, "doc_id long, text string")
+    probe = spark.createDataFrame(
+        [(0, "q r common"), (1, "q r francisco")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r.avg_logprob
+        for r in kn_trigram_logprob_scores(train, probe).collect()
+    }
+    assert got[0] > got[1], got
