@@ -56,6 +56,24 @@ _SCALE_GATED = {
     # the 1-row global min/max range frame
     "sketch_histogram_quantiles": 1,
     "dedup_winnowing": 0,
+    # round 9: the one allowed DSIR hint is the log-ratio table — at
+    # most `buckets` (a CONSTANT) rows regardless of corpus size; the
+    # 1-row totals ride BroadcastNestedLoopJoins (not counted here);
+    # the raw-pool scoring join and the doc re-attach must fall back
+    "select_dsir_weights": 1,
+    "select_dsir_topk": 1,
+    "pipeline_dsir_curation": 1,
+    # the incremental probe carries NO hints: the corpus semi-join, the
+    # candidate confirms and the doc re-attaches all degrade to shuffle
+    "dedup_exact_spans_incremental": 0,
+    # the broadcast(queries) side rides a BroadcastNestedLoopJoin
+    # (inequality condition), so zero BHJs either way
+    "similarity_pq_adc_knn": (0, 0),
+    # the one hint is broadcast(exact) — suite-bounded (queries x k)
+    "similarity_pq_recall": 1,
+    # five stat-table joins, all unhinted (vocabulary-bounded but
+    # data-DEPENDENT, so they must be size-gated by the planner)
+    "text_kn_trigram_logprob": 0,
 }
 
 
