@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["referential_orphans", "observe_metrics", "join_key_audit"]
+__all__ = ["referential_orphans", "observe_metrics", "join_key_audit", "bootstrap_mean_ci"]
 
 
 def observe_metrics(df, name: str, metrics: dict):
@@ -135,4 +135,125 @@ def join_key_audit(
         F.max("_ln").alias("max_left_mult"),
         F.max("_rn").alias("max_right_mult"),
         F.sum(F.when(both, F.col("_ln") * F.col("_rn"))).alias("n_join_rows"),
+    )
+
+
+#: Poisson(1) inverse-CDF thresholds, P(X <= k) for k = 0..8 — the same
+#: literals are embedded in the SQL oracle, so the (documented) tail
+#: truncation at 8 (P ~ 1e-6) is identical in both engines
+_POISSON1_CDF = [
+    0.36787944117144233,   # k=0
+    0.7357588823428847,    # k=1
+    0.9196986029286058,    # k=2
+    0.9810118431238462,    # k=3
+    0.9963401531726563,    # k=4
+    0.9994058151824183,    # k=5
+    0.9999167588507119,    # k=6
+    0.9999897508033253,    # k=7
+    0.9999988747974129,    # k=8
+]
+
+#: uniform-draw resolution for the bootstrap weights
+_BOOT_RES = 1_000_000
+
+
+def bootstrap_mean_ci(
+    df,
+    value_col: str,
+    id_col: str,
+    n_resamples: int = 100,
+    alpha: float = 0.05,
+    salt: str = "",
+    round_digits: int = 6,
+):
+    """Percentile-bootstrap confidence interval for the mean of
+    ``value_col`` — the error bar every corpus-level quality metric
+    should ship with (is the post-filter mean doc quality REALLY higher,
+    or within resampling noise?), via the POISSON bootstrap (each row's
+    resample-``r`` multiplicity ~ Poisson(1) — the classic distributed
+    reformulation: no global resample-with-replacement pass, every row
+    decides its own weights independently, so the whole computation is
+    one scan + one combinable aggregate regardless of data size).
+
+    Fully HASH-deterministic (the sampling-module contract): row weights
+    derive from ``md5(id, salt, r)`` — never an RNG — so re-runs,
+    retries, and repartitioning reproduce the interval bit-for-bit, and
+    the SQL oracle replays it. Weights come from the Poisson(1) inverse
+    CDF truncated at 8 (P ~ 1e-6, identical literals both engines).
+
+    Bounds are exact order statistics over the ``n_resamples`` resample
+    means: ``ci_lo`` = the ``floor(alpha/2 * R) + 1``-th smallest,
+    ``ci_hi`` the symmetric upper one. Output: ONE row ``(point_est,
+    ci_lo, ci_hi, n_resamples)``.
+
+    Scale note: the resample explode scans ``n_resamples`` copies of the
+    value column (narrow: one double + one id hash per copy) and
+    map-side-combines to ``n_resamples`` rows — embarrassingly parallel
+    with zero skew. At very large corpora, cut R (the CI narrows with
+    corpus size anyway) rather than sampling rows: a sampled bootstrap
+    estimates a different (wider) interval.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions.hashing import stable_hash64
+
+    if n_resamples < 2:
+        raise ValueError(f"n_resamples must be >= 2 (got {n_resamples})")
+    if not 0 < alpha < 1:
+        raise ValueError(f"alpha must be in (0, 1) (got {alpha})")
+    cdf = F.array(*[F.lit(x) for x in _POISSON1_CDF])
+    rows = df.select(
+        F.col(id_col).cast("string").alias("_id"),
+        F.col(value_col).cast("double").alias("_x"),
+    ).filter(F.col("_x").isNotNull())
+    expanded = rows.select(
+        "_x",
+        F.explode(F.sequence(F.lit(1), F.lit(n_resamples))).alias("_r"),
+        "_id",
+    ).select(
+        "_r",
+        "_x",
+        (
+            (
+                stable_hash64(
+                    F.concat(F.col("_id"), F.lit(salt), F.col("_r"))
+                )
+                % _BOOT_RES
+                + 0.5
+            )
+            / _BOOT_RES
+        ).alias("_u"),
+    ).select(
+        "_r",
+        "_x",
+        # Poisson(1) inverse CDF: the count of thresholds below u
+        F.size(F.filter(cdf, lambda c: c < F.col("_u"))).alias("_w"),
+    )
+    means = expanded.groupBy("_r").agg(
+        (F.sum(F.col("_w") * F.col("_x")) / F.sum("_w")).alias("_m")
+    )
+    import math
+
+    lo_rank = int(math.floor(alpha / 2 * n_resamples)) + 1
+    hi_rank = n_resamples - lo_rank + 1
+    from pyspark.sql import Window
+
+    # R rows total: the rank window's single partition is by construction
+    ranked = means.withColumn(
+        "_rk", F.row_number().over(Window.orderBy(F.col("_m").asc(), "_r"))
+    )
+    point = rows.agg(F.avg("_x").alias("_p"))
+    return (
+        ranked.filter(F.col("_rk").isin(lo_rank, hi_rank))
+        .agg(
+            F.round(F.min("_m"), round_digits).alias("ci_lo"),
+            F.round(F.max("_m"), round_digits).alias("ci_hi"),
+        )
+        .crossJoin(F.broadcast(point))
+        .select(
+            F.round(F.col("_p"), round_digits).alias("point_est"),
+            "ci_lo",
+            "ci_hi",
+            F.lit(n_resamples).alias("n_resamples"),
+        )
     )

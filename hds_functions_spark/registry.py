@@ -753,6 +753,7 @@ DRIVER_PRIORITY: list[str] = [
     "similarity_pq_recall",
     "pipeline_dsir_curation",
     "text_kn_trigram_logprob",
+    "quality_bootstrap_ci",
     # round-8 additions (never driver-checked):
     "dedup_exact_spans",
     "dedup_span_removal",
@@ -800,7 +801,6 @@ DRIVER_PRIORITY: list[str] = [
     # oldest r05 rows to fill the window (8):
     "analytics_promo_revenue",
     "analytics_region_revenue",
-    "analytics_top_orders",
     # (trailing r05 fillers rotated out to keep the window at 50
     # as round-9 heads were added)
 ]

@@ -592,3 +592,63 @@ def text_kn_trigram_logprob(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     train = docs.filter(F.col("doc_id") % _KN_TRAIN_MOD == 0)
     return kn_trigram_logprob_scores(train, docs, discount=_KN_D)
+
+
+# --- bootstrap confidence intervals -----------------------------------------
+
+_BOOT_R = 100
+_BOOT_ALPHA = 0.05
+_BOOT_SALT = "r9"
+
+
+def _duck_bootstrap_sql() -> str:
+    from .operators.quality import _POISSON1_CDF, _BOOT_RES
+
+    cdf = "[" + ", ".join(repr(x) for x in _POISSON1_CDF) + "]"
+    import math
+
+    lo = int(math.floor(_BOOT_ALPHA / 2 * _BOOT_R)) + 1
+    hi = _BOOT_R - lo + 1
+    return f"""
+WITH rows AS (
+  SELECT doc_id::VARCHAR AS id, n_chars::DOUBLE AS x
+  FROM documents WHERE n_chars IS NOT NULL
+), ex AS (
+  SELECT r, x,
+         ((('0x' || substr(md5(id || '{_BOOT_SALT}' || r::VARCHAR), 1, 15))
+               ::BIGINT % {_BOOT_RES}) + 0.5) / {_BOOT_RES} AS u
+  FROM rows, unnest(range(1, {_BOOT_R + 1})) AS t(r)
+), wtd AS (
+  SELECT r, x, len(list_filter({cdf}, c -> c < u)) AS w FROM ex
+), means AS (
+  SELECT r, sum(w * x) / sum(w) AS m FROM wtd GROUP BY r
+), ranked AS (
+  SELECT m, row_number() OVER (ORDER BY m, r) AS rk FROM means
+), point AS (SELECT avg(x) AS p FROM rows)
+SELECT round(point.p, 6) AS point_est,
+       round(min(ranked.m), 6) AS ci_lo,
+       round(max(ranked.m), 6) AS ci_hi,
+       {_BOOT_R} AS n_resamples
+FROM ranked CROSS JOIN point
+WHERE rk IN ({lo}, {hi})
+GROUP BY point.p
+"""
+
+
+@_register("quality_bootstrap_ci", _duck_bootstrap_sql())
+def quality_bootstrap_ci(spark, sf_dir):
+    """Percentile-bootstrap 95% CI for the corpus's mean document
+    length via the POISSON bootstrap: each row's per-resample
+    multiplicity ~ Poisson(1), derived from md5(id, salt, r) — no RNG,
+    no global resampling pass, one scan + one combinable aggregate at
+    any corpus size. The error bar every corpus-level quality metric
+    should ship with; the oracle replays weights, resample means, and
+    the exact order-statistic bounds. See
+    operators/quality.py:bootstrap_mean_ci."""
+    from .operators.quality import bootstrap_mean_ci
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return bootstrap_mean_ci(
+        docs, "n_chars", "doc_id", n_resamples=_BOOT_R,
+        alpha=_BOOT_ALPHA, salt=_BOOT_SALT,
+    )

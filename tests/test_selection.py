@@ -168,3 +168,57 @@ def test_selection_validation(spark):
     w = spark.createDataFrame([(0, 0.0)], "doc_id long, log_weight double")
     with pytest.raises(ValueError, match="k must be"):
         dsir_gumbel_topk(w, k=0)
+
+
+def test_bootstrap_ci_contract(spark):
+    """Poisson-bootstrap CI: deterministic, salted, brackets the point
+    estimate for well-behaved data, and matches a pure-Python replay."""
+    import hashlib
+    import math
+
+    from hds_functions_spark.operators.quality import (
+        _BOOT_RES,
+        _POISSON1_CDF,
+        bootstrap_mean_ci,
+    )
+
+    vals = {i: float((i * 37) % 100) for i in range(300)}
+    df = spark.createDataFrame(list(vals.items()), "doc_id long, x double")
+    row = bootstrap_mean_ci(
+        df, "x", "doc_id", n_resamples=60, alpha=0.1, salt="s"
+    ).collect()[0]
+    row2 = bootstrap_mean_ci(
+        df, "x", "doc_id", n_resamples=60, alpha=0.1, salt="s"
+    ).collect()[0]
+    assert tuple(row) == tuple(row2)  # hash-deterministic
+    assert row.ci_lo <= row.point_est <= row.ci_hi
+    assert row.n_resamples == 60
+    other = bootstrap_mean_ci(
+        df, "x", "doc_id", n_resamples=60, alpha=0.1, salt="t"
+    ).collect()[0]
+    assert (other.ci_lo, other.ci_hi) != (row.ci_lo, row.ci_hi)
+
+    # pure-Python replay of the exact protocol
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    means = []
+    for r in range(1, 61):
+        num = den = 0.0
+        for i, x in vals.items():
+            u = (h60(f"{i}s{r}") % _BOOT_RES + 0.5) / _BOOT_RES
+            w = sum(1 for c in _POISSON1_CDF if c < u)
+            num += w * x
+            den += w
+        means.append((num / den, r))
+    means.sort()
+    lo_rank = int(math.floor(0.1 / 2 * 60)) + 1
+    exp_lo = round(means[lo_rank - 1][0], 6)
+    exp_hi = round(means[60 - lo_rank][0], 6)
+    assert row.ci_lo == pytest.approx(exp_lo, abs=2e-6)
+    assert row.ci_hi == pytest.approx(exp_hi, abs=2e-6)
+
+    with pytest.raises(ValueError, match="n_resamples"):
+        bootstrap_mean_ci(df, "x", "doc_id", n_resamples=1)
+    with pytest.raises(ValueError, match="alpha"):
+        bootstrap_mean_ci(df, "x", "doc_id", alpha=1.5)
