@@ -245,3 +245,43 @@ def test_bm25_pruned_broadcasts_only_suite_sized_frames(spark, docs):
         "corpus-side doc_id join became a broadcast:\n"
         + "\n".join(doc_joins)
     )
+
+
+def test_metastore_bucketed_join_and_agg_shuffle_free(spark):
+    """save_table(bucket_by=...) in metastore mode: an equi-join of two
+    tables bucketed on the same key with the same bucket count — and a
+    groupBy on that key — must run WITHOUT a shuffle exchange. This is
+    the 100 TB layout contract: pay the bucketing shuffle once at write
+    time, never again per join."""
+    from hds_functions_spark.sources.tables import save_table
+
+    facts = spark.range(0, 2000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("v")
+    )
+    dims = spark.range(0, 500).select(
+        (F.col("id") % 100).alias("k"), (F.col("id") * 2).alias("w")
+    )
+    td = {
+        "fa": {"database": "default", "table_name": "bkt_join_a"},
+        "fb": {"database": "default", "table_name": "bkt_join_b"},
+    }
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        save_table(facts, "fa", table_directory=td, bucket_by=(8, "k"))
+        save_table(dims, "fb", table_directory=td, bucket_by=(8, "k"))
+        a = spark.table("default.bkt_join_a")
+        b = spark.table("default.bkt_join_b")
+        # force the join to consider a shuffle strategy (no broadcast
+        # escape hatch): the bucketed layout must make it exchange-free
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        join_plan = _plan(a.join(b, on="k"))
+        assert "SortMergeJoin" in join_plan
+        assert "Exchange" not in join_plan, join_plan
+        agg_plan = _plan(a.groupBy("k").agg(F.sum("v")))
+        assert "Exchange" not in agg_plan, agg_plan
+        # correctness, not just shape
+        assert a.join(b, on="k").count() == 2000 * 5
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS default.bkt_join_a")
+        spark.sql("DROP TABLE IF EXISTS default.bkt_join_b")
