@@ -36,6 +36,8 @@ __all__ = [
     "pq_train",
     "pq_encode",
     "pq_adc_topk",
+    "pca_power_components",
+    "pca_project",
 ]
 
 
@@ -713,3 +715,133 @@ def pq_adc_topk(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# --- principal components via matrix-free power iteration ------------------
+
+def pca_power_components(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_components: int = 2,
+    n_iter: int = 3,
+    dim: int | None = None,
+    round_digits: int = 4,
+) -> tuple[list[float], list[list[float]]]:
+    """Top principal components of an embedding column by MATRIX-FREE
+    power iteration with deflation — PCA without ever materialising the
+    covariance matrix: each iteration computes ``C v = (1/n) sum_i
+    (x_i - mu) ((x_i - mu) . v)`` directly as ONE data pass (a per-row
+    fold for the projection scalar, then ``dim`` combinable sums), so
+    the shuffled state per pass is ``dim`` scalars no matter the corpus
+    size — the same driver-scalars-per-iteration discipline as
+    :func:`clustering.kmeans_fit`. Components after the first run on
+    the deflated residual ``y = x - mu - ((x - mu) . v_prev) v_prev``,
+    spelled as expressions (the data is never rewritten).
+
+    Deterministic and SQL-replayable: the start vector is the fixed
+    uniform unit vector, every ``C v`` coordinate and every normalised
+    component rounds to ``round_digits`` per iteration (decoupling the
+    result from partial-aggregation order — the k-means trick), and
+    dot products are left-associative folds equal to an explicit SQL
+    chain. Returns ``(mean, components)`` — driver-side floats sized
+    ``dim`` and ``n_components x dim``.
+
+    Use: project for a low-dim ANN prefilter or visualisation
+    (:func:`pca_project`), or whiten before cosine workloads where a
+    dominant direction swamps the geometry.
+    """
+    if n_components < 1 or n_iter < 1:
+        raise ValueError(
+            f"need n_components >= 1 and n_iter >= 1 "
+            f"(got {n_components}, {n_iter})"
+        )
+    if dim is None:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            raise ValueError("cannot fit PCA on an empty DataFrame")
+        dim = first["d"]
+    v = F.col(vec_col).cast("array<double>")
+    # all roundings happen Spark-side (F.round = HALF_UP) or via the
+    # half-away helper below — never Python's round(), whose banker's
+    # rounding would diverge from the SQL oracle at .5 boundaries
+    mean_row = df.agg(
+        *[F.round(F.avg(F.get(v, j)), round_digits).alias(f"_m{j}")
+          for j in range(dim)],
+        F.count(F.lit(1)).alias("_n"),
+    ).collect()[0]
+    mu = [float(mean_row[f"_m{j}"]) for j in range(dim)]
+    n = mean_row["_n"]
+
+    import math
+
+    def _round_half_away(x: float, d: int) -> float:
+        scale = 10 ** d
+        return math.copysign(math.floor(abs(x) * scale + 0.5), x) / scale
+
+    def centered(j: int, vcol=None):
+        return F.get(vcol if vcol is not None else v, j) - mu[j]
+
+    components: list[list[float]] = []
+    for _c in range(n_components):
+        comp = [1.0 / (dim ** 0.5)] * dim  # fixed uniform start
+        for _ in range(n_iter):
+            # Bind the per-row deflation projections and the iteration
+            # projection as REAL columns, never inlined subexpressions:
+            # inlining duplicates the 64-term dot chains 64x inside every
+            # aggregate column and the expression tree alone OOMs the
+            # driver. A bound column evaluates once per row — exactly how
+            # the SQL oracle binds them via CTEs, so values are identical.
+            cur = df.select(F.col(vec_col).cast("array<double>").alias("_v"))
+            vcol = F.col("_v")
+            for i, p in enumerate(components):
+                sp = F.lit(0.0)
+                for j in range(dim):
+                    sp = sp + centered(j, vcol) * p[j]
+                cur = cur.withColumn(f"_sp{i}", sp)
+
+            def resid(j: int):
+                e = centered(j, vcol)
+                for i, p in enumerate(components):
+                    e = e - F.col(f"_sp{i}") * p[j]
+                return e
+
+            s = F.lit(0.0)
+            for j in range(dim):
+                s = s + resid(j) * comp[j]
+            cur = cur.withColumn("_s", s)
+            row = cur.agg(
+                *[
+                    F.round(F.sum(F.col("_s") * resid(j)) / n, round_digits)
+                    .alias(f"_c{j}")
+                    for j in range(dim)
+                ]
+            ).collect()[0]
+            cv = [float(row[f"_c{j}"]) for j in range(dim)]
+            norm = sum(x * x for x in cv) ** 0.5
+            if norm == 0:  # degenerate direction; keep the start vector
+                break
+            comp = [_round_half_away(x / norm, round_digits) for x in cv]
+        components.append(comp)
+    return mu, components
+
+
+def pca_project(
+    df: DataFrame,
+    mean: list[float],
+    components: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Project each vector onto the fitted components: ``(vec_id, pc_0,
+    pc_1, ...)`` scalar columns, one pure projection against literal
+    mean/component vectors — zero shuffle at any scale (the ANN
+    prefilter / visualisation / whitening input)."""
+    v = F.col(vec_col).cast("array<double>")
+    cols = [F.col(id_col).alias("vec_id")]
+    for c, comp in enumerate(components):
+        acc = F.lit(0.0)
+        for j, w in enumerate(comp):
+            acc = acc + (F.get(v, j) - mean[j]) * w
+        cols.append(F.round(acc, round_digits).alias(f"pc_{c}"))
+    return df.select(*cols)

@@ -652,3 +652,160 @@ def quality_bootstrap_ci(spark, sf_dir):
         docs, "n_chars", "doc_id", n_resamples=_BOOT_R,
         alpha=_BOOT_ALPHA, salt=_BOOT_SALT,
     )
+
+
+# --- PCA via matrix-free power iteration ------------------------------------
+
+_PCA_C = 2       # components
+_PCA_ITER = 3    # power iterations per component
+_PCA_RD = 4      # per-iteration rounding (agg-order decoupling)
+_PCA_DIM = 64
+_PCA_OUT_RD = 6  # projection rounding
+
+
+def _duck_pca_cte() -> str:
+    """Unrolled matrix-free power iteration as DuckDB CTEs — the oracle
+    mirror of :func:`operators.similarity.pca_power_components` +
+    :func:`pca_project`: same fixed uniform start vector, same
+    left-associative fold chains (with the explicit leading ``0.0``
+    Spark's fold carries), same per-iteration HALF-UP rounding of the
+    ``C v`` coordinates and the normalised component, deflation against
+    the finished first component bound per row. Ends in component rows
+    ``v1f(c1..c64)`` / ``v2f(c1..c64)`` and ``mean(m1..m64, n)``."""
+    d = _PCA_DIM
+    start = 1.0 / (d ** 0.5)
+
+    def centered(j):  # 1-based SQL index
+        return f"(e.embedding[{j}]::DOUBLE - m.m{j})"
+
+    mean_cols = ", ".join(
+        f"round(avg(embedding[{j}]::DOUBLE), {_PCA_RD}) AS m{j}"
+        for j in range(1, d + 1)
+    )
+    parts = [f"mean AS (SELECT {mean_cols}, count(*) AS n FROM embeddings)"]
+
+    # ---- component 1 ----
+    prev = None  # None = literal uniform start
+    for it in range(1, _PCA_ITER + 1):
+        comp = (f"{start!r}" if prev is None else None)
+        s_chain = "0.0 + " + " + ".join(
+            f"{centered(j)} * "
+            + (f"{start!r}" if prev is None else f"p.c{j}")
+            for j in range(1, d + 1)
+        )
+        join_p = "" if prev is None else f" CROSS JOIN {prev} p"
+        parts.append(
+            f"s1_{it} AS (SELECT e.vec_id, e.embedding, ({s_chain}) AS s "
+            f"FROM embeddings e CROSS JOIN mean m{join_p})"
+        )
+        cv_cols = ", ".join(
+            f"round(sum(e.s * {centered(j)}) / min(m.n), {_PCA_RD}) AS c{j}"
+            for j in range(1, d + 1)
+        )
+        parts.append(
+            f"cv1_{it} AS (SELECT {cv_cols} FROM s1_{it} e CROSS JOIN mean m)"
+        )
+        norm = " + ".join(f"c{j} * c{j}" for j in range(1, d + 1))
+        v_cols = ", ".join(
+            f"round(c{j} / sqrt({norm}), {_PCA_RD}) AS c{j}"
+            for j in range(1, d + 1)
+        )
+        parts.append(f"v1_{it} AS (SELECT {v_cols} FROM cv1_{it})")
+        prev = f"v1_{it}"
+    parts.append(f"v1f AS (SELECT * FROM {prev})")
+
+    # per-row projection onto the finished first component (deflation)
+    sp_chain = "0.0 + " + " + ".join(
+        f"{centered(j)} * p.c{j}" for j in range(1, d + 1)
+    )
+    parts.append(
+        f"rp AS (SELECT e.vec_id, e.embedding, ({sp_chain}) AS sp "
+        f"FROM embeddings e CROSS JOIN mean m CROSS JOIN v1f p)"
+    )
+
+    def resid(j):
+        return f"({centered(j)} - e.sp * p.c{j})"
+
+    # ---- component 2 (on the deflated residual) ----
+    prev = None
+    for it in range(1, _PCA_ITER + 1):
+        s_chain = "0.0 + " + " + ".join(
+            f"{resid(j)} * "
+            + (f"{start!r}" if prev is None else f"q.c{j}")
+            for j in range(1, d + 1)
+        )
+        join_q = "" if prev is None else f" CROSS JOIN {prev} q"
+        parts.append(
+            f"s2_{it} AS (SELECT e.vec_id, e.embedding, e.sp, ({s_chain}) AS s "
+            f"FROM rp e CROSS JOIN mean m CROSS JOIN v1f p{join_q})"
+        )
+        cv_cols = ", ".join(
+            f"round(sum(e.s * {resid(j)}) / min(m.n), {_PCA_RD}) AS c{j}"
+            for j in range(1, d + 1)
+        )
+        parts.append(
+            f"cv2_{it} AS (SELECT {cv_cols} FROM s2_{it} e "
+            f"CROSS JOIN mean m CROSS JOIN v1f p)"
+        )
+        norm = " + ".join(f"c{j} * c{j}" for j in range(1, d + 1))
+        v_cols = ", ".join(
+            f"round(c{j} / sqrt({norm}), {_PCA_RD}) AS c{j}"
+            for j in range(1, d + 1)
+        )
+        parts.append(f"v2_{it} AS (SELECT {v_cols} FROM cv2_{it})")
+        prev = f"v2_{it}"
+    parts.append(f"v2f AS (SELECT * FROM {prev})")
+    return "WITH " + ",\n".join(parts)
+
+
+def _duck_pca_projection_sql() -> str:
+    d = _PCA_DIM
+    pc0 = "0.0 + " + " + ".join(
+        f"(e.embedding[{j}]::DOUBLE - m.m{j}) * p.c{j}" for j in range(1, d + 1)
+    )
+    pc1 = "0.0 + " + " + ".join(
+        f"(e.embedding[{j}]::DOUBLE - m.m{j}) * q.c{j}" for j in range(1, d + 1)
+    )
+    return f"""
+{_duck_pca_cte()}
+SELECT e.vec_id, round({pc0}, {_PCA_OUT_RD}) AS pc_0,
+       round({pc1}, {_PCA_OUT_RD}) AS pc_1
+FROM embeddings e CROSS JOIN mean m CROSS JOIN v1f p CROSS JOIN v2f q
+"""
+
+
+#: session-scoped fitted-PCA cache (driver floats), the _PQ_CACHE pattern
+_PCA_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def _shared_pca(spark, sf_dir):
+    from .operators.similarity import pca_power_components
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    fit = _PCA_CACHE.get(key)
+    if fit is None:
+        emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        fit = pca_power_components(
+            emb, n_components=_PCA_C, n_iter=_PCA_ITER, dim=_PCA_DIM,
+            round_digits=_PCA_RD,
+        )
+        _PCA_CACHE[key] = fit
+    return fit
+
+
+@_register("embedding_pca_projection", _duck_pca_projection_sql())
+def embedding_pca_projection(spark, sf_dir):
+    """Top-2 principal components of the embedding corpus by MATRIX-FREE
+    power iteration with deflation — PCA without materialising the
+    covariance matrix: each Lloyd-style pass ships exactly dim scalars
+    to the driver (the k-means discipline), so the fit costs
+    n_components x n_iter scans at ANY corpus size; the projection is
+    one literal-vector pass, zero shuffle. Output (vec_id, pc_0, pc_1)
+    — the ANN prefilter / whitening / visualisation coordinates. The
+    oracle replays every iteration: same start vector, same fold
+    association, same per-iteration rounding."""
+    from .operators.similarity import pca_project
+
+    mu, comps = _shared_pca(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return pca_project(emb, mu, comps, round_digits=_PCA_OUT_RD)

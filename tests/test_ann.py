@@ -264,3 +264,49 @@ def test_pq_validation(spark):
         pq_train(emb, m=2, dim=3)
     with pytest.raises(ValueError, match="k must be"):
         pq_adc_topk(emb, emb, [[[0.0]]], k=0)
+
+
+def test_pca_power_recovers_planted_components(spark):
+    """Matrix-free power iteration: recovers planted orthogonal
+    directions on a low-rank-plus-noise dataset, components are
+    near-orthonormal, and the fit is deterministic."""
+    import random
+
+    from hds_functions_spark.operators.similarity import (
+        pca_power_components,
+        pca_project,
+    )
+
+    rng = random.Random(3)
+    d = 16
+    u1 = [rng.gauss(0, 1) for _ in range(d)]
+    n1 = sum(x * x for x in u1) ** 0.5
+    u1 = [x / n1 for x in u1]
+    u2 = [rng.gauss(0, 1) for _ in range(d)]
+    dot = sum(a * b for a, b in zip(u1, u2))
+    u2 = [b - dot * a for a, b in zip(u1, u2)]
+    n2 = sum(x * x for x in u2) ** 0.5
+    u2 = [x / n2 for x in u2]
+    rows = []
+    for i in range(300):
+        a, b = rng.gauss(0, 5), rng.gauss(0, 2)
+        vec = [3.0 + a * x + b * y + rng.gauss(0, 0.05)
+               for x, y in zip(u1, u2)]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    mu, comps = pca_power_components(df, n_components=2, n_iter=5, dim=d)
+    mu2, comps2 = pca_power_components(df, n_components=2, n_iter=5, dim=d)
+    assert (mu, comps) == (mu2, comps2)  # deterministic
+    v1, v2 = comps
+    align1 = abs(sum(a * b for a, b in zip(v1, u1)))
+    align2 = abs(sum(a * b for a, b in zip(v2, u2)))
+    ortho = abs(sum(a * b for a, b in zip(v1, v2)))
+    assert align1 > 0.99 and align2 > 0.99, (align1, align2)
+    assert ortho < 0.01, ortho
+    norm1 = sum(x * x for x in v1) ** 0.5
+    assert abs(norm1 - 1.0) < 0.01
+    # projections: pc_0 captures the larger variance
+    pdf = pca_project(df, mu, comps).toPandas()
+    assert pdf.pc_0.var() > pdf.pc_1.var() > 0
+    with pytest.raises(ValueError, match="n_components"):
+        pca_power_components(df, n_components=0)
