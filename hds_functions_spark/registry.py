@@ -755,6 +755,7 @@ DRIVER_PRIORITY: list[str] = [
     "text_kn_trigram_logprob",
     "quality_bootstrap_ci",
     "embedding_pca_projection",
+    "embedding_pca_variance",
     # round-8 additions (never driver-checked):
     "dedup_exact_spans",
     "dedup_span_removal",
@@ -800,7 +801,6 @@ DRIVER_PRIORITY: list[str] = [
     "text_tokens",
     "wrangle_winsorize",
     # oldest r05 rows to fill the window (8):
-    "analytics_promo_revenue",
     # (trailing r05 fillers rotated out to keep the window at 50
     # as round-9 heads were added)
 ]

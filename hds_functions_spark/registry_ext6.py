@@ -809,3 +809,64 @@ def embedding_pca_projection(spark, sf_dir):
     mu, comps = _shared_pca(spark, sf_dir)
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return pca_project(emb, mu, comps, round_digits=_PCA_OUT_RD)
+
+
+def _duck_pca_variance_sql() -> str:
+    d = _PCA_DIM
+    pc0 = "0.0 + " + " + ".join(
+        f"(e.embedding[{j}]::DOUBLE - m.m{j}) * p.c{j}" for j in range(1, d + 1)
+    )
+    pc1 = "0.0 + " + " + ".join(
+        f"(e.embedding[{j}]::DOUBLE - m.m{j}) * q.c{j}" for j in range(1, d + 1)
+    )
+    trace = " + ".join(
+        f"(e.embedding[{j}]::DOUBLE - m.m{j}) * "
+        f"(e.embedding[{j}]::DOUBLE - m.m{j})"
+        for j in range(1, d + 1)
+    )
+    return f"""
+{_duck_pca_cte()},
+proj AS (
+  SELECT round({pc0}, {_PCA_OUT_RD}) AS p0,
+         round({pc1}, {_PCA_OUT_RD}) AS p1,
+         ({trace}) AS sq
+  FROM embeddings e CROSS JOIN mean m CROSS JOIN v1f p CROSS JOIN v2f q
+)
+SELECT round(avg(p0 * p0) - avg(p0) * avg(p0), 4) AS var_pc0,
+       round(avg(p1 * p1) - avg(p1) * avg(p1), 4) AS var_pc1,
+       round(avg(sq), 4) AS trace,
+       round((avg(p0 * p0) - avg(p0) * avg(p0)) / avg(sq), 6) AS share_pc0,
+       round((avg(p1 * p1) - avg(p1) * avg(p1)) / avg(sq), 6) AS share_pc1
+FROM proj
+"""
+
+
+@_register("embedding_pca_variance", _duck_pca_variance_sql())
+def embedding_pca_variance(spark, sf_dir):
+    """Explained-variance report for the fitted components: the
+    variance captured by each principal direction against the total
+    centered variance (the trace) — the one-row summary that says
+    whether the corpus HAS dominant directions worth whitening away
+    before cosine workloads, or the embedding space is already
+    isotropic. One aggregate over the projections; shares round last."""
+    from .operators.similarity import pca_project
+
+    mu, comps = _shared_pca(spark, sf_dir)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    proj = pca_project(emb, mu, comps, round_digits=_PCA_OUT_RD)
+    v = F.col("embedding").cast("array<double>")
+    sq = F.lit(0.0)
+    for j in range(_PCA_DIM):
+        c = F.get(v, j) - mu[j]
+        sq = sq + c * c
+    # re-attach the squared centered norm to the projection rows
+    both = emb.select("vec_id", sq.alias("sq")).join(proj, on="vec_id")
+    var0 = F.avg(F.col("pc_0") * F.col("pc_0")) - F.avg("pc_0") * F.avg("pc_0")
+    var1 = F.avg(F.col("pc_1") * F.col("pc_1")) - F.avg("pc_1") * F.avg("pc_1")
+    return both.agg(
+        F.round(var0, 4).alias("var_pc0"),
+        F.round(var1, 4).alias("var_pc1"),
+        F.round(F.avg("sq"), 4).alias("trace"),
+        F.round(var0 / F.avg("sq"), 6).alias("share_pc0"),
+        F.round(var1 / F.avg("sq"), 6).alias("share_pc1"),
+    )
