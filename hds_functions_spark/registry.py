@@ -739,10 +739,11 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: any, should be inserted at the head so they land a driver row the
 #: round they ship.
 #: ROUND-10 ROTATION GUIDANCE: if CORRECTNESS_r09 comes back green for
-#: this window, the driver-verified union is 182/182 with no row older
-#: than r05 — rotate the next window onto the oldest rows again
-#: (refresh via tools/driver_coverage.py) and put any r09 reds at the
-#: head.
+#: this window, the driver-verified union is 193/193. Three r04-stale
+#: rows were displaced by round-9 additions and still need a refresh:
+#: text_stats, text_tokens, wrangle_winsorize — put them (plus any r09
+#: reds, plus round-10 additions) at the next window's head, then fill
+#: with the oldest remaining rows via tools/driver_coverage.py.
 DRIVER_PRIORITY: list[str] = [
     # round-9 additions (land driver rows the round they ship):
     "select_dsir_weights",
