@@ -26,10 +26,10 @@ Spark-first shape, same determinism contract as k-means
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["pagerank", "triangle_count"]
+__all__ = ["pagerank", "triangle_count", "label_propagation"]
 
 
 def pagerank(
@@ -264,3 +264,88 @@ def triangle_count(
     return corners.groupBy("node").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_iter: int = 3,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Community detection by DETERMINISTIC synchronous label
+    propagation (Raghavan et al. 2007, with the randomness removed):
+    every node starts as its own label; each round, every node adopts
+    the most frequent label among its in-neighbours, ties broken by the
+    SMALLEST label; nodes with no in-neighbours keep their label. After
+    ``n_iter`` rounds, nodes sharing a label form a community — the
+    mesoscale structure between :func:`triangle_count` (local density)
+    and :func:`connected_components <..dedup.connected_components>`
+    (global reachability) on the same graph. Directed as given: pass
+    both directions for an undirected graph (the registry query does).
+
+    Determinism: the classic algorithm breaks ties randomly and updates
+    asynchronously; here updates are synchronous and ties go to the
+    minimum label, so the result is a pure function of the edge set and
+    an unrolled SQL oracle replays every round exactly. The cost of
+    synchronicity is possible 2-cycles on bipartite-ish structures —
+    ``n_iter`` is a fixed budget, not a convergence loop, which also
+    bounds the plan.
+
+    Plan per round: one equi-join of the label frame (1 row/node) into
+    the edge list on src, a combinable (node, label) count, one
+    window top-1, a left join back for isolated nodes. The edge frame
+    is persisted once and reused every round; lineage truncates on the
+    :func:`pagerank` cadence/strategy contract (reliable checkpoint
+    when a checkpoint dir is set). Output: ``(node, community)``.
+    """
+    if n_iter < 0:
+        raise ValueError(f"n_iter must be >= 0 (got {n_iter})")
+    if checkpoint_every < 1:
+        raise ValueError(
+            f"checkpoint_every must be >= 1 (got {checkpoint_every})"
+        )
+    from ..caching import tracked_persist
+
+    e = tracked_persist(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    nodes = tracked_persist(
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    labels = nodes.select("node", F.col("node").alias("community"))
+
+    sc = edges.sparkSession.sparkContext
+    _reliable = sc.getCheckpointDir() is not None
+
+    def _truncate(df: DataFrame) -> DataFrame:
+        return df.checkpoint() if _reliable else df.localCheckpoint()
+
+    w = Window.partitionBy("node").orderBy(
+        F.col("_c").desc(), F.col("community").asc()
+    )
+    for i in range(n_iter):
+        if i % checkpoint_every == 0:
+            labels = _truncate(labels)
+        votes = (
+            e.join(labels, e["src"] == labels["node"])
+            .groupBy(F.col("dst").alias("node"), "community")
+            .agg(F.count(F.lit(1)).alias("_c"))
+        )
+        winner = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("node", F.col("community").alias("_new"))
+        )
+        labels = (
+            labels.join(winner, on="node", how="left")
+            .select(
+                "node",
+                F.coalesce(F.col("_new"), F.col("community")).alias("community"),
+            )
+        )
+    return labels

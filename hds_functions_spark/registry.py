@@ -757,6 +757,7 @@ DRIVER_PRIORITY: list[str] = [
     "quality_bootstrap_ci",
     "embedding_pca_projection",
     "embedding_pca_variance",
+    "graph_communities_lpa",
     # round-8 additions (never driver-checked):
     "dedup_exact_spans",
     "dedup_span_removal",
@@ -800,7 +801,6 @@ DRIVER_PRIORITY: list[str] = [
     "text_quality",
     "text_stats",
     "text_tokens",
-    "wrangle_winsorize",
     # oldest r05 rows to fill the window (8):
     # (trailing r05 fillers rotated out to keep the window at 50
     # as round-9 heads were added)

@@ -870,3 +870,67 @@ def embedding_pca_variance(spark, sf_dir):
         F.round(var0 / F.avg("sq"), 6).alias("share_pc0"),
         F.round(var1 / F.avg("sq"), 6).alias("share_pc1"),
     )
+
+
+# --- community detection: deterministic label propagation -------------------
+
+_LPA_ITER = 3
+
+
+def _duck_lpa_sql() -> str:
+    """Unrolled synchronous label-propagation rounds as DuckDB CTEs over
+    the customer-supplier co-purchase graph (the graph_pagerank edge
+    build): every node starts as its own label; each round adopts the
+    most frequent in-neighbour label (ties -> smallest label); isolated
+    nodes keep theirs (none exist on this undirected graph, branch kept
+    for formula parity)."""
+    parts = ["""
+base AS (
+  SELECT DISTINCT 2 * o.o_custkey AS c, 2 * l.l_suppkey + 1 AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+e AS (SELECT c AS src, s AS dst FROM base
+      UNION SELECT s, c FROM base),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+l0 AS (SELECT node, node AS community FROM nodes)"""]
+    prev = "l0"
+    for i in range(1, _LPA_ITER + 1):
+        parts.append(f""",
+v{i} AS (
+  SELECT e.dst AS node, l.community, count(*) AS c
+  FROM {prev} l JOIN e ON l.node = e.src GROUP BY 1, 2),
+w{i} AS (
+  SELECT node, community FROM (
+    SELECT node, community,
+           row_number() OVER (PARTITION BY node
+                              ORDER BY c DESC, community) AS rn
+    FROM v{i}) WHERE rn = 1),
+l{i} AS (
+  SELECT l.node, coalesce(w.community, l.community) AS community
+  FROM {prev} l LEFT JOIN w{i} w USING (node))""")
+        prev = f"l{i}"
+    return ("WITH " + "".join(parts)
+            + f"\nSELECT node, community FROM {prev}")
+
+
+@_register("graph_communities_lpa", _duck_lpa_sql())
+def graph_communities_lpa(spark, sf_dir):
+    """Deterministic synchronous label propagation over the
+    customer-supplier co-purchase graph: after 3 rounds, nodes sharing
+    a label form a community — the mesoscale structure between
+    triangle counts (local density) and connected components (global
+    reachability). Synchronous updates + smallest-label tie-break make
+    the result a pure function of the edge set, so the oracle unrolls
+    every round. See operators/graph.py:label_propagation."""
+    from .operators.graph import label_propagation
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    joined = orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+    edges = joined.select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    both = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return label_propagation(both, n_iter=_LPA_ITER)

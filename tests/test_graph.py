@@ -249,3 +249,66 @@ def test_pagerank_reliable_checkpoint_when_dir_set(spark, tmp_path):
         assert written, "no reliable checkpoint files were written"
     finally:
         sc._jsc.sc().setCheckpointDir(None)
+
+
+def test_label_propagation_splits_bridged_cliques(spark):
+    """Two triangles joined by one bridge edge resolve into two
+    communities; the result is deterministic and cadence-invariant."""
+    from hds_functions_spark.operators.graph import label_propagation
+
+    edges = [(1, 2), (2, 3), (3, 1), (4, 5), (5, 6), (6, 4), (3, 4)]
+    both = edges + [(b, a) for a, b in edges]
+    df = spark.createDataFrame(both, "src long, dst long")
+    out = {r.node: r.community
+           for r in label_propagation(df, n_iter=4).collect()}
+    assert out[1] == out[2] == out[3]
+    assert out[4] == out[5] == out[6]
+    assert out[1] != out[4]
+    out2 = {r.node: r.community
+            for r in label_propagation(df, n_iter=4, checkpoint_every=2).collect()}
+    assert out == out2
+
+
+def test_label_propagation_python_replay(spark):
+    """Engine rounds equal a pure-Python synchronous LPA on a random
+    graph (most-frequent in-neighbour label, ties to smallest)."""
+    import collections
+    import random
+
+    from hds_functions_spark.operators.graph import label_propagation
+
+    rng = random.Random(13)
+    edges = {(rng.randint(1, 30), rng.randint(1, 30)) for _ in range(60)}
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.community
+           for r in label_propagation(df, n_iter=3).collect()}
+
+    nodes = {a for a, _ in edges} | {b for _, b in edges}
+    labels = {n: n for n in nodes}
+    for _ in range(3):
+        votes: dict = collections.defaultdict(collections.Counter)
+        for a, b in edges:
+            votes[b][labels[a]] += 1
+        new = {}
+        for n in nodes:
+            if votes[n]:
+                best = min((-c, lab) for lab, c in votes[n].items())
+                new[n] = best[1]
+            else:
+                new[n] = labels[n]
+        labels = new
+    assert got == labels
+
+
+def test_label_propagation_isolated_and_validation(spark):
+    from hds_functions_spark.operators.graph import label_propagation
+
+    # node 9 only ever SENDS (no in-edges): keeps its own label
+    df = spark.createDataFrame([(9, 1), (1, 2), (2, 1)], "src long, dst long")
+    out = {r.node: r.community
+           for r in label_propagation(df, n_iter=2).collect()}
+    assert out[9] == 9
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n_iter"):
+        label_propagation(df, n_iter=-1)
