@@ -27,6 +27,7 @@ __all__ = [
     "cosine_similarity",
     "cosine_topk",
     "lsh_cosine_topk",
+    "lsh_multiprobe_cosine_topk",
     "hyperplanes",
     "plane_signature",
     "ivf_cosine_topk",
@@ -845,3 +846,69 @@ def pca_project(
             acc = acc + (F.get(v, j) - mean[j]) * w
         cols.append(F.round(acc, round_digits).alias(f"pc_{c}"))
     return df.select(*cols)
+
+
+def lsh_multiprobe_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    dim: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al., "Multi-Probe LSH", VLDB 2007):
+    each query probes its own hyperplane bucket AND every bucket at
+    Hamming distance 1 (one sign bit flipped) — the buckets a borderline
+    vector most likely fell into. Recall rises toward brute force
+    without more hash tables or a denser corpus index: candidate volume
+    grows ~(n_planes + 1)x per query while the corpus side still
+    carries ONE signature per vector and the join stays equi on the
+    bucket key (at 100 TB: same bucket-partitioned corpus layout as
+    :func:`lsh_cosine_topk`, only the broadcast query side fans out).
+    A corpus vector has one bucket and the probe set is distinct, so
+    each (query, candidate) pair arises at most once — no dedup pass.
+    Exact cosine within candidates; output schema matches
+    :func:`cosine_topk`.
+    """
+    planes = hyperplanes(n_planes, dim)
+    sig = plane_signature(F.col(vec_col), planes)
+    probes = F.array(
+        sig, *[sig.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
+    )
+    q = queries.select(
+        F.col(query_id).alias("_qid"),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(probes).alias("_bucket"),
+    )
+    c = ensure_min_partitions(corpus).select(
+        F.col(corpus_id).alias("_cid"),
+        F.col(vec_col).alias("_cvec"),
+        plane_signature(F.col(vec_col), planes).alias("_bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="_bucket")
+        .filter(F.col("_qid") != F.col("_cid"))
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                cosine_similarity(F.col("_qvec"), F.col("_cvec")), round_digits
+            ),
+        )
+    )
+    top = first_row(
+        scored,
+        n=k,
+        partition_by=["_qid"],
+        order_by=[F.col("cosine_sim").desc(), F.col("_cid").asc()],
+        return_index_column=True,
+        index_column_name="row_index",
+    )
+    return top.select(
+        F.col("_qid").alias(query_id),
+        F.col("_cid").alias(corpus_id),
+        "cosine_sim",
+        F.col("row_index").cast("int").alias("row_index"),
+    )

@@ -739,11 +739,12 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: any, should be inserted at the head so they land a driver row the
 #: round they ship.
 #: ROUND-10 ROTATION GUIDANCE: if CORRECTNESS_r09 comes back green for
-#: this window, the driver-verified union is 193/193. Three r04-stale
+#: this window, the driver-verified union is 196/196. Six r04-stale
 #: rows were displaced by round-9 additions and still need a refresh:
-#: text_stats, text_tokens, wrangle_winsorize — put them (plus any r09
-#: reds, plus round-10 additions) at the next window's head, then fill
-#: with the oldest remaining rows via tools/driver_coverage.py.
+#: text_stats, text_tokens, text_language, text_quality,
+#: wrangle_winsorize (plus whichever tools/driver_coverage.py lists) —
+#: put them (plus any r09 reds, plus round-10 additions) at the next
+#: window's head, then fill with the oldest remaining rows.
 DRIVER_PRIORITY: list[str] = [
     # round-9 additions (land driver rows the round they ship):
     "select_dsir_weights",
@@ -758,6 +759,8 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_pca_projection",
     "embedding_pca_variance",
     "graph_communities_lpa",
+    "similarity_lsh_multiprobe",
+    "similarity_multiprobe_recall",
     # round-8 additions (never driver-checked):
     "dedup_exact_spans",
     "dedup_span_removal",
@@ -797,8 +800,6 @@ DRIVER_PRIORITY: list[str] = [
     "text_bigram_logprob",
     "text_char_entropy",
     "text_fingerprint",
-    "text_language",
-    "text_quality",
     "text_stats",
     "text_tokens",
     # oldest r05 rows to fill the window (8):

@@ -310,3 +310,31 @@ def test_pca_power_recovers_planted_components(spark):
     assert pdf.pc_0.var() > pdf.pc_1.var() > 0
     with pytest.raises(ValueError, match="n_components"):
         pca_power_components(df, n_components=0)
+
+
+def test_multiprobe_candidates_superset_of_plain(spark):
+    """Multi-probe probes the exact bucket plus every Hamming-1 bucket,
+    so its candidate set — and hence recall — contains plain LSH's."""
+    import random
+
+    from hds_functions_spark.operators.similarity import (
+        lsh_cosine_topk,
+        lsh_multiprobe_cosine_topk,
+    )
+
+    rng = random.Random(7)
+    d = 16
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(d)]) for i in range(150)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = emb.filter("vec_id % 30 = 0").selectExpr(
+        "vec_id AS query_id", "embedding"
+    )
+    plain = lsh_cosine_topk(emb, qs, k=150, n_planes=6, dim=d)
+    multi = lsh_multiprobe_cosine_topk(emb, qs, k=150, n_planes=6, dim=d)
+    p_pairs = {(r.query_id, r.vec_id) for r in plain.collect()}
+    m_pairs = {(r.query_id, r.vec_id) for r in multi.collect()}
+    assert p_pairs <= m_pairs          # superset (k large enough to keep all)
+    assert len(m_pairs) > len(p_pairs)  # the probes actually add candidates
+    # no duplicate (query, candidate) pairs from the probe fan-out
+    rows_m = multi.collect()
+    assert len(rows_m) == len({(r.query_id, r.vec_id) for r in rows_m})
