@@ -742,7 +742,8 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: this window, the driver-verified union is 196/196. Six r04-stale
 #: rows were displaced by round-9 additions and still need a refresh:
 #: text_stats, text_tokens, text_language, text_quality,
-#: wrangle_winsorize (plus whichever tools/driver_coverage.py lists) —
+#: text_fingerprint, wrangle_winsorize (plus whichever
+#: tools/driver_coverage.py lists) —
 #: put them (plus any r09 reds, plus round-10 additions) at the next
 #: window's head, then fill with the oldest remaining rows.
 DRIVER_PRIORITY: list[str] = [
@@ -761,6 +762,7 @@ DRIVER_PRIORITY: list[str] = [
     "graph_communities_lpa",
     "similarity_lsh_multiprobe",
     "similarity_multiprobe_recall",
+    "pipeline_curriculum_order",
     # round-8 additions (never driver-checked):
     "dedup_exact_spans",
     "dedup_span_removal",
@@ -799,7 +801,6 @@ DRIVER_PRIORITY: list[str] = [
     "table_diff_versions",
     "text_bigram_logprob",
     "text_char_entropy",
-    "text_fingerprint",
     "text_stats",
     "text_tokens",
     # oldest r05 rows to fill the window (8):

@@ -1047,3 +1047,57 @@ def similarity_multiprobe_recall(spark, sf_dir):
         F.col("n_exact").cast("long").alias("n_exact"),
         F.round(F.col("n_hit") / F.col("n_exact"), 4).alias("recall"),
     )
+
+
+# --- curriculum ordering by LM quality --------------------------------------
+
+_CUR_DECILES = 10
+
+
+@_register(
+    "pipeline_curriculum_order",
+    f"""
+WITH kn AS ({{kn_oracle}}),
+ranked AS (
+  SELECT k.doc_id, k.avg_logprob, d.n_chars,
+         ntile({_CUR_DECILES}) OVER (ORDER BY k.avg_logprob DESC, k.doc_id)
+             AS decile
+  FROM kn k JOIN documents d USING (doc_id)
+)
+SELECT CAST(decile AS INTEGER) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(avg_logprob), 4) AS mean_logprob,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM ranked GROUP BY 1
+""".format(kn_oracle=ORACLES["text_kn_trigram_logprob"]),
+)
+def pipeline_curriculum_order(spark, sf_dir):
+    """Curriculum construction end-to-end: Kneser-Ney LM scores (the
+    held-out-trained quality signal) order the corpus easiest-first
+    (highest log-likelihood), ntile cuts it into 10 curriculum stages,
+    and the per-stage composition (docs, mean score, characters) is
+    what a staged-training data loader consumes. The global ntile runs
+    over the already-collapsed per-doc score frame — one row per doc,
+    not corpus text (at larger scale swap ntile for range partitioning
+    on the score, as the layout module does). Oracle composes the
+    registered KN oracle so drift propagates."""
+    from .operators.profiling import kn_trigram_logprob_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    train = docs.filter(F.col("doc_id") % _KN_TRAIN_MOD == 0).select(
+        "doc_id", "text"
+    )
+    kn = kn_trigram_logprob_scores(train, docs.select("doc_id", "text"),
+                                   discount=_KN_D)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("avg_logprob").desc(), F.col("doc_id"))
+    ranked = (
+        kn.join(docs.select("doc_id", "n_chars"), on="doc_id")
+        .withColumn("decile", F.ntile(_CUR_DECILES).over(w))
+    )
+    return ranked.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("avg_logprob"), 4).alias("mean_logprob"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
