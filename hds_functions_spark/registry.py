@@ -748,6 +748,9 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: window's head, then fill with the oldest remaining rows.
 DRIVER_PRIORITY: list[str] = [
     # round-9 additions (land driver rows the round they ship):
+    "classify_nb_model",
+    "classify_nb_predict",
+    "classify_nb_confusion",
     "select_dsir_weights",
     "select_dsir_topk",
     "dedup_exact_spans_incremental",

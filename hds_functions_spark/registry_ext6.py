@@ -1101,3 +1101,6 @@ def pipeline_curriculum_order(spark, sf_dir):
         F.round(F.avg("avg_logprob"), 4).alias("mean_logprob"),
         F.sum("n_chars").cast("long").alias("total_chars"),
     )
+
+
+from . import registry_ext7  # noqa: E402,F401  (round-9 continuation)
