@@ -13,9 +13,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..functions.partitioning import ensure_min_partitions
-from ..functions.text import tokens
+from ..functions.text import tokens, word_ngrams
 
 __all__ = [
+    "ngram_novelty",
     "profile_columns",
     "tf_idf_top_terms",
     "group_quantiles",
@@ -649,4 +650,70 @@ def kn_trigram_logprob_scores(
             F.round(F.avg(lp), round_digits).alias("avg_logprob"),
         )
         .filter(F.col("n_scored") >= 1)
+    )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-document n-gram NOVELTY against everything ingested before
+    it: the fraction of the document's distinct word ``ngram``-shingles
+    whose FIRST occurrence (minimum ``id_col`` over the corpus, ids
+    standing in for ingest order) is this document. The
+    diminishing-returns curve every corpus-growth decision reads — a
+    near-zero novelty tail means new data is re-crawling what the
+    corpus already holds (the signal behind dedup-aware crawl
+    scheduling and data-constrained scaling analyses).
+
+    Output: ``(doc_id, n_grams, n_novel, novelty)`` for every input
+    document; gramless docs (shorter than ``ngram`` tokens) carry
+    ``(0, 0, 0.0)``.
+
+    Plan shape: one distinct-(doc, gram) explode, one
+    map-side-combinable ``min(doc_id)`` per gram, one join back on
+    gram, one per-doc count — every stage linear in corpus grams,
+    nothing quadratic, no driver state. At 100 TB the gram frame is the
+    only heavy exchange (~n tokens per doc); it shuffles on the gram
+    key, which is naturally high-cardinality and unskewed (boilerplate
+    mega-grams cap at corpus doc count, and the min-combine collapses
+    them map-side before the exchange).
+    """
+    if ngram < 1:
+        raise ValueError(f"ngram must be >= 1 (got {ngram})")
+    toks = F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
+    grams = (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(word_ngrams(toks, ngram))).alias(
+                "gram"
+            ),
+        )
+    )
+    first = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first, on="gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(per_doc, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+            F.round(
+                F.coalesce(F.col("n_novel") / F.col("n_grams"), F.lit(0.0)),
+                round_digits,
+            ).alias("novelty"),
+        )
     )

@@ -37,6 +37,7 @@ __all__ = [
     "cap_per_group",
     "BUCKETS",
     "temperature_weights",
+    "mixture_epoch_plan",
 ]
 
 #: hash-space resolution: weights are quantised to 1/10000
@@ -377,5 +378,71 @@ def temperature_weights(
                 / (F.col("n_docs") / F.col("_n")),
                 round_digits,
             ).alias("per_doc_rate"),
+        )
+    )
+
+
+def mixture_epoch_plan(
+    df: DataFrame,
+    source_col: str = "source",
+    size_col: str = "n_tokens",
+    alpha: float = 0.7,
+    budget_multiplier: float = 2.0,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Token-budget mixture planning: the table a pretraining run is
+    configured from (the LLaMA/mT5 "sampling proportion & epochs"
+    table). Where :func:`temperature_weights` plans by DOCUMENT counts,
+    this plans by TOKEN mass and converts the mixture into concrete
+    loader directives for a fixed token budget
+    ``B = budget_multiplier * total_tokens``:
+
+    - ``weight``: temperature-smoothed token share
+      ``tok_s^alpha / sum_j tok_j^alpha`` (alpha < 1 up-weights
+      low-resource sources);
+    - ``tokens_needed = weight * B``: this source's slice of the budget;
+    - ``epochs = tokens_needed / n_tokens``: how many passes over the
+      source the plan implies (> 1 = repetition, the quantity data-
+      constrained scaling laws cap);
+    - ``sample_rate = min(1, epochs)``: the per-pass keep rate when the
+      loader down-samples instead of repeating.
+
+    One map-side-combinable per-source aggregate over the corpus; the
+    normaliser is one more aggregate over the C-row source frame,
+    broadcast back. Nothing scales with document count downstream of
+    the first groupBy, so the plan costs one corpus scan at any size.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0 (got {alpha})")
+    if budget_multiplier <= 0:
+        raise ValueError(
+            f"budget_multiplier must be > 0 (got {budget_multiplier})"
+        )
+    counts = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(size_col).cast("long").alias("n_tokens"),
+    )
+    powed = counts.withColumn(
+        "_p", F.pow(F.col("n_tokens").cast("double"), F.lit(float(alpha)))
+    )
+    norm = powed.agg(F.sum("_p").alias("_z"), F.sum("n_tokens").alias("_n"))
+    weight = F.col("_p") / F.col("_z")
+    budget = F.col("_n") * F.lit(float(budget_multiplier))
+    epochs = weight * budget / F.col("n_tokens")
+    return (
+        powed.crossJoin(F.broadcast(norm))
+        .select(
+            source_col,
+            "n_docs",
+            "n_tokens",
+            F.round(F.col("n_tokens") / F.col("_n"), round_digits).alias(
+                "natural_share"
+            ),
+            F.round(weight, round_digits).alias("weight"),
+            F.round(weight * budget, 1).alias("tokens_needed"),
+            F.round(epochs, round_digits).alias("epochs"),
+            F.round(F.least(epochs, F.lit(1.0)), round_digits).alias(
+                "sample_rate"
+            ),
         )
     )

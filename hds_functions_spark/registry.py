@@ -751,6 +751,8 @@ DRIVER_PRIORITY: list[str] = [
     "classify_nb_model",
     "classify_nb_predict",
     "classify_nb_confusion",
+    "mixture_epoch_plan",
+    "text_novelty",
     "select_dsir_weights",
     "select_dsir_topk",
     "dedup_exact_spans_incremental",

@@ -200,3 +200,112 @@ def classify_nb_confusion(spark, sf_dir):
             ).cast("long").alias("n_correct"),
         )
     )
+
+
+# --- token-budget mixture planning ------------------------------------------
+
+#: mixture temperature (alpha < 1 up-weights low-resource sources)
+_MIX_ALPHA = 0.7
+#: token budget as a multiple of the corpus's total tokens
+_MIX_BUDGET_MULT = 2.0
+
+
+@_register(
+    "mixture_epoch_plan",
+    f"""
+WITH d AS (
+  SELECT source, len({_NB_DUCK_TOK}) AS n_tok FROM documents),
+c AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens
+  FROM d GROUP BY 1),
+z AS (
+  SELECT sum(pow(n_tokens::DOUBLE, {_MIX_ALPHA})) AS z,
+         sum(n_tokens) AS n
+  FROM c)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens::DOUBLE / z.n, 6) AS natural_share,
+       round(pow(n_tokens::DOUBLE, {_MIX_ALPHA}) / z.z, 6) AS weight,
+       round(pow(n_tokens::DOUBLE, {_MIX_ALPHA}) / z.z
+             * z.n * {_MIX_BUDGET_MULT}, 1) AS tokens_needed,
+       round(pow(n_tokens::DOUBLE, {_MIX_ALPHA}) / z.z
+             * z.n * {_MIX_BUDGET_MULT} / n_tokens, 6) AS epochs,
+       round(least(pow(n_tokens::DOUBLE, {_MIX_ALPHA}) / z.z
+                   * z.n * {_MIX_BUDGET_MULT} / n_tokens, 1.0), 6)
+           AS sample_rate
+FROM c, z
+""",
+)
+def mixture_epoch_plan(spark, sf_dir):
+    """Token-budget mixture planning (alpha = {a}, budget = {m}x total
+    tokens): the LLaMA-style "sampling proportion & epochs" table —
+    per-source temperature-smoothed token share converted into
+    tokens_needed / epochs / per-pass sample_rate loader directives.
+    One corpus scan, then everything runs on the C-row source frame
+    (operators/sampling.py:mixture_epoch_plan).""".format(
+        a=_MIX_ALPHA, m=_MIX_BUDGET_MULT
+    )
+    from .functions.text import token_count
+    from .operators.sampling import mixture_epoch_plan as plan
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "source", token_count(F.col("text")).alias("n_tokens")
+    )
+    return plan(
+        docs,
+        source_col="source",
+        size_col="n_tokens",
+        alpha=_MIX_ALPHA,
+        budget_multiplier=_MIX_BUDGET_MULT,
+    )
+
+
+# --- n-gram novelty (diminishing-returns curve) ------------------------------
+
+#: shingle width for the novelty signal
+_NOV_NGRAM = 5
+
+
+def _duck_ngrams(lst: str, n: int) -> str:
+    body = " || ' ' || ".join(f"{lst}[i + {k}]" for k in range(n))
+    return (
+        f"CASE WHEN len({lst}) < {n} THEN []::VARCHAR[] "
+        f"ELSE list_transform(generate_series(1, len({lst}) - {n - 1}), "
+        f"i -> {body}) END"
+    )
+
+
+@_register(
+    "text_novelty",
+    f"""
+WITH d AS (
+  SELECT doc_id, {_NB_DUCK_TOK} AS t FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, unnest({_duck_ngrams('t', _NOV_NGRAM)}) AS gram
+  FROM d),
+f AS (SELECT gram, min(doc_id) AS first_doc FROM g GROUP BY 1),
+per AS (
+  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN first_doc = g.doc_id THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_novel
+  FROM g JOIN f USING (gram) GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(n_grams, 0) AS n_grams,
+       coalesce(n_novel, 0) AS n_novel,
+       round(coalesce(n_novel::DOUBLE / n_grams, 0.0), 6) AS novelty
+FROM (SELECT doc_id FROM documents) d LEFT JOIN per USING (doc_id)
+""",
+)
+def text_novelty(spark, sf_dir):
+    """Per-document {n}-gram novelty against everything ingested
+    before it (doc_id as ingest order): the share of the doc's
+    distinct shingles first seen in THIS doc — the diminishing-returns
+    curve corpus-growth decisions read. Linear plan: distinct-gram
+    explode, min-combine per gram, join back, per-doc count
+    (operators/profiling.py:ngram_novelty).""".format(n=_NOV_NGRAM)
+    from .operators.profiling import ngram_novelty
+
+    return ngram_novelty(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"),
+        ngram=_NOV_NGRAM,
+    )

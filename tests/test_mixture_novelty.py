@@ -1,0 +1,104 @@
+"""mixture_epoch_plan (operators/sampling.py) and ngram_novelty
+(operators/profiling.py): pure-Python parity + edge contracts."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from hds_functions_spark.operators.profiling import ngram_novelty
+from hds_functions_spark.operators.sampling import mixture_epoch_plan
+
+
+def test_mixture_epoch_plan_matches_hand_computation(spark):
+    rows = [
+        ("a", 100),
+        ("a", 300),  # a: 400 tokens
+        ("b", 100),  # b: 100 tokens
+    ]
+    df = spark.createDataFrame(rows, ["source", "n_tokens"])
+    out = {
+        r["source"]: r
+        for r in mixture_epoch_plan(
+            df, alpha=0.5, budget_multiplier=2.0
+        ).collect()
+    }
+    z = math.sqrt(400) + math.sqrt(100)
+    w_a, w_b = math.sqrt(400) / z, math.sqrt(100) / z
+    budget = 500 * 2.0
+    assert out["a"]["n_docs"] == 2 and out["a"]["n_tokens"] == 400
+    assert out["a"]["natural_share"] == pytest.approx(0.8)
+    assert out["a"]["weight"] == pytest.approx(round(w_a, 6))
+    assert out["a"]["tokens_needed"] == pytest.approx(round(w_a * budget, 1))
+    assert out["a"]["epochs"] == pytest.approx(round(w_a * budget / 400, 6))
+    # b is low-resource: alpha=0.5 up-weights it past its natural share
+    assert out["b"]["weight"] > out["b"]["natural_share"]
+    assert out["b"]["epochs"] == pytest.approx(round(w_b * budget / 100, 6))
+    # epochs > 1 -> sample_rate caps at 1
+    assert out["b"]["sample_rate"] == 1.0
+    assert out["a"]["sample_rate"] == min(1.0, out["a"]["epochs"])
+
+
+def test_mixture_alpha_one_recovers_natural_shares(spark):
+    df = spark.createDataFrame(
+        [("a", 300), ("b", 100)], ["source", "n_tokens"]
+    )
+    out = {
+        r["source"]: r
+        for r in mixture_epoch_plan(
+            df, alpha=1.0, budget_multiplier=1.0
+        ).collect()
+    }
+    for s in ("a", "b"):
+        assert out[s]["weight"] == pytest.approx(out[s]["natural_share"])
+        assert out[s]["epochs"] == pytest.approx(1.0)
+
+
+def test_mixture_validation(spark):
+    df = spark.createDataFrame([("a", 1)], ["source", "n_tokens"])
+    with pytest.raises(ValueError):
+        mixture_epoch_plan(df, alpha=-0.1)
+    with pytest.raises(ValueError):
+        mixture_epoch_plan(df, budget_multiplier=0.0)
+
+
+NOV_DOCS = [
+    (1, "a b c d e f"),  # grams: "a b c", "b c d", "c d e", "d e f" — all new
+    (2, "a b c d x"),  # "a b c", "b c d" seen in doc 1; "c d x" new
+    (3, "a b"),  # too short for 3-grams
+    (4, ""),  # empty
+    (5, "c d x y z"),  # "c d x" first seen in doc 2; "d x y","x y z" new
+]
+
+
+def test_ngram_novelty_matches_hand_computation(spark):
+    df = spark.createDataFrame(NOV_DOCS, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in ngram_novelty(df, ngram=3).collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    assert (out[1]["n_grams"], out[1]["n_novel"]) == (4, 4)
+    assert out[1]["novelty"] == 1.0
+    assert (out[2]["n_grams"], out[2]["n_novel"]) == (3, 1)
+    assert out[2]["novelty"] == pytest.approx(round(1 / 3, 6))
+    # gramless docs carry explicit zeros, not nulls
+    for d in (3, 4):
+        assert (out[d]["n_grams"], out[d]["n_novel"], out[d]["novelty"]) == (
+            0,
+            0,
+            0.0,
+        )
+    assert (out[5]["n_grams"], out[5]["n_novel"]) == (3, 2)
+
+
+def test_ngram_novelty_distinct_grams_within_doc(spark):
+    # a self-repeating doc counts each distinct gram once
+    df = spark.createDataFrame([(1, "a b a b a b")], ["doc_id", "text"])
+    out = ngram_novelty(df, ngram=2).collect()[0]
+    # distinct 2-grams: "a b", "b a"
+    assert out["n_grams"] == 2 and out["n_novel"] == 2
+
+
+def test_ngram_novelty_validation(spark):
+    df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        ngram_novelty(df, ngram=0)
