@@ -17,6 +17,7 @@ from ..functions.text import tokens, word_ngrams
 
 __all__ = [
     "ngram_novelty",
+    "kn_context_gain_scores",
     "profile_columns",
     "tf_idf_top_terms",
     "group_quantiles",
@@ -716,4 +717,109 @@ def ngram_novelty(
                 round_digits,
             ).alias("novelty"),
         )
+    )
+
+
+def kn_context_gain_scores(
+    train_docs: DataFrame,
+    score_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-document CONTEXT GAIN under the interpolated Kneser-Ney
+    chain: the difference between the trigram-model and bigram-model
+    average log-likelihood of the same positions — the
+    perplexity-contrast selection signal (the RHO-loss / DeepSeekMath
+    family: score data by how much a bigger model likes it RELATIVE to
+    a smaller one, which cancels surface factors like rare vocabulary
+    that depress both models equally).
+
+    Both scores come from ONE scoring pass: the KN chain of
+    :func:`kn_trigram_logprob_scores` already computes the bigram level
+    ``p2(w|v)`` as the backoff inside ``p3(w|uv)``, so this operator
+    logs both and diffs the per-doc averages — same five
+    vocabulary-bounded stat tables, same gram-keyed equi-joins, zero
+    extra shuffles versus scoring the trigram model alone. Positions
+    whose ``w`` is OOV are excluded from BOTH averages (identical
+    denominators, so the diff is a true paired contrast).
+
+    Output: ``(doc_id, n_scored, avg_lp3, avg_lp2, context_gain)`` for
+    score docs with >= 1 scoreable trigram; ``context_gain =
+    avg_lp3 - avg_lp2`` (rounded last, computed from the unrounded
+    averages). High gain = trigram context strongly predicts the doc
+    (natural, well-formed text); near-zero gain = context-free noise.
+    """
+    if not 0 < discount < 1:
+        raise ValueError(f"discount must be in (0, 1) (got {discount})")
+    D = float(discount)
+
+    def trigrams(docs: DataFrame) -> DataFrame:
+        toks = docs.select(
+            F.col(id_col).alias("doc_id"), tokens(F.col(text_col)).alias("_t")
+        ).filter(F.size("_t") >= 3)
+        return toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(_t) - 3), "
+                    "i -> struct(_t[i] AS u, _t[i + 1] AS v, _t[i + 2] AS w))"
+                )
+            ).alias("_tg"),
+        ).select(
+            "doc_id",
+            F.col("_tg.u").alias("u"),
+            F.col("_tg.v").alias("v"),
+            F.col("_tg.w").alias("w"),
+        )
+
+    tri = trigrams(train_docs)
+    c3 = tri.groupBy("u", "v", "w").agg(F.count("*").alias("_c3"))
+    ctx3 = c3.groupBy("u", "v").agg(
+        F.sum("_c3").alias("_c3ctx"), F.count("*").alias("_t3")
+    )
+    n2 = c3.groupBy("v", "w").agg(F.count("*").alias("_n2"))
+    ctx2 = n2.groupBy("v").agg(
+        F.sum("_n2").alias("_ctx2"), F.count("*").alias("_t2")
+    )
+    n1 = n2.groupBy("w").agg(F.count("*").alias("_n1"))
+    total1 = n1.agg(F.sum("_n1").alias("_tot1"))
+
+    scored = (
+        trigrams(score_docs)
+        .join(c3, on=["u", "v", "w"], how="left")
+        .join(ctx3, on=["u", "v"], how="left")
+        .join(n2, on=["v", "w"], how="left")
+        .join(ctx2, on="v", how="left")
+        .join(n1, on="w", how="left")
+        .crossJoin(F.broadcast(total1))
+    )
+    p1 = F.col("_n1") / F.col("_tot1")
+    p2 = F.when(
+        F.col("_ctx2").isNotNull(),
+        F.greatest(F.coalesce(F.col("_n2"), F.lit(0)) - D, F.lit(0.0))
+        / F.col("_ctx2")
+        + D * F.col("_t2") / F.col("_ctx2") * p1,
+    ).otherwise(p1)
+    p3 = F.when(
+        F.col("_c3ctx").isNotNull(),
+        F.greatest(F.coalesce(F.col("_c3"), F.lit(0)) - D, F.lit(0.0))
+        / F.col("_c3ctx")
+        + D * F.col("_t3") / F.col("_c3ctx") * p2,
+    ).otherwise(p2)
+    seen = F.col("_n1").isNotNull()
+    lp3 = F.when(seen, F.log(p3))
+    lp2 = F.when(seen, F.log(p2))
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(lp3).alias("n_scored"),
+            F.round(F.avg(lp3), round_digits).alias("avg_lp3"),
+            F.round(F.avg(lp2), round_digits).alias("avg_lp2"),
+            F.round(F.avg(lp3) - F.avg(lp2), round_digits).alias(
+                "context_gain"
+            ),
+        )
+        .filter(F.col("n_scored") >= 1)
     )

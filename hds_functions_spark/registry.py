@@ -753,6 +753,7 @@ DRIVER_PRIORITY: list[str] = [
     "classify_nb_confusion",
     "mixture_epoch_plan",
     "text_novelty",
+    "select_context_gain",
     "select_dsir_weights",
     "select_dsir_topk",
     "dedup_exact_spans_incremental",

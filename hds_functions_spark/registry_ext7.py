@@ -309,3 +309,94 @@ def text_novelty(spark, sf_dir):
         _t(spark, sf_dir, "documents").select("doc_id", "text"),
         ngram=_NOV_NGRAM,
     )
+
+
+# --- perplexity-contrast selection (KN context gain) -------------------------
+
+#: absolute discount, matching the text_kn_trigram_logprob query
+_CG_D = 0.75
+#: even doc_ids train the model; ALL docs are scored
+_CG_TRAIN_MOD = 2
+
+#: whitespace tokens, no lowercasing — the KN-family convention
+_CG_DUCK_TOK = (
+    "CASE WHEN trim(text) = '' THEN []::VARCHAR[] "
+    "ELSE string_split_regex(trim(text), '\\s+') END"
+)
+
+
+@_register(
+    "select_context_gain",
+    f"""
+WITH toks AS (
+    SELECT doc_id, {_CG_DUCK_TOK} AS t FROM documents
+), tri_all AS (
+    SELECT doc_id, t[i] AS u, t[i + 1] AS v, t[i + 2] AS w
+    FROM toks, UNNEST(generate_series(1, len(t) - 2)) AS g(i)
+    WHERE len(t) >= 3
+), tri AS (
+    SELECT * FROM tri_all WHERE doc_id % {_CG_TRAIN_MOD} = 0
+), c3 AS (
+    SELECT u, v, w, count(*) AS c3 FROM tri GROUP BY 1, 2, 3
+), ctx3 AS (
+    SELECT u, v, sum(c3) AS c3ctx, count(*) AS t3 FROM c3 GROUP BY 1, 2
+), n2 AS (
+    SELECT v, w, count(*) AS n2 FROM c3 GROUP BY 1, 2
+), ctx2 AS (
+    SELECT v, sum(n2) AS ctx2, count(*) AS t2 FROM n2 GROUP BY 1
+), n1 AS (
+    SELECT w, count(*) AS n1 FROM n2 GROUP BY 1
+), tot1 AS (
+    SELECT sum(n1) AS tot1 FROM n1
+), scored AS (
+    SELECT s.doc_id, n1.n1,
+           (CASE WHEN ctx2.ctx2 IS NOT NULL THEN
+                greatest(coalesce(n2.n2, 0) - {_CG_D}, 0.0) / ctx2.ctx2
+                + {_CG_D} * ctx2.t2 / ctx2.ctx2 * (n1.n1 / tot1.tot1)
+            ELSE n1.n1 / tot1.tot1 END) AS p2,
+           (CASE WHEN ctx3.c3ctx IS NOT NULL THEN
+                greatest(coalesce(c3.c3, 0) - {_CG_D}, 0.0) / ctx3.c3ctx
+                + {_CG_D} * ctx3.t3 / ctx3.c3ctx *
+                  (CASE WHEN ctx2.ctx2 IS NOT NULL THEN
+                       greatest(coalesce(n2.n2, 0) - {_CG_D}, 0.0) / ctx2.ctx2
+                       + {_CG_D} * ctx2.t2 / ctx2.ctx2 * (n1.n1 / tot1.tot1)
+                   ELSE n1.n1 / tot1.tot1 END)
+            ELSE NULL END) AS p3raw
+    FROM tri_all s
+    LEFT JOIN c3 USING (u, v, w)
+    LEFT JOIN ctx3 USING (u, v)
+    LEFT JOIN n2 USING (v, w)
+    LEFT JOIN ctx2 USING (v)
+    LEFT JOIN n1 USING (w)
+    CROSS JOIN tot1
+), lps AS (
+    SELECT doc_id,
+           CASE WHEN n1 IS NOT NULL THEN ln(coalesce(p3raw, p2)) END AS lp3,
+           CASE WHEN n1 IS NOT NULL THEN ln(p2) END AS lp2
+    FROM scored
+)
+SELECT doc_id,
+       CAST(count(lp3) AS BIGINT) AS n_scored,
+       round(avg(lp3), 4) AS avg_lp3,
+       round(avg(lp2), 4) AS avg_lp2,
+       round(avg(lp3) - avg(lp2), 4) AS context_gain
+FROM lps
+GROUP BY 1
+HAVING count(lp3) >= 1
+""",
+)
+def select_context_gain(spark, sf_dir):
+    """Perplexity-contrast selection signal: per-document difference
+    between the KN trigram-model and bigram-model average
+    log-likelihood of the SAME positions (the RHO-loss / model-contrast
+    family — rare vocabulary depresses both models equally and cancels,
+    so the gain isolates how much CONTEXT predicts the doc). Both
+    averages come from one scoring pass: the bigram level is the
+    backoff already inside the trigram chain, so the contrast costs
+    zero extra shuffles (operators/profiling.py:kn_context_gain_scores).
+    Even doc_ids train; all docs score."""
+    from .operators.profiling import kn_context_gain_scores
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    train = docs.filter(F.col("doc_id") % _CG_TRAIN_MOD == 0)
+    return kn_context_gain_scores(train, docs, discount=_CG_D)
