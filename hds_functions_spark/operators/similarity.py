@@ -14,13 +14,14 @@ hash-partitioned by bucket and never materialises the cross product.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.partitioning import ensure_min_partitions
 from .topk import first_row
 
 __all__ = [
+    "knn_outlier_scores",
     "embedding_centroids",
     "dot_product",
     "l2_norm",
@@ -911,4 +912,54 @@ def lsh_multiprobe_cosine_topk(
         F.col("_cid").alias(corpus_id),
         "cosine_sim",
         F.col("row_index").cast("int").alias("row_index"),
+    )
+
+
+def knn_outlier_scores(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """k-th-nearest-neighbour cosine-distance outlier scores: for each
+    query vector, ``outlier_score = 1 - cos(k-th NN)`` — the classic
+    distance-based outlier signal (Ramaswamy et al. 2000) a curation
+    pipeline uses to audit an embedding column for junk clusters,
+    encoder failures and off-distribution content before
+    embedding-dependent stages (SemDeDup, ANN dedup) trust it.
+
+    Exact by construction (it reuses :func:`cosine_topk`'s brute-force
+    scoring), so it is the AUDIT-grade path: run it over a
+    deterministic SAMPLE of queries against the full corpus — linear in
+    corpus size per query, never corpus x corpus. Queries with fewer
+    than ``k`` neighbours (corpus smaller than k+1) fall back to their
+    farthest available neighbour; ``n_neighbors`` reports which.
+    Output: ``(query_id, kth_sim, outlier_score, n_neighbors)``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    top = cosine_topk(
+        corpus,
+        queries,
+        k=k,
+        corpus_id=corpus_id,
+        query_id=query_id,
+        vec_col=vec_col,
+        round_digits=round_digits,
+    )
+    w = Window.partitionBy(query_id).orderBy(F.col("row_index").desc())
+    return (
+        top.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            query_id,
+            F.col("cosine_sim").alias("kth_sim"),
+            F.round(F.lit(1.0) - F.col("cosine_sim"), round_digits).alias(
+                "outlier_score"
+            ),
+            F.col("row_index").cast("int").alias("n_neighbors"),
+        )
     )

@@ -754,6 +754,7 @@ DRIVER_PRIORITY: list[str] = [
     "mixture_epoch_plan",
     "text_novelty",
     "select_context_gain",
+    "embedding_outlier_knn",
     "select_dsir_weights",
     "select_dsir_topk",
     "dedup_exact_spans_incremental",

@@ -400,3 +400,60 @@ def select_context_gain(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     train = docs.filter(F.col("doc_id") % _CG_TRAIN_MOD == 0)
     return kn_context_gain_scores(train, docs, discount=_CG_D)
+
+
+# --- embedding outlier audit (k-th-NN distance) ------------------------------
+
+#: neighbour rank used for the distance score
+_OUT_K = 10
+#: deterministic query sample: every 20th vector audits against the corpus
+_OUT_MOD = 20
+
+
+@_register(
+    "embedding_outlier_knn",
+    f"""
+WITH queries AS (
+    SELECT vec_id AS query_id, embedding FROM embeddings
+    WHERE vec_id % {_OUT_MOD} = 0
+), scored AS (
+    SELECT q.query_id, c.vec_id,
+           round(
+             list_dot_product(q.embedding::DOUBLE[], c.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(c.embedding::DOUBLE[], c.embedding::DOUBLE[]))),
+             6) AS cosine_sim
+    FROM queries q JOIN embeddings c ON c.vec_id <> q.query_id
+), topk AS (
+    SELECT query_id, cosine_sim,
+           CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY cosine_sim DESC, vec_id) AS INTEGER) AS row_index
+    FROM scored
+    QUALIFY row_index <= {_OUT_K}
+)
+SELECT query_id, cosine_sim AS kth_sim,
+       round(1.0 - cosine_sim, 6) AS outlier_score,
+       row_index AS n_neighbors
+FROM topk
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY row_index DESC) = 1
+""",
+)
+def embedding_outlier_knn(spark, sf_dir):
+    """Distance-based embedding outlier audit (Ramaswamy et al. 2000):
+    for every {mod}-th vector, the cosine distance to its {k}-th
+    nearest neighbour over the FULL corpus — exact brute force over a
+    deterministic query sample, so cost is linear in corpus size per
+    audited vector (the audit-grade companion to the ANN family, like
+    similarity_recall). High scores flag junk clusters / encoder
+    failures before SemDeDup-style stages trust the embedding column
+    (operators/similarity.py:knn_outlier_scores).""".format(
+        mod=_OUT_MOD, k=_OUT_K
+    )
+    from .operators.similarity import knn_outlier_scores
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % _OUT_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return knn_outlier_scores(emb, queries, k=_OUT_K)
