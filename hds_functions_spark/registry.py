@@ -755,6 +755,7 @@ DRIVER_PRIORITY: list[str] = [
     "text_novelty",
     "select_context_gain",
     "embedding_outlier_knn",
+    "pipeline_mixture_curation",
     "select_dsir_weights",
     "select_dsir_topk",
     "dedup_exact_spans_incremental",

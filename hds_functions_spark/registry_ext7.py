@@ -457,3 +457,103 @@ def embedding_outlier_knn(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     return knn_outlier_scores(emb, queries, k=_OUT_K)
+
+
+# --- capstone: quality-gated mixture curation --------------------------------
+
+#: docs must clear the corpus-mean context gain (rounded to 6 on both
+#: engines before the comparison so ulp drift in the mean cannot flip
+#: membership) ...
+#: ... and at least this much 5-gram novelty
+_PMC_MIN_NOVELTY = 0.5
+
+
+@_register(
+    "pipeline_mixture_curation",
+    f"""
+WITH gain AS ({{gain_oracle}}),
+nov AS ({{nov_oracle}}),
+base AS (
+  SELECT d.doc_id, d.source, len({_NB_DUCK_TOK}) AS n_tok,
+         g.context_gain, n.novelty
+  FROM documents d
+  JOIN gain g USING (doc_id)
+  JOIN nov n USING (doc_id)),
+m AS (SELECT round(avg(context_gain), 6) AS mg FROM base),
+kept AS (
+  SELECT base.* FROM base, m
+  WHERE context_gain > m.mg AND novelty >= {_PMC_MIN_NOVELTY}),
+c AS (
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         round(avg(context_gain), 4) AS mean_gain,
+         round(avg(novelty), 4) AS mean_novelty
+  FROM kept GROUP BY 1),
+z AS (
+  SELECT sum(pow(n_tokens::DOUBLE, {_MIX_ALPHA})) AS z,
+         sum(n_tokens) AS n
+  FROM c)
+SELECT source, n_docs, n_tokens,
+       round(pow(n_tokens::DOUBLE, {_MIX_ALPHA}) / z.z, 6) AS weight,
+       round(pow(n_tokens::DOUBLE, {_MIX_ALPHA}) / z.z
+             * z.n * {_MIX_BUDGET_MULT} / n_tokens, 6) AS epochs,
+       mean_gain, mean_novelty
+FROM c, z
+""".format(
+        gain_oracle=ORACLES["select_context_gain"],
+        nov_oracle=ORACLES["text_novelty"],
+    ),
+)
+def pipeline_mixture_curation(spark, sf_dir):
+    """The quality-gated mixture-curation spine as ONE lazy Catalyst
+    plan: KN context gain (perplexity-contrast selection) and 5-gram
+    novelty score every document; docs clearing the corpus-mean gain
+    AND the novelty floor survive; the survivors feed the
+    temperature-smoothed token-budget mixture plan, with per-source
+    mean quality attached — the table a curated pretraining run is
+    actually configured from. Every stage is the already-audited
+    operator (kn_context_gain_scores, ngram_novelty,
+    mixture_epoch_plan); the gate threshold is a broadcast 1-row mean
+    (rounded to 6 on both engines), never a global sort. Oracle
+    composes the registered gain/novelty oracles so drift propagates."""
+    from .functions.text import token_count
+    from .operators.profiling import kn_context_gain_scores, ngram_novelty
+    from .operators.sampling import mixture_epoch_plan as plan
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    train = docs.filter(F.col("doc_id") % _CG_TRAIN_MOD == 0).select(
+        "doc_id", "text"
+    )
+    gain = kn_context_gain_scores(train, docs.select("doc_id", "text"),
+                                  discount=_CG_D)
+    nov = ngram_novelty(docs.select("doc_id", "text"), ngram=_NOV_NGRAM)
+    base = (
+        docs.select(
+            "doc_id", "source", token_count(F.col("text")).alias("n_tok")
+        )
+        .join(gain.select("doc_id", "context_gain"), on="doc_id")
+        .join(nov.select("doc_id", "novelty"), on="doc_id")
+    )
+    mean_gain = base.agg(
+        F.round(F.avg("context_gain"), 6).alias("_mg")
+    )
+    kept = base.crossJoin(F.broadcast(mean_gain)).filter(
+        (F.col("context_gain") > F.col("_mg"))
+        & (F.col("novelty") >= _PMC_MIN_NOVELTY)
+    )
+    quality = kept.groupBy("source").agg(
+        F.round(F.avg("context_gain"), 4).alias("mean_gain"),
+        F.round(F.avg("novelty"), 4).alias("mean_novelty"),
+    )
+    mix = plan(
+        kept.select("source", F.col("n_tok").alias("n_tokens")),
+        source_col="source",
+        size_col="n_tokens",
+        alpha=_MIX_ALPHA,
+        budget_multiplier=_MIX_BUDGET_MULT,
+    )
+    return mix.join(quality, on="source").select(
+        "source", "n_docs", "n_tokens", "weight", "epochs",
+        "mean_gain", "mean_novelty",
+    )
