@@ -111,11 +111,16 @@ def _nb_slices(spark, sf_dir):
 
 
 def _nb_predictions(spark, sf_dir):
+    from .caching import tracked_persist
     from .operators.classify import nb_class_stats, nb_predict, nb_token_loglik
 
     train, score = _nb_slices(spark, sf_dir)
-    stats = nb_class_stats(train, alpha=_NB_ALPHA)
-    model = nb_token_loglik(train, stats, alpha=_NB_ALPHA)
+    # stats feeds the model build AND two scoring branches; the model
+    # feeds the delta join AND the vocab probe — persist both (C rows /
+    # vocab-bounded rows) so the train-side token explode runs once,
+    # not once per consumer
+    stats = tracked_persist(nb_class_stats(train, alpha=_NB_ALPHA))
+    model = tracked_persist(nb_token_loglik(train, stats, alpha=_NB_ALPHA))
     return score, nb_predict(score, model, stats)
 
 
