@@ -48,6 +48,7 @@ __all__ = [
     "dedup_clusters",
     "degree_distribution",
     "winnowing_fingerprints",
+    "source_overlap_matrix",
     "winnowing_overlap_pairs",
     "winnowing_overlap_incremental",
     "exact_substring_spans",
@@ -1551,4 +1552,65 @@ def remove_duplicate_spans(
         "doc_id",
         "text_clean",
         (F.col("_orig_len") - F.length("text_clean")).cast("long").alias("n_removed"),
+    )
+
+
+def source_overlap_matrix(
+    fingerprints: DataFrame,
+    doc_sources: DataFrame,
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Cross-SOURCE verbatim-copy matrix: for every unordered source
+    pair, how many distinct winnowing fingerprints occur in BOTH
+    sources — the provenance audit behind mixture decisions ("is src_b
+    just a re-crawl of src_a?") and the source-level rollup of the
+    MOSS copy detector (each shared fingerprint witnesses an identical
+    substring appearing in both corpora; see
+    :func:`winnowing_fingerprints`).
+
+    Scale shape — the reason this is cheap when the doc-level pair
+    build is not: fingerprints collapse to DISTINCT (source,
+    fingerprint) first (map-side-combinable; at most S rows per
+    fingerprint survive regardless of how many documents carry it), so
+    the self-join fans out at most S x S per fingerprint with S =
+    source count — no hot-fingerprint cap needed, no doc x doc
+    blowup. ``max_doc_freq`` optionally drops boilerplate fingerprints
+    carried by more than that many DOCUMENTS before the rollup (the
+    :func:`winnowing_overlap_pairs` cap semantics, so the two views
+    stay consistent when sharing one fingerprint table). Output:
+    ``(source_a, source_b, n_shared_fps)``, ``source_a < source_b``.
+    """
+    if max_doc_freq is not None:
+        dfreq = fingerprints.groupBy("fingerprint").agg(
+            F.count(F.lit(1)).alias("_df")
+        )
+        fingerprints = (
+            fingerprints.join(dfreq, on="fingerprint")
+            .filter(F.col("_df") <= max_doc_freq)
+            .drop("_df")
+        )
+    src_fp = (
+        fingerprints.join(
+            doc_sources.select(
+                F.col(id_col).alias("doc_id"),
+                F.col(source_col).alias("_src"),
+            ),
+            on="doc_id",
+        )
+        .select("_src", "fingerprint")
+        .distinct()
+    )
+    a = src_fp.select(
+        F.col("_src").alias("source_a"), "fingerprint"
+    )
+    b = src_fp.select(
+        F.col("_src").alias("source_b"), "fingerprint"
+    )
+    return (
+        a.join(b, on="fingerprint")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_fps"))
     )

@@ -756,6 +756,7 @@ DRIVER_PRIORITY: list[str] = [
     "select_context_gain",
     "embedding_outlier_knn",
     "pipeline_mixture_curation",
+    "dedup_source_matrix",
     "select_dsir_weights",
     "select_dsir_topk",
     "dedup_exact_spans_incremental",

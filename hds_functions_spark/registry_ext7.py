@@ -562,3 +562,44 @@ def pipeline_mixture_curation(spark, sf_dir):
         "source", "n_docs", "n_tokens", "weight", "epochs",
         "mean_gain", "mean_novelty",
     )
+
+
+# --- cross-source verbatim-copy matrix ---------------------------------------
+
+
+def _duck_source_matrix_sql() -> str:
+    from .registry_ext4 import _duck_winnow_fp_cte
+
+    return f"""
+WITH {_duck_winnow_fp_cte()},
+src_fp AS (
+  SELECT DISTINCT d.source AS src, k.fingerprint
+  FROM kept k JOIN documents d USING (doc_id))
+SELECT a.src AS source_a, b.src AS source_b,
+       CAST(count(*) AS BIGINT) AS n_shared_fps
+FROM src_fp a JOIN src_fp b
+  ON a.fingerprint = b.fingerprint AND a.src < b.src
+GROUP BY 1, 2
+"""
+
+
+@_register("dedup_source_matrix", _duck_source_matrix_sql())
+def dedup_source_matrix(spark, sf_dir):
+    """Cross-source verbatim-copy matrix: distinct winnowing
+    fingerprints shared by each source pair — the provenance audit
+    behind mixture decisions (re-crawl detection), rolled up from the
+    MOSS copy detector. Reuses the session-cached df-capped fingerprint
+    table shared with dedup_winnowing; the matrix build collapses to
+    DISTINCT (source, fingerprint) before self-joining, so fanout is
+    at most S^2 per fingerprint with S = source count — no doc x doc
+    blowup, no hot-fp cap (operators/dedup.py:source_overlap_matrix)."""
+    from .operators.dedup import source_overlap_matrix
+    from .registry_ext4 import _shared_winnow_fps
+
+    from .registry_ext4 import _WN_MAX_DF
+
+    return source_overlap_matrix(
+        _shared_winnow_fps(spark, sf_dir),
+        _t(spark, sf_dir, "documents").select("doc_id", "source"),
+        max_doc_freq=_WN_MAX_DF,
+    )

@@ -549,3 +549,49 @@ def test_exact_substring_spans_golden(spark):
     assert cut[1] == ("introoutro", 16)
     assert cut[2] == ("xxyy", 16)
     assert cut[3] == ("completely original text", 0)
+
+
+# --- source_overlap_matrix ---------------------------------------------------
+
+
+def test_source_overlap_matrix_counts_distinct_shared_fps(spark):
+    from pyspark.sql import Row
+
+    from hds_functions_spark.operators.dedup import source_overlap_matrix
+
+    fps = spark.createDataFrame(
+        [
+            (1, 100), (1, 200),          # doc 1 (src a)
+            (2, 100), (2, 300),          # doc 2 (src a) — 100 repeats in a
+            (3, 100), (3, 200), (3, 400),  # doc 3 (src b)
+            (4, 500),                    # doc 4 (src c): no overlap
+        ],
+        ["doc_id", "fingerprint"],
+    )
+    srcs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b"), (4, "c")], ["doc_id", "source"]
+    )
+    out = {
+        (r["source_a"], r["source_b"]): r["n_shared_fps"]
+        for r in source_overlap_matrix(fps, srcs).collect()
+    }
+    # a and b share fps {100, 200} — distinct VALUES, not doc pairs
+    assert out == {("a", "b"): 2}
+
+
+def test_source_overlap_matrix_df_cap_drops_boilerplate(spark):
+    from hds_functions_spark.operators.dedup import source_overlap_matrix
+
+    # fp 100 is in 3 docs (boilerplate at cap 2); fp 200 in 2 docs
+    fps = spark.createDataFrame(
+        [(1, 100), (2, 100), (3, 100), (1, 200), (3, 200)],
+        ["doc_id", "fingerprint"],
+    )
+    srcs = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], ["doc_id", "source"]
+    )
+    capped = {
+        (r["source_a"], r["source_b"]): r["n_shared_fps"]
+        for r in source_overlap_matrix(fps, srcs, max_doc_freq=2).collect()
+    }
+    assert capped == {("a", "b"): 1}  # only fp 200 survives
