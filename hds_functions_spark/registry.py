@@ -757,6 +757,8 @@ DRIVER_PRIORITY: list[str] = [
     "embedding_outlier_knn",
     "pipeline_mixture_curation",
     "dedup_source_matrix",
+    "dedup_soft_weights",
+    "classify_nb_calibration",
     "select_dsir_weights",
     "select_dsir_topk",
     "dedup_exact_spans_incremental",

@@ -603,3 +603,116 @@ def dedup_source_matrix(spark, sf_dir):
         _t(spark, sf_dir, "documents").select("doc_id", "source"),
         max_doc_freq=_WN_MAX_DF,
     )
+
+
+# --- soft dedup: inverse-cluster-size reweighting ----------------------------
+
+
+@_register(
+    "dedup_soft_weights",
+    f"""
+WITH comp AS (SELECT * FROM ({{cc_oracle}})),
+sizes AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS size FROM comp GROUP BY 1
+),
+doc_sz AS (
+  SELECT d.doc_id, d.source, coalesce(s.size, 1) AS size
+  FROM documents d
+  LEFT JOIN comp USING (doc_id)
+  LEFT JOIN sizes s USING (component))
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(sum(1.0 / size), 6) AS effective_docs,
+       round(sum(1.0 / size) / count(*), 6) AS dedup_ratio,
+       CAST(sum(CASE WHEN size > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_in_clusters
+FROM doc_sz GROUP BY 1
+""".format(cc_oracle=ORACLES["dedup_clusters_cc"]),
+)
+def dedup_soft_weights(spark, sf_dir):
+    """SOFT deduplication: instead of dropping near-duplicates, every
+    document gets sampling weight 1/|its duplicate cluster| (singletons
+    weigh 1), so each duplicate FAMILY contributes one effective
+    document — the reweighting alternative to hard removal (keeps rare
+    variants, removes the repetition bias; the "soft dedup" regime in
+    recent data-curation work). Per-source rollup: effective document
+    mass and the dedup ratio a mixture plan would correct by. Reuses
+    the session-shared MinHash + connected-components clusters table;
+    the weighting itself is one broadcast-sized size join + one
+    aggregate. Oracle composes the registered clusters oracle."""
+    from .registry_ext import _shared_clusters
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    comp = _shared_clusters(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    doc_sz = (
+        docs.join(comp, on="doc_id", how="left")
+        .join(sizes, on="component", how="left")
+        .select(
+            "source", F.coalesce(F.col("size"), F.lit(1)).alias("size")
+        )
+    )
+    return doc_sz.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.sum(1.0 / F.col("size")), 6).alias("effective_docs"),
+        F.round(
+            F.sum(1.0 / F.col("size")) / F.count(F.lit(1)), 6
+        ).alias("dedup_ratio"),
+        F.sum(F.when(F.col("size") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_in_clusters"),
+    )
+
+
+# --- NB calibration audit -----------------------------------------------------
+
+_NB_CAL_DECILES = 10
+
+
+@_register(
+    "classify_nb_calibration",
+    f"""
+WITH {_duck_nb_predict_cte()},
+ranked AS (
+  SELECT p.doc_id, p.score, p.label_pred, d.lang,
+         ntile({_NB_CAL_DECILES}) OVER (ORDER BY p.score DESC, p.doc_id)
+             AS decile
+  FROM pred p JOIN documents d ON p.doc_id = d.doc_id)
+SELECT CAST(decile AS INTEGER) AS decile,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(score), 4) AS mean_score,
+       CAST(sum(CASE WHEN lang = label_pred THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct,
+       round(sum(CASE WHEN lang = label_pred THEN 1 ELSE 0 END)
+             / (1.0 * count(*)), 4) AS accuracy
+FROM ranked GROUP BY 1
+""",
+)
+def classify_nb_calibration(spark, sf_dir):
+    """Classifier calibration audit: holdout predictions cut into
+    confidence deciles (by argmax score), accuracy per decile — the
+    table that decides WHERE to set a routing threshold (well-calibrated
+    = accuracy falls with the decile). The ntile runs over the
+    already-collapsed per-doc prediction frame, one row per holdout doc
+    — never corpus text (the pipeline_curriculum_order note applies at
+    scale: swap ntile for range partitioning on the score)."""
+    from pyspark.sql import Window
+
+    score, pred = _nb_predictions(spark, sf_dir)
+    joined = pred.join(score.select("doc_id", "lang"), on="doc_id")
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    ranked = joined.withColumn("decile", F.ntile(_NB_CAL_DECILES).over(w))
+    return ranked.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("score"), 4).alias("mean_score"),
+        F.sum(F.when(F.col("lang") == F.col("label_pred"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+        F.round(
+            F.sum(
+                F.when(F.col("lang") == F.col("label_pred"), 1).otherwise(0)
+            )
+            / F.count(F.lit(1)),
+            4,
+        ).alias("accuracy"),
+    )

@@ -159,3 +159,40 @@ def test_prediction_is_one_row_per_doc(frames):
     _, _, pred_df = frames
     assert pred_df.count() == len(SCORE)
     assert pred_df.select("doc_id").distinct().count() == len(SCORE)
+
+
+def test_soft_weights_semantics(spark):
+    """Soft-dedup weighting: a family of k near-dups contributes ~1
+    effective doc; singletons contribute exactly 1 (registry-level
+    semantics checked on in-memory frames)."""
+    from pyspark.sql import functions as F
+
+    comp = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 10), (4, 20), (5, 20)],
+        ["doc_id", "component"],
+    )
+    docs = spark.createDataFrame(
+        [(i, "a" if i <= 3 else "b") for i in range(1, 8)],
+        ["doc_id", "source"],
+    )
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    doc_sz = (
+        docs.join(comp, on="doc_id", how="left")
+        .join(sizes, on="component", how="left")
+        .select("source", F.coalesce(F.col("size"), F.lit(1)).alias("size"))
+    )
+    out = {
+        r["source"]: r
+        for r in doc_sz.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum(1.0 / F.col("size")), 6).alias("effective_docs"),
+        )
+        .collect()
+    }
+    # source a: docs 1,2,3 all in one 3-cluster -> 1.0 effective
+    assert out["a"]["n_docs"] == 3
+    assert out["a"]["effective_docs"] == 1.0
+    # source b: docs 4,5 in a 2-cluster (1.0) + singletons 6,7 (2.0)
+    assert out["b"]["n_docs"] == 4
+    assert out["b"]["effective_docs"] == 3.0
