@@ -17,6 +17,7 @@ from ..functions.text import tokens, word_ngrams
 
 __all__ = [
     "ngram_novelty",
+    "ngram_novelty_incremental",
     "kn_context_gain_scores",
     "profile_columns",
     "tf_idf_top_terms",
@@ -822,4 +823,78 @@ def kn_context_gain_scores(
             ),
         )
         .filter(F.col("n_scored") >= 1)
+    )
+
+
+def ngram_novelty_incremental(
+    batch_docs: DataFrame,
+    corpus_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 5,
+    round_digits: int = 6,
+) -> DataFrame:
+    """:func:`ngram_novelty` for a NEW BATCH against an existing corpus
+    — the continuous-ingest mode (the design move shared with
+    ``winnowing_overlap_incremental`` / ``exact_substring_spans_
+    incremental``): a batch document's shingle is novel iff it occurs
+    in NO corpus document and this is the first batch document (minimum
+    ``id_col`` within the batch) carrying it. When every corpus id
+    precedes every batch id this equals the full build restricted to
+    batch docs (the property suite pins that slice identity); under
+    interleaved ids it is the production semantic — "new versus
+    everything already ingested plus earlier batch arrivals".
+
+    Corpus-side cost is ONE scan projected to distinct grams — the
+    corpus is never aggregated per document and never re-scored, so
+    ingest cost stays proportional to the batch plus one corpus read
+    (at 100 TB: maintain the corpus gram set as a bucketed artifact
+    keyed on the gram and the anti-join is shuffle-free on the corpus
+    side). Output: ``(doc_id, n_grams, n_novel, novelty)`` for every
+    batch document, gramless docs as ``(0, 0, 0.0)``.
+    """
+    if ngram < 1:
+        raise ValueError(f"ngram must be >= 1 (got {ngram})")
+
+    def grams(docs):
+        toks = F.transform(tokens(F.col(text_col)), lambda t: F.lower(t))
+        return docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(F.array_distinct(word_ngrams(toks, ngram))).alias(
+                "gram"
+            ),
+        )
+
+    bg = grams(batch_docs)
+    corpus_grams = grams(corpus_docs).select("gram").distinct()
+    first_in_batch = bg.groupBy("gram").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    flagged = (
+        bg.join(first_in_batch, on="gram")
+        .join(corpus_grams.withColumn("_hit", F.lit(1)), on="gram", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(
+                    F.col("_hit").isNull()
+                    & (F.col("first_doc") == F.col("doc_id")),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_novel"),
+        )
+    )
+    return (
+        batch_docs.select(F.col(id_col).alias("doc_id"))
+        .join(flagged, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_grams"), F.lit(0)).alias("n_grams"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).alias("n_novel"),
+            F.round(
+                F.coalesce(F.col("n_novel") / F.col("n_grams"), F.lit(0.0)),
+                round_digits,
+            ).alias("novelty"),
+        )
     )

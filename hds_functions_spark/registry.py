@@ -759,6 +759,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_source_matrix",
     "dedup_soft_weights",
     "classify_nb_calibration",
+    "text_novelty_incremental",
     "select_dsir_weights",
     "select_dsir_topk",
     "dedup_exact_spans_incremental",

@@ -716,3 +716,57 @@ def classify_nb_calibration(spark, sf_dir):
             4,
         ).alias("accuracy"),
     )
+
+
+# --- incremental n-gram novelty (continuous-ingest mode) ----------------------
+
+#: batch selector: every 13th document is "newly ingested" (the
+#: exact-spans-incremental convention)
+_NOVI_BATCH_MOD = 13
+
+
+@_register(
+    "text_novelty_incremental",
+    f"""
+WITH d AS (
+  SELECT doc_id, {_NB_DUCK_TOK} AS t FROM documents),
+bg AS (
+  SELECT DISTINCT doc_id, unnest({_duck_ngrams('t', _NOV_NGRAM)}) AS gram
+  FROM d WHERE doc_id % {_NOVI_BATCH_MOD} = 0),
+cg AS (
+  SELECT DISTINCT unnest({_duck_ngrams('t', _NOV_NGRAM)}) AS gram
+  FROM d WHERE doc_id % {_NOVI_BATCH_MOD} <> 0),
+fb AS (SELECT gram, min(doc_id) AS first_doc FROM bg GROUP BY 1),
+per AS (
+  SELECT bg.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN cg.gram IS NULL
+                        AND fb.first_doc = bg.doc_id
+                   THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+  FROM bg JOIN fb USING (gram)
+  LEFT JOIN cg ON bg.gram = cg.gram
+  GROUP BY 1)
+SELECT b.doc_id,
+       coalesce(n_grams, 0) AS n_grams,
+       coalesce(n_novel, 0) AS n_novel,
+       round(coalesce(n_novel::DOUBLE / n_grams, 0.0), 6) AS novelty
+FROM (SELECT doc_id FROM documents
+      WHERE doc_id % {_NOVI_BATCH_MOD} = 0) b
+LEFT JOIN per USING (doc_id)
+""",
+)
+def text_novelty_incremental(spark, sf_dir):
+    """{n}-gram novelty of a NEW BATCH (every {m}-th doc) against the
+    existing corpus — the continuous-ingest mode of text_novelty: a
+    batch shingle is novel iff no corpus doc carries it and this is the
+    first batch doc that does. Corpus-side cost is one scan projected
+    to distinct grams (never per-doc aggregation, never re-scoring) —
+    ingest stays batch-proportional
+    (operators/profiling.py:ngram_novelty_incremental).""".format(
+        n=_NOV_NGRAM, m=_NOVI_BATCH_MOD
+    )
+    from .operators.profiling import ngram_novelty_incremental
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % _NOVI_BATCH_MOD == 0)
+    corpus = docs.filter(F.col("doc_id") % _NOVI_BATCH_MOD != 0)
+    return ngram_novelty_incremental(batch, corpus, ngram=_NOV_NGRAM)

@@ -102,3 +102,57 @@ def test_ngram_novelty_validation(spark):
     df = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         ngram_novelty(df, ngram=0)
+
+
+def test_incremental_novelty_slice_identity(spark):
+    """When every corpus id precedes every batch id, the incremental
+    build equals the full build restricted to batch docs."""
+    from hds_functions_spark.operators.profiling import (
+        ngram_novelty_incremental,
+    )
+
+    import random
+
+    rng = random.Random(11)
+    vocab = ["a", "b", "c", "d"]
+    docs = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(0, 10))))
+        for i in range(40)
+    ]
+    corpus = [d for d in docs if d[0] < 25]
+    batch = [d for d in docs if d[0] >= 25]
+    full = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+        for r in ngram_novelty(
+            spark.createDataFrame(docs, ["doc_id", "text"]), ngram=2
+        ).collect()
+        if r["doc_id"] >= 25
+    }
+    inc = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"], r["novelty"])
+        for r in ngram_novelty_incremental(
+            spark.createDataFrame(batch, ["doc_id", "text"]),
+            spark.createDataFrame(corpus, ["doc_id", "text"]),
+            ngram=2,
+        ).collect()
+    }
+    assert inc == full
+
+
+def test_incremental_novelty_corpus_hit_never_novel(spark):
+    from hds_functions_spark.operators.profiling import (
+        ngram_novelty_incremental,
+    )
+
+    batch = spark.createDataFrame(
+        [(100, "x y z"), (101, "x y q")], ["doc_id", "text"]
+    )
+    corpus = spark.createDataFrame([(1, "x y")], ["doc_id", "text"])
+    out = {
+        r["doc_id"]: (r["n_grams"], r["n_novel"])
+        for r in ngram_novelty_incremental(batch, corpus, ngram=2).collect()
+    }
+    # "x y" is in the corpus -> never novel; "y z" novel in 100;
+    # "y q" novel in 101
+    assert out[100] == (2, 1)
+    assert out[101] == (2, 1)
