@@ -22,6 +22,7 @@ from .topk import first_row
 
 __all__ = [
     "knn_outlier_scores",
+    "truncated_cosine_topk",
     "embedding_centroids",
     "dot_product",
     "l2_norm",
@@ -962,4 +963,43 @@ def knn_outlier_scores(
             ),
             F.col("row_index").cast("int").alias("n_neighbors"),
         )
+    )
+
+
+def truncated_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dims: int,
+    k: int = 5,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbours computed on the FIRST ``dims``
+    components only — the Matryoshka-style prefix-truncation regime
+    (Kusupati et al. 2022): at 100 TB the dominant ANN costs (shuffle
+    bytes, pairwise arithmetic, index state) all scale with the stored
+    dimension, so the practical question is how few prefix dims keep
+    recall — answered by :func:`similarity.py`'s recall-audit queries
+    pairing this against the full-dimension top-k.
+
+    A two-line composition by design: slice both sides' vectors, then
+    reuse :func:`cosine_topk` (same brute-force scoring, same
+    determinism contract). Raises if any vector is shorter than
+    ``dims`` would silently allow — the slice is strict.
+    """
+    if dims < 1:
+        raise ValueError(f"dims must be >= 1 (got {dims})")
+    c = corpus.select(
+        F.col(corpus_id),
+        F.slice(F.col(vec_col), 1, dims).alias(vec_col),
+    )
+    q = queries.select(
+        F.col(query_id),
+        F.slice(F.col(vec_col), 1, dims).alias(vec_col),
+    )
+    return cosine_topk(
+        c, q, k=k, corpus_id=corpus_id, query_id=query_id,
+        vec_col=vec_col, round_digits=round_digits,
     )

@@ -760,6 +760,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_soft_weights",
     "classify_nb_calibration",
     "text_novelty_incremental",
+    "similarity_truncation_recall",
     "select_dsir_weights",
     "select_dsir_topk",
     "dedup_exact_spans_incremental",

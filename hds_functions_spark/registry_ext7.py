@@ -770,3 +770,90 @@ def text_novelty_incremental(spark, sf_dir):
     batch = docs.filter(F.col("doc_id") % _NOVI_BATCH_MOD == 0)
     corpus = docs.filter(F.col("doc_id") % _NOVI_BATCH_MOD != 0)
     return ngram_novelty_incremental(batch, corpus, ngram=_NOV_NGRAM)
+
+
+# --- Matryoshka truncation recall audit ---------------------------------------
+
+#: prefix dimensions audited against the full 64-dim exact top-k
+_TR_DIMS = (8, 16, 32)
+
+
+def _duck_trunc_recall_sql() -> str:
+    from .registry_ext import _KNN_K, _KNN_QUERY_MOD
+
+    def trunc_topk(d):
+        return f"""
+    SELECT 'trunc{d:02d}' AS method, query_id, vec_id FROM (
+      SELECT q.query_id, c.vec_id,
+             round(
+               list_dot_product(q.embedding[1:{d}]::DOUBLE[],
+                                c.embedding[1:{d}]::DOUBLE[])
+               / (sqrt(list_dot_product(q.embedding[1:{d}]::DOUBLE[],
+                                        q.embedding[1:{d}]::DOUBLE[]))
+                  * sqrt(list_dot_product(c.embedding[1:{d}]::DOUBLE[],
+                                          c.embedding[1:{d}]::DOUBLE[]))),
+               6) AS cosine_sim
+      FROM (SELECT vec_id AS query_id, embedding FROM embeddings
+            WHERE vec_id % {_KNN_QUERY_MOD} = 0) q
+      JOIN embeddings c ON c.vec_id <> q.query_id
+      QUALIFY row_number() OVER (PARTITION BY query_id
+          ORDER BY cosine_sim DESC, vec_id) <= {_KNN_K})
+"""
+
+    approx = "\n    UNION ALL\n".join(trunc_topk(d) for d in _TR_DIMS)
+    from .registry import ORACLES as _O
+
+    return f"""
+WITH exact AS ({_O['similarity_knn']}),
+approx AS (
+{approx}
+), hits AS (
+    SELECT method, count(*) AS n_hit FROM approx a
+    WHERE EXISTS (SELECT 1 FROM exact e
+                  WHERE e.query_id = a.query_id AND e.vec_id = a.vec_id)
+    GROUP BY method
+)
+SELECT method, CAST(n_hit AS BIGINT) AS n_hit,
+       CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+       round(n_hit / (SELECT count(*) FROM exact), 4) AS recall
+FROM hits
+"""
+
+
+@_register("similarity_truncation_recall", _duck_trunc_recall_sql())
+def similarity_truncation_recall(spark, sf_dir):
+    """Matryoshka truncation audit (Kusupati et al. 2022): recall@5 of
+    prefix-truncated cosine top-k (8/16/32 of 64 dims) against the
+    full-dimension exact top-k — the measurement that prices how much
+    ANN state/shuffle/arithmetic a truncated index saves at a given
+    recall target (at 100 TB every stored dim is corpus-sized state).
+    Same composition as similarity_recall: the exact frame broadcasts
+    into per-method semi-joins; the truncation itself is a prefix
+    slice feeding the audited brute-force scorer
+    (operators/similarity.py:truncated_cosine_topk)."""
+    from .operators.similarity import truncated_cosine_topk
+    from .registry_ext import _KNN_K, _KNN_QUERY_MOD, similarity_knn
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % _KNN_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = similarity_knn(spark, sf_dir).select("query_id", "vec_id")
+    approx = None
+    for d in _TR_DIMS:
+        t = truncated_cosine_topk(emb, queries, dims=d, k=_KNN_K).select(
+            F.lit(f"trunc{d:02d}").alias("method"), "query_id", "vec_id"
+        )
+        approx = t if approx is None else approx.unionByName(t)
+    hits = (
+        approx.join(F.broadcast(exact), ["query_id", "vec_id"], "leftsemi")
+        .groupBy("method")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    totals = exact.agg(F.count("*").alias("n_exact"))
+    return hits.crossJoin(F.broadcast(totals)).select(
+        "method",
+        F.col("n_hit").cast("long").alias("n_hit"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.round(F.col("n_hit") / F.col("n_exact"), 4).alias("recall"),
+    )

@@ -338,3 +338,58 @@ def test_multiprobe_candidates_superset_of_plain(spark):
     # no duplicate (query, candidate) pairs from the probe fan-out
     rows_m = multi.collect()
     assert len(rows_m) == len({(r.query_id, r.vec_id) for r in rows_m})
+
+
+def test_truncated_topk_equals_full_when_dims_cover(spark):
+    """Truncating to the full dimensionality is the identity."""
+    from hds_functions_spark.operators.similarity import (
+        cosine_topk,
+        truncated_cosine_topk,
+    )
+
+    rows = [(i, [float((i * 7 + j * 3) % 5 - 2) for j in range(6)])
+            for i in range(20)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = emb.selectExpr("vec_id as query_id", "embedding").limit(5)
+    full = sorted(
+        (r["query_id"], r["vec_id"], r["row_index"])
+        for r in cosine_topk(emb, q, k=3).collect()
+    )
+    trunc = sorted(
+        (r["query_id"], r["vec_id"], r["row_index"])
+        for r in truncated_cosine_topk(emb, q, dims=6, k=3).collect()
+    )
+    assert trunc == full
+
+
+def test_truncated_topk_uses_prefix_only(spark):
+    """Vectors identical in the prefix but different in the tail are
+    indistinguishable under truncation."""
+    from hds_functions_spark.operators.similarity import (
+        truncated_cosine_topk,
+    )
+
+    emb = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 9.0]),
+            (2, [1.0, 0.0, -9.0]),   # same 2-dim prefix as 1
+            (3, [0.0, 1.0, 0.0]),
+        ],
+        ["vec_id", "embedding"],
+    )
+    q = spark.createDataFrame([(10, [1.0, 0.0, 0.0])],
+                              ["query_id", "embedding"])
+    out = truncated_cosine_topk(emb, q, dims=2, k=2).collect()
+    got = [(r["vec_id"], r["cosine_sim"]) for r in out]
+    # both prefix-identical vectors score cosine 1.0; tie-break by id
+    assert got == [(1, 1.0), (2, 1.0)]
+
+
+def test_truncated_dims_validation(spark):
+    from hds_functions_spark.operators.similarity import (
+        truncated_cosine_topk,
+    )
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        truncated_cosine_topk(None, None, dims=0)
