@@ -761,6 +761,7 @@ DRIVER_PRIORITY: list[str] = [
     "classify_nb_calibration",
     "text_novelty_incremental",
     "similarity_truncation_recall",
+    "streaming_nb_router",
     "select_dsir_weights",
     "select_dsir_topk",
     "dedup_exact_spans_incremental",

@@ -857,3 +857,73 @@ def similarity_truncation_recall(spark, sf_dir):
         F.col("n_exact").cast("long").alias("n_exact"),
         F.round(F.col("n_hit") / F.col("n_exact"), 4).alias("recall"),
     )
+
+
+# --- streaming NB router (foreachBatch model scoring) -------------------------
+
+
+@_register(
+    "streaming_nb_router",
+    f"""
+WITH {_duck_nb_predict_cte()}
+SELECT label_pred,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN d.lang = label_pred THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_correct,
+       round(avg(score), 4) AS mean_score
+FROM pred JOIN documents d ON pred.doc_id = d.doc_id
+GROUP BY 1
+""",
+)
+def streaming_nb_router(spark, sf_dir):
+    """The production STREAMING model-scoring recipe: documents arrive
+    as a file stream; each micro-batch is scored inside ``foreachBatch``
+    with the full BATCH NB operator (broadcast model join + per-doc
+    argmax — shapes the streaming planner refuses) against the
+    batch-trained static model, appended to a durable sink with
+    checkpointed resume; the routed-volume report reads the sink.
+    Per-doc scores are micro-batch-invariant by construction (the model
+    is static, scoring is per-row), so the drained result equals the
+    batch predictions — which is exactly what the oracle asserts.
+    See streaming/stream_ops.py:stream_score_batches."""
+    import shutil
+    import tempfile
+
+    from .operators.classify import nb_class_stats, nb_predict, nb_token_loglik
+    from .registry import _stable_dir_tag
+    from .streaming.stream_ops import read_parquet_stream, stream_score_batches
+
+    tag = _stable_dir_tag(sf_dir)
+    base = f"{tempfile.gettempdir()}/hds_nb_router_{tag}"
+    # deterministic replay: wipe sink + checkpoint so every invocation
+    # reprocesses the full (finite) stream from scratch
+    shutil.rmtree(base, ignore_errors=True)
+
+    train, _ = _nb_slices(spark, sf_dir)
+    from .caching import tracked_persist
+
+    stats = tracked_persist(nb_class_stats(train, alpha=_NB_ALPHA))
+    model = tracked_persist(nb_token_loglik(train, stats, alpha=_NB_ALPHA))
+    truth = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+
+    stream = read_parquet_stream(
+        spark, f"{sf_dir}/documents.parquet"
+    ).filter(F.col("doc_id") % _NB_HOLDOUT_MOD == 0)
+
+    def score(batch_df):
+        return nb_predict(batch_df, model, stats).join(truth, on="doc_id")
+
+    scored = stream_score_batches(
+        stream,
+        score,
+        path=f"{base}/sink",
+        checkpoint_dir=f"{base}/ckpt",
+        state_partitions=8,
+    )
+    return scored.groupBy("label_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(F.col("lang") == F.col("label_pred"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_correct"),
+        F.round(F.avg("score"), 4).alias("mean_score"),
+    )

@@ -50,6 +50,7 @@ from pyspark.sql.types import (
 )
 
 __all__ = [
+    "stream_score_batches",
     "read_parquet_stream",
     "run_stream_to_memory",
     "run_stream_to_parquet",
@@ -500,3 +501,61 @@ def stream_histogram_bins(
             "_cnt",
         )
     )
+
+
+def stream_score_batches(
+    sdf: DataFrame,
+    score_fn,
+    path: str,
+    checkpoint_dir: str,
+    query_name: str | None = None,
+    state_partitions: int | None = None,
+) -> DataFrame:
+    """Drain a stream through a PER-MICRO-BATCH batch transform into a
+    durable parquet sink — the production model-scoring recipe: inside
+    ``foreachBatch`` the micro-batch is a plain bounded DataFrame, so
+    the FULL batch operator library (multi-aggregate scoring, windows,
+    broadcast model joins — things the streaming planner refuses)
+    applies to each increment, with checkpoint RESUME semantics
+    identical to :func:`run_stream_to_parquet`.
+
+    ``score_fn``: ``(batch_df) -> DataFrame`` — must be deterministic
+    and per-row (results must not depend on micro-batch boundaries,
+    which are an execution detail; a model lookup/score is, a global
+    rank is not). Returns the sink contents as a batch DataFrame — an
+    all-rows-filtered drain returns an EMPTY frame in score_fn's schema
+    (each micro-batch still writes schema-bearing parquet); only a
+    zero-micro-batch drain raises, since no schema ever reached the sink.
+    """
+    spark = sdf.sparkSession
+
+    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
+        score_fn(batch_df).write.mode("append").parquet(path)
+
+    name = query_name or f"hds_stream_{uuid.uuid4().hex}"
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        query = (
+            sdf.writeStream.foreachBatch(_sink)
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        query.awaitTermination()
+    finally:
+        if state_partitions is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    has_files = os.path.isdir(path) and any(
+        not f.name.startswith(("_", ".")) for f in os.scandir(path)
+    )
+    if not has_files:
+        raise ValueError(
+            "stream_score_batches drained zero micro-batches (e.g. a "
+            "checkpoint resume with no new files); score_fn's output "
+            "schema is unknown — nothing to return"
+        )
+    return spark.read.parquet(path)

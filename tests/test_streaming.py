@@ -429,3 +429,66 @@ def test_stream_histogram_validation(spark, events_path):
         stream_histogram_bins(sdf, "value", bounds=(0, 1), n_bins=0)
     with pytest.raises(ValueError, match="bounds"):
         stream_histogram_bins(sdf, "value", bounds=(5, 1))
+
+
+def test_stream_score_batches_equals_batch_transform(spark, tmp_path):
+    """foreachBatch scoring with a per-row transform equals applying the
+    transform to the whole input in one batch, regardless of micro-batch
+    boundaries (maxFilesPerTrigger=1 forces several batches)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hds_functions_spark.streaming.stream_ops import (
+        read_parquet_stream,
+        stream_score_batches,
+    )
+
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    df = spark.range(0, 30).withColumn("v", F.col("id") * 2)
+    # three separate files -> three micro-batches under maxFilesPerTrigger=1
+    for i in range(3):
+        df.filter(F.col("id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    def score(batch_df):
+        return batch_df.withColumn("scored", F.col("v") + 1)
+
+    out = stream_score_batches(
+        read_parquet_stream(spark, src, max_files_per_trigger=1),
+        score,
+        path=str(tmp_path / "sink"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        state_partitions=2,
+    )
+    got = sorted((r["id"], r["scored"]) for r in out.collect())
+    assert got == [(i, 2 * i + 1) for i in range(30)]
+
+
+def test_stream_score_batches_all_filtered_returns_empty(spark, tmp_path):
+    """A drained stream whose every row is filtered still writes a
+    schema-bearing (empty) parquet per micro-batch: the helper returns
+    an empty frame with the score_fn's schema, not an error."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from hds_functions_spark.streaming.stream_ops import (
+        read_parquet_stream,
+        stream_score_batches,
+    )
+
+    src = str(tmp_path / "src2")
+    os.makedirs(src)
+    spark.range(0, 5).write.mode("append").parquet(src)
+
+    out = stream_score_batches(
+        read_parquet_stream(spark, src).filter(F.col("id") > 100),
+        lambda b: b.withColumn("s", F.col("id") + 1),
+        path=str(tmp_path / "sink2"),
+        checkpoint_dir=str(tmp_path / "ckpt2"),
+    )
+    assert out.count() == 0
+    assert out.columns == ["id", "s"]
