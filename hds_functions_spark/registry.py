@@ -762,6 +762,7 @@ DRIVER_PRIORITY: list[str] = [
     "text_novelty_incremental",
     "similarity_truncation_recall",
     "streaming_nb_router",
+    "pipeline_data_card",
     "select_dsir_weights",
     "select_dsir_topk",
     "dedup_exact_spans_incremental",

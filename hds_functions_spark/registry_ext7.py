@@ -927,3 +927,86 @@ def streaming_nb_router(spark, sf_dir):
         .alias("n_correct"),
         F.round(F.avg("score"), 4).alias("mean_score"),
     )
+
+
+# --- the per-source data card -------------------------------------------------
+
+
+@_register(
+    "pipeline_data_card",
+    f"""
+WITH q AS ({{quality_oracle}}),
+nov AS ({{nov_oracle}}),
+comp AS (SELECT * FROM ({{cc_oracle}})),
+sizes AS (
+  SELECT component, CAST(count(*) AS BIGINT) AS size FROM comp GROUP BY 1
+),
+base AS (
+  SELECT d.doc_id, d.source, d.lang, len({_NB_DUCK_TOK}) AS n_tok,
+         q.quality_score, nov.novelty, coalesce(s.size, 1) AS dup_size
+  FROM documents d
+  JOIN q USING (doc_id)
+  JOIN nov USING (doc_id)
+  LEFT JOIN comp USING (doc_id)
+  LEFT JOIN sizes s USING (component))
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       round(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+             / (1.0 * count(*)), 4) AS pct_en,
+       round(avg(quality_score), 4) AS mean_quality,
+       round(sum(1.0 / dup_size) / count(*), 4) AS dedup_ratio,
+       round(avg(novelty), 4) AS mean_novelty
+FROM base GROUP BY 1
+""".format(
+        quality_oracle=ORACLES["text_quality"],
+        nov_oracle=ORACLES["text_novelty"],
+        cc_oracle=ORACLES["dedup_clusters_cc"],
+    ),
+)
+def pipeline_data_card(spark, sf_dir):
+    """The per-source DATA CARD — the one-page artifact a curated corpus
+    ships with: document/token volume, English share, mean heuristic
+    quality, soft-dedup ratio (effective docs / docs, from the shared
+    MinHash+CC clusters) and mean 5-gram novelty, per source, in ONE
+    lazy plan. Every column is an already-audited operator
+    (add_quality_score, ngram_novelty, dedup_clusters); the rollup adds
+    two doc-keyed joins and one aggregate. Oracle composes the
+    registered quality/novelty/clusters oracles so drift propagates."""
+    from .functions.text import token_count
+    from .operators.profiling import ngram_novelty
+    from .functions.text import add_quality_score
+    from .registry_ext import _shared_clusters
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "lang"
+    )
+    q = add_quality_score(docs).select("doc_id", "quality_score")
+    nov = ngram_novelty(docs.select("doc_id", "text"), ngram=_NOV_NGRAM)
+    comp = _shared_clusters(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("size"))
+    base = (
+        docs.select(
+            "doc_id", "source", "lang",
+            token_count(F.col("text")).alias("n_tok"),
+        )
+        .join(q, on="doc_id")
+        .join(nov.select("doc_id", "novelty"), on="doc_id")
+        .join(comp, on="doc_id", how="left")
+        .join(sizes, on="component", how="left")
+        .withColumn("dup_size", F.coalesce(F.col("size"), F.lit(1)))
+    )
+    return base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.round(
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+            / F.count(F.lit(1)),
+            4,
+        ).alias("pct_en"),
+        F.round(F.avg("quality_score"), 4).alias("mean_quality"),
+        F.round(
+            F.sum(1.0 / F.col("dup_size")) / F.count(F.lit(1)), 4
+        ).alias("dedup_ratio"),
+        F.round(F.avg("novelty"), 4).alias("mean_novelty"),
+    )
