@@ -285,3 +285,87 @@ def test_metastore_bucketed_join_and_agg_shuffle_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS default.bkt_join_a")
         spark.sql("DROP TABLE IF EXISTS default.bkt_join_b")
+
+
+# --- round-9 continuation operators ------------------------------------------
+
+
+def test_nb_class_stats_broadcasts_totals(docs):
+    """The 1-row vocab/doc-count frame rides a broadcast, never a
+    shuffle-side join."""
+    from hds_functions_spark.operators.classify import nb_class_stats
+
+    train = docs.select("doc_id", "text", "lang")
+    plan = _plan(nb_class_stats(train))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_nb_predict_no_doc_keyed_model_join(docs):
+    """The model join keys on token only — doc_id must never appear in
+    a join-side Exchange with the token key (skewed docs must not skew
+    the probe)."""
+    from hds_functions_spark.operators.classify import (
+        nb_class_stats,
+        nb_predict,
+        nb_token_loglik,
+    )
+
+    train = docs.select("doc_id", "text", "lang")
+    score = docs.select("doc_id", "text")
+    stats = nb_class_stats(train)
+    model = nb_token_loglik(train, stats)
+    plan = _plan(nb_predict(score, model, stats))
+    assert "CartesianProduct" not in plan
+    # model rows (carrying log_lik) may cross token-keyed exchanges only:
+    # an exchange partitioned by doc_id must never carry the model column
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning(doc_id" in line:
+            assert "log_lik" not in line, line
+
+
+def test_ngram_novelty_two_corpus_exchanges(docs):
+    """Novelty's plan: ONE gram-keyed exchange (the min-combine) + ONE
+    doc-keyed exchange (the per-doc rollup) + the re-attach join — no
+    extra corpus-sized shuffles may creep in."""
+    from hds_functions_spark.operators.profiling import ngram_novelty
+
+    plan = _plan(ngram_novelty(docs.select("doc_id", "text")))
+    n_ex = sum(
+        1 for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    )
+    # gram-combine, gram-join sides, doc rollup, re-attach join sides;
+    # AQE coalesces some — bound the count instead of pinning it
+    assert n_ex <= 6, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_truncated_topk_broadcasts_queries(emb):
+    from hds_functions_spark.operators.similarity import (
+        truncated_cosine_topk,
+    )
+
+    qs = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = _plan(truncated_cosine_topk(emb, qs, dims=8, k=5))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "WindowGroupLimit" in plan  # map-side top-k prune
+
+
+def test_source_matrix_no_text_in_exchanges(docs):
+    """Only (source, fingerprint) longs/strings cross the wire — the
+    document text must never enter an exchange."""
+    from hds_functions_spark.operators.dedup import (
+        source_overlap_matrix,
+        winnowing_fingerprints,
+    )
+
+    fps = winnowing_fingerprints(docs.select("doc_id", "text"))
+    plan = _plan(
+        source_overlap_matrix(fps, docs.select("doc_id", "source"))
+    )
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text" not in line, line
