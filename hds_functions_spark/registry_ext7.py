@@ -533,6 +533,11 @@ def pipeline_mixture_curation(spark, sf_dir):
     gain = kn_context_gain_scores(train, docs.select("doc_id", "text"),
                                   discount=_CG_D)
     nov = ngram_novelty(docs.select("doc_id", "text"), ngram=_NOV_NGRAM)
+    # two consumers (the gate threshold aggregate and the kept filter)
+    # read the gain+novelty DAG; measured A/B says DON'T persist here —
+    # Spark's ReusedExchange already shares the heavy subplans and the
+    # persisted frame's materialisation costs more than the re-read
+    # (6.1 s warm unpersisted vs 8.1 s persisted at sf0.1)
     base = (
         docs.select(
             "doc_id", "source", token_count(F.col("text")).alias("n_tok")
