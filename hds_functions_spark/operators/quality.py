@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["referential_orphans", "observe_metrics", "join_key_audit", "bootstrap_mean_ci"]
+__all__ = ["referential_orphans", "observe_metrics", "join_key_audit", "bootstrap_mean_ci", "gopher_rule_audit", "GOPHER_STOPWORDS"]
 
 
 def observe_metrics(df, name: str, metrics: dict):
@@ -256,4 +256,134 @@ def bootstrap_mean_ci(
             "ci_hi",
             F.lit(n_resamples).alias("n_resamples"),
         )
+    )
+
+
+#: the Gopher (Rae et al. 2021) "must-have" stopwords: a document of
+#: natural English prose is expected to contain at least 2 of these
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_rule_audit(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Rule-level audit of the Gopher quality filters (Rae et al. 2021,
+    Table A1 — the named ruleset behind MassiveText and most successor
+    pipelines): for each rule, how many documents FAIL it — the
+    corpus-health report read before choosing which rules to enforce
+    (a rule failing 90% of a corpus is mis-calibrated for it, not a
+    quality signal; exactly the situation this table exposes).
+
+    Rules audited (fail conditions):
+
+    - ``word_count``: words < ``min_words`` or > ``max_words``
+    - ``mean_word_length``: outside [3, 10] (tokenless docs fail)
+    - ``symbol_ratio``: (# + "..." occurrences) / words > 0.1
+    - ``bullet_ratio``: > 90% of lines start with a bullet
+    - ``ellipsis_ratio``: > 30% of lines end with "..."
+    - ``alpha_ratio``: < 80% of words contain an alphabetic char
+    - ``stopword_hits``: fewer than 2 of the 8 must-have stopwords
+    - ``all_rules``: fails at least one of the above
+
+    One corpus scan: every signal is a JVM higher-order-function over
+    the token/line arrays (no UDF, no extra shuffle); the audit
+    aggregate is a single map-side-combinable row unpivoted to one row
+    per rule. Output: ``(rule, n_docs, n_fail, fail_rate)``.
+    """
+    from ..functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    lower_toks = F.transform(toks, lambda t: F.lower(t))
+    n_words = F.size(toks)
+    mean_wl = F.when(
+        n_words > 0,
+        F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+        )
+        / n_words,
+    )
+    n_hash = F.length(F.col(text_col)) - F.length(
+        F.replace(F.col(text_col), F.lit("#"), F.lit(""))
+    )
+    n_ellipsis = (
+        F.length(F.col(text_col))
+        - F.length(F.replace(F.col(text_col), F.lit("..."), F.lit("")))
+    ) / 3
+    lines = F.split(F.col(text_col), "\n")
+    n_lines = F.size(lines)
+    bullet_frac = F.when(
+        n_lines > 0,
+        F.size(
+            F.filter(
+                lines,
+                lambda ln: F.ltrim(ln).startswith("-")
+                | F.ltrim(ln).startswith("*"),
+            )
+        )
+        / n_lines,
+    )
+    ellipsis_frac = F.when(
+        n_lines > 0,
+        F.size(F.filter(lines, lambda ln: F.rtrim(ln).endswith("...")))
+        / n_lines,
+    )
+    alpha_frac = F.when(
+        n_words > 0,
+        F.size(F.filter(toks, lambda t: t.rlike("[A-Za-z]"))) / n_words,
+    )
+    stop_hits = sum(
+        F.when(F.array_contains(lower_toks, w), 1).otherwise(0)
+        for w in GOPHER_STOPWORDS
+    )
+
+    fails = {
+        "word_count": (n_words < min_words) | (n_words > max_words),
+        "mean_word_length": ~F.coalesce(
+            (mean_wl >= 3) & (mean_wl <= 10), F.lit(False)
+        ),
+        "symbol_ratio": F.coalesce(
+            (n_hash + n_ellipsis) / n_words > 0.1, F.lit(True)
+        ),
+        "bullet_ratio": F.coalesce(bullet_frac > 0.9, F.lit(False)),
+        "ellipsis_ratio": F.coalesce(ellipsis_frac > 0.3, F.lit(False)),
+        "alpha_ratio": ~F.coalesce(alpha_frac >= 0.8, F.lit(False)),
+        "stopword_hits": stop_hits < 2,
+    }
+    fails["all_rules"] = None  # computed below from the others
+    any_fail = None
+    flagged = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col))
+    agg_cols = []
+    for rule, cond in fails.items():
+        if rule == "all_rules":
+            continue
+        flagged = flagged.withColumn(
+            f"_f_{rule}", F.when(cond, 1).otherwise(0)
+        )
+        any_fail = (
+            F.col(f"_f_{rule}")
+            if any_fail is None
+            else F.greatest(any_fail, F.col(f"_f_{rule}"))
+        )
+        agg_cols.append(F.sum(f"_f_{rule}").alias(rule))
+    flagged = flagged.withColumn("_f_all_rules", any_fail)
+    agg_cols.append(F.sum("_f_all_rules").alias("all_rules"))
+    agg_cols.append(F.count(F.lit(1)).alias("_n"))
+    one = flagged.agg(*agg_cols)
+    rules = list(fails)
+    stack = ", ".join(f"'{r}', {r}" for r in rules)
+    return one.select(
+        F.expr(f"stack({len(rules)}, {stack}) AS (rule, n_fail)"),
+        F.col("_n").alias("n_docs"),
+    ).select(
+        "rule",
+        F.col("n_docs").cast("long"),
+        F.col("n_fail").cast("long"),
+        F.round(F.col("n_fail") / F.col("n_docs"), round_digits).alias(
+            "fail_rate"
+        ),
     )

@@ -763,6 +763,8 @@ DRIVER_PRIORITY: list[str] = [
     "similarity_truncation_recall",
     "streaming_nb_router",
     "pipeline_data_card",
+    "analytics_pricing_summary",
+    "quality_gopher_rules",
     "select_dsir_weights",
     "select_dsir_topk",
     "dedup_exact_spans_incremental",

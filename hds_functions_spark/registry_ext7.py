@@ -1015,3 +1015,168 @@ def pipeline_data_card(spark, sf_dir):
         ).alias("dedup_ratio"),
         F.round(F.avg("novelty"), 4).alias("mean_novelty"),
     )
+
+
+# --- TPC-H Q1-style pricing summary -------------------------------------------
+
+
+@_register(
+    "analytics_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT)
+           AS sum_qty_cents,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS sum_base_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                     AS BIGINT)) AS BIGINT) AS sum_disc_cents,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                           * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT)
+           AS sum_charge_cents,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2
+""",
+)
+def analytics_pricing_summary(spark, sf_dir):
+    """The TPC-H Q1 pricing summary (the canonical scan-heavy aggregate
+    every OLAP engine is judged on): per (returnflag, linestatus) sums
+    and averages over shipped lineitems. Spark-first notes: the filter
+    and 7-column projection push into the parquet scan (ReadSchema
+    prunes 9 of 16 columns); the money sums accumulate as INTEGER
+    cents (deterministic across engines and partition orders — the
+    float-sum ulp problem engineered out, the registry convention);
+    one map-side-combinable aggregate, 6 output rows."""
+    li = _t(spark, sf_dir, "lineitem")
+    cents = lambda c: F.round(c * 100).cast("long")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(cents(F.col("l_quantity"))).cast("long").alias(
+                "sum_qty_cents"
+            ),
+            F.sum(cents(F.col("l_extendedprice"))).cast("long").alias(
+                "sum_base_cents"
+            ),
+            F.sum(
+                cents(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).cast("long").alias("sum_disc_cents"),
+            F.sum(
+                cents(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                )
+            ).cast("long").alias("sum_charge_cents"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+# --- Gopher rule-level audit ---------------------------------------------------
+
+
+def _duck_gopher_sql() -> str:
+    from .operators.quality import GOPHER_STOPWORDS
+
+    toks = (
+        "CASE WHEN trim(text) = '' THEN []::VARCHAR[] "
+        "ELSE string_split_regex(trim(text), '\\s+') END"
+    )
+    stop_hits = " + ".join(
+        f"CASE WHEN list_contains(lt, '{w}') THEN 1 ELSE 0 END"
+        for w in GOPHER_STOPWORDS
+    )
+    rules = [
+        "word_count", "mean_word_length", "symbol_ratio", "bullet_ratio",
+        "ellipsis_ratio", "alpha_ratio", "stopword_hits", "all_rules",
+    ]
+    unpivot = "\nUNION ALL\n".join(
+        f"SELECT '{r}' AS rule, n_docs, {r} AS n_fail, "
+        f"round({r} / (1.0 * n_docs), 4) AS fail_rate FROM agg"
+        for r in rules
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, text, {toks} AS t,
+         list_transform({toks}, s -> lower(s)) AS lt,
+         string_split(text, chr(10)) AS lines
+  FROM documents),
+feat AS (
+  SELECT doc_id,
+         len(t) AS n_words,
+         CASE WHEN len(t) > 0 THEN
+           list_sum(list_transform(t, s -> length(s)))::DOUBLE / len(t)
+         END AS mean_wl,
+         length(text) - length(replace(text, '#', '')) AS n_hash,
+         (length(text) - length(replace(text, '...', ''))) / 3.0
+             AS n_ellipsis,
+         len(lines) AS n_lines,
+         CASE WHEN len(lines) > 0 THEN
+           len(list_filter(lines, l -> ltrim(l) LIKE '-%'
+                                    OR ltrim(l) LIKE '*%'))
+             / (1.0 * len(lines)) END AS bullet_frac,
+         CASE WHEN len(lines) > 0 THEN
+           len(list_filter(lines, l -> rtrim(l) LIKE '%...'))
+             / (1.0 * len(lines)) END AS ellipsis_frac,
+         CASE WHEN len(t) > 0 THEN
+           len(list_filter(t, s -> regexp_matches(s, '[A-Za-z]')))
+             / (1.0 * len(t)) END AS alpha_frac,
+         {stop_hits} AS stop_hits
+  FROM base),
+flags AS (
+  SELECT doc_id,
+    CASE WHEN n_words < 50 OR n_words > 100000 THEN 1 ELSE 0 END
+        AS word_count,
+    CASE WHEN coalesce(mean_wl >= 3 AND mean_wl <= 10, FALSE)
+         THEN 0 ELSE 1 END AS mean_word_length,
+    CASE WHEN coalesce((n_hash + n_ellipsis) / n_words > 0.1, TRUE)
+         THEN 1 ELSE 0 END AS symbol_ratio,
+    CASE WHEN coalesce(bullet_frac > 0.9, FALSE) THEN 1 ELSE 0 END
+        AS bullet_ratio,
+    CASE WHEN coalesce(ellipsis_frac > 0.3, FALSE) THEN 1 ELSE 0 END
+        AS ellipsis_ratio,
+    CASE WHEN coalesce(alpha_frac >= 0.8, FALSE) THEN 0 ELSE 1 END
+        AS alpha_ratio,
+    CASE WHEN stop_hits < 2 THEN 1 ELSE 0 END AS stopword_hits
+  FROM feat),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(word_count) AS BIGINT) AS word_count,
+         CAST(sum(mean_word_length) AS BIGINT) AS mean_word_length,
+         CAST(sum(symbol_ratio) AS BIGINT) AS symbol_ratio,
+         CAST(sum(bullet_ratio) AS BIGINT) AS bullet_ratio,
+         CAST(sum(ellipsis_ratio) AS BIGINT) AS ellipsis_ratio,
+         CAST(sum(alpha_ratio) AS BIGINT) AS alpha_ratio,
+         CAST(sum(stopword_hits) AS BIGINT) AS stopword_hits,
+         CAST(sum(greatest(word_count, mean_word_length, symbol_ratio,
+                           bullet_ratio, ellipsis_ratio, alpha_ratio,
+                           stopword_hits)) AS BIGINT) AS all_rules
+  FROM flags)
+{unpivot}
+"""
+
+
+@_register("quality_gopher_rules", _duck_gopher_sql())
+def quality_gopher_rules(spark, sf_dir):
+    """Rule-level audit of the Gopher quality filters (Rae et al. 2021
+    Table A1): per rule, how many documents fail — the calibration
+    report read BEFORE enforcing a ruleset on a new corpus (on this
+    synthetic non-English-prose corpus the English stopword rule fails
+    100% and word_count ~43%: exactly the mis-calibration the table
+    exists to expose). One corpus scan, every signal a JVM
+    higher-order function, one combinable aggregate row unpivoted to
+    8 rule rows (operators/quality.py:gopher_rule_audit)."""
+    from .operators.quality import gopher_rule_audit
+
+    return gopher_rule_audit(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
