@@ -823,6 +823,16 @@ DRIVER_PRIORITY: list[str] = [
     # oldest r05 rows to fill the window (8):
     # (trailing r05 fillers rotated out to keep the window at 50
     # as round-9 heads were added)
+    #
+    # ROUND-10 ROTATION GUIDANCE: the 20 round-9 continuation queries
+    # (classify_*, mixture_epoch_plan, text_novelty*, select_context_gain,
+    # embedding_outlier_knn, pipeline_mixture_curation, dedup_source_matrix,
+    # dedup_soft_weights, similarity_truncation_recall, streaming_nb_router,
+    # pipeline_data_card, analytics_pricing_summary, quality_gopher_rules)
+    # will have r09 driver rows after this round's gate; next round put the
+    # NEW queries at the head and fill the remaining slots with the 20
+    # r04-vintage rows this round's additions displaced past slot 50
+    # (join_salted .. text_tokens — tools/driver_coverage.py lists them).
 ]
 
 
