@@ -765,6 +765,7 @@ DRIVER_PRIORITY: list[str] = [
     "pipeline_data_card",
     "analytics_pricing_summary",
     "quality_gopher_rules",
+    "retrieval_mrr_audit",
     "select_dsir_weights",
     "select_dsir_topk",
     "dedup_exact_spans_incremental",

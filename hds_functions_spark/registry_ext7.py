@@ -1180,3 +1180,86 @@ def quality_gopher_rules(spark, sf_dir):
     return gopher_rule_audit(
         _t(spark, sf_dir, "documents").select("doc_id", "text")
     )
+
+
+# --- retrieval ranking-quality audit -------------------------------------------
+
+
+@_register(
+    "retrieval_mrr_audit",
+    """
+WITH topk AS ({bm25_oracle}),
+labeled AS (
+  SELECT t.query_id, t.doc_id, t.rank,
+         CASE WHEN t.doc_id = t.query_id THEN 1 ELSE 0 END AS is_self,
+         CASE WHEN dq.source = dr.source THEN 1 ELSE 0 END AS same_source
+  FROM topk t
+  JOIN documents dq ON t.query_id = dq.doc_id
+  JOIN documents dr ON t.doc_id = dr.doc_id),
+per_query AS (
+  SELECT query_id,
+         coalesce(max(CASE WHEN is_self = 1 THEN 1.0 / rank END), 0.0)
+             AS self_rr,
+         coalesce(max(CASE WHEN same_source = 1 THEN 1.0 / rank END), 0.0)
+             AS source_rr,
+         max(same_source) AS source_hit
+  FROM labeled GROUP BY 1)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       round(avg(self_rr), 4) AS self_mrr,
+       round(avg(source_rr), 4) AS source_mrr,
+       round(avg(source_hit), 4) AS source_hit_rate
+FROM per_query
+""".format(bm25_oracle=ORACLES["retrieval_bm25"]),
+)
+def retrieval_mrr_audit(spark, sf_dir):
+    """Ranking-quality audit of the BM25 retriever: mean reciprocal
+    rank of (a) SELF-retrieval — each benchmark query is drawn from a
+    known document, so its own document surfacing at rank 1 is the
+    built-in relevance label (self_mrr near 1.0 = the retriever works)
+    — and (b) SOURCE-match relevance (any same-source hit in the
+    top-5), plus the source hit rate. The retrieval-eval table every
+    index change is judged by, priced as one aggregate over the
+    already-computed top-k frame (the per-query RR fold is
+    max(1/rank), map-side combinable). Oracle composes the registered
+    BM25 oracle so drift propagates."""
+    from .registry_ext3 import retrieval_bm25
+
+    topk = retrieval_bm25(spark, sf_dir)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    labeled = (
+        topk.join(
+            docs.select(
+                F.col("doc_id").alias("query_id"),
+                F.col("source").alias("_qsrc"),
+            ),
+            on="query_id",
+        )
+        .join(docs.select("doc_id", F.col("source").alias("_rsrc")), on="doc_id")
+        .select(
+            "query_id",
+            "rank",
+            F.when(F.col("doc_id") == F.col("query_id"), 1)
+            .otherwise(0)
+            .alias("is_self"),
+            F.when(F.col("_qsrc") == F.col("_rsrc"), 1)
+            .otherwise(0)
+            .alias("same_source"),
+        )
+    )
+    per_query = labeled.groupBy("query_id").agg(
+        F.coalesce(
+            F.max(F.when(F.col("is_self") == 1, 1.0 / F.col("rank"))),
+            F.lit(0.0),
+        ).alias("self_rr"),
+        F.coalesce(
+            F.max(F.when(F.col("same_source") == 1, 1.0 / F.col("rank"))),
+            F.lit(0.0),
+        ).alias("source_rr"),
+        F.max("same_source").alias("source_hit"),
+    )
+    return per_query.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(F.avg("self_rr"), 4).alias("self_mrr"),
+        F.round(F.avg("source_rr"), 4).alias("source_mrr"),
+        F.round(F.avg("source_hit"), 4).alias("source_hit_rate"),
+    )
