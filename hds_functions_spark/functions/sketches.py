@@ -39,6 +39,8 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
+    "hll_register_rows",
+    "hll_estimate_from_registers",
     "kmv_hash",
     "kmv_distinct",
     "kmv_pairwise_ops",
@@ -591,4 +593,69 @@ def cm_inner_product(
         .groupBy("cm_row")
         .agg(F.max("_dot").alias("_dot"))
         .agg(F.min("_dot").cast("long").alias("join_size_est"))
+    )
+
+
+def hll_register_rows(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """The HLL REGISTER state of :func:`hll_distinct`, exposed as a
+    frame: per-group ``(_b, _m)`` = (bucket, max rho) rows — at most
+    ``m`` rows per group at any cardinality, built by one map-side
+    combinable MAX aggregate. Factored out so BATCH and STREAMING
+    callers share the exact register arithmetic (max is mergeable, so
+    the same aggregate runs as incremental streaming state), and
+    :func:`hll_estimate_from_registers` is the single read-out path —
+    the two can never drift."""
+    gcols = list(group_cols or [])
+    h60 = (
+        F.conv(
+            F.substring(F.md5(F.col(value_col).cast("string")), 1, 15),
+            16, 10,
+        ).cast("long")
+    )
+    bucket = F.shiftright(h60, _HLL_TAIL_BITS)
+    tail = h60.bitwiseAND(F.lit((1 << _HLL_TAIL_BITS) - 1))
+    rho = F.when(
+        F.col("_tail") == 0, F.lit(_HLL_TAIL_BITS + 1)
+    ).otherwise(F.lit(_HLL_TAIL_BITS + 1) - F.length(F.bin(F.col("_tail"))))
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .select(*gcols, bucket.alias("_b"), tail.alias("_tail"))
+        .withColumn("_rho", rho)
+        .groupBy(*gcols, "_b")
+        .agg(F.max("_rho").alias("_m"))
+    )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame,
+    group_cols: list[str] | None = None,
+    round_digits: int = 4,
+) -> DataFrame:
+    """Fold ``(_b, _m)`` register rows (from :func:`hll_register_rows`
+    or a drained streaming state) into the per-group estimate — the
+    identical raw-estimate + Flajolet small-range correction read-out
+    as :func:`hll_distinct`. Output: ``(*group_cols, n_registers,
+    estimate)``."""
+    gcols = list(group_cols or [])
+    folded = regs.groupBy(*gcols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("_m"))).alias("_sum_present"),
+        F.count(F.lit(1)).alias("_present"),
+    )
+    raw = (
+        F.lit(_HLL_ALPHA * _HLL_M * _HLL_M)
+        / (F.col("_sum_present") + (F.lit(_HLL_M) - F.col("_present")))
+    )
+    zeros = F.lit(_HLL_M) - F.col("_present")
+    corrected = F.when(
+        (raw <= 2.5 * _HLL_M) & (zeros > 0),
+        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / zeros),
+    ).otherwise(raw)
+    return folded.select(
+        *gcols,
+        F.col("_present").alias("n_registers"),
+        F.round(corrected, round_digits).alias("estimate"),
     )

@@ -766,6 +766,7 @@ DRIVER_PRIORITY: list[str] = [
     "analytics_pricing_summary",
     "quality_gopher_rules",
     "retrieval_mrr_audit",
+    "streaming_hll_daily",
     "select_dsir_weights",
     "select_dsir_topk",
     "dedup_exact_spans_incremental",

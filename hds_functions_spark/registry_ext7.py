@@ -1263,3 +1263,96 @@ def retrieval_mrr_audit(spark, sf_dir):
         F.round(F.avg("source_rr"), 4).alias("source_mrr"),
         F.round(F.avg("source_hit"), 4).alias("source_hit_rate"),
     )
+
+
+# --- streaming daily HLL distinct users ----------------------------------------
+
+
+def _duck_stream_hll_sql() -> str:
+    from .functions.sketches import _HLL_ALPHA, _HLL_M, _HLL_TAIL_BITS
+
+    t = _HLL_TAIL_BITS
+    am2 = _HLL_ALPHA * _HLL_M * _HLL_M
+    return f"""
+WITH rt AS (
+  SELECT date_trunc('day', ts)::DATE AS day,
+         ('0x' || substr(md5(user_id::VARCHAR), 1, 15))::BIGINT AS h
+  FROM events WHERE user_id IS NOT NULL),
+regs AS (
+  SELECT day, h >> {t} AS b,
+         max(CASE WHEN (h & {(1 << t) - 1}) = 0 THEN {t + 1}
+             ELSE {t + 1} - length(format('{{:b}}', h & {(1 << t) - 1}))
+             END) AS m
+  FROM rt GROUP BY 1, 2),
+folded AS (
+  SELECT day, sum(power(2.0, -m)) AS sum_present,
+         CAST(count(*) AS BIGINT) AS present
+  FROM regs GROUP BY 1),
+est AS (
+  SELECT day, present,
+         {am2!r} / (sum_present + ({_HLL_M} - present)) AS raw,
+         {_HLL_M} - present AS zeros
+  FROM folded),
+fin AS (
+  SELECT day, present,
+         CASE WHEN raw <= {2.5 * _HLL_M!r} AND zeros > 0
+              THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / zeros)
+              ELSE raw END AS estimate
+  FROM est),
+ex AS (
+  SELECT date_trunc('day', ts)::DATE AS day,
+         CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY 1)
+SELECT f.day, present AS n_registers, round(estimate, 4) AS estimate,
+       exact_distinct,
+       round(abs(round(estimate, 4) - exact_distinct)
+             / exact_distinct, 4) AS rel_error
+FROM fin f JOIN ex USING (day)
+"""
+
+
+@_register("streaming_hll_daily", _duck_stream_hll_sql())
+def streaming_hll_daily(spark, sf_dir):
+    """Streaming daily distinct-user estimates from MERGEABLE HLL
+    state: the per-(day, bucket) max-rho registers fold micro-batch by
+    micro-batch (max is the canonical mergeable aggregate — complete
+    mode, AvailableNow), the drained state feeds the SAME estimate
+    read-out the batch operator uses (hll_estimate_from_registers —
+    shared code, cannot drift), and the oracle recomputes every
+    register and the small-range correction bit-for-bit. State per day
+    is at most 256 register rows regardless of stream length — the
+    approximate-streaming-analytics shape that replaces exact
+    count-distinct (whose state grows with cardinality) at 100 TB.
+    Exact-count audit columns attached from the batch side."""
+    from .functions.sketches import (
+        hll_estimate_from_registers,
+        hll_register_rows,
+    )
+    from .registry_ext import _STATE_PARTITIONS, _events_stream
+    from .streaming import run_stream_to_memory
+
+    ev = _events_stream(spark, sf_dir).withColumn(
+        "day", F.to_date(F.date_trunc("day", F.col("ts")))
+    )
+    regs = hll_register_rows(ev, "user_id", group_cols=["day"])
+    drained = run_stream_to_memory(
+        regs, output_mode="complete", state_partitions=_STATE_PARTITIONS
+    )
+    est = hll_estimate_from_registers(drained, group_cols=["day"])
+    exact = (
+        _t(spark, sf_dir, "events")
+        .withColumn("day", F.to_date(F.date_trunc("day", F.col("ts"))))
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("exact_distinct"))
+    )
+    return est.join(exact, on="day").select(
+        "day",
+        "n_registers",
+        "estimate",
+        "exact_distinct",
+        F.round(
+            F.abs(F.col("estimate") - F.col("exact_distinct"))
+            / F.col("exact_distinct"),
+            4,
+        ).alias("rel_error"),
+    )

@@ -441,3 +441,29 @@ def test_cm_inner_product_rejects_malformed_sketches(spark):
     # the grouped sketch is usable once filtered + stripped
     one = grouped.filter("g = 1").select("cm_row", "cm_col", "cm_count")
     assert cm_inner_product(ok, one, depth=2).collect()[0].join_size_est == 1
+
+
+def test_hll_register_factoring_matches_hll_distinct(spark):
+    """hll_register_rows + hll_estimate_from_registers must equal the
+    one-shot hll_distinct (the streaming path reuses the factored pair,
+    so this equality is what makes batch and streaming undriftable)."""
+    from hds_functions_spark.functions.sketches import (
+        hll_distinct,
+        hll_estimate_from_registers,
+        hll_register_rows,
+    )
+
+    df = spark.range(0, 5000).selectExpr(
+        "id % 7 AS g", "CAST(id * 37 % 1900 AS STRING) AS v"
+    )
+    direct = {
+        (r["g"],): (r["n_registers"], r["estimate"])
+        for r in hll_distinct(df, "v", ["g"]).collect()
+    }
+    composed = {
+        (r["g"],): (r["n_registers"], r["estimate"])
+        for r in hll_estimate_from_registers(
+            hll_register_rows(df, "v", ["g"]), ["g"]
+        ).collect()
+    }
+    assert composed == direct
