@@ -767,6 +767,7 @@ DRIVER_PRIORITY: list[str] = [
     "quality_gopher_rules",
     "retrieval_mrr_audit",
     "streaming_hll_daily",
+    "text_bpe_fertility",
     "select_dsir_weights",
     "select_dsir_topk",
     "dedup_exact_spans_incremental",

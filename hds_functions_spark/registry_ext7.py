@@ -1356,3 +1356,49 @@ def streaming_hll_daily(spark, sf_dir):
             4,
         ).alias("rel_error"),
     )
+
+
+# --- tokenizer fertility audit --------------------------------------------------
+
+
+@_register(
+    "text_bpe_fertility",
+    """
+WITH enc AS ({bpe_oracle})
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(enc.n_words) AS BIGINT) AS n_words,
+       CAST(sum(enc.n_subwords) AS BIGINT) AS n_subwords,
+       round(sum(enc.n_subwords)::DOUBLE / sum(enc.n_words), 6)
+           AS fertility
+FROM enc JOIN documents d USING (doc_id)
+GROUP BY 1
+""".format(bpe_oracle=ORACLES["text_bpe_encode"]),
+)
+def text_bpe_fertility(spark, sf_dir):
+    """Tokenizer FERTILITY per language (subwords emitted per word
+    under the trained BPE merges) — the standard multilingual
+    tokenizer-equity metric: a language with 2x the fertility pays 2x
+    the sequence length (and 2x the compute, and half the effective
+    context) for the same text, which is exactly what a vocabulary
+    rebalance decision needs to see. One per-lang aggregate over the
+    already-audited per-doc encode stats; oracle composes the
+    registered BPE-encode oracle (which re-derives the merge chain in
+    SQL) so tokenizer drift propagates here too."""
+    from .operators.bpe import bpe_encode_stats
+    from .registry_ext3 import _BPE_MERGES
+
+    docs = _t(spark, sf_dir, "documents")
+    enc = bpe_encode_stats(docs, n_merges=_BPE_MERGES)
+    return (
+        enc.join(docs.select("doc_id", "lang"), on="doc_id")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("n_words"),
+            F.sum("n_subwords").cast("long").alias("n_subwords"),
+            F.round(
+                F.sum("n_subwords") / F.sum("n_words"), 6
+            ).alias("fertility"),
+        )
+    )
