@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType
 
 __all__ = [
+    "dp_noisy_counts",
     "round_counts_to_multiple",
     "redact_low_counts",
     "suppress_small_groups",
@@ -339,3 +340,55 @@ def t_closeness_violations(
         ).alias("t_distance")
     )
     return emd.filter(F.col("t_distance") > t)
+
+
+#: uniform-noise resolution for the deterministic Laplace draw (the
+#: selection module's Gumbel recipe, same hash protocol)
+_DP_RES = 1_000_000
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: list[str],
+    epsilon: float = 1.0,
+    salt: str = "",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-group counts with Laplace(1/epsilon) noise — the standard
+    epsilon-DP release mechanism for COUNT queries (sensitivity 1: one
+    individual changes any count by at most 1), with the repo's
+    HASH-DETERMINISTIC noise protocol: the Laplace draw derives from
+    ``md5(group key, salt)`` via inverse-CDF, never an RNG, so re-runs,
+    retries and repartitioning release the SAME noisy value (re-running
+    a DP release with fresh noise is itself a privacy leak — averaging
+    runs cancels the noise; determinism per (release, salt) closes
+    that channel, and rotating the salt IS the accounted new release).
+
+    ``noise = -(1/eps) * sign(u - 0.5) * ln(1 - 2|u - 0.5|)`` with
+    ``u = (md5(key || salt) % res + 0.5) / res`` — exactly invertible
+    in any SQL engine, so the oracle replays the release bit-for-bit.
+    Output: ``(*group_cols, noisy_count)`` — the true count is NOT a
+    column (releasing it alongside would defeat the mechanism); the
+    aggregate is one map-side-combinable groupBy at any scale.
+    """
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0 (got {epsilon})")
+    counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_n"))
+    key = F.concat_ws(
+        "\x1f", *[F.col(c).cast("string") for c in group_cols], F.lit(salt)
+    )
+    u = (
+        F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+        % _DP_RES
+        + F.lit(0.5)
+    ) / _DP_RES
+    centered = u - F.lit(0.5)
+    noise = (
+        F.lit(-1.0 / float(epsilon))
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    return counts.select(
+        *group_cols,
+        F.round(F.col("_n") + noise, round_digits).alias("noisy_count"),
+    )

@@ -768,6 +768,7 @@ DRIVER_PRIORITY: list[str] = [
     "retrieval_mrr_audit",
     "streaming_hll_daily",
     "text_bpe_fertility",
+    "privacy_dp_counts",
     "select_dsir_weights",
     "select_dsir_topk",
     "dedup_exact_spans_incremental",

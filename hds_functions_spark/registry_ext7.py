@@ -1402,3 +1402,48 @@ def text_bpe_fertility(spark, sf_dir):
             ).alias("fertility"),
         )
     )
+
+
+# --- epsilon-DP noisy counts ------------------------------------------------------
+
+_DP_EPS = 1.0
+_DP_SALT = "r9"
+
+
+@_register(
+    "privacy_dp_counts",
+    f"""
+WITH c AS (
+  SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1),
+u AS (
+  SELECT o_orderpriority, n,
+         ((('0x' || substr(md5(o_orderpriority::VARCHAR
+                               || chr(31) || '{_DP_SALT}'), 1, 15))::BIGINT
+           % 1000000) + 0.5) / 1000000.0 AS u
+  FROM c)
+SELECT o_orderpriority,
+       round(n + (-1.0 / {_DP_EPS}) * sign(u - 0.5)
+               * ln(1.0 - 2.0 * abs(u - 0.5)), 4) AS noisy_count
+FROM u
+""",
+)
+def privacy_dp_counts(spark, sf_dir):
+    """Epsilon-DP noisy order counts per priority (Laplace 1/{eps},
+    sensitivity-1 count release) with HASH-DETERMINISTIC noise: the
+    draw derives from md5(group, salt) via inverse-CDF, so re-runs
+    release the SAME value (fresh noise per run is itself a leak —
+    averaging cancels it; rotating the salt is the accounted new
+    release) and the oracle replays the release bit-for-bit. Completes
+    the disclosure-control family: rounding, redaction, suppression,
+    k-anonymity, l-diversity, t-closeness, and now a calibrated-noise
+    mechanism (operators/privacy.py:dp_noisy_counts).""".format(
+        eps=_DP_EPS
+    )
+    from .operators.privacy import dp_noisy_counts
+
+    return dp_noisy_counts(
+        _t(spark, sf_dir, "orders"),
+        group_cols=["o_orderpriority"],
+        epsilon=_DP_EPS,
+        salt=_DP_SALT,
+    )

@@ -257,3 +257,54 @@ def test_t_closeness_single_distinct_sensitive_value(spark):
         assert t_closeness_violations(df, ["g"], "s", t=0.0).count() == 0
     finally:
         spark.conf.set("spark.sql.ansi.enabled", "false")
+
+
+# --- dp_noisy_counts ----------------------------------------------------------
+
+
+def test_dp_noisy_counts_deterministic_and_bounded(spark):
+    import math
+
+    from hds_functions_spark.operators.privacy import dp_noisy_counts
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 3)) for i in range(300)], ["id", "g"]
+    )
+    a = {r["g"]: r["noisy_count"]
+         for r in dp_noisy_counts(df, ["g"], epsilon=1.0, salt="s").collect()}
+    b = {r["g"]: r["noisy_count"]
+         for r in dp_noisy_counts(df, ["g"], epsilon=1.0, salt="s").collect()}
+    assert a == b  # same salt -> identical release (re-run leak closed)
+    c = {r["g"]: r["noisy_count"]
+         for r in dp_noisy_counts(df, ["g"], epsilon=1.0, salt="t").collect()}
+    assert a != c  # new salt -> new draw
+    # Laplace(1) at resolution 1e6: |noise| <= ln(1e6) ~ 13.8
+    for g, v in a.items():
+        assert abs(v - 100) <= math.log(1_000_000) + 1e-6
+
+
+def test_dp_noisy_counts_matches_python_inverse_cdf(spark):
+    import hashlib
+    import math
+
+    from hds_functions_spark.operators.privacy import dp_noisy_counts
+
+    df = spark.createDataFrame([(1, "x"), (2, "x"), (3, "y")], ["id", "g"])
+    eps, salt = 0.5, "z"
+    got = {r["g"]: r["noisy_count"]
+           for r in dp_noisy_counts(df, ["g"], epsilon=eps, salt=salt).collect()}
+    truth = {"x": 2, "y": 1}
+    for g, n in truth.items():
+        h = int(hashlib.md5(f"{g}\x1f{salt}".encode()).hexdigest()[:15], 16)
+        u = (h % 1_000_000 + 0.5) / 1_000_000
+        noise = -(1 / eps) * math.copysign(1, u - 0.5) * math.log(
+            1 - 2 * abs(u - 0.5)
+        )
+        assert got[g] == pytest.approx(round(n + noise, 4), abs=1e-6)
+
+
+def test_dp_epsilon_validation(spark):
+    from hds_functions_spark.operators.privacy import dp_noisy_counts
+
+    with pytest.raises(ValueError):
+        dp_noisy_counts(None, ["g"], epsilon=0.0)
