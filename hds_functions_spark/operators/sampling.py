@@ -38,6 +38,7 @@ __all__ = [
     "BUCKETS",
     "temperature_weights",
     "mixture_epoch_plan",
+    "epoch_expand",
 ]
 
 #: hash-space resolution: weights are quantised to 1/10000
@@ -445,4 +446,59 @@ def mixture_epoch_plan(
                 "sample_rate"
             ),
         )
+    )
+
+
+def epoch_expand(
+    df: DataFrame,
+    epochs_by_source: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "",
+) -> DataFrame:
+    """Materialise a mixture plan into the loader-ready repeated
+    dataset: each document of a source with ``epochs = e`` appears
+    ``floor(e)`` times plus one more with probability ``frac(e)`` —
+    decided by the deterministic hash draw ``u(id, salt) < frac(e)``,
+    so expected copies = e exactly, re-runs/retries/repartitioning
+    reproduce the same expansion, and an oracle can replay it row for
+    row. The output carries ``epoch_idx`` (0-based copy number) so a
+    training loader can interleave copies across epochs instead of
+    replaying a source back-to-back.
+
+    Plan shape: the plan frame (C rows) broadcasts onto the corpus; the
+    expansion is one ``explode(sequence(...))`` per row — no shuffle at
+    all beyond what the caller does next. Sources missing from the plan
+    are DROPPED (epochs 0), matching mixture semantics.
+    """
+    plan = epochs_by_source.select(
+        F.col(source_col).alias("_src"), F.col("epochs").alias("_e")
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("\x1f", F.col(id_col).cast("string"),
+                                  F.lit(salt))),
+                1, 15,
+            ),
+            16, 10,
+        ).cast("long")
+        % BUCKETS
+        + F.lit(0.5)
+    ) / BUCKETS
+    n_copies = (
+        F.floor(F.col("_e")).cast("int")
+        + F.when(u < (F.col("_e") - F.floor(F.col("_e"))), 1).otherwise(0)
+    )
+    return (
+        df.join(
+            F.broadcast(plan), df[source_col] == F.col("_src")
+        )
+        .withColumn("_n", n_copies)
+        .filter(F.col("_n") > 0)
+        .withColumn(
+            "epoch_idx",
+            F.explode(F.sequence(F.lit(0), F.col("_n") - 1)),
+        )
+        .drop("_src", "_e", "_n")
     )

@@ -769,6 +769,7 @@ DRIVER_PRIORITY: list[str] = [
     "streaming_hll_daily",
     "text_bpe_fertility",
     "privacy_dp_counts",
+    "sample_epoch_expand",
     "select_dsir_weights",
     "select_dsir_topk",
     "dedup_exact_spans_incremental",

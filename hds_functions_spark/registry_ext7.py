@@ -1447,3 +1447,72 @@ def privacy_dp_counts(spark, sf_dir):
         epsilon=_DP_EPS,
         salt=_DP_SALT,
     )
+
+
+# --- epoch expansion: the mixture plan materialised ----------------------------
+
+_EE_SALT = "r9"
+
+
+@_register(
+    "sample_epoch_expand",
+    f"""
+WITH plan AS (
+  SELECT source, epochs FROM ({{mix_oracle}})),
+expanded AS (
+  SELECT d.doc_id, d.source,
+         CAST(floor(p.epochs) AS INTEGER)
+         + CASE WHEN ((('0x' || substr(md5(d.doc_id::VARCHAR
+                                          || chr(31) || '{_EE_SALT}'),
+                        1, 15))::BIGINT % 10000) + 0.5) / 10000.0
+                     < p.epochs - floor(p.epochs)
+                THEN 1 ELSE 0 END AS n
+  FROM documents d JOIN plan p USING (source))
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n) AS BIGINT) AS n_copies,
+       round(sum(n) / (1.0 * count(*)), 4) AS realised_epochs
+FROM expanded GROUP BY 1
+""".format(mix_oracle=ORACLES["mixture_epoch_plan"]),
+)
+def sample_epoch_expand(spark, sf_dir):
+    """The mixture plan MATERIALISED: each document repeated floor(e)
+    times plus a hash-deterministic fractional copy (expected copies =
+    the plan's epochs exactly; re-runs reproduce the same expansion —
+    the Gumbel-family determinism contract), reported per source as
+    realised epochs against the plan. The plan frame broadcasts; the
+    expansion is one explode(sequence) — zero shuffles until the
+    per-source audit aggregate. Closes the loop from
+    mixture_epoch_plan to a loader-ready dataset
+    (operators/sampling.py:epoch_expand)."""
+    from .functions.text import token_count
+    from .operators.sampling import epoch_expand
+    from .operators.sampling import mixture_epoch_plan as plan_fn
+
+    docs = _t(spark, sf_dir, "documents")
+    plan = plan_fn(
+        docs.select("source", token_count(F.col("text")).alias("n_tokens")),
+        source_col="source",
+        size_col="n_tokens",
+        alpha=_MIX_ALPHA,
+        budget_multiplier=_MIX_BUDGET_MULT,
+    )
+    expanded = epoch_expand(
+        docs.select("doc_id", "source"),
+        plan.select("source", "epochs"),
+        salt=_EE_SALT,
+    )
+    base = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+    copies = expanded.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_copies")
+    )
+    return base.join(copies, on="source").select(
+        "source",
+        "n_docs",
+        "n_copies",
+        F.round(F.col("n_copies") / F.col("n_docs"), 4).alias(
+            "realised_epochs"
+        ),
+    )

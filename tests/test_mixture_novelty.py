@@ -156,3 +156,40 @@ def test_incremental_novelty_corpus_hit_never_novel(spark):
     # "y q" novel in 101
     assert out[100] == (2, 1)
     assert out[101] == (2, 1)
+
+
+def test_epoch_expand_copies_match_python_replay(spark):
+    import hashlib
+
+    from hds_functions_spark.operators.sampling import epoch_expand
+
+    docs = [(i, "a" if i < 6 else "b") for i in range(10)]
+    plan = [("a", 2.5), ("b", 0.5)]
+    df = spark.createDataFrame(docs, ["doc_id", "source"])
+    plan_df = spark.createDataFrame(plan, ["source", "epochs"])
+    out = epoch_expand(df, plan_df, salt="s").collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(r["epoch_idx"])
+    exp = {}
+    for doc_id, src in docs:
+        e = dict(plan)[src]
+        h = int(hashlib.md5(f"{doc_id}\x1fs".encode()).hexdigest()[:15], 16)
+        u = (h % 10_000 + 0.5) / 10_000
+        n = int(e) + (1 if u < e - int(e) else 0)
+        if n > 0:
+            exp[doc_id] = list(range(n))
+    assert {k: sorted(v) for k, v in got.items()} == exp
+    # every 'a' doc appears at least floor(2.5)=2 times
+    for doc_id, src in docs:
+        if src == "a":
+            assert len(got[doc_id]) >= 2
+
+
+def test_epoch_expand_drops_unplanned_sources(spark):
+    from hds_functions_spark.operators.sampling import epoch_expand
+
+    df = spark.createDataFrame([(1, "a"), (2, "zz")], ["doc_id", "source"])
+    plan_df = spark.createDataFrame([("a", 1.0)], ["source", "epochs"])
+    out = epoch_expand(df, plan_df).collect()
+    assert {r["doc_id"] for r in out} == {1}
