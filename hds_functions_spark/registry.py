@@ -770,6 +770,7 @@ DRIVER_PRIORITY: list[str] = [
     "text_bpe_fertility",
     "privacy_dp_counts",
     "sample_epoch_expand",
+    "table_tombstone_delete",
     "select_dsir_weights",
     "select_dsir_topk",
     "dedup_exact_spans_incremental",

@@ -1516,3 +1516,43 @@ def sample_epoch_expand(spark, sf_dir):
             "realised_epochs"
         ),
     )
+
+
+# --- right-to-be-forgotten delete audit -----------------------------------------
+
+
+@_register(
+    "table_tombstone_delete",
+    """
+WITH t AS (SELECT o_orderkey FROM orders WHERE o_orderkey % 7 = 0)
+SELECT CAST((SELECT count(*) FROM orders) AS BIGINT) AS n_before,
+       CAST((SELECT count(*) FROM t) AS BIGINT) AS n_tombstones,
+       CAST((SELECT count(*) FROM t) AS BIGINT) AS n_deleted,
+       CAST((SELECT count(*) FROM orders WHERE o_orderkey % 7 <> 0)
+            AS BIGINT) AS n_after
+""",
+)
+def table_tombstone_delete(spark, sf_dir):
+    """Right-to-be-forgotten lifecycle through REAL parquet: save the
+    orders table, hard-delete every key %7==0 via tombstone_delete
+    (left-anti rewrite + the upsert family's temp-write directory-swap
+    protocol, so a reader never sees a half-deleted table), and return
+    the 1-row erasure audit the request is closed with. The oracle pins
+    all four counts; only a correct anti-join AND a correct swap
+    reproduce n_after (sources/tables.py:tombstone_delete)."""
+    import os
+    import shutil
+    import tempfile
+
+    from .registry import _stable_dir_tag
+    from .sources.tables import save_table, tombstone_delete
+
+    base = os.path.join(
+        tempfile.gettempdir(), "hds_tombstone_" + _stable_dir_tag(sf_dir)
+    )
+    shutil.rmtree(base, ignore_errors=True)  # stateful dir: never accumulate
+    td = {"tbl": {"path": os.path.join(base, "tbl"), "format": "parquet"}}
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    save_table(o, "tbl", table_directory=td)
+    tombs = o.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
+    return tombstone_delete(tombs, "tbl", "o_orderkey", td)

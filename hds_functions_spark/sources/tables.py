@@ -30,6 +30,7 @@ from .config_io import read_json_file
 from .environment import get_spark_session
 
 __all__ = [
+    "tombstone_delete",
     "load_table",
     "save_table",
     "save_archive_snapshot",
@@ -623,3 +624,73 @@ _STANDARDISER_FNS = {
 }
 globals().update(_STANDARDISER_FNS)
 __all__.extend(sorted(_STANDARDISER_FNS))
+
+
+def tombstone_delete(
+    tombstones: DataFrame,
+    table: str,
+    key_cols,
+    table_directory=None,
+) -> DataFrame:
+    """Hard-delete by key from a path-configured table — the
+    right-to-be-forgotten primitive: every row whose key appears in
+    ``tombstones`` is removed and the table rewritten via the same
+    temp-write + directory-swap protocol as :func:`upsert_table` (never
+    overwrite a path while reading it; local-filesystem only — on an
+    object store use Delta/Iceberg DELETE, this helper documents the
+    pattern). Returns a 1-row AUDIT frame ``(n_before, n_tombstones,
+    n_deleted, n_after)`` — the record an erasure request is closed
+    with; ``n_deleted`` can be less than ``n_tombstones`` when some
+    keys were already absent (idempotent re-runs).
+
+    The anti-join keys on the tombstone frame's distinct keys
+    (broadcast-sized for any realistic erasure batch); the rewrite is
+    one scan of the table.
+    """
+    import os
+    import shutil
+    from urllib.parse import urlparse
+
+    directory = _load_directory(table_directory)
+    entry = _entry(table, directory)
+    if "path" not in entry:
+        raise ValueError(
+            "tombstone_delete supports path-configured tables only; "
+            "metastore tables need a transactional format "
+            "(Delta/Iceberg DELETE)."
+        )
+    key_cols = [key_cols] if isinstance(key_cols, str) else list(key_cols)
+    for c in key_cols:
+        if c not in tombstones.columns:
+            raise ValueError(f"Key column '{c}' missing from tombstones")
+    path = entry["path"]
+    scheme = urlparse(path).scheme
+    if scheme not in ("", "file"):
+        raise ValueError(
+            f"tombstone_delete is local-filesystem only (got scheme "
+            f"'{scheme}://'); use a transactional table format for "
+            "object-store or cluster paths."
+        )
+    if scheme == "file":
+        path = urlparse(path).path
+    fmt = entry.get("format", "parquet")
+    if not os.path.exists(path):
+        raise ValueError(f"table '{table}' does not exist at {path}")
+    spark = get_spark_session()
+    existing = spark.read.format(fmt).load(path)
+    keys = tombstones.select(*key_cols).distinct()
+    n_before = existing.count()
+    n_tomb = keys.count()
+    survivors = existing.join(keys, on=key_cols, how="left_anti")
+    tmp, backup = path + "._delete_tmp", path + "._delete_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    survivors.write.mode("overwrite").format(fmt).save(tmp)
+    shutil.rmtree(backup, ignore_errors=True)
+    os.rename(path, backup)
+    os.rename(tmp, path)
+    shutil.rmtree(backup, ignore_errors=True)
+    n_after = spark.read.format(fmt).load(path).count()
+    return spark.createDataFrame(
+        [(n_before, n_tomb, n_before - n_after, n_after)],
+        "n_before long, n_tombstones long, n_deleted long, n_after long",
+    )

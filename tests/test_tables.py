@@ -492,3 +492,45 @@ def test_rollup_merge_bit_exact_on_long_cents(spark):
         }
         assert merged == full
     df.unpersist()
+
+
+# --- tombstone_delete ----------------------------------------------------------
+
+
+def test_tombstone_delete_removes_keys_and_audits(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from hds_functions_spark.sources.tables import save_table, tombstone_delete
+
+    td = {"t": {"path": str(tmp_path / "t"), "format": "parquet"}}
+    df = spark.range(0, 100).withColumn("v", F.col("id") * 2)
+    save_table(df, "t", table_directory=td)
+    tombs = spark.range(0, 100).filter("id % 10 = 0").select("id")
+    audit = tombstone_delete(tombs, "t", "id", td).collect()[0]
+    assert (audit["n_before"], audit["n_tombstones"],
+            audit["n_deleted"], audit["n_after"]) == (100, 10, 10, 90)
+    back = spark.read.parquet(str(tmp_path / "t"))
+    assert back.count() == 90
+    assert back.filter("id % 10 = 0").count() == 0
+    # idempotent re-run: keys already gone, nothing deleted
+    audit2 = tombstone_delete(tombs, "t", "id", td).collect()[0]
+    assert (audit2["n_before"], audit2["n_deleted"], audit2["n_after"]) == (
+        90, 0, 90,
+    )
+
+
+def test_tombstone_delete_validations(spark, tmp_path):
+    import pytest as _pt
+
+    from hds_functions_spark.sources.tables import tombstone_delete
+
+    tombs = spark.range(3).select("id")
+    with _pt.raises(ValueError, match="does not exist"):
+        tombstone_delete(
+            tombs, "t",
+            "id", {"t": {"path": str(tmp_path / "missing")}},
+        )
+    with _pt.raises(ValueError, match="missing from tombstones"):
+        tombstone_delete(
+            tombs, "t", "other_key", {"t": {"path": str(tmp_path)}},
+        )
