@@ -369,3 +369,45 @@ def test_source_matrix_no_text_in_exchanges(docs):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text" not in line, line
+
+
+def test_epoch_expand_zero_shuffle(docs, spark):
+    """Expansion is broadcast-plan + explode only: no Exchange
+    hashpartitioning may appear (the docstring's zero-shuffle claim)."""
+    from hds_functions_spark.operators.sampling import epoch_expand
+
+    plan_df = spark.createDataFrame(
+        [("src0", 1.5), ("src1", 2.0)], ["source", "epochs"]
+    )
+    plan = _plan(
+        epoch_expand(docs.select("doc_id", "source"), plan_df)
+    )
+    assert "Exchange hashpartitioning" not in plan, plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_dp_counts_single_aggregate_exchange(spark):
+    """One combinable count aggregate; the noise is per-group scalar
+    math after it — exactly one hash exchange in the plan."""
+    from hds_functions_spark.operators.privacy import dp_noisy_counts
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    plan = _plan(
+        dp_noisy_counts(orders, ["o_orderpriority"], epsilon=1.0, salt="s")
+    )
+    n_ex = sum(
+        1 for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    )
+    assert n_ex == 1, plan
+
+
+def test_gopher_audit_no_corpus_text_in_exchange(docs):
+    """The audit collapses to one flag row per doc before any exchange:
+    document text must never cross the wire."""
+    from hds_functions_spark.operators.quality import gopher_rule_audit
+
+    plan = _plan(gopher_rule_audit(docs.select("doc_id", "text")))
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "text#" not in line, line
