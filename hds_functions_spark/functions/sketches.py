@@ -162,46 +162,10 @@ def hll_distinct(
     NO distinct-pair shuffle; per-group state is exactly m registers at
     any cardinality. Standard error ~ 1.04/sqrt(m) (~6.5% at m=256).
     """
-    gcols = list(group_cols or [])
-    h60 = (
-        F.conv(
-            F.substring(F.md5(F.col(value_col).cast("string")), 1, 15),
-            16, 10,
-        ).cast("long")
-    )
-    # integer bit ops, not float division: a 60-bit value cast to double
-    # rounds its low bits and can mis-floor at a bucket boundary
-    bucket = F.shiftright(h60, _HLL_TAIL_BITS)
-    tail = h60.bitwiseAND(F.lit((1 << _HLL_TAIL_BITS) - 1))
-    # floor(log2(tail)) + 1 == length of the binary string; rho counts
-    # leading zeros in the 52-bit field + 1; an all-zero tail maxes out
-    rho = F.when(
-        F.col("_tail") == 0, F.lit(_HLL_TAIL_BITS + 1)
-    ).otherwise(F.lit(_HLL_TAIL_BITS + 1) - F.length(F.bin(F.col("_tail"))))
-    regs = (
-        df.filter(F.col(value_col).isNotNull())
-        .select(*gcols, bucket.alias("_b"), tail.alias("_tail"))
-        .withColumn("_rho", rho)
-        .groupBy(*gcols, "_b")
-        .agg(F.max("_rho").alias("_m"))
-    )
-    folded = regs.groupBy(*gcols).agg(
-        F.sum(F.pow(F.lit(2.0), -F.col("_m"))).alias("_sum_present"),
-        F.count(F.lit(1)).alias("_present"),
-    )
-    raw = (
-        F.lit(_HLL_ALPHA * _HLL_M * _HLL_M)
-        / (F.col("_sum_present") + (F.lit(_HLL_M) - F.col("_present")))
-    )
-    zeros = F.lit(_HLL_M) - F.col("_present")
-    corrected = F.when(
-        (raw <= 2.5 * _HLL_M) & (zeros > 0),
-        F.lit(float(_HLL_M)) * F.log(F.lit(float(_HLL_M)) / zeros),
-    ).otherwise(raw)
-    return folded.select(
-        *gcols,
-        F.col("_present").alias("n_registers"),
-        F.round(corrected, round_digits).alias("estimate"),
+    return hll_estimate_from_registers(
+        hll_register_rows(df, value_col, group_cols),
+        group_cols,
+        round_digits,
     )
 
 
@@ -608,7 +572,8 @@ def hll_register_rows(
     callers share the exact register arithmetic (max is mergeable, so
     the same aggregate runs as incremental streaming state), and
     :func:`hll_estimate_from_registers` is the single read-out path —
-    the two can never drift."""
+    :func:`hll_distinct` itself is now just the composition of the two,
+    so the arithmetic exists exactly once and can never drift."""
     gcols = list(group_cols or [])
     h60 = (
         F.conv(
@@ -616,8 +581,12 @@ def hll_register_rows(
             16, 10,
         ).cast("long")
     )
+    # integer bit ops, not float division: a 60-bit value cast to double
+    # rounds its low bits and can mis-floor at a bucket boundary
     bucket = F.shiftright(h60, _HLL_TAIL_BITS)
     tail = h60.bitwiseAND(F.lit((1 << _HLL_TAIL_BITS) - 1))
+    # floor(log2(tail)) + 1 == length of the binary string; rho counts
+    # leading zeros in the 52-bit field + 1; an all-zero tail maxes out
     rho = F.when(
         F.col("_tail") == 0, F.lit(_HLL_TAIL_BITS + 1)
     ).otherwise(F.lit(_HLL_TAIL_BITS + 1) - F.length(F.bin(F.col("_tail"))))

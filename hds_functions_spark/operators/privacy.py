@@ -354,28 +354,53 @@ def dp_noisy_counts(
     salt: str = "",
     round_digits: int = 4,
 ) -> DataFrame:
-    """Per-group counts with Laplace(1/epsilon) noise — the standard
-    epsilon-DP release mechanism for COUNT queries (sensitivity 1: one
-    individual changes any count by at most 1), with the repo's
-    HASH-DETERMINISTIC noise protocol: the Laplace draw derives from
-    ``md5(group key, salt)`` via inverse-CDF, never an RNG, so re-runs,
-    retries and repartitioning release the SAME noisy value (re-running
-    a DP release with fresh noise is itself a privacy leak — averaging
-    runs cancels the noise; determinism per (release, salt) closes
-    that channel, and rotating the salt IS the accounted new release).
+    """Per-group counts with Laplace(1/epsilon) noise — the epsilon-DP
+    release mechanism for COUNT queries (sensitivity 1: one individual
+    changes any count by at most 1), with the repo's HASH-DETERMINISTIC
+    noise protocol: the Laplace draw derives from ``md5(group key,
+    salt)`` via inverse-CDF, never an RNG, so re-runs, retries and
+    repartitioning release the SAME noisy value (re-running a DP
+    release with fresh noise is itself a privacy leak — averaging runs
+    cancels the noise; determinism per (release, salt) closes that
+    channel, and rotating the salt IS the accounted new release).
+
+    The ``salt`` is the PRF key of the mechanism and MUST be secret and
+    high-entropy: the group key is a column of the released output and
+    the noise formula is public, so anyone who knows the salt can
+    recompute the noise and subtract it, recovering exact counts. The
+    epsilon-DP guarantee is therefore CONDITIONAL on salt secrecy
+    (PRF-seeded noise, not information-theoretic); an empty salt would
+    make the noise publicly recomputable and is rejected.
 
     ``noise = -(1/eps) * sign(u - 0.5) * ln(1 - 2|u - 0.5|)`` with
     ``u = (md5(key || salt) % res + 0.5) / res`` — exactly invertible
-    in any SQL engine, so the oracle replays the release bit-for-bit.
-    Output: ``(*group_cols, noisy_count)`` — the true count is NOT a
-    column (releasing it alongside would defeat the mechanism); the
-    aggregate is one map-side-combinable groupBy at any scale.
+    in any SQL engine, so an oracle HOLDING THE SALT replays the
+    release bit-for-bit. NULL group values are keyed as the sentinel
+    ``chr(0) + 'null'`` (never colliding with the empty string — and
+    matching what an oracle's NULL-propagating ``||`` would otherwise
+    diverge on). Output: ``(*group_cols, noisy_count)`` — the true
+    count is NOT a column (releasing it alongside would defeat the
+    mechanism); the aggregate is one map-side-combinable groupBy at
+    any scale.
     """
     if epsilon <= 0:
         raise ValueError(f"epsilon must be > 0 (got {epsilon})")
+    if not salt:
+        raise ValueError(
+            "dp_noisy_counts requires a non-empty salt: the salt is the "
+            "secret PRF key of the deterministic-noise mechanism — with "
+            "an empty (or public) salt the noise is recomputable from "
+            "the released output and the counts are recoverable"
+        )
     counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_n"))
+    null_key = "\x00null"
     key = F.concat_ws(
-        "\x1f", *[F.col(c).cast("string") for c in group_cols], F.lit(salt)
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit(null_key))
+            for c in group_cols
+        ],
+        F.lit(salt),
     )
     u = (
         F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")

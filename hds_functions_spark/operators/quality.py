@@ -181,10 +181,15 @@ def bootstrap_mean_ci(
     the SQL oracle replays it. Weights come from the Poisson(1) inverse
     CDF truncated at 8 (P ~ 1e-6, identical literals both engines).
 
-    Bounds are exact order statistics over the ``n_resamples`` resample
-    means: ``ci_lo`` = the ``floor(alpha/2 * R) + 1``-th smallest,
-    ``ci_hi`` the symmetric upper one. Output: ONE row ``(point_est,
-    ci_lo, ci_hi, n_resamples)``.
+    Bounds are exact order statistics over the SURVIVING resample
+    means: a resample whose Poisson weights are all zero (probability
+    ``0.368^n`` — non-negligible for tiny inputs) has no mean and is
+    dropped BEFORE ranking (a NULL would otherwise sort first and
+    silently displace ``ci_lo``), and the ranks re-derive from the
+    surviving count ``R'``: ``ci_lo`` = the ``floor(alpha/2 * R') +
+    1``-th smallest, ``ci_hi`` the symmetric upper one. Output: ONE row
+    ``(point_est, ci_lo, ci_hi, n_resamples)`` — ``n_resamples``
+    reports the surviving ``R'``.
 
     Scale note: the resample explode scans ``n_resamples`` copies of the
     value column (narrow: one double + one id hash per copy) and
@@ -229,32 +234,46 @@ def bootstrap_mean_ci(
         # Poisson(1) inverse CDF: the count of thresholds below u
         F.size(F.filter(cdf, lambda c: c < F.col("_u"))).alias("_w"),
     )
-    means = expanded.groupBy("_r").agg(
-        (F.sum(F.col("_w") * F.col("_x")) / F.sum("_w")).alias("_m")
+    # drop all-zero-weight resamples (sum(_w) = 0 -> no mean) BEFORE the
+    # rank window: a NULL mean sorts first and would displace ci_lo
+    means = (
+        expanded.groupBy("_r")
+        .agg(
+            F.sum("_w").alias("_sw"),
+            F.sum(F.col("_w") * F.col("_x")).alias("_swx"),
+        )
+        .filter(F.col("_sw") > 0)
+        .select("_r", (F.col("_swx") / F.col("_sw")).alias("_m"))
     )
-    import math
-
-    lo_rank = int(math.floor(alpha / 2 * n_resamples)) + 1
-    hi_rank = n_resamples - lo_rank + 1
     from pyspark.sql import Window
 
-    # R rows total: the rank window's single partition is by construction
-    ranked = means.withColumn(
-        "_rk", F.row_number().over(Window.orderBy(F.col("_m").asc(), "_r"))
+    # R rows total: the rank window's single partition is by construction;
+    # the surviving count rides along so the ranks adjust to dropped rows
+    ranked = means.select(
+        "_m",
+        F.row_number()
+        .over(Window.orderBy(F.col("_m").asc(), "_r"))
+        .alias("_rk"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy(F.lit(1)))
+        .alias("_n"),
     )
+    lo_rank = F.floor(F.lit(alpha / 2) * F.col("_n")) + 1
+    hi_rank = F.col("_n") - lo_rank + 1
     point = rows.agg(F.avg("_x").alias("_p"))
     return (
-        ranked.filter(F.col("_rk").isin(lo_rank, hi_rank))
+        ranked.filter((F.col("_rk") == lo_rank) | (F.col("_rk") == hi_rank))
         .agg(
             F.round(F.min("_m"), round_digits).alias("ci_lo"),
             F.round(F.max("_m"), round_digits).alias("ci_hi"),
+            F.max("_n").cast("int").alias("_n_surv"),
         )
         .crossJoin(F.broadcast(point))
         .select(
             F.round(F.col("_p"), round_digits).alias("point_est"),
             "ci_lo",
             "ci_hi",
-            F.lit(n_resamples).alias("n_resamples"),
+            F.col("_n_surv").alias("n_resamples"),
         )
     )
 

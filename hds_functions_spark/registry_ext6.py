@@ -605,10 +605,9 @@ def _duck_bootstrap_sql() -> str:
     from .operators.quality import _POISSON1_CDF, _BOOT_RES
 
     cdf = "[" + ", ".join(repr(x) for x in _POISSON1_CDF) + "]"
-    import math
-
-    lo = int(math.floor(_BOOT_ALPHA / 2 * _BOOT_R)) + 1
-    hi = _BOOT_R - lo + 1
+    # all-zero-weight resamples drop BEFORE the rank window (a NULL mean
+    # would sort first and displace ci_lo); ranks re-derive from the
+    # surviving count — the exact mirror of bootstrap_mean_ci
     return f"""
 WITH rows AS (
   SELECT doc_id::VARCHAR AS id, n_chars::DOUBLE AS x
@@ -621,16 +620,19 @@ WITH rows AS (
 ), wtd AS (
   SELECT r, x, len(list_filter({cdf}, c -> c < u)) AS w FROM ex
 ), means AS (
-  SELECT r, sum(w * x) / sum(w) AS m FROM wtd GROUP BY r
+  SELECT r, sum(w * x) / sum(w) AS m FROM wtd GROUP BY r HAVING sum(w) > 0
 ), ranked AS (
-  SELECT m, row_number() OVER (ORDER BY m, r) AS rk FROM means
+  SELECT m, row_number() OVER (ORDER BY m, r) AS rk,
+         count(*) OVER () AS n
+  FROM means
 ), point AS (SELECT avg(x) AS p FROM rows)
 SELECT round(point.p, 6) AS point_est,
        round(min(ranked.m), 6) AS ci_lo,
        round(max(ranked.m), 6) AS ci_hi,
-       {_BOOT_R} AS n_resamples
+       max(ranked.n)::INTEGER AS n_resamples
 FROM ranked CROSS JOIN point
-WHERE rk IN ({lo}, {hi})
+WHERE rk IN (CAST(floor({_BOOT_ALPHA / 2} * n) AS BIGINT) + 1,
+             n - (CAST(floor({_BOOT_ALPHA / 2} * n) AS BIGINT) + 1) + 1)
 GROUP BY point.p
 """
 

@@ -1417,7 +1417,8 @@ WITH c AS (
   SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1),
 u AS (
   SELECT o_orderpriority, n,
-         ((('0x' || substr(md5(o_orderpriority::VARCHAR
+         ((('0x' || substr(md5(coalesce(o_orderpriority::VARCHAR,
+                                        chr(0) || 'null')
                                || chr(31) || '{_DP_SALT}'), 1, 15))::BIGINT
            % 1000000) + 0.5) / 1000000.0 AS u
   FROM c)

@@ -526,11 +526,21 @@ def stream_score_batches(
     all-rows-filtered drain returns an EMPTY frame in score_fn's schema
     (each micro-batch still writes schema-bearing parquet); only a
     zero-micro-batch drain raises, since no schema ever reached the sink.
+
+    EXACTLY-ONCE sink: each micro-batch writes to its own
+    ``batch-<batch_id>`` subpath with OVERWRITE, so a batch replayed
+    after a mid-run failure on checkpoint resume replaces its own
+    earlier (possibly partial) output instead of appending a duplicate
+    — the idempotent-foreachBatch recipe (a blind append sink would be
+    at-least-once). The subpath name deliberately avoids the ``k=v``
+    form so the read-back doesn't infer a partition column.
     """
     spark = sdf.sparkSession
 
-    def _sink(batch_df: DataFrame, _batch_id: int) -> None:
-        score_fn(batch_df).write.mode("append").parquet(path)
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        score_fn(batch_df).write.mode("overwrite").parquet(
+            os.path.join(path, f"batch-{batch_id}")
+        )
 
     name = query_name or f"hds_stream_{uuid.uuid4().hex}"
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -550,7 +560,9 @@ def stream_score_batches(
         if state_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     has_files = os.path.isdir(path) and any(
-        not f.name.startswith(("_", ".")) for f in os.scandir(path)
+        not f.startswith(("_", "."))
+        for _root, _dirs, files in os.walk(path)
+        for f in files
     )
     if not has_files:
         raise ValueError(
@@ -558,4 +570,4 @@ def stream_score_batches(
             "checkpoint resume with no new files); score_fn's output "
             "schema is unknown — nothing to return"
         )
-    return spark.read.parquet(path)
+    return spark.read.option("recursiveFileLookup", "true").parquet(path)

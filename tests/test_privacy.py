@@ -308,3 +308,47 @@ def test_dp_epsilon_validation(spark):
 
     with pytest.raises(ValueError):
         dp_noisy_counts(None, ["g"], epsilon=0.0)
+
+
+def test_dp_empty_salt_rejected(spark):
+    """The salt is the secret PRF key of the deterministic-noise
+    mechanism: with an empty (or public) salt, anyone can recompute the
+    noise from the released group keys and recover exact counts — so
+    salt='' must raise, not silently release."""
+    from hds_functions_spark.operators.privacy import dp_noisy_counts
+
+    with pytest.raises(ValueError, match="salt"):
+        dp_noisy_counts(None, ["g"], epsilon=1.0)
+    with pytest.raises(ValueError, match="salt"):
+        dp_noisy_counts(None, ["g"], epsilon=1.0, salt="")
+
+
+def test_dp_null_group_key_sentinel(spark):
+    """NULL group values key the noise hash as the chr(0)+'null'
+    sentinel — distinct from the empty string (concat_ws would
+    silently skip NULLs, colliding the two), and replayable by an
+    oracle whose || operator propagates NULL."""
+    import hashlib
+    import math
+
+    from hds_functions_spark.operators.privacy import dp_noisy_counts
+
+    df = spark.createDataFrame(
+        [(1, None), (2, None), (3, "")], "id long, g string"
+    )
+    got = {
+        r["g"]: r["noisy_count"]
+        for r in dp_noisy_counts(df, ["g"], epsilon=1.0, salt="k").collect()
+    }
+    assert set(got) == {None, ""}
+
+    def noise_for(key):
+        h = int(
+            hashlib.md5(f"{key}\x1fk".encode()).hexdigest()[:15], 16
+        )
+        u = (h % 1_000_000 + 0.5) / 1_000_000
+        return -math.copysign(1, u - 0.5) * math.log(1 - 2 * abs(u - 0.5))
+
+    assert got[None] == pytest.approx(round(2 + noise_for("\x00null"), 4))
+    assert got[""] == pytest.approx(round(1 + noise_for(""), 4))
+    assert noise_for("\x00null") != noise_for("")  # keys must not collide

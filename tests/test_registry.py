@@ -2,6 +2,7 @@
 the README capability table stays honest as queries are added."""
 
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
@@ -53,6 +54,18 @@ def test_readme_lists_every_query():
     n = len(e.queries())
     assert f"({n} entries" in readme, (
         f"README registry count is stale (actual: {n})"
+    )
+    # ALL prose counts must track the registry, not just the table
+    # heading — r9's verdict caught "(151 named queries" three waves
+    # stale. Any "(N entries" / "(N named queries" in the README must
+    # say the current N.
+    stale = [
+        m.group(0)
+        for m in re.finditer(r"\((\d+) (?:entries|named queries)", readme)
+        if int(m.group(1)) != n
+    ]
+    assert not stale, (
+        f"README prose counts stale (actual: {n}): {stale}"
     )
 
 

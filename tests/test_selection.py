@@ -222,3 +222,45 @@ def test_bootstrap_ci_contract(spark):
         bootstrap_mean_ci(df, "x", "doc_id", n_resamples=1)
     with pytest.raises(ValueError, match="alpha"):
         bootstrap_mean_ci(df, "x", "doc_id", alpha=1.5)
+
+
+def test_bootstrap_ci_drops_zero_weight_resamples(spark):
+    """A resample whose Poisson weights are ALL zero (probability
+    0.368^n — material for tiny inputs) has no mean; it must be dropped
+    BEFORE the rank window (a NULL sorts first and would displace
+    ci_lo) and the order-statistic ranks re-derived from the surviving
+    count, which n_resamples reports."""
+    import hashlib
+    import math
+
+    from hds_functions_spark.operators.quality import (
+        _BOOT_RES,
+        _POISSON1_CDF,
+        bootstrap_mean_ci,
+    )
+
+    # single row: each resample survives only if its one weight is > 0
+    df = spark.createDataFrame([(7, 42.0)], "doc_id long, x double")
+    R, alpha, salt = 40, 0.1, "z"
+
+    def h60(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    surviving = 0
+    for r in range(1, R + 1):
+        u = (h60(f"7{salt}{r}") % _BOOT_RES + 0.5) / _BOOT_RES
+        if sum(1 for c in _POISSON1_CDF if c < u) > 0:
+            surviving += 1
+    assert 0 < surviving < R  # the scenario the fix exists for
+
+    row = bootstrap_mean_ci(
+        df, "x", "doc_id", n_resamples=R, alpha=alpha, salt=salt
+    ).collect()[0]
+    assert row.n_resamples == surviving
+    # every surviving resample mean is exactly 42.0 (one row), so the
+    # bounds are 42.0 — a NULL leaking into the window would have made
+    # ci_lo NULL instead
+    assert row.ci_lo == pytest.approx(42.0)
+    assert row.ci_hi == pytest.approx(42.0)
+    lo_rank = int(math.floor(alpha / 2 * surviving)) + 1
+    assert lo_rank <= surviving

@@ -467,6 +467,48 @@ def test_stream_score_batches_equals_batch_transform(spark, tmp_path):
     assert got == [(i, 2 * i + 1) for i in range(30)]
 
 
+def test_stream_score_batches_replay_idempotent(spark, tmp_path):
+    """The sink writes each micro-batch to its own batch-<id> subpath
+    with OVERWRITE, so a replayed batch (checkpoint resume after a
+    mid-run failure) replaces its earlier output instead of appending a
+    duplicate — simulated here by re-draining against a WIPED
+    checkpoint, which replays every batch into the same sink."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hds_functions_spark.streaming.stream_ops import (
+        read_parquet_stream,
+        stream_score_batches,
+    )
+
+    src = str(tmp_path / "src3")
+    os.makedirs(src)
+    spark.range(0, 10).write.mode("append").parquet(src)
+    sink, ckpt = str(tmp_path / "sink3"), str(tmp_path / "ckpt3")
+
+    def score(b):
+        return b.withColumn("s", F.col("id") + 1)
+
+    first = stream_score_batches(
+        read_parquet_stream(spark, src), score, path=sink, checkpoint_dir=ckpt
+    ).count()
+    assert first == 10
+    # wipe the checkpoint: the next drain re-processes (replays) every
+    # source file — the worst-case at-least-once scenario
+    shutil.rmtree(ckpt)
+    replay = stream_score_batches(
+        read_parquet_stream(spark, src), score, path=sink,
+        checkpoint_dir=ckpt,
+    )
+    assert replay.count() == 10  # a blind append sink would show 20
+    # batch-scoped subpaths, never k=v (no phantom partition column)
+    subdirs = [d for d in os.listdir(sink) if not d.startswith(("_", "."))]
+    assert subdirs and all(d.startswith("batch-") for d in subdirs)
+    assert "s" in replay.columns and "batch" not in str(replay.columns)
+
+
 def test_stream_score_batches_all_filtered_returns_empty(spark, tmp_path):
     """A drained stream whose every row is filtered still writes a
     schema-bearing (empty) parquet per micro-batch: the helper returns
