@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 from ..functions.partitioning import ensure_min_partitions
 from ..functions.text import tokens, word_ngrams
 
-__all__ = ["ngram_contamination"]
+__all__ = ["ngram_contamination", "embedding_contamination"]
 
 
 def ngram_contamination(
@@ -100,4 +100,84 @@ def ngram_contamination(
         )
         .filter(F.col("n_shared_ngrams") >= min_shared)
         .withColumnRenamed("_doc_id", id_col)
+    )
+
+
+def embedding_contamination(
+    index: DataFrame,
+    eval_queries: DataFrame,
+    threshold: float = 0.3,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Embedding-based (paraphrase-robust) decontamination: corpus
+    documents whose embedding sits within cosine ``threshold`` of ANY
+    eval-set embedding — the third leg next to exact n-gram overlap
+    (:func:`ngram_contamination`, misses any rewording) and BM25
+    retrieval (``retrieval.retrieval_decontam``, lexical — misses full
+    paraphrases that share no terms). An eval answer rewritten into the
+    corpus keeps its embedding neighborhood even when every surface
+    n-gram changed; this is the leakage channel only a dense check
+    closes.
+
+    Candidate generation is the IVF probe over a built (typically
+    persisted) :func:`~.similarity.ivf_index_build` index — the corpus
+    is NEVER crossed with the eval set: each eval query scores exactly
+    (true cosine, not an approximation) within its ``n_probe`` nearest
+    inverted lists only, and the verdict thresholds that score. Output:
+    one row per flagged corpus doc ``(corpus_id, n_hits,
+    max_cosine)`` — hit count and strongest eval match, the removal-
+    join shape shared with ``retrieval_decontam``; clean docs are
+    absent (inner semantics).
+
+    Scale: the eval side is benchmark-sized and broadcasts (queries ×
+    n_probe probe rows); corpus cost is the probed lists only, and with
+    the index saved ``partition_by='centroid_id'`` a fresh benchmark
+    decontaminates against 100 TB of standing embeddings reading just
+    the probed partitions. Recall is bounded by the probe (an eval
+    neighbor assigned to an unprobed list is missed) — widen
+    ``n_probe`` toward ``n_centroids`` for release-grade sweeps; the
+    audit trio (``decontam_agreement``) quantifies what each leg
+    uniquely catches.
+    """
+    from .similarity import _nearest_centroids, cosine_similarity
+
+    cent = index.filter(F.col(corpus_id) < n_centroids).select(
+        F.col(corpus_id).alias("_centroid_id"),
+        F.col(vec_col).alias("_cent_vec"),
+    )
+    probes = _nearest_centroids(
+        eval_queries.select(
+            F.col(query_id).alias("_qid"), F.col(vec_col).alias("_vec")
+        ),
+        cent,
+        "_qid",
+        n_probe,
+        round_digits,
+    ).select("_qid", F.col("_vec").alias("_qvec"), "_centroid_id")
+    assigned = index.select(
+        F.col(corpus_id).alias("_cid"),
+        F.col("centroid_id").alias("_centroid_id"),
+        F.col(vec_col).alias("_cvec"),
+    )
+    return (
+        assigned.join(F.broadcast(probes), on="_centroid_id")
+        .withColumn(
+            "_cos",
+            F.round(
+                cosine_similarity(F.col("_qvec"), F.col("_cvec")),
+                round_digits,
+            ),
+        )
+        .filter(F.col("_cos") >= threshold)
+        .groupBy("_cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.max("_cos").alias("max_cosine"),
+        )
+        .withColumnRenamed("_cid", corpus_id)
     )

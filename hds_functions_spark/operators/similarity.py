@@ -33,12 +33,16 @@ __all__ = [
     "hyperplanes",
     "plane_signature",
     "ivf_cosine_topk",
+    "ivf_index_build",
+    "ivf_probe_index",
     "quantize_embeddings",
     "quantized_cosine_topk",
     "random_projection",
     "pq_train",
     "pq_encode",
     "pq_adc_topk",
+    "pq_codebooks_to_rows",
+    "pq_codebooks_from_rows",
     "pca_power_components",
     "pca_project",
 ]
@@ -444,59 +448,172 @@ def ivf_cosine_topk(
 
     Same output schema as :func:`cosine_topk`:
     (query_id, vec_id, cosine_sim, row_index 1..k).
+
+    Factored as :func:`ivf_index_build` (the corpus-side inverted
+    lists) composed with :func:`ivf_probe_index` (the query-side probe)
+    — the single arithmetic path shared with the persisted-index
+    incremental variant, so one-shot and probe-a-saved-index results
+    can never drift.
+    """
+    index = ivf_index_build(
+        corpus,
+        n_centroids=n_centroids,
+        corpus_id=corpus_id,
+        vec_col=vec_col,
+        round_digits=round_digits,
+    )
+    return ivf_probe_index(
+        index,
+        queries,
+        k=k,
+        n_centroids=n_centroids,
+        n_probe=n_probe,
+        corpus_id=corpus_id,
+        query_id=query_id,
+        vec_col=vec_col,
+        round_digits=round_digits,
+    )
+
+
+def _nearest_centroids(
+    df: DataFrame,
+    cent: DataFrame,
+    id_alias: str,
+    n_keep: int,
+    round_digits: int,
+) -> DataFrame:
+    """id -> its ``n_keep`` nearest centroids (rounded cosine, centroid-id
+    tie-break). ``df`` carries ``(id_alias, _vec)``; ``cent`` is the
+    broadcast-sized ``(_centroid_id, _cent_vec)`` table."""
+    scored = df.join(F.broadcast(cent)).withColumn(
+        "_csim",
+        F.round(
+            cosine_similarity(F.col("_vec"), F.col("_cent_vec")), round_digits
+        ),
+    )
+    # max_by-style partial agg: struct max orders by (sim, -centroid_id),
+    # i.e. ties go to the smaller centroid id — map-side combinable.
+    if n_keep == 1:
+        best = scored.groupBy(id_alias, "_vec").agg(
+            F.max(
+                F.struct(
+                    F.col("_csim").alias("s"),
+                    (-F.col("_centroid_id")).cast("long").alias("negid"),
+                )
+            ).alias("_best")
+        )
+        return best.select(
+            id_alias, "_vec", (-F.col("_best.negid")).alias("_centroid_id")
+        )
+    top = first_row(
+        scored,
+        n=n_keep,
+        partition_by=[id_alias],
+        order_by=[F.col("_csim").desc(), F.col("_centroid_id").asc()],
+    )
+    return top.select(id_alias, "_vec", "_centroid_id")
+
+
+def ivf_index_build(
+    corpus: DataFrame,
+    n_centroids: int = 16,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """The corpus side of IVF as a PERSISTABLE table: every corpus
+    vector assigned to its nearest coarse centroid — the inverted
+    lists. Output ``(corpus_id, centroid_id, vec_col)``; the coarse
+    centroids (corpus vectors with id < ``n_centroids``, the family's
+    deterministic quantizer) are rows OF the index (their own
+    ``corpus_id`` < ``n_centroids``), so a saved index is
+    self-contained — :func:`ivf_probe_index` re-derives the centroid
+    table from it with one broadcast-sized filter and never needs the
+    raw corpus.
+
+    This is the expensive half of IVF (one full corpus scan against the
+    broadcast centroid table, map-side-combinable argmax) and the half
+    that does NOT change when tomorrow's queries arrive: build it once,
+    ``save_table(..., partition_by='centroid_id')`` so each inverted
+    list is its own partition directory, and every subsequent batch
+    pays only probe cost — the continuous-ingest shape
+    (:func:`~hds_functions_spark.operators.dedup.minhash_pairs_incremental`
+    for embeddings). At 100 TB the index table is the corpus plus one
+    long per row; re-assignment per query batch would be the scan that
+    dominates, and this factoring is what removes it.
     """
     cent = corpus.filter(F.col(corpus_id) < n_centroids).select(
-        F.col(corpus_id).alias("_centroid_id"), F.col(vec_col).alias("_cent_vec")
+        F.col(corpus_id).alias("_centroid_id"),
+        F.col(vec_col).alias("_cent_vec"),
     )
     corpus = ensure_min_partitions(corpus)  # parallelise centroid assignment
-
-    def nearest(df: DataFrame, id_alias: str, n_keep: int) -> DataFrame:
-        """id -> its n_keep nearest centroids (rounded sim, id tie-break)."""
-        scored = df.join(F.broadcast(cent)).withColumn(
-            "_csim",
-            F.round(
-                cosine_similarity(F.col("_vec"), F.col("_cent_vec")), round_digits
-            ),
-        )
-        # max_by-style partial agg: struct max orders by (sim, -centroid_id),
-        # i.e. ties go to the smaller centroid id — map-side combinable.
-        if n_keep == 1:
-            best = scored.groupBy(id_alias, "_vec").agg(
-                F.max(
-                    F.struct(
-                        F.col("_csim").alias("s"),
-                        (-F.col("_centroid_id")).cast("long").alias("negid"),
-                    )
-                ).alias("_best")
-            )
-            return best.select(
-                id_alias, "_vec", (-F.col("_best.negid")).alias("_centroid_id")
-            )
-        top = first_row(
-            scored,
-            n=n_keep,
-            partition_by=[id_alias],
-            order_by=[F.col("_csim").desc(), F.col("_centroid_id").asc()],
-        )
-        return top.select(id_alias, "_vec", "_centroid_id")
-
-    assigned = nearest(
-        corpus.select(F.col(corpus_id).alias("_cid"), F.col(vec_col).alias("_vec")),
+    assigned = _nearest_centroids(
+        corpus.select(
+            F.col(corpus_id).alias("_cid"), F.col(vec_col).alias("_vec")
+        ),
+        cent,
         "_cid",
         1,
-    ).select("_cid", F.col("_vec").alias("_cvec"), "_centroid_id")
-    probes = nearest(
-        queries.select(F.col(query_id).alias("_qid"), F.col(vec_col).alias("_vec")),
+        round_digits,
+    )
+    return assigned.select(
+        F.col("_cid").alias(corpus_id),
+        F.col("_centroid_id").alias("centroid_id"),
+        F.col("_vec").alias(vec_col),
+    )
+
+
+def ivf_probe_index(
+    index: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    corpus_id: str = "vec_id",
+    query_id: str = "query_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Probe a built (typically persisted-and-reloaded) IVF index: each
+    query ranks the ``n_centroids`` coarse centroids (re-derived from
+    the index rows with id < ``n_centroids``), keeps its ``n_probe``
+    nearest lists, and scores exactly within them. Same output schema
+    and same arithmetic as :func:`ivf_cosine_topk` — that function IS
+    this probe over a freshly built index.
+
+    Scale shape: the probe set (queries × n_probe) broadcasts into the
+    index scan, so a saved index partitioned by ``centroid_id`` serves
+    a new embedding batch at probe-side cost only — no corpus
+    re-assignment, no centroid retraining; with the probes broadcast,
+    Spark can skip unprobed inverted lists via dynamic partition/file
+    pruning instead of rescanning the corpus.
+    """
+    cent = index.filter(F.col(corpus_id) < n_centroids).select(
+        F.col(corpus_id).alias("_centroid_id"),
+        F.col(vec_col).alias("_cent_vec"),
+    )
+    probes = _nearest_centroids(
+        queries.select(
+            F.col(query_id).alias("_qid"), F.col(vec_col).alias("_vec")
+        ),
+        cent,
         "_qid",
         n_probe,
+        round_digits,
     ).select("_qid", F.col("_vec").alias("_qvec"), "_centroid_id")
-
+    assigned = index.select(
+        F.col(corpus_id).alias("_cid"),
+        F.col("centroid_id").alias("_centroid_id"),
+        F.col(vec_col).alias("_cvec"),
+    )
     scored = (
         assigned.join(F.broadcast(probes), on="_centroid_id")
         .filter(F.col("_qid") != F.col("_cid"))
         .withColumn(
             "cosine_sim",
-            F.round(cosine_similarity(F.col("_qvec"), F.col("_cvec")), round_digits),
+            F.round(
+                cosine_similarity(F.col("_qvec"), F.col("_cvec")), round_digits
+            ),
         )
     )
     top = first_row(
@@ -631,6 +748,51 @@ def pq_encode(
         best = _best_centroid_expr(sliced, codebooks[s])
         cols.append(best["i"].cast("int").alias(f"code_{s}"))
     return df.select(*cols)
+
+
+def pq_codebooks_to_rows(spark, codebooks: list[list[list[float]]]) -> DataFrame:
+    """The trained PQ codebooks as a PERSISTABLE frame: one row per
+    (subspace, cluster) with the sub-centroid as ``array<double>`` —
+    ``m * k`` rows total (tens of floats each), the fixed-size model
+    state that makes the PQ index incremental: train once on the
+    standing corpus, ``save_table`` this frame next to the codes table,
+    and every later ingest/query batch loads it back instead of
+    re-running Lloyd. Inverse: :func:`pq_codebooks_from_rows`."""
+    rows = [
+        (s, c, [float(x) for x in cent])
+        for s, book in enumerate(codebooks)
+        for c, cent in enumerate(book)
+    ]
+    return spark.createDataFrame(
+        rows, "subspace int, cluster int, centroid array<double>"
+    )
+
+
+def pq_codebooks_from_rows(df: DataFrame) -> list[list[list[float]]]:
+    """Rebuild the nested-list codebooks from a (re-loaded)
+    :func:`pq_codebooks_to_rows` frame. The collect is the documented
+    scalar boundary of the PQ family: ``m * k`` sub-centroids
+    (kilobytes at any corpus scale — the codebook is model state, not
+    data), after which encoding and ADC scoring are pure literal-
+    codebook projections again. Doubles round-trip parquet exactly, so
+    a saved-and-loaded codebook scores bit-identically to the trained
+    one."""
+    rows = df.select("subspace", "cluster", "centroid").collect()
+    if not rows:
+        raise ValueError("empty codebook frame")
+    m = max(r["subspace"] for r in rows) + 1
+    k = max(r["cluster"] for r in rows) + 1
+    books: list[list[list[float] | None]] = [
+        [None] * k for _ in range(m)
+    ]
+    for r in rows:
+        books[r["subspace"]][r["cluster"]] = [float(x) for x in r["centroid"]]
+    missing = [
+        (s, c) for s in range(m) for c in range(k) if books[s][c] is None
+    ]
+    if missing:
+        raise ValueError(f"codebook frame has holes at {missing[:5]}")
+    return books  # type: ignore[return-value]
 
 
 def _best_centroid_expr(vec_expr: Column, centroids: list[list[float]]) -> Column:

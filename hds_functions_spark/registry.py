@@ -731,75 +731,24 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Queries the driver's correctness gate should see first. The gate verifies
 #: exactly the first 50 entries of ``queries()`` in iteration order.
-#: ROUND-9 ROTATION: head = the three round-8 additions (judge-verified
-#: green at sf0.01 --exact but never driver-checked — the r8 window was
-#: not rotated), then the 39 queries whose newest driver row is r04
-#: (tools/driver_coverage.py stale list at round-8 close), then the
-#: oldest r05 rows to fill the 50-slot window. Round-9 additions, if
-#: any, should be inserted at the head so they land a driver row the
-#: round they ship.
-#: ROUND-10 ROTATION GUIDANCE: if CORRECTNESS_r09 comes back green for
-#: this window, the driver-verified union is 196/196. Six r04-stale
-#: rows were displaced by round-9 additions and still need a refresh:
-#: text_stats, text_tokens, text_language, text_quality,
-#: text_fingerprint, wrangle_winsorize (plus whichever
-#: tools/driver_coverage.py lists) —
-#: put them (plus any r09 reds, plus round-10 additions) at the next
-#: window's head, then fill with the oldest remaining rows.
+#: ROUND-10 ROTATION (executing the r9 verdict's top item): head = the
+#: five round-10 additions (persisted-index incremental ANN + embedding
+#: decontamination — land driver rows the round they ship), then ALL 30
+#: r04-vintage stale rows, then the 15 alphabetically-first r05 rows.
+#: That covers 45 of the 72 rows `tools/driver_coverage.py` flagged
+#: stale at r9 close; the remaining 27 r05 rows queue for round 11.
+#: ROUND-11 ROTATION GUIDANCE: put any round-11 additions (plus any r10
+#: reds) at the head, then the 27 remaining r05-vintage rows
+#: (events_asof_tolerance .. text_tfidf — tools/driver_coverage.py
+#: lists them); after that no registry row is older than r06.
 DRIVER_PRIORITY: list[str] = [
-    # round-9 additions (land driver rows the round they ship):
-    "classify_nb_model",
-    "classify_nb_predict",
-    "classify_nb_confusion",
-    "mixture_epoch_plan",
-    "text_novelty",
-    "select_context_gain",
-    "embedding_outlier_knn",
-    "pipeline_mixture_curation",
-    "dedup_source_matrix",
-    "dedup_soft_weights",
-    "classify_nb_calibration",
-    "text_novelty_incremental",
-    "similarity_truncation_recall",
-    "streaming_nb_router",
-    "pipeline_data_card",
-    "analytics_pricing_summary",
-    "quality_gopher_rules",
-    "retrieval_mrr_audit",
-    "streaming_hll_daily",
-    "text_bpe_fertility",
-    "privacy_dp_counts",
-    "sample_epoch_expand",
-    "table_tombstone_delete",
-    "select_dsir_weights",
-    "select_dsir_topk",
-    "dedup_exact_spans_incremental",
-    "similarity_pq_codes",
-    "similarity_pq_adc_knn",
-    "similarity_pq_recall",
-    "pipeline_dsir_curation",
-    "text_kn_trigram_logprob",
-    "quality_bootstrap_ci",
-    "embedding_pca_projection",
-    "embedding_pca_variance",
-    "graph_communities_lpa",
-    "similarity_lsh_multiprobe",
-    "similarity_multiprobe_recall",
-    "pipeline_curriculum_order",
-    # round-8 additions (never driver-checked):
-    "dedup_exact_spans",
-    "dedup_span_removal",
-    "pipeline_exact_dedup_prep",
-    # r04-vintage rows (stalest; 39):
-    "dedup_clusters_build",
-    "dedup_clusters_cc",
-    "dedup_embedding",
-    "dedup_exact",
-    "dedup_groups",
-    "dedup_minhash_pairs",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "events_asof_join",
+    # round-10 additions (land driver rows the round they ship):
+    "similarity_ivf_probe_incremental",
+    "similarity_pq_probe_incremental",
+    "similarity_pq_ingest_codes",
+    "decontam_embedding",
+    "decontam_agreement",
+    # r04-vintage rows (stalest; all 30):
     "events_densified",
     "events_interval_join",
     "events_sessionize",
@@ -824,21 +773,28 @@ DRIVER_PRIORITY: list[str] = [
     "table_diff_versions",
     "text_bigram_logprob",
     "text_char_entropy",
+    "text_fingerprint",
+    "text_language",
+    "text_quality",
     "text_stats",
     "text_tokens",
-    # oldest r05 rows to fill the window (8):
-    # (trailing r05 fillers rotated out to keep the window at 50
-    # as round-9 heads were added)
-    #
-    # ROUND-10 ROTATION GUIDANCE: the 20 round-9 continuation queries
-    # (classify_*, mixture_epoch_plan, text_novelty*, select_context_gain,
-    # embedding_outlier_knn, pipeline_mixture_curation, dedup_source_matrix,
-    # dedup_soft_weights, similarity_truncation_recall, streaming_nb_router,
-    # pipeline_data_card, analytics_pricing_summary, quality_gopher_rules)
-    # will have r09 driver rows after this round's gate; next round put the
-    # NEW queries at the head and fill the remaining slots with the 20
-    # r04-vintage rows this round's additions displaced past slot 50
-    # (join_salted .. text_tokens — tools/driver_coverage.py lists them).
+    "wrangle_winsorize",
+    # oldest r05 rows to fill the 50-slot window (15):
+    "analytics_promo_revenue",
+    "analytics_region_revenue",
+    "analytics_top_orders",
+    "chunk_documents",
+    "clean_dedup_lines",
+    "clean_dedup_lines_corpus",
+    "clean_filter_lines",
+    "clean_scrub_pii",
+    "clean_unicode_nfc",
+    "decontam_ngram_overlap",
+    "dedup_ngram_jaccard",
+    "doclen_histogram",
+    "doclen_quantiles",
+    "embedding_centroids",
+    "events_asof_forward",
 ]
 
 

@@ -42,14 +42,27 @@ def _duck_bigrams(lst: str) -> str:
     )
 
 
-def _duck_bm25_scored() -> str:
+def _duck_bm25_scored(
+    corpus_pred: str | None = None,
+    query_pred: str | None = None,
+) -> str:
     """Shared CTE chain ending in ``scored(query_id, doc_id, score)`` —
     the oracle mirror of :func:`operators.retrieval.bm25_scores` with
-    the registry constants baked in."""
+    the registry constants baked in.
+
+    ``corpus_pred``: doc_id predicate restricting the INDEXED corpus
+    (postings, lengths, idf stats); None = all documents.
+    ``query_pred``: doc_id predicate choosing the query set; None =
+    the registry default ``doc_id % _BM25_QUERY_MOD = 0``. Round 10's
+    decontam-agreement audit uses both to run all three decontam legs
+    on the SAME planted eval split."""
     k1, b = _BM25_K1, _BM25_B
+    bg_where = f" WHERE {corpus_pred}" if corpus_pred else ""
+    if query_pred is None:
+        query_pred = f"doc_id % {_BM25_QUERY_MOD} = 0"
     return f"""
 d AS (SELECT doc_id, {_DUCK_TOK} AS t FROM documents),
-bg AS (SELECT doc_id, {_duck_bigrams('t')} AS g FROM d),
+bg AS (SELECT doc_id, {_duck_bigrams('t')} AS g FROM d{bg_where}),
 toks AS (SELECT doc_id, unnest(g) AS term FROM bg),
 post AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
 dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY 1),
@@ -60,7 +73,7 @@ kept AS (
   SELECT term, ln(1 + (n - df + 0.5) / (df + 0.5)) AS idf, avgdl
   FROM df_t CROSS JOIN stats WHERE df <= n * {_BM25_MAX_DF}),
 q AS (SELECT doc_id AS query_id, t[1:{_BM25_QUERY_TOKENS}] AS qt
-      FROM d WHERE doc_id % {_BM25_QUERY_MOD} = 0),
+      FROM d WHERE {query_pred}),
 qbg AS (SELECT query_id, {_duck_bigrams('qt')} AS g FROM q),
 qterms AS (SELECT DISTINCT query_id, unnest(g) AS term FROM qbg),
 scored AS (

@@ -220,30 +220,48 @@ _PQ_QUERY_MOD = 50
 _PQ_TOPK = 5
 
 
-def _duck_pq_cte() -> str:
+def _duck_pq_cte(
+    train_src: str = "embeddings",
+    encode_src: str | None = None,
+    prelude: str = "",
+) -> str:
     """Per-subspace unrolled Lloyd iterations + final code assignment,
     ending in ``codes(vec_id, code_0..code_{m-1})`` and per-subspace
     final codebooks ``cb_s{s}(cluster, c)`` — the oracle mirror of
     :func:`operators.similarity.pq_train` + :func:`pq_encode`
     (generalising registry_ext2's ``_duck_kmeans_cte`` to sliced
     subvectors; same seed hash, same left-associative distance chains,
-    same per-iteration mean rounding, same lowest-index tie-break)."""
+    same per-iteration mean rounding, same lowest-index tie-break).
+
+    ``train_src``: the relation Lloyd trains on (seeds, assignment
+    rounds, means); ``encode_src``: the relation the FINAL code
+    assignment runs over (defaults to ``train_src`` — the one-shot
+    shape). Splitting the two is the persisted-index mirror: round
+    10's incremental queries train on the standing corpus and encode
+    a later ingest batch against the frozen codebooks. ``prelude``:
+    extra leading CTEs (e.g. the corpus/batch splits) spliced after
+    WITH."""
     from .operators.clustering import (
         INIT_HASH_MOD, INIT_HASH_MULT, INIT_HASH_PRIME,
     )
 
+    if encode_src is None:
+        encode_src = train_src
     sub = _PQ_DIM // _PQ_M
     seed_key = (
         f"((vec_id % {INIT_HASH_PRIME}) * {INIT_HASH_MULT})"
         f" % {INIT_HASH_MOD}"
     )
-    parts = [
+    parts = []
+    if prelude:
+        parts.append(prelude + ",")
+    parts.append(
         f"""
 init AS (
-  SELECT vec_id, embedding FROM embeddings
+  SELECT vec_id, embedding FROM {train_src}
   ORDER BY {seed_key}, vec_id LIMIT {_PQ_K}
 )"""
-    ]
+    )
     final_asn = []
     for s in range(_PQ_M):
         off = s * sub
@@ -269,11 +287,14 @@ c0_s{s} AS (
         )
         prev = f"c0_s{s}"
         for it in range(1, _PQ_ITER + 2):
+            # training rounds assign the train set; the final round IS
+            # the encode step and runs over encode_src
+            asrc = train_src if it <= _PQ_ITER else encode_src
             parts.append(
                 f""",
 a{it}_s{s} AS (
   SELECT e.vec_id, c.cluster, {dist} AS dist
-  FROM embeddings e CROSS JOIN {prev} c
+  FROM {asrc} e CROSS JOIN {prev} c
 ),
 asn{it}_s{s} AS (
   SELECT vec_id, cluster FROM (
@@ -289,7 +310,7 @@ asn{it}_s{s} AS (
                     f""",
 m{it}_s{s} AS (
   SELECT a.cluster, {means}
-  FROM asn{it}_s{s} a JOIN embeddings e USING (vec_id) GROUP BY a.cluster
+  FROM asn{it}_s{s} a JOIN {train_src} e USING (vec_id) GROUP BY a.cluster
 ),
 c{it}_s{s} AS (
   SELECT p.cluster,

@@ -1557,3 +1557,5 @@ def table_tombstone_delete(spark, sf_dir):
     save_table(o, "tbl", table_directory=td)
     tombs = o.filter(F.col("o_orderkey") % 7 == 0).select("o_orderkey")
     return tombstone_delete(tombs, "tbl", "o_orderkey", td)
+
+from . import registry_ext8  # noqa: E402,F401  (round-10 registrations)

@@ -1,0 +1,476 @@
+"""Extension-layer query registry, part 8 (round-10 additions).
+
+Same contract as ``registry_ext.py``: every query has a DuckDB oracle
+generated from the SAME constants so both sides compute identical
+values by construction. This part closes the two extension gaps the
+round-9 verdict ranked highest:
+
+1. **Persisted-index incremental ANN** — the embedding counterpart of
+   ``minhash_pairs_incremental``: the IVF inverted lists and the PQ
+   codebooks/codes are built ONCE from the standing corpus, saved as
+   real tables through ``save_table``, and a later ingest/query batch
+   probes or encodes against the LOADED index without re-assignment or
+   retraining. At 100 TB the corpus-side scan is the cost that must
+   not repeat per batch; these queries prove (against the oracle) that
+   the reloaded index serves a new batch bit-identically.
+
+2. **Embedding-based decontamination** — the paraphrase-robust third
+   leg next to exact n-gram overlap and BM25 retrieval, run on the
+   SAME planted eval split, plus the three-way agreement audit that
+   quantifies what each leg uniquely catches.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from .registry import ORACLES, QUERIES, _register, _stable_dir_tag, _t  # noqa: F401
+from .registry_ext import _DUCK_COS, _duck_bucket
+from .registry_ext3 import (
+    _BM25_B,
+    _BM25_K1,
+    _BM25_MAX_DF,
+    _BM25_NGRAM,
+    _BM25_QUERY_TOKENS,
+    _DECON_THRESHOLD,
+    _duck_bm25_scored,
+)
+from .registry_ext6 import (
+    _PQ_DIM,
+    _PQ_ITER,
+    _PQ_K,
+    _PQ_M,
+    _PQ_RD,
+    _PQ_TOPK,
+    _duck_pq_cte,
+)
+
+# --- persisted-index incremental ANN ----------------------------------------
+
+#: the "tomorrow's ingest" batch: vec_id % mod == rem. rem = mod - 1 so
+#: the deterministic coarse centroids (corpus vec_id < 16) all stay on
+#: the standing-corpus side of the split.
+_ANN_MOD = 50
+_ANN_REM = 49
+_ANN_K = 5
+_ANN_CENTROIDS = 16
+_ANN_PROBE = 4
+
+#: the corpus/batch split as oracle CTEs (spliced before the trainers)
+_ANN_SPLIT = f"""corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % {_ANN_MOD} <> {_ANN_REM}),
+newb AS (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE vec_id % {_ANN_MOD} = {_ANN_REM})"""
+
+#: session-scoped loaded-index caches, keyed like registry_ext2's
+#: _KMEANS_CACHE — build+save+load happens once per (app, sf_dir);
+#: every query then reads the PERSISTED index, which is the point.
+_IVF_IDX_CACHE: dict[tuple[str, str], object] = {}
+_PQ_IDX_CACHE: dict[tuple[str, str], tuple] = {}
+
+
+def _ann_corpus_batch(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus = emb.filter(F.col("vec_id") % _ANN_MOD != _ANN_REM)
+    batch = emb.filter(F.col("vec_id") % _ANN_MOD == _ANN_REM)
+    return corpus, batch
+
+
+def _ivf_persisted_index(spark, sf_dir):
+    """Build the IVF inverted lists from the standing corpus, save them
+    partitioned by centroid_id (one directory per inverted list — the
+    layout that lets a probe read only its probed lists), and return
+    the RELOADED table. Cached per session so every incremental query
+    exercises the persisted artifact, never the in-memory lineage."""
+    from .operators.similarity import ivf_index_build
+    from .sources.tables import load_table, save_table
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    loaded = _IVF_IDX_CACHE.get(key)
+    if loaded is None:
+        base = os.path.join(
+            tempfile.gettempdir(), "hds_ann_ivf_" + _stable_dir_tag(sf_dir)
+        )
+        shutil.rmtree(base, ignore_errors=True)  # stateful dir: never accumulate
+        td = {
+            "ivf_index": {
+                "path": os.path.join(base, "ivf_index"),
+                "format": "parquet",
+            }
+        }
+        corpus, _ = _ann_corpus_batch(spark, sf_dir)
+        index = ivf_index_build(corpus, n_centroids=_ANN_CENTROIDS)
+        save_table(index, "ivf_index", td, partition_by="centroid_id")
+        loaded = load_table("ivf_index", td)
+        _IVF_IDX_CACHE[key] = loaded
+    return loaded
+
+
+def _pq_persisted_index(spark, sf_dir):
+    """Train the PQ codebooks on the standing corpus only, encode the
+    corpus, save BOTH artifacts (codes + codebook rows) as tables, and
+    return the reloaded pair ``(codes_df, codebooks)``. The codebook
+    collect on reload is the family's documented scalar boundary
+    (m*k sub-centroids — kilobytes at any corpus scale)."""
+    from .operators.similarity import (
+        pq_codebooks_from_rows,
+        pq_codebooks_to_rows,
+        pq_encode,
+        pq_train,
+    )
+    from .sources.tables import load_table, save_table
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    got = _PQ_IDX_CACHE.get(key)
+    if got is None:
+        base = os.path.join(
+            tempfile.gettempdir(), "hds_ann_pq_" + _stable_dir_tag(sf_dir)
+        )
+        shutil.rmtree(base, ignore_errors=True)  # stateful dir: never accumulate
+        td = {
+            "pq_codes": {
+                "path": os.path.join(base, "pq_codes"),
+                "format": "parquet",
+            },
+            "pq_books": {
+                "path": os.path.join(base, "pq_books"),
+                "format": "parquet",
+            },
+        }
+        corpus, _ = _ann_corpus_batch(spark, sf_dir)
+        books = pq_train(
+            corpus, m=_PQ_M, k=_PQ_K, n_iter=_PQ_ITER, dim=_PQ_DIM,
+            round_digits=_PQ_RD,
+        )
+        save_table(pq_encode(corpus, books), "pq_codes", td)
+        save_table(pq_codebooks_to_rows(spark, books), "pq_books", td)
+        got = (
+            load_table("pq_codes", td),
+            pq_codebooks_from_rows(load_table("pq_books", td)),
+        )
+        _PQ_IDX_CACHE[key] = got
+    return got
+
+
+def _duck_ivf_inc_sql() -> str:
+    """IVF probe of the corpus-built index by the ingest batch — the
+    registry_ext ``_duck_ivf_sql`` shape over the corpus/newb split
+    (assignment and centroids from ``corpus`` only; probes from
+    ``newb``)."""
+    cos_ac = _DUCK_COS.format(a="e.embedding", b="c.cvec")
+    cos_qc = _DUCK_COS.format(a="q.embedding", b="c.cvec")
+    cos_fin = _DUCK_COS.format(a="p.qvec", b="a.avec")
+    return f"""
+WITH {_ANN_SPLIT},
+cent AS (
+    SELECT vec_id AS centroid_id, embedding AS cvec FROM corpus
+    WHERE vec_id < {_ANN_CENTROIDS}
+), assigned AS (
+    SELECT e.vec_id AS cid, e.embedding AS avec, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY {cos_ac} DESC, c.centroid_id) AS rn
+    FROM corpus e CROSS JOIN cent c
+    QUALIFY rn = 1
+), probes AS (
+    SELECT q.vec_id AS query_id, q.embedding AS qvec, c.centroid_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY {cos_qc} DESC, c.centroid_id) AS rn
+    FROM newb q CROSS JOIN cent c
+    QUALIFY rn <= {_ANN_PROBE}
+), scored AS (
+    SELECT p.query_id, a.cid AS vec_id, {cos_fin} AS cosine_sim
+    FROM assigned a JOIN probes p USING (centroid_id)
+    WHERE a.cid <> p.query_id
+)
+SELECT query_id, vec_id, cosine_sim,
+       CAST(row_number() OVER (PARTITION BY query_id
+            ORDER BY cosine_sim DESC, vec_id) AS INTEGER) AS row_index
+FROM scored
+QUALIFY row_index <= {_ANN_K}
+"""
+
+
+@_register("similarity_ivf_probe_incremental", _duck_ivf_inc_sql())
+def similarity_ivf_probe_incremental(spark, sf_dir):
+    """A new embedding batch (vec_id % {mod} == {rem} — "tomorrow's
+    ingest") probes a PERSISTED IVF index of the standing corpus:
+    inverted lists built once by ivf_index_build, saved via save_table
+    partitioned by centroid_id (one directory per list), reloaded, and
+    served by ivf_probe_index — NO corpus re-assignment, no centroid
+    recomputation; the batch pays probe cost only. The embedding
+    counterpart of minhash_pairs_incremental, and the factored probe is
+    the same arithmetic as ivf_cosine_topk, so one-shot and
+    persisted-index answers can never drift (the oracle recomputes the
+    whole thing from scratch and must agree on every neighbor).""".format(
+        mod=_ANN_MOD, rem=_ANN_REM
+    )
+    from .operators.similarity import ivf_probe_index
+
+    _, batch = _ann_corpus_batch(spark, sf_dir)
+    index = _ivf_persisted_index(spark, sf_dir)
+    queries = batch.select(F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_probe_index(
+        index, queries, k=_ANN_K,
+        n_centroids=_ANN_CENTROIDS, n_probe=_ANN_PROBE,
+    )
+
+
+def _duck_pq_inc_sql() -> str:
+    """ADC over corpus-trained codebooks + corpus codes, probed by the
+    ingest batch — registry_ext6's ADC query with train/encode = corpus
+    and q = newb."""
+    sub = _PQ_DIM // _PQ_M
+    adc = " + ".join(
+        "(" + " + ".join(
+            f"(q.embedding[{s * sub + i}]::DOUBLE - b{s}.c[{i}]) * "
+            f"(q.embedding[{s * sub + i}]::DOUBLE - b{s}.c[{i}])"
+            for i in range(1, sub + 1)
+        ) + ")"
+        for s in range(_PQ_M)
+    )
+    return f"""
+{_duck_pq_cte(train_src="corpus", encode_src="corpus", prelude=_ANN_SPLIT)},
+q AS (SELECT vec_id AS query_id, embedding FROM newb),
+adc AS (
+  SELECT q.query_id, codes.vec_id, round({adc}, 6) AS adc_dist
+  FROM codes
+  CROSS JOIN q
+  {" ".join(f"JOIN cb_s{s} b{s} ON b{s}.cluster = codes.code_{s}"
+             for s in range(_PQ_M))}
+  WHERE q.query_id <> codes.vec_id
+)
+SELECT query_id, vec_id, adc_dist,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist, vec_id) AS INTEGER) AS rank
+FROM adc
+QUALIFY row_number() OVER (PARTITION BY query_id
+                           ORDER BY adc_dist, vec_id) <= {_PQ_TOPK}
+"""
+
+
+@_register("similarity_pq_probe_incremental", _duck_pq_inc_sql())
+def similarity_pq_probe_incremental(spark, sf_dir):
+    """ADC top-{k} where BOTH halves of the PQ index come off disk: the
+    codebooks (saved as an m*k-row table by pq_codebooks_to_rows) and
+    the corpus codes were trained/encoded once from the standing
+    corpus, persisted via save_table, and reloaded — the new query
+    batch scores against them with NO Lloyd retraining and no corpus
+    re-encode. Doubles round-trip parquet exactly, so the loaded
+    codebook scores bit-identically to the trained one; the oracle
+    re-runs the full per-subspace Lloyd from scratch and must agree on
+    every ranked neighbor.""".format(k=_PQ_TOPK)
+    from .operators.similarity import pq_adc_topk
+
+    _, batch = _ann_corpus_batch(spark, sf_dir)
+    codes, books = _pq_persisted_index(spark, sf_dir)
+    queries = batch.select(F.col("vec_id").alias("query_id"), "embedding")
+    return pq_adc_topk(codes, queries, books, k=_PQ_TOPK)
+
+
+@_register(
+    "similarity_pq_ingest_codes",
+    f"""
+{_duck_pq_cte(train_src="corpus", encode_src="newb", prelude=_ANN_SPLIT)}
+SELECT * FROM codes
+""",
+)
+def similarity_pq_ingest_codes(spark, sf_dir):
+    """The ingest half of the incremental PQ story: the new embedding
+    batch is ENCODED against the persisted (reloaded) codebooks — the
+    daily operation that extends the codes table without touching the
+    standing corpus or re-running Lloyd. One pure projection against
+    literal codebooks (zero shuffle); append the result to the saved
+    codes table and the index has absorbed the batch. The oracle
+    trains on the corpus split and assigns the batch in its final
+    round, mirroring exactly the train-corpus/encode-batch split."""
+    from .operators.similarity import pq_encode
+
+    _, batch = _ann_corpus_batch(spark, sf_dir)
+    _, books = _pq_persisted_index(spark, sf_dir)
+    return pq_encode(batch, books)
+
+
+# --- embedding-based decontamination ----------------------------------------
+
+#: the SAME planted eval split as decontam_ngram_overlap: hash bucket
+#: of doc_id (== vec_id for the embeddings table) under this salt,
+#: eval = bucket < cut (10% of the 10k buckets).
+_EDC_SALT = "decontam"
+_EDC_CUT = 1000
+#: exact-cosine flag threshold (the dedup_embedding near-dup regime)
+_EDC_THRESHOLD = 0.3
+_EDC_NGRAM = 4
+_EDC_MAX_EVAL_DF = 100
+
+
+def _duck_edc_sql() -> str:
+    cos_ac = _DUCK_COS.format(a="e.embedding", b="c.cvec")
+    cos_qc = _DUCK_COS.format(a="q.embedding", b="c.cvec")
+    cos_fin = _DUCK_COS.format(a="p.qvec", b="a.avec")
+    return f"""
+WITH split AS (
+    SELECT vec_id, embedding,
+           {_duck_bucket('vec_id', _EDC_SALT)} AS bucket
+    FROM embeddings
+), corpus AS (
+    SELECT vec_id, embedding FROM split WHERE bucket >= {_EDC_CUT}
+), ev AS (
+    SELECT vec_id AS query_id, embedding FROM split WHERE bucket < {_EDC_CUT}
+), cent AS (
+    SELECT vec_id AS centroid_id, embedding AS cvec FROM corpus
+    WHERE vec_id < {_ANN_CENTROIDS}
+), assigned AS (
+    SELECT e.vec_id AS cid, e.embedding AS avec, c.centroid_id,
+           row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY {cos_ac} DESC, c.centroid_id) AS rn
+    FROM corpus e CROSS JOIN cent c
+    QUALIFY rn = 1
+), probes AS (
+    SELECT q.query_id, q.embedding AS qvec, c.centroid_id,
+           row_number() OVER (PARTITION BY q.query_id
+                ORDER BY {cos_qc} DESC, c.centroid_id) AS rn
+    FROM ev q CROSS JOIN cent c
+    QUALIFY rn <= {_ANN_PROBE}
+), scored AS (
+    SELECT p.query_id, a.cid, {cos_fin} AS cos
+    FROM assigned a JOIN probes p USING (centroid_id)
+)
+SELECT cid AS vec_id,
+       CAST(count(*) AS BIGINT) AS n_hits,
+       max(cos) AS max_cosine
+FROM scored WHERE cos >= {_EDC_THRESHOLD}
+GROUP BY 1
+"""
+
+
+@_register("decontam_embedding", _duck_edc_sql())
+def decontam_embedding(spark, sf_dir):
+    """Embedding-based (paraphrase-robust) decontamination: corpus
+    documents whose embedding sits within cosine {t} of ANY doc in the
+    planted eval split (the SAME 10% hash split decontam_ngram_overlap
+    uses; vec_id == doc_id in the testdata) — the leakage channel only
+    a dense check closes: an eval answer reworded into the corpus
+    keeps its embedding neighborhood after every surface n-gram
+    changed. Candidates come from the IVF probe (each eval query
+    scores exact cosine within its {p} nearest inverted lists — the
+    corpus is never crossed with the eval set), so at scale a saved
+    centroid-partitioned index serves a fresh benchmark reading only
+    the probed partitions. Output (vec_id, n_hits, max_cosine), the
+    removal-join shape shared with retrieval_decontam. See
+    operators/contamination.py:embedding_contamination.""".format(
+        t=_EDC_THRESHOLD, p=_ANN_PROBE
+    )
+    from .operators.contamination import embedding_contamination
+    from .operators.sampling import split_bucket
+    from .operators.similarity import ivf_index_build
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    bucket = split_bucket("vec_id", _EDC_SALT)
+    corpus = emb.filter(bucket >= _EDC_CUT)
+    ev = emb.filter(bucket < _EDC_CUT).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    index = ivf_index_build(corpus, n_centroids=_ANN_CENTROIDS)
+    return embedding_contamination(
+        index, ev, threshold=_EDC_THRESHOLD,
+        n_centroids=_ANN_CENTROIDS, n_probe=_ANN_PROBE,
+    )
+
+
+def _duck_agreement_sql() -> str:
+    """Three-way decontam agreement on the SAME eval split: the BM25
+    leg re-parameterised to index corpus-side docs and query the eval
+    docs; the n-gram and embedding legs reused verbatim from their
+    registered oracles (the similarity_recall DRY pattern: drift
+    propagates)."""
+    corpus_pred = f"{_duck_bucket('doc_id', _EDC_SALT)} >= {_EDC_CUT}"
+    query_pred = f"{_duck_bucket('doc_id', _EDC_SALT)} < {_EDC_CUT}"
+    return f"""
+WITH {_duck_bm25_scored(corpus_pred=corpus_pred, query_pred=query_pred)},
+bmf AS (
+  SELECT DISTINCT doc_id FROM scored WHERE score >= {_DECON_THRESHOLD}
+), ngf AS (
+  SELECT DISTINCT doc_id FROM ({ORACLES['decontam_ngram_overlap']})
+), edf AS (
+  SELECT DISTINCT vec_id AS doc_id FROM ({ORACLES['decontam_embedding']})
+), ids AS (
+  SELECT doc_id FROM bmf UNION
+  SELECT doc_id FROM ngf UNION
+  SELECT doc_id FROM edf
+)
+SELECT (b.doc_id IS NOT NULL) AS bm25_flag,
+       (n.doc_id IS NOT NULL) AS ngram_flag,
+       (e.doc_id IS NOT NULL) AS embedding_flag,
+       CAST(count(*) AS BIGINT) AS n_docs
+FROM ids
+LEFT JOIN bmf b USING (doc_id)
+LEFT JOIN ngf n USING (doc_id)
+LEFT JOIN edf e USING (doc_id)
+GROUP BY 1, 2, 3
+"""
+
+
+@_register("decontam_agreement", _duck_agreement_sql())
+def decontam_agreement(spark, sf_dir):
+    """The decontamination TRIO audited against each other on the SAME
+    planted eval split: BM25 retrieval (lexical), exact word-4-gram
+    overlap, and embedding cosine — per flag combination, how many
+    corpus docs each subset of methods catches. The single-method
+    blind spots made measurable: embedding-only rows are the
+    paraphrase leakage the lexical legs miss; lexical-only rows are
+    short verbatim collisions below the dense threshold. All three
+    legs are bounded candidate generation (term equi-join with hot-
+    gram caps / gram equi-join / IVF probe) — the audit never builds
+    corpus x eval. Output one row per (bm25_flag, ngram_flag,
+    embedding_flag) with flagged-doc counts."""
+    from .functions.text import tokens
+    from .operators.contamination import ngram_contamination
+    from .operators.retrieval import retrieval_decontam
+    from .operators.sampling import split_bucket
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bucket = split_bucket("doc_id", _EDC_SALT)
+    corpus_docs = docs.filter(bucket >= _EDC_CUT)
+    eval_docs = docs.filter(bucket < _EDC_CUT)
+
+    bm_queries = eval_docs.select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(tokens(F.col("text")), 1, _BM25_QUERY_TOKENS), " "
+        ).alias("query_text"),
+    )
+    bm = retrieval_decontam(
+        corpus_docs, bm_queries, threshold=_DECON_THRESHOLD,
+        k1=_BM25_K1, b=_BM25_B, max_df_frac=_BM25_MAX_DF,
+        term_ngram=_BM25_NGRAM,
+    ).select("doc_id")
+    ng = ngram_contamination(
+        corpus_docs,
+        eval_docs.withColumnRenamed("doc_id", "eval_id"),
+        ngram=_EDC_NGRAM,
+        max_eval_df=_EDC_MAX_EVAL_DF,
+    ).select("doc_id")
+    ed = decontam_embedding(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id")
+    )
+
+    ids = ng.union(bm).union(ed).distinct()
+    flag = lambda df, name: df.withColumn(name, F.lit(True))  # noqa: E731
+    out = (
+        ids.join(flag(bm, "_bm"), on="doc_id", how="left")
+        .join(flag(ng, "_ng"), on="doc_id", how="left")
+        .join(flag(ed, "_ed"), on="doc_id", how="left")
+        .groupBy(
+            F.coalesce(F.col("_bm"), F.lit(False)).alias("bm25_flag"),
+            F.coalesce(F.col("_ng"), F.lit(False)).alias("ngram_flag"),
+            F.coalesce(F.col("_ed"), F.lit(False)).alias("embedding_flag"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    return out

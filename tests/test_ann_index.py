@@ -1,0 +1,194 @@
+"""Persisted-index incremental ANN (round 10): the IVF build/probe
+factoring, PQ codebook persistence round-trips, and the
+embedding-decontamination operator."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(
+        "/root/testdata/sf0.001/embeddings.parquet"
+    ).select("vec_id", "embedding")
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_ivf_compose_identity(spark, emb):
+    """ivf_cosine_topk IS probe(build(...)): the one-shot path and the
+    two-step path must agree row-for-row (single arithmetic path)."""
+    from hds_functions_spark.operators.similarity import (
+        ivf_cosine_topk,
+        ivf_index_build,
+        ivf_probe_index,
+    )
+
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    one_shot = ivf_cosine_topk(emb, queries, k=3, n_centroids=8, n_probe=2)
+    index = ivf_index_build(emb, n_centroids=8)
+    two_step = ivf_probe_index(
+        index, queries, k=3, n_centroids=8, n_probe=2
+    )
+    assert _rows(one_shot) == _rows(two_step)
+    assert one_shot.columns == ["query_id", "vec_id", "cosine_sim", "row_index"]
+
+
+def test_ivf_persisted_index_identity(spark, emb, tmp_path):
+    """Probing an index SAVED (partitioned by centroid_id) and reloaded
+    equals probing the in-memory build — the parquet round-trip loses
+    nothing, including the partition-column reordering load_table
+    reads back."""
+    from hds_functions_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_probe_index,
+    )
+    from hds_functions_spark.sources.tables import load_table, save_table
+
+    index = ivf_index_build(emb, n_centroids=8)
+    td = {"idx": {"path": str(tmp_path / "idx"), "format": "parquet"}}
+    save_table(index, "idx", td, partition_by="centroid_id")
+    loaded = load_table("idx", td)
+    # one directory per inverted list — the probe-prunable layout
+    assert any(
+        d.startswith("centroid_id=") for d in os.listdir(str(tmp_path / "idx"))
+    )
+    queries = emb.filter(F.col("vec_id") % 25 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = ivf_probe_index(index, queries, k=3, n_centroids=8, n_probe=2)
+    b = ivf_probe_index(loaded, queries, k=3, n_centroids=8, n_probe=2)
+    assert _rows(a) == _rows(b)
+
+
+def test_pq_codebook_roundtrip(spark, emb, tmp_path):
+    """to_rows -> parquet -> from_rows reproduces the trained nested
+    lists EXACTLY (doubles round-trip parquet bit-for-bit), so ADC over
+    the loaded codebook equals ADC over the trained one."""
+    from hds_functions_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebooks_from_rows,
+        pq_codebooks_to_rows,
+        pq_encode,
+        pq_train,
+    )
+
+    books = pq_train(emb, m=4, k=4, n_iter=1, dim=64, round_digits=4)
+    rows_df = pq_codebooks_to_rows(spark, books)
+    rows_df.write.mode("overwrite").parquet(str(tmp_path / "books"))
+    loaded = pq_codebooks_from_rows(
+        spark.read.parquet(str(tmp_path / "books"))
+    )
+    assert loaded == books
+
+    codes = pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    assert _rows(pq_adc_topk(codes, queries, books, k=3)) == _rows(
+        pq_adc_topk(codes, queries, loaded, k=3)
+    )
+
+
+def test_pq_codebook_frame_validation(spark):
+    from hds_functions_spark.operators.similarity import (
+        pq_codebooks_from_rows,
+    )
+
+    empty = spark.createDataFrame(
+        [], "subspace int, cluster int, centroid array<double>"
+    )
+    with pytest.raises(ValueError, match="empty"):
+        pq_codebooks_from_rows(empty)
+    holey = spark.createDataFrame(
+        [(0, 0, [1.0]), (1, 1, [2.0])],
+        "subspace int, cluster int, centroid array<double>",
+    )
+    with pytest.raises(ValueError, match="holes"):
+        pq_codebooks_from_rows(holey)
+
+
+def test_pq_ingest_encode_matches_full_encode(spark, emb):
+    """Encoding a later batch against corpus-trained codebooks gives the
+    same codes those vectors would get from pq_encode over everything
+    with the same books — encode is per-row, so incremental ingest is
+    exact, not approximate."""
+    from hds_functions_spark.operators.similarity import pq_encode, pq_train
+
+    corpus = emb.filter(F.col("vec_id") % 10 != 3)
+    batch = emb.filter(F.col("vec_id") % 10 == 3)
+    books = pq_train(corpus, m=4, k=4, n_iter=1, dim=64, round_digits=4)
+    inc = pq_encode(batch, books)
+    full = pq_encode(emb, books).join(
+        batch.select("vec_id"), on="vec_id"
+    )
+    assert _rows(inc) == _rows(full)
+
+
+def test_embedding_contamination_flags_planted_dup(spark, emb):
+    """A corpus vector duplicated into the eval set must be flagged with
+    max_cosine == 1.0 (identical embedding -> same inverted list ->
+    scored exactly), and every reported hit must clear the threshold."""
+    from hds_functions_spark.operators.contamination import (
+        embedding_contamination,
+    )
+    from hds_functions_spark.operators.similarity import ivf_index_build
+
+    corpus = emb.filter(F.col("vec_id") < 400)
+    # eval set: doc 9000 is byte-identical to corpus doc 123
+    planted = emb.filter(F.col("vec_id") == 123).select(
+        F.lit(9000).cast("long").alias("query_id"), "embedding"
+    )
+    index = ivf_index_build(corpus, n_centroids=8)
+    out = embedding_contamination(
+        index, planted, threshold=0.9, n_centroids=8, n_probe=2
+    ).collect()
+    flagged = {r["vec_id"]: r for r in out}
+    assert 123 in flagged
+    assert flagged[123]["max_cosine"] == pytest.approx(1.0)
+    assert all(r["max_cosine"] >= 0.9 for r in out)
+
+
+def test_ivf_probe_plan_shape(spark, emb, tmp_path):
+    """Probing a LOADED index (the production shape): the probe side
+    broadcasts into a plain index-file scan — NO corpus-side hash
+    exchange anywhere except the final per-query top-k window. A saved
+    index means corpus work = scan probed lists, never re-assign or
+    reshuffle the corpus."""
+    from hds_functions_spark.operators.similarity import (
+        ivf_index_build,
+        ivf_probe_index,
+    )
+    from hds_functions_spark.sources.tables import load_table, save_table
+
+    td = {"idx": {"path": str(tmp_path / "idx"), "format": "parquet"}}
+    save_table(
+        ivf_index_build(emb, n_centroids=8), "idx", td,
+        partition_by="centroid_id",
+    )
+    loaded = load_table("idx", td)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    plan = (
+        ivf_probe_index(loaded, queries, k=3, n_centroids=8, n_probe=2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    # every hash exchange is QUERY-side (_qid: the n_probe ranking and
+    # the final top-k windows over the benchmark-sized query set); the
+    # index/corpus side reaches the probe join as an unshuffled scan
+    ex_lines = [
+        line for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    ]
+    assert ex_lines and all("_qid" in line for line in ex_lines), plan
+    assert not any("_cid" in line for line in ex_lines), plan

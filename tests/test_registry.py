@@ -61,7 +61,10 @@ def test_readme_lists_every_query():
     # say the current N.
     stale = [
         m.group(0)
-        for m in re.finditer(r"\((\d+) (?:entries|named queries)", readme)
+        for m in re.finditer(
+            r"(\d+) (?:entries|named queries|driver queries|registered today)",
+            readme,
+        )
         if int(m.group(1)) != n
     ]
     assert not stale, (
