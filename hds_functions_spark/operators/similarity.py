@@ -34,6 +34,7 @@ __all__ = [
     "plane_signature",
     "ivf_cosine_topk",
     "ivf_index_build",
+    "ivf_index_append",
     "ivf_probe_index",
     "quantize_embeddings",
     "quantized_cosine_topk",
@@ -549,6 +550,49 @@ def ivf_index_build(
     corpus = ensure_min_partitions(corpus)  # parallelise centroid assignment
     assigned = _nearest_centroids(
         corpus.select(
+            F.col(corpus_id).alias("_cid"), F.col(vec_col).alias("_vec")
+        ),
+        cent,
+        "_cid",
+        1,
+        round_digits,
+    )
+    return assigned.select(
+        F.col("_cid").alias(corpus_id),
+        F.col("_centroid_id").alias("centroid_id"),
+        F.col("_vec").alias(vec_col),
+    )
+
+
+def ivf_index_append(
+    index: DataFrame,
+    new_batch: DataFrame,
+    n_centroids: int = 16,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """The ingest half of the persisted IVF story: assign a NEW
+    embedding batch against the index's EXISTING coarse centroids
+    (re-derived from index rows with id < ``n_centroids``) and return
+    the batch's index rows ``(corpus_id, centroid_id, vec_col)`` —
+    append them to the saved index table and it has absorbed the batch
+    with NO re-assignment of the standing corpus and no centroid
+    recomputation (the quantizer is frozen; periodic re-training is a
+    separate, deliberate operation because it invalidates every
+    existing assignment).
+
+    Cost is one broadcast-join scan of the batch — proportional to the
+    ingest, independent of corpus size: the same daily-ingest shape as
+    :func:`pq_encode` against frozen codebooks and
+    :func:`~hds_functions_spark.operators.dedup.minhash_pairs_incremental`.
+    """
+    cent = index.filter(F.col(corpus_id) < n_centroids).select(
+        F.col(corpus_id).alias("_centroid_id"),
+        F.col(vec_col).alias("_cent_vec"),
+    )
+    assigned = _nearest_centroids(
+        new_batch.select(
             F.col(corpus_id).alias("_cid"), F.col(vec_col).alias("_vec")
         ),
         cent,

@@ -474,3 +474,119 @@ def decontam_agreement(spark, sf_dir):
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
     return out
+
+
+@_register(
+    "similarity_ivf_ingest_assign",
+    f"""
+WITH {_ANN_SPLIT},
+cent AS (
+    SELECT vec_id AS centroid_id, embedding AS cvec FROM corpus
+    WHERE vec_id < {_ANN_CENTROIDS}
+)
+SELECT q.vec_id, c.centroid_id
+FROM newb q CROSS JOIN cent c
+QUALIFY row_number() OVER (
+    PARTITION BY q.vec_id
+    ORDER BY {_DUCK_COS.format(a="q.embedding", b="c.cvec")} DESC,
+             c.centroid_id) = 1
+""",
+)
+def similarity_ivf_ingest_assign(spark, sf_dir):
+    """The ingest half of the persisted IVF index: the new embedding
+    batch assigned against the index's FROZEN coarse centroids
+    (ivf_index_append) — append these rows to the saved
+    centroid-partitioned table and the index has absorbed the batch
+    with no corpus re-assignment and no centroid recompute. One
+    broadcast-join scan of the batch, cost independent of corpus size
+    — the IVF counterpart of similarity_pq_ingest_codes. Output
+    (vec_id, centroid_id) for the batch."""
+    from .operators.similarity import ivf_index_append
+
+    _, batch = _ann_corpus_batch(spark, sf_dir)
+    index = _ivf_persisted_index(spark, sf_dir)
+    return ivf_index_append(
+        index, batch, n_centroids=_ANN_CENTROIDS
+    ).select("vec_id", "centroid_id")
+
+
+def _duck_purge_sql() -> str:
+    """The decontam purge: corpus docs minus the union of the three
+    flag lists, reported per source — reuses the agreement CTE legs."""
+    corpus_pred = f"{_duck_bucket('doc_id', _EDC_SALT)} >= {_EDC_CUT}"
+    query_pred = f"{_duck_bucket('doc_id', _EDC_SALT)} < {_EDC_CUT}"
+    return f"""
+WITH {_duck_bm25_scored(corpus_pred=corpus_pred, query_pred=query_pred)},
+flagged AS (
+  SELECT DISTINCT doc_id FROM scored WHERE score >= {_DECON_THRESHOLD}
+  UNION
+  SELECT DISTINCT doc_id FROM ({ORACLES['decontam_ngram_overlap']})
+  UNION
+  SELECT DISTINCT vec_id AS doc_id FROM ({ORACLES['decontam_embedding']})
+)
+SELECT d.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(f.doc_id) AS BIGINT) AS n_flagged,
+       CAST(count(*) - count(f.doc_id) AS BIGINT) AS n_kept
+FROM documents d
+LEFT JOIN flagged f USING (doc_id)
+WHERE {corpus_pred.replace('doc_id', 'd.doc_id')}
+GROUP BY 1
+"""
+
+
+@_register("pipeline_decontam_purge", _duck_purge_sql())
+def pipeline_decontam_purge(spark, sf_dir):
+    """The decontamination trio APPLIED: corpus documents flagged by
+    ANY of the three legs (BM25 retrieval, exact 4-gram overlap,
+    embedding cosine — all on the shared planted eval split) are
+    removed, and the purge is reported per source: docs scanned,
+    flagged, kept. The anti-join consumes the union flag list — the
+    shape every removal pipeline ends with; at scale the flag list is
+    report-sized and broadcasts into the corpus scan. Composes
+    decontam_agreement's legs into the production endpoint."""
+    from .functions.text import tokens
+    from .operators.contamination import ngram_contamination
+    from .operators.retrieval import retrieval_decontam
+    from .operators.sampling import split_bucket
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    bucket = split_bucket("doc_id", _EDC_SALT)
+    corpus_docs = docs.filter(bucket >= _EDC_CUT)
+    eval_docs = docs.filter(bucket < _EDC_CUT)
+
+    bm_queries = eval_docs.select(
+        F.col("doc_id").alias("query_id"),
+        F.array_join(
+            F.slice(tokens(F.col("text")), 1, _BM25_QUERY_TOKENS), " "
+        ).alias("query_text"),
+    )
+    bm = retrieval_decontam(
+        corpus_docs.select("doc_id", "text"), bm_queries,
+        threshold=_DECON_THRESHOLD,
+        k1=_BM25_K1, b=_BM25_B, max_df_frac=_BM25_MAX_DF,
+        term_ngram=_BM25_NGRAM,
+    ).select("doc_id")
+    ng = ngram_contamination(
+        corpus_docs.select("doc_id", "text"),
+        eval_docs.select(
+            F.col("doc_id").alias("eval_id"), "text"
+        ),
+        ngram=_EDC_NGRAM,
+        max_eval_df=_EDC_MAX_EVAL_DF,
+    ).select("doc_id")
+    ed = decontam_embedding(spark, sf_dir).select(
+        F.col("vec_id").alias("doc_id")
+    )
+    flagged = bm.union(ng).union(ed).distinct().withColumn(
+        "_f", F.lit(True)
+    )
+    return (
+        corpus_docs.join(F.broadcast(flagged), on="doc_id", how="left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.count("_f").cast("long").alias("n_flagged"),
+            (F.count(F.lit(1)) - F.count("_f")).cast("long").alias("n_kept"),
+        )
+    )

@@ -131,6 +131,43 @@ def test_pq_ingest_encode_matches_full_encode(spark, emb):
     assert _rows(inc) == _rows(full)
 
 
+def test_ivf_index_append_extends_index(spark, emb):
+    """Appending a batch assigned against the FROZEN centroids must (a)
+    give each batch vector the same centroid the full build would, and
+    (b) make probes see batch vectors as neighbors — the absorbed-batch
+    contract."""
+    from hds_functions_spark.operators.similarity import (
+        ivf_index_append,
+        ivf_index_build,
+        ivf_probe_index,
+    )
+
+    # batch = % 10 == 9 so centroids 0..7 ALL stay corpus-side and the
+    # full rebuild's quantizer is identical to the frozen one
+    corpus = emb.filter(F.col("vec_id") % 10 != 9)
+    batch = emb.filter(F.col("vec_id") % 10 == 9)
+    index = ivf_index_build(corpus, n_centroids=8)
+    appended = ivf_index_append(index, batch, n_centroids=8)
+    # (a) same assignment as a full rebuild
+    full = ivf_index_build(emb, n_centroids=8)
+    got = {
+        r["vec_id"]: r["centroid_id"] for r in appended.collect()
+    }
+    want = {
+        r["vec_id"]: r["centroid_id"]
+        for r in full.join(batch.select("vec_id"), on="vec_id").collect()
+    }
+    assert got == want
+    # (b) a probe of index+appended equals a probe of the full build
+    union = index.unionByName(appended)
+    queries = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = ivf_probe_index(union, queries, k=3, n_centroids=8, n_probe=2)
+    b = ivf_probe_index(full, queries, k=3, n_centroids=8, n_probe=2)
+    assert _rows(a) == _rows(b)
+
+
 def test_embedding_contamination_flags_planted_dup(spark, emb):
     """A corpus vector duplicated into the eval set must be flagged with
     max_cosine == 1.0 (identical embedding -> same inverted list ->
