@@ -535,6 +535,111 @@ GROUP BY 1
 """
 
 
+def _duck_ivf_probe_recall_sql() -> str:
+    """Recall@k of the incremental IVF probe vs brute-force exact over
+    the SAME corpus/batch split, composed from the registered oracle
+    (the similarity_recall DRY pattern: drift propagates)."""
+    cos = _DUCK_COS.format(a="q.embedding", b="c.embedding")
+    return f"""
+WITH {_ANN_SPLIT},
+exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id, {cos} AS cosine_sim
+    FROM newb q JOIN corpus c ON c.vec_id <> q.vec_id
+  )
+  QUALIFY row_number() OVER (PARTITION BY query_id
+                             ORDER BY cosine_sim DESC, vec_id) <= {_ANN_K}
+), appr AS (
+  SELECT query_id, vec_id FROM ({ORACLES['similarity_ivf_probe_incremental']})
+), hits AS (
+  SELECT count(*) AS n_hit FROM appr a
+  WHERE EXISTS (SELECT 1 FROM exact e
+                WHERE e.query_id = a.query_id AND e.vec_id = a.vec_id)
+)
+SELECT 'ivf_probe_incremental' AS method,
+       CAST(n_hit AS BIGINT) AS n_hit,
+       CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact,
+       round(n_hit / (SELECT count(*) FROM exact), 4) AS recall
+FROM hits
+"""
+
+
+@_register("similarity_ivf_probe_recall", _duck_ivf_probe_recall_sql())
+def similarity_ivf_probe_recall(spark, sf_dir):
+    """Measured recall@{k} of the persisted-index incremental probe
+    against exact brute-force cosine over the SAME corpus/batch split —
+    the family convention: every approximate path ships with its
+    priced recall (what the n_probe={p}/{c} truncation actually costs
+    on this corpus). The exact side is batch-sized and broadcasts into
+    the semi join.""".format(k=_ANN_K, p=_ANN_PROBE, c=_ANN_CENTROIDS)
+    from .operators.similarity import cosine_topk
+
+    corpus, batch = _ann_corpus_batch(spark, sf_dir)
+    queries = batch.select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = cosine_topk(corpus, queries, k=_ANN_K).select(
+        "query_id", "vec_id"
+    )
+    appr = similarity_ivf_probe_incremental(spark, sf_dir).select(
+        "query_id", "vec_id"
+    )
+    hits = appr.join(F.broadcast(exact), on=["query_id", "vec_id"]).agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact"))
+    return hits.crossJoin(F.broadcast(n_exact)).select(
+        F.lit("ivf_probe_incremental").alias("method"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        F.col("n_exact").cast("long").alias("n_exact"),
+        F.round(F.col("n_hit") / F.col("n_exact"), 4).alias("recall"),
+    )
+
+
+@_register(
+    "streaming_pq_ingest",
+    f"""
+{_duck_pq_cte(train_src="corpus", encode_src="newb", prelude=_ANN_SPLIT)}
+SELECT * FROM codes
+""",
+)
+def streaming_pq_ingest(spark, sf_dir):
+    """The PQ ingest leg as a STREAM: embedding batches arrive as a
+    file stream and each micro-batch is encoded inside ``foreachBatch``
+    against the persisted (frozen) codebooks, appended to a durable
+    sink with checkpointed resume. Encoding is per-row against static
+    literal codebooks, so the drained codes are micro-batch-invariant
+    and must equal the batch ``similarity_pq_ingest_codes`` result —
+    exactly what the (shared) oracle asserts. The streaming shape every
+    continuous-ingest index maintenance job runs; the sink IS the codes
+    table extension."""
+    import shutil
+    import tempfile
+
+    from .operators.similarity import pq_encode
+    from .streaming.stream_ops import read_parquet_stream, stream_score_batches
+
+    tag = _stable_dir_tag(sf_dir)
+    base = f"{tempfile.gettempdir()}/hds_pq_stream_{tag}"
+    # deterministic replay: wipe sink + checkpoint so every invocation
+    # reprocesses the full (finite) stream from scratch
+    shutil.rmtree(base, ignore_errors=True)
+
+    _, books = _pq_persisted_index(spark, sf_dir)
+    stream = read_parquet_stream(
+        spark, f"{sf_dir}/embeddings.parquet"
+    ).filter(F.col("vec_id") % _ANN_MOD == _ANN_REM)
+
+    def encode(batch_df):
+        return pq_encode(batch_df.select("vec_id", "embedding"), books)
+
+    return stream_score_batches(
+        stream,
+        encode,
+        path=f"{base}/sink",
+        checkpoint_dir=f"{base}/ckpt",
+        state_partitions=8,
+    ).select("vec_id", "code_0", "code_1", "code_2", "code_3")
+
+
 @_register("pipeline_decontam_purge", _duck_purge_sql())
 def pipeline_decontam_purge(spark, sf_dir):
     """The decontamination trio APPLIED: corpus documents flagged by
