@@ -193,6 +193,23 @@ def main():
                     n_centroids=_ANN_CENTROIDS, n_probe=_ANN_PROBE,
                 ),
             )
+
+        # --- embedding decontam, ORGANIC shape: the eval set stays
+        # benchmark-sized (the 1x split slice) while the corpus widens —
+        # production eval sets do not grow with the corpus
+        ev_fixed = emb.filter(split_bucket("vec_id", "decontam") < 1000).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        )
+        for tag, corpus in (("1x", emb), ("16x", emb16)):
+            cor = corpus.filter(split_bucket("vec_id", "decontam") >= 1000)
+            run(
+                f"embedding decontam FIXED eval {tag}",
+                lambda c=cor: embedding_contamination(
+                    ivf_index_build(c, n_centroids=_ANN_CENTROIDS),
+                    ev_fixed, threshold=0.3,
+                    n_centroids=_ANN_CENTROIDS, n_probe=_ANN_PROBE,
+                ),
+            )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
