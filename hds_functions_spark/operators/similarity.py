@@ -35,6 +35,7 @@ __all__ = [
     "ivf_cosine_topk",
     "ivf_index_build",
     "ivf_index_append",
+    "ivf_assignment_drift",
     "ivf_probe_index",
     "quantize_embeddings",
     "quantized_cosine_topk",
@@ -604,6 +605,92 @@ def ivf_index_append(
         F.col("_cid").alias(corpus_id),
         F.col("_centroid_id").alias("centroid_id"),
         F.col("_vec").alias(vec_col),
+    )
+
+
+def ivf_assignment_drift(
+    index: DataFrame,
+    new_batch: DataFrame,
+    n_centroids: int = 16,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """The retrain-policy monitor every FROZEN-quantizer index needs:
+    per coarse centroid, how well the standing corpus fits its list
+    versus how well a new ingest batch does — ``(centroid_id,
+    n_corpus, mean_sim_corpus, n_batch, mean_sim_batch, sim_delta)``
+    where each ``mean_sim`` is the average cosine between a list's
+    members and its centroid and ``sim_delta = mean_sim_batch -
+    mean_sim_corpus`` (NULL for lists one side does not touch).
+
+    A persistently negative ``sim_delta`` (the batch sits farther from
+    the centroids than the corpus the quantizer was trained on) or a
+    batch piling into few lists is the signal that the data
+    distribution has drifted and the deliberate retrain-and-rebuild
+    (:func:`ivf_index_build` from scratch) is due — the decision
+    :func:`ivf_index_append` explicitly does not make for you.
+
+    Cost: one broadcast-sized centroid join over each side + two
+    map-side-combinable aggregates to ``n_centroids`` rows; the corpus
+    side reads the saved index table, never the raw corpus.
+    """
+    cent = index.filter(F.col(corpus_id) < n_centroids).select(
+        F.col(corpus_id).alias("_centroid_id"),
+        F.col(vec_col).alias("_cent_vec"),
+    )
+    corpus_sim = (
+        index.select(
+            F.col("centroid_id").alias("_centroid_id"),
+            F.col(vec_col).alias("_vec"),
+        )
+        .join(F.broadcast(cent), on="_centroid_id")
+        .groupBy("_centroid_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_corpus"),
+            # the mean runs over RAW doubles and rounds once: an inner
+            # per-member round would manufacture exact decimal halves
+            # that Spark (decimal-string HALF_UP) and a binary-double
+            # oracle then round apart at the outer digit
+            F.round(
+                F.avg(cosine_similarity(F.col("_vec"), F.col("_cent_vec"))),
+                round_digits,
+            ).alias("mean_sim_corpus"),
+        )
+    )
+    batch_sim = (
+        _nearest_centroids(
+            new_batch.select(
+                F.col(corpus_id).alias("_bid"), F.col(vec_col).alias("_vec")
+            ),
+            cent,
+            "_bid",
+            1,
+            6,
+        )
+        .join(F.broadcast(cent), on="_centroid_id")
+        .groupBy("_centroid_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_batch"),
+            F.round(
+                F.avg(cosine_similarity(F.col("_vec"), F.col("_cent_vec"))),
+                round_digits,
+            ).alias("mean_sim_batch"),
+        )
+    )
+    return (
+        corpus_sim.join(batch_sim, on="_centroid_id", how="full_outer")
+        .select(
+            F.col("_centroid_id").alias("centroid_id"),
+            F.coalesce(F.col("n_corpus"), F.lit(0)).alias("n_corpus"),
+            "mean_sim_corpus",
+            F.coalesce(F.col("n_batch"), F.lit(0)).alias("n_batch"),
+            "mean_sim_batch",
+            F.round(
+                F.col("mean_sim_batch") - F.col("mean_sim_corpus"),
+                round_digits,
+            ).alias("sim_delta"),
+        )
     )
 
 

@@ -535,6 +535,71 @@ GROUP BY 1
 """
 
 
+def _duck_ivf_drift_sql() -> str:
+    """Per-centroid fit of the corpus vs the ingest batch — assignment
+    via the shared rounded-cosine argmax; the fit mean runs over RAW
+    doubles and rounds once (an inner per-member round would
+    manufacture exact decimal halves that the engines round apart)."""
+    cos_ac = _DUCK_COS.format(a="e.embedding", b="c.cvec")
+    cos_qc = _DUCK_COS.format(a="q.embedding", b="c.cvec")
+    cos_fit = (
+        "(list_dot_product({a}::DOUBLE[], {b}::DOUBLE[])"
+        " / (sqrt(list_dot_product({a}::DOUBLE[], {a}::DOUBLE[]))"
+        " * sqrt(list_dot_product({b}::DOUBLE[], {b}::DOUBLE[]))))"
+    ).format(a="m.vec", b="c.cvec")
+    return f"""
+WITH {_ANN_SPLIT},
+cent AS (
+    SELECT vec_id AS centroid_id, embedding AS cvec FROM corpus
+    WHERE vec_id < {_ANN_CENTROIDS}
+), assigned AS (
+    SELECT e.vec_id, e.embedding AS vec, c.centroid_id
+    FROM corpus e CROSS JOIN cent c
+    QUALIFY row_number() OVER (PARTITION BY e.vec_id
+                ORDER BY {cos_ac} DESC, c.centroid_id) = 1
+), bassigned AS (
+    SELECT q.vec_id, q.embedding AS vec, c.centroid_id
+    FROM newb q CROSS JOIN cent c
+    QUALIFY row_number() OVER (PARTITION BY q.vec_id
+                ORDER BY {cos_qc} DESC, c.centroid_id) = 1
+), csim AS (
+    SELECT m.centroid_id, CAST(count(*) AS BIGINT) AS n_corpus,
+           round(avg({cos_fit}), 4) AS mean_sim_corpus
+    FROM assigned m JOIN cent c USING (centroid_id) GROUP BY 1
+), bsim AS (
+    SELECT m.centroid_id, CAST(count(*) AS BIGINT) AS n_batch,
+           round(avg({cos_fit}), 4) AS mean_sim_batch
+    FROM bassigned m JOIN cent c USING (centroid_id) GROUP BY 1
+)
+SELECT centroid_id,
+       CAST(coalesce(n_corpus, 0) AS BIGINT) AS n_corpus,
+       mean_sim_corpus,
+       CAST(coalesce(n_batch, 0) AS BIGINT) AS n_batch,
+       mean_sim_batch,
+       round(mean_sim_batch - mean_sim_corpus, 4) AS sim_delta
+FROM csim FULL OUTER JOIN bsim USING (centroid_id)
+"""
+
+
+@_register("similarity_index_drift", _duck_ivf_drift_sql())
+def similarity_index_drift(spark, sf_dir):
+    """The retrain-policy monitor of the persisted-index family: per
+    coarse centroid, the standing corpus's mean member-to-centroid
+    cosine versus the new ingest batch's — a persistently negative
+    sim_delta (the batch fits the FROZEN quantizer worse than the data
+    it was trained on) or a batch piling into few lists is the signal
+    to schedule the deliberate retrain-and-rebuild that
+    ivf_index_append explicitly never does implicitly. One
+    broadcast-sized centroid join per side + two combinable aggregates
+    to n_centroids rows; the corpus side reads the SAVED index, not
+    the raw corpus. See operators/similarity.py:ivf_assignment_drift."""
+    from .operators.similarity import ivf_assignment_drift
+
+    _, batch = _ann_corpus_batch(spark, sf_dir)
+    index = _ivf_persisted_index(spark, sf_dir)
+    return ivf_assignment_drift(index, batch, n_centroids=_ANN_CENTROIDS)
+
+
 def _duck_ivf_probe_recall_sql() -> str:
     """Recall@k of the incremental IVF probe vs brute-force exact over
     the SAME corpus/batch split, composed from the registered oracle

@@ -168,6 +168,32 @@ def test_ivf_index_append_extends_index(spark, emb):
     assert _rows(a) == _rows(b)
 
 
+def test_ivf_assignment_drift_contract(spark, emb):
+    """Drift monitor invariants: per-centroid counts sum to the input
+    sizes; a batch DRAWN FROM the corpus distribution (an exact copy)
+    shows sim_delta == 0 on every list it touches."""
+    from hds_functions_spark.operators.similarity import (
+        ivf_assignment_drift,
+        ivf_index_build,
+    )
+
+    corpus = emb.filter(F.col("vec_id") < 400)
+    index = ivf_index_build(corpus, n_centroids=8)
+    # batch = the corpus itself re-ingested (worst-case "no drift")
+    drift = ivf_assignment_drift(index, corpus, n_centroids=8).collect()
+    assert sum(r["n_corpus"] for r in drift) == 400
+    assert sum(r["n_batch"] for r in drift) == 400
+    for r in drift:
+        assert r["n_corpus"] == r["n_batch"]
+        assert r["sim_delta"] == 0.0
+    # a single off-distribution vector lands in exactly one list and
+    # carries its own mean (n_batch totals 1)
+    one = emb.filter(F.col("vec_id") == 450)
+    d1 = ivf_assignment_drift(index, one, n_centroids=8).collect()
+    assert sum(r["n_batch"] for r in d1) == 1
+    assert sum(r["n_corpus"] for r in d1) == 400  # corpus side unchanged
+
+
 def test_embedding_contamination_flags_planted_dup(spark, emb):
     """A corpus vector duplicated into the eval set must be flagged with
     max_cosine == 1.0 (identical embedding -> same inverted list ->
