@@ -16,6 +16,7 @@ from pyspark.sql.types import LongType
 
 __all__ = [
     "dp_noisy_counts",
+    "dp_noisy_sums",
     "round_counts_to_multiple",
     "redact_low_counts",
     "suppress_small_groups",
@@ -393,6 +394,19 @@ def dp_noisy_counts(
             "the released output and the counts are recoverable"
         )
     counts = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_n"))
+    noise = _dp_laplace_noise(group_cols, salt, scale=1.0 / float(epsilon))
+    return counts.select(
+        *group_cols,
+        F.round(F.col("_n") + noise, round_digits).alias("noisy_count"),
+    )
+
+
+def _dp_laplace_noise(group_cols: list[str], salt: str, scale: float):
+    """The shared hash-deterministic Laplace draw: ``-scale * sign(u -
+    0.5) * ln(1 - 2|u - 0.5|)`` with ``u`` from md5(group key, salt) —
+    one noise arithmetic for every DP mechanism in the module, exactly
+    invertible in any SQL engine. NULL group values key as the
+    chr(0)-sentinel (never colliding with the empty string)."""
     null_key = "\x00null"
     key = F.concat_ws(
         "\x1f",
@@ -408,12 +422,61 @@ def dp_noisy_counts(
         + F.lit(0.5)
     ) / _DP_RES
     centered = u - F.lit(0.5)
-    noise = (
-        F.lit(-1.0 / float(epsilon))
+    return (
+        F.lit(-scale)
         * F.signum(centered)
         * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
     )
-    return counts.select(
+
+
+def dp_noisy_sums(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str],
+    clip: float,
+    epsilon: float = 1.0,
+    salt: str = "",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Per-group SUM of ``value_col`` released with Laplace(clip /
+    epsilon) noise — the bounded-sensitivity companion of
+    :func:`dp_noisy_counts` and the other half of every DP aggregate
+    release (count + sum gives a private mean). Each row's contribution
+    is CLIPPED into ``[0, clip]`` before summation: clipping is what
+    bounds the sensitivity (one individual moves any sum by at most
+    ``clip``), so noise scale = ``clip / epsilon``. The clip bound is a
+    POLICY input (set it from domain knowledge, never from the data —
+    a data-derived clip leaks).
+
+    Same hash-deterministic PRF-noise protocol as
+    :func:`dp_noisy_counts` (the shared :func:`_dp_laplace_noise`
+    arithmetic, salted per-release and NULL-sentinel-keyed; an empty
+    salt is rejected for the same recoverability reason), with the sum
+    salt domain-separated from any count released over the same groups
+    (``salt + chr(2)``) so a joint (count, sum) release never reuses a
+    draw. Output ``(*group_cols, noisy_sum)``; the true sum is not a
+    column. One map-side-combinable aggregate at any scale.
+    """
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0 (got {epsilon})")
+    if clip <= 0:
+        raise ValueError(f"clip must be > 0 (got {clip})")
+    if not salt:
+        raise ValueError(
+            "dp_noisy_sums requires a non-empty salt: the salt is the "
+            "secret PRF key of the deterministic-noise mechanism — with "
+            "an empty (or public) salt the noise is recomputable from "
+            "the released output and the sums are recoverable"
+        )
+    clipped = F.least(
+        F.greatest(F.col(value_col).cast("double"), F.lit(0.0)),
+        F.lit(float(clip)),
+    )
+    sums = df.groupBy(*group_cols).agg(F.sum(clipped).alias("_s"))
+    noise = _dp_laplace_noise(
+        group_cols, salt + "\x02", scale=float(clip) / float(epsilon)
+    )
+    return sums.select(
         *group_cols,
-        F.round(F.col("_n") + noise, round_digits).alias("noisy_count"),
+        F.round(F.col("_s") + noise, round_digits).alias("noisy_sum"),
     )

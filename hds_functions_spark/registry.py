@@ -732,17 +732,18 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Queries the driver's correctness gate should see first. The gate verifies
 #: exactly the first 50 entries of ``queries()`` in iteration order.
 #: ROUND-10 ROTATION (executing the r9 verdict's top item): head = the
-#: ten round-10 additions (persisted-index incremental ANN + embedding
-#: decontamination — land driver rows the round they ship), then ALL 30
-#: r04-vintage stale rows, then the 10 alphabetically-first r05 rows.
-#: That covers 40 of the 72 rows `tools/driver_coverage.py` flagged
-#: stale at r9 close; the remaining 32 r05 rows queue for round 11.
+#: twelve round-10 additions (persisted-index incremental ANN,
+#: embedding decontamination, k-core, DP sums — land driver rows the
+#: round they ship), then ALL 30 r04-vintage stale rows, then the 8
+#: alphabetically-first r05 rows. That covers 38 of the 72 rows
+#: `tools/driver_coverage.py` flagged stale at r9 close; the remaining
+#: 34 r05 rows queue for round 11.
 #: ROUND-11 ROTATION GUIDANCE: put any round-11 additions (plus any r10
-#: reds) at the head, then the 32 remaining r05-vintage rows
-#: (dedup_ngram_jaccard, doclen_histogram, doclen_quantiles,
-#: embedding_centroids, events_asof_forward .. text_tfidf —
-#: tools/driver_coverage.py lists them); after that no registry row is
-#: older than r06.
+#: reds) at the head, then the 34 remaining r05-vintage rows
+#: (clean_unicode_nfc, decontam_ngram_overlap, dedup_ngram_jaccard,
+#: doclen_histogram, doclen_quantiles, embedding_centroids .. text_tfidf
+#: — tools/driver_coverage.py lists them); after that no registry row
+#: is older than r06.
 DRIVER_PRIORITY: list[str] = [
     # round-10 additions (land driver rows the round they ship):
     "similarity_ivf_probe_incremental",
@@ -752,6 +753,8 @@ DRIVER_PRIORITY: list[str] = [
     "similarity_ivf_probe_recall",
     "similarity_index_drift",
     "streaming_pq_ingest",
+    "graph_kcore",
+    "privacy_dp_sums",
     "decontam_embedding",
     "decontam_agreement",
     "pipeline_decontam_purge",
@@ -786,7 +789,7 @@ DRIVER_PRIORITY: list[str] = [
     "text_stats",
     "text_tokens",
     "wrangle_winsorize",
-    # oldest r05 rows to fill the 50-slot window (10):
+    # oldest r05 rows to fill the 50-slot window (8):
     "analytics_promo_revenue",
     "analytics_region_revenue",
     "analytics_top_orders",
@@ -795,8 +798,6 @@ DRIVER_PRIORITY: list[str] = [
     "clean_dedup_lines_corpus",
     "clean_filter_lines",
     "clean_scrub_pii",
-    "clean_unicode_nfc",
-    "decontam_ngram_overlap",
 ]
 
 

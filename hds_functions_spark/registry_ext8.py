@@ -705,6 +705,118 @@ def streaming_pq_ingest(spark, sf_dir):
     ).select("vec_id", "code_0", "code_1", "code_2", "code_3")
 
 
+# --- k-core decomposition ---------------------------------------------------
+
+_KC_K = 40
+_KC_ITER = 3
+
+
+def _duck_kcore_sql() -> str:
+    """Unrolled synchronous peeling rounds over the customer-supplier
+    co-purchase graph (the graph_pagerank/LPA edge build): each round
+    keeps nodes whose degree among survivors is >= k."""
+    parts = [f"""
+base AS (
+  SELECT DISTINCT 2 * o.o_custkey AS c, 2 * l.l_suppkey + 1 AS s
+  FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+e AS (SELECT c AS src, s AS dst FROM base
+      UNION SELECT s, c FROM base),
+a0 AS (SELECT src AS node FROM e UNION SELECT dst FROM e)"""]
+    prev = "a0"
+    for i in range(1, _KC_ITER + 1):
+        parts.append(f""",
+a{i} AS (
+  SELECT src AS node FROM e
+  WHERE src IN (SELECT node FROM {prev})
+    AND dst IN (SELECT node FROM {prev})
+  GROUP BY 1 HAVING count(*) >= {_KC_K})""")
+        prev = f"a{i}"
+    return ("WITH " + "".join(parts) + f"""
+SELECT src AS node, CAST(count(*) AS BIGINT) AS core_degree
+FROM e
+WHERE src IN (SELECT node FROM {prev})
+  AND dst IN (SELECT node FROM {prev})
+GROUP BY 1
+""")
+
+
+@_register("graph_kcore", _duck_kcore_sql())
+def graph_kcore(spark, sf_dir):
+    """The {k}-core of the customer-supplier co-purchase graph by
+    synchronous peeling ({n} fixed rounds — the LPA budget contract,
+    so the oracle unrolls every round): the maximal-subgraph density
+    filter that isolates boilerplate hubs and spam farms in a
+    similarity graph the way components cannot (a giant component is
+    reachability; a deep core is sustained mutual density). Per round:
+    two survivor semi-joins + one combinable degree count — survivor
+    state is 1 row/node. Output (node, core_degree) inside the final
+    core. See operators/graph.py:k_core.""".format(k=_KC_K, n=_KC_ITER)
+    from .operators.graph import k_core
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    joined = orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+    edges = joined.select(
+        (F.col("o_custkey") * 2).alias("src"),
+        (F.col("l_suppkey") * 2 + 1).alias("dst"),
+    )
+    both = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    return k_core(both, k=_KC_K, n_iter=_KC_ITER)
+
+
+# --- epsilon-DP noisy sums (clipped) ----------------------------------------
+
+_DPS_EPS = 1.0
+_DPS_CLIP = 100000.0
+_DPS_SALT = "r10"
+
+
+@_register(
+    "privacy_dp_sums",
+    f"""
+WITH s AS (
+  SELECT o_orderpriority,
+         sum(least(greatest(o_totalprice::DOUBLE, 0.0), {_DPS_CLIP})) AS sm
+  FROM orders GROUP BY 1),
+u AS (
+  SELECT o_orderpriority, sm,
+         ((('0x' || substr(md5(coalesce(o_orderpriority::VARCHAR,
+                                        chr(0) || 'null')
+                               || chr(31) || '{_DPS_SALT}' || chr(2)),
+                    1, 15))::BIGINT
+           % 1000000) + 0.5) / 1000000.0 AS u
+  FROM s)
+SELECT o_orderpriority,
+       round(sm + (-{_DPS_CLIP} / {_DPS_EPS}) * sign(u - 0.5)
+               * ln(1.0 - 2.0 * abs(u - 0.5)), 4) AS noisy_sum
+FROM u
+""",
+)
+def privacy_dp_sums(spark, sf_dir):
+    """Epsilon-DP revenue sums per order priority: each order's
+    contribution CLIPPED into [0, {clip:.0f}] (clipping bounds the
+    sensitivity — one individual moves any sum by at most the clip, so
+    noise scale = clip/epsilon), released with the repo's
+    hash-deterministic Laplace protocol, salt domain-separated from
+    the count release over the same groups (salt || chr(2)) so a joint
+    (count, sum) release never reuses a draw. With privacy_dp_counts
+    this gives a private mean — the complete DP aggregate pair. The
+    oracle replays the release bit-for-bit. See
+    operators/privacy.py:dp_noisy_sums.""".format(clip=_DPS_CLIP)
+    from .operators.privacy import dp_noisy_sums
+
+    return dp_noisy_sums(
+        _t(spark, sf_dir, "orders"),
+        value_col="o_totalprice",
+        group_cols=["o_orderpriority"],
+        clip=_DPS_CLIP,
+        epsilon=_DPS_EPS,
+        salt=_DPS_SALT,
+    )
+
+
 @_register("pipeline_decontam_purge", _duck_purge_sql())
 def pipeline_decontam_purge(spark, sf_dir):
     """The decontamination trio APPLIED: corpus documents flagged by

@@ -312,3 +312,46 @@ def test_label_propagation_isolated_and_validation(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="n_iter"):
         label_propagation(df, n_iter=-1)
+
+
+def test_k_core_peels_tail_keeps_clique(spark):
+    """A 4-clique with a pendant chain: the 2-core is exactly the
+    clique plus any cycle — pendant nodes peel off, and the cascade
+    matters (removing the leaf drops its neighbor below k)."""
+    from hds_functions_spark.operators.graph import k_core
+
+    # 4-clique 0-1-2-3, chain 3-4-5 (4 and 5 peel in cascade)
+    und = [(a, b) for a in range(4) for b in range(4) if a != b]
+    und += [(3, 4), (4, 3), (4, 5), (5, 4)]
+    edges = spark.createDataFrame(und, "src long, dst long")
+    got = {
+        r["node"]: r["core_degree"]
+        for r in k_core(edges, k=2, n_iter=3).collect()
+    }
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}  # clique only, full degrees
+
+
+def test_k_core_budget_and_validation(spark):
+    from hds_functions_spark.operators.graph import k_core
+
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 1)], "src long, dst long"
+    )
+    # k=1: every connected node survives with its degree
+    got = {
+        r["node"]: r["core_degree"]
+        for r in k_core(edges, k=1, n_iter=2).collect()
+    }
+    assert got == {0: 1, 1: 2, 2: 1}
+    # n_iter=0: no peeling — degrees of the full graph
+    got0 = {
+        r["node"]: r["core_degree"]
+        for r in k_core(edges, k=5, n_iter=0).collect()
+    }
+    assert got0 == {0: 1, 1: 2, 2: 1}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="k must be"):
+        k_core(edges, k=0)
+    with _pytest.raises(ValueError, match="n_iter"):
+        k_core(edges, k=2, n_iter=-1)

@@ -352,3 +352,55 @@ def test_dp_null_group_key_sentinel(spark):
     assert got[None] == pytest.approx(round(2 + noise_for("\x00null"), 4))
     assert got[""] == pytest.approx(round(1 + noise_for(""), 4))
     assert noise_for("\x00null") != noise_for("")  # keys must not collide
+
+
+def test_dp_noisy_sums_clip_and_determinism(spark):
+    """Clipping bounds each row's contribution to [0, clip]; the draw
+    is deterministic per (group, salt) and domain-separated from the
+    count release's draw over the same groups."""
+    import hashlib
+    import math
+
+    from hds_functions_spark.operators.privacy import (
+        dp_noisy_counts,
+        dp_noisy_sums,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "g", 50.0), (2, "g", 500.0), (3, "g", -10.0), (4, "h", 20.0)],
+        "id long, g string, x double",
+    )
+    clip, eps, salt = 100.0, 2.0, "k"
+    got = {
+        r["g"]: r["noisy_sum"]
+        for r in dp_noisy_sums(
+            df, "x", ["g"], clip=clip, epsilon=eps, salt=salt
+        ).collect()
+    }
+
+    def noise(key, scale):
+        h = int(hashlib.md5(key.encode()).hexdigest()[:15], 16)
+        u = (h % 1_000_000 + 0.5) / 1_000_000
+        return -scale * math.copysign(1, u - 0.5) * math.log(
+            1 - 2 * abs(u - 0.5)
+        )
+
+    # g: 50 + clip(500->100) + clip(-10->0) = 150; h: 20
+    assert got["g"] == pytest.approx(
+        round(150.0 + noise("g\x1fk\x02", clip / eps), 4)
+    )
+    assert got["h"] == pytest.approx(
+        round(20.0 + noise("h\x1fk\x02", clip / eps), 4)
+    )
+    # domain separation: the sum's draw differs from the count's
+    counts = {
+        r["g"]: r["noisy_count"]
+        for r in dp_noisy_counts(df, ["g"], epsilon=eps, salt=salt).collect()
+    }
+    assert noise("g\x1fk\x02", 1 / eps) != noise("g\x1fk", 1 / eps)
+    assert counts["g"] != got["g"]
+
+    with pytest.raises(ValueError, match="clip"):
+        dp_noisy_sums(df, "x", ["g"], clip=0.0, salt="k")
+    with pytest.raises(ValueError, match="salt"):
+        dp_noisy_sums(df, "x", ["g"], clip=1.0)
