@@ -44,6 +44,7 @@ __all__ = [
     "add_simhash",
     "simhash_pairs",
     "embedding_near_dup_pairs",
+    "embedding_near_dup_pairs_incremental",
     "connected_components",
     "dedup_clusters",
     "degree_distribution",
@@ -861,6 +862,114 @@ def embedding_near_dup_pairs(
         )
         .filter(F.col("cosine_sim") >= threshold)
         .select("id_a", "id_b", "cosine_sim")
+    )
+
+
+def embedding_near_dup_pairs_incremental(
+    new_batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.3,
+    n_planes: int = 8,
+    bands: int = 2,
+    dim: int = 64,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Incremental embedding near-dup detection: banded hyperplane-LSH
+    candidate pairs where at least one side comes from ``new_batch`` —
+    the continuous-ingest shape of :func:`embedding_near_dup_pairs`,
+    completing the family (:func:`minhash_pairs_incremental` for
+    MinHash, winnowing/exact-span/novelty likewise): a nightly
+    embedding batch checks against itself AND the standing corpus, but
+    corpus x corpus work (already done when those vectors arrived) is
+    NOT repeated — only the new batch probes the band buckets, so
+    candidate cost is |new| x bucket-density, never |corpus|^2. Ids
+    must be disjoint across the frames.
+
+    Output: ``(id_a, id_b, cross_batch, cosine_sim)`` with
+    ``id_a < id_b`` for new-new pairs and ``id_a`` = the new vector
+    for new-corpus pairs (``cross_batch`` distinguishes them), exact
+    cosine verified at ``threshold``. The hyperplanes are FIXED
+    literals (the family's determinism contract), so signatures never
+    drift between ingests — at scale keep the corpus band table
+    persisted/bucketed on (band, bits) and each batch pays its own
+    probe only.
+    """
+    assert n_planes % bands == 0, "n_planes must divide evenly into bands"
+    from .similarity import cosine_similarity, hyperplanes, plane_signature
+
+    planes = hyperplanes(n_planes, dim)
+    rows_per_band = n_planes // bands
+
+    def sig_of(df):
+        return ensure_min_partitions(df).select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).alias("_vec"),
+            *[
+                plane_signature(
+                    F.col(vec_col),
+                    planes[b * rows_per_band : (b + 1) * rows_per_band],
+                ).alias(f"_band_{b}")
+                for b in range(bands)
+            ],
+        )
+
+    from ..caching import tracked_persist
+
+    new_sig = tracked_persist(sig_of(new_batch))
+    corpus_sig = tracked_persist(sig_of(corpus))
+
+    def banded(sig):
+        out = None
+        for b in range(bands):
+            part = sig.select(
+                "_id",
+                F.lit(b).alias("_band"),
+                F.col(f"_band_{b}").alias("_band_bits"),
+            )
+            out = part if out is None else out.unionByName(part)
+        return out
+
+    probe = banded(new_sig).select(
+        F.col("_id").alias("id_a"), "_band", "_band_bits"
+    )
+    # build side = corpus buckets + the batch's own buckets (so the batch
+    # dedups against itself); the corpus is never self-joined
+    build = (
+        banded(corpus_sig)
+        .withColumn("_new", F.lit(False))
+        .unionByName(banded(new_sig).withColumn("_new", F.lit(True)))
+        .select(F.col("_id").alias("id_b"), "_band", "_band_bits", "_new")
+    )
+    par = new_batch.sparkSession.sparkContext.defaultParallelism
+    pairs = (
+        probe.repartition(par, "_band", "_band_bits")
+        .join(build, on=["_band", "_band_bits"])
+        # new-new pairs appear in both orientations: keep id_a < id_b;
+        # new-corpus pairs keep the new vector as id_a unconditionally
+        .filter(
+            (~F.col("_new") & (F.col("id_a") != F.col("id_b")))
+            | (F.col("_new") & (F.col("id_a") < F.col("id_b")))
+        )
+        .select("id_a", "id_b", (~F.col("_new")).alias("cross_batch"))
+        .distinct()
+        .repartition(par)
+    )
+    va = new_sig.select(F.col("_id").alias("id_a"), F.col("_vec").alias("_va"))
+    all_sig = corpus_sig.unionByName(new_sig)
+    vb = all_sig.select(F.col("_id").alias("id_b"), F.col("_vec").alias("_vb"))
+    return (
+        pairs.join(va, on="id_a")
+        .join(vb, on="id_b")
+        .withColumn(
+            "cosine_sim",
+            F.round(
+                cosine_similarity(F.col("_va"), F.col("_vb")), round_digits
+            ),
+        )
+        .filter(F.col("cosine_sim") >= threshold)
+        .select("id_a", "id_b", "cross_batch", "cosine_sim")
     )
 
 

@@ -732,15 +732,15 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Queries the driver's correctness gate should see first. The gate verifies
 #: exactly the first 50 entries of ``queries()`` in iteration order.
 #: ROUND-10 ROTATION (executing the r9 verdict's top item): head = the
-#: twelve round-10 additions (persisted-index incremental ANN,
-#: embedding decontamination, k-core, DP sums — land driver rows the
-#: round they ship), then ALL 30 r04-vintage stale rows, then the 8
-#: alphabetically-first r05 rows. That covers 38 of the 72 rows
-#: `tools/driver_coverage.py` flagged stale at r9 close; the remaining
-#: 34 r05 rows queue for round 11.
+#: thirteen round-10 additions (persisted-index incremental ANN,
+#: embedding decontamination, k-core, DP sums, incremental embedding
+#: pairs — land driver rows the round they ship), then ALL 30
+#: r04-vintage stale rows, then the 7 alphabetically-first r05 rows.
+#: That covers 37 of the 72 rows `tools/driver_coverage.py` flagged
+#: stale at r9 close; the remaining 35 r05 rows queue for round 11.
 #: ROUND-11 ROTATION GUIDANCE: put any round-11 additions (plus any r10
 #: reds) at the head, then the 34 remaining r05-vintage rows
-#: (clean_unicode_nfc, decontam_ngram_overlap, dedup_ngram_jaccard,
+#: (clean_scrub_pii, clean_unicode_nfc, decontam_ngram_overlap,
 #: doclen_histogram, doclen_quantiles, embedding_centroids .. text_tfidf
 #: — tools/driver_coverage.py lists them); after that no registry row
 #: is older than r06.
@@ -755,6 +755,7 @@ DRIVER_PRIORITY: list[str] = [
     "streaming_pq_ingest",
     "graph_kcore",
     "privacy_dp_sums",
+    "dedup_embedding_incremental",
     "decontam_embedding",
     "decontam_agreement",
     "pipeline_decontam_purge",
@@ -789,7 +790,7 @@ DRIVER_PRIORITY: list[str] = [
     "text_stats",
     "text_tokens",
     "wrangle_winsorize",
-    # oldest r05 rows to fill the 50-slot window (8):
+    # oldest r05 rows to fill the 50-slot window (7):
     "analytics_promo_revenue",
     "analytics_region_revenue",
     "analytics_top_orders",
@@ -797,7 +798,6 @@ DRIVER_PRIORITY: list[str] = [
     "clean_dedup_lines",
     "clean_dedup_lines_corpus",
     "clean_filter_lines",
-    "clean_scrub_pii",
 ]
 
 

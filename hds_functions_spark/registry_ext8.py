@@ -29,7 +29,15 @@ import tempfile
 from pyspark.sql import functions as F
 
 from .registry import ORACLES, QUERIES, _register, _stable_dir_tag, _t  # noqa: F401
-from .registry_ext import _DUCK_COS, _duck_bucket
+from .registry_ext import (
+    _DUCK_COS,
+    _ND_BANDS,
+    _ND_DIM,
+    _ND_PLANES,
+    _ND_THRESHOLD,
+    _duck_bucket,
+    _duck_plane_sig,
+)
 from .registry_ext3 import (
     _BM25_B,
     _BM25_K1,
@@ -703,6 +711,78 @@ def streaming_pq_ingest(spark, sf_dir):
         checkpoint_dir=f"{base}/ckpt",
         state_partitions=8,
     ).select("vec_id", "code_0", "code_1", "code_2", "code_3")
+
+
+# --- incremental embedding near-dup pairs -----------------------------------
+
+
+def _duck_embdup_inc_sql() -> str:
+    """Banded-LSH near-dup pairs touching the ingest batch — the
+    registry_ext ``_duck_near_dup_sql`` shape over the corpus/newb
+    split with the incremental orientation rules."""
+    from .operators.similarity import hyperplanes
+
+    planes = hyperplanes(_ND_PLANES, _ND_DIM)
+    rpb = _ND_PLANES // _ND_BANDS
+    band_cols = ", ".join(
+        _duck_plane_sig(planes[b * rpb : (b + 1) * rpb], "embedding")
+        + f" AS band_{b}"
+        for b in range(_ND_BANDS)
+    )
+    def banded(src):
+        return "\n  UNION ALL ".join(
+            f"SELECT vec_id, {b} AS band, band_{b} AS bits FROM {src}"
+            for b in range(_ND_BANDS)
+        )
+    cos = _DUCK_COS.format(a="ea.embedding", b="eb.embedding")
+    return f"""
+WITH {_ANN_SPLIT},
+nsig AS (SELECT vec_id, {band_cols} FROM newb),
+csig AS (SELECT vec_id, {band_cols} FROM corpus),
+nbanded AS (
+  {banded('nsig')}
+), cbanded AS (
+  {banded('csig')}
+), build AS (
+  SELECT vec_id, band, bits, FALSE AS is_new FROM cbanded
+  UNION ALL
+  SELECT vec_id, band, bits, TRUE AS is_new FROM nbanded
+), pairs AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+         NOT b.is_new AS cross_batch
+  FROM nbanded a JOIN build b USING (band, bits)
+  WHERE (NOT b.is_new AND a.vec_id <> b.vec_id)
+     OR (b.is_new AND a.vec_id < b.vec_id)
+)
+SELECT id_a, id_b, cross_batch, {cos} AS cosine_sim
+FROM pairs
+JOIN embeddings ea ON ea.vec_id = id_a
+JOIN embeddings eb ON eb.vec_id = id_b
+WHERE {cos} >= {_ND_THRESHOLD}
+"""
+
+
+@_register("dedup_embedding_incremental", _duck_embdup_inc_sql())
+def dedup_embedding_incremental(spark, sf_dir):
+    """Incremental embedding near-dup pairs: LSH-banded candidates
+    where at least one side is the ingest batch — the continuous-
+    ingest shape completing the incremental family (minhash,
+    winnowing, exact spans, novelty, and now embedding pairs): the
+    corpus is never self-joined again; candidate cost is |batch| x
+    bucket-density. Fixed-literal hyperplanes mean signatures never
+    drift between ingests. Output (id_a, id_b, cross_batch,
+    cosine_sim) exact-verified at {t}. See
+    operators/dedup.py:embedding_near_dup_pairs_incremental.""".format(
+        t=_ND_THRESHOLD
+    )
+    from .operators.dedup import embedding_near_dup_pairs_incremental
+
+    corpus, batch = _ann_corpus_batch(spark, sf_dir)
+    return embedding_near_dup_pairs_incremental(
+        batch, corpus,
+        threshold=_ND_THRESHOLD, n_planes=_ND_PLANES,
+        bands=_ND_BANDS, dim=_ND_DIM,
+    )
 
 
 # --- k-core decomposition ---------------------------------------------------

@@ -595,3 +595,64 @@ def test_source_overlap_matrix_df_cap_drops_boilerplate(spark):
         for r in source_overlap_matrix(fps, srcs, max_doc_freq=2).collect()
     }
     assert capped == {("a", "b"): 1}  # only fp 200 survives
+
+
+class TestIncrementalEmbeddingPairs:
+    def _frames(self, spark):
+        emb = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).select("vec_id", "embedding")
+        from pyspark.sql import functions as F
+
+        corpus = emb.filter(F.col("vec_id") % 10 != 7)
+        batch = emb.filter(F.col("vec_id") % 10 == 7)
+        return batch, corpus, emb
+
+    def test_slice_identity_vs_full(self, spark):
+        """incremental(batch, corpus) == full(batch + corpus) restricted
+        to pairs touching the batch — the family's defining property."""
+        from pyspark.sql import functions as F
+
+        from hds_functions_spark.operators.dedup import (
+            embedding_near_dup_pairs,
+            embedding_near_dup_pairs_incremental,
+        )
+
+        batch, corpus, emb = self._frames(spark)
+        batch_ids = {r["vec_id"] for r in batch.collect()}
+        full = {
+            (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"])): r[
+                "cosine_sim"
+            ]
+            for r in embedding_near_dup_pairs(emb, threshold=0.2).collect()
+            if r["id_a"] in batch_ids or r["id_b"] in batch_ids
+        }
+        inc_rows = embedding_near_dup_pairs_incremental(
+            batch, corpus, threshold=0.2
+        ).collect()
+        inc = {
+            (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"])): r[
+                "cosine_sim"
+            ]
+            for r in inc_rows
+        }
+        assert inc == full
+        # orientation + flag rules
+        for r in inc_rows:
+            assert r["id_a"] in batch_ids  # a new vector leads every pair
+            if r["cross_batch"]:
+                assert r["id_b"] not in batch_ids
+            else:
+                assert r["id_b"] in batch_ids and r["id_a"] < r["id_b"]
+
+    def test_corpus_pairs_never_emitted(self, spark):
+        from hds_functions_spark.operators.dedup import (
+            embedding_near_dup_pairs_incremental,
+        )
+
+        batch, corpus, _ = self._frames(spark)
+        out = embedding_near_dup_pairs_incremental(
+            batch, corpus, threshold=0.0
+        ).collect()
+        batch_ids = {r["vec_id"] for r in batch.collect()}
+        assert out and all(r["id_a"] in batch_ids for r in out)
