@@ -20,6 +20,7 @@ __all__ = [
     "ngram_novelty_incremental",
     "kn_context_gain_scores",
     "profile_columns",
+    "profile_version_drift",
     "tf_idf_top_terms",
     "group_quantiles",
     "key_skew_profile",
@@ -897,4 +898,75 @@ def ngram_novelty_incremental(
                 round_digits,
             ).alias("novelty"),
         )
+    )
+
+
+def profile_version_drift(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    columns: list[str],
+    round_digits: int = 6,
+) -> DataFrame:
+    """Column-level drift between two versions of the same table — the
+    data-quality monitor every versioned/archived dataset needs beside
+    the row-level ``diff_versions``: per column, row and null-fraction
+    movement, distinct-cardinality ratio, and whether the value RANGE
+    (min/max) moved. A jump in null fraction or a range edge shifting is
+    how upstream schema accidents (a renamed source field, a unit
+    change, a truncated load) surface before they poison a pipeline.
+
+    Composes two :func:`profile_columns` passes (each column a
+    scan-pruned branch that dedups map-side) joined on the column name
+    — the joined sides are len(columns) rows, so everything after the
+    profiles is free. Output per column: ``(column_name, n_rows_a,
+    n_rows_b, null_frac_a, null_frac_b, null_frac_delta, n_distinct_a,
+    n_distinct_b, distinct_ratio, min_changed, max_changed)``; ratios
+    NULL when the denominator side is empty. At 100 TB run the
+    profiles with ``approx_distinct`` semantics by profiling upstream
+    (the exact per-column distinct shuffle is the only corpus-scale
+    term; HLL replaces it at ~2% error) — the drift arithmetic is
+    version-count-sized either way.
+    """
+    a = profile_columns(df_a, columns)
+    b = profile_columns(df_b, columns)
+    ra = a.select(
+        "column_name",
+        F.col("n_rows").alias("n_rows_a"),
+        F.col("n_nulls").alias("_nulls_a"),
+        F.col("n_distinct").alias("n_distinct_a"),
+        F.col("min_value").alias("_min_a"),
+        F.col("max_value").alias("_max_a"),
+    )
+    rb = b.select(
+        "column_name",
+        F.col("n_rows").alias("n_rows_b"),
+        F.col("n_nulls").alias("_nulls_b"),
+        F.col("n_distinct").alias("n_distinct_b"),
+        F.col("min_value").alias("_min_b"),
+        F.col("max_value").alias("_max_b"),
+    )
+    nf_a = F.when(
+        F.col("n_rows_a") > 0, F.col("_nulls_a") / F.col("n_rows_a")
+    )
+    nf_b = F.when(
+        F.col("n_rows_b") > 0, F.col("_nulls_b") / F.col("n_rows_b")
+    )
+    return ra.join(rb, on="column_name").select(
+        "column_name",
+        "n_rows_a",
+        "n_rows_b",
+        F.round(nf_a, round_digits).alias("null_frac_a"),
+        F.round(nf_b, round_digits).alias("null_frac_b"),
+        F.round(nf_b - nf_a, round_digits).alias("null_frac_delta"),
+        "n_distinct_a",
+        "n_distinct_b",
+        F.round(
+            F.when(
+                F.col("n_distinct_a") > 0,
+                F.col("n_distinct_b") / F.col("n_distinct_a"),
+            ),
+            round_digits,
+        ).alias("distinct_ratio"),
+        (~F.col("_min_a").eqNullSafe(F.col("_min_b"))).alias("min_changed"),
+        (~F.col("_max_a").eqNullSafe(F.col("_max_b"))).alias("max_changed"),
     )

@@ -732,15 +732,16 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: Queries the driver's correctness gate should see first. The gate verifies
 #: exactly the first 50 entries of ``queries()`` in iteration order.
 #: ROUND-10 ROTATION (executing the r9 verdict's top item): head = the
-#: thirteen round-10 additions (persisted-index incremental ANN,
+#: fourteen round-10 additions (persisted-index incremental ANN,
 #: embedding decontamination, k-core, DP sums, incremental embedding
-#: pairs — land driver rows the round they ship), then ALL 30
-#: r04-vintage stale rows, then the 7 alphabetically-first r05 rows.
-#: That covers 37 of the 72 rows `tools/driver_coverage.py` flagged
-#: stale at r9 close; the remaining 35 r05 rows queue for round 11.
+#: pairs, column-level version drift — land driver rows the round they
+#: ship), then ALL 30 r04-vintage stale rows, then the 6
+#: alphabetically-first r05 rows. That covers 36 of the 72 rows
+#: `tools/driver_coverage.py` flagged stale at r9 close; the remaining
+#: 36 r05 rows queue for round 11.
 #: ROUND-11 ROTATION GUIDANCE: put any round-11 additions (plus any r10
 #: reds) at the head, then the 34 remaining r05-vintage rows
-#: (clean_scrub_pii, clean_unicode_nfc, decontam_ngram_overlap,
+#: (clean_filter_lines, clean_scrub_pii, clean_unicode_nfc,
 #: doclen_histogram, doclen_quantiles, embedding_centroids .. text_tfidf
 #: — tools/driver_coverage.py lists them); after that no registry row
 #: is older than r06.
@@ -756,6 +757,7 @@ DRIVER_PRIORITY: list[str] = [
     "graph_kcore",
     "privacy_dp_sums",
     "dedup_embedding_incremental",
+    "table_version_drift",
     "decontam_embedding",
     "decontam_agreement",
     "pipeline_decontam_purge",
@@ -790,14 +792,13 @@ DRIVER_PRIORITY: list[str] = [
     "text_stats",
     "text_tokens",
     "wrangle_winsorize",
-    # oldest r05 rows to fill the 50-slot window (7):
+    # oldest r05 rows to fill the 50-slot window (6):
     "analytics_promo_revenue",
     "analytics_region_revenue",
     "analytics_top_orders",
     "chunk_documents",
     "clean_dedup_lines",
     "clean_dedup_lines_corpus",
-    "clean_filter_lines",
 ]
 
 

@@ -713,6 +713,89 @@ def streaming_pq_ingest(spark, sf_dir):
     ).select("vec_id", "code_0", "code_1", "code_2", "code_3")
 
 
+# --- column-level version drift ---------------------------------------------
+
+_VD_COLS = ["o_orderstatus", "o_orderpriority", "o_totalprice", "o_custkey"]
+
+
+def _duck_version_drift_sql() -> str:
+    """Per-column stats of two archive snapshots (disjoint %3 slices of
+    orders) joined into the drift report — the oracle mirror of
+    profile_columns x2 + the drift arithmetic."""
+    def prof(src):
+        return "\nUNION ALL\n".join(
+            f"""SELECT '{c}' AS column_name,
+       count(*) AS n_rows,
+       CAST(sum(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nulls,
+       count(DISTINCT {c}) AS n_distinct,
+       min({c})::VARCHAR AS min_value,
+       max({c})::VARCHAR AS max_value
+FROM {src}"""
+            for c in _VD_COLS
+        )
+    return f"""
+WITH va AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+vb AS (SELECT * FROM orders WHERE o_orderkey % 3 = 1),
+pa AS (
+{prof('va')}
+), pb AS (
+{prof('vb')}
+)
+SELECT a.column_name,
+       a.n_rows AS n_rows_a, b.n_rows AS n_rows_b,
+       round(CASE WHEN a.n_rows > 0
+                  THEN a.n_nulls / (1.0 * a.n_rows) END, 6) AS null_frac_a,
+       round(CASE WHEN b.n_rows > 0
+                  THEN b.n_nulls / (1.0 * b.n_rows) END, 6) AS null_frac_b,
+       round(CASE WHEN b.n_rows > 0
+                  THEN b.n_nulls / (1.0 * b.n_rows) END
+             - CASE WHEN a.n_rows > 0
+                    THEN a.n_nulls / (1.0 * a.n_rows) END, 6)
+           AS null_frac_delta,
+       a.n_distinct AS n_distinct_a, b.n_distinct AS n_distinct_b,
+       round(CASE WHEN a.n_distinct > 0
+                  THEN b.n_distinct / (1.0 * a.n_distinct) END, 6)
+           AS distinct_ratio,
+       (a.min_value IS DISTINCT FROM b.min_value) AS min_changed,
+       (a.max_value IS DISTINCT FROM b.max_value) AS max_changed
+FROM pa a JOIN pb b USING (column_name)
+"""
+
+
+@_register("table_version_drift", _duck_version_drift_sql())
+def table_version_drift(spark, sf_dir):
+    """Column-level drift between two REAL archive snapshots (written
+    and re-loaded through save_archive_snapshot/load_table, one
+    partition per date): per column, row/null-fraction movement,
+    distinct-cardinality ratio, and whether the value range's min/max
+    moved — how upstream schema accidents (renamed source fields, unit
+    changes, truncated loads) surface before poisoning a pipeline; the
+    column-level companion of table_diff_versions' row-level diff. Two
+    scan-pruned profile passes joined at len(columns) rows. See
+    operators/profiling.py:profile_version_drift."""
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.profiling import profile_version_drift
+    from .sources.tables import load_table, save_archive_snapshot
+
+    base = os.path.join(
+        tempfile.gettempdir(), "hds_vdrift_" + _stable_dir_tag(sf_dir)
+    )
+    shutil.rmtree(base, ignore_errors=True)  # append-mode: never accumulate
+    td = {"arch": {"path": os.path.join(base, "arch"), "format": "parquet"}}
+    o = _t(spark, sf_dir, "orders")
+    for i, day in enumerate(("2024-01-01", "2024-02-01")):
+        save_archive_snapshot(
+            o.filter(F.col("o_orderkey") % 3 == i), "arch", day, td
+        )
+    va = load_table("arch", {"arch": {**td["arch"], "archive_date": "2024-01-01"}})
+    vb = load_table("arch", {"arch": {**td["arch"], "archive_date": "2024-02-01"}})
+    return profile_version_drift(va, vb, _VD_COLS)
+
+
 # --- incremental embedding near-dup pairs -----------------------------------
 
 
