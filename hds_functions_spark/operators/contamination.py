@@ -113,6 +113,7 @@ def embedding_contamination(
     query_id: str = "query_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    validate: bool = True,
 ) -> DataFrame:
     """Embedding-based (paraphrase-robust) decontamination: corpus
     documents whose embedding sits within cosine ``threshold`` of ANY
@@ -144,11 +145,20 @@ def embedding_contamination(
     audit trio (``decontam_agreement``) quantifies what each leg
     uniquely catches.
     """
-    from .similarity import _nearest_centroids, cosine_similarity
+    from .similarity import (
+        _index_centroids,
+        _nearest_centroids,
+        cosine_similarity,
+    )
 
-    cent = index.filter(F.col(corpus_id) < n_centroids).select(
-        F.col(corpus_id).alias("_centroid_id"),
-        F.col(vec_col).alias("_cent_vec"),
+    # validate (default True): an index with no rows at corpus_id <
+    # n_centroids (non-zero-based or non-numeric id space) must RAISE
+    # here — a silently empty centroid table generates zero candidates
+    # and the pass reads as 'no contamination found', the worst
+    # failure mode for a decontamination check. validate=False is for
+    # callers whose index is validated-by-construction in-plan.
+    cent = _index_centroids(
+        index, corpus_id, vec_col, n_centroids, validate=validate
     )
     probes = _nearest_centroids(
         eval_queries.select(

@@ -352,7 +352,8 @@ def dp_noisy_counts(
     df: DataFrame,
     group_cols: list[str],
     epsilon: float = 1.0,
-    salt: str = "",
+    *,
+    salt: str,
     round_digits: int = 4,
 ) -> DataFrame:
     """Per-group counts with Laplace(1/epsilon) noise — the epsilon-DP
@@ -435,7 +436,8 @@ def dp_noisy_sums(
     group_cols: list[str],
     clip: float,
     epsilon: float = 1.0,
-    salt: str = "",
+    *,
+    salt: str,
     round_digits: int = 4,
 ) -> DataFrame:
     """Per-group SUM of ``value_col`` released with Laplace(clip /

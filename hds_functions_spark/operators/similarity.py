@@ -474,6 +474,10 @@ def ivf_cosine_topk(
         query_id=query_id,
         vec_col=vec_col,
         round_digits=round_digits,
+        # the index was built by ivf_index_build two lines up, which
+        # itself validated the centroid convention against the raw
+        # corpus — re-counting here would evaluate the build agg twice
+        validate=False,
     )
 
 
@@ -544,10 +548,7 @@ def ivf_index_build(
     long per row; re-assignment per query batch would be the scan that
     dominates, and this factoring is what removes it.
     """
-    cent = corpus.filter(F.col(corpus_id) < n_centroids).select(
-        F.col(corpus_id).alias("_centroid_id"),
-        F.col(vec_col).alias("_cent_vec"),
-    )
+    cent = _index_centroids(corpus, corpus_id, vec_col, n_centroids)
     corpus = ensure_min_partitions(corpus)  # parallelise centroid assignment
     assigned = _nearest_centroids(
         corpus.select(
@@ -563,6 +564,50 @@ def ivf_index_build(
         F.col("_centroid_id").alias("centroid_id"),
         F.col("_vec").alias(vec_col),
     )
+
+
+def _index_centroids(
+    index: DataFrame,
+    corpus_id: str,
+    vec_col: str,
+    n_centroids: int,
+    validate: bool = True,
+) -> DataFrame:
+    """Re-derive the coarse-centroid table from a persisted IVF index
+    (the rows whose ``corpus_id`` < ``n_centroids`` — the family's
+    self-contained quantizer convention, see :func:`ivf_index_build`).
+
+    With ``validate=True`` (the default for every consumer that would
+    otherwise FAIL OPEN) the derived table is counted and a
+    ``ValueError`` is raised when it is EMPTY or far below
+    ``n_centroids`` (fewer than half): an index whose id space is
+    non-zero-based or non-numeric yields an empty centroid table,
+    which would make a probe generate zero candidates and a
+    decontamination pass read as 'no contamination found' — the worst
+    silent failure mode. A small shortfall is tolerated (a filtered
+    corpus legitimately loses some low ids — e.g. a bucket-split
+    corpus/eval partition); the half threshold separates 'a few lists
+    missing' from 'wrong id space'. The count is one extra scan
+    bounded to ``n_centroids`` output rows (the centroid derivation
+    itself already scans); callers on a hot path whose index is
+    validated-by-construction may pass ``validate=False``.
+    """
+    cent = index.filter(F.col(corpus_id) < n_centroids).select(
+        F.col(corpus_id).alias("_centroid_id"),
+        F.col(vec_col).alias("_cent_vec"),
+    )
+    if validate:
+        n = cent.limit(n_centroids).count()
+        if n == 0 or n * 2 < n_centroids:
+            raise ValueError(
+                f"IVF index yields {n} coarse centroids where "
+                f"n_centroids={n_centroids} were expected: the quantizer "
+                f"convention requires index rows with {corpus_id} in "
+                f"[0, {n_centroids}) (ivf_index_build writes them). A "
+                "non-zero-based or non-numeric id space would silently "
+                "produce zero probe candidates — refusing to fail open."
+            )
+    return cent
 
 
 def ivf_index_append(
@@ -588,10 +633,7 @@ def ivf_index_append(
     :func:`pq_encode` against frozen codebooks and
     :func:`~hds_functions_spark.operators.dedup.minhash_pairs_incremental`.
     """
-    cent = index.filter(F.col(corpus_id) < n_centroids).select(
-        F.col(corpus_id).alias("_centroid_id"),
-        F.col(vec_col).alias("_cent_vec"),
-    )
+    cent = _index_centroids(index, corpus_id, vec_col, n_centroids)
     assigned = _nearest_centroids(
         new_batch.select(
             F.col(corpus_id).alias("_cid"), F.col(vec_col).alias("_vec")
@@ -615,6 +657,7 @@ def ivf_assignment_drift(
     corpus_id: str = "vec_id",
     vec_col: str = "embedding",
     round_digits: int = 4,
+    quantizer_round_digits: int = 6,
 ) -> DataFrame:
     """The retrain-policy monitor every FROZEN-quantizer index needs:
     per coarse centroid, how well the standing corpus fits its list
@@ -634,11 +677,16 @@ def ivf_assignment_drift(
     Cost: one broadcast-sized centroid join over each side + two
     map-side-combinable aggregates to ``n_centroids`` rows; the corpus
     side reads the saved index table, never the raw corpus.
+
+    ``quantizer_round_digits`` is the similarity rounding used when
+    assigning the NEW batch to centroids and must match the
+    ``round_digits`` the index was BUILT with (both default 6): the
+    corpus side reuses the stored assignments, so a mismatched batch
+    rounding would make tie-breaks inconsistent between the two sides
+    and skew per-list counts. ``round_digits`` only rounds the output
+    statistics.
     """
-    cent = index.filter(F.col(corpus_id) < n_centroids).select(
-        F.col(corpus_id).alias("_centroid_id"),
-        F.col(vec_col).alias("_cent_vec"),
-    )
+    cent = _index_centroids(index, corpus_id, vec_col, n_centroids)
     corpus_sim = (
         index.select(
             F.col("centroid_id").alias("_centroid_id"),
@@ -666,7 +714,7 @@ def ivf_assignment_drift(
             cent,
             "_bid",
             1,
-            6,
+            quantizer_round_digits,
         )
         .join(F.broadcast(cent), on="_centroid_id")
         .groupBy("_centroid_id")
@@ -704,6 +752,7 @@ def ivf_probe_index(
     query_id: str = "query_id",
     vec_col: str = "embedding",
     round_digits: int = 6,
+    validate: bool = True,
 ) -> DataFrame:
     """Probe a built (typically persisted-and-reloaded) IVF index: each
     query ranks the ``n_centroids`` coarse centroids (re-derived from
@@ -718,10 +767,17 @@ def ivf_probe_index(
     re-assignment, no centroid retraining; with the probes broadcast,
     Spark can skip unprobed inverted lists via dynamic partition/file
     pruning instead of rescanning the corpus.
+
+    ``validate=True`` (default) counts the re-derived centroid table
+    and raises if it is empty/short — an index with a non-zero-based
+    id space would otherwise silently probe NOTHING and return an
+    empty result. Pass ``validate=False`` only when the index is
+    validated-by-construction in the same plan (e.g.
+    :func:`ivf_cosine_topk`, which builds it two lines up — counting
+    there would evaluate the build aggregation twice).
     """
-    cent = index.filter(F.col(corpus_id) < n_centroids).select(
-        F.col(corpus_id).alias("_centroid_id"),
-        F.col(vec_col).alias("_cent_vec"),
+    cent = _index_centroids(
+        index, corpus_id, vec_col, n_centroids, validate=validate
     )
     probes = _nearest_centroids(
         queries.select(

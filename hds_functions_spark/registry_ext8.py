@@ -388,6 +388,10 @@ def decontam_embedding(spark, sf_dir):
     return embedding_contamination(
         index, ev, threshold=_EDC_THRESHOLD,
         n_centroids=_ANN_CENTROIDS, n_probe=_ANN_PROBE,
+        # index built by ivf_index_build one line up (which validates
+        # the centroid convention against the raw corpus itself);
+        # re-counting here would evaluate the build aggregation twice
+        validate=False,
     )
 
 

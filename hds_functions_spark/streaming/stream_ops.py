@@ -527,15 +527,35 @@ def stream_score_batches(
     (each micro-batch still writes schema-bearing parquet); only a
     zero-micro-batch drain raises, since no schema ever reached the sink.
 
-    EXACTLY-ONCE sink: each micro-batch writes to its own
-    ``batch-<batch_id>`` subpath with OVERWRITE, so a batch replayed
-    after a mid-run failure on checkpoint resume replaces its own
-    earlier (possibly partial) output instead of appending a duplicate
-    — the idempotent-foreachBatch recipe (a blind append sink would be
-    at-least-once). The subpath name deliberately avoids the ``k=v``
+    EXACTLY-ONCE sink under CHECKPOINTED RESUME: each micro-batch
+    writes to its own ``batch-<batch_id>`` subpath with OVERWRITE, so
+    a batch replayed after a mid-run failure on checkpoint resume
+    replaces its own earlier (possibly partial) output instead of
+    appending a duplicate — the idempotent-foreachBatch recipe (a
+    blind append sink would be at-least-once). The guarantee holds
+    only while batch NUMBERING is stable, i.e. resuming from the same
+    checkpoint: a replay after checkpoint LOSS may coalesce the source
+    into fewer micro-batches and would leave stale higher-numbered
+    ``batch-<id>`` subdirs from the earlier run for the read-back to
+    double-count — so a start-from-scratch (no committed offsets under
+    ``checkpoint_dir``) first CLEARS existing ``batch-*`` subdirs
+    under ``path``. The subpath name deliberately avoids the ``k=v``
     form so the read-back doesn't infer a partition column.
     """
     spark = sdf.sparkSession
+
+    # Fresh start (no committed offsets => batch ids restart at 0 and
+    # the run may re-split the source into FEWER micro-batches): stale
+    # higher-numbered batch-* subdirs from a previous non-checkpointed
+    # run would survive every overwrite and double-count on read-back.
+    offsets_dir = os.path.join(checkpoint_dir, "offsets")
+    fresh_start = not (
+        os.path.isdir(offsets_dir) and any(os.scandir(offsets_dir))
+    )
+    if fresh_start and os.path.isdir(path):
+        for entry in os.scandir(path):
+            if entry.is_dir() and entry.name.startswith("batch-"):
+                shutil.rmtree(entry.path, ignore_errors=True)
 
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         score_fn(batch_df).write.mode("overwrite").parquet(

@@ -255,3 +255,64 @@ def test_ivf_probe_plan_shape(spark, emb, tmp_path):
     ]
     assert ex_lines and all("_qid" in line for line in ex_lines), plan
     assert not any("_cid" in line for line in ex_lines), plan
+
+
+def test_index_centroid_validation_fails_closed(spark, emb):
+    """ADVICE r10 (medium): an index whose id space is non-zero-based
+    yields an empty derived centroid table, which would make a probe
+    generate zero candidates and a decontamination pass read as 'no
+    contamination found'. The consumers must RAISE, not fail open."""
+    from hds_functions_spark.operators.contamination import (
+        embedding_contamination,
+    )
+    from hds_functions_spark.operators.similarity import (
+        ivf_assignment_drift,
+        ivf_index_append,
+        ivf_index_build,
+        ivf_probe_index,
+    )
+
+    index = ivf_index_build(emb.filter(F.col("vec_id") < 200), n_centroids=8)
+    # shift the id space: no rows with vec_id < 8 remain
+    bad = index.withColumn("vec_id", F.col("vec_id") + 10_000)
+    q = emb.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="coarse centroids"):
+        ivf_probe_index(bad, q, k=1, n_centroids=8, n_probe=2)
+    with pytest.raises(ValueError, match="coarse centroids"):
+        embedding_contamination(bad, q, n_centroids=8, n_probe=2)
+    with pytest.raises(ValueError, match="coarse centroids"):
+        ivf_index_append(bad, emb.limit(1), n_centroids=8)
+    with pytest.raises(ValueError, match="coarse centroids"):
+        ivf_assignment_drift(bad, emb.limit(1), n_centroids=8)
+    # a SMALL shortfall is tolerated (a filtered corpus legitimately
+    # loses a few low ids): drop one of the 8 centroid rows -> fine
+    seven = index.filter(F.col("vec_id") != 3)
+    assert ivf_probe_index(
+        seven, q, k=1, n_centroids=8, n_probe=2
+    ).count() >= 0
+    # far below half -> refuse
+    two_left = index.filter(~F.col("vec_id").isin(0, 1, 2, 4, 5, 6))
+    with pytest.raises(ValueError, match="coarse centroids"):
+        ivf_probe_index(two_left, q, k=1, n_centroids=8, n_probe=2)
+
+
+def test_drift_quantizer_rounding_threaded(spark, emb):
+    """ADVICE r10 (low): the batch-side centroid assignment inside
+    ivf_assignment_drift must use the quantizer's rounding (threaded
+    via quantizer_round_digits, default 6 = ivf_index_build's default)
+    — with a matching value, a batch that IS the corpus shows zero
+    drift regardless of the output round_digits."""
+    from hds_functions_spark.operators.similarity import (
+        ivf_assignment_drift,
+        ivf_index_build,
+    )
+
+    corpus = emb.filter(F.col("vec_id") < 300)
+    # build with a coarser quantizer rounding than the default
+    index = ivf_index_build(corpus, n_centroids=8, round_digits=2)
+    drift = ivf_assignment_drift(
+        index, corpus, n_centroids=8, quantizer_round_digits=2
+    ).collect()
+    assert sum(r["n_batch"] for r in drift) == 300
+    for r in drift:
+        assert r["n_corpus"] == r["n_batch"]

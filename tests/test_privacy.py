@@ -307,7 +307,7 @@ def test_dp_epsilon_validation(spark):
     from hds_functions_spark.operators.privacy import dp_noisy_counts
 
     with pytest.raises(ValueError):
-        dp_noisy_counts(None, ["g"], epsilon=0.0)
+        dp_noisy_counts(None, ["g"], epsilon=0.0, salt="s")
 
 
 def test_dp_empty_salt_rejected(spark):
@@ -317,7 +317,10 @@ def test_dp_empty_salt_rejected(spark):
     salt='' must raise, not silently release."""
     from hds_functions_spark.operators.privacy import dp_noisy_counts
 
-    with pytest.raises(ValueError, match="salt"):
+    # salt is keyword-only REQUIRED: a missing salt is a TypeError at
+    # call-authoring time, not a runtime ValueError (the signature no
+    # longer advertises a default that can never succeed)
+    with pytest.raises(TypeError):
         dp_noisy_counts(None, ["g"], epsilon=1.0)
     with pytest.raises(ValueError, match="salt"):
         dp_noisy_counts(None, ["g"], epsilon=1.0, salt="")
@@ -402,5 +405,9 @@ def test_dp_noisy_sums_clip_and_determinism(spark):
 
     with pytest.raises(ValueError, match="clip"):
         dp_noisy_sums(df, "x", ["g"], clip=0.0, salt="k")
-    with pytest.raises(ValueError, match="salt"):
+    # missing salt = TypeError at call-authoring time (keyword-only
+    # required); empty salt = runtime ValueError
+    with pytest.raises(TypeError):
         dp_noisy_sums(df, "x", ["g"], clip=1.0)
+    with pytest.raises(ValueError, match="salt"):
+        dp_noisy_sums(df, "x", ["g"], clip=1.0, salt="")

@@ -509,6 +509,54 @@ def test_stream_score_batches_replay_idempotent(spark, tmp_path):
     assert "s" in replay.columns and "batch" not in str(replay.columns)
 
 
+def test_stream_score_batches_checkpoint_loss_coalesced_replay(
+    spark, tmp_path
+):
+    """Checkpoint LOSS (not resume) restarts batch numbering, and the
+    replay may coalesce the source into FEWER micro-batches — the
+    earlier run's higher-numbered batch-<id> subdirs would survive
+    every overwrite and double-count on read-back. A fresh start (no
+    committed offsets) must therefore clear existing batch-* subdirs:
+    3 files drained one-per-trigger (batch-0..2), checkpoint wiped,
+    re-drained as ONE micro-batch (batch-0 only) -> still 30 rows."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from hds_functions_spark.streaming.stream_ops import (
+        read_parquet_stream,
+        stream_score_batches,
+    )
+
+    src = str(tmp_path / "src4")
+    os.makedirs(src)
+    df = spark.range(0, 30)
+    for i in range(3):
+        df.filter(F.col("id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+    sink, ckpt = str(tmp_path / "sink4"), str(tmp_path / "ckpt4")
+
+    def score(b):
+        return b.withColumn("s", F.col("id") + 1)
+
+    first = stream_score_batches(
+        read_parquet_stream(spark, src, max_files_per_trigger=1),
+        score, path=sink, checkpoint_dir=ckpt,
+    ).count()
+    assert first == 30
+    assert len([d for d in os.listdir(sink) if d.startswith("batch-")]) == 3
+    shutil.rmtree(ckpt)  # checkpoint LOSS: numbering restarts at 0
+    replay = stream_score_batches(
+        read_parquet_stream(spark, src),  # no trigger cap -> ONE batch
+        score, path=sink, checkpoint_dir=ckpt,
+    )
+    # without the fresh-start clear, stale batch-1/batch-2 double-count
+    assert replay.count() == 30
+    assert len([d for d in os.listdir(sink) if d.startswith("batch-")]) == 1
+
+
 def test_stream_score_batches_all_filtered_returns_empty(spark, tmp_path):
     """A drained stream whose every row is filtered still writes a
     schema-bearing (empty) parquet per micro-batch: the helper returns
