@@ -25,11 +25,15 @@ import hds_functions_spark.registry_ext  # noqa: E402,F401  (registers extension
 
 def time_query(
     fn, spark, sf_dir, repeats: int, fast_cutoff: float = 0.7
-) -> float:
-    """Median of up to ``repeats`` runs; queries whose first run finishes
-    under ``fast_cutoff`` seconds are measured once more at most — their
-    variance is negligible and the suite has grown past 80 queries, so
-    3x-ing every sub-second query would dominate the harness wall-clock."""
+) -> list[float]:
+    """Per-repeat wall-clock list (up to ``repeats`` runs, in run order);
+    queries whose first run finishes under ``fast_cutoff`` seconds are
+    measured once more at most — their variance is negligible and the
+    suite has grown past 200 queries, so 3x-ing every sub-second query
+    would dominate the harness wall-clock. Returning the LIST (the
+    median is derived downstream) makes every future cold-vs-warm or
+    shared-cache attribution dispute decidable from the committed
+    BENCH.json record instead of requiring a re-measurement session."""
     from hds_functions_spark.caching import release_operator_caches
 
     timings: list[float] = []
@@ -44,7 +48,7 @@ def time_query(
         release_operator_caches()
         if len(timings) == 1 and timings[0] < fast_cutoff and repeats > 2:
             repeats = 2  # sub-second queries: variance is negligible
-    return statistics.median(timings)
+    return timings
 
 
 def main() -> None:
@@ -75,14 +79,20 @@ def main() -> None:
         names = [n for n in names if n in wanted]
 
     per_query: dict[str, float] = {}
+    per_repeat: dict[str, list[float]] = {}
     for name in names:
         fn = QUERIES[name]
         try:
-            per_query[name] = round(time_query(fn, spark, sf_dir, repeats), 3)
-            print(f"{name}: {per_query[name]}s", file=sys.stderr)
+            runs = [
+                round(t, 3) for t in time_query(fn, spark, sf_dir, repeats)
+            ]
+            per_repeat[name] = runs
+            per_query[name] = round(statistics.median(runs), 3)
+            print(f"{name}: {per_query[name]}s {runs}", file=sys.stderr)
         except Exception as exc:  # keep the suite going; surface the failure
             print(f"bench error in {name}: {exc}", file=sys.stderr)
             per_query[name] = -1.0
+            per_repeat[name] = []
 
     total = round(sum(t for t in per_query.values() if t >= 0), 3)
     result = {
@@ -90,9 +100,14 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": per_query,
+        # the audit trail: every individual repeat in run order — the
+        # ACTUAL repeat count per query is len(list) (sub-fast_cutoff
+        # queries are deliberately measured twice, not `repeats` times)
+        "query_repeats": per_repeat,
         "sf": sf,
         "cpus": int(cpus),
         "repeats": repeats,
+        "fast_cutoff_sec": 0.7,
     }
     # Output contract: stdout carries exactly two JSON lines — the full
     # per-query record, then a compact suite-level summary as the very LAST

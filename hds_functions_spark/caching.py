@@ -33,7 +33,22 @@ _TRACKED: list[DataFrame] = []
 def tracked_persist(
     df: DataFrame, level: StorageLevel = StorageLevel.MEMORY_AND_DISK
 ) -> DataFrame:
-    """``df.persist(level)`` + registration for later bulk release."""
+    """``df.persist(level)`` + registration for later bulk release.
+
+    A frame that is ALREADY persisted is returned unchanged and NOT
+    tracked: its lifecycle belongs to whoever persisted it first.
+    Re-persisting would be a no-op, but tracking the handle would hand
+    :func:`release_operator_caches` the power to unpersist a
+    cross-query shared cache (e.g. the session-shared winnowing
+    fingerprint table) behind its owner's back — the owner's cache
+    dict still holds the handle, so every later consumer silently
+    recomputes the upstream on EVERY scan. That was the r10
+    winnowing-family bench anomaly: the shared fps table was tracked
+    via its first consumer, released between bench repeats, and
+    'warm' runs then re-ran the whole fingerprint extraction 2-3x per
+    query (root-caused r11; see BASELINE.md)."""
+    if df.storageLevel != StorageLevel.NONE:
+        return df  # caller-managed persistence — do not adopt ownership
     df = df.persist(level)
     _TRACKED.append(df)
     return df

@@ -137,3 +137,39 @@ def test_shared_sim_edges_cold_and_cached_agree(spark):
     )
     assert cold == cached
     reset_shared_sim_edges(spark, sf)
+
+
+def test_tracked_persist_does_not_adopt_foreign_persist(spark):
+    """The r10 winnowing-family bench anomaly, root-caused: an operator
+    calling tracked_persist on an input that a session-shared cache
+    already persisted must NOT track it — otherwise
+    release_operator_caches unpersists the shared frame behind its
+    owner's back and every later consumer silently recomputes the
+    upstream on every scan."""
+    from pyspark import StorageLevel
+
+    from hds_functions_spark.caching import (
+        release_operator_caches,
+        tracked_count,
+        tracked_persist,
+    )
+
+    release_operator_caches()  # clean slate
+    owner = spark.range(10).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        owner.count()  # materialise
+        before = tracked_count()
+        got = tracked_persist(owner)
+        assert got is owner
+        assert tracked_count() == before  # NOT adopted
+        release_operator_caches()
+        # the owner's persistence survives the bulk release
+        assert owner.storageLevel != StorageLevel.NONE
+        # an unpersisted frame is still persisted + tracked as before
+        fresh = tracked_persist(spark.range(5))
+        assert fresh.storageLevel != StorageLevel.NONE
+        assert tracked_count() == 1
+        release_operator_caches()
+        assert fresh.storageLevel == StorageLevel.NONE
+    finally:
+        owner.unpersist()
