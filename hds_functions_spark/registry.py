@@ -731,74 +731,70 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Queries the driver's correctness gate should see first. The gate verifies
 #: exactly the first 50 entries of ``queries()`` in iteration order.
-#: ROUND-10 ROTATION (executing the r9 verdict's top item): head = the
-#: fourteen round-10 additions (persisted-index incremental ANN,
-#: embedding decontamination, k-core, DP sums, incremental embedding
-#: pairs, column-level version drift — land driver rows the round they
-#: ship), then ALL 30 r04-vintage stale rows, then the 6
-#: alphabetically-first r05 rows. That covers 36 of the 72 rows
-#: `tools/driver_coverage.py` flagged stale at r9 close; the remaining
-#: 36 r05 rows queue for round 11.
-#: ROUND-11 ROTATION GUIDANCE: put any round-11 additions (plus any r10
-#: reds) at the head, then the 34 remaining r05-vintage rows
-#: (clean_filter_lines, clean_scrub_pii, clean_unicode_nfc,
-#: doclen_histogram, doclen_quantiles, embedding_centroids .. text_tfidf
-#: — tools/driver_coverage.py lists them); after that no registry row
-#: is older than r06.
+#: ROUND-11 ROTATION (executing the r10 verdict's item 3): no r10 reds
+#: exist (50/50 green), so the window burns down the freshness queue —
+#: ALL 36 r05-vintage stale rows plus the 14 alphabetically-first
+#: r06-vintage rows (the two vintages `tools/driver_coverage.py`
+#: flagged at r10 close: 36 + 48). Round-11 additions take head slots,
+#: displacing the r06 tail to the r12 queue.
+#: ROUND-12 ROTATION GUIDANCE: put any round-12 additions (plus any
+#: r11 reds) at the head, then the remaining r06-vintage rows
+#: (tools/driver_coverage.py lists them — events_time_decay,
+#: events_top_type_hourly .. wrangle_unpivot); after that no registry
+#: row is older than r07.
 DRIVER_PRIORITY: list[str] = [
-    # round-10 additions (land driver rows the round they ship):
-    "similarity_ivf_probe_incremental",
-    "similarity_pq_probe_incremental",
-    "similarity_pq_ingest_codes",
-    "similarity_ivf_ingest_assign",
-    "similarity_ivf_probe_recall",
-    "similarity_index_drift",
-    "streaming_pq_ingest",
-    "graph_kcore",
-    "privacy_dp_sums",
-    "dedup_embedding_incremental",
-    "table_version_drift",
-    "decontam_embedding",
-    "decontam_agreement",
-    "pipeline_decontam_purge",
-    # r04-vintage rows (stalest; all 30):
-    "events_densified",
-    "events_interval_join",
-    "events_sessionize",
-    "events_sessions",
-    "events_tumbling",
-    "ids_dense_assign",
-    "join_salted",
-    "multimodal_audio",
-    "multimodal_features",
-    "multimodal_frames",
-    "multimodal_resize",
-    "profile_key_skew",
-    "quality_orphans",
-    "similarity_ivf_knn",
-    "similarity_knn",
-    "similarity_lsh_banded",
-    "similarity_lsh_knn",
-    "similarity_recall",
-    "source_csv_distributed",
-    "source_jsonl_corpus",
-    "streaming_tumbling",
-    "table_diff_versions",
-    "text_bigram_logprob",
-    "text_char_entropy",
-    "text_fingerprint",
-    "text_language",
-    "text_quality",
-    "text_stats",
-    "text_tokens",
-    "wrangle_winsorize",
-    # oldest r05 rows to fill the 50-slot window (6):
-    "analytics_promo_revenue",
-    "analytics_region_revenue",
-    "analytics_top_orders",
-    "chunk_documents",
-    "clean_dedup_lines",
-    "clean_dedup_lines_corpus",
+    # r05-vintage stale rows (all 36):
+    "clean_filter_lines",
+    "clean_scrub_pii",
+    "clean_unicode_nfc",
+    "decontam_ngram_overlap",
+    "dedup_ngram_jaccard",
+    "doclen_histogram",
+    "doclen_quantiles",
+    "embedding_centroids",
+    "events_asof_forward",
+    "events_asof_tolerance",
+    "events_funnel",
+    "events_gap_quantiles",
+    "events_interval_binned",
+    "events_json_props",
+    "events_retention",
+    "events_sliding",
+    "events_trailing",
+    "pack_sequences",
+    "pipeline_best_of_cluster",
+    "pipeline_curation",
+    "privacy_suppress",
+    "profile_lineitem",
+    "sample_cap_per_group",
+    "sample_hash_split",
+    "sample_mixture",
+    "sample_nested",
+    "sample_stratified",
+    "streaming_dedup",
+    "streaming_interval_join",
+    "streaming_sessions",
+    "streaming_stateful_totals",
+    "table_standardise_hes",
+    "text_langid_confusion",
+    "text_repetition",
+    "text_stopword_filter",
+    "text_tfidf",
+    # r06-vintage stale rows (the 14 alphabetically-first of 48):
+    "analytics_cube",
+    "analytics_share",
+    "cluster_kmeans",
+    "cluster_kmeans_profile",
+    "cluster_semantic_dedup",
+    "dedup_cluster_sizes",
+    "dedup_containment",
+    "dedup_degree_stats",
+    "dedup_substring_signal",
+    "events_active_users",
+    "events_anomaly_daily",
+    "events_cooccurrence",
+    "events_densified_monthly",
+    "events_rfm",
 ]
 
 
