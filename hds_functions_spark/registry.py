@@ -743,6 +743,8 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: events_top_type_hourly .. wrangle_unpivot); after that no registry
 #: row is older than r07.
 DRIVER_PRIORITY: list[str] = [
+    # round-11 additions (land driver rows the round they ship):
+    "pipeline_card_trend",
     # r05-vintage stale rows (all 36):
     "clean_filter_lines",
     "clean_scrub_pii",
@@ -794,7 +796,6 @@ DRIVER_PRIORITY: list[str] = [
     "events_anomaly_daily",
     "events_cooccurrence",
     "events_densified_monthly",
-    "events_rfm",
 ]
 
 

@@ -1039,3 +1039,143 @@ def pipeline_decontam_purge(spark, sf_dir):
             (F.count(F.lit(1)) - F.count("_f")).cast("long").alias("n_kept"),
         )
     )
+
+
+# --- per-source incremental data card (card per snapshot, drift between) -----
+
+
+def _duck_card_trend_sql() -> str:
+    """Two per-source card legs (the pipeline_data_card quality/token
+    arithmetic) over the two snapshot predicates, full-outer-joined on
+    source — composing the registered text_quality oracle so scorer
+    drift propagates into this oracle automatically."""
+    from .registry_ext7 import _NB_DUCK_TOK
+
+    leg = """
+  SELECT source,
+         CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) / (1.0 * count(*))
+           AS pct_en_raw,
+         avg(quality_score) AS mq_raw
+  FROM (SELECT doc_id, source, lang, len({tok}) AS n_tok
+        FROM documents WHERE {pred}) d
+  JOIN q USING (doc_id) GROUP BY 1"""
+    return f"""
+WITH q AS ({{quality_oracle}}),
+ca AS ({leg.format(tok=_NB_DUCK_TOK, pred="doc_id % 4 <> 0")}),
+cb AS ({leg.format(tok=_NB_DUCK_TOK, pred="TRUE")})
+SELECT coalesce(ca.source, cb.source) AS source,
+       ca.n_docs AS n_docs_a, cb.n_docs AS n_docs_b,
+       round(cb.n_docs / (1.0 * ca.n_docs), 4) AS n_docs_ratio,
+       ca.n_tokens AS n_tokens_a, cb.n_tokens AS n_tokens_b,
+       round((cb.n_tokens - ca.n_tokens) / (1.0 * ca.n_tokens), 4)
+         AS token_delta_frac,
+       round(ca.pct_en_raw, 4) AS pct_en_a,
+       round(cb.pct_en_raw, 4) AS pct_en_b,
+       round(ca.mq_raw, 4) AS mean_quality_a,
+       round(cb.mq_raw, 4) AS mean_quality_b,
+       round(cb.mq_raw - ca.mq_raw, 4) AS quality_delta
+FROM ca FULL JOIN cb ON ca.source = cb.source
+""".format(quality_oracle=ORACLES["text_quality"])
+
+
+@_register("pipeline_card_trend", _duck_card_trend_sql())
+def pipeline_card_trend(spark, sf_dir):
+    """The per-source INCREMENTAL data card — pipeline_data_card's
+    volume/language/quality legs computed per ARCHIVE SNAPSHOT and
+    joined into the trend report (profile_version_drift's a/b-delta
+    shape, keyed by source instead of column): what a monthly crawl
+    refresh ships next to the card itself, surfacing 'source X grew
+    40% but its mean quality fell' before the mixture planner consumes
+    the new snapshot. Snapshot v1 (2024-01-01) is the doc_id % 4 != 0
+    subset, v2 (2024-02-01) the full table — a growing crawl written
+    and re-loaded through real save_archive_snapshot partitions, like
+    table_version_drift. Full-outer on source so a source appearing in
+    only one snapshot reports NULL on the missing side (the
+    new-source/vanished-source signal). Deltas round ONCE from raw
+    aggregates (never deltas of rounded values). At 100 TB each card
+    leg is one scan-pruned aggregate to |sources| rows; the trend join
+    is report-sized."""
+    import os
+    import shutil
+    import tempfile
+
+    from .functions.text import add_quality_score, token_count
+    from .sources.tables import load_table, save_archive_snapshot
+
+    base = os.path.join(
+        tempfile.gettempdir(), "hds_cardtrend_" + _stable_dir_tag(sf_dir)
+    )
+    shutil.rmtree(base, ignore_errors=True)  # append-mode: never accumulate
+    td = {"arch": {"path": os.path.join(base, "arch"), "format": "parquet"}}
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source", "lang"
+    )
+    save_archive_snapshot(
+        docs.filter(F.col("doc_id") % 4 != 0), "arch", "2024-01-01", td
+    )
+    save_archive_snapshot(docs, "arch", "2024-02-01", td)
+
+    def card(df):
+        q = add_quality_score(df).select("doc_id", "quality_score")
+        return (
+            df.select(
+                "doc_id", "source", "lang",
+                token_count(F.col("text")).alias("n_tok"),
+            )
+            .join(q, on="doc_id")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("n_tok").cast("long").alias("n_tokens"),
+                (
+                    F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+                    / F.count(F.lit(1))
+                ).alias("pct_en_raw"),
+                F.avg("quality_score").alias("mq_raw"),
+            )
+        )
+
+    ca = card(
+        load_table(
+            "arch", {"arch": {**td["arch"], "archive_date": "2024-01-01"}}
+        )
+    ).select(
+        "source",
+        F.col("n_docs").alias("n_docs_a"),
+        F.col("n_tokens").alias("n_tokens_a"),
+        F.col("pct_en_raw").alias("_pe_a"),
+        F.col("mq_raw").alias("_mq_a"),
+    )
+    cb = card(
+        load_table(
+            "arch", {"arch": {**td["arch"], "archive_date": "2024-02-01"}}
+        )
+    ).select(
+        "source",
+        F.col("n_docs").alias("n_docs_b"),
+        F.col("n_tokens").alias("n_tokens_b"),
+        F.col("pct_en_raw").alias("_pe_b"),
+        F.col("mq_raw").alias("_mq_b"),
+    )
+    return ca.join(cb, on="source", how="full_outer").select(
+        "source",
+        "n_docs_a",
+        "n_docs_b",
+        F.round(F.col("n_docs_b") / F.col("n_docs_a"), 4).alias(
+            "n_docs_ratio"
+        ),
+        "n_tokens_a",
+        "n_tokens_b",
+        F.round(
+            (F.col("n_tokens_b") - F.col("n_tokens_a"))
+            / F.col("n_tokens_a"),
+            4,
+        ).alias("token_delta_frac"),
+        F.round(F.col("_pe_a"), 4).alias("pct_en_a"),
+        F.round(F.col("_pe_b"), 4).alias("pct_en_b"),
+        F.round(F.col("_mq_a"), 4).alias("mean_quality_a"),
+        F.round(F.col("_mq_b"), 4).alias("mean_quality_b"),
+        F.round(F.col("_mq_b") - F.col("_mq_a"), 4).alias("quality_delta"),
+    )
