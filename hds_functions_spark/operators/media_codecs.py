@@ -13,6 +13,13 @@ environment. Formats covered:
   every producer), 8/24/32 bpp, top-down or bottom-up.
 - **WAV**: RIFF chunk walk (tolerates extra chunks before ``data``),
   PCM16 only, exact integer RMS.
+- **JPEG** (baseline, ITU-T T.81): full encode+decode — 2-D DCT,
+  standard Annex K Huffman tables, DPCM/run-length entropy coding,
+  DRI/RSTn restarts, JFIF YCbCr; grayscale and 4:4:4 color (no chroma
+  subsampling; progressive returns None). The fixture protocol makes
+  the LOSSY codec oracle-exact: constant 8x8 blocks + an all-8s
+  quantization table leave only DC coefficients, which q=8 quantizes
+  losslessly (see the JPEG section comment).
 
 Also provides deterministic fixture *synthesis* (image/audio payloads
 derived from a seed string via md5) whose observable properties —
@@ -56,9 +63,11 @@ __all__ = [
     "synthesize_ppm",
     "synthesize_bmp",
     "synthesize_png",
+    "synthesize_jpeg",
     "synthesize_wav",
     "synthesize_y4m",
     "parse_image",
+    "parse_jpeg",
     "parse_png",
     "parse_wav",
     "parse_y4m",
@@ -69,6 +78,8 @@ __all__ = [
     "image_pixel_data",
     "ahash64",
     "ahash64_from_pixels",
+    "encode_jpeg_baseline",
+    "decode_jpeg_baseline",
 ]
 
 WAV_RATES = [8000, 16000, 22050, 44100, 48000]
@@ -727,6 +738,8 @@ def image_pixel_data(payload: bytes | None) -> tuple[int, int, bytes] | None:
         return bmp_pixel_data(p)
     if p[:8] == b"\x89PNG\r\n\x1a\n":
         return png_pixel_data(p)
+    if p[:2] == b"\xff\xd8":
+        return decode_jpeg_baseline(p)
     return None
 
 
@@ -787,3 +800,711 @@ def ahash64_from_pixels(
             if sv * n > total:
                 val |= 1 << idx
     return w, h, (val >> 32) & 0xFFFFFFFF, val & 0xFFFFFFFF
+
+
+# --- JPEG baseline (ITU-T T.81 / ISO 10918-1) -----------------------------
+#
+# A pure-stdlib (numpy-accelerated) BASELINE sequential DCT codec — the
+# one compressed image class real multimodal corpora actually ship.
+# Scope: 8-bit baseline (SOF0), grayscale or 3-component 4:4:4 (no
+# chroma subsampling), standard JFIF color transform, DRI/RSTn restart
+# markers honoured. Progressive (SOF2) and subsampled streams return
+# None from the decoder (documented unsupported, never garbage).
+#
+# Fixture synthesis protocol (fixed; the oracles depend on it):
+# ``w8 = 1 + d0 % 8`` blocks wide, ``h8 = 1 + d1 % 8`` blocks high
+# (d_i = byte i of md5(seed); so dims are 8..64 px multiples of 8);
+# GRAYSCALE; block k in raster order is the CONSTANT luma
+# ``(d3 + k) % 256``; quantization table all-8s. A constant block has
+# only a DC coefficient and q=8 makes the quantized DC the exact
+# level-shifted value, so the decode is EXACT despite JPEG being lossy
+# — which is what lets a SQL oracle predict pixel_sum closed-form
+# while the full entropy-decode/dequantize/IDCT path still runs.
+
+#: zigzag scan: position i of the scan -> natural (row-major) index
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+#: standard luminance Huffman tables (T.81 Annex K.3) — used by the
+#: encoder for every component; the decoder reads whatever DHT the
+#: stream carries.
+_STD_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_STD_DC_VALS = list(range(12))
+_STD_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_STD_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+
+def _huff_encode_map(bits: list[int], vals: list[int]) -> dict:
+    """Canonical Huffman (T.81 C.2): symbol -> (code, length)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_map(bits: list[int], vals: list[int]) -> dict:
+    """(length, code) -> symbol, for the bit-serial decoder."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _dct_basis():
+    m = [[0.0] * 8 for _ in range(8)]
+    for u in range(8):
+        cu = math.sqrt(0.5) if u == 0 else 1.0
+        for x in range(8):
+            m[u][x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+    return m
+
+
+_DCT_M = _dct_basis()
+
+
+def _fdct8x8(block):
+    """Forward 2-D DCT of one 8x8 block (list of 64 level-shifted ints)."""
+    if np is not None:
+        m = np.asarray(_DCT_M)
+        f = np.asarray(block, dtype=np.float64).reshape(8, 8)
+        return (m @ f @ m.T).reshape(64).tolist()
+    out = [0.0] * 64
+    for u in range(8):
+        for v in range(8):
+            s = 0.0
+            for x in range(8):
+                for y in range(8):
+                    s += _DCT_M[u][x] * block[x * 8 + y] * _DCT_M[v][y]
+            out[u * 8 + v] = s
+    return out
+
+
+def _idct_blocks(coeffs):
+    """Inverse 2-D DCT of a stack of blocks -> float pixel values
+    (still level-shifted). ``coeffs``: list of 64-float lists."""
+    if np is not None:
+        m = np.asarray(_DCT_M)
+        f = np.asarray(coeffs, dtype=np.float64).reshape(-1, 8, 8)
+        # f_xy = sum_{u,v} M[u,x] * F[u,v] * M[v,y]  (= M^T F M)
+        return np.einsum("ux,nuv,vy->nxy", m, f, m)
+    out = []
+    for blk in coeffs:
+        px = [0.0] * 64
+        for x in range(8):
+            for y in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        s += _DCT_M[u][x] * blk[u * 8 + v] * _DCT_M[v][y]
+                px[x * 8 + y] = s
+        out.append(px)
+    return out
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            b = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits (spec F.1.2.3)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """JPEG magnitude coding: value -> (category, extra bits)."""
+    if v == 0:
+        return 0, 0
+    s = abs(v).bit_length()
+    return (s, v) if v > 0 else (s, v + (1 << s) - 1)
+
+
+def _rgb_to_ycbcr(r: float, g: float, b: float) -> tuple[float, float, float]:
+    """JFIF full-range color transform."""
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return y, cb, cr
+
+
+def encode_jpeg_baseline(
+    w: int,
+    h: int,
+    data: bytes,
+    n_components: int = 1,
+    qtable: list[int] | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Minimal BASELINE JPEG encoder: grayscale (``n_components=1``,
+    ``data`` = w*h luma bytes) or 4:4:4 color (``n_components=3``,
+    ``data`` = top-down RGB triples). One quantization table (natural
+    order, default all-16s) and the standard luminance Huffman pair
+    shared by every component — valid, universally decodable streams;
+    compression ratio is not the point, exercising the REAL bit format
+    is. Edge blocks replicate the last row/column (the standard pad).
+    """
+    if n_components not in (1, 3):
+        raise ValueError("n_components must be 1 or 3")
+    q = list(qtable) if qtable is not None else [16] * 64
+    if len(q) != 64 or any(not (1 <= int(x) <= 255) for x in q):
+        raise ValueError("qtable must be 64 values in [1, 255]")
+
+    # --- plane extraction (level-shifted floats), padded to 8-multiples,
+    # then quantized zigzag coefficients per block in raster order. The
+    # numpy path batches edge-pad, color transform, 2-D DCT (einsum over
+    # all blocks at once) and the zigzag gather; only the entropy coding
+    # below is bit-serial.
+    bw, bh = (w + 7) // 8, (h + 7) // 8
+    zz_all: list = [None] * n_components  # per comp: nblocks x 64 ints
+    if np is not None:
+        raw = np.frombuffer(bytes(data), dtype=np.uint8).astype(np.float64)
+        if n_components == 1:
+            chans = [raw.reshape(h, w)]
+        else:
+            rgb = raw.reshape(h, w, 3)
+            r, g, b = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+            chans = [
+                0.299 * r + 0.587 * g + 0.114 * b,
+                128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+                128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+            ]
+        m = np.asarray(_DCT_M)
+        qnat = np.asarray(q, dtype=np.float64)
+        for c, ch in enumerate(chans):
+            plane = np.pad(
+                ch - 128.0, ((0, bh * 8 - h), (0, bw * 8 - w)), mode="edge"
+            )
+            blocks = (
+                plane.reshape(bh, 8, bw, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(-1, 8, 8)
+            )
+            # F[u,v] = sum_{x,y} M[u,x] f[x,y] M[v,y]
+            coef = np.einsum("ux,nxy,vy->nuv", m, blocks, m).reshape(-1, 64)
+            quant = np.rint(coef / qnat).astype(np.int64)
+            zz_all[c] = quant[:, _JPEG_ZIGZAG].tolist()
+    else:
+        planes: list[list[float]] = [
+            [0.0] * (bw * 8 * bh * 8) for _ in range(n_components)
+        ]
+        for y in range(bh * 8):
+            sy = min(y, h - 1)
+            for x in range(bw * 8):
+                sx = min(x, w - 1)
+                if n_components == 1:
+                    planes[0][y * bw * 8 + x] = data[sy * w + sx] - 128.0
+                else:
+                    base = (sy * w + sx) * 3
+                    yy, cb, cr = _rgb_to_ycbcr(
+                        data[base], data[base + 1], data[base + 2]
+                    )
+                    planes[0][y * bw * 8 + x] = yy - 128.0
+                    planes[1][y * bw * 8 + x] = cb - 128.0
+                    planes[2][y * bw * 8 + x] = cr - 128.0
+        for c in range(n_components):
+            rows = []
+            for by in range(bh):
+                for bx in range(bw):
+                    block = [
+                        planes[c][(by * 8 + i) * bw * 8 + bx * 8 + j]
+                        for i in range(8)
+                        for j in range(8)
+                    ]
+                    coef = _fdct8x8(block)
+                    rows.append(
+                        [
+                            int(round(coef[_JPEG_ZIGZAG[i]] / q[_JPEG_ZIGZAG[i]]))
+                            for i in range(64)
+                        ]
+                    )
+            zz_all[c] = rows
+
+    dc_map = _huff_encode_map(_STD_DC_BITS, _STD_DC_VALS)
+    ac_map = _huff_encode_map(_STD_AC_BITS, _STD_AC_VALS)
+    bw_writer = _JpegBitWriter()
+    pred = [0] * n_components
+    mcu = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw_writer.flush()  # byte-align before the marker
+                bw_writer.buf += bytes(
+                    (0xFF, 0xD0 + (mcu // restart_interval - 1) % 8)
+                )
+                pred = [0] * n_components
+            mcu += 1
+            for c in range(n_components):  # interleaved 4:4:4 MCU
+                zz = zz_all[c][by * bw + bx]
+                diff = zz[0] - pred[c]
+                pred[c] = zz[0]
+                s, extra = _magnitude(diff)
+                code, length = dc_map[s]
+                bw_writer.write(code, length)
+                bw_writer.write(extra, s)
+                run = 0
+                last_nz = max(
+                    (i for i in range(1, 64) if zz[i] != 0), default=0
+                )
+                for i in range(1, last_nz + 1):
+                    if zz[i] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, length = ac_map[0xF0]  # ZRL
+                        bw_writer.write(code, length)
+                        run -= 16
+                    s, extra = _magnitude(zz[i])
+                    code, length = ac_map[(run << 4) | s]
+                    bw_writer.write(code, length)
+                    bw_writer.write(extra, s)
+                    run = 0
+                if last_nz < 63:
+                    code, length = ac_map[0x00]  # EOB
+                    bw_writer.write(code, length)
+    bw_writer.flush()
+
+    # --- segment assembly
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(
+        0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )  # APP0
+    out += seg(
+        0xDB, bytes([0x00]) + bytes(q[_JPEG_ZIGZAG[i]] for i in range(64))
+    )  # DQT id 0, zigzag order
+    comp_specs = b"".join(
+        struct.pack(">BBB", cid + 1, 0x11, 0) for cid in range(n_components)
+    )
+    out += seg(
+        0xC0,
+        struct.pack(">BHHB", 8, h, w, n_components) + comp_specs,
+    )  # SOF0
+    out += seg(
+        0xC4, bytes([0x00]) + bytes(_STD_DC_BITS) + bytes(_STD_DC_VALS)
+    )  # DHT DC id 0
+    out += seg(
+        0xC4, bytes([0x10]) + bytes(_STD_AC_BITS) + bytes(_STD_AC_VALS)
+    )  # DHT AC id 0
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))  # DRI
+    scan_specs = b"".join(
+        struct.pack(">BB", cid + 1, 0x00) for cid in range(n_components)
+    )
+    out += seg(
+        0xDA,
+        bytes([n_components]) + scan_specs + b"\x00\x3f\x00",
+    )  # SOS
+    out += bw_writer.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def synthesize_jpeg(seed: str) -> bytes:
+    """Deterministic DC-exact JPEG fixture (protocol in the section
+    comment above): grayscale, 1..8 blocks per side, block k constant
+    luma ``(d3 + k) % 256``, qtable all-8s — the decode is EXACT, so
+    the oracle predicts pixel_sum closed-form while the full baseline
+    bitstream path (Huffman, DPCM, dequantize, IDCT) runs for real."""
+    d = hashlib.md5(seed.encode()).digest()
+    w8, h8 = 1 + d[0] % 8, 1 + d[1] % 8
+    w, h = 8 * w8, 8 * h8
+    gray = bytearray(w * h)
+    for by in range(h8):
+        for bx in range(w8):
+            v = (d[3] + by * w8 + bx) % 256
+            for i in range(8):
+                row = (by * 8 + i) * w + bx * 8
+                gray[row : row + 8] = bytes([v]) * 8
+    return encode_jpeg_baseline(w, h, bytes(gray), 1, [8] * 64)
+
+
+class _JpegBitReader:
+    """Bit-serial reader over entropy-coded data with 0xFF00 unstuffing.
+    Stops at any real marker; RSTn consumption is explicit via
+    :meth:`restart`."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.d = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> bool:
+        while self.n < 25:
+            if self.pos >= len(self.d):
+                return self.n > 0
+            b = self.d[self.pos]
+            if b == 0xFF:
+                if self.pos + 1 < len(self.d) and self.d[self.pos + 1] == 0x00:
+                    self.pos += 2  # stuffed FF
+                else:
+                    return self.n > 0  # real marker: stop feeding
+            else:
+                self.pos += 1
+            self.acc = (self.acc << 8) | b
+            self.n += 8
+        return True
+
+    def bits(self, k: int) -> int | None:
+        if k == 0:
+            return 0
+        if self.n < k and not self._fill():
+            return None
+        if self.n < k:
+            return None
+        self.n -= k
+        v = (self.acc >> self.n) & ((1 << k) - 1)
+        self.acc &= (1 << self.n) - 1
+        return v
+
+    def huff(self, table: dict) -> int | None:
+        code = 0
+        for length in range(1, 17):
+            b = self.bits(1)
+            if b is None:
+                return None
+            code = (code << 1) | b
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        return None
+
+    def restart(self) -> bool:
+        """Byte-align and consume an RSTn marker (True on success)."""
+        self.acc, self.n = 0, 0
+        if (
+            self.pos + 1 < len(self.d)
+            and self.d[self.pos] == 0xFF
+            and 0xD0 <= self.d[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+            return True
+        return False
+
+
+def _extend(v: int, s: int) -> int:
+    """Inverse magnitude coding (T.81 F.2.2.1 EXTEND)."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def parse_jpeg(payload: bytes | None) -> dict | None:
+    """Metadata-only JPEG walk: dims/components/process from the first
+    SOFn. Returns ``{width, height, n_components, progressive}`` or
+    None if the payload is not a JPEG."""
+    if not payload:
+        return None
+    p = bytes(payload)
+    if p[:2] != b"\xff\xd8":
+        return None
+    i = 2
+    while i + 3 < len(p):
+        if p[i] != 0xFF:
+            return None
+        m = p[i + 1]
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        if m == 0xD9:
+            break
+        if i + 4 > len(p):
+            return None
+        ln = struct.unpack(">H", p[i + 2 : i + 4])[0]
+        if m in (0xC0, 0xC1, 0xC2):
+            if i + 9 > len(p):
+                return None
+            h, w = struct.unpack(">HH", p[i + 5 : i + 9])
+            return {
+                "width": w,
+                "height": h,
+                "n_components": p[i + 9],
+                "progressive": m == 0xC2,
+            }
+        i += 2 + ln
+    return None
+
+
+def decode_jpeg_baseline(payload: bytes | None) -> tuple[int, int, bytes] | None:
+    """Decode a BASELINE (SOF0/SOF1) JPEG to ``(width, height, top-down
+    RGB bytes)`` — grayscale expanded to RGB. Full pipeline: marker
+    walk, DQT (8/16-bit), DHT canonical-code build, interleaved scan
+    entropy decode (DPCM DC, run-length AC, ZRL/EOB), DRI/RSTn restart
+    handling, dequantize, 2-D IDCT, level shift + clamp, JFIF
+    YCbCr->RGB. Returns None (never garbage) for: progressive streams,
+    chroma-subsampled streams (sampling factors != 1x1), arithmetic
+    coding, >2 components, or any structural corruption.
+    """
+    if not payload:
+        return None
+    p = bytes(payload)
+    if p[:2] != b"\xff\xd8":
+        return None
+    qtables: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> decode map
+    sof = None  # (w, h, [(comp_id, qtable_id)])
+    restart_interval = 0
+    i = 2
+    scan = None
+    while i + 3 < len(p):
+        if p[i] != 0xFF:
+            return None
+        m = p[i + 1]
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        if m == 0xD9:
+            break
+        if i + 4 > len(p):
+            return None
+        ln = struct.unpack(">H", p[i + 2 : i + 4])[0]
+        body = p[i + 4 : i + 2 + ln]
+        if m == 0xDB:  # DQT (possibly several tables)
+            j = 0
+            while j < len(body):
+                prec, tid = body[j] >> 4, body[j] & 0x0F
+                j += 1
+                if prec == 0:
+                    if j + 64 > len(body):
+                        return None
+                    zz = list(body[j : j + 64])
+                    j += 64
+                else:
+                    if j + 128 > len(body):
+                        return None
+                    zz = [
+                        struct.unpack(">H", body[j + 2 * k : j + 2 * k + 2])[0]
+                        for k in range(64)
+                    ]
+                    j += 128
+                qtables[tid] = zz  # zigzag order, as stored
+        elif m == 0xC4:  # DHT (possibly several tables)
+            j = 0
+            while j + 17 <= len(body):
+                cls, tid = body[j] >> 4, body[j] & 0x0F
+                bits = list(body[j + 1 : j + 17])
+                n = sum(bits)
+                vals = list(body[j + 17 : j + 17 + n])
+                if len(vals) != n:
+                    return None
+                huff[(cls, tid)] = _huff_decode_map(bits, vals)
+                j += 17 + n
+        elif m in (0xC0, 0xC1):  # baseline / extended sequential Huffman
+            h, w = struct.unpack(">HH", body[1:5])
+            nc = body[5]
+            if nc not in (1, 3) or w == 0 or h == 0:
+                return None
+            comps = []
+            for c in range(nc):
+                cid, samp, qid = body[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    return None  # subsampling unsupported, fail closed
+                comps.append((cid, qid))
+            sof = (w, h, comps)
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # progressive/lossless/arithmetic: unsupported
+        elif m == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif m == 0xDA:  # SOS
+            if sof is None:
+                return None
+            ns = body[0]
+            if ns != len(sof[2]):
+                return None
+            tsel = {}
+            for c in range(ns):
+                cid, tt = body[1 + 2 * c], body[2 + 2 * c]
+                tsel[cid] = (tt >> 4, tt & 0x0F)
+            scan = (i + 2 + ln, tsel)
+            break
+        i += 2 + ln
+    if sof is None or scan is None:
+        return None
+    w, h, comps = sof
+    start, tsel = scan
+    nc = len(comps)
+    for cid, _qid in comps:
+        if cid not in tsel:
+            return None
+        dci, aci = tsel[cid]
+        if (0, dci) not in huff or (1, aci) not in huff:
+            return None
+    for _cid, qid in comps:
+        if qid not in qtables:
+            return None
+
+    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+    reader = _JpegBitReader(p, start)
+    pred = [0] * nc
+    # decoded coefficient blocks per component, raster order
+    blocks: list[list[list[float]]] = [[] for _ in range(nc)]
+    mcu = 0
+    for _by in range(bh_):
+        for _bx in range(bw_):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                if not reader.restart():
+                    return None
+                pred = [0] * nc
+            for c in range(nc):
+                cid, qid = comps[c]
+                dc_tab = huff[(0, tsel[cid][0])]
+                ac_tab = huff[(1, tsel[cid][1])]
+                q = qtables[qid]
+                zz = [0] * 64
+                s = reader.huff(dc_tab)
+                if s is None or s > 15:
+                    return None
+                bits_v = reader.bits(s)
+                if bits_v is None:
+                    return None
+                pred[c] += _extend(bits_v, s) if s else 0
+                zz[0] = pred[c]
+                k = 1
+                while k < 64:
+                    rs = reader.huff(ac_tab)
+                    if rs is None:
+                        return None
+                    r, s = rs >> 4, rs & 0x0F
+                    if s == 0:
+                        if r == 15:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    k += r
+                    if k > 63:
+                        return None
+                    bits_v = reader.bits(s)
+                    if bits_v is None:
+                        return None
+                    zz[k] = _extend(bits_v, s)
+                    k += 1
+                blocks[c].append(zz)  # dequantized in batch below
+            mcu += 1
+
+    # batch dequantize + IDCT per component, assemble planes
+    planes = []
+    for c in range(nc):
+        q = qtables[comps[c][1]]
+        if np is not None:
+            zzq = np.asarray(blocks[c], dtype=np.float64) * np.asarray(
+                q, dtype=np.float64
+            )
+            coef = np.empty_like(zzq)
+            coef[:, _JPEG_ZIGZAG] = zzq  # zigzag -> natural scatter
+            px = np.einsum(
+                "ux,nuv,vy->nxy",
+                np.asarray(_DCT_M),
+                coef.reshape(-1, 8, 8),
+                np.asarray(_DCT_M),
+            )
+            plane = (
+                px.reshape(bh_, bw_, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(bh_ * 8, bw_ * 8)
+            )
+            planes.append(plane[:h, :w] + 128.0)
+        else:
+            coefs = []
+            for zz in blocks[c]:
+                coef_l = [0.0] * 64
+                for idx in range(64):
+                    coef_l[_JPEG_ZIGZAG[idx]] = zz[idx] * q[idx]
+                coefs.append(coef_l)
+            px = _idct_blocks(coefs)
+            plane_l = [[0.0] * (bw_ * 8) for _ in range(bh_ * 8)]
+            for b_i, blk in enumerate(px):
+                by, bx = divmod(b_i, bw_)
+                for r_ in range(8):
+                    for c_ in range(8):
+                        plane_l[by * 8 + r_][bx * 8 + c_] = (
+                            blk[r_ * 8 + c_] + 128.0
+                        )
+            planes.append([row[:w] for row in plane_l[:h]])
+
+    if np is not None:
+        if nc == 1:
+            g = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+            rgb = np.repeat(g[:, :, None], 3, axis=2)
+        else:
+            y, cb, cr = planes
+            r = y + 1.402 * (cr - 128.0)
+            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            b = y + 1.772 * (cb - 128.0)
+            rgb = np.stack(
+                [
+                    np.clip(np.rint(ch), 0, 255).astype(np.uint8)
+                    for ch in (r, g, b)
+                ],
+                axis=2,
+            )
+        return w, h, rgb.tobytes()
+    out = bytearray()
+    for yy in range(h):
+        for xx in range(w):
+            if nc == 1:
+                v = int(min(255, max(0, round(planes[0][yy][xx]))))
+                out += bytes((v, v, v))
+            else:
+                yv = planes[0][yy][xx]
+                cb = planes[1][yy][xx] - 128.0
+                cr = planes[2][yy][xx] - 128.0
+                r = yv + 1.402 * cr
+                g = yv - 0.344136 * cb - 0.714136 * cr
+                b = yv + 1.772 * cb
+                out += bytes(
+                    int(min(255, max(0, round(ch)))) for ch in (r, g, b)
+                )
+    return w, h, bytes(out)

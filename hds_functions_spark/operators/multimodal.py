@@ -32,6 +32,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from ..functions.partitioning import ensure_min_partitions
 from .media_codecs import (
     parse_image,
     parse_wav,
@@ -125,19 +126,22 @@ def synthesize_media_payloads(
 
     ``kind``: ``'image'`` (PPM/BMP mix sniff-selected by md5 byte 2),
     ``'ppm'``, ``'png'`` (zlib-compressed, per-row filter cycle),
-    ``'wav'``, or ``'y4m'`` (uncompressed C444 video). The
+    ``'jpeg'`` (baseline DCT, DC-exact block protocol), ``'wav'``, or
+    ``'y4m'`` (uncompressed C444 video). The
     synthesis rules are the fixed protocol in
     :mod:`media_codecs`, chosen so every observable the real decoders
     extract is also computable in ANSI SQL from the seed text — that is
     what lets the registry run real codec paths under the DuckDB gate.
     """
-    from .media_codecs import synthesize_png
+    from .media_codecs import synthesize_jpeg, synthesize_png
 
     synth = {"image": synthesize_image, "ppm": synthesize_ppm,
-             "png": synthesize_png, "wav": synthesize_wav,
-             "y4m": synthesize_y4m}.get(kind)
+             "png": synthesize_png, "jpeg": synthesize_jpeg,
+             "wav": synthesize_wav, "y4m": synthesize_y4m}.get(kind)
     if synth is None:
-        raise ValueError(f"kind must be image|ppm|png|wav|y4m (got {kind!r})")
+        raise ValueError(
+            f"kind must be image|ppm|png|jpeg|wav|y4m (got {kind!r})"
+        )
     schema = StructType(
         [
             StructField("doc_id", LongType()),
@@ -159,7 +163,12 @@ def synthesize_media_payloads(
                 }
             )
 
-    return df.select(id_col, text_col).mapInPandas(process, schema=schema)
+    # a single source parquet file otherwise pins the WHOLE synth+decode
+    # chain (Python-side, the expensive path) onto one task — spread the
+    # seed rows across the session's parallelism before entering Python
+    return ensure_min_partitions(df.select(id_col, text_col)).mapInPandas(
+        process, schema=schema
+    )
 
 
 def decode_image_features(

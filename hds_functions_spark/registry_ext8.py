@@ -1179,3 +1179,58 @@ def pipeline_card_trend(spark, sf_dir):
         F.round(F.col("_mq_b"), 4).alias("mean_quality_b"),
         F.round(F.col("_mq_b") - F.col("_mq_a"), 4).alias("quality_delta"),
     )
+
+
+# --- baseline-JPEG multimodal decode ------------------------------------------
+
+
+def _duck_jpeg_sql() -> str:
+    """Closed-form prediction of the DC-exact JPEG fixture decode:
+    w8/h8 blocks from md5 bytes 0/1, block k constant luma (d3+k)%256,
+    so pixel_sum = 3 (gray->RGB) * 64 (px/block) * sum of the first
+    nb = w8*h8 terms of the mod-256 ramp — the PNG oracle's
+    split-range CASE with L = nb."""
+    return """
+WITH b AS (
+  SELECT doc_id,
+         1 + ('0x' || substr(md5(text), 1, 2))::INTEGER % 8 AS w8,
+         1 + ('0x' || substr(md5(text), 3, 2))::INTEGER % 8 AS h8,
+         ('0x' || substr(md5(text), 7, 2))::INTEGER AS a
+  FROM documents
+), n AS (SELECT doc_id, w8, h8, a, w8 * h8 AS nb FROM b)
+SELECT doc_id,
+       CAST(8 * w8 AS INTEGER) AS width,
+       CAST(8 * h8 AS INTEGER) AS height,
+       CAST(192 * (
+         CASE WHEN a + nb <= 256
+              THEN nb * a + nb * (nb - 1) // 2
+              ELSE (a + 255) * (256 - a) // 2
+                   + (nb + a - 256) * (nb + a - 257) // 2
+         END) AS BIGINT) AS pixel_sum
+FROM n
+"""
+
+
+@_register("multimodal_image_jpeg", _duck_jpeg_sql())
+def multimodal_image_jpeg(spark, sf_dir):
+    """REAL lossy-codec path: synthesize deterministic baseline JPEGs
+    worker-side (grayscale, constant 8x8 blocks, all-8s quantization —
+    the protocol that makes the DC path LOSSLESS), then run the FULL
+    pure-stdlib baseline decode — marker walk, DHT canonical Huffman,
+    DPCM + run-length entropy decode, dequantize, 2-D IDCT, level
+    shift — and emit dims plus the exact sum of every decoded RGB
+    byte. A wrong Huffman code, DC predictor, zigzag position,
+    quantizer index, or IDCT scale anywhere changes ``pixel_sum``; the
+    AC/color/restart paths the exact fixture cannot reach are pinned
+    by roundtrip property tests (error <= quantization bound).
+    Arrow-batched ``mapInPandas``, 1 row in -> 1 row out, no shuffle.
+    See operators/media_codecs.py:decode_jpeg_baseline."""
+    from .operators.multimodal import (
+        image_content_profile,
+        synthesize_media_payloads,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return image_content_profile(
+        synthesize_media_payloads(docs, "jpeg")
+    ).select("doc_id", "width", "height", "pixel_sum")

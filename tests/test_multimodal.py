@@ -568,3 +568,182 @@ class TestPng:
             )
             assert r["ahash_hi"] is not None
         assert out[3]["width"] is None and out[3]["pixel_sum"] is None
+
+
+# --- baseline JPEG codec (round 11) -----------------------------------------
+
+
+def test_jpeg_fixture_decode_is_exact():
+    """The DC-exact protocol: constant 8x8 blocks + all-8s quantization
+    make the lossy codec lossless — decoded pixels equal the synthesis
+    protocol exactly (what the SQL oracle predicts closed-form)."""
+    from hds_functions_spark.operators.media_codecs import (
+        decode_jpeg_baseline,
+        parse_jpeg,
+        synthesize_jpeg,
+    )
+
+    for seed in ("alpha", "beta", "0", ""):
+        d = hashlib.md5(seed.encode()).digest()
+        w8, h8 = 1 + d[0] % 8, 1 + d[1] % 8
+        payload = synthesize_jpeg(seed)
+        meta = parse_jpeg(payload)
+        assert meta == {
+            "width": 8 * w8, "height": 8 * h8,
+            "n_components": 1, "progressive": False,
+        }
+        w, h, rgb = decode_jpeg_baseline(payload)
+        assert (w, h) == (8 * w8, 8 * h8)
+        for by in range(h8):
+            for bx in range(w8):
+                v = (d[3] + by * w8 + bx) % 256
+                for (px, py) in ((0, 0), (7, 7), (3, 5)):
+                    base = ((by * 8 + py) * w + bx * 8 + px) * 3
+                    assert rgb[base] == rgb[base + 1] == rgb[base + 2] == v
+        assert sum(rgb) == 3 * 64 * sum(
+            (d[3] + k) % 256 for k in range(w8 * h8)
+        )
+
+
+def test_jpeg_gray_roundtrip_error_bounded():
+    """Reference-decode property: with an all-1s quantization table the
+    only loss is DCT-coefficient rounding (<= 0.5 each), so every pixel
+    of the decode is within 64 * 0.5 / 8 = 4 of the original — the AC
+    path (runs, ZRL, EOB, magnitude coding) exercised on dense random
+    content, including non-multiple-of-8 dims (edge-replicated pad)."""
+    import random
+
+    from hds_functions_spark.operators.media_codecs import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    rng = random.Random(7)
+    for (w, h) in ((8, 8), (16, 8), (11, 13), (32, 24), (1, 1), (9, 1)):
+        gray = bytes(rng.randrange(256) for _ in range(w * h))
+        out = decode_jpeg_baseline(
+            encode_jpeg_baseline(w, h, gray, 1, [1] * 64)
+        )
+        assert out is not None
+        ww, hh, rgb = out
+        assert (ww, hh) == (w, h)
+        err = max(
+            abs(rgb[(y * w + x) * 3] - gray[y * w + x])
+            for y in range(h)
+            for x in range(w)
+        )
+        assert err <= 4, (w, h, err)
+
+
+def test_jpeg_color_roundtrip_error_bounded():
+    """4:4:4 color path: YCbCr forward+inverse adds at most ~2 LSB on
+    top of the quantization bound."""
+    import random
+
+    from hds_functions_spark.operators.media_codecs import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    rng = random.Random(11)
+    for (w, h) in ((8, 8), (17, 9)):
+        data = bytes(rng.randrange(256) for _ in range(w * h * 3))
+        out = decode_jpeg_baseline(
+            encode_jpeg_baseline(w, h, data, 3, [1] * 64)
+        )
+        assert out is not None
+        ww, hh, rgb = out
+        assert (ww, hh) == (w, h)
+        assert max(abs(a - b) for a, b in zip(rgb, data)) <= 8
+
+
+def test_jpeg_restart_markers_roundtrip():
+    """DRI/RSTn path: encoder emits restart markers every 3 MCUs (byte-
+    aligned, DC predictors reset); the decoder must consume them and
+    still reconstruct within the quantization bound."""
+    import random
+
+    from hds_functions_spark.operators.media_codecs import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    rng = random.Random(13)
+    w, h = 32, 24
+    gray = bytes(rng.randrange(256) for _ in range(w * h))
+    payload = encode_jpeg_baseline(w, h, gray, 1, [1] * 64, restart_interval=3)
+    assert b"\xff\xdd" in payload  # DRI present
+    out = decode_jpeg_baseline(payload)
+    assert out is not None
+    _, _, rgb = out
+    err = max(
+        abs(rgb[(y * w + x) * 3] - gray[y * w + x])
+        for y in range(h)
+        for x in range(w)
+    )
+    assert err <= 4
+
+
+def test_jpeg_unsupported_fails_closed():
+    """Progressive (SOF2), subsampled, truncated, or non-JPEG payloads
+    return None — never garbage pixels."""
+    from hds_functions_spark.operators.media_codecs import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+        parse_jpeg,
+        synthesize_jpeg,
+    )
+
+    good = synthesize_jpeg("x")
+    assert decode_jpeg_baseline(None) is None
+    assert decode_jpeg_baseline(b"") is None
+    assert decode_jpeg_baseline(b"notajpeg") is None
+    assert decode_jpeg_baseline(good[: len(good) // 2]) is None  # truncated
+    # flip SOF0 -> SOF2 (progressive): parse reports it, decode refuses
+    sof = good.index(b"\xff\xc0")
+    prog = good[:sof] + b"\xff\xc2" + good[sof + 2 :]
+    assert parse_jpeg(prog)["progressive"] is True
+    assert decode_jpeg_baseline(prog) is None
+    # patch the sampling byte (0x11 -> 0x22): subsampling unsupported
+    sub = bytearray(good)
+    sub[sof + 11] = 0x22  # SOF0 body: len(2) prec(1) h(2) w(2) nc(1) id(1) samp
+    assert decode_jpeg_baseline(bytes(sub)) is None
+    # encoder input validation
+    with pytest.raises(ValueError, match="n_components"):
+        encode_jpeg_baseline(2, 2, b"\x00" * 4, 2)
+    with pytest.raises(ValueError, match="qtable"):
+        encode_jpeg_baseline(2, 2, b"\x00" * 4, 1, [0] * 64)
+
+
+def test_jpeg_through_image_pixel_data_and_profile(spark):
+    """The FFD8 sniff routes JPEG through the shared image decode
+    surface, so image_content_profile runs the lossy codec end-to-end
+    under Spark with the same 1-row-in/1-row-out Arrow batching as the
+    other containers."""
+    from pyspark.sql import functions as F
+
+    from hds_functions_spark.operators.media_codecs import (
+        image_pixel_data,
+        synthesize_jpeg,
+    )
+    from hds_functions_spark.operators.multimodal import (
+        image_content_profile,
+        synthesize_media_payloads,
+    )
+
+    assert image_pixel_data(synthesize_jpeg("y")) is not None
+    docs = spark.range(6).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc-"), F.col("id")).alias("text"),
+    )
+    out = image_content_profile(
+        synthesize_media_payloads(docs, "jpeg")
+    ).collect()
+    assert len(out) == 6
+    for r in out:
+        d = hashlib.md5(f"doc-{r['doc_id']}".encode()).digest()
+        w8, h8 = 1 + d[0] % 8, 1 + d[1] % 8
+        assert (r["width"], r["height"]) == (8 * w8, 8 * h8)
+        assert r["pixel_sum"] == 3 * 64 * sum(
+            (d[3] + k) % 256 for k in range(w8 * h8)
+        )
