@@ -16,6 +16,10 @@ BASELINE.md observation: "the GROUP total is the stable unit"):
   scalar list, ``registry_ext2._shared_kmeans_centroids``)
 - ``ivf_index`` / ``pq_index`` — the persisted ANN index artifacts
   (``registry_ext8._ivf_persisted_index`` / ``_pq_persisted_index``)
+- ``edc_index``    — the persisted decontam-corpus IVF index
+  (``registry_ext8._edc_persisted_index``; consumed directly by
+  ``decontam_embedding`` and transitively — via that query's function
+  — by the agreement audit and the purge pipeline)
 
 Whichever group member runs FIRST in a session pays the one-time
 build; every later member runs warm. A per-query ratio gate therefore
@@ -68,5 +72,10 @@ SHARED_CACHE_GROUPS: dict[str, list[str]] = {
         "similarity_pq_ingest_codes",
         "similarity_pq_probe_incremental",
         "streaming_pq_ingest",
+    ],
+    "edc_index": [
+        "decontam_agreement",
+        "decontam_embedding",
+        "pipeline_decontam_purge",
     ],
 }

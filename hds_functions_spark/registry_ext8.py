@@ -316,6 +316,52 @@ _EDC_THRESHOLD = 0.3
 _EDC_NGRAM = 4
 _EDC_MAX_EVAL_DF = 100
 
+#: session-scoped loaded-index cache for the decontam corpus split
+#: (the EDC bucket split, NOT the ANN % 50 split — different standing
+#: corpus, so it cannot share _IVF_IDX_CACHE)
+_EDC_IDX_CACHE: dict[tuple[str, str], object] = {}
+
+
+def _edc_persisted_index(spark, sf_dir):
+    """Build the IVF inverted lists from the DECONTAM standing corpus
+    (the bucket >= cut side of the EDC split), save them partitioned by
+    centroid_id, and return the RELOADED table — shared by all three
+    queries that run the embedding decontamination leg
+    (``decontam_embedding``, ``decontam_agreement``,
+    ``pipeline_decontam_purge``; bench-gated as the ``edc_index``
+    group). At 100 TB this is the point of the operator: the standing
+    corpus is assigned ONCE and every benchmark sweep reads only its
+    probed partitions — rebuilding per query, as these queries did
+    before r11, re-pays the corpus scan three times per suite run."""
+    from .operators.sampling import split_bucket
+    from .operators.similarity import ivf_index_build
+    from .sources.tables import load_table, save_table
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    loaded = _EDC_IDX_CACHE.get(key)
+    if loaded is None:
+        base = os.path.join(
+            tempfile.gettempdir(), "hds_edc_ivf_" + _stable_dir_tag(sf_dir)
+        )
+        shutil.rmtree(base, ignore_errors=True)  # stateful dir: never accumulate
+        td = {
+            "edc_index": {
+                "path": os.path.join(base, "edc_index"),
+                "format": "parquet",
+            }
+        }
+        emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+        corpus = emb.filter(split_bucket("vec_id", _EDC_SALT) >= _EDC_CUT)
+        save_table(
+            ivf_index_build(corpus, n_centroids=_ANN_CENTROIDS),
+            "edc_index",
+            td,
+            partition_by="centroid_id",
+        )
+        loaded = load_table("edc_index", td)
+        _EDC_IDX_CACHE[key] = loaded
+    return loaded
+
 
 def _duck_edc_sql() -> str:
     cos_ac = _DUCK_COS.format(a="e.embedding", b="c.cvec")
@@ -376,22 +422,21 @@ def decontam_embedding(spark, sf_dir):
     )
     from .operators.contamination import embedding_contamination
     from .operators.sampling import split_bucket
-    from .operators.similarity import ivf_index_build
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    bucket = split_bucket("vec_id", _EDC_SALT)
-    corpus = emb.filter(bucket >= _EDC_CUT)
-    ev = emb.filter(bucket < _EDC_CUT).select(
+    ev = emb.filter(split_bucket("vec_id", _EDC_SALT) < _EDC_CUT).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    index = ivf_index_build(corpus, n_centroids=_ANN_CENTROIDS)
+    # the PERSISTED standing-corpus index (built+saved once per session,
+    # reloaded from its centroid-partitioned table) — the r10 doctrine
+    # applied to the decontam family itself: a fresh benchmark probes
+    # the saved artifact instead of re-assigning the corpus per run.
+    # validate=True here is cheap (a limit-16 filter on the loaded
+    # parquet) and exercises the fail-closed path on the real artifact.
+    index = _edc_persisted_index(spark, sf_dir)
     return embedding_contamination(
         index, ev, threshold=_EDC_THRESHOLD,
         n_centroids=_ANN_CENTROIDS, n_probe=_ANN_PROBE,
-        # index built by ivf_index_build one line up (which validates
-        # the centroid convention against the raw corpus itself);
-        # re-counting here would evaluate the build aggregation twice
-        validate=False,
     )
 
 

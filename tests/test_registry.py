@@ -180,6 +180,10 @@ def test_shared_cache_groups_match_source():
         "kmeans_centroids": r"_shared_kmeans_centroids\(spark",
         "ivf_index": r"_ivf_persisted_index\(spark",
         "pq_index": r"_pq_persisted_index\(spark",
+        # decontam_embedding consumes the persisted EDC index directly;
+        # the agreement audit and the purge pipeline consume it
+        # TRANSITIVELY by calling decontam_embedding for their ed leg
+        "edc_index": r"_edc_persisted_index\(spark|decontam_embedding\(spark",
     }
     derived: dict[str, set] = {g: set() for g in pats}
     files = glob.glob(
@@ -190,7 +194,10 @@ def test_shared_cache_groups_match_source():
         lines = open(path).read().splitlines()
         for g, p in pats.items():
             for i, ln in enumerate(lines):
-                if not re.search(p, ln) or re.search(r"def (_shared|_ivf|_pq|reset)", ln):
+                if not re.search(p, ln) or re.search(
+                    r"def (_shared|_ivf|_pq|_edc|reset|decontam_embedding)",
+                    ln,
+                ):
                     continue
                 for j in range(i, -1, -1):
                     m = re.search(r'@_register\(\s*"?([a-z0-9_]*)"?', lines[j])
