@@ -13,6 +13,10 @@ environment. Formats covered:
   every producer), 8/24/32 bpp, top-down or bottom-up.
 - **WAV**: RIFF chunk walk (tolerates extra chunks before ``data``),
   PCM16 only, exact integer RMS.
+- **MJPEG/AVI**: real RIFF AVI container ('MJPG' fourcc) whose movi
+  '00dc' chunks each hold one complete baseline JPEG — container walk
+  + per-frame JPEG decode, the compressed-video counterpart of the
+  uncompressed y4m path.
 - **JPEG** (baseline, ITU-T T.81): full encode+decode — 2-D DCT,
   standard Annex K Huffman tables, DPCM/run-length entropy coding,
   DRI/RSTn restarts, JFIF YCbCr; grayscale and 4:4:4 color (no chroma
@@ -64,8 +68,10 @@ __all__ = [
     "synthesize_bmp",
     "synthesize_png",
     "synthesize_jpeg",
+    "synthesize_mjpeg_avi",
     "synthesize_wav",
     "synthesize_y4m",
+    "parse_avi",
     "parse_image",
     "parse_jpeg",
     "parse_png",
@@ -80,6 +86,7 @@ __all__ = [
     "ahash64_from_pixels",
     "encode_jpeg_baseline",
     "decode_jpeg_baseline",
+    "avi_jpeg_frames",
 ]
 
 WAV_RATES = [8000, 16000, 22050, 44100, 48000]
@@ -1508,3 +1515,140 @@ def decode_jpeg_baseline(payload: bytes | None) -> tuple[int, int, bytes] | None
                     int(min(255, max(0, round(ch)))) for ch in (r, g, b)
                 )
     return w, h, bytes(out)
+
+
+# --- MJPEG-in-AVI (RIFF container + per-frame baseline JPEG) ---------------
+#
+# The compressed-VIDEO counterpart of the JPEG still path: a real RIFF
+# AVI container ('MJPG' fourcc) whose '00dc' movi chunks each hold one
+# complete baseline JPEG. Decoding a clip = container walk + N full
+# JPEG decodes — the actual shape of frame-sampled video feature
+# extraction over a compressed corpus.
+#
+# Fixture protocol (fixed; the oracle depends on it): with d_i = byte i
+# of md5(seed): ``w8 = 1 + d0 % 4`` blocks wide, ``h8 = 1 + d1 % 4``
+# blocks high (8..32 px sides), fps = ``Y4M_RATES[d4 % 4]``,
+# ``n_frames = 1 + d10 % 6`` (the y4m clip-shape rules); frame f is the
+# DC-exact grayscale JPEG whose block k (raster order) is the constant
+# luma ``(d3 + f + k) % 256`` — the y4m content ramp lifted to whole
+# blocks, so every frame's decode is EXACT and per-frame pixel sums
+# have the same split-range closed form.
+
+
+def synthesize_mjpeg_avi(seed: str) -> bytes:
+    """Deterministic MJPEG AVI clip under the protocol above."""
+    d = hashlib.md5(seed.encode("utf-8")).digest()
+    w8, h8 = 1 + d[0] % 4, 1 + d[1] % 4
+    w, h = 8 * w8, 8 * h8
+    fps = Y4M_RATES[d[4] % len(Y4M_RATES)]
+    n_frames = 1 + d[10] % 6
+
+    frames = []
+    for f in range(n_frames):
+        gray = bytearray(w * h)
+        for by in range(h8):
+            for bx in range(w8):
+                v = (d[3] + f + by * w8 + bx) % 256
+                for i in range(8):
+                    row = (by * 8 + i) * w + bx * 8
+                    gray[row : row + 8] = bytes([v]) * 8
+        frames.append(encode_jpeg_baseline(w, h, bytes(gray), 1, [8] * 64))
+
+    def chunk(fourcc: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) % 2 else b""  # RIFF chunks are even-sized
+        return fourcc + struct.pack("<I", len(body)) + body + pad
+
+    def lst(ltype: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", ltype + body)
+
+    avih = struct.pack(
+        "<13I",
+        1_000_000 // fps,  # dwMicroSecPerFrame (informational; fps in strh)
+        0, 0, 0x10,        # maxbytes, padding, flags
+        n_frames, 0, 1,    # totalframes, initialframes, streams
+        0, w, h,           # suggested bufsize, width, height
+        0, 0, 0,           # reserved[0..2]
+    ) + b"\x00" * 4  # reserved[3]
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<10I", 0, 0, 0, 1, fps, 0, n_frames, 0, 0xFFFFFFFF, 0)
+        + struct.pack("<4H", 0, 0, w, h)  # rcFrame
+    )
+    strf = struct.pack(
+        "<IiiHH4sIiiII", 40, w, h, 1, 24, b"MJPG", w * h * 3, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih)
+        + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi = lst(b"movi", b"".join(chunk(b"00dc", fr) for fr in frames))
+    riff_body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def parse_avi(payload: bytes | None) -> dict | None:
+    """Metadata-only RIFF/AVI walk: ``{width, height, fps, n_frames,
+    handler}`` from avih/strh, or None if not an AVI."""
+    if not payload or len(payload) < 24:
+        return None
+    p = bytes(payload)
+    if p[:4] != b"RIFF" or p[8:12] != b"AVI ":
+        return None
+    meta: dict = {}
+
+    def walk(start: int, end: int) -> None:
+        i = start
+        while i + 8 <= end:
+            fourcc = p[i : i + 4]
+            size = struct.unpack("<I", p[i + 4 : i + 8])[0]
+            body_start, body_end = i + 8, min(i + 8 + size, end)
+            if fourcc == b"LIST":
+                walk(body_start + 4, body_end)
+            elif fourcc == b"avih" and size >= 40:
+                vals = struct.unpack("<10I", p[body_start : body_start + 40])
+                meta["n_frames"] = vals[4]
+                meta["width"], meta["height"] = vals[8], vals[9]
+            elif fourcc == b"strh" and size >= 28:
+                if p[body_start : body_start + 4] == b"vids":
+                    meta["handler"] = p[body_start + 4 : body_start + 8].decode(
+                        "ascii", "replace"
+                    )
+                    scale, rate = struct.unpack(
+                        "<II", p[body_start + 20 : body_start + 28]
+                    )
+                    meta["fps"] = rate // scale if scale else None
+            i = body_start + size + (size % 2)
+
+    walk(12, 8 + struct.unpack("<I", p[4:8])[0])
+    return meta if "width" in meta else None
+
+
+def avi_jpeg_frames(payload: bytes | None) -> list[bytes] | None:
+    """Extract the ``00dc`` frame payloads from an MJPEG AVI (each one a
+    complete JPEG). None if the container is not an AVI; frames that do
+    not start with the JPEG SOI marker are skipped (a torn chunk must
+    not reach the JPEG decoder as garbage)."""
+    if not payload or len(payload) < 24:
+        return None
+    p = bytes(payload)
+    if p[:4] != b"RIFF" or p[8:12] != b"AVI ":
+        return None
+    frames: list[bytes] = []
+
+    def walk(start: int, end: int) -> None:
+        i = start
+        while i + 8 <= end:
+            fourcc = p[i : i + 4]
+            size = struct.unpack("<I", p[i + 4 : i + 8])[0]
+            body_start, body_end = i + 8, min(i + 8 + size, end)
+            if fourcc == b"LIST":
+                walk(body_start + 4, body_end)
+            elif fourcc == b"00dc":
+                body = p[body_start:body_end]
+                if body[:2] == b"\xff\xd8":
+                    frames.append(body)
+            i = body_start + size + (size % 2)
+
+    walk(12, 8 + struct.unpack("<I", p[4:8])[0])
+    return frames

@@ -11,9 +11,11 @@ PCM WAV parse — with unparseable payloads emitted as null rows (corrupt
 payloads are a fact of corpus-scale data; a decode stage must not abort the
 job). ``decoder='fake'`` keeps the deterministic md5-derived pseudo-features
 (useful when payloads are arbitrary bytes, e.g. text stand-ins). Video's
-real path parses uncompressed YUV4MPEG2 (y4m) containers — the one video
-format expressible pure-stdlib — and samples real frames; compressed
-codecs (h264 etc.) would need av/ffmpeg, which this environment lacks.
+real path parses uncompressed YUV4MPEG2 (y4m) containers and — since the
+baseline JPEG codec landed — MJPEG-in-AVI compressed clips
+(:func:`mjpeg_video_profile` decodes every frame through the full JPEG
+path); inter-frame codecs (h264 etc.) would need av/ffmpeg, which this
+environment lacks.
 """
 
 from __future__ import annotations
@@ -75,6 +77,8 @@ __all__ = [
     "RESIZED_IMAGE_SCHEMA",
     "VIDEO_FRAME_SCHEMA",
     "VIDEO_FRAME_REAL_SCHEMA",
+    "MJPEG_FRAME_SCHEMA",
+    "mjpeg_video_profile",
 ]
 
 
@@ -126,21 +130,27 @@ def synthesize_media_payloads(
 
     ``kind``: ``'image'`` (PPM/BMP mix sniff-selected by md5 byte 2),
     ``'ppm'``, ``'png'`` (zlib-compressed, per-row filter cycle),
-    ``'jpeg'`` (baseline DCT, DC-exact block protocol), ``'wav'``, or
-    ``'y4m'`` (uncompressed C444 video). The
+    ``'jpeg'`` (baseline DCT, DC-exact block protocol), ``'avi'``
+    (MJPEG-in-RIFF compressed video), ``'wav'``, or ``'y4m'``
+    (uncompressed C444 video). The
     synthesis rules are the fixed protocol in
     :mod:`media_codecs`, chosen so every observable the real decoders
     extract is also computable in ANSI SQL from the seed text — that is
     what lets the registry run real codec paths under the DuckDB gate.
     """
-    from .media_codecs import synthesize_jpeg, synthesize_png
+    from .media_codecs import (
+        synthesize_jpeg,
+        synthesize_mjpeg_avi,
+        synthesize_png,
+    )
 
     synth = {"image": synthesize_image, "ppm": synthesize_ppm,
              "png": synthesize_png, "jpeg": synthesize_jpeg,
+             "avi": synthesize_mjpeg_avi,
              "wav": synthesize_wav, "y4m": synthesize_y4m}.get(kind)
     if synth is None:
         raise ValueError(
-            f"kind must be image|ppm|png|jpeg|wav|y4m (got {kind!r})"
+            f"kind must be image|ppm|png|jpeg|avi|wav|y4m (got {kind!r})"
         )
     schema = StructType(
         [
@@ -656,3 +666,64 @@ def ahash_duplicate_groups(hashes: DataFrame) -> DataFrame:
         )
         .filter(F.col("n_images") > 1)
     )
+
+
+#: Output schema of the MJPEG clip profiler: one row per FRAME, each
+#: frame fully decoded through the baseline JPEG codec.
+MJPEG_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("fps", IntegerType()),
+        StructField("n_frames_total", IntegerType()),
+        StructField("pixel_sum", LongType()),
+    ]
+)
+
+
+def mjpeg_video_profile(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Decode every frame of an MJPEG AVI clip through the REAL baseline
+    JPEG codec and emit one row per frame — container walk ('00dc'
+    chunk extraction), then the full entropy-decode/dequantize/IDCT
+    path per frame, with the exact sum of every decoded RGB byte as the
+    end-to-end content check. The compressed-video counterpart of
+    :func:`sample_video_frames`'s y4m path: 1 clip row in -> n_frames
+    rows out inside the Arrow batch, so downstream operators
+    parallelise over frames, not clips. Undecodable containers or
+    frames yield no rows (fail closed)."""
+
+    def process(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from .media_codecs import avi_jpeg_frames, decode_jpeg_baseline, parse_avi
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "frame_index", "width", "height", "fps",
+                "n_frames_total", "pixel_sum")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                meta = parse_avi(payload) if payload is not None else None
+                frames = avi_jpeg_frames(payload) if meta else None
+                if not frames:
+                    continue
+                for idx, fr in enumerate(frames):
+                    decoded = decode_jpeg_baseline(fr)
+                    if decoded is None:
+                        continue
+                    w, h, rgb = decoded
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_index"].append(idx)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["fps"].append(meta.get("fps"))
+                    rows["n_frames_total"].append(len(frames))
+                    rows["pixel_sum"].append(_byte_sum(rgb))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(process, MJPEG_FRAME_SCHEMA)

@@ -746,6 +746,7 @@ DRIVER_PRIORITY: list[str] = [
     # round-11 additions (land driver rows the round they ship):
     "pipeline_card_trend",
     "multimodal_image_jpeg",
+    "multimodal_video_mjpeg",
     # r05-vintage stale rows (all 36):
     "clean_filter_lines",
     "clean_scrub_pii",
@@ -795,7 +796,6 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_substring_signal",
     "events_active_users",
     "events_anomaly_daily",
-    "events_cooccurrence",
 ]
 
 

@@ -1279,3 +1279,66 @@ def multimodal_image_jpeg(spark, sf_dir):
     return image_content_profile(
         synthesize_media_payloads(docs, "jpeg")
     ).select("doc_id", "width", "height", "pixel_sum")
+
+
+# --- MJPEG compressed-video decode --------------------------------------------
+
+
+def _duck_mjpeg_sql() -> str:
+    """Per-frame closed form of the MJPEG clip decode: the JPEG DC-exact
+    block protocol with frame offset f (block k of frame f = constant
+    luma (d3+f+k) % 256), clip shape from the y4m rules (4:4 blocks
+    cap, fps list, 1..6 frames). Each frame's pixel_sum is the
+    split-range ramp CASE with start a_f = (d3+f) % 256 and length
+    nb = w8*h8 <= 16."""
+    return """
+WITH b AS (
+  SELECT doc_id,
+         1 + ('0x' || substr(md5(text), 1, 2))::INTEGER % 4 AS w8,
+         1 + ('0x' || substr(md5(text), 3, 2))::INTEGER % 4 AS h8,
+         ('0x' || substr(md5(text), 7, 2))::INTEGER AS a,
+         [10, 24, 25, 30][1 + ('0x' || substr(md5(text), 9, 2))::INTEGER % 4]
+           AS fps,
+         1 + ('0x' || substr(md5(text), 21, 2))::INTEGER % 6 AS nf
+  FROM documents
+), fr AS (
+  SELECT doc_id, w8, h8, fps, nf, f.f AS frame_index,
+         (a + f.f) % 256 AS af, w8 * h8 AS nb
+  FROM b, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) f
+)
+SELECT doc_id,
+       CAST(frame_index AS INTEGER) AS frame_index,
+       CAST(8 * w8 AS INTEGER) AS width,
+       CAST(8 * h8 AS INTEGER) AS height,
+       CAST(fps AS INTEGER) AS fps,
+       CAST(nf AS INTEGER) AS n_frames_total,
+       CAST(192 * (
+         CASE WHEN af + nb <= 256
+              THEN nb * af + nb * (nb - 1) // 2
+              ELSE (af + 255) * (256 - af) // 2
+                   + (nb + af - 256) * (nb + af - 257) // 2
+         END) AS BIGINT) AS pixel_sum
+FROM fr
+"""
+
+
+@_register("multimodal_video_mjpeg", _duck_mjpeg_sql())
+def multimodal_video_mjpeg(spark, sf_dir):
+    """REAL compressed-VIDEO path: synthesize deterministic MJPEG AVI
+    clips worker-side (RIFF container, 'MJPG' fourcc, one complete
+    DC-exact baseline JPEG per '00dc' movi chunk), then walk the
+    container and decode EVERY frame through the full JPEG pipeline —
+    one output row per frame carrying dims, fps, frame count, and the
+    exact sum of every decoded RGB byte. A wrong chunk boundary,
+    frame-order slip, Huffman code, or IDCT scale anywhere changes a
+    frame's pixel_sum; the 1-clip-to-n-frames Arrow batch shape means
+    downstream operators parallelise over frames, not clips. See
+    operators/media_codecs.py:avi_jpeg_frames and
+    operators/multimodal.py:mjpeg_video_profile."""
+    from .operators.multimodal import (
+        mjpeg_video_profile,
+        synthesize_media_payloads,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return mjpeg_video_profile(synthesize_media_payloads(docs, "avi"))

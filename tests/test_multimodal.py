@@ -747,3 +747,79 @@ def test_jpeg_through_image_pixel_data_and_profile(spark):
         assert r["pixel_sum"] == 3 * 64 * sum(
             (d[3] + k) % 256 for k in range(w8 * h8)
         )
+
+
+def test_mjpeg_avi_container_and_frames():
+    """MJPEG AVI fixtures: RIFF metadata from avih/strh, every 00dc
+    chunk a complete DC-exact JPEG whose decode matches the frame-ramp
+    protocol; garbage and non-AVI RIFF fail closed."""
+    from hds_functions_spark.operators.media_codecs import (
+        Y4M_RATES,
+        avi_jpeg_frames,
+        decode_jpeg_baseline,
+        parse_avi,
+        synthesize_mjpeg_avi,
+    )
+
+    for seed in ("clip-a", "clip-b", ""):
+        d = hashlib.md5(seed.encode()).digest()
+        w8, h8 = 1 + d[0] % 4, 1 + d[1] % 4
+        nf = 1 + d[10] % 6
+        payload = synthesize_mjpeg_avi(seed)
+        meta = parse_avi(payload)
+        assert meta == {
+            "n_frames": nf, "width": 8 * w8, "height": 8 * h8,
+            "handler": "MJPG", "fps": Y4M_RATES[d[4] % 4],
+        }
+        frames = avi_jpeg_frames(payload)
+        assert len(frames) == nf
+        for f, fr in enumerate(frames):
+            w, h, rgb = decode_jpeg_baseline(fr)
+            assert (w, h) == (8 * w8, 8 * h8)
+            assert sum(rgb) == 3 * 64 * sum(
+                (d[3] + f + k) % 256 for k in range(w8 * h8)
+            )
+    assert parse_avi(None) is None
+    assert parse_avi(b"garbage") is None
+    assert avi_jpeg_frames(b"RIFF\x04\x00\x00\x00WAVE") is None
+
+
+def test_mjpeg_video_profile_through_spark(spark):
+    """1-clip-to-n-frames Arrow batch shape: every frame of every clip
+    decoded through the full JPEG path, per-frame pixel_sum exact."""
+    from pyspark.sql import functions as F
+
+    from hds_functions_spark.operators.multimodal import (
+        mjpeg_video_profile,
+        synthesize_media_payloads,
+    )
+
+    docs = spark.range(5).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("clip-"), F.col("id")).alias("text"),
+    )
+    rows = mjpeg_video_profile(
+        synthesize_media_payloads(docs, "avi")
+    ).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(range(5))
+    for doc_id, frames in by_doc.items():
+        d = hashlib.md5(f"clip-{doc_id}".encode()).digest()
+        w8, h8 = 1 + d[0] % 4, 1 + d[1] % 4
+        nf = 1 + d[10] % 6
+        assert len(frames) == nf
+        assert sorted(r["frame_index"] for r in frames) == list(range(nf))
+        for r in frames:
+            assert (r["width"], r["height"]) == (8 * w8, 8 * h8)
+            assert r["n_frames_total"] == nf
+            f = r["frame_index"]
+            assert r["pixel_sum"] == 3 * 64 * sum(
+                (d[3] + f + k) % 256 for k in range(w8 * h8)
+            )
+    # corrupt payloads yield no rows, not errors
+    bad = docs.select(
+        "doc_id", F.encode(F.lit("notavi"), "UTF-8").alias("payload")
+    )
+    assert mjpeg_video_profile(bad).count() == 0
