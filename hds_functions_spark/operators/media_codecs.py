@@ -1008,6 +1008,11 @@ def encode_jpeg_baseline(
     q = list(qtable) if qtable is not None else [16] * 64
     if len(q) != 64 or any(not (1 <= int(x) <= 255) for x in q):
         raise ValueError("qtable must be 64 values in [1, 255]")
+    if w < 1 or h < 1 or len(data) != w * h * n_components:
+        raise ValueError(
+            f"data length {len(data)} does not match dims {w}x{h} x "
+            f"{n_components} component(s)"
+        )
 
     # --- plane extraction (level-shifted floats), padded to 8-multiples,
     # then quantized zigzag coefficients per block in raster order. The

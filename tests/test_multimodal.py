@@ -823,3 +823,55 @@ def test_mjpeg_video_profile_through_spark(spark):
         "doc_id", F.encode(F.lit("notavi"), "UTF-8").alias("payload")
     )
     assert mjpeg_video_profile(bad).count() == 0
+
+
+def test_jpeg_roundtrip_property_hypothesis():
+    """Property form of the roundtrip bound: ANY byte image at ANY dims
+    (1..24 per side), grayscale or RGB, encodes to a decodable stream
+    whose every pixel is within the quantization error bound."""
+    from hypothesis import given, settings, strategies as st
+
+    from hds_functions_spark.operators.media_codecs import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        color=st.booleans(),
+        seed=st.integers(0, 2**31),
+    )
+    def check(w, h, color, seed):
+        import random
+
+        rng = random.Random(seed)
+        nc = 3 if color else 1
+        data = bytes(rng.randrange(256) for _ in range(w * h * nc))
+        out = decode_jpeg_baseline(
+            encode_jpeg_baseline(w, h, data, nc, [1] * 64)
+        )
+        assert out is not None
+        ww, hh, rgb = out
+        assert (ww, hh) == (w, h)
+        if color:
+            err = max(abs(a - b) for a, b in zip(rgb, data))
+        else:
+            err = max(
+                abs(rgb[i * 3] - data[i]) for i in range(w * h)
+            )
+        assert err <= 8 if color else err <= 4
+
+    check()
+
+
+def test_jpeg_encoder_rejects_dim_mismatch():
+    from hds_functions_spark.operators.media_codecs import (
+        encode_jpeg_baseline,
+    )
+
+    with pytest.raises(ValueError, match="does not match dims"):
+        encode_jpeg_baseline(4, 4, b"\x00" * 15, 1)
+    with pytest.raises(ValueError, match="does not match dims"):
+        encode_jpeg_baseline(2, 2, b"\x00" * 4, 3)
