@@ -78,7 +78,9 @@ __all__ = [
     "VIDEO_FRAME_SCHEMA",
     "VIDEO_FRAME_REAL_SCHEMA",
     "MJPEG_FRAME_SCHEMA",
+    "MJPEG_SIGNATURE_SCHEMA",
     "mjpeg_video_profile",
+    "mjpeg_frame_signatures",
 ]
 
 
@@ -727,3 +729,59 @@ def mjpeg_video_profile(
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(process, MJPEG_FRAME_SCHEMA)
+
+
+#: One row per decoded frame with its exact content signature.
+MJPEG_SIGNATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def mjpeg_frame_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Decode every MJPEG frame and emit its EXACT content signature
+    (md5 of the decoded RGB bytes) — the video-dedup primitive: two
+    frames share a signature iff the full container-walk + JPEG-decode
+    pipeline reconstructed byte-identical pixels, so a JVM-side
+    ``groupBy(width, height, frame_md5)`` finds duplicated footage
+    across clips without ever comparing frames pairwise (the same
+    hash-groupBy shape as exact document dedup; at 100 TB the agg is
+    map-side-combinable and the Python cost is the decode itself,
+    embarrassingly parallel over Arrow batches)."""
+
+    def process(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from .media_codecs import avi_jpeg_frames, decode_jpeg_baseline
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "frame_index", "width", "height", "frame_md5")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                frames = (
+                    avi_jpeg_frames(payload) if payload is not None else None
+                )
+                if not frames:
+                    continue
+                for idx, fr in enumerate(frames):
+                    decoded = decode_jpeg_baseline(fr)
+                    if decoded is None:
+                        continue
+                    w, h, rgb = decoded
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_index"].append(idx)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["frame_md5"].append(hashlib.md5(rgb).hexdigest())
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(process, MJPEG_SIGNATURE_SCHEMA)

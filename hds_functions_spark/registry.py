@@ -747,6 +747,7 @@ DRIVER_PRIORITY: list[str] = [
     "pipeline_card_trend",
     "multimodal_image_jpeg",
     "multimodal_video_mjpeg",
+    "multimodal_video_dedup",
     # r05-vintage stale rows (all 36):
     "clean_filter_lines",
     "clean_scrub_pii",
@@ -795,7 +796,6 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_degree_stats",
     "dedup_substring_signal",
     "events_active_users",
-    "events_anomaly_daily",
 ]
 
 

@@ -1342,3 +1342,65 @@ def multimodal_video_mjpeg(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return mjpeg_video_profile(synthesize_media_payloads(docs, "avi"))
+
+
+def _duck_video_dedup_sql() -> str:
+    """Duplicate-frame groups predicted from the protocol: under the
+    fixture rules a frame's decoded content is FULLY determined by
+    (w8, h8, af = (d3 + frame) % 256), so grouping the protocol triples
+    must yield exactly the groups Spark finds by grouping the md5 of
+    the ACTUALLY DECODED bytes — any decode defect that merges or
+    splits content groups breaks the multiset equality."""
+    return """
+WITH b AS (
+  SELECT doc_id,
+         1 + ('0x' || substr(md5(text), 1, 2))::INTEGER % 4 AS w8,
+         1 + ('0x' || substr(md5(text), 3, 2))::INTEGER % 4 AS h8,
+         ('0x' || substr(md5(text), 7, 2))::INTEGER AS a,
+         1 + ('0x' || substr(md5(text), 21, 2))::INTEGER % 6 AS nf
+  FROM documents
+), fr AS (
+  SELECT doc_id, w8, h8, (a + f.f) % 256 AS af
+  FROM b, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) f
+)
+SELECT CAST(8 * w8 AS INTEGER) AS width,
+       CAST(8 * h8 AS INTEGER) AS height,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_clips,
+       min(doc_id) AS canonical_doc_id
+FROM fr
+GROUP BY w8, h8, af
+HAVING count(*) > 1
+"""
+
+
+@_register("multimodal_video_dedup", _duck_video_dedup_sql())
+def multimodal_video_dedup(spark, sf_dir):
+    """VIDEO dedup: duplicated footage found by exact content signature
+    — every MJPEG frame decoded through the full JPEG pipeline, md5'd,
+    and hash-grouped JVM-side (``groupBy(width, height, frame_md5)``,
+    never frame-pairwise), emitting one row per duplicate-frame group
+    with its frame/clip counts and canonical clip. The exact-document-
+    dedup shape lifted to video: at 100 TB the aggregate map-side
+    combines and the only Python cost is the decode itself. The oracle
+    groups the fixture protocol's content triple instead of the md5 —
+    multiset equality holds iff the decoder reconstructs byte-identical
+    pixels exactly when the protocol says frames are identical. See
+    operators/multimodal.py:mjpeg_frame_signatures."""
+    from .operators.multimodal import (
+        mjpeg_frame_signatures,
+        synthesize_media_payloads,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    sigs = mjpeg_frame_signatures(synthesize_media_payloads(docs, "avi"))
+    return (
+        sigs.groupBy("width", "height", "frame_md5")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.countDistinct("doc_id").cast("long").alias("n_clips"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_frames") > 1)
+        .drop("frame_md5")
+    )

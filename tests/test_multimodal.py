@@ -875,3 +875,42 @@ def test_jpeg_encoder_rejects_dim_mismatch():
         encode_jpeg_baseline(4, 4, b"\x00" * 15, 1)
     with pytest.raises(ValueError, match="does not match dims"):
         encode_jpeg_baseline(2, 2, b"\x00" * 4, 3)
+
+
+def test_mjpeg_frame_signatures_and_video_dedup(spark):
+    """Exact video dedup: frames with identical decoded content hash
+    identically across clips; a planted byte-identical clip pair forms
+    a duplicate group per frame."""
+    from pyspark.sql import functions as F
+
+    from hds_functions_spark.operators.multimodal import (
+        mjpeg_frame_signatures,
+        synthesize_media_payloads,
+    )
+
+    # clips 0 and 1 share the SAME seed text -> byte-identical AVIs
+    docs = spark.createDataFrame(
+        [(0, "dup-seed"), (1, "dup-seed"), (2, "other")],
+        "doc_id long, text string",
+    )
+    sigs = mjpeg_frame_signatures(synthesize_media_payloads(docs, "avi"))
+    rows = sigs.collect()
+    d = hashlib.md5(b"dup-seed").digest()
+    nf = 1 + d[10] % 6
+    by_clip = {}
+    for r in rows:
+        by_clip.setdefault(r["doc_id"], {})[r["frame_index"]] = r["frame_md5"]
+    assert by_clip[0] == by_clip[1]  # identical clips, frame-for-frame
+    assert len(by_clip[0]) == nf
+    groups = (
+        sigs.groupBy("width", "height", "frame_md5")
+        .agg(F.countDistinct("doc_id").alias("n_clips"))
+        .filter(F.col("n_clips") > 1)
+        .count()
+    )
+    # every dup-seed frame with a UNIQUE signature inside the clip
+    # forms one cross-clip group; frames repeated within the clip
+    # (af wraps only past 256 frames — impossible here) keep groups
+    # distinct, so the cross-clip group count is the distinct-signature
+    # count of the clip
+    assert groups == len(set(by_clip[0].values()))
