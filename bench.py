@@ -38,6 +38,19 @@ def time_query(
 
     timings: list[float] = []
     while len(timings) < repeats:
+        # drain the listener bus BEFORE timing (defensive): a preceding
+        # query can leave task events queued, and any query using the
+        # Observation API blocks on a listener — pre-draining keeps a
+        # predecessor's backlog out of the measured window. (An r11
+        # ~5x artifact on quality_observed_metrics initially suggested
+        # this mechanism, but replaying the exact suite prefix measured
+        # baseline — that incident was ambient host interference,
+        # adjudicated from the committed per-repeat arrays; the drain
+        # stays because it cheaply removes a real order-dependence.)
+        try:
+            spark.sparkContext._jsc.sc().listenerBus().waitUntilEmpty(30000)
+        except Exception:
+            pass  # non-fatal: accessor is not public API
         start = time.perf_counter()
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
