@@ -23,8 +23,11 @@ from hds_functions_spark.registry import QUERIES, ordered_query_names  # noqa: E
 import hds_functions_spark.registry_ext  # noqa: E402,F401  (registers extension queries)
 
 
+FAST_CUTOFF_SEC = 0.7
+
+
 def time_query(
-    fn, spark, sf_dir, repeats: int, fast_cutoff: float = 0.7
+    fn, spark, sf_dir, repeats: int, fast_cutoff: float = FAST_CUTOFF_SEC
 ) -> list[float]:
     """Per-repeat wall-clock list (up to ``repeats`` runs, in run order);
     queries whose first run finishes under ``fast_cutoff`` seconds are
@@ -120,7 +123,7 @@ def main() -> None:
         "sf": sf,
         "cpus": int(cpus),
         "repeats": repeats,
-        "fast_cutoff_sec": 0.7,
+        "fast_cutoff_sec": FAST_CUTOFF_SEC,
     }
     # Output contract: stdout carries exactly two JSON lines — the full
     # per-query record, then a compact suite-level summary as the very LAST

@@ -1276,8 +1276,10 @@ def parse_jpeg(payload: bytes | None) -> dict | None:
         if i + 4 > len(p):
             return None
         ln = struct.unpack(">H", p[i + 2 : i + 4])[0]
+        if ln < 2 or i + 2 + ln > len(p):
+            return None  # segment claims bytes past payload end
         if m in (0xC0, 0xC1, 0xC2):
-            if i + 9 > len(p):
+            if i + 10 > len(p):
                 return None
             h, w = struct.unpack(">HH", p[i + 5 : i + 9])
             return {
@@ -1323,6 +1325,8 @@ def decode_jpeg_baseline(payload: bytes | None) -> tuple[int, int, bytes] | None
         if i + 4 > len(p):
             return None
         ln = struct.unpack(">H", p[i + 2 : i + 4])[0]
+        if ln < 2 or i + 2 + ln > len(p):
+            return None  # truncated segment: structural corruption
         body = p[i + 4 : i + 2 + ln]
         if m == 0xDB:  # DQT (possibly several tables)
             j = 0
@@ -1355,9 +1359,13 @@ def decode_jpeg_baseline(payload: bytes | None) -> tuple[int, int, bytes] | None
                 huff[(cls, tid)] = _huff_decode_map(bits, vals)
                 j += 17 + n
         elif m in (0xC0, 0xC1):  # baseline / extended sequential Huffman
+            if len(body) < 6:
+                return None
             h, w = struct.unpack(">HH", body[1:5])
             nc = body[5]
             if nc not in (1, 3) or w == 0 or h == 0:
+                return None
+            if len(body) < 6 + 3 * nc:
                 return None
             comps = []
             for c in range(nc):
@@ -1369,12 +1377,14 @@ def decode_jpeg_baseline(payload: bytes | None) -> tuple[int, int, bytes] | None
         elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             return None  # progressive/lossless/arithmetic: unsupported
         elif m == 0xDD:  # DRI
+            if len(body) < 2:
+                return None
             restart_interval = struct.unpack(">H", body[:2])[0]
         elif m == 0xDA:  # SOS
-            if sof is None:
+            if sof is None or not body:
                 return None
             ns = body[0]
-            if ns != len(sof[2]):
+            if ns != len(sof[2]) or len(body) < 1 + 2 * ns:
                 return None
             tsel = {}
             for c in range(ns):
@@ -1594,7 +1604,10 @@ def synthesize_mjpeg_avi(seed: str) -> bytes:
 
 def parse_avi(payload: bytes | None) -> dict | None:
     """Metadata-only RIFF/AVI walk: ``{width, height, fps, n_frames,
-    handler}`` from avih/strh, or None if not an AVI."""
+    handler}`` from avih/strh, or None if not an AVI. Declared chunk and
+    RIFF sizes are clamped to the actual payload length so a truncated
+    or size-corrupted container degrades to partial/None metadata
+    instead of raising (fail closed, never abort the Spark task)."""
     if not payload or len(payload) < 24:
         return None
     p = bytes(payload)
@@ -1610,11 +1623,11 @@ def parse_avi(payload: bytes | None) -> dict | None:
             body_start, body_end = i + 8, min(i + 8 + size, end)
             if fourcc == b"LIST":
                 walk(body_start + 4, body_end)
-            elif fourcc == b"avih" and size >= 40:
+            elif fourcc == b"avih" and body_end - body_start >= 40:
                 vals = struct.unpack("<10I", p[body_start : body_start + 40])
                 meta["n_frames"] = vals[4]
                 meta["width"], meta["height"] = vals[8], vals[9]
-            elif fourcc == b"strh" and size >= 28:
+            elif fourcc == b"strh" and body_end - body_start >= 28:
                 if p[body_start : body_start + 4] == b"vids":
                     meta["handler"] = p[body_start + 4 : body_start + 8].decode(
                         "ascii", "replace"
@@ -1622,10 +1635,14 @@ def parse_avi(payload: bytes | None) -> dict | None:
                     scale, rate = struct.unpack(
                         "<II", p[body_start + 20 : body_start + 28]
                     )
+                    # ``fps`` stays integral (Spark profile schemas type it
+                    # int); ``fps_exact`` keeps non-integer rates such as
+                    # NTSC 30000/1001 = 29.97 un-truncated.
                     meta["fps"] = rate // scale if scale else None
+                    meta["fps_exact"] = rate / scale if scale else None
             i = body_start + size + (size % 2)
 
-    walk(12, 8 + struct.unpack("<I", p[4:8])[0])
+    walk(12, min(8 + struct.unpack("<I", p[4:8])[0], len(p)))
     return meta if "width" in meta else None
 
 
@@ -1655,5 +1672,5 @@ def avi_jpeg_frames(payload: bytes | None) -> list[bytes] | None:
                     frames.append(body)
             i = body_start + size + (size % 2)
 
-    walk(12, 8 + struct.unpack("<I", p[4:8])[0])
+    walk(12, min(8 + struct.unpack("<I", p[4:8])[0], len(p)))
     return frames

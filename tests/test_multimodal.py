@@ -770,6 +770,7 @@ def test_mjpeg_avi_container_and_frames():
         assert meta == {
             "n_frames": nf, "width": 8 * w8, "height": 8 * h8,
             "handler": "MJPG", "fps": Y4M_RATES[d[4] % 4],
+            "fps_exact": float(Y4M_RATES[d[4] % 4]),
         }
         frames = avi_jpeg_frames(payload)
         assert len(frames) == nf
@@ -914,3 +915,44 @@ def test_mjpeg_frame_signatures_and_video_dedup(spark):
     # distinct, so the cross-clip group count is the distinct-signature
     # count of the clip
     assert groups == len(set(by_clip[0].values()))
+
+
+def test_codec_truncation_fuzz_never_raises():
+    """ADVICE r11: every prefix truncation and every single-byte
+    size-field corruption of the JPEG and AVI fixtures must fail
+    CLOSED (None / partial metadata / skipped frames) — one torn
+    payload must never abort a Spark task with struct.error,
+    IndexError, or ValueError."""
+    from hds_functions_spark.operators.media_codecs import (
+        avi_jpeg_frames,
+        decode_jpeg_baseline,
+        parse_avi,
+        parse_jpeg,
+        synthesize_jpeg,
+        synthesize_mjpeg_avi,
+    )
+
+    jpg = synthesize_jpeg("fuzz-seed")
+    avi = synthesize_mjpeg_avi("fuzz-seed")
+    for cut in range(len(jpg)):
+        parse_jpeg(jpg[:cut])
+        decode_jpeg_baseline(jpg[:cut])
+    for cut in range(len(avi)):
+        parse_avi(avi[:cut])
+        avi_jpeg_frames(avi[:cut])
+    # size-field bit flips: corrupt every byte to 0xFF one at a time —
+    # inflated segment/chunk sizes must clamp, not run off the end
+    for pos in range(len(avi)):
+        mut = bytearray(avi)
+        mut[pos] = 0xFF
+        parse_avi(bytes(mut))
+        avi_jpeg_frames(bytes(mut))
+    for pos in range(len(jpg)):
+        mut = bytearray(jpg)
+        mut[pos] = 0xFF
+        parse_jpeg(bytes(mut))
+        decode_jpeg_baseline(bytes(mut))
+    # intact fixtures still decode after the guard tightening
+    assert decode_jpeg_baseline(jpg) is not None
+    assert parse_avi(avi)["handler"] == "MJPG"
+    assert len(avi_jpeg_frames(avi)) == parse_avi(avi)["n_frames"]
