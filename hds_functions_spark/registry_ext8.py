@@ -1404,3 +1404,5 @@ def multimodal_video_dedup(spark, sf_dir):
         .filter(F.col("n_frames") > 1)
         .drop("frame_md5")
     )
+
+from . import registry_ext9  # noqa: E402,F401  (round-12 registrations)
