@@ -809,6 +809,121 @@ def ahash64_from_pixels(
     return w, h, (val >> 32) & 0xFFFFFFFF, val & 0xFFFFFFFF
 
 
+
+# --- perceptual DCT hash (pHash) ------------------------------------------
+#
+# Fixed-point integer DCT so the hash is EXACTLY reproducible in any
+# SQL engine: the 8x32 cosine table below is precomputed once in
+# Python and embedded verbatim into the DuckDB oracle, and every later
+# operation (lattice sample, two integer matmuls, strict-mean
+# threshold) is pure bigint arithmetic -- no cross-engine cos()/double
+# drift anywhere. Magnitude bound: |T| <= 2^14, gray <= 765, 32x32
+# lattice -> |C| <= 765 * 2^28 * 1024 < 2^48, comfortably int64.
+
+_PHASH_GRID = 32  # lattice (nearest-neighbour resize target)
+_PHASH_KEEP = 8  # low-frequency block kept from the DCT
+_PHASH_SCALE = 16384  # 2^14 fixed-point scale for the cosine table
+
+
+def _phash_cos_table() -> list[list[int]]:
+    import math
+
+    return [
+        [
+            round(
+                math.cos(math.pi * (2 * x + 1) * u / (2 * _PHASH_GRID))
+                * _PHASH_SCALE
+            )
+            for x in range(_PHASH_GRID)
+        ]
+        for u in range(_PHASH_KEEP)
+    ]
+
+
+#: The shared fixed-point DCT basis (8 x 32). The oracle embeds these
+#: EXACT integers, so Python round() banker's-rounding quirks are
+#: irrelevant -- both sides read the same table.
+_PHASH_T = _phash_cos_table()
+
+
+def phash64_from_pixels(
+    w: int, h: int, pixels: bytes
+) -> tuple[int, int, int, int]:
+    """Perceptual DCT hash over already-decoded top-down RGB bytes:
+    sample a 32x32 gray lattice (per-pixel RGB sum, the ahash floor
+    mapping), apply the fixed-point integer 2-D DCT, keep the 8x8
+    low-frequency block, and set bit ``u*8 + v`` when the coefficient
+    is STRICTLY above the mean of the 63 non-DC coefficients
+    (``C * 63 > total`` -- integer-exact). Bit 0 (the DC slot) is
+    always 0. Near-duplicate content (requantized, lightly edited)
+    keeps its low-frequency structure, so Hamming distance over the 63
+    bits measures visual similarity far more robustly than ahash;
+    rotation is NOT invariant (documented, pinned by test).
+
+    Returns ``(width, height, hash_hi32, hash_lo32)`` -- split halves
+    keep each value in signed-64 range for engines without uint64."""
+    g_n = _PHASH_GRID
+    k = _PHASH_KEEP
+    if np is not None:
+        px = (
+            np.frombuffer(pixels, dtype=np.uint8)[: w * h * 3]
+            .astype(np.int64)
+            .reshape(h, w, 3)
+        )
+        sy = (np.arange(g_n) * h) // g_n
+        sx = (np.arange(g_n) * w) // g_n
+        g = px[sy][:, sx].sum(axis=2)  # 32x32 gray, int64
+        t = np.asarray(_PHASH_T, dtype=np.int64)  # 8x32
+        c = t @ g @ t.T  # 8x8 integer DCT block
+        coef = [[int(c[u, v]) for v in range(k)] for u in range(k)]
+    else:
+        g = [
+            [
+                sum(
+                    pixels[
+                        ((i * h // g_n) * w + (j * w // g_n)) * 3 + ch
+                    ]
+                    for ch in range(3)
+                )
+                for j in range(g_n)
+            ]
+            for i in range(g_n)
+        ]
+        r = [
+            [
+                sum(_PHASH_T[v][j] * g[i][j] for j in range(g_n))
+                for v in range(k)
+            ]
+            for i in range(g_n)
+        ]
+        coef = [
+            [
+                sum(_PHASH_T[u][i] * r[i][v] for i in range(g_n))
+                for v in range(k)
+            ]
+            for u in range(k)
+        ]
+    total = sum(sum(row) for row in coef) - coef[0][0]
+    val = 0
+    for u in range(k):
+        for v in range(k):
+            if u == 0 and v == 0:
+                continue
+            if coef[u][v] * 63 > total:
+                val |= 1 << (u * k + v)
+    return w, h, (val >> 32) & 0xFFFFFFFF, val & 0xFFFFFFFF
+
+
+def phash64(payload: bytes | None) -> tuple[int, int, int, int] | None:
+    """:func:`phash64_from_pixels` over a decodable image payload, or
+    None if the container does not decode (fail closed)."""
+    parsed = image_pixel_data(payload)
+    if parsed is None:
+        return None
+    w, h, pixels = parsed
+    return phash64_from_pixels(w, h, pixels)
+
+
 # --- JPEG baseline (ITU-T T.81 / ISO 10918-1) -----------------------------
 #
 # A pure-stdlib (numpy-accelerated) BASELINE sequential DCT codec — the

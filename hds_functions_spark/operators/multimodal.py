@@ -670,6 +670,74 @@ def ahash_duplicate_groups(hashes: DataFrame) -> DataFrame:
     )
 
 
+#: One row per image: dims + the 63-bit perceptual DCT hash split into
+#: two 32-bit halves (bit 0, the DC slot, is always zero).
+PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("phash_hi", LongType()),
+        StructField("phash_lo", LongType()),
+    ]
+)
+
+
+def image_phash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Perceptual DCT hash (pHash) over a binary image column — the
+    NEAR-duplicate image signature: a 32x32 gray lattice through the
+    fixed-point integer 2-D DCT, keeping the 8x8 low-frequency block's
+    sign-vs-mean bits (:func:`media_codecs.phash64`). Low-frequency
+    structure survives requantization and small edits that flip many
+    ahash bits, so equal-hash grouping (and small-Hamming matching)
+    finds visually-identical content across containers AND across
+    lossy re-encodes. Arrow-batched ``mapInPandas``, no shuffle;
+    undecodable payloads yield null hash halves (fail closed)."""
+
+    def process(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from .media_codecs import phash64
+
+        for pdf in batches:
+            hashed = [
+                phash64(p) if p is not None else None
+                for p in pdf[payload_col]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": [r[0] if r else None for r in hashed],
+                    "height": [r[1] if r else None for r in hashed],
+                    "phash_hi": [r[2] if r else None for r in hashed],
+                    "phash_lo": [r[3] if r else None for r in hashed],
+                }
+            )
+
+    return df.mapInPandas(process, PHASH_SCHEMA)
+
+
+def phash_duplicate_groups(hashes: DataFrame) -> DataFrame:
+    """Collapse identical perceptual DCT hashes into near-duplicate
+    image groups: one row per hash value seen more than once, with the
+    group size and the lowest doc_id as canonical. ONE map-side-
+    combinable aggregate keyed by the two hash halves — the exact-dedup
+    shape, never pairwise."""
+    return (
+        hashes.filter(F.col("phash_hi").isNotNull())
+        .groupBy("phash_hi", "phash_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_images"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_images") > 1)
+    )
+
+
 #: Output schema of the MJPEG clip profiler: one row per FRAME, each
 #: frame fully decoded through the baseline JPEG codec.
 MJPEG_FRAME_SCHEMA = StructType(

@@ -223,3 +223,189 @@ def text_unigram_encode(spark, sf_dir):
         max_vocab=_UG_V,
         n_iterations=_UG_ITERS,
     )
+
+
+# --- perceptual DCT hash (pHash) near-dup image grouping --------------------
+
+
+def _duck_phash_sql() -> str:
+    """Mirror of synthesize_image + media_codecs.phash64: the 32x32
+    gray lattice comes closed-form from the md5 synthesis protocol
+    (the ahash oracle's expression at a 32-wide lattice), and the 2-D
+    DCT is two integer matmuls against the EXACT fixed-point cosine
+    table embedded below (generated from media_codecs._PHASH_T, the
+    same list the Python side multiplies with) — so the whole hash is
+    bigint arithmetic, bit-identical by construction."""
+    from .operators.media_codecs import _PHASH_GRID, _PHASH_KEEP, _PHASH_T
+
+    rows = ",\n    ".join(
+        ", ".join(
+            f"({u}, {x}, {_PHASH_T[u][x]})" for x in range(_PHASH_GRID)
+        )
+        for u in range(_PHASH_KEEP)
+    )
+    g = _PHASH_GRID
+    pix = f"(((i.i * h) // {g}) * w + ((j.j * w) // {g}))"
+    return f"""
+WITH b AS (
+  SELECT doc_id,
+         1 + ('0x' || substr(md5(text), 1, 2))::INTEGER % 64 AS w,
+         1 + ('0x' || substr(md5(text), 3, 2))::INTEGER % 64 AS h,
+         ('0x' || substr(md5(text), 7, 2))::INTEGER AS d3
+  FROM documents
+), t AS (
+  SELECT * FROM (VALUES
+    {rows}) AS q(u, x, tv)
+), g AS (
+  SELECT doc_id, i.i AS i, j.j AS j,
+         ((d3 + {pix} * 3) % 256)
+         + ((d3 + {pix} * 3 + 1) % 256)
+         + ((d3 + {pix} * 3 + 2) % 256) AS s
+  FROM b, range(0, {g}) i(i), range(0, {g}) j(j)
+), r AS (
+  SELECT g.doc_id, g.i, tv.u AS v, sum(g.s * tv.tv) AS rv
+  FROM g JOIN t tv ON tv.x = g.j GROUP BY 1, 2, 3
+), c AS (
+  SELECT r.doc_id, tu.u AS u, r.v, CAST(sum(r.rv * tu.tv) AS BIGINT) AS cv
+  FROM r JOIN t tu ON tu.x = r.i GROUP BY 1, 2, 3
+), tot AS (
+  SELECT doc_id,
+         sum(CASE WHEN u = 0 AND v = 0 THEN 0 ELSE cv END) AS total
+  FROM c GROUP BY 1
+), bits AS (
+  SELECT c.doc_id, u * {_PHASH_KEEP} + v AS idx,
+         CASE WHEN cv * 63 > total THEN 1 ELSE 0 END AS bit
+  FROM c JOIN tot USING (doc_id) WHERE NOT (u = 0 AND v = 0)
+), ph AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN idx >= 32 THEN bit::BIGINT << (idx - 32)
+                  ELSE 0 END) AS BIGINT) AS phash_hi,
+         CAST(sum(CASE WHEN idx < 32 THEN bit::BIGINT << idx
+                  ELSE 0 END) AS BIGINT) AS phash_lo
+  FROM bits GROUP BY 1
+)
+SELECT phash_hi, phash_lo, CAST(count(*) AS BIGINT) AS n_images,
+       min(doc_id) AS canonical_doc_id
+FROM ph GROUP BY 1, 2 HAVING count(*) > 1
+"""
+
+
+@_register("multimodal_phash_dups", _duck_phash_sql())
+def multimodal_phash_dups(spark, sf_dir):
+    """NEAR-duplicate image groups by perceptual DCT hash: every
+    synthesized image through the REAL decode path, the fixed-point
+    integer 2-D DCT, and one combinable aggregate on the 63 sign-vs-
+    mean bits of the low-frequency block — the production upgrade of
+    multimodal_ahash_dups (low-frequency structure survives lossy
+    re-encodes that flip ahash bits; requantization invariance is
+    pinned by unit test against the JPEG round-trip). Never pairwise:
+    hash-equality grouping, the exact-dedup shape. The oracle
+    recomputes all 63 bits integer-exactly from the synthesis protocol
+    and the SAME embedded cosine table."""
+    from .operators.multimodal import (
+        image_phash,
+        phash_duplicate_groups,
+        synthesize_media_payloads,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return phash_duplicate_groups(
+        image_phash(synthesize_media_payloads(docs, "image"))
+    )
+
+
+# --- WARC/WET source roundtrip ----------------------------------------------
+
+
+@_register(
+    "source_warc_corpus",
+    """
+SELECT lang AS content_language, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM documents
+WHERE doc_id % 3 <> 1
+GROUP BY 1
+""",
+)
+def source_warc_corpus(spark, sf_dir):
+    """WARC corpus lifecycle: write a documents subset as real
+    ``.warc.gz`` archives (concatenated per-record gzip members, WET
+    'conversion' records carrying the language in
+    WARC-Identified-Content-Language — the Common Crawl layout),
+    EXECUTOR-side via applyInPandas (one archive per bucket, never a
+    driver loop), read them back with read_warc_corpus (binaryFile
+    scan, one task per archive, pure-stdlib member walk), assert zero
+    quarantined rows, and aggregate. The oracle runs the same
+    aggregate on the parquet source — any writer/reader drift (lost
+    records, header mangling, payload truncation) breaks the match.
+    See sources/warc.py for the quarantine contract."""
+    import os
+    import shutil
+    import tempfile
+
+    from .registry import _stable_dir_tag
+    from .sources.warc import read_warc_corpus
+
+    path = os.path.join(
+        tempfile.gettempdir(), "hds_warc_corpus_" + _stable_dir_tag(sf_dir)
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 3 != 1)
+        .select("doc_id", "text", "lang")
+        .withColumn("bucket", (F.col("doc_id") % 8).cast("int"))
+    )
+
+    def write_bucket(pdf):
+        import pandas as pd
+
+        from hds_functions_spark.sources.warc import (
+            build_warc_gz,
+            build_warc_record,
+        )
+
+        b = int(pdf["bucket"].iloc[0])
+        recs = []
+        for doc_id, text, lang in zip(
+            pdf["doc_id"], pdf["text"], pdf["lang"]
+        ):
+            recs.append(
+                build_warc_record(
+                    {
+                        "WARC-Type": "conversion",
+                        "WARC-Record-ID": f"<urn:doc:{doc_id}>",
+                        "WARC-Target-URI": f"http://example.com/doc/{doc_id}",
+                        "WARC-Date": "2024-01-01T00:00:00Z",
+                        "WARC-Identified-Content-Language": str(lang),
+                    },
+                    str(text).encode("utf-8"),
+                )
+            )
+        with open(os.path.join(path, f"part-{b:04d}.warc.gz"), "wb") as f:
+            f.write(build_warc_gz(recs))
+        return pd.DataFrame({"bucket": [b], "n": [len(recs)]})
+
+    written = docs.groupBy("bucket").applyInPandas(
+        write_bucket, "bucket int, n long"
+    )
+    n_written = written.agg(F.sum("n")).first()[0]
+    df = read_warc_corpus(path, spark)
+    stats = df.agg(
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1)).alias("c"),
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n"),
+    ).first()
+    if stats["c"] or stats["n"] != n_written:
+        raise ValueError(
+            f"warc roundtrip drift at {path}: wrote {n_written}, read "
+            f"{stats['n']} clean + {stats['c']} corrupt"
+        )
+    return (
+        df.filter(F.col("_corrupt_record").isNull())
+        .groupBy("content_language")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("payload")).cast("long").alias("total_chars"),
+        )
+    )

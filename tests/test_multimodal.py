@@ -956,3 +956,80 @@ def test_codec_truncation_fuzz_never_raises():
     assert decode_jpeg_baseline(jpg) is not None
     assert parse_avi(avi)["handler"] == "MJPG"
     assert len(avi_jpeg_frames(avi)) == parse_avi(avi)["n_frames"]
+
+
+def test_phash_invariances_and_sensitivity():
+    """pHash contract: equal across containers, stable under JPEG
+    requantization and small pixel edits (the near-dup cases ahash
+    misses), NOT rotation-invariant (documented limitation)."""
+    import numpy as np
+
+    from hds_functions_spark.operators.media_codecs import (
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+        image_pixel_data,
+        phash64,
+        phash64_from_pixels,
+        synthesize_bmp,
+        synthesize_ppm,
+    )
+
+    def ham(a, b):
+        return bin(((a[2] << 32) | a[3]) ^ ((b[2] << 32) | b[3])).count("1")
+
+    for seed in ("alpha", "beta", "gamma", "delta"):
+        ppm = synthesize_ppm(seed)
+        assert phash64(ppm) == phash64(synthesize_bmp(seed))
+        w, h, px = image_pixel_data(ppm)
+        base = phash64_from_pixels(w, h, px)
+        # lossy requantization: full JPEG encode/decode round-trip
+        jw, jh, jpx = decode_jpeg_baseline(encode_jpeg_baseline(w, h, px, 3))
+        assert ham(base, phash64_from_pixels(jw, jh, jpx)) <= 4
+        # small edit: +6 on ~1% of bytes
+        mut = bytearray(px)
+        for i in range(0, len(mut), 101):
+            mut[i] = min(255, mut[i] + 6)
+        assert ham(base, phash64_from_pixels(w, h, bytes(mut))) <= 2
+        # 180-degree rotation restructures low frequencies: NOT a dup
+        rot = np.frombuffer(px, dtype=np.uint8).reshape(h, w, 3)[::-1, ::-1, :]
+        assert ham(base, phash64_from_pixels(w, h, rot.tobytes())) >= 16
+    assert phash64(b"not an image") is None
+    assert phash64(None) is None
+    # bit 0 (the DC slot) is always zero
+    assert (phash64(synthesize_ppm("alpha"))[3] & 1) == 0
+
+
+def test_image_phash_through_spark(spark):
+    """Arrow-batch plumbing: per-row phash matches the direct call;
+    undecodable payloads yield null halves; duplicate grouping
+    collapses identical content across containers."""
+    from hds_functions_spark.operators.media_codecs import (
+        phash64,
+        synthesize_bmp,
+        synthesize_ppm,
+    )
+    from hds_functions_spark.operators.multimodal import (
+        image_phash,
+        phash_duplicate_groups,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, synthesize_ppm("dup")),
+            (2, synthesize_bmp("dup")),  # same content, other container
+            (3, synthesize_ppm("solo")),
+            (4, b"corrupt"),
+            (5, None),
+        ],
+        "doc_id: long, payload: binary",
+    )
+    hashes = image_phash(df)
+    rows = {r["doc_id"]: r for r in hashes.collect()}
+    exp = phash64(synthesize_ppm("dup"))
+    assert (rows[1]["phash_hi"], rows[1]["phash_lo"]) == (exp[2], exp[3])
+    assert tuple(rows[1])[1:] == tuple(rows[2])[1:]
+    assert rows[4]["phash_hi"] is None and rows[5]["phash_hi"] is None
+    groups = phash_duplicate_groups(hashes).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_images"] == 2
+    assert groups[0]["canonical_doc_id"] == 1
