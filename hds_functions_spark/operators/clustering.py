@@ -36,10 +36,17 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    StructField,
+    StructType,
+)
 
 __all__ = [
     "kmeans_fit",
     "kmeans_assign",
+    "BULK_ASSIGN_SCALARS",
     "kmeans_fit_assign",
     "cluster_near_pairs",
     "semantic_dedup",
@@ -108,6 +115,100 @@ def _best_centroid(vec_col: str, centroids: list[list[float]]) -> Column:
                 )
                 for i, c in enumerate(centroids)
             ]
+        )
+    )
+
+
+#: Above roughly this many literal scalars (k * dim), LITERAL
+#: centroids stop being free: plan analysis + janino codegen time grow
+#: with k*dim for both the unrolled and the folded-literal trees
+#: (measured: ~13s/51s/102s codegen, ~7s/27s/51s bulk plan overhead at
+#: k=256/1024/4096, dim 64 — tools/scaleup_r12.py). The broadcast path
+#: keeps the PLAN O(1) and ships the matrix as data. Crossover notes in
+#: SCALE.md ("large-k assignment").
+BULK_ASSIGN_SCALARS = 16_384
+
+
+def _best_centroid_bulk(
+    vec_col: str, centroids: list[list[float]]
+) -> Column:
+    """The large-k twin of :func:`_best_centroid`: the WHOLE centroid
+    matrix becomes ONE folded literal (``array(lit(c0), lit(c1), ...)``
+    — every child is foldable, so Catalyst's ConstantFolding collapses
+    it to a single array<array<double>> Literal at optimisation time),
+    and the argmin runs as ``array_min`` over ``transform`` — the
+    generated code LOOPS over centroid data instead of unrolling k
+    distance expressions, so codegen size and compile time are
+    constant in k. Still zero shuffle, zero Python.
+
+    Bit-identical to the codegen path by construction: the inner fold
+    is the same left-to-right ``aggregate`` from 0.0 over the same
+    ``zip_with`` squares (IEEE addition order preserved), ragged
+    vectors pin to +Inf the same way, and ``array_min`` over
+    struct(dist, idx) breaks ties to the lowest index identically —
+    pinned by test_bulk_assignment_identity."""
+    cmat = F.array(*[F.lit([float(x) for x in c]) for c in centroids])
+    vec = F.col(vec_col).cast("array<double>")
+    return F.array_min(
+        F.transform(
+            cmat,
+            lambda c, i: F.struct(
+                F.coalesce(
+                    F.aggregate(
+                        F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0),
+                        lambda acc, t: acc + t,
+                    ),
+                    F.lit(float("inf")),
+                ).alias("d"),
+                i.cast("int").alias("i"),
+            ),
+        )
+    )
+
+
+_CMAT = "__hds_cmat"
+
+
+def _with_broadcast_centroids(
+    df: DataFrame, centroids: list[list[float]]
+) -> DataFrame:
+    """Attach the centroid matrix as a BROADCAST-JOINED data column:
+    a 1-row frame holding array<array<double>> crossJoin'd in. The
+    matrix never enters the query plan (a k*dim literal tree costs
+    O(k*dim) driver-side analysis — measured at ~51 s for k=4096,
+    dim=64, tools/scaleup_r12.py), it ships once per executor as a
+    broadcast relation, and the plan stays O(1) nodes at any k."""
+    spark = df.sparkSession
+    cmat = spark.createDataFrame(
+        [([[float(x) for x in c] for c in centroids],)],
+        schema=StructType(
+            [StructField(_CMAT, ArrayType(ArrayType(DoubleType())))]
+        ),
+    )
+    return df.crossJoin(F.broadcast(cmat))
+
+
+def _best_centroid_data(vec_col: str) -> Column:
+    """struct(dist, idx) argmin against the broadcast matrix column —
+    the same left-to-right IEEE fold, +Inf pinning, and lowest-index
+    tie-break as :func:`_best_centroid`, evaluated over centroid DATA
+    (one loop in the generated code, k-independent plan)."""
+    vec = F.col(vec_col).cast("array<double>")
+    return F.array_min(
+        F.transform(
+            F.col(_CMAT),
+            lambda c, i: F.struct(
+                F.coalesce(
+                    F.aggregate(
+                        F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0),
+                        lambda acc, t: acc + t,
+                    ),
+                    F.lit(float("inf")),
+                ).alias("d"),
+                i.cast("int").alias("i"),
+            ),
         )
     )
 
@@ -197,6 +298,7 @@ def kmeans_assign(
     vec_col: str = "embedding",
     cluster_col: str = "cluster",
     dist_col: str | None = "dist",
+    method: str = "auto",
 ) -> DataFrame:
     """Attach nearest-centroid assignment (and optionally the squared-L2
     distance) as pure codegen columns — no shuffle, usable as a cheap
@@ -207,15 +309,48 @@ def kmeans_assign(
     Rows whose vector is NULL or whose length differs from the centroid
     dimension get a NULL cluster (and NULL distance) instead of an
     arbitrary one — the fit path already ignores them via null-safe
-    ``F.get``; this makes the assignment path equally explicit."""
+    ``F.get``; this makes the assignment path equally explicit.
+
+    ``method`` selects how the centroids reach the executors — all
+    three are bit-identical (pinned by test):
+
+    - ``"codegen"``: k unrolled literal distance expressions — fastest
+      plan at small k, but plan/compile cost grows with k*dim.
+    - ``"bulk"``: the centroid matrix as one folded array literal,
+      argmin looped over it — smaller generated code, but the literal
+      still costs O(k*dim) driver-side analysis.
+    - ``"broadcast"``: the matrix as a broadcast-joined DATA column
+      (1-row crossJoin) — O(1) plan at any k; the scale path for
+      thousands of centroids (measured crossover in SCALE.md).
+    - ``"auto"``: codegen below ``BULK_ASSIGN_SCALARS`` scalars,
+      broadcast above."""
     dim = len(centroids[0])
+    if method not in ("auto", "codegen", "bulk", "broadcast"):
+        raise ValueError(f"unknown assignment method: {method!r}")
+    if method == "auto":
+        method = (
+            "broadcast"
+            if len(centroids) * dim > BULK_ASSIGN_SCALARS
+            else "codegen"
+        )
     well_formed = F.size(F.col(vec_col)) == dim
-    best = _best_centroid(vec_col, centroids)
-    out = df.withColumn(
+    if method == "broadcast":
+        src = _with_broadcast_centroids(df, centroids)
+        best = _best_centroid_data(vec_col)
+    else:
+        src = df
+        best = (
+            _best_centroid_bulk(vec_col, centroids)
+            if method == "bulk"
+            else _best_centroid(vec_col, centroids)
+        )
+    out = src.withColumn(
         cluster_col, F.when(well_formed, best["i"].cast("int"))
     )
     if dist_col is not None:
         out = out.withColumn(dist_col, F.when(well_formed, best["d"]))
+    if method == "broadcast":
+        out = out.drop(_CMAT)
     return out
 
 

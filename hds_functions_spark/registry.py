@@ -731,71 +731,71 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Queries the driver's correctness gate should see first. The gate verifies
 #: exactly the first 50 entries of ``queries()`` in iteration order.
-#: ROUND-11 ROTATION (executing the r10 verdict's item 3): no r10 reds
-#: exist (50/50 green), so the window burns down the freshness queue —
-#: ALL 36 r05-vintage stale rows plus the 14 alphabetically-first
-#: r06-vintage rows (the two vintages `tools/driver_coverage.py`
-#: flagged at r10 close: 36 + 48). Round-11 additions take head slots,
-#: displacing the r06 tail to the r12 queue.
-#: ROUND-12 ROTATION GUIDANCE: put any round-12 additions (plus any
-#: r11 reds) at the head, then the remaining r06-vintage rows
-#: (tools/driver_coverage.py lists them — events_time_decay,
-#: events_top_type_hourly .. wrangle_unpivot); after that no registry
-#: row is older than r07.
+#: ROUND-12 ROTATION (executing the r11 verdict's item 1): the 4
+#: round-12 additions take the head (land driver rows the round they
+#: ship), then ALL 38 r06-vintage stale rows (`tools/driver_coverage.py`
+#: listed exactly 38 at r12 start — SURVEY §14's "36" under-counted
+#: because round 11 shipped 4 additions, not the 2 the plan assumed,
+#: displacing 2 extra r06 rows into the queue), then the 8
+#: alphabetically-first r08-vintage rows to fill the window. After this
+#: round no registry row is older than r08.
+#: ROUND-13 ROTATION GUIDANCE: r13 additions + any r12 reds at the
+#: head, then the remaining 42 r08-vintage rows (alphabetical from
+#: dedup_jaccard onward per driver_coverage) — r08 clears in ~1 round.
 DRIVER_PRIORITY: list[str] = [
-    # round-11 additions (land driver rows the round they ship):
-    "pipeline_card_trend",
-    "multimodal_image_jpeg",
-    "multimodal_video_mjpeg",
-    "multimodal_video_dedup",
-    # r05-vintage stale rows (all 36):
-    "clean_filter_lines",
-    "clean_scrub_pii",
-    "clean_unicode_nfc",
-    "decontam_ngram_overlap",
-    "dedup_ngram_jaccard",
-    "doclen_histogram",
-    "doclen_quantiles",
-    "embedding_centroids",
-    "events_asof_forward",
-    "events_asof_tolerance",
-    "events_funnel",
-    "events_gap_quantiles",
-    "events_interval_binned",
-    "events_json_props",
-    "events_retention",
-    "events_sliding",
-    "events_trailing",
-    "pack_sequences",
-    "pipeline_best_of_cluster",
-    "pipeline_curation",
-    "privacy_suppress",
-    "profile_lineitem",
-    "sample_cap_per_group",
-    "sample_hash_split",
-    "sample_mixture",
-    "sample_nested",
-    "sample_stratified",
-    "streaming_dedup",
-    "streaming_interval_join",
-    "streaming_sessions",
-    "streaming_stateful_totals",
-    "table_standardise_hes",
-    "text_langid_confusion",
-    "text_repetition",
-    "text_stopword_filter",
-    "text_tfidf",
-    # r06-vintage stale rows (the 14 alphabetically-first of 48):
-    "analytics_cube",
-    "analytics_share",
-    "cluster_kmeans",
-    "cluster_kmeans_profile",
-    "cluster_semantic_dedup",
-    "dedup_cluster_sizes",
-    "dedup_containment",
-    "dedup_degree_stats",
-    "dedup_substring_signal",
-    "events_active_users",
+    # round-12 additions (land driver rows the round they ship):
+    "text_unigram_train",
+    "text_unigram_encode",
+    "multimodal_phash_dups",
+    "source_warc_corpus",
+    # r06-vintage stale rows (all 38):
+    "events_anomaly_daily",
+    "events_cooccurrence",
+    "events_densified_monthly",
+    "events_rfm",
+    "events_time_decay",
+    "events_top_type_hourly",
+    "events_transitions",
+    "events_window_dedup",
+    "layout_pruning_sim",
+    "layout_zorder",
+    "multimodal_ahash",
+    "multimodal_ahash_dups",
+    "multimodal_video_real",
+    "pack_efficiency",
+    "pipeline_pretrain_prep",
+    "pipeline_semantic_prep",
+    "privacy_generalize",
+    "privacy_k_anonymity",
+    "privacy_l_diversity",
+    "profile_correlations",
+    "quality_join_audit",
+    "quality_observed_metrics",
+    "sample_temperature",
+    "sample_weighted",
+    "similarity_quantized_knn",
+    "source_orc_roundtrip",
+    "streaming_transitions",
+    "table_scd2",
+    "text_bpe_pairs",
+    "text_oov_rate",
+    "text_quality_retention",
+    "text_script_ratios",
+    "text_ttr",
+    "text_vocab_build",
+    "text_zipf",
+    "wrangle_mad_outliers",
+    "wrangle_pivot",
+    "wrangle_unpivot",
+    # r08-vintage rows (the 8 alphabetically-first of 50):
+    "clean_strip_markup",
+    "cohort_filter",
+    "cohort_flowchart",
+    "config_csv_roundtrip",
+    "config_dict_map",
+    "config_json_map",
+    "date_instructions",
+    "dedup_incremental",
 ]
 
 

@@ -147,3 +147,67 @@ def test_float_input_promotes_exactly(spark):
     assigned, cents = kmeans_fit_assign(df, k=2, n_iter=1, dim=2)
     got = {r["vec_id"]: r["dist"] for r in assigned.collect()}
     assert got[1] == 0.0 and got[2] == 0.0  # centroids land on the points
+
+
+def test_bulk_assignment_identity(spark):
+    """The large-k bulk path (one folded centroid-matrix literal,
+    argmin looped over DATA) must agree bit-for-bit with the unrolled
+    codegen path — same IEEE fold order, same +Inf pinning for ragged
+    vectors, same lowest-index tie-break."""
+    import random
+
+    from hds_functions_spark.operators.clustering import kmeans_assign
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(200)
+    ]
+    rows += [(900, [0.0] * 3), (901, None)]  # ragged + null
+    rows += [(902, [0.25] * 8), (903, [-0.25] * 8)]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    cents = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(33)]
+    cents[5] = list(cents[2])  # planted exact tie: index 2 must win
+    a = {
+        r["vec_id"]: (r["cluster"], r["dist"])
+        for r in kmeans_assign(df, cents, method="codegen").collect()
+    }
+    b = {
+        r["vec_id"]: (r["cluster"], r["dist"])
+        for r in kmeans_assign(df, cents, method="bulk").collect()
+    }
+    assert a == b
+    c = {
+        r["vec_id"]: (r["cluster"], r["dist"])
+        for r in kmeans_assign(df, cents, method="broadcast").collect()
+    }
+    assert a == c
+    assert "__hds_cmat" not in kmeans_assign(
+        df, cents, method="broadcast"
+    ).columns
+    assert a[900] == (None, None) and a[901] == (None, None)
+    tied = kmeans_assign(
+        spark.createDataFrame(
+            [(1, cents[2])], "vec_id: long, embedding: array<double>"
+        ),
+        cents,
+        method="bulk",
+    ).first()
+    assert tied["cluster"] == 2 and tied["dist"] == 0.0
+
+
+def test_bulk_assignment_auto_dispatch_and_validation(spark):
+    from hds_functions_spark.operators.clustering import (
+        BULK_ASSIGN_SCALARS,
+        kmeans_assign,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0])], "vec_id: long, embedding: array<double>"
+    )
+    with pytest.raises(ValueError, match="method"):
+        kmeans_assign(df, [[0.0, 1.0]], method="nope")
+    # auto picks broadcast above the scalar threshold: k*dim > threshold
+    k = BULK_ASSIGN_SCALARS // 2 + 1
+    cents = [[float(i), 0.0] for i in range(k)]
+    out = kmeans_assign(df, cents, method="auto").first()
+    assert out["cluster"] == 0 and out["dist"] == 1.0
