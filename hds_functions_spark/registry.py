@@ -738,7 +738,9 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: because round 11 shipped 4 additions, not the 2 the plan assumed,
 #: displacing 2 extra r06 rows into the queue), then the 8
 #: alphabetically-first r08-vintage rows to fill the window. After this
-#: round no registry row is older than r08.
+#: round no registry row is older than r08 (the 6 round-12 additions
+#: push the last 2 r08 fillers past slot 50 — they stay in the r13
+#: queue with the other r08 rows).
 #: ROUND-13 ROTATION GUIDANCE: r13 additions + any r12 reds at the
 #: head, then the remaining 42 r08-vintage rows (alphabetical from
 #: dedup_jaccard onward per driver_coverage) — r08 clears in ~1 round.
@@ -747,7 +749,9 @@ DRIVER_PRIORITY: list[str] = [
     "text_unigram_train",
     "text_unigram_encode",
     "multimodal_phash_dups",
+    "multimodal_phash",
     "source_warc_corpus",
+    "source_warc_quarantine",
     # r06-vintage stale rows (all 38):
     "events_anomaly_daily",
     "events_cooccurrence",

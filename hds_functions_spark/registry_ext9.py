@@ -228,7 +228,7 @@ def text_unigram_encode(spark, sf_dir):
 # --- perceptual DCT hash (pHash) near-dup image grouping --------------------
 
 
-def _duck_phash_sql() -> str:
+def _duck_phash_cte() -> str:
     """Mirror of synthesize_image + media_codecs.phash64: the 32x32
     gray lattice comes closed-form from the md5 synthesis protocol
     (the ahash oracle's expression at a 32-wide lattice), and the 2-D
@@ -284,10 +284,15 @@ WITH b AS (
                   ELSE 0 END) AS BIGINT) AS phash_lo
   FROM bits GROUP BY 1
 )
+{{select}}
+"""
+
+
+def _duck_phash_sql() -> str:
+    return _duck_phash_cte().format(select="""
 SELECT phash_hi, phash_lo, CAST(count(*) AS BIGINT) AS n_images,
        min(doc_id) AS canonical_doc_id
-FROM ph GROUP BY 1, 2 HAVING count(*) > 1
-"""
+FROM ph GROUP BY 1, 2 HAVING count(*) > 1""")
 
 
 @_register("multimodal_phash_dups", _duck_phash_sql())
@@ -408,4 +413,114 @@ def source_warc_corpus(spark, sf_dir):
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(F.length("payload")).cast("long").alias("total_chars"),
         )
+    )
+
+
+@_register(
+    "multimodal_phash",
+    _duck_phash_cte().format(select="""
+SELECT b2.doc_id,
+       CAST(b2.w AS INTEGER) AS width, CAST(b2.h AS INTEGER) AS height,
+       ph.phash_hi, ph.phash_lo
+FROM ph JOIN b b2 USING (doc_id)"""),
+)
+def multimodal_phash(spark, sf_dir):
+    """Per-image perceptual DCT hash through the REAL decode path —
+    the bit-strength companion of multimodal_phash_dups: the dup query
+    only driver-checks COLLIDING hashes, this one checks all 63 bits
+    of EVERY image against the oracle's integer-exact recomputation
+    (any drift in the lattice sampling, the fixed-point DCT, or the
+    mean-threshold flips a bit somewhere in 500-80k images). Zero
+    shuffle: 1 row in -> 1 row out, Arrow-batched."""
+    from .operators.multimodal import image_phash, synthesize_media_payloads
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return image_phash(synthesize_media_payloads(docs, "image"))
+
+
+@_register(
+    "source_warc_quarantine",
+    """
+SELECT CAST(sum(CASE WHEN doc_id % 17 <> 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_clean,
+       CAST(sum(CASE WHEN doc_id % 17 = 3 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_quarantined,
+       CAST(sum(CASE WHEN doc_id % 17 <> 3 THEN length(text)
+                ELSE 0 END) AS BIGINT) AS clean_chars
+FROM documents
+""",
+)
+def source_warc_quarantine(spark, sf_dir):
+    """The quarantine contract under DRIVER oracle check (the
+    roundtrip query proves the clean path; this proves the FAILURE
+    path): archives are written with a planted malformed record for
+    every ``doc_id % 17 == 3`` document (valid WARC framing, garbage
+    Content-Length — the classic torn-crawl shape), read back, and
+    counted. Exactly one `_corrupt_record` row must appear per planted
+    corruption, the walker must resync so every OTHER record survives
+    intact, and the clean payload volume must match the parquet
+    closed form. See sources/warc.py parse_warc_stream."""
+    import os
+    import shutil
+    import tempfile
+
+    from .registry import _stable_dir_tag
+    from .sources.warc import read_warc_corpus
+
+    path = os.path.join(
+        tempfile.gettempdir(), "hds_warc_quar_" + _stable_dir_tag(sf_dir)
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .withColumn("bucket", (F.col("doc_id") % 8).cast("int"))
+    )
+
+    def write_bucket(pdf):
+        import pandas as pd
+
+        from hds_functions_spark.sources.warc import (
+            build_warc_gz,
+            build_warc_record,
+        )
+
+        b = int(pdf["bucket"].iloc[0])
+        recs = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            rec = build_warc_record(
+                {
+                    "WARC-Type": "conversion",
+                    "WARC-Record-ID": f"<urn:doc:{doc_id}>",
+                },
+                str(text).encode("utf-8"),
+            )
+            if int(doc_id) % 17 == 3:  # plant the torn record
+                n = len(str(text).encode("utf-8"))
+                rec = rec.replace(
+                    f"Content-Length: {n}".encode(),
+                    b"Content-Length: xx",
+                )
+            recs.append(rec)
+        with open(os.path.join(path, f"part-{b:04d}.warc.gz"), "wb") as f:
+            f.write(build_warc_gz(recs))
+        return pd.DataFrame({"bucket": [b], "n": [len(recs)]})
+
+    docs.groupBy("bucket").applyInPandas(
+        write_bucket, "bucket int, n long"
+    ).agg(F.sum("n")).collect()
+    df = read_warc_corpus(path, spark)
+    return df.agg(
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).cast(
+            "long"
+        ).alias("n_clean"),
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1)).cast(
+            "long"
+        ).alias("n_quarantined"),
+        F.sum(
+            F.when(
+                F.col("_corrupt_record").isNull(), F.length("payload")
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("clean_chars"),
     )

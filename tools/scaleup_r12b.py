@@ -72,7 +72,9 @@ def main():
             "text_unigram_train",
             "text_unigram_encode",
             "multimodal_phash_dups",
+            "multimodal_phash",
             "source_warc_corpus",
+            "source_warc_quarantine",
         ):
             run(f"{name} 1x", lambda n=name: qs[n](spark, sf_dir))
             run(f"{name} 16x", lambda n=name: qs[n](spark, tmp))
