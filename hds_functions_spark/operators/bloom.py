@@ -1,0 +1,271 @@
+"""Broadcast Bloom-filter membership: the shuffle-free pre-filter.
+
+Extension layer (no reference counterpart). At 100 TB the dominant cost
+of "drop every corpus row whose key is in this dirty set" is not the
+dirty set (benchmark-sized) but the JOIN SHAPE: an equi-join still
+hashes/exchanges something per corpus row group, and a broadcast join
+ships the full dirty-key strings to every executor. A Bloom filter
+collapses the dirty set into a fixed ``n_bits`` bitmap (1.2 MB at
+10 M keys / 1% fp with ~10 bits/key) that broadcasts once; the corpus
+probe is then pure map-side expression work — zero corpus shuffle, the
+classic pattern Spark itself applies as a runtime filter
+(``spark.sql.optimizer.runtime.bloomFilter.enabled``) and that a
+decontamination / blocklist sweep wants explicitly.
+
+Engine-portable by construction, hence oracle-checkable: positions come
+from the library's portable 60-bit md5 hash pushed through the SAME
+fixed LCG constants the MinHash family uses (``(a*(h mod p) + b) mod p
+mod n_bits``, all bigint, no overflow in either engine), and the bitmap
+packs 60 bits per word (shift < 2**60 stays positive — no engine-
+specific sign/overflow semantics at bit 63). False positives are part
+of the CONTRACT, not noise: the same arithmetic in SQL flags the same
+rows, so the oracle match is exact, and :func:`bloom_fp_audit` measures
+the realised fp rate against the exact join.
+
+All expressions are JVM-side built-ins (md5/conv/shiftleft/bit ops) —
+no UDFs anywhere on the corpus path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import (
+    MERSENNE_PRIME_31,
+    minhash_permutation_constants,
+    stable_hash64,
+)
+
+__all__ = [
+    "bloom_build",
+    "bloom_probe",
+    "bloom_decontam",
+    "bloom_fp_audit",
+]
+
+#: Bits packed per bitmap word — 60, not 64, so ``1 << bit`` never
+#: reaches the sign bit and the words stay non-negative in every
+#: engine (same rationale as the 60-bit portable hash).
+WORD_BITS = 60
+
+
+def _positions(key: Column, n_bits: int, n_hashes: int) -> Column:
+    """Array of ``n_hashes`` bit positions for a string key — portable
+    hash + the fixed LCG permutations, all exact bigint arithmetic."""
+    h = stable_hash64(key) % MERSENNE_PRIME_31
+    return F.array(
+        *[
+            ((F.lit(a) * h + F.lit(b)) % MERSENNE_PRIME_31) % n_bits
+            for a, b in minhash_permutation_constants(n_hashes)
+        ]
+    )
+
+
+def _word_bit(pos: Column) -> tuple[Column, Column]:
+    """(word index, single-bit mask) for a bit position — the mask via
+    a 60-literal power-of-two array lookup (``shiftleft`` takes only
+    literal shift counts, and an array ``element_at`` works inside
+    higher-order-function lambdas too)."""
+    word_idx = F.floor(pos / WORD_BITS).cast("long")
+    bit = (pos % WORD_BITS).cast("int")
+    mask = F.element_at(
+        F.array(*[F.lit(1 << i) for i in range(WORD_BITS)]), bit + 1
+    )
+    return word_idx, mask
+
+
+def bloom_build(
+    keys: DataFrame,
+    key_col: str = "key",
+    n_bits: int = 1 << 16,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Build the bitmap from a key column: one explode (``n_hashes``
+    rows per key) + ONE combinable ``bit_or`` groupBy. Output
+    ``(word_idx, word)`` — only the non-zero 60-bit words, so an
+    undersized key set costs less than ``n_bits/60`` rows. The frame
+    is bitmap-sized (never key-set-sized); collect/broadcast it freely.
+    """
+    if n_bits < WORD_BITS:
+        raise ValueError(f"n_bits must be >= {WORD_BITS} (got {n_bits})")
+    if n_hashes < 1:
+        raise ValueError(f"n_hashes must be >= 1 (got {n_hashes})")
+    pos = keys.select(
+        F.explode(_positions(F.col(key_col), n_bits, n_hashes)).alias(
+            "_pos"
+        )
+    )
+    word_idx, mask = _word_bit(F.col("_pos"))
+    return (
+        pos.select(
+            word_idx.alias("word_idx"),
+            mask.alias("_b"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("_b").alias("word"))
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    key_col: str = "key",
+    n_bits: int = 1 << 16,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Append boolean ``bloom_hit`` to ``df``: true iff ALL
+    ``n_hashes`` positions of ``key_col`` are set (i.e. the key is
+    possibly-in-set; false means definitely-not-in-set).
+
+    Plan shape — this is the point of the operator: the sparse
+    ``(word_idx, word)`` bitmap packs into ONE map-typed row
+    (``map_from_entries`` over a bitmap-bounded ``collect_list``) that
+    rides a 1-row broadcast crossJoin, and the verdict is a pure
+    map-side ``forall`` over the key's positions (map lookup + bit
+    test per position). The probed frame never exchanges, never
+    explodes, never carries a row id — zero shuffle at ANY corpus
+    size, which a rid-groupBy or posexploded-join formulation would
+    not give. The bitmap ships as broadcast DATA, not as plan
+    literals, so a wide filter (2**24 bits = ~2 MB) costs plan-size
+    nothing (the large-k centroid lesson applied here from the start).
+    """
+    if n_hashes < 1:
+        raise ValueError(f"n_hashes must be >= 1 (got {n_hashes})")
+    packed = bloom.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word_idx", "word"))
+        ).alias("_bloom_map")
+    )
+
+    def _bit_set(pos: Column) -> Column:
+        word_idx, mask = _word_bit(pos)
+        word = F.element_at(F.col("_bloom_map"), word_idx)
+        return F.coalesce(word.bitwiseAND(mask) != 0, F.lit(False))
+
+    return (
+        df.crossJoin(F.broadcast(packed))
+        .withColumn(
+            "bloom_hit",
+            F.forall(
+                _positions(F.col(key_col), n_bits, n_hashes), _bit_set
+            ),
+        )
+        .drop("_bloom_map")
+    )
+
+
+def _doc_grams(
+    docs: DataFrame, id_col: str, text_col: str, ngram: int
+) -> DataFrame:
+    """Distinct word n-grams per doc — the convention shared with
+    :func:`.contamination.ngram_contamination` (lowercased whitespace
+    words)."""
+    from ..functions.text import tokens, word_ngrams
+
+    return docs.select(
+        F.col(id_col).alias("_doc_id"),
+        F.explode(
+            F.array_distinct(
+                word_ngrams(tokens(F.lower(F.col(text_col))), ngram)
+            )
+        ).alias("_gram"),
+    )
+
+
+def bloom_decontam(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "eval_id",
+    eval_text_col: str = "text",
+    ngram: int = 4,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """Bloom-filtered n-gram decontamination: flag corpus docs whose
+    word ``ngram``-grams collide with the eval set's gram bitmap.
+    Output ``(id_col, n_bloom_hits)`` — flagged docs only, with the
+    count of their grams that pass the filter (an upper bound on true
+    shared grams: the fp rate leaks a predictable few extra — pair with
+    :func:`bloom_fp_audit` or feed the flagged minority into the exact
+    :func:`~.contamination.ngram_contamination` join as the verify
+    stage; the bloom pass is the 100 TB volume reducer, not the final
+    verdict).
+
+    Vs the exact-join leg: NO hot-gram cap is needed (membership has
+    no fanout — a gram in every eval doc is still one bit), and the
+    corpus side never shuffles grams; the only exchange is the per-doc
+    hit count (flagged ids only).
+    """
+    if ngram < 1:
+        raise ValueError(f"ngram must be >= 1 (got {ngram})")
+    eval_grams = _doc_grams(
+        eval_df, eval_id_col, eval_text_col, ngram
+    ).select(F.col("_gram").alias("key")).distinct()
+    bloom = bloom_build(eval_grams, "key", n_bits, n_hashes)
+    corpus_grams = _doc_grams(docs, id_col, text_col, ngram)
+    probed = bloom_probe(
+        corpus_grams, bloom, "_gram", n_bits, n_hashes
+    )
+    return (
+        probed.filter(F.col("bloom_hit"))
+        .groupBy("_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
+        .withColumnRenamed("_doc_id", id_col)
+    )
+
+
+def bloom_fp_audit(
+    docs: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    eval_id_col: str = "eval_id",
+    eval_text_col: str = "text",
+    ngram: int = 4,
+    n_bits: int = 1 << 16,
+    n_hashes: int = 3,
+) -> DataFrame:
+    """The realised false-positive audit of :func:`bloom_decontam`:
+    corpus grams that PASS the bloom, split by whether they truly occur
+    in the eval gram set. One row: ``(n_probe_grams, n_pass,
+    n_true_pos, n_false_pos, fp_rate)`` where ``fp_rate`` is false
+    passes over non-member probes — the number to compare against the
+    design ``(1 - e^(-kn/m))^k``. The truth join only runs on the
+    passed minority (bloom guarantees no false negatives, so
+    non-passed grams need no check)."""
+    eval_grams = _doc_grams(
+        eval_df, eval_id_col, eval_text_col, ngram
+    ).select(F.col("_gram").alias("key")).distinct()
+    bloom = bloom_build(eval_grams, "key", n_bits, n_hashes)
+    corpus_grams = _doc_grams(docs, id_col, text_col, ngram).select(
+        "_gram"
+    )
+    probed = bloom_probe(corpus_grams, bloom, "_gram", n_bits, n_hashes)
+    truth = eval_grams.select(
+        F.col("key").alias("_gram"), F.lit(True).alias("_member")
+    ).distinct()
+    joined = probed.join(F.broadcast(truth), on="_gram", how="left")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_probe_grams"),
+        F.sum(F.when(F.col("bloom_hit"), 1).otherwise(0)).alias("n_pass"),
+        F.sum(
+            F.when(F.col("bloom_hit") & F.col("_member").isNotNull(), 1)
+            .otherwise(0)
+        ).alias("n_true_pos"),
+        F.sum(
+            F.when(F.col("bloom_hit") & F.col("_member").isNull(), 1)
+            .otherwise(0)
+        ).alias("n_false_pos"),
+        F.round(
+            F.sum(
+                F.when(
+                    F.col("bloom_hit") & F.col("_member").isNull(), 1
+                ).otherwise(0)
+            )
+            / F.sum(F.when(F.col("_member").isNull(), 1).otherwise(0)),
+            6,
+        ).alias("fp_rate"),
+    )

@@ -44,6 +44,7 @@ __all__ = [
     "bm25_prune_volume_ratio",
     "tfidf_doc_topk",
     "retrieval_decontam",
+    "rrf_fuse",
 ]
 
 
@@ -483,6 +484,70 @@ def retrieval_decontam(
             F.count(F.lit(1)).alias("n_hits"),
             F.max("score").alias("max_score"),
         )
+    )
+
+
+def rrf_fuse(
+    rankings: "list[DataFrame]",
+    k: int = 5,
+    k_rrf: int = 60,
+    query_col: str = "query_id",
+    doc_col: str = "doc_id",
+    rank_col: str = "rank",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of two
+    or more per-query rankings — the standard hybrid-retrieval
+    combiner: a document ranked ``r`` by a leg contributes
+    ``1 / (k_rrf + r)``; legs that missed it contribute nothing.
+    Rank-based fusion needs no score calibration between legs, which
+    is exactly why it is THE way to combine BM25 (unbounded
+    tf-saturated sums) with embedding cosine ([-1, 1]).
+
+    Scale shape: the expensive work is the legs themselves (each
+    already a bounded-candidate top-k); their outputs are
+    ``|queries| * k``-row frames, so the fusion — one union, one
+    combinable groupBy, one per-query window riding WindowGroupLimit —
+    is suite-sized no matter the corpus. Determinism: each
+    contribution is one IEEE double division; per (query, doc) at most
+    one row per leg is summed (callers pass top-k frames, where
+    (query, doc) is unique per leg), and the fused score is rounded to
+    ``round_digits`` BEFORE the final rank (ties by doc id), so a SQL
+    oracle summing the same contributions ranks identically. With two
+    legs the sum is a single commutative add — bit-exact in any
+    aggregation order; callers fusing 4+ legs should lower
+    ``round_digits`` if they need cross-engine hash equality.
+
+    Output: ``(query_id, doc_id, rrf_score, n_legs, rank)`` with
+    ``rank <= k`` per query.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1 (got {k})")
+    if k_rrf < 0:
+        raise ValueError(f"k_rrf must be >= 0 (got {k_rrf})")
+    if len(rankings) < 2:
+        raise ValueError(
+            f"rrf_fuse needs at least 2 rankings (got {len(rankings)})"
+        )
+    contrib = None
+    for leg in rankings:
+        c = leg.select(
+            F.col(query_col).alias("query_id"),
+            F.col(doc_col).alias("doc_id"),
+            (F.lit(1.0) / (F.lit(float(k_rrf)) + F.col(rank_col)))
+            .alias("_c"),
+        )
+        contrib = c if contrib is None else contrib.unionByName(c)
+    fused = contrib.groupBy("query_id", "doc_id").agg(
+        F.round(F.sum("_c"), round_digits).alias("rrf_score"),
+        F.count(F.lit(1)).alias("n_legs"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
     )
 
 

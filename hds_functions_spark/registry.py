@@ -731,19 +731,18 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Queries the driver's correctness gate should see first. The gate verifies
 #: exactly the first 50 entries of ``queries()`` in iteration order.
-#: ROUND-12 ROTATION (executing the r11 verdict's item 1): the 4
+#: ROUND-12 ROTATION (executing the r11 verdict's item 1): the 11
 #: round-12 additions take the head (land driver rows the round they
-#: ship), then ALL 38 r06-vintage stale rows (`tools/driver_coverage.py`
-#: listed exactly 38 at r12 start — SURVEY §14's "36" under-counted
-#: because round 11 shipped 4 additions, not the 2 the plan assumed,
-#: displacing 2 extra r06 rows into the queue), then the 8
-#: alphabetically-first r08-vintage rows to fill the window. After this
-#: round no registry row is older than r08 (the 6 round-12 additions
-#: push the last 2 r08 fillers past slot 50 — they stay in the r13
-#: queue with the other r08 rows).
+#: ship — 6 from the first batch, 5 from the second: RRF fusion, the
+#: two bloom-decontam queries, the two WordPiece queries), then ALL 38
+#: r06-vintage stale rows (`tools/driver_coverage.py` listed exactly
+#: 38 at r12 start — SURVEY §14's "36" under-counted because round 11
+#: shipped 4 additions, not the 2 the plan assumed, displacing 2 extra
+#: r06 rows into the queue). 11 + 38 = 49; one r08 filler takes slot
+#: 50. After this round no registry row is older than r08.
 #: ROUND-13 ROTATION GUIDANCE: r13 additions + any r12 reds at the
-#: head, then the remaining 42 r08-vintage rows (alphabetical from
-#: dedup_jaccard onward per driver_coverage) — r08 clears in ~1 round.
+#: head, then the remaining 49 r08-vintage rows (alphabetical from
+#: cohort_filter onward per driver_coverage) — r08 clears in ~1 round.
 DRIVER_PRIORITY: list[str] = [
     # round-12 additions (land driver rows the round they ship):
     "text_unigram_train",
@@ -752,6 +751,11 @@ DRIVER_PRIORITY: list[str] = [
     "multimodal_phash",
     "source_warc_corpus",
     "source_warc_quarantine",
+    "retrieval_rrf_fusion",
+    "decontam_bloom",
+    "decontam_bloom_audit",
+    "text_wordpiece_train",
+    "text_wordpiece_encode",
     # r06-vintage stale rows (all 38):
     "events_anomaly_daily",
     "events_cooccurrence",
@@ -791,15 +795,8 @@ DRIVER_PRIORITY: list[str] = [
     "wrangle_mad_outliers",
     "wrangle_pivot",
     "wrangle_unpivot",
-    # r08-vintage rows (the 8 alphabetically-first of 50):
+    # r08-vintage filler (slot 50):
     "clean_strip_markup",
-    "cohort_filter",
-    "cohort_flowchart",
-    "config_csv_roundtrip",
-    "config_dict_map",
-    "config_json_map",
-    "date_instructions",
-    "dedup_incremental",
 ]
 
 

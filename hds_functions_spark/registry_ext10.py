@@ -1,0 +1,374 @@
+"""Extension-layer query registry, part 10 (round-12, second batch).
+
+Same contract as ``registry_ext.py``: every query has a DuckDB oracle
+generated from the SAME constants so both sides compute identical
+values by construction. This batch widens three families the r11
+verdict graded as first-class:
+
+1. **Hybrid retrieval** — reciprocal-rank fusion (Cormack, Clarke &
+   Buettcher 2009) of the BM25 leg and the dense cosine leg: the
+   standard way production search combines a lexical and an embedding
+   ranking without score calibration.
+2. **Bloom-filter decontamination** — the shuffle-free membership
+   pre-filter: the eval set's n-grams collapse into a fixed bitmap
+   that broadcasts once; the corpus probe is pure map-side expression
+   work (zero corpus shuffle at any scale). False positives are part
+   of the contract (same arithmetic both engines), and the audit query
+   measures the realised fp rate against the exact join.
+3. **WordPiece tokenizer training** — the likelihood-scored merge
+   trainer (Schuster & Nakajima 2012) completing the trio next to BPE
+   (count-scored) and unigram-LM (EM-pruned): same dictionary-collapse
+   / two-space-separator machinery, argmax by
+   ``count(ab) / (count(a) * count(b))`` — one IEEE double division of
+   exact bigint counts, bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .functions.hashing import (
+    MERSENNE_PRIME_31,
+    minhash_permutation_constants,
+    stable_hash_sql,
+)
+from .registry import ORACLES, QUERIES, _register, _t  # noqa: F401
+from .registry_ext import _DUCK_COS, _DUCK_TOKENS_LOWER, _duck_bucket
+from .registry_ext3 import (
+    _BM25_QUERY_MOD,
+    _DUCK_TOK,
+    _bm25_inputs,
+    _duck_bm25_scored,
+)
+
+# --- hybrid retrieval: reciprocal-rank fusion -----------------------------
+
+_RRF_LEG_K = 20  # per-leg top-k fed into the fusion
+_RRF_K = 10      # fused top-k returned
+_RRF_KRRF = 60   # the standard RRF damping constant
+
+
+@_register(
+    "retrieval_rrf_fusion",
+    f"""
+WITH {_duck_bm25_scored()},
+bmtop AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score DESC, doc_id) AS r
+  FROM scored
+  QUALIFY r <= {_RRF_LEG_K}),
+dq AS (
+  SELECT vec_id AS query_id, embedding FROM embeddings
+  WHERE vec_id % {_BM25_QUERY_MOD} = 0),
+dscored AS (
+  SELECT q.query_id, c.vec_id AS doc_id,
+         {_DUCK_COS.format(a='q.embedding', b='c.embedding')} AS cs
+  FROM dq q JOIN embeddings c ON c.vec_id <> q.query_id),
+dtop AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cs DESC, doc_id) AS r
+  FROM dscored
+  QUALIFY r <= {_RRF_LEG_K}),
+leg AS (
+  SELECT query_id, doc_id, r FROM bmtop
+  UNION ALL
+  SELECT query_id, doc_id, r FROM dtop),
+fused AS (
+  SELECT query_id, doc_id,
+         round(sum(1.0::DOUBLE / ({_RRF_KRRF} + r)), 6) AS rrf_score,
+         CAST(count(*) AS BIGINT) AS n_legs
+  FROM leg GROUP BY 1, 2)
+SELECT query_id, doc_id, rrf_score, n_legs,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf_score DESC, doc_id)
+            AS INTEGER) AS rank
+FROM fused
+QUALIFY rank <= {_RRF_K}
+""",
+)
+def retrieval_rrf_fusion(spark, sf_dir):
+    """Hybrid retrieval: the BM25 bigram leg and the dense cosine leg
+    (vec_id == doc_id in the testdata) each rank their top-20 per
+    query; reciprocal-rank fusion (1/(60+rank), summed across legs)
+    returns the fused top-10. Rank-based fusion needs no score
+    calibration between an unbounded BM25 sum and a [-1,1] cosine —
+    which is why it is THE production hybrid combiner. The legs are
+    the expensive, already-scale-designed parts; the fusion itself is
+    suite-sized (|queries| x k rows per leg -> one union + one
+    combinable groupBy + one WindowGroupLimit rank). See
+    operators/retrieval.py:rrf_fuse."""
+    from .operators.retrieval import bm25_topk, rrf_fuse
+    from .operators.similarity import cosine_topk
+
+    docs, queries = _bm25_inputs(spark, sf_dir)
+    sparse = bm25_topk(
+        docs, queries, k=_RRF_LEG_K, term_ngram=2
+    ).select("query_id", "doc_id", "rank")
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dq = emb.filter(F.col("vec_id") % _BM25_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dense = cosine_topk(emb, dq, k=_RRF_LEG_K).select(
+        "query_id",
+        F.col("vec_id").alias("doc_id"),
+        F.col("row_index").alias("rank"),
+    )
+    return rrf_fuse([sparse, dense], k=_RRF_K, k_rrf=_RRF_KRRF)
+
+
+# --- Bloom-filter decontamination ----------------------------------------
+
+_BLOOM_NGRAM = 4          # word 4-grams, the exact-join leg's unit
+_BLOOM_SALT = "decontam"  # same eval split as decontam_ngram_overlap
+_BLOOM_CUT = 1000
+_BLOOM_BITS = 1 << 16
+_BLOOM_HASHES = 3
+_BLOOM_WORD = 60          # bits packed per bitmap word (operators.bloom)
+
+
+def _duck_bloom_positions(hvar: str) -> str:
+    """DuckDB list of the _BLOOM_HASHES bit positions for a 60-bit
+    portable hash expression — the same fixed LCG constants
+    operators/bloom.py embeds."""
+    consts = minhash_permutation_constants(_BLOOM_HASHES)
+    exprs = ", ".join(
+        f"((({a} * ({hvar} % {MERSENNE_PRIME_31}) + {b}) "
+        f"% {MERSENNE_PRIME_31}) % {_BLOOM_BITS})"
+        for a, b in consts
+    )
+    return f"[{exprs}]"
+
+
+def _duck_bloom_parts() -> str:
+    """Shared CTE chain: corpus/eval distinct doc 4-grams on the
+    decontam hash split, the eval-side bitmap words, and the per-
+    (doc, gram) probe verdict ``passed(doc_id, gram)``."""
+    return f"""
+toks AS (
+  SELECT doc_id, {_DUCK_TOKENS_LOWER} AS t,
+         {_duck_bucket('doc_id', _BLOOM_SALT)} AS bucket
+  FROM documents),
+grams AS (
+  SELECT doc_id, bucket, unnest(list_distinct(
+      CASE WHEN len(t) < {_BLOOM_NGRAM} THEN []::VARCHAR[]
+           ELSE list_transform(
+               generate_series(1, len(t) - {_BLOOM_NGRAM - 1}),
+               i -> array_to_string(t[i:i+{_BLOOM_NGRAM - 1}], ' '))
+      END)) AS gram
+  FROM toks),
+eval_grams AS (
+  SELECT DISTINCT gram FROM grams WHERE bucket < {_BLOOM_CUT}),
+epos AS (
+  SELECT unnest({_duck_bloom_positions(stable_hash_sql('gram'))}) AS pos
+  FROM eval_grams),
+words AS (
+  SELECT pos // {_BLOOM_WORD} AS word_idx,
+         bit_or(1::BIGINT << CAST(pos % {_BLOOM_WORD} AS INTEGER))
+             AS word
+  FROM epos GROUP BY 1),
+cgrams AS (
+  SELECT doc_id, gram FROM grams WHERE bucket >= {_BLOOM_CUT}),
+cpos AS (
+  SELECT doc_id, gram,
+         unnest({_duck_bloom_positions(stable_hash_sql('gram'))}) AS pos
+  FROM cgrams),
+passed AS (
+  SELECT doc_id, gram
+  FROM cpos LEFT JOIN words ON cpos.pos // {_BLOOM_WORD} = words.word_idx
+  GROUP BY doc_id, gram
+  HAVING sum(CASE WHEN word IS NOT NULL AND
+      (word & (1::BIGINT << CAST(pos % {_BLOOM_WORD} AS INTEGER))) <> 0
+      THEN 1 ELSE 0 END) = {_BLOOM_HASHES})"""
+
+
+@_register(
+    "decontam_bloom",
+    f"""
+WITH {_duck_bloom_parts()}
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom_hits
+FROM passed GROUP BY 1
+""",
+)
+def decontam_bloom(spark, sf_dir):
+    """Bloom-filtered n-gram decontamination on the SAME 10% hash split
+    as decontam_ngram_overlap: the eval set's distinct word 4-grams
+    collapse into a 2**16-bit / 3-hash bitmap (portable-md5 positions,
+    60 bits per word) that broadcasts as ONE map-typed row; each
+    corpus doc's grams are probed by a pure map-side ``forall`` (map
+    lookup + bit test per position) — the corpus NEVER shuffles and
+    the only exchange is the flagged-doc hit counts. This is the
+    100 TB volume reducer in front of the exact gram join: membership
+    has no join fanout, so no hot-gram cap is needed, and false
+    positives are part of the deterministic contract (the oracle
+    replays the identical hash/bit arithmetic — this row set includes
+    the predictable fp handful, measured by decontam_bloom_audit).
+    See operators/bloom.py."""
+    from .operators.bloom import bloom_decontam
+    from .operators.sampling import split_bucket
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bucket = split_bucket("doc_id", _BLOOM_SALT)
+    corpus = docs.filter(bucket >= _BLOOM_CUT)
+    eval_df = docs.filter(bucket < _BLOOM_CUT).withColumnRenamed(
+        "doc_id", "eval_id"
+    )
+    return bloom_decontam(
+        corpus, eval_df,
+        ngram=_BLOOM_NGRAM, n_bits=_BLOOM_BITS, n_hashes=_BLOOM_HASHES,
+    )
+
+
+@_register(
+    "decontam_bloom_audit",
+    f"""
+WITH {_duck_bloom_parts()},
+probe AS (
+  SELECT c.doc_id, c.gram,
+         (p.gram IS NOT NULL) AS hit,
+         (e.gram IS NOT NULL) AS member
+  FROM cgrams c
+  LEFT JOIN passed p ON c.doc_id = p.doc_id AND c.gram = p.gram
+  LEFT JOIN eval_grams e ON c.gram = e.gram)
+SELECT CAST(count(*) AS BIGINT) AS n_probe_grams,
+       CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+       CAST(sum(CASE WHEN hit AND member THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_true_pos,
+       CAST(sum(CASE WHEN hit AND NOT member THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_false_pos,
+       round(sum(CASE WHEN hit AND NOT member THEN 1 ELSE 0 END)::DOUBLE
+             / sum(CASE WHEN NOT member THEN 1 ELSE 0 END), 6) AS fp_rate
+FROM probe
+""",
+)
+def decontam_bloom_audit(spark, sf_dir):
+    """The realised false-positive audit of decontam_bloom: every
+    corpus (doc, gram) probe split by bloom verdict x true membership.
+    Bloom filters cannot false-negative, so n_pass = n_true_pos +
+    n_false_pos and the exact-join verify stage only ever reruns the
+    passed minority; fp_rate is the number to hold against the design
+    (1 - e^(-kn/m))^k. One aggregate over the probe frame — the truth
+    join runs on grams, never docs x docs."""
+    from .operators.bloom import bloom_fp_audit
+    from .operators.sampling import split_bucket
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bucket = split_bucket("doc_id", _BLOOM_SALT)
+    corpus = docs.filter(bucket >= _BLOOM_CUT)
+    eval_df = docs.filter(bucket < _BLOOM_CUT).withColumnRenamed(
+        "doc_id", "eval_id"
+    )
+    return bloom_fp_audit(
+        corpus, eval_df,
+        ngram=_BLOOM_NGRAM, n_bits=_BLOOM_BITS, n_hashes=_BLOOM_HASHES,
+    )
+
+
+# --- WordPiece merge training --------------------------------------------
+
+_WP_MERGES = 5
+
+
+def _duck_wp_parts() -> str:
+    """Unrolled WordPiece CTE chain — the BPE chain
+    (registry_ext3._duck_bpe_parts: same separator protocol, same
+    literal replace rewrite) with the likelihood argmax: per step,
+    current symbol unigram counts s{{i}}, pair counts p{{i}}, score =
+    cnt / (cnt_a * cnt_b) as ONE double division of exact counts,
+    argmax by (score DESC, a, b)."""
+    parts = [f"""
+wf AS (
+  SELECT word, count(*) AS n FROM (
+    SELECT unnest({_DUCK_TOK}) AS word FROM documents)
+  GROUP BY 1),
+w0 AS (
+  SELECT word, n,
+         '  ' || array_to_string(string_split(word, ''), '  ') || '  '
+             AS sym
+  FROM wf)"""]
+    for i in range(1, _WP_MERGES + 1):
+        parts.append(f""",
+s{i} AS (
+  SELECT s, sum(n) AS scnt
+  FROM (SELECT n, unnest(string_split(trim(sym), '  ')) AS s
+        FROM w{i - 1})
+  GROUP BY 1),
+p{i} AS (
+  SELECT t[j] AS a, t[j + 1] AS b, sum(n) AS cnt
+  FROM (SELECT n, string_split(trim(sym), '  ') AS t FROM w{i - 1}),
+       UNNEST(generate_series(1, len(t) - 1)) AS u(j)
+  GROUP BY 1, 2),
+sc{i} AS (
+  SELECT a, b, cnt, ca.scnt AS cnt_a, cb.scnt AS cnt_b,
+         cnt::DOUBLE / (ca.scnt::DOUBLE * cb.scnt::DOUBLE) AS score
+  FROM p{i} JOIN s{i} ca ON a = ca.s JOIN s{i} cb ON b = cb.s),
+b{i} AS (SELECT * FROM sc{i} ORDER BY score DESC, a, b LIMIT 1),
+w{i} AS (
+  SELECT word, n, replace(sym, ' ' || b.a || '  ' || b.b || ' ',
+                          ' ' || b.a || b.b || ' ') AS sym
+  FROM w{i - 1}, b{i} b)""")
+    return "".join(parts)
+
+
+def _duck_wp_train_sql() -> str:
+    sel = [
+        f"SELECT {i} AS step, a AS merge_left, b AS merge_right,\n"
+        f"       CAST(cnt AS BIGINT) AS pair_count,\n"
+        f"       CAST(cnt_a AS BIGINT) AS count_left,\n"
+        f"       CAST(cnt_b AS BIGINT) AS count_right,\n"
+        f"       round(score, 12) AS score FROM b{i}"
+        for i in range(1, _WP_MERGES + 1)
+    ]
+    return "WITH " + _duck_wp_parts() + "\n" + "\nUNION ALL\n".join(sel)
+
+
+@_register("text_wordpiece_train", None)  # oracle attached below
+def text_wordpiece_train(spark, sf_dir):
+    """Distributed WordPiece training: the first 5 likelihood-scored
+    merges — BPE's dictionary-collapse loop with the argmax switched
+    to count(ab)/(count(a)*count(b)) over the CURRENT symbol unigram
+    counts (one extra vocabulary-sized aggregate + equi-join per
+    step). Exact bigint counts, one IEEE double division for the
+    score, ties to the lexicographically smallest pair — so the
+    unrolled oracle reproduces every argmax bit-exactly. Completes the
+    tokenizer-trainer trio (BPE / unigram-LM / WordPiece). See
+    operators/wordpiece.py."""
+    from .operators.wordpiece import wordpiece_train_merges
+
+    return wordpiece_train_merges(
+        _t(spark, sf_dir, "documents"), n_merges=_WP_MERGES
+    )
+
+
+ORACLES["text_wordpiece_train"] = _duck_wp_train_sql()
+
+
+@_register("text_wordpiece_encode", None)  # oracle attached below
+def text_wordpiece_encode(spark, sf_dir):
+    """The trained WordPiece tokenizer applied back to the corpus: per
+    document, word count, subword count under the 5 learned merges,
+    and subwords-per-word (fertility). The oracle re-derives the same
+    merges and the same dictionary in SQL, so a drift anywhere in the
+    likelihood-training chain surfaces here too."""
+    from .operators.wordpiece import wordpiece_encode_stats
+
+    return wordpiece_encode_stats(
+        _t(spark, sf_dir, "documents"), n_merges=_WP_MERGES
+    )
+
+
+ORACLES["text_wordpiece_encode"] = f"""
+WITH {_duck_wp_parts()},
+final_dict AS (
+  SELECT word, len(string_split(trim(sym), '  ')) AS n_sub
+  FROM w{_WP_MERGES}),
+doc_words AS (
+  SELECT doc_id, unnest({_DUCK_TOK}) AS word FROM documents)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_sub) AS BIGINT) AS n_subwords,
+       round(sum(n_sub)::DOUBLE / count(*), 6) AS subwords_per_word
+FROM doc_words JOIN final_dict USING (word)
+GROUP BY 1
+"""

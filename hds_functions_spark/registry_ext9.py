@@ -524,3 +524,6 @@ def source_warc_quarantine(spark, sf_dir):
             ).otherwise(F.lit(0))
         ).cast("long").alias("clean_chars"),
     )
+
+
+from . import registry_ext10  # noqa: E402,F401  (round-12 second batch)

@@ -373,3 +373,66 @@ def test_bm25_auto_dispatch_regimes(spark):
             tuple(r) for r in bm25_topk_auto(corpus, queries, k=3).collect()
         )
         assert got == want
+
+
+# --- reciprocal-rank fusion ------------------------------------------------
+
+
+def _leg(spark, rows):
+    return spark.createDataFrame(rows, "query_id long, doc_id long, rank int")
+
+
+def test_rrf_fuse_scores_and_overlap(spark):
+    from hds_functions_spark.operators.retrieval import rrf_fuse
+
+    # doc 10 is rank 1 in BOTH legs; doc 20 only sparse r2; doc 30 only
+    # dense r2 -> 10 must fuse first with 2 legs, 20/30 tie broken by id
+    sparse = _leg(spark, [(1, 10, 1), (1, 20, 2)])
+    dense = _leg(spark, [(1, 10, 1), (1, 30, 2)])
+    out = {
+        r["doc_id"]: (r["rrf_score"], r["n_legs"], r["rank"])
+        for r in rrf_fuse([sparse, dense], k=5, k_rrf=60).collect()
+    }
+    assert out[10] == (pytest.approx(round(2 / 61, 6)), 2, 1)
+    assert out[20] == (pytest.approx(round(1 / 62, 6)), 1, 2)
+    assert out[30] == (pytest.approx(round(1 / 62, 6)), 1, 3)
+
+
+def test_rrf_fuse_rank_beats_leg_count(spark):
+    from hds_functions_spark.operators.retrieval import rrf_fuse
+
+    # a strong single-leg rank-1 doc (1/61 ~ .0164) outranks a doc that
+    # is weak (rank 200) in both legs (2/260 ~ .0077): fusion is
+    # score-, not vote-based
+    sparse = _leg(spark, [(1, 10, 1), (1, 20, 200)])
+    dense = _leg(spark, [(1, 30, 1), (1, 20, 200)])
+    rows = rrf_fuse([sparse, dense], k=5, k_rrf=60).collect()
+    ranked = [r["doc_id"] for r in sorted(rows, key=lambda r: r["rank"])]
+    assert ranked == [10, 30, 20]
+
+
+def test_rrf_fuse_three_legs_and_k(spark):
+    from hds_functions_spark.operators.retrieval import rrf_fuse
+
+    legs = [
+        _leg(spark, [(1, d, r) for r, d in enumerate(perm, start=1)])
+        for perm in ([10, 20, 30], [20, 10, 30], [30, 20, 10])
+    ]
+    out = rrf_fuse(legs, k=2, k_rrf=60).collect()
+    assert len(out) == 2
+    by_rank = {r["rank"]: r for r in out}
+    # doc 20: ranks (2,1,2) -> 1/62+1/61+1/62 beats 10 (1,2,3) and 30 (3,3,1)
+    assert by_rank[1]["doc_id"] == 20
+    assert by_rank[1]["n_legs"] == 3
+
+
+def test_rrf_fuse_validation(spark):
+    from hds_functions_spark.operators.retrieval import rrf_fuse
+
+    leg = _leg(spark, [(1, 10, 1)])
+    with pytest.raises(ValueError, match="k must"):
+        rrf_fuse([leg, leg], k=0)
+    with pytest.raises(ValueError, match="k_rrf"):
+        rrf_fuse([leg, leg], k_rrf=-1)
+    with pytest.raises(ValueError, match="at least 2"):
+        rrf_fuse([leg])
