@@ -107,51 +107,104 @@ def bloom_build(
     )
 
 
+#: ``bloom_probe(method="auto")`` uses the plan-literal bitmap up to
+#: this many 60-bit words (2**18 bits = ~4.4k literals, ~35 KB plan
+#: payload), the 1-row broadcast crossJoin above it — the same
+#: literal-vs-broadcast dispatch (and threshold rationale) as
+#: ``clustering.BULK_ASSIGN_SCALARS``.
+LITERAL_BLOOM_WORDS = 4400
+
+
 def bloom_probe(
     df: DataFrame,
     bloom: DataFrame,
     key_col: str = "key",
     n_bits: int = 1 << 16,
     n_hashes: int = 3,
+    method: str = "auto",
 ) -> DataFrame:
     """Append boolean ``bloom_hit`` to ``df``: true iff ALL
     ``n_hashes`` positions of ``key_col`` are set (i.e. the key is
     possibly-in-set; false means definitely-not-in-set).
 
-    Plan shape — this is the point of the operator: the sparse
-    ``(word_idx, word)`` bitmap packs into ONE map-typed row
-    (``map_from_entries`` over a bitmap-bounded ``collect_list``) that
-    rides a 1-row broadcast crossJoin, and the verdict is a pure
-    map-side ``forall`` over the key's positions (map lookup + bit
-    test per position). The probed frame never exchanges, never
-    explodes, never carries a row id — zero shuffle at ANY corpus
-    size, which a rid-groupBy or posexploded-join formulation would
-    not give. The bitmap ships as broadcast DATA, not as plan
-    literals, so a wide filter (2**24 bits = ~2 MB) costs plan-size
-    nothing (the large-k centroid lesson applied here from the start).
+    Plan shape — this is the point of the operator: the verdict is a
+    pure map-side conjunction of ``n_hashes`` UNROLLED O(1)
+    array-index + bit-test expressions over the DENSE word array. Two
+    rejected formulations, both MEASURED slower than the exact join
+    this operator is meant to undercut: a map-typed bitmap
+    (``element_at`` on MapType is a linear scan over the entries —
+    ~1100 comparisons per lookup at 2**16 bits; 6.0 s vs the exact
+    join's 1.5 s at sf0.1) and a ``forall`` over a positions array
+    (higher-order functions run INTERPRETED, outside whole-stage
+    codegen). ``n_hashes`` is a driver-side constant, so the loop
+    belongs in Python at plan-build time, not in a runtime HOF.
+
+    ``method`` picks how the bitmap reaches the executors — the
+    literal-vs-broadcast tradeoff the large-k centroid assignment
+    measured, applied here:
+
+    - ``"literal"``: collect the dense words (a BOUNDED driver
+      round-trip: ``n_bits/60`` longs, the k-centroids pattern) and
+      embed them as one array literal — fastest per row (no join at
+      all; measured ~3x less probe overhead than the crossJoin
+      variant), plan grows with ``n_bits``.
+    - ``"broadcast"``: the dense array rides a 1-row broadcast
+      crossJoin as DATA — plan stays O(1) nodes at any ``n_bits``
+      (2**24 bits = ~2 MB ships as a broadcast value, not plan text).
+    - ``"auto"`` (default): literal up to :data:`LITERAL_BLOOM_WORDS`
+      words, broadcast above.
+
+    Both methods evaluate the IDENTICAL bit arithmetic (pinned by
+    test). Either way the probed frame never exchanges, never
+    explodes, never carries a row id — zero corpus shuffle at ANY
+    size.
     """
     if n_hashes < 1:
         raise ValueError(f"n_hashes must be >= 1 (got {n_hashes})")
+    if method not in ("auto", "literal", "broadcast"):
+        raise ValueError(
+            "method must be 'auto', 'literal' or 'broadcast' "
+            f"(got {method!r})"
+        )
+    n_words = -(-n_bits // WORD_BITS)
+    if method == "auto":
+        method = "literal" if n_words <= LITERAL_BLOOM_WORDS else "broadcast"
     packed = bloom.agg(
         F.map_from_entries(
             F.collect_list(F.struct("word_idx", "word"))
-        ).alias("_bloom_map")
+        ).alias("_m")
+    ).select(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(n_words - 1)),
+            lambda i: F.coalesce(
+                F.element_at(F.col("_m"), i.cast("long")),
+                F.lit(0).cast("long"),
+            ),
+        ).alias("_bloom_arr")
     )
+    if method == "literal":
+        # bounded driver boundary: n_words longs (~9 KB at 2**16 bits)
+        rows = packed.collect()
+        dense = rows[0][0] if rows else [0] * n_words
+        arr = F.array(*[F.lit(int(w)) for w in dense])
+    else:
+        arr = F.col("_bloom_arr")
 
-    def _bit_set(pos: Column) -> Column:
+    h = stable_hash64(F.col(key_col)) % MERSENNE_PRIME_31
+    hit = None
+    for a, b in minhash_permutation_constants(n_hashes):
+        pos = ((F.lit(a) * h + F.lit(b)) % MERSENNE_PRIME_31) % n_bits
         word_idx, mask = _word_bit(pos)
-        word = F.element_at(F.col("_bloom_map"), word_idx)
-        return F.coalesce(word.bitwiseAND(mask) != 0, F.lit(False))
+        word = F.element_at(arr, word_idx.cast("int") + 1)
+        c = F.coalesce(word.bitwiseAND(mask) != 0, F.lit(False))
+        hit = c if hit is None else hit & c
 
+    if method == "literal":
+        return df.withColumn("bloom_hit", hit)
     return (
         df.crossJoin(F.broadcast(packed))
-        .withColumn(
-            "bloom_hit",
-            F.forall(
-                _positions(F.col(key_col), n_bits, n_hashes), _bit_set
-            ),
-        )
-        .drop("_bloom_map")
+        .withColumn("bloom_hit", hit)
+        .drop("_bloom_arr")
     )
 
 
@@ -183,6 +236,7 @@ def bloom_decontam(
     ngram: int = 4,
     n_bits: int = 1 << 16,
     n_hashes: int = 3,
+    method: str = "auto",
 ) -> DataFrame:
     """Bloom-filtered n-gram decontamination: flag corpus docs whose
     word ``ngram``-grams collide with the eval set's gram bitmap.
@@ -207,7 +261,7 @@ def bloom_decontam(
     bloom = bloom_build(eval_grams, "key", n_bits, n_hashes)
     corpus_grams = _doc_grams(docs, id_col, text_col, ngram)
     probed = bloom_probe(
-        corpus_grams, bloom, "_gram", n_bits, n_hashes
+        corpus_grams, bloom, "_gram", n_bits, n_hashes, method
     )
     return (
         probed.filter(F.col("bloom_hit"))
@@ -227,6 +281,7 @@ def bloom_fp_audit(
     ngram: int = 4,
     n_bits: int = 1 << 16,
     n_hashes: int = 3,
+    method: str = "auto",
 ) -> DataFrame:
     """The realised false-positive audit of :func:`bloom_decontam`:
     corpus grams that PASS the bloom, split by whether they truly occur
@@ -243,7 +298,9 @@ def bloom_fp_audit(
     corpus_grams = _doc_grams(docs, id_col, text_col, ngram).select(
         "_gram"
     )
-    probed = bloom_probe(corpus_grams, bloom, "_gram", n_bits, n_hashes)
+    probed = bloom_probe(
+        corpus_grams, bloom, "_gram", n_bits, n_hashes, method
+    )
     truth = eval_grams.select(
         F.col("key").alias("_gram"), F.lit(True).alias("_member")
     ).distinct()

@@ -195,9 +195,10 @@ def decontam_bloom(spark, sf_dir):
     """Bloom-filtered n-gram decontamination on the SAME 10% hash split
     as decontam_ngram_overlap: the eval set's distinct word 4-grams
     collapse into a 2**16-bit / 3-hash bitmap (portable-md5 positions,
-    60 bits per word) that broadcasts as ONE map-typed row; each
-    corpus doc's grams are probed by a pure map-side ``forall`` (map
-    lookup + bit test per position) — the corpus NEVER shuffles and
+    60 bits per word; dense-array literal at this size, 1-row broadcast
+    above LITERAL_BLOOM_WORDS); each corpus doc's grams are probed by
+    an unrolled map-side conjunction of O(1) array-index bit tests —
+    the corpus NEVER shuffles and
     the only exchange is the flagged-doc hit counts. This is the
     100 TB volume reducer in front of the exact gram join: membership
     has no join fanout, so no hot-gram cap is needed, and false

@@ -83,7 +83,8 @@ def test_probe_matches_python_and_never_false_negative(spark):
         assert got[k] is True
 
 
-def test_probe_plan_has_no_corpus_shuffle(spark):
+@pytest.mark.parametrize("method", ["literal", "broadcast"])
+def test_probe_plan_has_no_corpus_shuffle(spark, method):
     """The probe must be map-side only: a broadcast exchange for the
     1-row bitmap is fine; a hash-partitioned exchange on the probed
     frame is the design bug the operator exists to avoid."""
@@ -92,13 +93,39 @@ def test_probe_plan_has_no_corpus_shuffle(spark):
     )
     probed = bloom_probe(
         _keys_df(spark, ["a", "c"]), bloom, n_bits=N_BITS,
-        n_hashes=N_HASHES,
+        n_hashes=N_HASHES, method=method,
     )
     plan = probed._jdf.queryExecution().executedPlan().toString()
     # the bitmap BUILD may aggregate (bitmap-sized, under the broadcast
     # subtree); the probed side — everything printed above it — must not
     probe_side = plan.split("BroadcastExchange")[0]
     assert "Exchange" not in probe_side, probe_side
+    if method == "literal":  # no join at all: the bitmap is plan data
+        assert "Join" not in plan, plan
+
+
+def test_probe_methods_identical(spark):
+    members = [f"in-{i}" for i in range(30)]
+    probes = members + [f"out-{i}" for i in range(100)]
+    bloom = bloom_build(
+        _keys_df(spark, members), n_bits=N_BITS, n_hashes=N_HASHES
+    )
+    results = [
+        sorted(
+            (r["key"], r["bloom_hit"])
+            for r in bloom_probe(
+                _keys_df(spark, probes), bloom, n_bits=N_BITS,
+                n_hashes=N_HASHES, method=m,
+            ).collect()
+        )
+        for m in ("literal", "broadcast", "auto")
+    ]
+    assert results[0] == results[1] == results[2]
+    with pytest.raises(ValueError, match="method"):
+        bloom_probe(
+            _keys_df(spark, probes), bloom, n_bits=N_BITS,
+            n_hashes=N_HASHES, method="nope",
+        )
 
 
 def test_extra_columns_and_duplicates_survive(spark):
