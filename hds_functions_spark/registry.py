@@ -739,10 +739,15 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: 38 at r12 start — SURVEY §14's "36" under-counted because round 11
 #: shipped 4 additions, not the 2 the plan assumed, displacing 2 extra
 #: r06 rows into the queue). 11 + 38 = 49; one r08 filler takes slot
-#: 50. After this round no registry row is older than r08.
-#: ROUND-13 ROTATION GUIDANCE: r13 additions + any r12 reds at the
-#: head, then the remaining 49 r08-vintage rows (alphabetical from
-#: cohort_filter onward per driver_coverage) — r08 clears in ~1 round.
+#: 50. After this round no registry row is older than r08. The LAST
+#: two entries (the third-batch additions dedup_lsh_plan and
+#: pipeline_perplexity_buckets) land at slots 50 and 51 — the stale-38
+#: refresh outranks the land-the-round-shipped principle, so
+#: pipeline_perplexity_buckets deliberately waits at the r13 head.
+#: ROUND-13 ROTATION GUIDANCE: pipeline_perplexity_buckets + r13
+#: additions + any r12 reds at the head, then the remaining ~50
+#: r08-vintage rows (alphabetical from clean_strip_markup onward per
+#: driver_coverage) — r08 clears in ~1 round.
 DRIVER_PRIORITY: list[str] = [
     # round-12 additions (land driver rows the round they ship):
     "text_unigram_train",
@@ -795,8 +800,9 @@ DRIVER_PRIORITY: list[str] = [
     "wrangle_mad_outliers",
     "wrangle_pivot",
     "wrangle_unpivot",
-    # r08-vintage filler (slot 50):
-    "clean_strip_markup",
+    # third-batch additions (slot 50; the second waits at the r13 head):
+    "dedup_lsh_plan",
+    "pipeline_perplexity_buckets",
 ]
 
 

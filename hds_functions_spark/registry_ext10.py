@@ -373,3 +373,142 @@ SELECT doc_id,
 FROM doc_words JOIN final_dict USING (word)
 GROUP BY 1
 """
+
+
+# --- MinHash-LSH banding planner ------------------------------------------
+
+_LSHP_H = 128      # signature length to factorise
+_LSHP_T = 0.5      # target Jaccard threshold
+_LSHP_STEPS = 1000  # midpoint-rule integration steps
+
+
+def _duck_lsh_plan_sql() -> str:
+    from .operators.lsh_plan import band_factorisations
+
+    vals = ", ".join(
+        f"({b}, {r})" for b, r in band_factorisations(_LSHP_H)
+    )
+    n, t = _LSHP_STEPS, _LSHP_T
+
+    def p(s: str) -> str:
+        return f"(1 - pow(1 - pow({s}, rows_per_band::DOUBLE), bands::DOUBLE))"
+
+    def fold(term: str) -> str:
+        return (
+            f"round(list_reduce(list_transform(generate_series(0, {n - 1}),"
+            f" i -> {term}), (a, x) -> a + x) / {n}, 6)"
+        )
+
+    s = f"((i::DOUBLE + 0.5) / {n})"
+    fp_term = f"CASE WHEN {s} < {t} THEN {p(s)} ELSE 0.0::DOUBLE END"
+    fn_term = f"CASE WHEN {s} >= {t} THEN 1 - {p(s)} ELSE 0.0::DOUBLE END"
+    return f"""
+WITH plans(bands, rows_per_band) AS (VALUES {vals}),
+scored AS (
+  SELECT bands, rows_per_band,
+         round(pow(1 - pow(0.5, 1.0 / bands::DOUBLE),
+                   1.0 / rows_per_band::DOUBLE), 6) AS s50,
+         round({p(str(t))}, 6) AS p_at_threshold,
+         {fold(fp_term)} AS fp_area,
+         {fold(fn_term)} AS fn_area
+  FROM plans),
+final AS (
+  SELECT *, round(fp_area + fn_area, 6) AS total_error FROM scored)
+SELECT bands, rows_per_band, s50, p_at_threshold, fp_area, fn_area,
+       total_error,
+       CAST(row_number() OVER (ORDER BY total_error ASC, bands ASC)
+            AS INTEGER) AS plan_rank
+FROM final
+"""
+
+
+@_register("dedup_lsh_plan", _duck_lsh_plan_sql())
+def dedup_lsh_plan(spark, sf_dir):
+    """The MinHash-LSH banding planner: every (bands, rows)
+    factorisation of a 128-hash signature scored against Jaccard 0.5
+    by the two S-curve error integrals — fp_area (below-threshold
+    candidate mass = wasted verify shuffle) and fn_area
+    (above-threshold miss mass = silent under-dedup). plan_rank 1 is
+    the recommendation. Kept as a registry query so the banding the
+    cluster runs on is a number the oracle checked: both engines fold
+    the midpoint rule in index order (Spark ``aggregate``/DuckDB
+    ``list_reduce`` — ordered left folds, not unordered SUM). See
+    operators/lsh_plan.py."""
+    from .operators.lsh_plan import lsh_band_plan
+
+    return lsh_band_plan(
+        spark, num_hashes=_LSHP_H, threshold=_LSHP_T, n_steps=_LSHP_STEPS
+    )
+
+
+# --- CCNet-style perplexity buckets ---------------------------------------
+
+_PPL_BUCKETS = 3  # head / middle / tail
+
+
+def _duck_ppl_sql() -> str:
+    from .registry_ext6 import _KN_TRAIN_MOD  # noqa: F401  (doc link)
+
+    return f"""
+WITH kn AS ({{kn_oracle}}),
+ranked AS (
+  SELECT d.lang, k.doc_id, k.avg_logprob, d.n_chars,
+         ntile({_PPL_BUCKETS}) OVER (PARTITION BY d.lang
+                                     ORDER BY k.avg_logprob DESC, k.doc_id)
+             AS bucket
+  FROM kn k JOIN documents d USING (doc_id))
+SELECT lang, CAST(bucket AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(avg_logprob), 4) AS mean_logprob,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       (CAST(bucket AS INTEGER) < {_PPL_BUCKETS}) AS kept
+FROM ranked GROUP BY 1, 2
+"""
+
+
+@_register("pipeline_perplexity_buckets", None)  # oracle attached below
+def pipeline_perplexity_buckets(spark, sf_dir):
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): the
+    held-out-trained Kneser-Ney LM scores every document; per
+    LANGUAGE, ntile(3) over descending log-likelihood cuts the corpus
+    into head/middle/tail, and the tail (the lowest-likelihood third —
+    boilerplate, gibberish, wrong-language residue) is marked dropped.
+    Per-language bucketing is the part that matters: a global cutoff
+    would silently delete whole low-resource languages whose absolute
+    perplexity runs higher. Output: per (lang, bucket) doc count, mean
+    score, character mass, and the keep verdict. The ntile runs on the
+    per-doc score frame (one row per doc, never corpus text); the
+    oracle composes the registered KN oracle so drift propagates."""
+    from pyspark.sql import Window
+
+    from .operators.profiling import kn_trigram_logprob_scores
+    from .registry_ext6 import _KN_D, _KN_TRAIN_MOD
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "n_chars"
+    )
+    train = docs.filter(F.col("doc_id") % _KN_TRAIN_MOD == 0).select(
+        "doc_id", "text"
+    )
+    kn = kn_trigram_logprob_scores(
+        train, docs.select("doc_id", "text"), discount=_KN_D
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id")
+    )
+    ranked = (
+        kn.join(docs.select("doc_id", "lang", "n_chars"), on="doc_id")
+        .withColumn("bucket", F.ntile(_PPL_BUCKETS).over(w))
+    )
+    return ranked.groupBy(
+        "lang", F.col("bucket").cast("int").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(F.avg("avg_logprob"), 4).alias("mean_logprob"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    ).withColumn("kept", F.col("bucket") < _PPL_BUCKETS)
+
+
+ORACLES["pipeline_perplexity_buckets"] = _duck_ppl_sql().format(
+    kn_oracle=ORACLES["text_kn_trigram_logprob"]
+)
