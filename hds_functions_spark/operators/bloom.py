@@ -39,6 +39,7 @@ from ..functions.hashing import (
 
 __all__ = [
     "bloom_build",
+    "bloom_merge",
     "bloom_probe",
     "bloom_decontam",
     "bloom_fp_audit",
@@ -105,6 +106,27 @@ def bloom_build(
         .groupBy("word_idx")
         .agg(F.bit_or("_b").alias("word"))
     )
+
+
+def bloom_merge(*blooms: DataFrame) -> DataFrame:
+    """OR together bitmaps built with the SAME (n_bits, n_hashes):
+    union the sparse ``(word_idx, word)`` frames, ``bit_or`` per word.
+    ``bit_or`` is associative/commutative, so a merge of per-batch
+    bitmaps is BIT-IDENTICAL to one build over the union of the keys —
+    the mergeability that makes the filter an ingest-friendly sketch:
+    a standing dirty-set bitmap absorbs each day's delta bitmap
+    without ever re-reading the standing keys (the same property the
+    KMV/HLL/theta family ships; the registry pins the identity with an
+    incremental-vs-monolithic oracle). Merging bitmaps of DIFFERENT
+    geometry is meaningless; callers own that contract (the frames
+    carry no geometry metadata by design — they are bitmap fragments,
+    not self-describing sketches)."""
+    if not blooms:
+        raise ValueError("bloom_merge needs at least one bitmap frame")
+    out = blooms[0]
+    for b in blooms[1:]:
+        out = out.unionByName(b)
+    return out.groupBy("word_idx").agg(F.bit_or("word").alias("word"))
 
 
 #: ``bloom_probe(method="auto")`` uses the plan-literal bitmap up to
@@ -237,6 +259,7 @@ def bloom_decontam(
     n_bits: int = 1 << 16,
     n_hashes: int = 3,
     method: str = "auto",
+    prebuilt_bloom: DataFrame | None = None,
 ) -> DataFrame:
     """Bloom-filtered n-gram decontamination: flag corpus docs whose
     word ``ngram``-grams collide with the eval set's gram bitmap.
@@ -252,13 +275,22 @@ def bloom_decontam(
     no fanout — a gram in every eval doc is still one bit), and the
     corpus side never shuffles grams; the only exchange is the per-doc
     hit count (flagged ids only).
+
+    ``prebuilt_bloom`` skips the eval-side build and probes the given
+    ``(word_idx, word)`` frame instead — the continuous-ingest path: a
+    standing bitmap merged up by :func:`bloom_merge` serves every
+    batch without re-reading the standing eval keys (``eval_df`` is
+    ignored then).
     """
     if ngram < 1:
         raise ValueError(f"ngram must be >= 1 (got {ngram})")
-    eval_grams = _doc_grams(
-        eval_df, eval_id_col, eval_text_col, ngram
-    ).select(F.col("_gram").alias("key")).distinct()
-    bloom = bloom_build(eval_grams, "key", n_bits, n_hashes)
+    if prebuilt_bloom is not None:
+        bloom = prebuilt_bloom
+    else:
+        eval_grams = _doc_grams(
+            eval_df, eval_id_col, eval_text_col, ngram
+        ).select(F.col("_gram").alias("key")).distinct()
+        bloom = bloom_build(eval_grams, "key", n_bits, n_hashes)
     corpus_grams = _doc_grams(docs, id_col, text_col, ngram)
     probed = bloom_probe(
         corpus_grams, bloom, "_gram", n_bits, n_hashes, method

@@ -800,9 +800,10 @@ DRIVER_PRIORITY: list[str] = [
     "wrangle_mad_outliers",
     "wrangle_pivot",
     "wrangle_unpivot",
-    # third-batch additions (slot 50; the second waits at the r13 head):
+    # third-batch additions (slot 50; the rest wait at the r13 head):
     "dedup_lsh_plan",
     "pipeline_perplexity_buckets",
+    "decontam_bloom_incremental",
 ]
 
 

@@ -512,3 +512,50 @@ def pipeline_perplexity_buckets(spark, sf_dir):
 ORACLES["pipeline_perplexity_buckets"] = _duck_ppl_sql().format(
     kn_oracle=ORACLES["text_kn_trigram_logprob"]
 )
+
+
+# --- incremental (merged-bitmap) bloom decontam ---------------------------
+
+_BLOOM_DELTA_MOD = 3  # eval_id % 3 == 0 plays the nightly delta batch
+
+
+@_register(
+    "decontam_bloom_incremental",
+    ORACLES["decontam_bloom"],  # IDENTITY: merged == monolithic, exactly
+)
+def decontam_bloom_incremental(spark, sf_dir):
+    """Continuous-ingest bloom decontamination, pinned as an IDENTITY:
+    the eval split is partitioned into a standing set and a delta
+    batch (eval_id % 3), each builds its own bitmap, bloom_merge ORs
+    them — and because bit_or is associative/commutative the merged
+    bitmap is BIT-identical to the monolithic build, so this query's
+    oracle IS decontam_bloom's oracle, row for row. That is the
+    operational property that matters at 100 TB: a standing dirty-set
+    bitmap absorbs each day's delta without re-reading standing keys
+    (same slice-identity discipline as the minhash/winnowing/spans
+    incremental variants). See operators/bloom.py:bloom_merge."""
+    from .operators.bloom import bloom_build, bloom_decontam, bloom_merge
+    from .operators.bloom import _doc_grams
+    from .operators.sampling import split_bucket
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bucket = split_bucket("doc_id", _BLOOM_SALT)
+    corpus = docs.filter(bucket >= _BLOOM_CUT)
+    eval_df = docs.filter(bucket < _BLOOM_CUT).withColumnRenamed(
+        "doc_id", "eval_id"
+    )
+
+    def bitmap(part):
+        grams = _doc_grams(part, "eval_id", "text", _BLOOM_NGRAM).select(
+            F.col("_gram").alias("key")
+        ).distinct()
+        return bloom_build(grams, "key", _BLOOM_BITS, _BLOOM_HASHES)
+
+    standing = bitmap(eval_df.filter(F.col("eval_id") % _BLOOM_DELTA_MOD != 0))
+    delta = bitmap(eval_df.filter(F.col("eval_id") % _BLOOM_DELTA_MOD == 0))
+    merged = bloom_merge(standing, delta)
+    return bloom_decontam(
+        corpus, eval_df,
+        ngram=_BLOOM_NGRAM, n_bits=_BLOOM_BITS, n_hashes=_BLOOM_HASHES,
+        prebuilt_bloom=merged,
+    )

@@ -208,3 +208,53 @@ def test_validation(spark):
             _docs(spark, [(2, "b")], id_col="eval_id"),
             ngram=0,
         )
+
+
+def test_merge_identity_with_monolithic(spark):
+    """bit_or associativity: merged per-batch bitmaps == one build over
+    the union of keys, bit for bit."""
+    a = [f"k{i}" for i in range(0, 40, 2)]
+    b = [f"k{i}" for i in range(1, 40, 2)] + ["k0"]  # overlap too
+    from hds_functions_spark.operators.bloom import bloom_merge
+
+    merged = {
+        r["word_idx"]: r["word"]
+        for r in bloom_merge(
+            bloom_build(_keys_df(spark, a), n_bits=N_BITS, n_hashes=N_HASHES),
+            bloom_build(_keys_df(spark, b), n_bits=N_BITS, n_hashes=N_HASHES),
+        ).collect()
+    }
+    mono = {
+        r["word_idx"]: r["word"]
+        for r in bloom_build(
+            _keys_df(spark, sorted(set(a + b))),
+            n_bits=N_BITS, n_hashes=N_HASHES,
+        ).collect()
+    }
+    assert merged == mono
+    with pytest.raises(ValueError, match="at least one"):
+        bloom_merge()
+
+
+def test_decontam_prebuilt_bloom_path(spark):
+    corpus = _docs(spark, [(1, "alpha beta gamma delta end")])
+    ev = _docs(spark, [(100, "alpha beta gamma delta")], id_col="eval_id")
+    from hds_functions_spark.operators.bloom import _doc_grams
+    from pyspark.sql import functions as F
+
+    grams = _doc_grams(ev, "eval_id", "text", 4).select(
+        F.col("_gram").alias("key")
+    ).distinct()
+    bloom = bloom_build(grams, n_bits=N_BITS, n_hashes=N_HASHES)
+    direct = sorted(
+        tuple(r) for r in bloom_decontam(
+            corpus, ev, ngram=4, n_bits=N_BITS, n_hashes=N_HASHES
+        ).collect()
+    )
+    via_prebuilt = sorted(
+        tuple(r) for r in bloom_decontam(
+            corpus, ev, ngram=4, n_bits=N_BITS, n_hashes=N_HASHES,
+            prebuilt_bloom=bloom,
+        ).collect()
+    )
+    assert direct == via_prebuilt
