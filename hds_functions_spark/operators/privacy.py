@@ -17,6 +17,7 @@ from pyspark.sql.types import LongType
 __all__ = [
     "dp_noisy_counts",
     "dp_noisy_sums",
+    "dp_quantile",
     "round_counts_to_multiple",
     "redact_low_counts",
     "suppress_small_groups",
@@ -481,4 +482,141 @@ def dp_noisy_sums(
     return sums.select(
         *group_cols,
         F.round(F.col("_s") + noise, round_digits).alias("noisy_sum"),
+    )
+
+
+def dp_quantile(
+    df: DataFrame,
+    value_col: str,
+    group_cols: List[str],
+    domain_lo: float,
+    domain_hi: float,
+    domain_step: float = 1.0,
+    q: float = 0.5,
+    epsilon: float = 1.0,
+    *,
+    salt: str,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Per-group epsilon-DP quantile via the EXPONENTIAL mechanism
+    (McSherry & Talwar 2007) — the third member of the DP release
+    family next to :func:`dp_noisy_counts` / :func:`dp_noisy_sums`
+    (count + sum + median is the canonical private-summary trio, and a
+    quantile CANNOT be released by adding noise to the true value: its
+    unbounded local sensitivity is the textbook case for selection
+    mechanisms over additive noise).
+
+    Candidates come from a FIXED grid ``domain_lo..domain_hi`` step
+    ``domain_step`` — a POLICY input like ``dp_noisy_sums``' clip
+    bound, never derived from the data (a data-derived candidate set
+    leaks support). Each grid point ``t`` scores the rank utility
+    ``u(t) = -| #(v <= t) - q*n |`` (sensitivity 1: one individual
+    moves any rank count by at most 1), and the winner is drawn by the
+    Gumbel-max trick — equivalent to sampling with probability
+    proportional to ``exp(eps/2 * u)``, the exponential mechanism —
+    with the repo's HASH-DETERMINISTIC protocol: the Gumbel variate
+    ``g = -ln(-ln(u_hash))`` derives from ``md5(group, t, salt)``, so
+    re-runs release the SAME quantile (fresh draws average away the
+    mechanism; rotating the salt is the accounted new release) and an
+    oracle holding the salt replays the selection exactly. Selection
+    scores round to ``round_digits`` BEFORE the argmax (ties to the
+    smaller ``t``), so engines whose ``ln`` differs in the last ulp
+    still pick the same winner. Same salt-secrecy caveat as the other
+    mechanisms; domain-separated internally (``salt + chr(3)``).
+
+    Plan shape: one bucketed per-group count aggregate (combinable),
+    a groups x grid frame (grid is policy-bounded, so this is
+    group-cardinality-bounded like every release in this module), a
+    cumulative-count window per group, one argmax. Output:
+    ``(*group_cols, dp_quantile)`` — true ranks/counts are not
+    columns.
+    """
+    if epsilon <= 0:
+        raise ValueError(f"epsilon must be > 0 (got {epsilon})")
+    if not 0 < q < 1:
+        raise ValueError(f"q must be in (0, 1) (got {q})")
+    if domain_step <= 0:
+        raise ValueError(f"domain_step must be > 0 (got {domain_step})")
+    if domain_hi < domain_lo:
+        raise ValueError(
+            f"need domain_hi >= domain_lo (got {domain_lo}..{domain_hi})"
+        )
+    if not salt:
+        raise ValueError(
+            "dp_quantile requires a non-empty salt: the salt is the "
+            "secret PRF key of the deterministic-draw mechanism — with "
+            "an empty (or public) salt the selection is recomputable "
+            "and the rank information is recoverable"
+        )
+    m = int((float(domain_hi) - float(domain_lo)) / float(domain_step)) + 1
+    lo, step = float(domain_lo), float(domain_step)
+
+    # bucket j = first grid index i with t_i >= v (so #(v <= t_i) is the
+    # cumulative count of buckets <= i); values above the grid get the
+    # out-of-range sentinel m and never enter any cumulative count
+    v = F.col(value_col).cast("double")
+    j = F.ceil((v - lo) / step).cast("long")
+    j = F.when(v <= lo, F.lit(0)).otherwise(j)
+    j = F.least(F.greatest(j, F.lit(0)), F.lit(m)).alias("_j")
+    bucket_counts = df.select(*group_cols, j).groupBy(
+        *group_cols, "_j"
+    ).agg(F.count(F.lit(1)).alias("_c"))
+
+    groups = df.groupBy(*group_cols).agg(F.count(F.lit(1)).alias("_n"))
+    grid = groups.select(
+        *group_cols,
+        "_n",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("_i"),
+    )
+    join_cond = [
+        *[F.col(f"g.{c}").eqNullSafe(F.col(f"b.{c}")) for c in group_cols],
+        F.col("g._i") == F.col("b._j"),
+    ]
+    joined = (
+        grid.alias("g")
+        .join(bucket_counts.alias("b"), on=join_cond, how="left")
+        .select("g.*", F.coalesce(F.col("b._c"), F.lit(0)).alias("_c"))
+    )
+
+    wcum = (
+        Window.partitionBy(*[F.col(c) for c in group_cols])
+        .orderBy("_i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    t_val = (F.lit(lo) + F.col("_i") * step).alias("_t")
+    null_key = "\x00null"
+    key = F.concat_ws(
+        "\x1f",
+        *[
+            F.coalesce(F.col(c).cast("string"), F.lit(null_key))
+            for c in group_cols
+        ],
+        F.col("_t").cast("string"),
+        F.lit(salt + "\x03"),
+    )
+    u_hash = (
+        F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+        % _DP_RES
+        + F.lit(0.5)
+    ) / _DP_RES
+    gumbel = -F.log(-F.log(u_hash))
+    scored = joined.withColumn("_cum", F.sum("_c").over(wcum)).select(
+        *group_cols,
+        t_val,
+        F.round(
+            F.lit(float(epsilon) / 2.0)
+            * (-F.abs(F.col("_cum") - F.lit(float(q)) * F.col("_n")))
+            + gumbel,
+            round_digits,
+        ).alias("_score"),
+    )
+    best = scored.groupBy(*group_cols).agg(
+        F.min(
+            F.struct(
+                (-F.col("_score")).alias("neg"), F.col("_t").alias("t")
+            )
+        ).alias("_best")
+    )
+    return best.select(
+        *group_cols, F.col("_best.t").alias("dp_quantile")
     )

@@ -804,6 +804,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_lsh_plan",
     "pipeline_perplexity_buckets",
     "decontam_bloom_incremental",
+    "privacy_dp_quantiles",
 ]
 
 

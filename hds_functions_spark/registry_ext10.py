@@ -559,3 +559,91 @@ def decontam_bloom_incremental(spark, sf_dir):
         ngram=_BLOOM_NGRAM, n_bits=_BLOOM_BITS, n_hashes=_BLOOM_HASHES,
         prebuilt_bloom=merged,
     )
+
+
+# --- epsilon-DP quantiles (exponential mechanism) -------------------------
+
+_DPQ_EPS = 1.0
+_DPQ_SALT = "r12dpq"
+_DPQ_LO, _DPQ_HI = 1, 50  # l_quantity's policy domain (integer grid)
+_DPQ_M = _DPQ_HI - _DPQ_LO + 1
+
+
+def _duck_dpq_sql() -> str:
+    key = (
+        "coalesce(l_returnflag::VARCHAR, chr(0) || 'null') || chr(31) || "
+        "coalesce(l_linestatus::VARCHAR, chr(0) || 'null') || chr(31) || "
+        f"t::VARCHAR || chr(31) || '{_DPQ_SALT}' || chr(3)"
+    )
+    u = (
+        f"((('0x' || substr(md5({key}), 1, 15))::BIGINT % 1000000) + 0.5)"
+        " / 1000000.0"
+    )
+    return f"""
+WITH vals AS (
+  SELECT l_returnflag, l_linestatus, l_quantity::DOUBLE AS v
+  FROM lineitem),
+n AS (
+  SELECT l_returnflag, l_linestatus, count(*) AS n FROM vals GROUP BY 1, 2),
+bc AS (
+  SELECT l_returnflag, l_linestatus,
+         LEAST(GREATEST(
+             CASE WHEN v <= {_DPQ_LO} THEN 0
+                  ELSE CAST(ceil(v - {_DPQ_LO}) AS BIGINT) END,
+             0), {_DPQ_M}) AS j,
+         count(*) AS c
+  FROM vals GROUP BY 1, 2, 3),
+grid AS (
+  SELECT l_returnflag, l_linestatus, n,
+         unnest(generate_series(0, {_DPQ_M - 1})) AS i
+  FROM n),
+j2 AS (
+  SELECT g.l_returnflag, g.l_linestatus, g.n, g.i,
+         coalesce(b.c, 0) AS c
+  FROM grid g LEFT JOIN bc b
+    ON g.l_returnflag = b.l_returnflag
+   AND g.l_linestatus = b.l_linestatus AND g.i = b.j),
+cum AS (
+  SELECT *, sum(c) OVER (PARTITION BY l_returnflag, l_linestatus
+                         ORDER BY i ROWS UNBOUNDED PRECEDING) AS cum
+  FROM j2),
+sc AS (
+  SELECT l_returnflag, l_linestatus,
+         ({_DPQ_LO} + i * 1.0)::DOUBLE AS t,
+         round({_DPQ_EPS / 2.0} * (-abs(cum - 0.5 * n))
+               + (-ln(-ln({u}))), 6) AS score
+  FROM cum)
+SELECT l_returnflag, l_linestatus, t AS dp_quantile
+FROM sc
+QUALIFY row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+                           ORDER BY score DESC, t) = 1
+"""
+
+
+@_register("privacy_dp_quantiles", _duck_dpq_sql())
+def privacy_dp_quantiles(spark, sf_dir):
+    """Epsilon-DP median of l_quantity per (returnflag, linestatus) via
+    the EXPONENTIAL mechanism — the selection mechanism a quantile
+    release requires (its unbounded local sensitivity rules out
+    additive noise): every point of the fixed policy grid 1..50 scores
+    the rank utility -|#(v<=t) - n/2| and the winner is drawn by the
+    Gumbel-max trick with the repo's hash-deterministic protocol (the
+    Gumbel variate derives from md5(group, t, salt), so re-runs
+    release the SAME value and the salt-holding oracle replays the
+    selection exactly; scores round to 6 before the argmax so last-ulp
+    ln() differences between engines cannot flip a winner). Completes
+    the DP trio: counts + sums + quantiles. See
+    operators/privacy.py:dp_quantile."""
+    from .operators.privacy import dp_quantile
+
+    return dp_quantile(
+        _t(spark, sf_dir, "lineitem"),
+        value_col="l_quantity",
+        group_cols=["l_returnflag", "l_linestatus"],
+        domain_lo=_DPQ_LO,
+        domain_hi=_DPQ_HI,
+        domain_step=1.0,
+        q=0.5,
+        epsilon=_DPQ_EPS,
+        salt=_DPQ_SALT,
+    )

@@ -411,3 +411,110 @@ def test_dp_noisy_sums_clip_and_determinism(spark):
         dp_noisy_sums(df, "x", ["g"], clip=1.0)
     with pytest.raises(ValueError, match="salt"):
         dp_noisy_sums(df, "x", ["g"], clip=1.0, salt="")
+
+
+# --- epsilon-DP quantile (exponential mechanism) ---------------------------
+
+
+def _py_dp_quantile(rows, lo, hi, q, eps, salt):
+    """Pure-Python replay of the deterministic exponential mechanism."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for g, v in rows:
+        groups[g].append(v)
+    out = {}
+    m = int(hi - lo) + 1
+    for g, vs in groups.items():
+        n = len(vs)
+        best = None
+        for i in range(m):
+            t = float(lo + i)
+            cum = sum(1 for v in vs if v <= t)
+            u_key = f"{g}\x1f{t}\x1f{salt}\x03".encode()
+            h = int(hashlib.md5(u_key).hexdigest()[:15], 16)
+            u = (h % 1_000_000 + 0.5) / 1_000_000
+            score = round(
+                eps / 2.0 * -abs(cum - q * n) + -math.log(-math.log(u)), 6
+            )
+            if best is None or score > best[0] or (
+                score == best[0] and t < best[1]
+            ):
+                best = (score, t)
+        out[g] = best[1]
+    return out
+
+
+def test_dp_quantile_matches_python_replay(spark):
+    from hds_functions_spark.operators.privacy import dp_quantile
+
+    rows = [("a", float(v)) for v in [1, 2, 2, 3, 9, 9, 9, 10]] + [
+        ("b", float(v)) for v in [5, 5, 6, 7]
+    ]
+    df = spark.createDataFrame(rows, "g string, v double")
+    got = {
+        r["g"]: r["dp_quantile"]
+        for r in dp_quantile(
+            df, "v", ["g"], domain_lo=1, domain_hi=10,
+            q=0.5, epsilon=1.0, salt="t",
+        ).collect()
+    }
+    want = _py_dp_quantile(rows, 1, 10, 0.5, 1.0, "t")
+    assert got == want
+
+
+def test_dp_quantile_tracks_median_at_high_epsilon(spark):
+    """At large epsilon the mechanism concentrates on the true median's
+    rank-utility plateau: |#(v<=t) - n/2| of the winner must be 0."""
+    from hds_functions_spark.operators.privacy import dp_quantile
+
+    vals = [float(v) for v in [1, 2, 3, 4, 5, 5, 5, 6, 7, 8, 9, 9]]
+    df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+    got = dp_quantile(
+        df, "v", ["g"], domain_lo=1, domain_hi=10,
+        q=0.5, epsilon=200.0, salt="t",
+    ).collect()[0]["dp_quantile"]
+    # rank counts: cum(4)=4, cum(5)=7 -> no zero-utility point exists;
+    # the unique minimal-|cum - 6| grid point is t=5 (|7-6|=1), and at
+    # eps=200 the 100-point utility gap dwarfs the Gumbel range (~16),
+    # so the mechanism MUST pick it
+    assert got == 5.0
+
+
+def test_dp_quantile_deterministic_and_salt_sensitive(spark):
+    from hds_functions_spark.operators.privacy import dp_quantile
+
+    df = spark.createDataFrame(
+        [("g", float(v)) for v in range(1, 30)], "g string, v double"
+    )
+
+    def run(salt):
+        return dp_quantile(
+            df, "v", ["g"], domain_lo=1, domain_hi=30,
+            q=0.5, epsilon=0.05, salt=salt,
+        ).collect()[0]["dp_quantile"]
+
+    assert run("s1") == run("s1")  # replayable release
+    # at tiny epsilon the draw dominates; different salts should move it
+    diffs = {run(f"salt{i}") for i in range(6)}
+    assert len(diffs) > 1
+
+
+def test_dp_quantile_validation(spark):
+    from hds_functions_spark.operators.privacy import dp_quantile
+
+    df = spark.createDataFrame([("g", 1.0)], "g string, v double")
+    with pytest.raises(ValueError, match="epsilon"):
+        dp_quantile(df, "v", ["g"], 0, 10, epsilon=0, salt="s")
+    with pytest.raises(ValueError, match="salt"):
+        dp_quantile(df, "v", ["g"], 0, 10, salt="")
+    with pytest.raises(ValueError, match="q must"):
+        dp_quantile(df, "v", ["g"], 0, 10, q=1.5, salt="s")
+    with pytest.raises(ValueError, match="domain_step"):
+        dp_quantile(df, "v", ["g"], 0, 10, domain_step=0, salt="s")
+    with pytest.raises(ValueError, match="domain_hi"):
+        dp_quantile(df, "v", ["g"], 10, 0, salt="s")
+    out = dp_quantile(df, "v", ["g"], 0, 10, salt="s")
+    assert out.columns == ["g", "dp_quantile"]  # no true-value leakage
