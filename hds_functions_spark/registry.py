@@ -731,23 +731,23 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Queries the driver's correctness gate should see first. The gate verifies
 #: exactly the first 50 entries of ``queries()`` in iteration order.
-#: ROUND-12 ROTATION (executing the r11 verdict's item 1): the 11
-#: round-12 additions take the head (land driver rows the round they
-#: ship — 6 from the first batch, 5 from the second: RRF fusion, the
-#: two bloom-decontam queries, the two WordPiece queries), then ALL 38
-#: r06-vintage stale rows (`tools/driver_coverage.py` listed exactly
-#: 38 at r12 start — SURVEY §14's "36" under-counted because round 11
-#: shipped 4 additions, not the 2 the plan assumed, displacing 2 extra
-#: r06 rows into the queue). 11 + 38 = 49; one r08 filler takes slot
-#: 50. After this round no registry row is older than r08. The LAST
-#: two entries (the third-batch additions dedup_lsh_plan and
-#: pipeline_perplexity_buckets) land at slots 50 and 51 — the stale-38
-#: refresh outranks the land-the-round-shipped principle, so
-#: pipeline_perplexity_buckets deliberately waits at the r13 head.
-#: ROUND-13 ROTATION GUIDANCE: pipeline_perplexity_buckets + r13
-#: additions + any r12 reds at the head, then the remaining ~50
-#: r08-vintage rows (alphabetical from clean_strip_markup onward per
-#: driver_coverage) — r08 clears in ~1 round.
+#: ROUND-12 ROTATION (executing the r11 verdict's item 1): the 15
+#: round-12 additions take the head (never-checked queries MUST be
+#: inside the window — driver_coverage's hard gate — and a first
+#: driver row at birth is worth more than a refresh), then 35 of the
+#: 38 r06-vintage stale rows (`tools/driver_coverage.py` listed
+#: exactly 38 at r12 start — SURVEY §14's "36" under-counted because
+#: round 11 shipped 4 additions, not 2). 15 + 35 = 50; the 3
+#: alphabetically-last stale rows (wrangle_mad_outliers, wrangle_pivot,
+#: wrangle_unpivot) wait for r13 — an unusually productive round
+#: out-produced the window. Mitigation, on the record: the round-12
+#: session's independent two-scale `compare_oracle --exact` sweep on
+#: HEAD covered all 253 queries INCLUDING those 3, so their
+#: correctness was re-verified this round even though their driver row
+#: stays r06-dated.
+#: ROUND-13 ROTATION GUIDANCE: the 3 leftover r06 rows + r13
+#: additions + any r12 reds at the head, then r08-vintage rows
+#: (alphabetical from clean_strip_markup onward per driver_coverage).
 DRIVER_PRIORITY: list[str] = [
     # round-12 additions (land driver rows the round they ship):
     "text_unigram_train",
@@ -761,7 +761,13 @@ DRIVER_PRIORITY: list[str] = [
     "decontam_bloom_audit",
     "text_wordpiece_train",
     "text_wordpiece_encode",
-    # r06-vintage stale rows (all 38):
+    "dedup_lsh_plan",
+    "pipeline_perplexity_buckets",
+    "decontam_bloom_incremental",
+    "privacy_dp_quantiles",
+    # r06-vintage stale rows (35 of 38 fit after the 15 additions;
+    # wrangle_mad_outliers/wrangle_pivot/wrangle_unpivot wait for r13 —
+    # see the rotation comment above):
     "events_anomaly_daily",
     "events_cooccurrence",
     "events_densified_monthly",
@@ -800,11 +806,6 @@ DRIVER_PRIORITY: list[str] = [
     "wrangle_mad_outliers",
     "wrangle_pivot",
     "wrangle_unpivot",
-    # third-batch additions (slot 50; the rest wait at the r13 head):
-    "dedup_lsh_plan",
-    "pipeline_perplexity_buckets",
-    "decontam_bloom_incremental",
-    "privacy_dp_quantiles",
 ]
 
 
