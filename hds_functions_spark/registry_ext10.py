@@ -647,3 +647,68 @@ def privacy_dp_quantiles(spark, sf_dir):
         epsilon=_DPQ_EPS,
         salt=_DPQ_SALT,
     )
+
+
+# --- streaming bloom decontamination --------------------------------------
+
+
+@_register("streaming_bloom_decontam", ORACLES["decontam_bloom"])
+def streaming_bloom_decontam(spark, sf_dir):
+    """The continuous-ingest decontamination recipe END TO END: corpus
+    documents arrive as a file stream; each micro-batch probes the
+    STATIC eval-gram bitmap (built once, persisted, its dense-literal
+    collect amortised across batches) inside ``foreachBatch`` and
+    appends its flagged docs to a durable checkpointed sink. The probe
+    is per-row and the bitmap is static, so per-doc verdicts are
+    micro-batch-invariant and the drained sink equals the batch
+    decontam_bloom rows exactly — which is what the oracle asserts
+    (this query's oracle IS decontam_bloom's). Pair with bloom_merge:
+    when the eval set itself grows, the standing bitmap absorbs the
+    delta and the stream keeps probing the merged artifact. See
+    streaming/stream_ops.py + operators/bloom.py."""
+    import shutil
+    import tempfile
+
+    from .caching import tracked_persist
+    from .operators.bloom import bloom_build, bloom_decontam, _doc_grams
+    from .operators.sampling import split_bucket
+    from .registry import _stable_dir_tag
+    from .streaming.stream_ops import (
+        read_parquet_stream,
+        stream_score_batches,
+    )
+
+    tag = _stable_dir_tag(sf_dir)
+    base = f"{tempfile.gettempdir()}/hds_bloom_stream_{tag}"
+    shutil.rmtree(base, ignore_errors=True)  # deterministic replay
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bucket = split_bucket("doc_id", _BLOOM_SALT)
+    eval_grams = _doc_grams(
+        docs.filter(bucket < _BLOOM_CUT).withColumnRenamed(
+            "doc_id", "eval_id"
+        ),
+        "eval_id", "text", _BLOOM_NGRAM,
+    ).select(F.col("_gram").alias("key")).distinct()
+    bloom = tracked_persist(
+        bloom_build(eval_grams, "key", _BLOOM_BITS, _BLOOM_HASHES)
+    )
+
+    stream = read_parquet_stream(
+        spark, f"{sf_dir}/documents.parquet"
+    ).filter(split_bucket("doc_id", _BLOOM_SALT) >= _BLOOM_CUT)
+
+    def score(batch_df):
+        return bloom_decontam(
+            batch_df.select("doc_id", "text"), None,
+            ngram=_BLOOM_NGRAM, n_bits=_BLOOM_BITS,
+            n_hashes=_BLOOM_HASHES, prebuilt_bloom=bloom,
+        )
+
+    return stream_score_batches(
+        stream,
+        score,
+        path=f"{base}/sink",
+        checkpoint_dir=f"{base}/ckpt",
+        state_partitions=8,
+    )
