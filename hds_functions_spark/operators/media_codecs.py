@@ -534,13 +534,11 @@ def resize_ppm_nearest(
     return header + bytes(out)
 
 
-def parse_wav(payload: bytes | None) -> dict | None:
-    """RIFF/WAVE chunk walk -> sample_rate, n_channels, duration_ms, rms_q8.
-
-    PCM16 only; RMS is sqrt(mean(sample^2)) over every sample (all
-    channels), rounded then quantised ``// 128`` to 8 bits. Returns None
-    for non-WAV/corrupt/unsupported payloads.
-    """
+def wav_pcm_data(payload: bytes | None) -> tuple | None:
+    """RIFF/WAVE chunk walk -> ``(sample_rate, n_channels, data_bytes)``
+    for PCM16 payloads, None for non-WAV/corrupt/unsupported — the
+    shared walk under :func:`parse_wav` (features) and
+    ``multimodal.audio_signatures`` (content hashing)."""
     if not payload:
         return None
     p = bytes(payload)
@@ -563,6 +561,20 @@ def parse_wav(payload: bytes | None) -> dict | None:
         pos += 8 + size + (size % 2)  # chunks are word-aligned
     if rate is None or channels is None or data is None or bits != 16:
         return None
+    return rate, channels, data
+
+
+def parse_wav(payload: bytes | None) -> dict | None:
+    """RIFF/WAVE chunk walk -> sample_rate, n_channels, duration_ms, rms_q8.
+
+    PCM16 only; RMS is sqrt(mean(sample^2)) over every sample (all
+    channels), rounded then quantised ``// 128`` to 8 bits. Returns None
+    for non-WAV/corrupt/unsupported payloads.
+    """
+    parsed = wav_pcm_data(payload)
+    if parsed is None:
+        return None
+    rate, channels, data = parsed
     usable = len(data) - len(data) % 2
     if np is not None:
         samples = np.frombuffer(data[:usable], dtype="<i2").astype(np.int64)

@@ -81,6 +81,8 @@ __all__ = [
     "MJPEG_SIGNATURE_SCHEMA",
     "mjpeg_video_profile",
     "mjpeg_frame_signatures",
+    "AUDIO_SIGNATURE_SCHEMA",
+    "audio_signatures",
 ]
 
 
@@ -853,3 +855,59 @@ def mjpeg_frame_signatures(
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(process, MJPEG_SIGNATURE_SCHEMA)
+
+
+AUDIO_SIGNATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("pcm_md5", StringType()),
+    ]
+)
+
+
+def audio_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Decode each WAV payload and emit its EXACT content signature
+    (md5 of the parsed PCM16 data bytes) plus format — the audio-dedup
+    primitive completing the family next to image ahash/pHash and
+    video frame signatures: two clips share (sample_rate, n_channels,
+    pcm_md5) iff the RIFF walk reconstructed byte-identical audio, so
+    a JVM-side hash-groupBy finds duplicated recordings without
+    pairwise comparison (map-side-combinable at any scale; the Python
+    cost is the parse itself, Arrow-batched, 1 row -> 1 row).
+    Non-WAV/corrupt payloads yield no row (fail closed, the media
+    family contract)."""
+
+    def process(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from .media_codecs import wav_pcm_data
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "sample_rate", "n_channels", "n_frames",
+                "pcm_md5")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                parsed = wav_pcm_data(payload) if payload is not None else None
+                if parsed is None:
+                    continue
+                rate, channels, data = parsed
+                usable = len(data) - len(data) % 2
+                rows["doc_id"].append(doc_id)
+                rows["sample_rate"].append(rate)
+                rows["n_channels"].append(channels)
+                rows["n_frames"].append(
+                    (usable // 2) // channels if channels else 0
+                )
+                rows["pcm_md5"].append(
+                    hashlib.md5(data[:usable]).hexdigest()
+                )
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(process, AUDIO_SIGNATURE_SCHEMA)

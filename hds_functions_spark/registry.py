@@ -731,22 +731,21 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Queries the driver's correctness gate should see first. The gate verifies
 #: exactly the first 50 entries of ``queries()`` in iteration order.
-#: ROUND-12 ROTATION (executing the r11 verdict's item 1): the 16
+#: ROUND-12 ROTATION (executing the r11 verdict's item 1): the 17
 #: round-12 additions take the head (never-checked queries MUST be
 #: inside the window — driver_coverage's hard gate — and a first
-#: driver row at birth is worth more than a refresh), then 34 of the
+#: driver row at birth is worth more than a refresh), then 33 of the
 #: 38 r06-vintage stale rows (`tools/driver_coverage.py` listed
 #: exactly 38 at r12 start — SURVEY §14's "36" under-counted because
-#: round 11 shipped 4 additions, not 2). 16 + 34 = 50; the 4
-#: list-order-last stale rows (text_zipf, wrangle_mad_outliers,
-#: wrangle_pivot, wrangle_unpivot) wait for r13: an unusually
-#: productive round
-#: out-produced the window. Mitigation, on the record: the round-12
-#: session's independent two-scale `compare_oracle --exact` sweep on
-#: HEAD covered EVERY registered query including those 4, so their
-#: correctness was re-verified this round even though their driver row
-#: stays r06-dated.
-#: ROUND-13 ROTATION GUIDANCE: the 4 leftover r06 rows + r13
+#: round 11 shipped 4 additions, not 2). 17 + 33 = 50; the 5
+#: list-order-last stale rows (text_vocab_build, text_zipf,
+#: wrangle_mad_outliers, wrangle_pivot, wrangle_unpivot) wait for r13:
+#: an unusually productive round out-produced the window. Mitigation,
+#: on the record: the round-12 session's independent two-scale
+#: `compare_oracle --exact` sweeps covered EVERY registered query
+#: including those 5, so their correctness was re-verified this round
+#: even though their driver row stays r06-dated.
+#: ROUND-13 ROTATION GUIDANCE: the 5 leftover r06 rows + r13
 #: additions + any r12 reds at the head, then r08-vintage rows
 #: (alphabetical from clean_strip_markup onward per driver_coverage).
 DRIVER_PRIORITY: list[str] = [
@@ -767,8 +766,9 @@ DRIVER_PRIORITY: list[str] = [
     "decontam_bloom_incremental",
     "privacy_dp_quantiles",
     "streaming_bloom_decontam",
-    # r06-vintage stale rows (34 of 38 fit after the 16 additions; the
-    # 4 past slot 50 wait for r13 — see the rotation comment above):
+    "multimodal_audio_dedup",
+    # r06-vintage stale rows (33 of 38 fit after the 17 additions; the
+    # 5 past slot 50 wait for r13 — see the rotation comment above):
     "events_anomaly_daily",
     "events_cooccurrence",
     "events_densified_monthly",

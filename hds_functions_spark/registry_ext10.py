@@ -712,3 +712,92 @@ def streaming_bloom_decontam(spark, sf_dir):
         checkpoint_dir=f"{base}/ckpt",
         state_partitions=8,
     )
+
+
+# --- audio dedup ----------------------------------------------------------
+
+_AUD_DUP_MOD = 9  # doc_id % 9 == 5 docs reuse the leader's (doc_id-5) seed
+
+
+def _duck_audio_dedup_sql() -> str:
+    """Duplicate-audio groups predicted from the WAV fixture protocol:
+    decoded PCM content is FULLY determined by (channels, frames, amp)
+    and the header adds rate, so grouping the protocol quadruple of
+    each doc's SEED text must yield exactly the groups Spark finds by
+    grouping the md5 of the actually parsed data bytes (the video-dedup
+    multiset-equality pattern lifted to audio)."""
+    return f"""
+WITH seeds AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % {_AUD_DUP_MOD} = 5 AND l.text IS NOT NULL
+              THEN l.text ELSE d.text END AS seed
+  FROM documents d
+  LEFT JOIN documents l ON l.doc_id = d.doc_id - 5
+), b AS (
+  SELECT doc_id,
+         ([8000,16000,22050,44100,48000])[
+             ('0x' || substr(md5(seed), 11, 2))::INTEGER % 5 + 1] AS rate,
+         1 + ('0x' || substr(md5(seed), 13, 2))::INTEGER % 2 AS ch,
+         200 + (('0x' || substr(md5(seed), 15, 2))::INTEGER * 256
+                + ('0x' || substr(md5(seed), 17, 2))::INTEGER) % 800
+             AS frames,
+         ('0x' || substr(md5(seed), 19, 2))::INTEGER AS amp
+  FROM seeds
+)
+SELECT CAST(rate AS INTEGER) AS sample_rate,
+       CAST(ch AS INTEGER) AS n_channels,
+       CAST(frames AS INTEGER) AS n_frames,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS canonical_doc_id
+FROM b
+GROUP BY rate, ch, frames, amp
+HAVING count(*) > 1
+"""
+
+
+@_register("multimodal_audio_dedup", _duck_audio_dedup_sql())
+def multimodal_audio_dedup(spark, sf_dir):
+    """AUDIO dedup: duplicated recordings found by exact content
+    signature — every WAV parsed through the real RIFF/PCM16 walk, its
+    data bytes md5'd, and hash-grouped JVM-side (``groupBy(rate,
+    channels, pcm_md5)``, never pairwise), emitting one row per
+    duplicate group with doc count and canonical doc. Completes the
+    multimodal dedup family (image ahash/pHash, video frame-md5, now
+    audio). Duplicates are PLANTED (every doc_id % 9 == 5 clip is
+    synthesized from its leader's text, the WARC-quarantine planting
+    pattern) because the protocol's content space is too large for
+    natural collisions at gate scale; the oracle groups the protocol
+    quadruple of the seeds, so multiset equality holds iff the parser
+    reconstructs byte-identical PCM exactly when the protocol says it
+    must. See operators/multimodal.py:audio_signatures."""
+    from .operators.multimodal import (
+        audio_signatures,
+        synthesize_media_payloads,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    leaders = docs.select(
+        (F.col("doc_id") + 5).alias("doc_id"),
+        F.col("text").alias("_leader_text"),
+    )
+    seeded = (
+        docs.join(leaders, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            F.when(
+                (F.col("doc_id") % _AUD_DUP_MOD == 5)
+                & F.col("_leader_text").isNotNull(),
+                F.col("_leader_text"),
+            ).otherwise(F.col("text")).alias("text"),
+        )
+    )
+    sigs = audio_signatures(synthesize_media_payloads(seeded, "wav"))
+    return (
+        sigs.groupBy("sample_rate", "n_channels", "n_frames", "pcm_md5")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .drop("pcm_md5")
+    )

@@ -1033,3 +1033,35 @@ def test_image_phash_through_spark(spark):
     assert len(groups) == 1
     assert groups[0]["n_images"] == 2
     assert groups[0]["canonical_doc_id"] == 1
+
+
+def test_audio_signatures_and_dedup_grouping(spark):
+    """Identical seeds -> identical PCM signatures; corrupt payloads
+    yield no row (fail closed)."""
+    from pyspark.sql import functions as F
+
+    from hds_functions_spark.operators.multimodal import (
+        audio_signatures,
+        synthesize_media_payloads,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "same seed"), (1, "same seed"), (2, "different seed")],
+        "doc_id long, text string",
+    )
+    sigs = audio_signatures(
+        synthesize_media_payloads(docs, "wav")
+    ).collect()
+    by_id = {r["doc_id"]: r for r in sigs}
+    assert len(by_id) == 3
+    assert by_id[0]["pcm_md5"] == by_id[1]["pcm_md5"]
+    assert by_id[0]["sample_rate"] == by_id[1]["sample_rate"]
+    assert by_id[0]["pcm_md5"] != by_id[2]["pcm_md5"]
+    assert by_id[0]["n_frames"] >= 200  # protocol floor
+
+    # corrupt payloads: truncated header and non-WAV bytes yield no rows
+    corrupt = spark.createDataFrame(
+        [(10, bytearray(b"RIFF")), (11, bytearray(b"not a wav")), (12, None)],
+        "doc_id long, payload binary",
+    )
+    assert audio_signatures(corrupt).count() == 0
