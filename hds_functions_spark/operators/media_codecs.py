@@ -70,7 +70,11 @@ __all__ = [
     "synthesize_jpeg",
     "synthesize_mjpeg_avi",
     "synthesize_wav",
+    "synthesize_wav_tones",
+    "wav_wrap_pcm",
     "synthesize_y4m",
+    "audio_phash56",
+    "audio_phash56_from_pcm",
     "parse_avi",
     "parse_image",
     "parse_jpeg",
@@ -161,6 +165,13 @@ def synthesize_wav(seed: str) -> bytes:
             v = amp if i % 2 == 0 else -amp
             samples.extend([v] * channels)
         data = samples.tobytes()
+    return wav_wrap_pcm(rate, channels, data)
+
+
+def wav_wrap_pcm(rate: int, channels: int, data: bytes) -> bytes:
+    """Wrap raw PCM16 bytes in a canonical 44-byte RIFF/WAVE header —
+    the encoder half of :func:`wav_pcm_data`'s walk (used by the
+    synthesizers and by re-encode robustness tests)."""
     block_align = channels * 2
     header = struct.pack(
         "<4sI4s4sIHHIIHH4sI",
@@ -179,6 +190,45 @@ def synthesize_wav(seed: str) -> bytes:
         len(data),
     )
     return header + data
+
+
+def synthesize_wav_tones(seed: str) -> bytes:
+    """Deterministic PCM16 WAV with RICH content: 8 seed-derived segments,
+    each a square tone with its own amplitude (256 + byte*16) and
+    half-period (a power of two, 1/2/4/8 samples), both channels carrying
+    the same value. Unlike :func:`synthesize_wav` (constant +A/-A — a
+    single Nyquist tone, spectrally degenerate), this waveform has
+    time-varying energy AND band-varying structure, so a perceptual
+    audio hash computed over it is content-discriminative — while every
+    sample value stays a closed-form integer function of (md5(seed),
+    sample index) that ANSI SQL can replay.
+
+    Protocol (d = md5(seed) bytes): rate = WAV_RATES[d[5] % 5],
+    channels = 1 + d[6] % 2, frames = 512 + (d[7]*256 + d[8]) % 512,
+    amp[s] = 256 + d[(9+s) % 16] * 16 and half_period[s] =
+    1 << (d[(s*2+3) % 16] % 4) for segment s = i*8 // frames; sample
+    i is +amp[s] when (i // half_period[s]) % 2 == 0 else -amp[s]."""
+    d = hashlib.md5(seed.encode("utf-8")).digest()
+    rate = WAV_RATES[d[5] % len(WAV_RATES)]
+    channels = 1 + d[6] % 2
+    frames = 512 + (d[7] * 256 + d[8]) % 512
+    amps = [256 + d[(9 + s) % 16] * 16 for s in range(8)]
+    pers = [1 << (d[(s * 2 + 3) % 16] % 4) for s in range(8)]
+    if np is not None:
+        i = np.arange(frames)
+        seg = i * 8 // frames
+        amp = np.asarray(amps, dtype=np.int64)[seg]
+        per = np.asarray(pers, dtype=np.int64)[seg]
+        vals = np.where((i // per) % 2 == 0, amp, -amp)
+        data = np.repeat(vals, channels).astype("<i2").tobytes()
+    else:
+        samples = array("h")
+        for i in range(frames):
+            s = i * 8 // frames
+            v = amps[s] if (i // pers[s]) % 2 == 0 else -amps[s]
+            samples.extend([v] * channels)
+        data = samples.tobytes()
+    return wav_wrap_pcm(rate, channels, data)
 
 
 # --- PNG (real zlib inflate + filter reconstruction) ---------------------
@@ -1801,3 +1851,111 @@ def avi_jpeg_frames(payload: bytes | None) -> list[bytes] | None:
 
     walk(12, min(8 + struct.unpack("<I", p[4:8])[0], len(p)))
     return frames
+
+
+# --- perceptual audio fingerprint (banded-energy sign hash) ----------------
+#
+# The audio twin of phash64, same oracle-exactness discipline: every
+# quantity is integer arithmetic an ANSI SQL engine replays bit-for-bit.
+# Design follows Haitsma & Kalker 2002 ("A Highly Robust Audio
+# Fingerprinting System"): the hash bits are the SIGNS of time- and
+# band-difference filtered energies, which are invariant to uniform gain
+# (energy scales by g^2 everywhere; double-differences keep their sign)
+# and to channel count (the mono fold scales all energies by n_ch^2).
+# The "bands" are Walsh correlations (square-wave basis, half-period
+# 2^b) instead of an FFT filterbank: exact in int64, and square-wave
+# content — including the synthesis fixture — projects onto them
+# crisply. Magnitude bound: |mono| <= 2 * 32767, so |S| <= 65534 * n
+# stays int64-exact to n ~ 1.4e14 samples; the oracle's S^2 stays in
+# BIGINT because the fixture's |S| <= 8672 * 1024 < 2^24.
+
+AUD_PHASH_FRAMES = 9  # time segments -> 8 frame-difference rows
+AUD_PHASH_BANDS = 8  # Walsh bands -> 7 band-difference columns
+
+
+def audio_phash56_from_pcm(
+    channels: int, data: bytes
+) -> tuple[int, int] | None:
+    """``(n_frames, hash56)`` from raw PCM16 bytes: fold channels to a
+    mono sum (int, no division), split into ``AUD_PHASH_FRAMES`` equal
+    time segments (integer boundaries ``k * n // 9``), correlate each
+    segment against ``AUD_PHASH_BANDS`` Walsh square waves
+    (``w_b(i) = 1 - 2 * ((i >> b) & 1)``, GLOBAL sample index), square
+    to energies, and emit the 8 x 7 = 56 sign bits of the
+    Haitsma-Kalker double-difference
+    ``E[f][b] - E[f][b+1] - E[f-1][b] + E[f-1][b+1]`` (bit set when
+    strictly positive — ties deterministically 0 in both engines).
+    None when fewer frames than segments (fail closed)."""
+    usable = len(data) - len(data) % 2
+    nf, nb = AUD_PHASH_FRAMES, AUD_PHASH_BANDS
+    if channels < 1:
+        return None
+    if np is not None:
+        samples = np.frombuffer(data[:usable], dtype="<i2").astype(np.int64)
+        n = len(samples) // channels
+        if n < nf:
+            return None
+        mono = samples[: n * channels].reshape(n, channels).sum(axis=1)
+        idx = np.arange(n)
+        # segment of sample i is i * nf // n; the reduceat boundary is
+        # therefore ceil(k * n / nf) — NOT floor, which disagrees with
+        # the per-sample formula at fractional boundaries
+        bounds = [(k * n + nf - 1) // nf for k in range(nf)]
+        s_fb = [
+            [
+                int(v)
+                for v in np.add.reduceat(
+                    mono * (1 - 2 * ((idx >> b) & 1)), bounds
+                )
+            ]
+            for b in range(nb)
+        ]
+        energy = [[s_fb[b][f] ** 2 for b in range(nb)] for f in range(nf)]
+    else:
+        samples = array("h")
+        samples.frombytes(data[:usable])
+        n = len(samples) // channels
+        if n < nf:
+            return None
+        mono = [
+            sum(samples[i * channels + c] for c in range(channels))
+            for i in range(n)
+        ]
+        energy = []
+        for f in range(nf):
+            lo = (f * n + nf - 1) // nf
+            hi = ((f + 1) * n + nf - 1) // nf
+            row = []
+            for b in range(nb):
+                s = sum(
+                    mono[i] * (1 - 2 * ((i >> b) & 1)) for i in range(lo, hi)
+                )
+                row.append(s * s)
+            energy.append(row)
+    val = 0
+    for f in range(1, nf):
+        for b in range(nb - 1):
+            d2 = (
+                energy[f][b]
+                - energy[f][b + 1]
+                - energy[f - 1][b]
+                + energy[f - 1][b + 1]
+            )
+            if d2 > 0:
+                val |= 1 << ((f - 1) * (nb - 1) + b)
+    return n, val
+
+
+def audio_phash56(payload: bytes | None) -> tuple[int, int, int, int] | None:
+    """``(sample_rate, n_channels, n_frames, hash56)`` for a PCM16 WAV
+    payload through the shared RIFF walk, or None for
+    non-WAV/corrupt/too-short payloads (fail closed)."""
+    parsed = wav_pcm_data(payload)
+    if parsed is None:
+        return None
+    rate, channels, data = parsed
+    hashed = audio_phash56_from_pcm(channels, data)
+    if hashed is None:
+        return None
+    n, val = hashed
+    return rate, channels, n, val

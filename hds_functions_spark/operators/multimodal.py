@@ -83,6 +83,8 @@ __all__ = [
     "mjpeg_frame_signatures",
     "AUDIO_SIGNATURE_SCHEMA",
     "audio_signatures",
+    "AUDIO_PHASH_SCHEMA",
+    "audio_phash",
 ]
 
 
@@ -148,13 +150,17 @@ def synthesize_media_payloads(
         synthesize_png,
     )
 
+    from .media_codecs import synthesize_wav_tones
+
     synth = {"image": synthesize_image, "ppm": synthesize_ppm,
              "png": synthesize_png, "jpeg": synthesize_jpeg,
              "avi": synthesize_mjpeg_avi,
-             "wav": synthesize_wav, "y4m": synthesize_y4m}.get(kind)
+             "wav": synthesize_wav, "wav_tones": synthesize_wav_tones,
+             "y4m": synthesize_y4m}.get(kind)
     if synth is None:
         raise ValueError(
-            f"kind must be image|ppm|png|jpeg|avi|wav|y4m (got {kind!r})"
+            "kind must be image|ppm|png|jpeg|avi|wav|wav_tones|y4m "
+            f"(got {kind!r})"
         )
     schema = StructType(
         [
@@ -911,3 +917,56 @@ def audio_signatures(
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(process, AUDIO_SIGNATURE_SCHEMA)
+
+
+AUDIO_PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("aphash", LongType()),
+    ]
+)
+
+
+def audio_phash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Perceptual audio fingerprint over a binary WAV column — audio's
+    pHash tier next to :func:`audio_signatures`' exact tier: the 56-bit
+    banded-energy sign hash (:func:`media_codecs.audio_phash56`,
+    Haitsma & Kalker 2002) whose bits survive uniform gain change,
+    +/-1-LSB dither, and mono folds that flip every bit of the exact
+    PCM md5 — one re-encode no longer defeats audio dedup. Equal-hash
+    grouping (or small-Hamming banding) is one combinable aggregate,
+    never pairwise. Arrow-batched ``mapInPandas``, 1 row -> <=1 row,
+    zero shuffle; non-WAV/corrupt/too-short payloads yield no row
+    (fail closed, the media family contract)."""
+
+    def process(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from .media_codecs import audio_phash56
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "sample_rate", "n_channels", "n_frames",
+                "aphash")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                hashed = (
+                    audio_phash56(payload) if payload is not None else None
+                )
+                if hashed is None:
+                    continue
+                rate, channels, n_frames, val = hashed
+                rows["doc_id"].append(doc_id)
+                rows["sample_rate"].append(rate)
+                rows["n_channels"].append(channels)
+                rows["n_frames"].append(n_frames)
+                rows["aphash"].append(val)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(process, AUDIO_PHASH_SCHEMA)

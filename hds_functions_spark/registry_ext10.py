@@ -801,3 +801,5 @@ def multimodal_audio_dedup(spark, sf_dir):
         .filter(F.col("n_docs") > 1)
         .drop("pcm_md5")
     )
+
+from . import registry_ext11  # noqa: E402,F401  (round-13 registrations)
