@@ -61,6 +61,7 @@ SHARED_CACHE_GROUPS: dict[str, list[str]] = {
         "cluster_kmeans",
         "cluster_kmeans_profile",
         "cluster_semantic_dedup",
+        "clustering_tree_assign",
         "pipeline_semantic_prep",
     ],
     "ivf_index": [

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
+    IntegerType,
     StructField,
     StructType,
 )
@@ -47,6 +48,7 @@ __all__ = [
     "kmeans_fit",
     "kmeans_assign",
     "BULK_ASSIGN_SCALARS",
+    "build_tree_codebook",
     "kmeans_fit_assign",
     "cluster_near_pairs",
     "semantic_dedup",
@@ -213,6 +215,272 @@ def _best_centroid_data(vec_col: str) -> Column:
     )
 
 
+# --- two-level (tree) coarse quantizer: the beyond-broadcast escalation ---
+#
+# SCALE.md ("large-k assignment") names the point where even the
+# broadcast-as-data path dies: the centroid MATRIX itself outgrows the
+# broadcast budget (k = 65k x dim 768 ~ 400 MB). There the assignment
+# becomes the centroid-side EQUI-JOIN an IVF tree quantizer implies:
+# vectors pick their nearest coarse cell(s) through a small broadcast
+# codebook (~sqrt(k) cells), then equi-join only those cells' child
+# centroids — the full matrix lives in a DISTRIBUTED frame and each
+# vector meets only a sqrt(k)-sized slice of it.
+#
+# The result is EXACT (bit-identical to the broadcast path, pinned by
+# test), not IVF-approximate, via triangle-inequality pruning: with
+# d1 = distance to the nearest coarse cell and m1 = that cell's
+# distance to its nearest child, B = d1 + m1 upper-bounds the true
+# nearest-child distance; any cell c with d(v,c) - r_c > B (r_c = max
+# child distance) cannot host the winner, and every cell that could —
+# including all exact ties — satisfies d(v,c) - r_c <= d(v,x*) <= B.
+# The driver-side bounds are rounded UP and the probe threshold takes
+# a relative slack so float rounding can only widen the candidate set,
+# never drop the true winner.
+
+#: Up-rounding applied to driver-side bounds and the probe threshold:
+#: conservative by construction (extra candidates cost a few joined
+#: rows; a dropped winner would cost exactness).
+_TREE_BOUND_SLACK = 1e-12
+
+
+def build_tree_codebook(
+    centroids: list[list[float]],
+    k_top: int | None = None,
+    n_iter: int = 3,
+) -> tuple[list[dict], dict[int, list[tuple[int, list[float]]]]]:
+    """Driver-side two-level codebook over the CENTROID LIST (k rows —
+    driver-held even when k*dim outgrows the broadcast/plan budget):
+    ``k_top`` coarse cells (default ~sqrt(k)) from a few Lloyd
+    iterations on the centroids themselves, plus the per-cell pruning
+    bounds exact assignment needs.
+
+    Returns ``(coarse, children)``: ``coarse`` is a list of
+    ``{"cid", "c", "r", "m"}`` dicts (cell centre, max/min child
+    distance, both rounded UP), ``children`` maps cid -> list of
+    ``(global_centroid_index, centroid)``. Coarse-clustering quality
+    only affects probe FANOUT (cost), never correctness — the bounds
+    carry exactness regardless of how the cells were formed."""
+    import math
+
+    k = len(centroids)
+    if k == 0:
+        raise ValueError("centroids must be non-empty")
+    if k_top is None:
+        k_top = max(1, int(round(math.sqrt(k))))
+    k_top = max(1, min(k_top, k))
+
+    try:
+        import numpy as np
+    except ImportError:  # pragma: no cover - numpy ships with pyspark
+        np = None
+
+    if np is not None:
+        cmat = np.asarray(centroids, dtype=np.float64)
+        seed_idx = [(j * k) // k_top for j in range(k_top)]
+        tops = cmat[seed_idx].copy()
+        c_sq = (cmat * cmat).sum(axis=1)
+        for _ in range(n_iter):
+            # ||a-b||^2 via the gemm trick: k x k_top stays memory-flat
+            # where a broadcasted (k, k_top, dim) cube would not
+            d2 = c_sq[:, None] + (tops * tops).sum(axis=1)[None, :]
+            d2 -= 2.0 * (cmat @ tops.T)
+            assign = d2.argmin(axis=1)  # first minimum: lowest cid
+            for j in range(k_top):
+                members = cmat[assign == j]
+                if len(members):
+                    tops[j] = members.mean(axis=0)
+        d2 = c_sq[:, None] + (tops * tops).sum(axis=1)[None, :]
+        d2 -= 2.0 * (cmat @ tops.T)
+        assign = d2.argmin(axis=1)
+        child_dist = np.sqrt(
+            np.maximum(((cmat - tops[assign]) ** 2).sum(axis=1), 0.0)
+        )
+        coarse, children = [], {}
+        for j in range(k_top):
+            mask = assign == j
+            if not mask.any():
+                continue
+            dists = child_dist[mask]
+            up = 1.0 + _TREE_BOUND_SLACK
+            coarse.append(
+                {
+                    "cid": j,
+                    "c": [float(x) for x in tops[j]],
+                    "r": float(dists.max()) * up + _TREE_BOUND_SLACK,
+                    "m": float(dists.min()) * up + _TREE_BOUND_SLACK,
+                }
+            )
+            children[j] = [
+                (int(i), [float(x) for x in cmat[i]])
+                for i in np.nonzero(mask)[0]
+            ]
+        return coarse, children
+
+    # pure-python fallback (small k only — tests without numpy)
+    def sq(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a, b))
+
+    tops = [list(map(float, centroids[(j * k) // k_top])) for j in range(k_top)]
+    d = len(centroids[0])
+    for _ in range(n_iter):
+        assign = [
+            min(range(k_top), key=lambda j: (sq(c, tops[j]), j))
+            for c in centroids
+        ]
+        members = {j: [] for j in range(k_top)}
+        for i, j in enumerate(assign):
+            members[j].append(i)
+        for j in range(k_top):
+            if members[j]:
+                tops[j] = [
+                    sum(centroids[i][x] for i in members[j]) / len(members[j])
+                    for x in range(d)
+                ]
+    assign = [
+        min(range(k_top), key=lambda j: (sq(c, tops[j]), j))
+        for c in centroids
+    ]
+    coarse, children = [], {}
+    up = 1.0 + _TREE_BOUND_SLACK
+    for j in range(k_top):
+        idxs = [i for i, a in enumerate(assign) if a == j]
+        if not idxs:
+            continue
+        dists = [math.sqrt(sq(centroids[i], tops[j])) for i in idxs]
+        coarse.append(
+            {
+                "cid": j,
+                "c": tops[j],
+                "r": max(dists) * up + _TREE_BOUND_SLACK,
+                "m": min(dists) * up + _TREE_BOUND_SLACK,
+            }
+        )
+        children[j] = [(i, [float(x) for x in centroids[i]]) for i in idxs]
+    return coarse, children
+
+
+_TREE_CELLS = "__hds_tcells"
+
+
+def _tree_assign(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str,
+    cluster_col: str,
+    dist_col: str | None,
+    id_col: str,
+    k_top: int | None,
+) -> DataFrame:
+    """Exact nearest-centroid assignment as a coarse-cell probe plus a
+    centroid-side equi-join (see the section comment above). The
+    vector frame crosses ONE exchange keyed by coarse cell (fanout =
+    probed cells per vector, typically 1-2); the child-centroid frame
+    is data-sized (k rows) and AQE broadcast-joins it whenever it
+    fits. ``id_col`` must uniquely key rows — the argmin is a
+    combinable groupBy on it and the result re-attaches by it."""
+    spark = df.sparkSession
+    dim = len(centroids[0])
+    coarse, children = build_tree_codebook(centroids, k_top)
+
+    cells_type = ArrayType(
+        StructType(
+            [
+                StructField("cid", IntegerType()),
+                StructField("c", ArrayType(DoubleType())),
+                StructField("r", DoubleType()),
+                StructField("m", DoubleType()),
+            ]
+        )
+    )
+    cells_df = spark.createDataFrame(
+        [([(x["cid"], x["c"], x["r"], x["m"]) for x in coarse],)],
+        schema=StructType([StructField(_TREE_CELLS, cells_type)]),
+    )
+    child_df = spark.createDataFrame(
+        [(cid, i, c) for cid, lst in children.items() for (i, c) in lst],
+        schema=StructType(
+            [
+                StructField("__hds_ccid", IntegerType()),
+                StructField("__hds_cidx", IntegerType()),
+                StructField("__hds_cvec", ArrayType(DoubleType())),
+            ]
+        ),
+    )
+
+    def sq_to(target: Column) -> Column:
+        # the SAME left-to-right IEEE fold, +Inf pinning as every other
+        # assignment method — identity depends on it
+        return F.coalesce(
+            F.aggregate(
+                F.zip_with(
+                    F.col(vec_col).cast("array<double>"),
+                    target,
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
+            F.lit(float("inf")),
+        )
+
+    well = df.select(id_col, vec_col).filter(
+        F.size(F.col(vec_col)) == dim
+    )
+    probe_thresh = (
+        F.col("_best")["bd"] + F.col("_best")["m"]
+    ) * (1.0 + _TREE_BOUND_SLACK) + _TREE_BOUND_SLACK
+    probed = (
+        well.crossJoin(F.broadcast(cells_df))
+        .withColumn(
+            "_cd",
+            F.transform(
+                F.col(_TREE_CELLS),
+                lambda cell: F.struct(
+                    F.sqrt(sq_to(cell["c"])).alias("bd"),
+                    cell["cid"].alias("cid"),
+                    cell["r"].alias("r"),
+                    cell["m"].alias("m"),
+                ),
+            ),
+        )
+        .withColumn("_best", F.array_min(F.col("_cd")))
+        .withColumn(
+            "_probe",
+            F.filter(
+                F.col("_cd"),
+                lambda x: x["bd"] - x["r"] <= probe_thresh,
+            ),
+        )
+        .select(
+            id_col,
+            vec_col,
+            F.explode(F.col("_probe")["cid"]).alias("__hds_pcid"),
+        )
+    )
+    best = (
+        probed.join(
+            child_df,
+            probed["__hds_pcid"] == child_df["__hds_ccid"],
+            "inner",
+        )
+        .select(
+            id_col,
+            F.struct(
+                sq_to(F.col("__hds_cvec")).alias("d"),
+                F.col("__hds_cidx").alias("i"),
+            ).alias("_cand"),
+        )
+        .groupBy(id_col)
+        .agg(F.min("_cand").alias("_b"))
+    )
+    attach = best.select(
+        id_col,
+        F.col("_b")["i"].cast("int").alias(cluster_col),
+        *([F.col("_b")["d"].alias(dist_col)] if dist_col is not None else []),
+    )
+    return df.join(attach, on=id_col, how="left")
+
+
 def kmeans_fit(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -299,6 +567,8 @@ def kmeans_assign(
     cluster_col: str = "cluster",
     dist_col: str | None = "dist",
     method: str = "auto",
+    id_col: str | None = None,
+    tree_fanout: int | None = None,
 ) -> DataFrame:
     """Attach nearest-centroid assignment (and optionally the squared-L2
     distance) as pure codegen columns — no shuffle, usable as a cheap
@@ -322,11 +592,32 @@ def kmeans_assign(
     - ``"broadcast"``: the matrix as a broadcast-joined DATA column
       (1-row crossJoin) — O(1) plan at any k; the scale path for
       thousands of centroids (measured crossover in SCALE.md).
+    - ``"tree"``: the beyond-broadcast escalation (centroid matrix too
+      large to broadcast at all, k*dim ~ 65k x 768): a ~sqrt(k)-cell
+      coarse codebook broadcasts, the full matrix stays a DISTRIBUTED
+      frame, and assignment is a triangle-inequality-pruned equi-join
+      against only the probed cells' children — still EXACT
+      (bit-identical, pinned by test), see :func:`build_tree_codebook`.
+      Requires ``id_col`` (a unique row key for the argmin groupBy and
+      the result re-attach); ``tree_fanout`` overrides the coarse cell
+      count. Unlike the projection methods, the result's row ORDER is
+      join-determined (same rows, same values).
     - ``"auto"``: codegen below ``BULK_ASSIGN_SCALARS`` scalars,
-      broadcast above."""
+      broadcast above (never tree — its join shape and id_col
+      requirement are an explicit opt-in)."""
     dim = len(centroids[0])
-    if method not in ("auto", "codegen", "bulk", "broadcast"):
+    if method not in ("auto", "codegen", "bulk", "broadcast", "tree"):
         raise ValueError(f"unknown assignment method: {method!r}")
+    if method == "tree":
+        if id_col is None:
+            raise ValueError(
+                "method='tree' needs id_col: the centroid-side equi-join "
+                "re-attaches assignments by a unique row key"
+            )
+        return _tree_assign(
+            df, centroids, vec_col, cluster_col, dist_col, id_col,
+            tree_fanout,
+        )
     if method == "auto":
         method = (
             "broadcast"

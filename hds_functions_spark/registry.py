@@ -731,82 +731,77 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Queries the driver's correctness gate should see first. The gate verifies
 #: exactly the first 50 entries of ``queries()`` in iteration order.
-#: ROUND-12 ROTATION (executing the r11 verdict's item 1): the 17
-#: round-12 additions take the head (never-checked queries MUST be
-#: inside the window — driver_coverage's hard gate — and a first
-#: driver row at birth is worth more than a refresh), then 33 of the
-#: 38 r06-vintage stale rows (`tools/driver_coverage.py` listed
-#: exactly 38 at r12 start — SURVEY §14's "36" under-counted because
-#: round 11 shipped 4 additions, not 2). 17 + 33 = 50; the 5
-#: list-order-last stale rows (text_vocab_build, text_zipf,
-#: wrangle_mad_outliers, wrangle_pivot, wrangle_unpivot) wait for r13:
-#: an unusually productive round out-produced the window. Mitigation,
-#: on the record: the round-12 session's independent two-scale
-#: `compare_oracle --exact` sweeps covered EVERY registered query
-#: including those 5, so their correctness was re-verified this round
-#: even though their driver row stays r06-dated.
-#: ROUND-13 ROTATION GUIDANCE: the 5 leftover r06 rows + r13
-#: additions + any r12 reds at the head, then r08-vintage rows
-#: (alphabetical from clean_strip_markup onward per driver_coverage).
+#: ROUND-13 ROTATION (executing the r12 verdict's item 1): the 3
+#: round-13 additions take the head (never-checked queries MUST be
+#: inside the window — driver_coverage's hard gate), then the 5
+#: leftover r06-vintage rows the r12 window could not absorb, then the
+#: 42 alphabetically-first of the 50 r08-vintage stale rows
+#: (`tools/driver_coverage.py` listed exactly 55 stale at r13 start:
+#: 5 r06 + 50 r08). 3 + 5 + 42 = 50; the 8 list-order-last r08 rows
+#: (text_bpe_encode, text_bpe_train, topk_dense_rank, topk_global,
+#: topk_rank, topk_row_number, wrangle_clean_columns,
+#: wrangle_map_values) wait for the r14 head — at r14 they are 6
+#: rounds stale, exactly the SLA boundary (SURVEY "freshness SLA"),
+#: so r14 MUST rotate them in first. Mitigation, on the record: the
+#: round-13 closing two-scale `compare_oracle --exact` sweeps cover
+#: EVERY registered query including those 8.
+#: ROUND-14 ROTATION GUIDANCE: the 8 leftover r08 rows + r14
+#: additions + any r13 reds at the head, then r09-vintage rows.
 DRIVER_PRIORITY: list[str] = [
-    # round-12 additions (land driver rows the round they ship):
-    "text_unigram_train",
-    "text_unigram_encode",
-    "multimodal_phash_dups",
-    "multimodal_phash",
-    "source_warc_corpus",
-    "source_warc_quarantine",
-    "retrieval_rrf_fusion",
-    "decontam_bloom",
-    "decontam_bloom_audit",
-    "text_wordpiece_train",
-    "text_wordpiece_encode",
-    "dedup_lsh_plan",
-    "pipeline_perplexity_buckets",
-    "decontam_bloom_incremental",
-    "privacy_dp_quantiles",
-    "streaming_bloom_decontam",
-    "multimodal_audio_dedup",
-    # r06-vintage stale rows (33 of 38 fit after the 17 additions; the
-    # 5 past slot 50 wait for r13 — see the rotation comment above):
-    "events_anomaly_daily",
-    "events_cooccurrence",
-    "events_densified_monthly",
-    "events_rfm",
-    "events_time_decay",
-    "events_top_type_hourly",
-    "events_transitions",
-    "events_window_dedup",
-    "layout_pruning_sim",
-    "layout_zorder",
-    "multimodal_ahash",
-    "multimodal_ahash_dups",
-    "multimodal_video_real",
-    "pack_efficiency",
-    "pipeline_pretrain_prep",
-    "pipeline_semantic_prep",
-    "privacy_generalize",
-    "privacy_k_anonymity",
-    "privacy_l_diversity",
-    "profile_correlations",
-    "quality_join_audit",
-    "quality_observed_metrics",
-    "sample_temperature",
-    "sample_weighted",
-    "similarity_quantized_knn",
-    "source_orc_roundtrip",
-    "streaming_transitions",
-    "table_scd2",
-    "text_bpe_pairs",
-    "text_oov_rate",
-    "text_quality_retention",
-    "text_script_ratios",
-    "text_ttr",
+    # round-13 additions (land driver rows the round they ship):
+    "multimodal_audio_phash",
+    "clustering_tree_assign",
+    "pipeline_web_curation",
+    # r06-vintage leftovers (the 5 past slot 50 at r12):
     "text_vocab_build",
     "text_zipf",
     "wrangle_mad_outliers",
     "wrangle_pivot",
     "wrangle_unpivot",
+    # r08-vintage stale rows, alphabetical (42 of 50 fit; the 8 past
+    # slot 50 wait for r14 — see the rotation comment above):
+    "clean_strip_markup",
+    "cohort_filter",
+    "cohort_flowchart",
+    "config_csv_roundtrip",
+    "config_dict_map",
+    "config_json_map",
+    "date_instructions",
+    "dedup_incremental",
+    "dedup_winnowing",
+    "dedup_winnowing_incremental",
+    "events_attribution",
+    "events_markov_stationary",
+    "events_top_paths",
+    "fuzzy_canonical_entities",
+    "fuzzy_name_pairs",
+    "graph_pagerank",
+    "graph_pagerank_weighted",
+    "graph_triangles",
+    "layout_compaction_plan",
+    "multimodal_image_png",
+    "privacy_redact",
+    "privacy_round",
+    "privacy_t_closeness",
+    "quality_join_estimate",
+    "retrieval_bm25",
+    "retrieval_bm25_pruned",
+    "retrieval_decontam",
+    "similarity_random_projection",
+    "similarity_tfidf_topk",
+    "sketch_countmin_topk",
+    "sketch_histogram_quantiles",
+    "sketch_hll_distinct",
+    "sketch_kmv_distinct",
+    "sketch_theta_ops",
+    "split_leakage_safe",
+    "streaming_histogram",
+    "table_archive_roundtrip",
+    "table_archive_versions",
+    "table_rollup_merge",
+    "table_standardise_deaths",
+    "table_standardise_vaccine",
+    "table_upsert_incremental",
 ]
 
 

@@ -183,10 +183,12 @@ def text_vocab_build(spark, sf_dir):
     )
 
 
-@_register(
-    "text_quality",
-    f"""
-WITH toks AS (SELECT doc_id, text, {_DUCK_TOKENS} AS t FROM documents),
+def _duck_quality_sql(src: str = "documents") -> str:
+    """The heuristic quality score as SQL, parameterised on the source
+    relation so composed pipelines (pipeline_web_curation) reuse the
+    SAME expression text — one builder, drift propagates."""
+    return f"""
+WITH toks AS (SELECT doc_id, text, {_DUCK_TOKENS} AS t FROM {src}),
 feat AS (
     SELECT doc_id,
            length(text) AS n_chars,
@@ -208,8 +210,10 @@ SELECT doc_id,
         + CASE WHEN COALESCE(digit, 1.0) <= 0.3 THEN 0.25 ELSE 0.0 END
        )::DOUBLE AS quality_score
 FROM feat
-""",
-)
+"""
+
+
+@_register("text_quality", _duck_quality_sql())
 def text_quality(spark, sf_dir):
     """Heuristic quality score in [0, 1]."""
     return add_quality_score(_t(spark, sf_dir, "documents")).select(
@@ -217,7 +221,7 @@ def text_quality(spark, sf_dir):
     )
 
 
-def _duck_lang_sql() -> str:
+def _duck_lang_sql(src: str = "documents") -> str:
     toks = "list_transform(" + _DUCK_TOKENS.replace("'", "'") + ", s -> lower(s))"
     hit_exprs = []
     for code in sorted(STOPWORDS):
@@ -231,7 +235,7 @@ def _duck_lang_sql() -> str:
         f"WHEN h_{c} = g THEN '{c}'" for c in sorted(STOPWORDS)
     )
     return f"""
-WITH toks AS (SELECT doc_id, {toks} AS t FROM (SELECT doc_id, text FROM documents)),
+WITH toks AS (SELECT doc_id, {toks} AS t FROM (SELECT doc_id, text FROM {src})),
 hits AS (SELECT doc_id, {hits_sql} FROM toks),
 best AS (SELECT *, {greatest} AS g FROM hits)
 SELECT doc_id, CASE WHEN g = 0 THEN 'und' {cases} ELSE 'und' END AS lang_pred

@@ -113,3 +113,350 @@ def multimodal_audio_phash(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     return audio_phash(synthesize_media_payloads(docs, "wav_tones"))
+
+
+# --- two-level (tree) coarse quantizer assignment ---------------------------
+
+
+@_register("clustering_tree_assign", None)  # oracle attached below
+def clustering_tree_assign(spark, sf_dir):
+    """The beyond-broadcast assignment path under ORACLE check: the
+    same fitted centroids as cluster_kmeans, assigned through
+    ``kmeans_assign(method="tree")`` — a ~sqrt(k)-cell coarse codebook
+    broadcast + triangle-inequality-pruned centroid-side equi-join
+    (operators/clustering.py:build_tree_codebook). The tree path is
+    EXACT, so this query shares cluster_kmeans' oracle row for row: a
+    green match proves the pruning bounds never drop a winner and the
+    equi-join argmin reproduces the projection argmin bit-for-bit,
+    ties included. Scale story: the centroid matrix never broadcasts
+    (SCALE.md names k=65k x dim 768 ~ 400 MB as the death of the
+    broadcast path); each vector crosses ONE exchange keyed by its
+    probed coarse cells (fanout typically 1-2)."""
+    from .operators.clustering import kmeans_assign
+    from .registry_ext2 import _KM_RD, _shared_kmeans_centroids
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned = kmeans_assign(
+        emb,
+        _shared_kmeans_centroids(spark, sf_dir),
+        method="tree",
+        id_col="vec_id",
+    )
+    return assigned.select(
+        "vec_id", "cluster", F.round("dist", _KM_RD).alias("dist")
+    )
+
+
+# cluster_kmeans' oracle IS this query's oracle — exactness of the tree
+# path is the claim under check (ext2 registers earlier in the chain, so
+# the key exists by the time this module executes)
+ORACLES["clustering_tree_assign"] = ORACLES["cluster_kmeans"]
+
+
+# --- WARC -> curated corpus, end to end ------------------------------------
+
+#: the web-curation pipeline's document slice (the warc-corpus protocol)
+_WC_MOD = 3
+#: quality gate: at least 3 of the 4 heuristic rules must pass
+_WC_QUALITY_MIN = 0.75
+#: CCNet buckets per predicted language; the tail bucket is dropped
+_WC_BUCKETS = 3
+
+#: the pipeline sizes its OWN bitmap instead of reusing decontam_bloom's
+#: 2^16 demo constant: at sf0.1 the eval split holds ~20k distinct
+#: 4-grams, which FILLS a 2^16-bit/3-hash bloom to ~60% (fp/gram 0.22 —
+#: the whole corpus false-positives away, measured before this constant
+#: landed). 2^20 bits keeps fill ~5% at sf0.1 (fp/doc under 1%), and the
+#: general sizing rule — m ~ 10-15 bits per dirty key — is exactly what
+#: SCALE.md's 10^9-key row prescribes (~1.2 GB bitmap)
+_WC_BLOOM_BITS = 1 << 20
+
+#: the raw-web wrapper applied before writing payloads into WARC — a
+#: fixed tag soup (block markup + script-with-content + entity) whose
+#: strip recovers exactly the whitespace-collapsed original text, so
+#: every later stage runs on what a real crawl pipeline would see
+_WC_WRAP_PRE = '<html><body><p class="x">'
+_WC_WRAP_POST = (
+    '</p><script type="text/javascript">var x = 1;</script>'
+    "&nbsp;</body></html>"
+)
+
+
+def _duck_web_curation_sql() -> str:
+    """The whole pipeline composed from the REGISTERED family oracles:
+    strip/langid/quality come from the parameterised builders the
+    standalone queries register (one expression text, drift
+    propagates), the bloom chain re-spells registry_ext10's with the
+    same constants/hash builders but a two-basis split (eval grams
+    from the ORIGINAL documents, probe grams from the curated corpus),
+    and the Kneser-Ney scorer is the registered oracle re-based onto
+    the decontaminated set by source substitution (asserted
+    single-site). Nested WITHs scope each component's internal CTEs."""
+    from .registry_ext import (
+        _DUCK_TOKENS_LOWER,
+        _duck_bucket,
+        _duck_lang_sql,
+        _duck_quality_sql,
+        _duck_strip_markup,
+    )
+    from .registry_ext10 import (
+        _BLOOM_CUT,
+        _BLOOM_HASHES,
+        _BLOOM_NGRAM,
+        _BLOOM_SALT,
+        _BLOOM_WORD,
+    )
+    from .functions.hashing import (
+        MERSENNE_PRIME_31,
+        minhash_permutation_constants,
+        stable_hash_sql,
+    )
+
+    # same LCG position arithmetic as registry_ext10._duck_bloom_positions
+    # (and operators/bloom.py), parameterised on the pipeline's bitmap size
+    consts = minhash_permutation_constants(_BLOOM_HASHES)
+    hvar = stable_hash_sql("gram")
+    positions = "[" + ", ".join(
+        f"((({a} * ({hvar} % {MERSENNE_PRIME_31}) + {b}) "
+        f"% {MERSENNE_PRIME_31}) % {_WC_BLOOM_BITS})"
+        for a, b in consts
+    ) + "]"
+
+    kn_sql = ORACLES["text_kn_trigram_logprob"]
+    assert kn_sql.count("FROM documents") == 1, "KN oracle basis drifted"
+    kn_rebased = kn_sql.replace("FROM documents", "FROM decon")
+    gram_list = f"""list_distinct(
+      CASE WHEN len(t) < {_BLOOM_NGRAM} THEN []::VARCHAR[]
+           ELSE list_transform(
+               generate_series(1, len(t) - {_BLOOM_NGRAM - 1}),
+               i -> array_to_string(t[i:i+{_BLOOM_NGRAM - 1}], ' '))
+      END)"""
+    wrap = (
+        f"'{_WC_WRAP_PRE}' || text || "
+        + "'"
+        + _WC_WRAP_POST.replace("'", "''")
+        + "'"
+    )
+    return f"""
+WITH raw AS (
+  SELECT doc_id, {wrap} AS text
+  FROM documents WHERE doc_id % {_WC_MOD} <> 1
+), stripped AS (
+  SELECT doc_id, {_duck_strip_markup('text')} AS text FROM raw
+), lang AS ({_duck_lang_sql('stripped')}
+), qual AS ({_duck_quality_sql('stripped')}
+), gated AS (
+  SELECT s.doc_id, s.text, l.lang_pred
+  FROM stripped s JOIN lang l USING (doc_id) JOIN qual q USING (doc_id)
+  WHERE q.quality_score >= {_WC_QUALITY_MIN}
+), etoks AS (
+  SELECT doc_id, {_DUCK_TOKENS_LOWER} AS t FROM documents
+  WHERE {_duck_bucket('doc_id', _BLOOM_SALT)} < {_BLOOM_CUT}
+), eval_grams AS (
+  SELECT DISTINCT unnest({gram_list}) AS gram FROM etoks
+), epos AS (
+  SELECT unnest({positions}) AS pos
+  FROM eval_grams
+), words AS (
+  SELECT pos // {_BLOOM_WORD} AS word_idx,
+         bit_or(1::BIGINT << CAST(pos % {_BLOOM_WORD} AS INTEGER)) AS word
+  FROM epos GROUP BY 1
+), corpus AS (
+  SELECT doc_id, text, lang_pred FROM gated
+  WHERE {_duck_bucket('doc_id', _BLOOM_SALT)} >= {_BLOOM_CUT}
+), cgrams AS (
+  SELECT doc_id, unnest({gram_list}) AS gram
+  FROM (SELECT doc_id, {_DUCK_TOKENS_LOWER} AS t FROM corpus)
+), cpos AS (
+  SELECT doc_id, gram,
+         unnest({positions}) AS pos
+  FROM cgrams
+), flagged AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc_id, gram
+    FROM cpos LEFT JOIN words ON cpos.pos // {_BLOOM_WORD} = words.word_idx
+    GROUP BY doc_id, gram
+    HAVING sum(CASE WHEN word IS NOT NULL AND
+        (word & (1::BIGINT << CAST(pos % {_BLOOM_WORD} AS INTEGER))) <> 0
+        THEN 1 ELSE 0 END) = {_BLOOM_HASHES})
+), decon AS (
+  SELECT c.doc_id, c.text, c.lang_pred
+  FROM corpus c LEFT JOIN flagged f USING (doc_id)
+  WHERE f.doc_id IS NULL
+), kn AS ({kn_rebased}
+), ranked AS (
+  SELECT d.lang_pred, k.doc_id, k.avg_logprob, length(d.text) AS n_chars,
+         ntile({_WC_BUCKETS}) OVER (PARTITION BY d.lang_pred
+                                    ORDER BY k.avg_logprob DESC, k.doc_id)
+             AS bucket
+  FROM kn k JOIN decon d USING (doc_id)
+)
+SELECT lang_pred, CAST(bucket AS INTEGER) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(CAST(sum(CAST(round(avg_logprob * 10000) AS BIGINT)) AS DOUBLE)
+             / count(*)) / 10000.0 AS mean_logprob,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       (CAST(bucket AS INTEGER) < {_WC_BUCKETS}) AS kept
+FROM ranked GROUP BY 1, 2
+"""
+
+
+@_register("pipeline_web_curation", None)  # oracle attached below
+def pipeline_web_curation(spark, sf_dir):
+    """WARC -> curated corpus END TO END — the query a 100 TB web-corpus
+    user runs first, composing six registered families into one run:
+    documents wrapped in raw-web tag soup are written as real
+    ``.warc.gz`` archives EXECUTOR-side and read back through the
+    binaryFile WARC walk (any IO drift breaks every downstream count),
+    then markup stripping, stopword language ID, the heuristic quality
+    gate (>= 3 of 4 rules), Bloom-bitmap decontamination against the
+    held-out eval split (zero corpus shuffle), and CCNet-style
+    per-language perplexity buckets over the survivors (Kneser-Ney
+    trained on the decontaminated set's even half), tail marked
+    dropped. From the WARC read onward the whole chain is ONE lazy
+    Catalyst plan. Oracle: the registered component oracles composed
+    over the same bases (see _duck_web_curation_sql)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from .operators.bloom import bloom_decontam
+    from .operators.cleaning import strip_markup
+    from .operators.profiling import kn_trigram_logprob_scores
+    from .operators.sampling import split_bucket
+    from .functions.text import add_language_id, add_quality_score
+    from .registry import _stable_dir_tag
+    from .registry_ext6 import _KN_D, _KN_TRAIN_MOD
+    from .registry_ext10 import (
+
+        _BLOOM_CUT,
+        _BLOOM_HASHES,
+        _BLOOM_NGRAM,
+        _BLOOM_SALT,
+    )
+    from .sources.warc import read_warc_corpus
+
+    path = os.path.join(
+        tempfile.gettempdir(), "hds_warc_cur_" + _stable_dir_tag(sf_dir)
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    wrapped = docs.filter(F.col("doc_id") % _WC_MOD != 1).select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.lit(_WC_WRAP_PRE), F.col("text"), F.lit(_WC_WRAP_POST)
+        ).alias("html"),
+        (F.col("doc_id") % 8).cast("int").alias("bucket"),
+    )
+
+    def write_bucket(pdf):
+        import pandas as pd
+
+        from hds_functions_spark.sources.warc import (
+            build_warc_gz,
+            build_warc_record,
+        )
+
+        b = int(pdf["bucket"].iloc[0])
+        recs = [
+            build_warc_record(
+                {
+                    "WARC-Type": "conversion",
+                    "WARC-Record-ID": f"<urn:doc:{doc_id}>",
+                    "WARC-Target-URI": f"http://example.com/doc/{doc_id}",
+                    "WARC-Date": "2024-01-01T00:00:00Z",
+                    "WARC-Identified-Content-Language": str(lang),
+                },
+                str(html).encode("utf-8"),
+            )
+            for doc_id, html, lang in zip(
+                pdf["doc_id"], pdf["html"], pdf["lang"]
+            )
+        ]
+        with open(os.path.join(path, f"part-{b:04d}.warc.gz"), "wb") as f:
+            f.write(build_warc_gz(recs))
+        return pd.DataFrame({"bucket": [b], "n": [len(recs)]})
+
+    written = wrapped.groupBy("bucket").applyInPandas(
+        write_bucket, "bucket int, n long"
+    )
+    n_written = written.agg(F.sum("n")).first()[0]
+    warc = read_warc_corpus(path, spark)
+    stats = warc.agg(
+        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1)).alias("c"),
+        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n"),
+    ).first()
+    if stats["c"] or stats["n"] != n_written:
+        raise ValueError(
+            f"warc curation roundtrip drift at {path}: wrote {n_written}, "
+            f"read {stats['n']} clean + {stats['c']} corrupt"
+        )
+
+    raw = warc.filter(F.col("_corrupt_record").isNull()).select(
+        F.regexp_extract("record_id", r"urn:doc:(\d+)", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("payload").alias("text"),
+    )
+    stripped = strip_markup(raw)
+    gated = (
+        add_quality_score(add_language_id(stripped))
+        .filter(F.col("quality_score") >= _WC_QUALITY_MIN)
+        .select("doc_id", "text", "lang_pred")
+    )
+    bucket = split_bucket("doc_id", _BLOOM_SALT)
+    corpus = gated.filter(bucket >= _BLOOM_CUT)
+    eval_df = docs.filter(bucket < _BLOOM_CUT).select(
+        F.col("doc_id").alias("eval_id"), "text"
+    )
+    flagged = bloom_decontam(
+        corpus.select("doc_id", "text"), eval_df,
+        ngram=_BLOOM_NGRAM, n_bits=_WC_BLOOM_BITS, n_hashes=_BLOOM_HASHES,
+    ).select("doc_id")
+    decon = corpus.join(flagged, on="doc_id", how="left_anti")
+    kn = kn_trigram_logprob_scores(
+        decon.filter(F.col("doc_id") % _KN_TRAIN_MOD == 0).select(
+            "doc_id", "text"
+        ),
+        decon.select("doc_id", "text"),
+        discount=_KN_D,
+    )
+    w = Window.partitionBy("lang_pred").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id")
+    )
+    ranked = (
+        kn.join(
+            decon.select(
+                "doc_id", "lang_pred", F.length("text").alias("n_chars")
+            ),
+            on="doc_id",
+        )
+        .withColumn("bucket", F.ntile(_WC_BUCKETS).over(w))
+    )
+    # bucket mean via EXACT integer accumulation (per-doc scores carry 4
+    # decimals, so x10^4 is integral): a float avg()'s partial-sum order
+    # differs between engines and flips the last rounded digit — the
+    # README's "integer accumulation where float order would differ"
+    # discipline; the one division and the half-away-from-zero round are
+    # bit-identical in both engines (verified)
+    return ranked.groupBy(
+        "lang_pred", F.col("bucket").cast("int").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        (
+            F.round(
+                F.sum(F.round(F.col("avg_logprob") * 10000).cast("long"))
+                .cast("double")
+                / F.count(F.lit(1))
+            )
+            / F.lit(10000.0)
+        ).alias("mean_logprob"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    ).withColumn("kept", F.col("bucket") < _WC_BUCKETS)
+
+
+ORACLES["pipeline_web_curation"] = _duck_web_curation_sql()

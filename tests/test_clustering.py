@@ -211,3 +211,108 @@ def test_bulk_assignment_auto_dispatch_and_validation(spark):
     cents = [[float(i), 0.0] for i in range(k)]
     out = kmeans_assign(df, cents, method="auto").first()
     assert out["cluster"] == 0 and out["dist"] == 1.0
+
+
+def test_tree_assignment_identity(spark):
+    """The beyond-broadcast tree path (coarse-cell probe + centroid-side
+    equi-join) must agree BIT-FOR-BIT with the broadcast path — the
+    triangle-inequality pruning is exact, not IVF-approximate: planted
+    exact ties (duplicate centroid across different coarse cells), a
+    vector exactly on a centroid, ragged and null vectors."""
+    import random
+
+    from hds_functions_spark.operators.clustering import kmeans_assign
+
+    rng = random.Random(13)
+    dim, k = 8, 32
+    cents = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(k)]
+    cents[17] = list(cents[3])  # exact tie across the codebook
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(dim)]) for i in range(250)
+    ]
+    rows += [
+        (900, list(cents[3])),  # exactly on the duplicated centroid
+        (901, [0.1] * (dim - 2)),  # ragged
+        (902, None),  # null vector
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    b = {
+        r["vec_id"]: (r["cluster"], r["dist"])
+        for r in kmeans_assign(df, cents, method="broadcast").collect()
+    }
+    t = {
+        r["vec_id"]: (r["cluster"], r["dist"])
+        for r in kmeans_assign(
+            df, cents, method="tree", id_col="vec_id"
+        ).collect()
+    }
+    assert b == t
+    assert t[900] == (3, 0.0)  # tie breaks to the lowest global index
+    assert t[901] == (None, None) and t[902] == (None, None)
+
+
+def test_tree_assignment_fanout_and_validation(spark):
+    import pytest as _pytest
+
+    from hds_functions_spark.operators.clustering import (
+        build_tree_codebook,
+        kmeans_assign,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 1.0])], "vec_id: long, embedding: array<double>"
+    )
+    with _pytest.raises(ValueError, match="id_col"):
+        kmeans_assign(df, [[0.0, 1.0]], method="tree")
+    # explicit fanout: every centroid lands in some cell, bounds cover
+    cents = [[float(i), float(i % 3)] for i in range(20)]
+    coarse, children = build_tree_codebook(cents, k_top=4)
+    assert sum(len(v) for v in children.values()) == len(cents)
+    assert all(cell["r"] >= 0 and cell["m"] >= 0 for cell in coarse)
+    out = kmeans_assign(
+        df, cents, method="tree", id_col="vec_id", tree_fanout=4,
+        dist_col=None,
+    ).first()
+    assert out["cluster"] == 0
+    # k_top == 1 degenerates to the plain equi-join against all children
+    one_cell = kmeans_assign(
+        df, cents, method="tree", id_col="vec_id", tree_fanout=1
+    ).first()
+    assert one_cell["cluster"] == 0 and one_cell["dist"] == 1.0
+
+
+def test_tree_codebook_pure_python_parity():
+    """The no-numpy fallback builds a valid codebook: full coverage and
+    conservative bounds (identity of ASSIGNMENT does not depend on the
+    coarse clustering matching numpy's — only the bounds matter)."""
+    import math
+
+    import hds_functions_spark.operators.clustering as cl
+
+    cents = [[float(i % 7), float(i % 5), float(i)] for i in range(23)]
+    coarse_np, children_np = cl.build_tree_codebook(cents, k_top=5)
+    assert sum(len(v) for v in children_np.values()) == 23
+
+    real_import = __import__
+
+    def no_numpy(name, *a, **kw):
+        if name == "numpy":
+            raise ImportError("numpy disabled for fallback test")
+        return real_import(name, *a, **kw)
+
+    import builtins
+
+    builtins.__import__ = no_numpy
+    try:
+        coarse_py, children_py = cl.build_tree_codebook(cents, k_top=5)
+    finally:
+        builtins.__import__ = real_import
+    assert sum(len(v) for v in children_py.values()) == 23
+    for coarse, children in ((coarse_np, children_np), (coarse_py, children_py)):
+        for cell in coarse:
+            dists = [
+                math.sqrt(sum((a - b) ** 2 for a, b in zip(c, cell["c"])))
+                for _, c in children[cell["cid"]]
+            ]
+            assert max(dists) <= cell["r"]  # bound rounded UP
+            assert min(dists) <= cell["m"]

@@ -12,11 +12,17 @@ union of all recorded driver rows against the registry and reports:
 
 Usage::
 
-    python tools/driver_coverage.py [--stale N]
+    python tools/driver_coverage.py [--stale N] [--sla N]
 
 Exit status is 1 when a query outside the current first-50 window has
-never been driver-checked (the rotation stranded it), so the check can
-gate CI or a pre-commit hook.
+never been driver-checked (the rotation stranded it), OR when any
+query's latest driver row is more than ``--sla`` rounds old (default
+6 — the freshness SLA in SURVEY.md: with a 50-slot window over a
+~260-query registry, a full rotation takes 6 rounds, so 6 is the
+tightest satisfiable bound; a breach means the rotation fell behind
+and the NEXT round's window head is already spoken for). The --stale
+listing (default 3) stays advisory — it is the rotation WORKLIST,
+while --sla is the hard gate.
 """
 
 from __future__ import annotations
@@ -55,6 +61,13 @@ def main() -> int:
         type=int,
         default=3,
         help="flag queries whose last driver row is more than N rounds old",
+    )
+    ap.add_argument(
+        "--sla",
+        type=int,
+        default=6,
+        help="HARD-FAIL when any row is more than N rounds old "
+        "(the freshness SLA; see SURVEY.md)",
     )
     args = ap.parse_args()
 
@@ -96,6 +109,12 @@ def main() -> int:
     for n in no_oracle:
         print(f"  {n}")
 
+    breached = sorted(
+        (n, latest[n])
+        for n in ordered
+        if n in latest and current_round - latest[n] > args.sla
+    )
+
     if stranded:
         print(
             f"\nFAIL: {len(stranded)} never-checked quer"
@@ -103,7 +122,20 @@ def main() -> int:
             "first-50 window — reorder DRIVER_PRIORITY."
         )
         return 1
-    print("\nOK: every never-checked query is inside the current window.")
+    if breached:
+        print(
+            f"\nFAIL: {len(breached)} quer"
+            f"{'y' if len(breached) == 1 else 'ies'} breach the "
+            f"{args.sla}-round freshness SLA — rotate them to the head of "
+            "DRIVER_PRIORITY and cap this round's additions:"
+        )
+        for n, rnd in breached:
+            print(f"  {n}  (last r{rnd:02d})")
+        return 1
+    print(
+        "\nOK: every never-checked query is inside the current window and "
+        f"no row breaches the {args.sla}-round SLA."
+    )
     return 0
 
 

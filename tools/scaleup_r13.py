@@ -1,0 +1,232 @@
+"""Round-13 scale rows.
+
+A) TREE QUANTIZER AT BEYOND-BROADCAST k — the escalation SCALE.md:466
+   named but r12 did not build: when k*dim outgrows the broadcast
+   budget (k=65k x dim 768 ~ 400 MB), assignment becomes a coarse-cell
+   probe + centroid-side equi-join. Measured here at k=16384, dim 64
+   on the 64x-replicated sf0.1 embedding corpus (131k vectors):
+
+   1. identity + wall on a 16k-vector slice, tree vs broadcast,
+      checksummed (the broadcast full-scan at this k costs ~k/1024 x
+      the r12 88.7 s row ~ 23 min of interpreted HOF arithmetic — the
+      slice keeps the A/B honest without burning half a session);
+   2. the full 64x-corpus tree scan (the row the verdict asked for),
+      with probe fanout stats and the equi-join stage's shuffle bytes
+      from the REST API — the numbers that say whether the join shape
+      survives 1000 executors.
+
+Usage: python tools/scaleup_r13.py [sf_dir] [parts]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def rest(base: str, path: str):
+    with urllib.request.urlopen(base + path, timeout=10) as r:
+        return json.loads(r.read())
+
+
+def stage_ids(base: str, app_id: str) -> set[int]:
+    stages = rest(base, f"/api/v1/applications/{app_id}/stages")
+    return {s["stageId"] for s in stages}
+
+
+def shuffle_mb_of_new_stages(base: str, app_id: str, old_ids: set[int]):
+    stages = rest(base, f"/api/v1/applications/{app_id}/stages?status=complete")
+    new = [s for s in stages if s["stageId"] not in old_ids]
+    read = sum(s.get("shuffleReadBytes", 0) for s in new) / 1e6
+    write = sum(s.get("shuffleWriteBytes", 0) for s in new) / 1e6
+    return read, write
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    parts = (sys.argv[2] if len(sys.argv) > 2 else "A").upper()
+
+    from hds_functions_spark.plans import build_session
+
+    spark = build_session(
+        master="local[32]",
+        shuffle_partitions=32,
+        extra_conf={
+            "spark.ui.enabled": "true",
+            "spark.ui.showConsoleProgress": "false",
+            "spark.driver.memory": "12g",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    ui = spark.sparkContext.uiWebUrl
+    app_id = spark.sparkContext.applicationId
+
+    if "A" in parts:
+        part_a(spark, sf_dir, ui, app_id)
+    spark.stop()
+
+
+def part_a(spark, sf_dir, ui, app_id):
+    from pyspark.sql import functions as F
+
+    from hds_functions_spark.operators.clustering import (
+        build_tree_codebook,
+        kmeans_assign,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    wide = emb
+    for i in range(1, 64):
+        wide = wide.unionByName(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * (max_id + 1)))
+        )
+    wide = wide.persist()
+    n = wide.count()
+    k = 16384
+    print(f"== A: tree quantizer, k={k}, dim 64, 64x corpus ({n} vectors) ==",
+          flush=True)
+
+    # k "centroids": the first 16384 corpus vectors (8.4 MB driver-side
+    # — the point of the tree is that they need not broadcast as a
+    # literal/plan object, not that the driver cannot hold them)
+    cents = [
+        [float(x) for x in r["embedding"]]
+        for r in wide.orderBy("vec_id").limit(k).collect()
+    ]
+    t0 = time.time()
+    coarse, children = build_tree_codebook(cents)
+    dt_build = time.time() - t0
+    sizes = sorted(len(v) for v in children.values())
+    print(
+        f"  codebook: {len(coarse)} cells in {dt_build:.2f}s driver-side; "
+        f"children/cell p50={sizes[len(sizes)//2]} max={sizes[-1]}",
+        flush=True,
+    )
+
+    def assign_sum(src, method, label):
+        old = stage_ids(ui.rstrip('/'), app_id) if ui else set()
+        t0 = time.time()
+        row = (
+            kmeans_assign(src, cents, method=method, id_col="vec_id")
+            .agg(
+                F.sum("cluster").alias("cs"),
+                F.sum(F.round("dist", 6)).alias("ds"),
+                F.count("cluster").alias("nn"),
+            )
+            .collect()[0]
+        )
+        dt = time.time() - t0
+        chk = (row["cs"], round(row["ds"] or 0.0, 3), row["nn"])
+        sh = ""
+        if ui:
+            rd, wr = shuffle_mb_of_new_stages(ui.rstrip('/'), app_id, old)
+            sh = f"  shuffle read/write {rd:.1f}/{wr:.1f} MB"
+        print(f"  {label:28s}: {dt:7.2f}s  checksum={chk}{sh}", flush=True)
+        return chk
+
+    # probe fanout: how many coarse cells each vector actually joins
+    # against (the shuffle amplification factor of the tree's one
+    # exchange) — measured on the full corpus
+    cells_probed = _fanout(spark, wide, cents, coarse)
+    print(f"  probe fanout (cells/vector): {cells_probed}", flush=True)
+
+    slice_df = wide.filter(F.col("vec_id") < 16384).persist()
+    n_slice = slice_df.count()
+    print(f"  -- identity A/B on {n_slice}-vector slice --", flush=True)
+    chk_b = assign_sum(slice_df, "broadcast", f"slice broadcast k={k}")
+    chk_t = assign_sum(slice_df, "tree", f"slice tree      k={k}")
+    print(
+        "  slice checksums "
+        + ("IDENTICAL" if chk_b == chk_t else "MISMATCH!"),
+        flush=True,
+    )
+    slice_df.unpersist()
+
+    print("  -- full 64x corpus, tree --", flush=True)
+    assign_sum(wide, "tree", f"full tree       k={k}")
+    wide.unpersist()
+
+
+def _fanout(spark, wide, cents, coarse):
+    from pyspark.sql import functions as F
+
+    from hds_functions_spark.operators.clustering import (
+        _TREE_BOUND_SLACK,
+        _TREE_CELLS,
+    )
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, StructField, StructType,
+    )
+
+    cells_type = ArrayType(
+        StructType(
+            [
+                StructField("cid", IntegerType()),
+                StructField("c", ArrayType(DoubleType())),
+                StructField("r", DoubleType()),
+                StructField("m", DoubleType()),
+            ]
+        )
+    )
+    cells_df = spark.createDataFrame(
+        [([(x["cid"], x["c"], x["r"], x["m"]) for x in coarse],)],
+        schema=StructType([StructField(_TREE_CELLS, cells_type)]),
+    )
+
+    def sq_to(target):
+        return F.coalesce(
+            F.aggregate(
+                F.zip_with(
+                    F.col("embedding").cast("array<double>"),
+                    target,
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, t: acc + t,
+            ),
+            F.lit(float("inf")),
+        )
+
+    thresh = (
+        F.col("_best")["bd"] + F.col("_best")["m"]
+    ) * (1.0 + _TREE_BOUND_SLACK) + _TREE_BOUND_SLACK
+    stats = (
+        wide.crossJoin(F.broadcast(cells_df))
+        .withColumn(
+            "_cd",
+            F.transform(
+                F.col(_TREE_CELLS),
+                lambda cell: F.struct(
+                    F.sqrt(sq_to(cell["c"])).alias("bd"),
+                    cell["cid"].alias("cid"),
+                    cell["r"].alias("r"),
+                    cell["m"].alias("m"),
+                ),
+            ),
+        )
+        .withColumn("_best", F.array_min(F.col("_cd")))
+        .select(
+            F.size(
+                F.filter(F.col("_cd"), lambda x: x["bd"] - x["r"] <= thresh)
+            ).alias("np")
+        )
+        .agg(
+            F.round(F.avg("np"), 2).alias("avg"),
+            F.expr("percentile(np, 0.5)").alias("p50"),
+            F.max("np").alias("max"),
+        )
+        .collect()[0]
+    )
+    return f"avg={stats['avg']} p50={stats['p50']} max={stats['max']}"
+
+
+if __name__ == "__main__":
+    main()
