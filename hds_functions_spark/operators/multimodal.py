@@ -85,6 +85,7 @@ __all__ = [
     "audio_signatures",
     "AUDIO_PHASH_SCHEMA",
     "audio_phash",
+    "audio_downmix",
 ]
 
 
@@ -148,9 +149,8 @@ def synthesize_media_payloads(
         synthesize_jpeg,
         synthesize_mjpeg_avi,
         synthesize_png,
+        synthesize_wav_tones,
     )
-
-    from .media_codecs import synthesize_wav_tones
 
     synth = {"image": synthesize_image, "ppm": synthesize_ppm,
              "png": synthesize_png, "jpeg": synthesize_jpeg,
@@ -970,3 +970,55 @@ def audio_phash(
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(process, AUDIO_PHASH_SCHEMA)
+
+
+def audio_downmix(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Downmix each WAV payload to MONO (sum of channels, clipped to
+    int16) and re-encode — the channel-fold re-encode every audio
+    ingest pipeline performs, and the transform that DEFEATS the exact
+    dedup tier (the PCM md5 changes) while the perceptual fingerprint
+    is invariant by construction (:func:`media_codecs.audio_phash56`
+    folds channels by the same sum, and its sign bits are scale-free,
+    so a clip-free downmix hashes IDENTICALLY — pinned by test and by
+    the multimodal_audio_phash_dups oracle). Arrow-batched
+    ``mapInPandas``, 1 row -> 1 row; non-WAV payloads pass through
+    unchanged (fail open here: a downmix stage must not drop media it
+    cannot parse — the later decode stage quarantines those)."""
+
+    def process(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from .media_codecs import wav_pcm_data, wav_wrap_pcm
+
+        for pdf in batches:
+            out = []
+            for payload in pdf[payload_col]:
+                parsed = wav_pcm_data(payload) if payload is not None else None
+                if parsed is None:
+                    out.append(payload)
+                    continue
+                rate, channels, data = parsed
+                usable = len(data) - len(data) % 2
+                s = np.frombuffer(data[:usable], dtype="<i2").astype(np.int64)
+                n = len(s) // channels
+                mono = s[: n * channels].reshape(n, channels).sum(axis=1)
+                mono = np.clip(mono, -32768, 32767)
+                out.append(
+                    bytearray(
+                        wav_wrap_pcm(rate, 1, mono.astype("<i2").tobytes())
+                    )
+                )
+            yield pd.DataFrame({"doc_id": pdf[id_col], payload_col: out})
+
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField(payload_col, BinaryType()),
+        ]
+    )
+    return df.mapInPandas(process, schema)

@@ -22,7 +22,7 @@ from .registry import ORACLES, QUERIES, _register, _t  # noqa: F401
 # --- perceptual audio fingerprint ------------------------------------------
 
 
-def _duck_audio_phash_cte() -> str:
+def _duck_audio_phash_cte(src: str = "documents") -> str:
     """Mirror of synthesize_wav_tones + media_codecs.audio_phash56: the
     PCM samples come closed-form from the md5 synthesis protocol
     (segment amplitude/half-period tables as per-doc lists), the Walsh
@@ -54,7 +54,7 @@ WITH b AS (
              AS frames,
          [{amps}] AS amps,
          [{pers}] AS pers
-  FROM documents
+  FROM {src}
 ), smp AS (
   SELECT doc_id, frames,
          t.i AS i,
@@ -460,3 +460,88 @@ def pipeline_web_curation(spark, sf_dir):
 
 
 ORACLES["pipeline_web_curation"] = _duck_web_curation_sql()
+
+
+# --- perceptual audio near-dup grouping ------------------------------------
+
+#: doc_id % 9 == 5 docs are a MONO-FOLD RE-ENCODE of their leader
+#: (doc_id - 5): synthesized from the leader's seed, then downmixed —
+#: the exact tier's pcm_md5 changes (stereo leaders), the perceptual
+#: hash does not (clip-free channel sum is scale-free in the sign bits)
+_APD_DUP_MOD = 9
+
+
+def _duck_audio_phash_dups_sql() -> str:
+    """The seeds CTE of multimodal_audio_dedup's oracle feeding the
+    audio-phash CTE: the downmix is hash-INVARIANT by construction, so
+    the duplicate groups Spark finds by hashing the actually-downmixed
+    payloads must equal the groups predicted by hashing each doc's SEED
+    — multiset equality proves both the fingerprint's fold invariance
+    and the downmix re-encode path in one driver row."""
+    return f"""
+WITH seeds AS (
+  SELECT d.doc_id,
+         CASE WHEN d.doc_id % {_APD_DUP_MOD} = 5 AND l.text IS NOT NULL
+              THEN l.text ELSE d.text END AS text
+  FROM documents d
+  LEFT JOIN documents l ON l.doc_id = d.doc_id - 5
+), hashed AS ({_duck_audio_phash_cte('seeds').format(select='''
+SELECT b.doc_id, ph.aphash FROM ph JOIN b USING (doc_id)''')}
+)
+SELECT aphash, CAST(count(*) AS BIGINT) AS n_clips,
+       min(doc_id) AS canonical_doc_id
+FROM hashed GROUP BY 1 HAVING count(*) > 1
+"""
+
+
+@_register("multimodal_audio_phash_dups", _duck_audio_phash_dups_sql())
+def multimodal_audio_phash_dups(spark, sf_dir):
+    """NEAR-duplicate audio groups by perceptual fingerprint — the
+    query the exact tier cannot answer: every doc_id % 9 == 5 clip is
+    its leader's recording RE-ENCODED (synthesized from the leader's
+    seed, then downmixed to mono through the real decode->fold->re-wrap
+    path in operators/multimodal.py:audio_downmix), so its PCM md5
+    differs from the leader's whenever the leader is stereo — yet the
+    56-bit banded-energy hash is fold-invariant, and one combinable
+    hash-equality groupBy recovers exactly the (leader, re-encode)
+    pairs. Never pairwise; the grouping cost is the exact-dedup shape
+    at any scale."""
+    from .operators.multimodal import (
+        audio_downmix,
+        audio_phash,
+        synthesize_media_payloads,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    leaders = docs.select(
+        (F.col("doc_id") + 5).alias("doc_id"),
+        F.col("text").alias("_leader_text"),
+    )
+    is_dup = (F.col("doc_id") % _APD_DUP_MOD == 5) & F.col(
+        "_leader_text"
+    ).isNotNull()
+    seeded = docs.join(leaders, on="doc_id", how="left").select(
+        "doc_id",
+        F.when(is_dup, F.col("_leader_text"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        is_dup.alias("_is_dup"),
+    )
+    payloads = synthesize_media_payloads(
+        seeded, "wav_tones"
+    ).join(seeded.select("doc_id", "_is_dup"), on="doc_id")
+    reencoded = audio_downmix(
+        payloads.filter(F.col("_is_dup")).select("doc_id", "payload")
+    )
+    combined = payloads.filter(~F.col("_is_dup")).select(
+        "doc_id", "payload"
+    ).unionByName(reencoded)
+    return (
+        audio_phash(combined)
+        .groupBy("aphash")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clips"),
+            F.min("doc_id").alias("canonical_doc_id"),
+        )
+        .filter(F.col("n_clips") > 1)
+    )

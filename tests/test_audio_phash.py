@@ -159,3 +159,37 @@ def test_spark_operator_and_planted_duplicate(spark):
     # grouping near-dups: equal-hash works only when the re-encode is
     # bit-stable; the banded small-Hamming path is the scale recipe
     assert audio_phash(df.filter(F.col("doc_id") < 0)).count() == 0
+
+
+def test_downmix_defeats_exact_tier_not_perceptual(spark):
+    """audio_downmix through Spark: the stereo leader's mono re-encode
+    changes the PCM md5 (exact tier broken) but hashes IDENTICALLY
+    (perceptual tier holds) — the multimodal_audio_phash_dups claim."""
+    from hds_functions_spark.operators.multimodal import (
+        audio_downmix,
+        audio_phash,
+        audio_signatures,
+    )
+
+    # find a stereo seed
+    seed = next(
+        s for s in (f"clip-{i}" for i in range(50))
+        if wav_pcm_data(synthesize_wav_tones(s))[1] == 2
+    )
+    p = synthesize_wav_tones(seed)
+    df = spark.createDataFrame(
+        [(1, bytearray(p))], "doc_id long, payload binary"
+    )
+    mixed = audio_downmix(df)
+    sig0 = audio_signatures(df).first()
+    sig1 = audio_signatures(mixed).first()
+    assert sig0["n_channels"] == 2 and sig1["n_channels"] == 1
+    assert sig0["pcm_md5"] != sig1["pcm_md5"]  # exact tier dies
+    h0 = audio_phash(df).first()["aphash"]
+    h1 = audio_phash(mixed).first()["aphash"]
+    assert h0 == h1  # perceptual tier holds exactly (clip-free fold)
+    # non-WAV payloads pass through unchanged (fail open by contract)
+    junk = spark.createDataFrame(
+        [(2, bytearray(b"not a wav"))], "doc_id long, payload binary"
+    )
+    assert bytes(audio_downmix(junk).first()["payload"]) == b"not a wav"

@@ -68,6 +68,10 @@ def main():
 
     if "A" in parts:
         part_a(spark, sf_dir, ui, app_id)
+    if "B" in parts:
+        part_b(spark, sf_dir, ui, app_id)
+    if "C" in parts:
+        part_c(spark, sf_dir, ui, app_id)
     spark.stop()
 
 
@@ -230,3 +234,100 @@ def _fanout(spark, wide, cents, coarse):
 
 if __name__ == "__main__":
     main()
+
+
+def part_b(spark, sf_dir, ui, app_id):
+    """16x web-curation pipeline row: wall + total shuffle for the whole
+    WARC->curated DAG on a 16x-replicated documents corpus. The
+    replication shifts doc_ids by multiples of 10M so every protocol
+    stage (slice mod, hash buckets, KN train split) sees fresh ids."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from hds_functions_spark.registry import QUERIES
+    import hds_functions_spark.registry_ext  # noqa: F401
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    wide = docs
+    for i in range(1, 16):
+        wide = wide.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+        )
+    wide = wide.persist()
+    n = wide.count()
+    tmp = f"/tmp/hds_r13_webcur_16x"
+    import shutil
+    shutil.rmtree(tmp, ignore_errors=True)
+    wide.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+    wide.unpersist()
+    # the other tables the registry loader may touch
+    import os
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(src):
+            os.symlink(src, f"{tmp}/{t}.parquet")
+    print(f"== B: pipeline_web_curation on 16x docs ({n} rows) ==", flush=True)
+    for label, d in (("1x", sf_dir), ("16x", tmp)):
+        old = stage_ids(ui.rstrip('/'), app_id) if ui else set()
+        t0 = _t.time()
+        out = QUERIES["pipeline_web_curation"](spark, d)
+        rows = out.collect()
+        dt = _t.time() - t0
+        kept = sum(r["n_docs"] for r in rows if r["kept"])
+        sh = ""
+        if ui:
+            rd, wr = shuffle_mb_of_new_stages(ui.rstrip('/'), app_id, old)
+            sh = f"  shuffle read/write {rd:.1f}/{wr:.1f} MB"
+        print(
+            f"  {label:4s}: {dt:7.2f}s  out_rows={len(rows)} "
+            f"kept_docs={kept}{sh}",
+            flush=True,
+        )
+
+
+def part_c(spark, sf_dir, ui, app_id):
+    """16x audio-phash row: clips/s through synthesize->RIFF walk->hash
+    (pure per-row Python behind Arrow; the claim is zero shuffle and
+    executor-linear throughput, like the image/video codec rows)."""
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from hds_functions_spark.operators.multimodal import (
+        audio_phash,
+        synthesize_media_payloads,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    wide = docs
+    for i in range(1, 16):
+        wide = wide.unionByName(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * 10_000_000))
+        )
+    wide = wide.persist()
+    n = wide.count()
+    print(f"== C: audio phash on 16x docs ({n} clips) ==", flush=True)
+    for label, src, nn in (("1x", docs, n // 16), ("16x", wide, n)):
+        old = stage_ids(ui.rstrip('/'), app_id) if ui else set()
+        t0 = _t.time()
+        row = (
+            audio_phash(synthesize_media_payloads(src, "wav_tones"))
+            .agg(F.count("*").alias("n"),
+                 F.sum(F.col("aphash") % 1000003).alias("chk"))
+            .collect()[0]
+        )
+        dt = _t.time() - t0
+        sh = ""
+        if ui:
+            rd, wr = shuffle_mb_of_new_stages(ui.rstrip('/'), app_id, old)
+            sh = f"  shuffle read/write {rd:.1f}/{wr:.1f} MB"
+        print(
+            f"  {label:4s}: {dt:7.2f}s  {row['n']} clips "
+            f"({row['n']/dt:,.0f}/s) chk={row['chk']}{sh}",
+            flush=True,
+        )
+    wide.unpersist()
