@@ -489,18 +489,31 @@ def kmeans_fit(
     n_iter: int = 2,
     dim: int | None = None,
     round_digits: int = 6,
+    assign_method: str = "auto",
 ) -> list[list[float]]:
     """Fit k-means and return the final centroids (k lists of dim floats).
 
     Runs ``n_iter`` Lloyd iterations. Each iteration is one Spark job:
-    a codegen assignment projection feeding a single groupBy that ships
+    an assignment projection feeding a single groupBy that ships
     ``k * (dim + 1)`` scalars to the driver. Empty clusters keep their
     previous centroid (standard Lloyd convention, deterministic).
+
+    ``assign_method`` picks the per-iteration assignment strategy —
+    ``"codegen"`` (unrolled literals), ``"broadcast"`` (matrix as
+    broadcast data), or ``"auto"`` (codegen below
+    ``BULK_ASSIGN_SCALARS`` scalars, broadcast above, the
+    :func:`kmeans_assign` dispatch): without this, FITTING at large k
+    pays the same O(k*dim) driver-side plan analysis per iteration
+    that the r12 measurement disqualified for assignment. All
+    strategies are bit-identical, so the fitted centroids (and the
+    oracle CTEs that mirror them) do not depend on the choice.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     if n_iter < 0:
         raise ValueError(f"n_iter must be >= 0, got {n_iter}")
+    if assign_method not in ("auto", "codegen", "broadcast"):
+        raise ValueError(f"unknown assign_method: {assign_method!r}")
     if dim is None:
         first = df.select(F.size(F.col(vec_col)).alias("d")).first()
         if first is None:
@@ -526,11 +539,18 @@ def kmeans_fit(
     init_rows.sort(key=lambda r: r[id_col])
     centroids = [[float(x) for x in r[vec_col]] for r in init_rows]
 
+    use_broadcast = assign_method == "broadcast" or (
+        assign_method == "auto" and k * dim > BULK_ASSIGN_SCALARS
+    )
     for _ in range(n_iter):
-        assigned = df.select(
-            _best_centroid(vec_col, centroids)["i"]
-            .cast("int")
-            .alias("_km_cluster"),
+        if use_broadcast:
+            src = _with_broadcast_centroids(df, centroids)
+            best = _best_centroid_data(vec_col)
+        else:
+            src = df
+            best = _best_centroid(vec_col, centroids)
+        assigned = src.select(
+            best["i"].cast("int").alias("_km_cluster"),
             F.col(vec_col),
         )
         # F.get is null-safe on out-of-bounds (element_at THROWS under

@@ -316,3 +316,23 @@ def test_tree_codebook_pure_python_parity():
             ]
             assert max(dists) <= cell["r"]  # bound rounded UP
             assert min(dists) <= cell["m"]
+
+
+def test_fit_broadcast_assignment_identity(spark):
+    """kmeans_fit with the broadcast per-iteration assignment must
+    produce the SAME centroids as the codegen path — fitting at large k
+    must not change results, only plan cost."""
+    import random
+
+    from hds_functions_spark.operators.clustering import kmeans_fit
+
+    rng = random.Random(3)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(6)]) for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>")
+    a = kmeans_fit(df, k=5, n_iter=2, dim=6, assign_method="codegen")
+    b = kmeans_fit(df, k=5, n_iter=2, dim=6, assign_method="broadcast")
+    assert a == b
+    with pytest.raises(ValueError, match="assign_method"):
+        kmeans_fit(df, k=5, n_iter=1, dim=6, assign_method="nope")
