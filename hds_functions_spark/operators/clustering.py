@@ -426,35 +426,42 @@ def _tree_assign(
     well = df.select(id_col, vec_col).filter(
         F.size(F.col(vec_col)) == dim
     )
-    probe_thresh = (
-        F.col("_best")["bd"] + F.col("_best")["m"]
-    ) * (1.0 + _TREE_BOUND_SLACK) + _TREE_BOUND_SLACK
+    # BIND-ONCE discipline (functions/exprs.let_): naming the coarse
+    # distance array and its argmin through withColumn would let
+    # Catalyst's projection collapse INLINE them into the filter
+    # lambda, recomputing the full coarse scan once per filtered
+    # element — an O(cells^2 * dim) interpreted blowup that turned the
+    # first k=16384 scale run into tens of minutes. let_ evaluates
+    # each exactly once per row.
+    from ..functions.exprs import let_
+
+    cd_expr = F.transform(
+        F.col(_TREE_CELLS),
+        lambda cell: F.struct(
+            F.sqrt(sq_to(cell["c"])).alias("bd"),
+            cell["cid"].alias("cid"),
+            cell["r"].alias("r"),
+            cell["m"].alias("m"),
+        ),
+    )
+    probe_cids = let_(
+        cd_expr,
+        lambda cd: let_(
+            F.array_min(cd),
+            lambda best: F.filter(
+                cd,
+                lambda x: x["bd"] - x["r"]
+                <= (best["bd"] + best["m"]) * (1.0 + _TREE_BOUND_SLACK)
+                + _TREE_BOUND_SLACK,
+            )["cid"],
+        ),
+    )
     probed = (
         well.crossJoin(F.broadcast(cells_df))
-        .withColumn(
-            "_cd",
-            F.transform(
-                F.col(_TREE_CELLS),
-                lambda cell: F.struct(
-                    F.sqrt(sq_to(cell["c"])).alias("bd"),
-                    cell["cid"].alias("cid"),
-                    cell["r"].alias("r"),
-                    cell["m"].alias("m"),
-                ),
-            ),
-        )
-        .withColumn("_best", F.array_min(F.col("_cd")))
-        .withColumn(
-            "_probe",
-            F.filter(
-                F.col("_cd"),
-                lambda x: x["bd"] - x["r"] <= probe_thresh,
-            ),
-        )
         .select(
             id_col,
             vec_col,
-            F.explode(F.col("_probe")["cid"]).alias("__hds_pcid"),
+            F.explode(probe_cids).alias("__hds_pcid"),
         )
     )
     best = (

@@ -72,6 +72,8 @@ def main():
         part_b(spark, sf_dir, ui, app_id)
     if "C" in parts:
         part_c(spark, sf_dir, ui, app_id)
+    if "D" in parts:
+        part_d(spark, sf_dir, ui, app_id)
     spark.stop()
 
 
@@ -154,8 +156,10 @@ def part_a(spark, sf_dir, ui, app_id):
     )
     slice_df.unpersist()
 
-    print("  -- full 64x corpus, tree --", flush=True)
-    assign_sum(wide, "tree", f"full tree       k={k}")
+    # NO full-corpus tree row here: with fanout ~128/128 (isotropic
+    # geometry, bounds prune nothing) the tree pass IS the broadcast
+    # scan plus join overhead — part D measures the clustered regime
+    # where the tree is the win.
     wide.unpersist()
 
 
@@ -199,29 +203,37 @@ def _fanout(spark, wide, cents, coarse):
             F.lit(float("inf")),
         )
 
-    thresh = (
-        F.col("_best")["bd"] + F.col("_best")["m"]
-    ) * (1.0 + _TREE_BOUND_SLACK) + _TREE_BOUND_SLACK
+    from hds_functions_spark.functions.exprs import let_
+
+    cd_expr = F.transform(
+        F.col(_TREE_CELLS),
+        lambda cell: F.struct(
+            F.sqrt(sq_to(cell["c"])).alias("bd"),
+            cell["cid"].alias("cid"),
+            cell["r"].alias("r"),
+            cell["m"].alias("m"),
+        ),
+    )
+    # bind-once (let_), same as the operator — a named intermediate
+    # would be inlined into the filter and recomputed per element
+    n_probed = let_(
+        cd_expr,
+        lambda cd: let_(
+            F.array_min(cd),
+            lambda best: F.size(
+                F.filter(
+                    cd,
+                    lambda x: x["bd"] - x["r"]
+                    <= (best["bd"] + best["m"])
+                    * (1.0 + _TREE_BOUND_SLACK)
+                    + _TREE_BOUND_SLACK,
+                )
+            ),
+        ),
+    )
     stats = (
         wide.crossJoin(F.broadcast(cells_df))
-        .withColumn(
-            "_cd",
-            F.transform(
-                F.col(_TREE_CELLS),
-                lambda cell: F.struct(
-                    F.sqrt(sq_to(cell["c"])).alias("bd"),
-                    cell["cid"].alias("cid"),
-                    cell["r"].alias("r"),
-                    cell["m"].alias("m"),
-                ),
-            ),
-        )
-        .withColumn("_best", F.array_min(F.col("_cd")))
-        .select(
-            F.size(
-                F.filter(F.col("_cd"), lambda x: x["bd"] - x["r"] <= thresh)
-            ).alias("np")
-        )
+        .select(n_probed.alias("np"))
         .agg(
             F.round(F.avg("np"), 2).alias("avg"),
             F.expr("percentile(np, 0.5)").alias("p50"),
@@ -331,3 +343,82 @@ def part_c(spark, sf_dir, ui, app_id):
             flush=True,
         )
     wide.unpersist()
+
+
+def part_d(spark, sf_dir, ui, app_id):
+    """Tree quantizer on a CLUSTERED 64x corpus — the regime coarse
+    quantization exists for. Part A's honest negative: on the
+    near-isotropic synthetic embeddings the triangle bounds prune
+    NOTHING (fanout 127.65 of 128 cells — distances concentrate, r_c
+    swamps the coarse gap; the same geometry that collapsed ANN recall
+    in the r12 audit), so an exact tree pass degenerates to the
+    broadcast full scan plus join overhead. Real embedding corpora are
+    clustered (that is why IVF works in production); this part plants
+    128k vectors at 0.05-noise around the 16384 centroids and measures
+    the fanout, the tree wall, and the broadcast wall at the same k."""
+    import time as _t
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from hds_functions_spark.operators.clustering import (
+        build_tree_codebook,
+        kmeans_assign,
+    )
+
+    k, dim, n = 16384, 64, 128_000
+    rng = np.random.default_rng(1337)
+    centers = rng.uniform(-1.0, 1.0, size=(k, dim))
+    cents = [[float(x) for x in c] for c in centers]
+
+    def gen(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            out_v = []
+            for i in ids:
+                r = np.random.default_rng(int(i))
+                v = centers[int(i) % k] + r.uniform(-0.05, 0.05, size=dim)
+                out_v.append([float(x) for x in v])
+            yield pd.DataFrame({"vec_id": ids, "embedding": out_v})
+
+    corpus = (
+        spark.range(n)
+        .repartition(32)
+        .mapInPandas(gen, "vec_id long, embedding array<double>")
+        .persist()
+    )
+    corpus.count()
+    print(f"== D: tree quantizer, CLUSTERED corpus ({n} vectors, "
+          f"k={k}, dim {dim}) ==", flush=True)
+    t0 = _t.time()
+    coarse, children = build_tree_codebook(cents)
+    print(f"  codebook: {len(coarse)} cells in {_t.time()-t0:.2f}s",
+          flush=True)
+    fanout = _fanout(spark, corpus, cents, coarse)
+    print(f"  probe fanout (cells/vector): {fanout}", flush=True)
+
+    def assign_sum(method, label):
+        old = stage_ids(ui.rstrip('/'), app_id) if ui else set()
+        t0 = _t.time()
+        row = (
+            kmeans_assign(corpus, cents, method=method, id_col="vec_id")
+            .agg(F.sum("cluster").alias("cs"),
+                 F.sum(F.round("dist", 6)).alias("ds"))
+            .collect()[0]
+        )
+        dt = _t.time() - t0
+        sh = ""
+        if ui:
+            rd, wr = shuffle_mb_of_new_stages(ui.rstrip('/'), app_id, old)
+            sh = f"  shuffle read/write {rd:.1f}/{wr:.1f} MB"
+        chk = (row["cs"], round(row["ds"] or 0.0, 3))
+        print(f"  {label:22s}: {dt:7.2f}s  checksum={chk}{sh}", flush=True)
+        return chk
+
+    chk_t = assign_sum("tree", f"tree       k={k}")
+    chk_b = assign_sum("broadcast", f"broadcast  k={k}")
+    print("  checksums " + ("IDENTICAL" if chk_b == chk_t else "MISMATCH!"),
+          flush=True)
+    corpus.unpersist()
