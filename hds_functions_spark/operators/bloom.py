@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
 from ..functions.hashing import (
     MERSENNE_PRIME_31,
@@ -191,25 +192,29 @@ def bloom_probe(
     n_words = -(-n_bits // WORD_BITS)
     if method == "auto":
         method = "literal" if n_words <= LITERAL_BLOOM_WORDS else "broadcast"
-    packed = bloom.agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("word_idx", "word"))
-        ).alias("_m")
-    ).select(
-        F.transform(
-            F.sequence(F.lit(0), F.lit(n_words - 1)),
-            lambda i: F.coalesce(
-                F.element_at(F.col("_m"), i.cast("long")),
-                F.lit(0).cast("long"),
-            ),
-        ).alias("_bloom_arr")
-    )
+    # densify DRIVER-side from the SET words only (a bounded boundary:
+    # the bitmap is driver-sized by design — n_words longs, ~2 MB at
+    # 2**24 bits). The first broadcast formulation densified JVM-side
+    # via transform(sequence, i -> element_at(map, i)) — element_at on
+    # MapType is a linear scan (this module's own doctrine!), so the
+    # one-row densify was O(n_words * set_words) in a single task:
+    # measured ~30 MINUTES at 2**24 bits before this fix.
+    set_rows = bloom.collect()
+    dense = [0] * n_words
+    for r in set_rows:
+        wi = int(r["word_idx"])
+        if 0 <= wi < n_words:
+            dense[wi] = int(r["word"])
     if method == "literal":
-        # bounded driver boundary: n_words longs (~9 KB at 2**16 bits)
-        rows = packed.collect()
-        dense = rows[0][0] if rows else [0] * n_words
         arr = F.array(*[F.lit(int(w)) for w in dense])
     else:
+        spark = df.sparkSession
+        packed = spark.createDataFrame(
+            [(dense,)],
+            schema=StructType(
+                [StructField("_bloom_arr", ArrayType(LongType()))]
+            ),
+        )
         arr = F.col("_bloom_arr")
 
     h = stable_hash64(F.col(key_col)) % MERSENNE_PRIME_31

@@ -162,14 +162,39 @@ _WC_QUALITY_MIN = 0.75
 #: CCNet buckets per predicted language; the tail bucket is dropped
 _WC_BUCKETS = 3
 
-#: the pipeline sizes its OWN bitmap instead of reusing decontam_bloom's
-#: 2^16 demo constant: at sf0.1 the eval split holds ~20k distinct
-#: 4-grams, which FILLS a 2^16-bit/3-hash bloom to ~60% (fp/gram 0.22 —
-#: the whole corpus false-positives away, measured before this constant
-#: landed). 2^20 bits keeps fill ~5% at sf0.1 (fp/doc under 1%), and the
-#: general sizing rule — m ~ 10-15 bits per dirty key — is exactly what
-#: SCALE.md's 10^9-key row prescribes (~1.2 GB bitmap)
-_WC_BLOOM_BITS = 1 << 20
+#: the pipeline SIZES its bitmap from the measured dirty set instead of
+#: reusing decontam_bloom's 2^16 demo constant — both fixed sizes were
+#: measured to saturate one scale step later (2^16 at sf0.1: ~60% fill,
+#: 0.22 fp/gram, 2977 of 2980 docs false-flagged; 2^20 at the 16x row:
+#: kept_docs collapsed 517 -> 37). The rule: smallest power of two >=
+#: BITS_PER_KEY * |distinct eval grams|, clamped to [2^16, 2^26].
+#: 32 bits/key holds the per-GRAM fp near (1-e^(-3/32))^3 ~ 7e-4 so a
+#: 40-gram document's any-hit fp stays ~3% — doc-level flagging
+#: amplifies gram fp by the probe count, which is why the usual
+#: ~10 bits/key membership sizing is NOT enough here. Both engines
+#: compute the ladder from the same constants (exact integer CASE
+#: chain, no float log2 at the boundary).
+_WC_BLOOM_BITS_PER_KEY = 32
+_WC_BLOOM_MIN_LOG2 = 16
+_WC_BLOOM_MAX_LOG2 = 26
+
+
+def _wc_bloom_bits(n_keys: int) -> int:
+    """Smallest power-of-two bitmap >= BITS_PER_KEY * n_keys (clamped)."""
+    for b in range(_WC_BLOOM_MIN_LOG2, _WC_BLOOM_MAX_LOG2 + 1):
+        if (1 << b) >= _WC_BLOOM_BITS_PER_KEY * n_keys:
+            return 1 << b
+    return 1 << _WC_BLOOM_MAX_LOG2
+
+
+def _wc_bloom_bits_sql(n_expr: str) -> str:
+    """The same ladder as :func:`_wc_bloom_bits`, as an exact SQL CASE."""
+    cases = "\n    ".join(
+        f"WHEN {1 << b} >= {_WC_BLOOM_BITS_PER_KEY} * ({n_expr}) "
+        f"THEN {1 << b}"
+        for b in range(_WC_BLOOM_MIN_LOG2, _WC_BLOOM_MAX_LOG2 + 1)
+    )
+    return f"CASE\n    {cases}\n    ELSE {1 << _WC_BLOOM_MAX_LOG2} END"
 
 #: the raw-web wrapper applied before writing payloads into WARC — a
 #: fixed tag soup (block markup + script-with-content + entity) whose
@@ -216,9 +241,11 @@ def _duck_web_curation_sql() -> str:
     # (and operators/bloom.py), parameterised on the pipeline's bitmap size
     consts = minhash_permutation_constants(_BLOOM_HASHES)
     hvar = stable_hash_sql("gram")
+    # bitmap size is DATA-dependent (the sizing ladder above): sz rides
+    # a cross join, positions take modulo its single-row bits column
     positions = "[" + ", ".join(
         f"((({a} * ({hvar} % {MERSENNE_PRIME_31}) + {b}) "
-        f"% {MERSENNE_PRIME_31}) % {_WC_BLOOM_BITS})"
+        f"% {MERSENNE_PRIME_31}) % sz.bits)"
         for a, b in consts
     ) + "]"
 
@@ -254,9 +281,12 @@ WITH raw AS (
   WHERE {_duck_bucket('doc_id', _BLOOM_SALT)} < {_BLOOM_CUT}
 ), eval_grams AS (
   SELECT DISTINCT unnest({gram_list}) AS gram FROM etoks
+), sz AS (
+  SELECT {_wc_bloom_bits_sql('n')} AS bits
+  FROM (SELECT count(*) AS n FROM eval_grams)
 ), epos AS (
   SELECT unnest({positions}) AS pos
-  FROM eval_grams
+  FROM eval_grams CROSS JOIN sz
 ), words AS (
   SELECT pos // {_BLOOM_WORD} AS word_idx,
          bit_or(1::BIGINT << CAST(pos % {_BLOOM_WORD} AS INTEGER)) AS word
@@ -270,7 +300,7 @@ WITH raw AS (
 ), cpos AS (
   SELECT doc_id, gram,
          unnest({positions}) AS pos
-  FROM cgrams
+  FROM cgrams CROSS JOIN sz
 ), flagged AS (
   SELECT DISTINCT doc_id FROM (
     SELECT doc_id, gram
@@ -413,9 +443,22 @@ def pipeline_web_curation(spark, sf_dir):
     eval_df = docs.filter(bucket < _BLOOM_CUT).select(
         F.col("doc_id").alias("eval_id"), "text"
     )
+    # size the bitmap from the MEASURED dirty set (one combinable
+    # count over the eval side — eval is benchmark-sized, never
+    # corpus-sized); both fixed-size attempts saturated one scale step
+    # later, see the sizing-ladder comment above
+    from .operators.bloom import _doc_grams
+
+    n_keys = (
+        _doc_grams(eval_df, "eval_id", "text", _BLOOM_NGRAM)
+        .select("_gram")
+        .distinct()
+        .count()
+    )
     flagged = bloom_decontam(
         corpus.select("doc_id", "text"), eval_df,
-        ngram=_BLOOM_NGRAM, n_bits=_WC_BLOOM_BITS, n_hashes=_BLOOM_HASHES,
+        ngram=_BLOOM_NGRAM, n_bits=_wc_bloom_bits(n_keys),
+        n_hashes=_BLOOM_HASHES,
     ).select("doc_id")
     decon = corpus.join(flagged, on="doc_id", how="left_anti")
     kn = kn_trigram_logprob_scores(
