@@ -731,25 +731,26 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: Queries the driver's correctness gate should see first. The gate verifies
 #: exactly the first 50 entries of ``queries()`` in iteration order.
-#: ROUND-13 ROTATION (executing the r12 verdict's item 1): the 3
+#: ROUND-13 ROTATION (executing the r12 verdict's item 1): the 4
 #: round-13 additions take the head (never-checked queries MUST be
 #: inside the window — driver_coverage's hard gate), then the 5
 #: leftover r06-vintage rows the r12 window could not absorb, then the
-#: 42 alphabetically-first of the 50 r08-vintage stale rows
+#: 41 alphabetically-first of the 50 r08-vintage stale rows
 #: (`tools/driver_coverage.py` listed exactly 55 stale at r13 start:
-#: 5 r06 + 50 r08). 3 + 5 + 42 = 50; the 8 list-order-last r08 rows
-#: (text_bpe_encode, text_bpe_train, topk_dense_rank, topk_global,
-#: topk_rank, topk_row_number, wrangle_clean_columns,
-#: wrangle_map_values) wait for the r14 head — at r14 they are 6
-#: rounds stale, exactly the SLA boundary (SURVEY "freshness SLA"),
-#: so r14 MUST rotate them in first. Mitigation, on the record: the
-#: round-13 closing two-scale `compare_oracle --exact` sweeps cover
-#: EVERY registered query including those 8.
-#: ROUND-14 ROTATION GUIDANCE: the 8 leftover r08 rows + r14
+#: 5 r06 + 50 r08). 4 + 5 + 41 = 50; the 9 list-order-last r08 rows
+#: (table_upsert_incremental, text_bpe_encode, text_bpe_train,
+#: topk_dense_rank, topk_global, topk_rank, topk_row_number,
+#: wrangle_clean_columns, wrangle_map_values) wait for the r14 head —
+#: at r14 they are 6 rounds stale, exactly the SLA boundary (SURVEY
+#: "freshness SLA"), so r14 MUST rotate them in first. Mitigation, on
+#: the record: the round-13 closing two-scale `compare_oracle --exact`
+#: sweeps cover EVERY registered query including those 9.
+#: ROUND-14 ROTATION GUIDANCE: the 9 leftover r08 rows + r14
 #: additions + any r13 reds at the head, then r09-vintage rows.
 DRIVER_PRIORITY: list[str] = [
     # round-13 additions (land driver rows the round they ship):
     "multimodal_audio_phash",
+    "multimodal_audio_phash_dups",
     "clustering_tree_assign",
     "pipeline_web_curation",
     # r06-vintage leftovers (the 5 past slot 50 at r12):
@@ -758,7 +759,7 @@ DRIVER_PRIORITY: list[str] = [
     "wrangle_mad_outliers",
     "wrangle_pivot",
     "wrangle_unpivot",
-    # r08-vintage stale rows, alphabetical (42 of 50 fit; the 8 past
+    # r08-vintage stale rows, alphabetical (41 of 50 fit; the 9 past
     # slot 50 wait for r14 — see the rotation comment above):
     "clean_strip_markup",
     "cohort_filter",
@@ -801,7 +802,6 @@ DRIVER_PRIORITY: list[str] = [
     "table_rollup_merge",
     "table_standardise_deaths",
     "table_standardise_vaccine",
-    "table_upsert_incremental",
 ]
 
 
