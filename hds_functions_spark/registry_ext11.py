@@ -190,7 +190,7 @@ def _wc_bloom_bits(n_keys: int) -> int:
 def _wc_bloom_bits_sql(n_expr: str) -> str:
     """The same ladder as :func:`_wc_bloom_bits`, as an exact SQL CASE."""
     cases = "\n    ".join(
-        f"WHEN {1 << b} >= {_WC_BLOOM_BITS_PER_KEY} * ({n_expr}) "
+        f"WHEN {1 << b} >= {_WC_BLOOM_BITS_PER_KEY} * (({n_expr})::BIGINT) "
         f"THEN {1 << b}"
         for b in range(_WC_BLOOM_MIN_LOG2, _WC_BLOOM_MAX_LOG2 + 1)
     )
