@@ -75,6 +75,7 @@ from .operators.events import (
 )
 from .functions.layout import (
     bucket_by_quantiles,
+    bucket_by_quantiles_desc,
     plan_compaction,
     morton_code,
     pruning_simulation,

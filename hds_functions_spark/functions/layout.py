@@ -26,6 +26,7 @@ __all__ = [
     "morton_code",
     "zorder_column",
     "bucket_by_quantiles",
+    "bucket_by_quantiles_desc",
     "pruning_simulation",
     "plan_compaction",
 ]
@@ -148,6 +149,65 @@ def bucket_by_quantiles(
         .withColumn(bucket_col, bucket)
         .drop("_cuts")
     )
+
+
+def bucket_by_quantiles_desc(
+    df,
+    col: str,
+    n_buckets: int,
+    group_cols: list[str] | None = None,
+    bucket_col: str = "bucket",
+    round_digits: int = 6,
+    exact: bool = True,
+):
+    """1-based DESCENDING equal-frequency buckets of ``col`` (bucket 1 =
+    the highest-value head, bucket ``n_buckets`` = the tail) — the
+    scale-safe re-spelling of ``ntile(n) OVER ([PARTITION BY g]
+    ORDER BY col DESC)``: per-group (or global) percentile cuts in ONE
+    combinable aggregate, broadcast back, then a pure codegen
+    filter-count — no sort, no single-partition Window exchange.
+
+    ``group_cols`` partitions the bucketing (the CCNet per-language
+    shape); ``None`` buckets globally via a 1-row broadcast crossJoin.
+
+    Boundary-tie policy (differs from ntile, deliberately): ``col`` is
+    rounded to ``round_digits`` and compared against cuts rounded the
+    same way, so ties on the rounded value NEVER split across buckets —
+    a rounded score equal to a cut lands in the BETTER (lower-numbered)
+    bucket, and bucket populations are equal only up to tie mass.
+    ntile's row-number determinism (splitting ties by a tiebreak
+    column) is exactly what forces the all-rows-through-one-partition
+    sort this function exists to avoid. Groups smaller than
+    ``n_buckets`` land entirely in bucket 1 (all cuts equal the value).
+    NULL scores get a NULL bucket (same guard as
+    :func:`bucket_by_quantiles`).
+
+    ``exact=False`` switches cuts to the mergeable ``percentile_approx``
+    sketch for columns whose per-group cardinality makes the exact
+    percentile's single aggregation buffer the bottleneck.
+    """
+    if n_buckets < 2:
+        raise ValueError(f"n_buckets must be >= 2 (got {n_buckets})")
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    val = F.round(F.col(col), round_digits)
+    perc = (
+        F.percentile(val, F.lit(fracs))
+        if exact
+        else F.percentile_approx(val, F.lit(fracs))
+    )
+    cuts_agg = F.transform(perc, lambda x: F.round(x, round_digits)).alias(
+        "_cuts"
+    )
+    if group_cols:
+        cuts = df.groupBy(*group_cols).agg(cuts_agg)
+        joined = df.join(F.broadcast(cuts), on=list(group_cols))
+    else:
+        joined = df.crossJoin(F.broadcast(df.agg(cuts_agg)))
+    bucket = F.when(
+        F.col(col).isNotNull(),
+        F.lit(n_buckets) - F.size(F.filter(F.col("_cuts"), lambda c: c <= val)),
+    ).cast("int")
+    return joined.withColumn(bucket_col, bucket).drop("_cuts")
 
 
 def pruning_simulation(

@@ -446,22 +446,34 @@ def dedup_lsh_plan(spark, sf_dir):
 _PPL_BUCKETS = 3  # head / middle / tail
 
 
+#: bucket cut fractions, shared verbatim with the oracle SQL
+_PPL_FRACS = ", ".join(repr(i / _PPL_BUCKETS) for i in range(1, _PPL_BUCKETS))
+
+
 def _duck_ppl_sql() -> str:
     from .registry_ext6 import _KN_TRAIN_MOD  # noqa: F401  (doc link)
 
     return f"""
 WITH kn AS ({{kn_oracle}}),
+scored AS (
+  SELECT d.lang, k.avg_logprob, d.n_chars
+  FROM kn k JOIN documents d USING (doc_id)),
+cuts AS (
+  SELECT lang,
+         list_transform(quantile_cont(round(avg_logprob, 6),
+                                      [{_PPL_FRACS}]),
+                        x -> round(x, 6)) AS cuts
+  FROM scored GROUP BY lang),
 ranked AS (
-  SELECT d.lang, k.doc_id, k.avg_logprob, d.n_chars,
-         ntile({_PPL_BUCKETS}) OVER (PARTITION BY d.lang
-                                     ORDER BY k.avg_logprob DESC, k.doc_id)
-             AS bucket
-  FROM kn k JOIN documents d USING (doc_id))
-SELECT lang, CAST(bucket AS INTEGER) AS bucket,
+  SELECT s.lang, s.avg_logprob, s.n_chars,
+         CAST({_PPL_BUCKETS} - len(list_filter(c.cuts,
+              v -> v <= round(s.avg_logprob, 6))) AS INTEGER) AS bucket
+  FROM scored s JOIN cuts c USING (lang))
+SELECT lang, bucket,
        CAST(count(*) AS BIGINT) AS n_docs,
        round(avg(avg_logprob), 4) AS mean_logprob,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
-       (CAST(bucket AS INTEGER) < {_PPL_BUCKETS}) AS kept
+       (bucket < {_PPL_BUCKETS}) AS kept
 FROM ranked GROUP BY 1, 2
 """
 
@@ -470,17 +482,23 @@ FROM ranked GROUP BY 1, 2
 def pipeline_perplexity_buckets(spark, sf_dir):
     """CCNet-style perplexity bucketing (Wenzek et al. 2020): the
     held-out-trained Kneser-Ney LM scores every document; per
-    LANGUAGE, ntile(3) over descending log-likelihood cuts the corpus
-    into head/middle/tail, and the tail (the lowest-likelihood third —
-    boilerplate, gibberish, wrong-language residue) is marked dropped.
-    Per-language bucketing is the part that matters: a global cutoff
-    would silently delete whole low-resource languages whose absolute
-    perplexity runs higher. Output: per (lang, bucket) doc count, mean
-    score, character mass, and the keep verdict. The ntile runs on the
-    per-doc score frame (one row per doc, never corpus text); the
-    oracle composes the registered KN oracle so drift propagates."""
-    from pyspark.sql import Window
-
+    LANGUAGE, tercile cuts over descending log-likelihood split the
+    corpus into head/middle/tail, and the tail (the lowest-likelihood
+    third — boilerplate, gibberish, wrong-language residue) is marked
+    dropped. Per-language bucketing is the part that matters: a global
+    cutoff would silently delete whole low-resource languages whose
+    absolute perplexity runs higher. Output: per (lang, bucket) doc
+    count, mean score, character mass, and the keep verdict. Bucketing
+    is
+    :func:`~hds_functions_spark.functions.layout.bucket_by_quantiles_desc`
+    grouped by lang — per-language cuts in ONE combinable aggregate,
+    broadcast equi-join back, codegen filter-count — replacing the r12
+    per-lang ``ntile()`` whose partitions-by-language window sorted
+    every language's docs through ONE task each (the skew ceiling at
+    corpus scale; boundary ties now share a bucket instead of
+    splitting by doc_id). The oracle composes the registered KN oracle
+    so drift propagates."""
+    from .functions.layout import bucket_by_quantiles_desc
     from .operators.profiling import kn_trigram_logprob_scores
     from .registry_ext6 import _KN_D, _KN_TRAIN_MOD
 
@@ -493,16 +511,13 @@ def pipeline_perplexity_buckets(spark, sf_dir):
     kn = kn_trigram_logprob_scores(
         train, docs.select("doc_id", "text"), discount=_KN_D
     )
-    w = Window.partitionBy("lang").orderBy(
-        F.col("avg_logprob").desc(), F.col("doc_id")
+    ranked = bucket_by_quantiles_desc(
+        kn.join(docs.select("doc_id", "lang", "n_chars"), on="doc_id"),
+        "avg_logprob",
+        _PPL_BUCKETS,
+        group_cols=["lang"],
     )
-    ranked = (
-        kn.join(docs.select("doc_id", "lang", "n_chars"), on="doc_id")
-        .withColumn("bucket", F.ntile(_PPL_BUCKETS).over(w))
-    )
-    return ranked.groupBy(
-        "lang", F.col("bucket").cast("int").alias("bucket")
-    ).agg(
+    return ranked.groupBy("lang", "bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.round(F.avg("avg_logprob"), 4).alias("mean_logprob"),
         F.sum("n_chars").cast("long").alias("total_chars"),

@@ -161,6 +161,8 @@ _WC_MOD = 3
 _WC_QUALITY_MIN = 0.75
 #: CCNet buckets per predicted language; the tail bucket is dropped
 _WC_BUCKETS = 3
+#: bucket cut fractions, shared verbatim with the oracle SQL
+_WC_FRACS = ", ".join(repr(i / _WC_BUCKETS) for i in range(1, _WC_BUCKETS))
 
 #: the pipeline SIZES its bitmap from the measured dirty set instead of
 #: reusing decontam_bloom's 2^16 demo constant — both fixed sizes were
@@ -314,19 +316,27 @@ WITH raw AS (
   FROM corpus c LEFT JOIN flagged f USING (doc_id)
   WHERE f.doc_id IS NULL
 ), kn AS ({kn_rebased}
-), ranked AS (
-  SELECT d.lang_pred, k.doc_id, k.avg_logprob, length(d.text) AS n_chars,
-         ntile({_WC_BUCKETS}) OVER (PARTITION BY d.lang_pred
-                                    ORDER BY k.avg_logprob DESC, k.doc_id)
-             AS bucket
+), scored AS (
+  SELECT d.lang_pred, k.avg_logprob, length(d.text) AS n_chars
   FROM kn k JOIN decon d USING (doc_id)
+), cuts AS (
+  SELECT lang_pred,
+         list_transform(quantile_cont(round(avg_logprob, 6),
+                                      [{_WC_FRACS}]),
+                        x -> round(x, 6)) AS cuts
+  FROM scored GROUP BY lang_pred
+), ranked AS (
+  SELECT s.lang_pred, s.avg_logprob, s.n_chars,
+         CAST({_WC_BUCKETS} - len(list_filter(c.cuts,
+              v -> v <= round(s.avg_logprob, 6))) AS INTEGER) AS bucket
+  FROM scored s JOIN cuts c USING (lang_pred)
 )
-SELECT lang_pred, CAST(bucket AS INTEGER) AS bucket,
+SELECT lang_pred, bucket,
        CAST(count(*) AS BIGINT) AS n_docs,
        round(CAST(sum(CAST(round(avg_logprob * 10000) AS BIGINT)) AS DOUBLE)
              / count(*)) / 10000.0 AS mean_logprob,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
-       (CAST(bucket AS INTEGER) < {_WC_BUCKETS}) AS kept
+       (bucket < {_WC_BUCKETS}) AS kept
 FROM ranked GROUP BY 1, 2
 """
 
@@ -350,8 +360,7 @@ def pipeline_web_curation(spark, sf_dir):
     import shutil
     import tempfile
 
-    from pyspark.sql import Window
-
+    from .functions.layout import bucket_by_quantiles_desc
     from .operators.bloom import bloom_decontam
     from .operators.cleaning import strip_markup
     from .operators.profiling import kn_trigram_logprob_scores
@@ -468,17 +477,21 @@ def pipeline_web_curation(spark, sf_dir):
         decon.select("doc_id", "text"),
         discount=_KN_D,
     )
-    w = Window.partitionBy("lang_pred").orderBy(
-        F.col("avg_logprob").desc(), F.col("doc_id")
-    )
-    ranked = (
+    # per-lang tercile cuts + broadcast attach (bucket_by_quantiles_desc)
+    # replaced the r13 per-lang ntile() here: the window sorted every
+    # language's docs through ONE task each — the skew ceiling at corpus
+    # scale; boundary ties now share a bucket instead of splitting by
+    # doc_id (the oracle's cut CTE mirrors the policy)
+    ranked = bucket_by_quantiles_desc(
         kn.join(
             decon.select(
                 "doc_id", "lang_pred", F.length("text").alias("n_chars")
             ),
             on="doc_id",
-        )
-        .withColumn("bucket", F.ntile(_WC_BUCKETS).over(w))
+        ),
+        "avg_logprob",
+        _WC_BUCKETS,
+        group_cols=["lang_pred"],
     )
     # bucket mean via EXACT integer accumulation (per-doc scores carry 4
     # decimals, so x10^4 is integral): a float avg()'s partial-sum order
@@ -486,9 +499,7 @@ def pipeline_web_curation(spark, sf_dir):
     # README's "integer accumulation where float order would differ"
     # discipline; the one division and the half-away-from-zero round are
     # bit-identical in both engines (verified)
-    return ranked.groupBy(
-        "lang_pred", F.col("bucket").cast("int").alias("bucket")
-    ).agg(
+    return ranked.groupBy("lang_pred", "bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         (
             F.round(

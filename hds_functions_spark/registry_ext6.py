@@ -1077,17 +1077,29 @@ def similarity_multiprobe_recall(spark, sf_dir):
 _CUR_DECILES = 10
 
 
+#: decile cut fractions, shared verbatim with the oracle SQL so both
+#: engines interpolate the SAME doubles (repr is shortest-roundtrip)
+_CUR_FRACS = ", ".join(repr(i / _CUR_DECILES) for i in range(1, _CUR_DECILES))
+
+
 @_register(
     "pipeline_curriculum_order",
     f"""
 WITH kn AS ({{kn_oracle}}),
+scored AS (
+  SELECT k.doc_id, k.avg_logprob, d.n_chars
+  FROM kn k JOIN documents d USING (doc_id)),
+cuts AS (
+  SELECT list_transform(quantile_cont(round(avg_logprob, 6),
+                                      [{_CUR_FRACS}]),
+                        x -> round(x, 6)) AS cuts
+  FROM scored),
 ranked AS (
-  SELECT k.doc_id, k.avg_logprob, d.n_chars,
-         ntile({_CUR_DECILES}) OVER (ORDER BY k.avg_logprob DESC, k.doc_id)
-             AS decile
-  FROM kn k JOIN documents d USING (doc_id)
-)
-SELECT CAST(decile AS INTEGER) AS decile,
+  SELECT s.avg_logprob, s.n_chars,
+         CAST({_CUR_DECILES} - len(list_filter(c.cuts,
+              v -> v <= round(s.avg_logprob, 6))) AS INTEGER) AS decile
+  FROM scored s, cuts c)
+SELECT decile,
        CAST(count(*) AS BIGINT) AS n_docs,
        round(avg(avg_logprob), 4) AS mean_logprob,
        CAST(sum(n_chars) AS BIGINT) AS total_chars
@@ -1097,13 +1109,17 @@ FROM ranked GROUP BY 1
 def pipeline_curriculum_order(spark, sf_dir):
     """Curriculum construction end-to-end: Kneser-Ney LM scores (the
     held-out-trained quality signal) order the corpus easiest-first
-    (highest log-likelihood), ntile cuts it into 10 curriculum stages,
-    and the per-stage composition (docs, mean score, characters) is
-    what a staged-training data loader consumes. The global ntile runs
-    over the already-collapsed per-doc score frame — one row per doc,
-    not corpus text (at larger scale swap ntile for range partitioning
-    on the score, as the layout module does). Oracle composes the
-    registered KN oracle so drift propagates."""
+    (highest log-likelihood) into 10 curriculum stages, and the
+    per-stage composition (docs, mean score, characters) is what a
+    staged-training data loader consumes. Stage assignment is
+    :func:`~hds_functions_spark.functions.layout.bucket_by_quantiles_desc`
+    — exact decile cuts in one combinable aggregate, 1-row broadcast,
+    codegen filter-count — replacing the r09 global ``ntile()`` whose
+    single-partition sort was this pipeline's only non-scale-safe
+    stage (boundary ties now share a stage instead of splitting by
+    doc_id; stage populations equal up to tie mass). Oracle composes
+    the registered KN oracle so drift propagates."""
+    from .functions.layout import bucket_by_quantiles_desc
     from .operators.profiling import kn_trigram_logprob_scores
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
@@ -1112,14 +1128,13 @@ def pipeline_curriculum_order(spark, sf_dir):
     )
     kn = kn_trigram_logprob_scores(train, docs.select("doc_id", "text"),
                                    discount=_KN_D)
-    from pyspark.sql import Window
-
-    w = Window.orderBy(F.col("avg_logprob").desc(), F.col("doc_id"))
-    ranked = (
-        kn.join(docs.select("doc_id", "n_chars"), on="doc_id")
-        .withColumn("decile", F.ntile(_CUR_DECILES).over(w))
+    ranked = bucket_by_quantiles_desc(
+        kn.join(docs.select("doc_id", "n_chars"), on="doc_id"),
+        "avg_logprob",
+        _CUR_DECILES,
+        bucket_col="decile",
     )
-    return ranked.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+    return ranked.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.round(F.avg("avg_logprob"), 4).alias("mean_logprob"),
         F.sum("n_chars").cast("long").alias("total_chars"),

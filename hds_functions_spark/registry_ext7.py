@@ -674,40 +674,55 @@ def dedup_soft_weights(spark, sf_dir):
 _NB_CAL_DECILES = 10
 
 
+#: decile cut fractions, shared verbatim with the oracle SQL
+_NB_CAL_FRACS = ", ".join(
+    repr(i / _NB_CAL_DECILES) for i in range(1, _NB_CAL_DECILES)
+)
+
+
 @_register(
     "classify_nb_calibration",
     f"""
 WITH {_duck_nb_predict_cte()},
-ranked AS (
-  SELECT p.doc_id, p.score, p.label_pred, d.lang,
-         ntile({_NB_CAL_DECILES}) OVER (ORDER BY p.score DESC, p.doc_id)
-             AS decile
-  FROM pred p JOIN documents d ON p.doc_id = d.doc_id)
-SELECT CAST(decile AS INTEGER) AS decile,
+cal_scored AS (
+  SELECT p.doc_id, p.score, p.label_pred, d.lang
+  FROM pred p JOIN documents d ON p.doc_id = d.doc_id),
+cal_cuts AS (
+  SELECT list_transform(quantile_cont(round(score, 6), [{_NB_CAL_FRACS}]),
+                        x -> round(x, 6)) AS cuts
+  FROM cal_scored),
+cal_ranked AS (
+  SELECT s.score, s.label_pred, s.lang,
+         CAST({_NB_CAL_DECILES} - len(list_filter(c.cuts,
+              v -> v <= round(s.score, 6))) AS INTEGER) AS decile
+  FROM cal_scored s, cal_cuts c)
+SELECT decile,
        CAST(count(*) AS BIGINT) AS n_docs,
        round(avg(score), 4) AS mean_score,
        CAST(sum(CASE WHEN lang = label_pred THEN 1 ELSE 0 END) AS BIGINT)
            AS n_correct,
        round(sum(CASE WHEN lang = label_pred THEN 1 ELSE 0 END)
              / (1.0 * count(*)), 4) AS accuracy
-FROM ranked GROUP BY 1
+FROM cal_ranked GROUP BY 1
 """,
 )
 def classify_nb_calibration(spark, sf_dir):
     """Classifier calibration audit: holdout predictions cut into
     confidence deciles (by argmax score), accuracy per decile — the
     table that decides WHERE to set a routing threshold (well-calibrated
-    = accuracy falls with the decile). The ntile runs over the
-    already-collapsed per-doc prediction frame, one row per holdout doc
-    — never corpus text (the pipeline_curriculum_order note applies at
-    scale: swap ntile for range partitioning on the score)."""
-    from pyspark.sql import Window
+    = accuracy falls with the decile). Decile assignment is
+    :func:`~hds_functions_spark.functions.layout.bucket_by_quantiles_desc`
+    (exact cuts + 1-row broadcast + codegen filter-count), replacing the
+    r09 global ``ntile()`` single-partition sort — boundary ties now
+    share a decile instead of splitting by doc_id."""
+    from .functions.layout import bucket_by_quantiles_desc
 
     score, pred = _nb_predictions(spark, sf_dir)
     joined = pred.join(score.select("doc_id", "lang"), on="doc_id")
-    w = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
-    ranked = joined.withColumn("decile", F.ntile(_NB_CAL_DECILES).over(w))
-    return ranked.groupBy(F.col("decile").cast("int").alias("decile")).agg(
+    ranked = bucket_by_quantiles_desc(
+        joined, "score", _NB_CAL_DECILES, bucket_col="decile"
+    )
+    return ranked.groupBy("decile").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.round(F.avg("score"), 4).alias("mean_score"),
         F.sum(F.when(F.col("lang") == F.col("label_pred"), 1).otherwise(0))

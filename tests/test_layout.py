@@ -239,3 +239,133 @@ class TestPlanCompaction:
         m = self._manifest(spark, [10])
         with pytest.raises(ValueError, match="target_bytes"):
             plan_compaction(m, target_bytes=0)
+
+
+class TestBucketByQuantilesDesc:
+    """bucket_by_quantiles_desc: the ntile-replacement (r14) — 1-based
+    DESCENDING buckets from percentile cuts, per group or global."""
+
+    def _df(self, spark, vals, grp=None):
+        if grp is None:
+            return spark.createDataFrame(
+                [(i, float(v)) for i, v in enumerate(vals)], "id int, x double"
+            )
+        return spark.createDataFrame(
+            [(i, g, float(v)) for i, (g, v) in enumerate(zip(grp, vals))],
+            "id int, g string, x double",
+        )
+
+    def test_global_descending_terciles(self, spark):
+        from hds_functions_spark.functions.layout import (
+            bucket_by_quantiles_desc,
+        )
+
+        # 9 distinct values: cuts at p(1/3)=3.667, p(2/3)=6.333
+        df = self._df(spark, [1, 2, 3, 4, 5, 6, 7, 8, 9])
+        out = {
+            r["id"]: r["bucket"]
+            for r in bucket_by_quantiles_desc(df, "x", 3).collect()
+        }
+        # bucket 1 = head (highest), 3 = tail (lowest)
+        assert out == {0: 3, 1: 3, 2: 3, 3: 2, 4: 2, 5: 2, 6: 1, 7: 1, 8: 1}
+
+    def test_boundary_tie_goes_to_better_bucket(self, spark):
+        from hds_functions_spark.functions.layout import (
+            bucket_by_quantiles_desc,
+        )
+
+        # heavy tie mass ON the cut: with values [1,1,1,2,2,2] and 2
+        # buckets, the median cut is 1.5; every 2 >= no cut... cut list
+        # [1.5]: x=2 counts it (2 >= 1.5) -> bucket 1; x=1 -> bucket 2.
+        df = self._df(spark, [1, 1, 1, 2, 2, 2])
+        out = {
+            r["x"]: r["bucket"]
+            for r in bucket_by_quantiles_desc(df, "x", 2).collect()
+        }
+        assert out == {1.0: 2, 2.0: 1}
+        # ALL-tied column: the single cut equals the value, ties go to
+        # the better bucket -> everything lands in bucket 1, never split
+        # (ntile would have split 3/3 by the tiebreak column)
+        df2 = self._df(spark, [5, 5, 5, 5])
+        got = {
+            r["bucket"]
+            for r in bucket_by_quantiles_desc(df2, "x", 2).collect()
+        }
+        assert got == {1}
+
+    def test_grouped_cuts_are_per_group(self, spark):
+        from hds_functions_spark.functions.layout import (
+            bucket_by_quantiles_desc,
+        )
+
+        # group a: 1..4 (median 2.5), group b: 100..400 (median 250) —
+        # a global cut would put ALL of a in the tail; per-group cuts
+        # split each group 2/2
+        df = self._df(
+            spark,
+            [1, 2, 3, 4, 100, 200, 300, 400],
+            grp=["a", "a", "a", "a", "b", "b", "b", "b"],
+        )
+        out = bucket_by_quantiles_desc(
+            df, "x", 2, group_cols=["g"]
+        ).collect()
+        by_grp = {}
+        for r in out:
+            by_grp.setdefault(r["g"], []).append((r["x"], r["bucket"]))
+        for g, pairs in by_grp.items():
+            got = dict(pairs)
+            lo, hi = min(got), max(got)
+            assert got[lo] == 2 and got[hi] == 1, (g, got)
+
+    def test_null_scores_get_null_bucket(self, spark):
+        from hds_functions_spark.functions.layout import (
+            bucket_by_quantiles_desc,
+        )
+
+        df = spark.createDataFrame(
+            [(0, 1.0), (1, 2.0), (2, None), (3, 4.0)], "id int, x double"
+        )
+        out = {
+            r["id"]: r["bucket"]
+            for r in bucket_by_quantiles_desc(df, "x", 2).collect()
+        }
+        assert out[2] is None
+        assert out[0] == 2 and out[3] == 1
+
+    def test_small_group_lands_in_head(self, spark):
+        from hds_functions_spark.functions.layout import (
+            bucket_by_quantiles_desc,
+        )
+
+        # a 1-row group: every cut equals the value -> bucket 1
+        df = self._df(spark, [7], grp=["solo"])
+        [row] = bucket_by_quantiles_desc(
+            df, "x", 3, group_cols=["g"]
+        ).collect()
+        assert row["bucket"] == 1
+
+    def test_validates_n_buckets(self, spark):
+        import pytest
+
+        from hds_functions_spark.functions.layout import (
+            bucket_by_quantiles_desc,
+        )
+
+        with pytest.raises(ValueError, match="n_buckets"):
+            bucket_by_quantiles_desc(self._df(spark, [1.0]), "x", 1)
+
+    def test_no_window_no_sort_in_plan(self, spark):
+        from hds_functions_spark.functions.layout import (
+            bucket_by_quantiles_desc,
+        )
+
+        df = self._df(spark, list(range(100)), grp=["g%d" % (i % 3) for i in range(100)])
+        plan = (
+            bucket_by_quantiles_desc(df, "x", 4, group_cols=["g"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "Window" not in plan
+        assert "Sort " not in plan
+        assert "BroadcastHashJoin" in plan

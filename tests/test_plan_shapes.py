@@ -411,3 +411,58 @@ def test_gopher_audit_no_corpus_text_in_exchange(docs):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "text#" not in line, line
+
+
+# --- r14: the ntile() re-spell gate ----------------------------------------
+
+
+def _logical_windows(df):
+    """All Window nodes in the optimized logical plan, via the tree walk
+    (string-matching the plan dump cannot tell an empty partitionSpec
+    from a populated one)."""
+    out = []
+
+    def walk(node):
+        if node.nodeName() == "Window":
+            out.append(node)
+        for i in range(node.children().length()):
+            walk(node.children().apply(i))
+
+    walk(df._jdf.queryExecution().optimizedPlan())
+    return out
+
+
+@pytest.mark.parametrize(
+    "qname",
+    [
+        "pipeline_curriculum_order",
+        "classify_nb_calibration",
+        "pipeline_perplexity_buckets",
+        "pipeline_web_curation",
+    ],
+)
+def test_no_corpus_cardinality_ntile_window(spark, qname):
+    """The four r13-flagged queries ran ntile() windows over every doc
+    (global ones single-partition, per-lang ones one task per language —
+    the skew ceiling). Re-spelled r14 onto bucket_by_quantiles_desc:
+    their plans must carry NO partition-less Window node and no ntile
+    anywhere (a Window WITH a partition key is allowed — none of these
+    queries has one today, but the gate's claim is only about the
+    corpus-cardinality shape that does not scale)."""
+    import hds_functions_spark.registry_ext  # noqa: F401
+    from hds_functions_spark.registry import QUERIES
+
+    import re
+
+    df = QUERIES[qname](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    # word boundary: "percentile(" (the replacement's cut aggregate)
+    # contains the bare substring "ntile("
+    assert not re.search(r"\bntile\(", plan), (
+        f"{qname} still plans an ntile()"
+    )
+    for w in _logical_windows(df):
+        assert w.partitionSpec().length() > 0, (
+            f"{qname} plans a Window with an EMPTY partitionSpec — "
+            "every row through one task"
+        )
