@@ -181,6 +181,15 @@ def bloom_probe(
     test). Either way the probed frame never exchanges, never
     explodes, never carries a row id — zero corpus shuffle at ANY
     size.
+
+    EAGER boundary, deliberately: building the probe plan collects the
+    bloom frame's set words (one bounded Spark job, n_words longs) at
+    CALL time for both methods — the lazy JVM-side densify it replaced
+    was O(n_words * set_words) in one task (measured ~30 minutes at
+    2**24 bits). Streaming/repeat callers probing a standing bitmap
+    re-pay that bounded collect per ``bloom_probe`` call; densify once
+    and reuse the returned plan (or keep the words driver-side) when
+    probing the same bitmap in a loop.
     """
     if n_hashes < 1:
         raise ValueError(f"n_hashes must be >= 1 (got {n_hashes})")

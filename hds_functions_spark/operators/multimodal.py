@@ -1013,11 +1013,11 @@ def audio_downmix(
                         wav_wrap_pcm(rate, 1, mono.astype("<i2").tobytes())
                     )
                 )
-            yield pd.DataFrame({"doc_id": pdf[id_col], payload_col: out})
+            yield pd.DataFrame({id_col: pdf[id_col], payload_col: out})
 
     schema = StructType(
         [
-            StructField("doc_id", LongType()),
+            StructField(id_col, LongType()),
             StructField(payload_col, BinaryType()),
         ]
     )

@@ -11,6 +11,14 @@ from pyspark.sql import functions as F
 
 from .registry import ORACLES, QUERIES, _register, _t  # noqa: F401
 
+# Direct `import hds_functions_spark.registry_extN` must see every
+# upstream ORACLES/QUERIES entry this module reads at import time:
+# pull the chain head, which registers all earlier ext modules before
+# this body continues. Via the normal chain import this resolves to
+# the already-in-progress module in sys.modules (PEP 328 circular
+# import), a no-op.
+from . import registry_ext  # noqa: E402,F401
+
 # --- BM25 retrieval / decontamination-by-retrieval -----------------------
 
 #: BM25 constants shared by the Spark operators and the oracles. Terms

@@ -12,6 +12,14 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from .registry import ORACLES, QUERIES, _register, _t  # noqa: F401
+
+# Direct `import hds_functions_spark.registry_extN` must see every
+# upstream ORACLES/QUERIES entry this module reads at import time:
+# pull the chain head, which registers all earlier ext modules before
+# this body continues. Via the normal chain import this resolves to
+# the already-in-progress module in sys.modules (PEP 328 circular
+# import), a no-op.
+from . import registry_ext  # noqa: E402,F401
 from .registry_ext3 import (
     _BM25_B,
     _BM25_K1,

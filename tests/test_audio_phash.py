@@ -193,3 +193,26 @@ def test_downmix_defeats_exact_tier_not_perceptual(spark):
         [(2, bytearray(b"not a wav"))], "doc_id long, payload binary"
     )
     assert bytes(audio_downmix(junk).first()["payload"]) == b"not a wav"
+
+
+def test_downmix_honors_custom_id_col(spark):
+    """A non-default id_col must come back under ITS name, not doc_id
+    (r14 fix: the output frame and schema hard-coded 'doc_id')."""
+    from hds_functions_spark.operators.multimodal import (
+        audio_downmix,
+        synthesize_media_payloads,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(2)
+    )
+    df = synthesize_media_payloads(docs, "wav_tones").withColumnRenamed(
+        "doc_id", "clip_id"
+    )
+    out = audio_downmix(df, id_col="clip_id")
+    assert out.columns == ["clip_id", "payload"]
+    assert {r["clip_id"] for r in out.collect()} == {
+        r["clip_id"] for r in df.select("clip_id").collect()
+    }
