@@ -47,7 +47,10 @@ from pyspark.sql.types import (
 __all__ = [
     "kmeans_fit",
     "kmeans_assign",
+    "choose_assign_method",
     "BULK_ASSIGN_SCALARS",
+    "TREE_CANDIDATE_SCALARS",
+    "TREE_FANOUT_MAX_FRAC",
     "build_tree_codebook",
     "kmeans_fit_assign",
     "cluster_near_pairs",
@@ -129,6 +132,34 @@ def _best_centroid(vec_col: str, centroids: list[list[float]]) -> Column:
 #: keeps the PLAN O(1) and ships the matrix as data. Crossover notes in
 #: SCALE.md ("large-k assignment").
 BULK_ASSIGN_SCALARS = 16_384
+
+#: Above this many centroid scalars (k * dim), ``method="auto"`` with an
+#: ``id_col`` PROBES the data's geometry before choosing between the
+#: broadcast projection and the tree equi-join. 2**20 scalars = an 8 MB
+#: double matrix: below it the broadcast scan is comfortably cheap and
+#: the probe would cost more than it could save; above it the r13 scale
+#: rows show the choice is geometry-dependent (SCALE.md "tree
+#: quantizer": hierarchical data 3.2x FOR tree, isotropic data 1.5x
+#: AGAINST — same k, same dim).
+TREE_CANDIDATE_SCALARS = 1 << 20
+
+#: Geometry verdict threshold: mean probed-cell fanout as a fraction of
+#: the codebook size, measured on a small vector sample. The tree path
+#: re-pays ~fanout/n_cells of the broadcast path's per-row scan PLUS an
+#: exchange, so it can only win when the bounds prune hard. Measured
+#: anchors (SCALE.md): hierarchical fanout frac ~0.16 -> tree wins 3.2x;
+#: isotropic ~0.997 -> tree loses 1.5x. 0.35 splits them with margin on
+#: both sides while charging the exchange its due.
+TREE_FANOUT_MAX_FRAC = 0.35
+
+#: Vectors sampled for the geometry probe — enough for a stable mean
+#: fanout (the verdict is a 0.16-vs-0.997 separation, not a fine read).
+_PROBE_SAMPLE = 256
+
+#: Bernoulli fraction for the probe's sample scan: pushed down as a
+#: per-partition coin flip, so with limit() the probe touches only the
+#: first few partitions at any corpus size.
+_PROBE_FRACTION = 0.05
 
 
 def _best_centroid_bulk(
@@ -383,6 +414,7 @@ def _tree_assign(
     dist_col: str | None,
     id_col: str,
     k_top: int | None,
+    codebook: tuple[list[dict], dict] | None = None,
 ) -> DataFrame:
     """Exact nearest-centroid assignment as a coarse-cell probe plus a
     centroid-side equi-join (see the section comment above). The
@@ -390,10 +422,12 @@ def _tree_assign(
     probed cells per vector, typically 1-2); the child-centroid frame
     is data-sized (k rows) and AQE broadcast-joins it whenever it
     fits. ``id_col`` must uniquely key rows — the argmin is a
-    combinable groupBy on it and the result re-attaches by it."""
+    combinable groupBy on it and the result re-attaches by it.
+    ``codebook`` reuses an already-built coarse codebook (the auto
+    dispatch's geometry probe builds one anyway)."""
     spark = df.sparkSession
     dim = len(centroids[0])
-    coarse, children = build_tree_codebook(centroids, k_top)
+    coarse, children = codebook or build_tree_codebook(centroids, k_top)
 
     cells_type = ArrayType(
         StructType(
@@ -600,6 +634,112 @@ def kmeans_fit(
     return centroids
 
 
+def _sampled_fanout_frac(
+    df: DataFrame,
+    coarse: list[dict],
+    vec_col: str,
+    dim: int,
+    n_sample: int = _PROBE_SAMPLE,
+) -> float:
+    """Mean probed-cell fanout of a small vector sample through the
+    coarse codebook, as a fraction of the codebook size — the
+    geometry signal behind the auto broadcast-vs-tree dispatch. The
+    driver replays the EXACT executor-side probe rule (same bounds,
+    same slack), so the measured fanout is the fanout the tree plan
+    would pay. One bounded Spark job: a pushed-down Bernoulli sample
+    with an early-stop limit, collecting <= ``n_sample`` vectors.
+    Returns 1.0 (probe everything -> broadcast) when the sample comes
+    back empty — the safe verdict."""
+    import math
+
+    rows = (
+        df.select(vec_col)
+        .filter(F.size(F.col(vec_col)) == dim)
+        .sample(fraction=_PROBE_FRACTION, seed=7)
+        .limit(n_sample)
+        .collect()
+    )
+    if not rows:
+        rows = (
+            df.select(vec_col)
+            .filter(F.size(F.col(vec_col)) == dim)
+            .limit(n_sample)
+            .collect()
+        )
+    if not rows or not coarse:
+        return 1.0
+
+    centres = [c["c"] for c in coarse]
+    rs = [c["r"] for c in coarse]
+    ms = [c["m"] for c in coarse]
+    up = 1.0 + _TREE_BOUND_SLACK
+    try:
+        import numpy as np
+
+        vecs = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+        cmat = np.asarray(centres, dtype=np.float64)
+        r_arr = np.asarray(rs)
+        m_arr = np.asarray(ms)
+        d2 = (
+            (vecs * vecs).sum(axis=1)[:, None]
+            + (cmat * cmat).sum(axis=1)[None, :]
+            - 2.0 * (vecs @ cmat.T)
+        )
+        bd = np.sqrt(np.maximum(d2, 0.0))
+        best = bd.argmin(axis=1)
+        thresh = (
+            bd[np.arange(len(vecs)), best] + m_arr[best]
+        ) * up + _TREE_BOUND_SLACK
+        fan = (bd - r_arr[None, :] <= thresh[:, None]).sum(axis=1)
+        return float(fan.mean()) / len(coarse)
+    except ImportError:  # pragma: no cover - numpy ships with pyspark
+        total = 0
+        for r in rows:
+            v = list(r[0])
+            bd = [
+                math.sqrt(sum((x - y) * (x - y) for x, y in zip(v, c)))
+                for c in centres
+            ]
+            b = min(range(len(bd)), key=lambda j: (bd[j], j))
+            thresh = (bd[b] + ms[b]) * up + _TREE_BOUND_SLACK
+            total += sum(1 for j, d in enumerate(bd) if d - rs[j] <= thresh)
+        return total / (len(rows) * len(coarse))
+
+
+def choose_assign_method(
+    df: DataFrame,
+    centroids: list[list[float]],
+    vec_col: str = "embedding",
+    id_col: str | None = None,
+    tree_fanout: int | None = None,
+) -> tuple[str, tuple[list[dict], dict] | None]:
+    """The ``method="auto"`` dispatch, exposed so the decision is
+    testable and reusable: returns ``(method, codebook)`` where
+    ``codebook`` is the coarse codebook the geometry probe built
+    (non-None only when the verdict is ``"tree"`` — pass it through so
+    the assignment does not rebuild it).
+
+    Ladder: codegen below :data:`BULK_ASSIGN_SCALARS` scalars;
+    broadcast above; above :data:`TREE_CANDIDATE_SCALARS` (and with an
+    ``id_col`` — the tree's re-attach key), a sampled fanout probe
+    measures whether the data's geometry lets the tree's
+    triangle-inequality bounds prune (SCALE.md r13: the SAME k=16384
+    codebook wins 3.2x on hierarchical data and LOSES 1.5x on
+    isotropic data — size alone cannot decide). Tree only when the
+    sampled mean fanout fraction stays under
+    :data:`TREE_FANOUT_MAX_FRAC`."""
+    dim = len(centroids[0])
+    scalars = len(centroids) * dim
+    if scalars <= BULK_ASSIGN_SCALARS:
+        return "codegen", None
+    if id_col is not None and scalars > TREE_CANDIDATE_SCALARS:
+        codebook = build_tree_codebook(centroids, tree_fanout)
+        frac = _sampled_fanout_frac(df, codebook[0], vec_col, dim)
+        if frac <= TREE_FANOUT_MAX_FRAC:
+            return "tree", codebook
+    return "broadcast", None
+
+
 def kmeans_assign(
     df: DataFrame,
     centroids: list[list[float]],
@@ -643,11 +783,22 @@ def kmeans_assign(
       count. Unlike the projection methods, the result's row ORDER is
       join-determined (same rows, same values).
     - ``"auto"``: codegen below ``BULK_ASSIGN_SCALARS`` scalars,
-      broadcast above (never tree — its join shape and id_col
-      requirement are an explicit opt-in)."""
+      broadcast above — and above ``TREE_CANDIDATE_SCALARS`` (with an
+      ``id_col``), a sampled GEOMETRY probe decides broadcast vs tree:
+      size alone cannot (the r13 scale rows show the same codebook
+      winning 3.2x on hierarchical data and losing 1.5x on isotropic —
+      SCALE.md "tree quantizer"). See :func:`choose_assign_method`;
+      without ``id_col`` the tree is unreachable and auto stays
+      broadcast. All verdicts return IDENTICAL values (row order is
+      join-determined on the tree path)."""
     dim = len(centroids[0])
     if method not in ("auto", "codegen", "bulk", "broadcast", "tree"):
         raise ValueError(f"unknown assignment method: {method!r}")
+    codebook = None
+    if method == "auto":
+        method, codebook = choose_assign_method(
+            df, centroids, vec_col, id_col, tree_fanout
+        )
     if method == "tree":
         if id_col is None:
             raise ValueError(
@@ -656,13 +807,7 @@ def kmeans_assign(
             )
         return _tree_assign(
             df, centroids, vec_col, cluster_col, dist_col, id_col,
-            tree_fanout,
-        )
-    if method == "auto":
-        method = (
-            "broadcast"
-            if len(centroids) * dim > BULK_ASSIGN_SCALARS
-            else "codegen"
+            tree_fanout, codebook,
         )
     well_formed = F.size(F.col(vec_col)) == dim
     if method == "broadcast":

@@ -336,3 +336,94 @@ def test_fit_broadcast_assignment_identity(spark):
     assert a == b
     with pytest.raises(ValueError, match="assign_method"):
         kmeans_fit(df, k=5, n_iter=1, dim=6, assign_method="nope")
+
+
+class TestAutoGeometryProbe:
+    """r14: method="auto" above TREE_CANDIDATE_SCALARS probes the data's
+    geometry — the r13 scale rows proved size alone cannot choose
+    (hierarchical data 3.2x FOR the tree, isotropic 1.5x AGAINST)."""
+
+    def _mk(self, spark, vecs):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id long, embedding array<double>",
+        )
+
+    def _isotropic(self):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        cents = rng.uniform(0.0, 1.0, size=(16400, 65))
+        data = rng.uniform(0.0, 1.0, size=(300, 65))
+        return cents.tolist(), data
+
+    def _hierarchical(self):
+        import numpy as np
+
+        rng = np.random.default_rng(7)
+        blobs = rng.uniform(0.0, 1.0, size=(128, 65)) * 200.0
+        idx = rng.integers(0, 128, size=16400)
+        cents = blobs[idx] + rng.normal(0.0, 0.05, size=(16400, 65))
+        data = blobs[rng.integers(0, 128, size=300)] + rng.normal(
+            0.0, 0.05, size=(300, 65)
+        )
+        return cents.tolist(), data
+
+    def test_small_k_stays_codegen(self, spark):
+        from hds_functions_spark.operators.clustering import (
+            choose_assign_method,
+        )
+
+        df = self._mk(spark, [[0.0, 0.0], [1.0, 1.0]])
+        method, cb = choose_assign_method(
+            df, [[0.0, 0.0], [5.0, 5.0]], id_col="vec_id"
+        )
+        assert method == "codegen" and cb is None
+
+    def test_isotropic_geometry_picks_broadcast(self, spark):
+        from hds_functions_spark.operators.clustering import (
+            choose_assign_method,
+        )
+
+        cents, data = self._isotropic()
+        method, cb = choose_assign_method(
+            self._mk(spark, data), cents, id_col="vec_id"
+        )
+        assert method == "broadcast" and cb is None
+
+    def test_hierarchical_geometry_picks_tree(self, spark):
+        from hds_functions_spark.operators.clustering import (
+            choose_assign_method,
+        )
+
+        cents, data = self._hierarchical()
+        method, cb = choose_assign_method(
+            self._mk(spark, data), cents, id_col="vec_id"
+        )
+        assert method == "tree" and cb is not None
+
+    def test_no_id_col_never_tree(self, spark):
+        from hds_functions_spark.operators.clustering import (
+            choose_assign_method,
+        )
+
+        cents, data = self._hierarchical()
+        method, cb = choose_assign_method(self._mk(spark, data), cents)
+        assert method == "broadcast" and cb is None
+
+    def test_auto_tree_identity_with_broadcast(self, spark):
+        """The probe changes COST only: auto's tree verdict must assign
+        bit-identically to the broadcast projection."""
+        from hds_functions_spark.operators.clustering import kmeans_assign
+
+        cents, data = self._hierarchical()
+        df = self._mk(spark, data[:60])
+        via_auto = {
+            r["vec_id"]: (r["cluster"], r["dist"])
+            for r in kmeans_assign(df, cents, id_col="vec_id").collect()
+        }
+        via_bcast = {
+            r["vec_id"]: (r["cluster"], r["dist"])
+            for r in kmeans_assign(df, cents, method="broadcast").collect()
+        }
+        assert via_auto == via_bcast
