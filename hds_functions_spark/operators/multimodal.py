@@ -86,6 +86,8 @@ __all__ = [
     "AUDIO_PHASH_SCHEMA",
     "audio_phash",
     "audio_downmix",
+    "IMAGE_SIGNATURE_SCHEMA",
+    "image_signatures",
 ]
 
 
@@ -970,6 +972,87 @@ def audio_phash(
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(process, AUDIO_PHASH_SCHEMA)
+
+
+#: One row per image: both dedup-tier keys from ONE decode — the exact
+#: tier's pixel md5 (container-independent: PPM/BMP/PNG of the same
+#: content hash identically) and the perceptual DCT hash, plus the
+#: content-audit fields (dims, pixel byte sum).
+IMAGE_SIGNATURE_SCHEMA = StructType(
+    [
+        StructField("img_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("pixel_sum", LongType()),
+        StructField("pixel_md5", StringType()),
+        StructField("phash_hi", LongType()),
+        StructField("phash_lo", LongType()),
+    ]
+)
+
+
+def image_signatures(
+    df: DataFrame,
+    id_col: str = "img_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Decode each image ONCE and emit every signature the curation
+    pipeline needs: the EXACT dedup key (md5 of the decoded top-down
+    RGB bytes — container-independent, so a PNG and a PPM of the same
+    pixels collapse; the image twin of the audio tier's pcm_md5), the
+    PERCEPTUAL DCT hash (:func:`media_codecs.phash64_from_pixels`),
+    and the content-audit fields (dims + exact pixel byte sum, the
+    decode-correctness checksum). Arrow-batched ``mapInPandas``, 1 row
+    in -> 1 row out, no shuffle; pixels never leave the stage — only
+    the fixed-width signatures do. Undecodable payloads yield null
+    signatures (fail closed)."""
+
+    def process(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from .media_codecs import image_pixel_data, phash64_from_pixels
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "width", "height", "pixel_sum", "pixel_md5",
+                "phash_hi", "phash_lo",
+            )}
+            for p in pdf[payload_col]:
+                parsed = image_pixel_data(p) if p is not None else None
+                if parsed is None:
+                    for k in rows:
+                        rows[k].append(None)
+                    continue
+                w, h, pixels = parsed
+                _, _, hi, lo = phash64_from_pixels(w, h, pixels)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["pixel_sum"].append(_byte_sum(pixels))
+                # dims are PART of exact identity: a 56x7 and an 8x49
+                # image can share the exact same RGB byte stream (equal
+                # pixel count, same content generator) while being
+                # different images — hashing bytes alone conflates them
+                # (found live at sf0.01)
+                rows["pixel_md5"].append(
+                    hashlib.md5(
+                        f"{w}x{h}|".encode("ascii") + pixels
+                    ).hexdigest()
+                )
+                rows["phash_hi"].append(hi)
+                rows["phash_lo"].append(lo)
+            yield pd.DataFrame({id_col: pdf[id_col], **rows}).astype(
+                {"width": "Int32", "height": "Int32",
+                 "pixel_sum": "Int64", "phash_hi": "Int64",
+                 "phash_lo": "Int64"}
+            )
+
+    # the id column keeps the CALLER's name (the audio_downmix id_col
+    # lesson, r14): rebuild the schema around it
+    schema = StructType(
+        [StructField(id_col, LongType())]
+        + list(IMAGE_SIGNATURE_SCHEMA.fields[1:])
+    )
+    return df.mapInPandas(process, schema)
 
 
 def audio_downmix(

@@ -745,63 +745,83 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: "freshness SLA"), so r14 MUST rotate them in first. Mitigation, on
 #: the record: the round-13 closing two-scale `compare_oracle --exact`
 #: sweeps cover EVERY registered query including those 9.
-#: ROUND-14 ROTATION GUIDANCE: the 9 leftover r08 rows + r14
-#: additions + any r13 reds at the head, then r09-vintage rows.
+#: ROUND-14 ROTATION (executing the r13 verdict's item 2): the 1 r14
+#: addition takes the head (never-checked queries MUST be inside the
+#: window — driver_coverage's hard gate), then the 4 queries the r14
+#: ntile->quantile-cut re-spell changed SEMANTICALLY (their r13/r09
+#: rows verified the OLD boundary-tie policy; the new plan + oracle
+#: must land fresh rows), then the 9 r08-vintage rows at the SLA-6
+#: boundary, then the alphabetically-first 36 of the 48 remaining
+#: r09-vintage rows (50-row backlog minus the 2 re-spelled ones
+#: already hoisted). 1 + 4 + 9 + 36 = 50; the 12 list-order-last r09
+#: rows (similarity_multiprobe_recall, similarity_pq_adc_knn,
+#: similarity_pq_codes, similarity_pq_recall,
+#: similarity_truncation_recall, streaming_hll_daily,
+#: streaming_nb_router, table_tombstone_delete, text_bpe_fertility,
+#: text_kn_trigram_logprob, text_novelty, text_novelty_incremental)
+#: wait for the r15 head — at r15 they are 6 rounds stale, exactly
+#: the SLA boundary, so r15 MUST rotate them in first. Mitigation, on
+#: the record: the round-14 closing two-scale `compare_oracle --exact`
+#: sweeps cover EVERY registered query including those 12.
+#: ROUND-15 ROTATION GUIDANCE: the 12 leftover r09 rows + r15
+#: additions + any r14 reds at the head, then r10-vintage rows.
 DRIVER_PRIORITY: list[str] = [
-    # round-13 additions (land driver rows the round they ship):
-    "multimodal_audio_phash",
-    "multimodal_audio_phash_dups",
-    "clustering_tree_assign",
+    # round-14 addition (lands a driver row the round it ships):
+    "pipeline_image_curation",
+    # r14 re-spell: ntile() -> broadcast quantile cuts (new tie policy,
+    # new plan, updated oracles — re-verify this round)
+    "pipeline_perplexity_buckets",
     "pipeline_web_curation",
-    # r06-vintage leftovers (the 5 past slot 50 at r12):
-    "text_vocab_build",
-    "text_zipf",
-    "wrangle_mad_outliers",
-    "wrangle_pivot",
-    "wrangle_unpivot",
-    # r08-vintage stale rows, alphabetical (41 of 50 fit; the 9 past
-    # slot 50 wait for r14 — see the rotation comment above):
-    "clean_strip_markup",
-    "cohort_filter",
-    "cohort_flowchart",
-    "config_csv_roundtrip",
-    "config_dict_map",
-    "config_json_map",
-    "date_instructions",
-    "dedup_incremental",
-    "dedup_winnowing",
-    "dedup_winnowing_incremental",
-    "events_attribution",
-    "events_markov_stationary",
-    "events_top_paths",
-    "fuzzy_canonical_entities",
-    "fuzzy_name_pairs",
-    "graph_pagerank",
-    "graph_pagerank_weighted",
-    "graph_triangles",
-    "layout_compaction_plan",
-    "multimodal_image_png",
-    "privacy_redact",
-    "privacy_round",
-    "privacy_t_closeness",
-    "quality_join_estimate",
-    "retrieval_bm25",
-    "retrieval_bm25_pruned",
-    "retrieval_decontam",
-    "similarity_random_projection",
-    "similarity_tfidf_topk",
-    "sketch_countmin_topk",
-    "sketch_histogram_quantiles",
-    "sketch_hll_distinct",
-    "sketch_kmv_distinct",
-    "sketch_theta_ops",
-    "split_leakage_safe",
-    "streaming_histogram",
-    "table_archive_roundtrip",
-    "table_archive_versions",
-    "table_rollup_merge",
-    "table_standardise_deaths",
-    "table_standardise_vaccine",
+    "pipeline_curriculum_order",
+    "classify_nb_calibration",
+    # r08-vintage stale rows (the 9 past slot 50 at r13 — SLA boundary):
+    "table_upsert_incremental",
+    "text_bpe_encode",
+    "text_bpe_train",
+    "topk_dense_rank",
+    "topk_global",
+    "topk_rank",
+    "topk_row_number",
+    "wrangle_clean_columns",
+    "wrangle_map_values",
+    # r09-vintage stale rows, alphabetical (36 of 48 fit; the 12 past
+    # slot 50 wait for r15 — see the rotation comment above):
+    "analytics_pricing_summary",
+    "classify_nb_confusion",
+    "classify_nb_model",
+    "classify_nb_predict",
+    "dedup_clusters_build",
+    "dedup_clusters_cc",
+    "dedup_embedding",
+    "dedup_exact",
+    "dedup_exact_spans",
+    "dedup_exact_spans_incremental",
+    "dedup_groups",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_soft_weights",
+    "dedup_source_matrix",
+    "dedup_span_removal",
+    "embedding_outlier_knn",
+    "embedding_pca_projection",
+    "embedding_pca_variance",
+    "events_asof_join",
+    "graph_communities_lpa",
+    "mixture_epoch_plan",
+    "pipeline_data_card",
+    "pipeline_dsir_curation",
+    "pipeline_exact_dedup_prep",
+    "pipeline_mixture_curation",
+    "privacy_dp_counts",
+    "quality_bootstrap_ci",
+    "quality_gopher_rules",
+    "retrieval_mrr_audit",
+    "sample_epoch_expand",
+    "select_context_gain",
+    "select_dsir_topk",
+    "select_dsir_weights",
+    "similarity_lsh_multiprobe",
 ]
 
 

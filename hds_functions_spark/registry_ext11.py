@@ -607,3 +607,6 @@ def multimodal_audio_phash_dups(spark, sf_dir):
         )
         .filter(F.col("n_clips") > 1)
     )
+
+
+from . import registry_ext12  # noqa: E402,F401  (round-14 registrations)

@@ -1065,3 +1065,93 @@ def test_audio_signatures_and_dedup_grouping(spark):
         "doc_id long, payload binary",
     )
     assert audio_signatures(corrupt).count() == 0
+
+
+class TestImageSignatures:
+    """r14: the single-decode signature row behind pipeline_image_curation."""
+
+    def test_cross_container_exact_identity(self, spark):
+        """PNG and PPM of the same seed decode to the same pixels: the
+        exact key (pixel_md5) and the perceptual hash must match; the
+        JPEG of the same seed is different content."""
+        from hds_functions_spark.operators.multimodal import (
+            image_signatures,
+            synthesize_media_payloads,
+        )
+
+        docs = (
+            spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text")
+            .limit(3)
+        )
+        out = {}
+        for kind in ("png", "ppm", "jpeg"):
+            sig = image_signatures(
+                synthesize_media_payloads(docs, kind).withColumnRenamed(
+                    "doc_id", "img_id"
+                )
+            )
+            out[kind] = {
+                r["img_id"]: (r["pixel_md5"], r["phash_hi"], r["phash_lo"])
+                for r in sig.collect()
+            }
+        assert out["png"] == out["ppm"]
+        for k in out["jpeg"]:
+            assert out["jpeg"][k][0] != out["png"][k][0]
+
+    def test_dims_are_part_of_exact_identity(self, spark):
+        """A 2x3 and a 3x2 image with the SAME raw RGB byte stream are
+        different images: pixel_md5 must differ (the sf0.01 ramp
+        collision this field's dims prefix exists for)."""
+        from hds_functions_spark.operators.multimodal import image_signatures
+
+        body = bytes(range(18))
+        a = b"P6\n2 3\n255\n" + body
+        b = b"P6\n3 2\n255\n" + body
+        df = spark.createDataFrame(
+            [(1, bytearray(a)), (2, bytearray(b))],
+            "img_id long, payload binary",
+        )
+        rows = {r["img_id"]: r for r in image_signatures(df).collect()}
+        assert rows[1]["pixel_sum"] == rows[2]["pixel_sum"]
+        assert rows[1]["pixel_md5"] != rows[2]["pixel_md5"]
+
+    def test_custom_id_col_and_null_payload(self, spark):
+        from hds_functions_spark.operators.multimodal import image_signatures
+
+        df = spark.createDataFrame(
+            [(7, None)], "clip long, payload binary"
+        )
+        out = image_signatures(df, id_col="clip")
+        assert out.columns[0] == "clip"
+        [row] = out.collect()
+        assert row["clip"] == 7 and row["pixel_md5"] is None
+
+
+def test_image_curation_tiers_consistent(spark):
+    """pipeline_image_curation: tier counts partition the corpus, and
+    every protocol re-encode lands in the exact-dup tier (its base
+    always carries the smaller img_id)."""
+    import hds_functions_spark.registry_ext  # noqa: F401
+    from hds_functions_spark.registry import QUERIES
+    from hds_functions_spark.registry_ext12 import (
+        _IC_CONTAINER_MOD,
+        _IC_REENC_MOD,
+    )
+
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    card = QUERIES["pipeline_image_curation"](spark, sf).toPandas()
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    n_docs = docs.count()
+    n_reenc = docs.filter(
+        (F.col("doc_id") % _IC_CONTAINER_MOD != 1)
+        & (F.col("doc_id") % _IC_REENC_MOD == 2)
+    ).count()
+    assert int(card["n_images"].sum()) == n_docs + n_reenc
+    assert (
+        card["n_exact_dups"] + card["n_phash_dups"] + card["n_curated"]
+    ).equals(card["n_images"])
+    assert int(card["n_exact_dups"].sum()) >= n_reenc
+    assert int(card["n_phash_dups"].sum()) > 0
