@@ -732,7 +732,10 @@ def choose_assign_method(
     scalars = len(centroids) * dim
     if scalars <= BULK_ASSIGN_SCALARS:
         return "codegen", None
-    if id_col is not None and scalars > TREE_CANDIDATE_SCALARS:
+    # >= — the measured tree-win regime (k=16384 x dim 64, SCALE.md) is
+    # EXACTLY 2^20 scalars; a strict > silently skipped the probe there
+    # (caught by tools/scaleup_r14.py part C)
+    if id_col is not None and scalars >= TREE_CANDIDATE_SCALARS:
         codebook = build_tree_codebook(centroids, tree_fanout)
         frac = _sampled_fanout_frac(df, codebook[0], vec_col, dim)
         if frac <= TREE_FANOUT_MAX_FRAC:
