@@ -745,29 +745,30 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: "freshness SLA"), so r14 MUST rotate them in first. Mitigation, on
 #: the record: the round-13 closing two-scale `compare_oracle --exact`
 #: sweeps cover EVERY registered query including those 9.
-#: ROUND-14 ROTATION (executing the r13 verdict's item 2): the 1 r14
-#: addition takes the head (never-checked queries MUST be inside the
+#: ROUND-14 ROTATION (executing the r13 verdict's item 2): the 2 r14
+#: additions take the head (never-checked queries MUST be inside the
 #: window — driver_coverage's hard gate), then the 4 queries the r14
 #: ntile->quantile-cut re-spell changed SEMANTICALLY (their r13/r09
 #: rows verified the OLD boundary-tie policy; the new plan + oracle
 #: must land fresh rows), then the 9 r08-vintage rows at the SLA-6
-#: boundary, then the alphabetically-first 36 of the 48 remaining
+#: boundary, then the alphabetically-first 35 of the 48 remaining
 #: r09-vintage rows (50-row backlog minus the 2 re-spelled ones
-#: already hoisted). 1 + 4 + 9 + 36 = 50; the 12 list-order-last r09
-#: rows (similarity_multiprobe_recall, similarity_pq_adc_knn,
-#: similarity_pq_codes, similarity_pq_recall,
+#: already hoisted). 2 + 4 + 9 + 35 = 50; the 13 list-order-last r09
+#: rows (similarity_lsh_multiprobe, similarity_multiprobe_recall,
+#: similarity_pq_adc_knn, similarity_pq_codes, similarity_pq_recall,
 #: similarity_truncation_recall, streaming_hll_daily,
 #: streaming_nb_router, table_tombstone_delete, text_bpe_fertility,
 #: text_kn_trigram_logprob, text_novelty, text_novelty_incremental)
 #: wait for the r15 head — at r15 they are 6 rounds stale, exactly
 #: the SLA boundary, so r15 MUST rotate them in first. Mitigation, on
 #: the record: the round-14 closing two-scale `compare_oracle --exact`
-#: sweeps cover EVERY registered query including those 12.
-#: ROUND-15 ROTATION GUIDANCE: the 12 leftover r09 rows + r15
+#: sweeps cover EVERY registered query including those 13.
+#: ROUND-15 ROTATION GUIDANCE: the 13 leftover r09 rows + r15
 #: additions + any r14 reds at the head, then r10-vintage rows.
 DRIVER_PRIORITY: list[str] = [
-    # round-14 addition (lands a driver row the round it ships):
+    # round-14 additions (land driver rows the round they ship):
     "pipeline_image_curation",
+    "multimodal_image_dedup_incremental",
     # r14 re-spell: ntile() -> broadcast quantile cuts (new tie policy,
     # new plan, updated oracles — re-verify this round)
     "pipeline_perplexity_buckets",
@@ -821,7 +822,6 @@ DRIVER_PRIORITY: list[str] = [
     "select_context_gain",
     "select_dsir_topk",
     "select_dsir_weights",
-    "similarity_lsh_multiprobe",
 ]
 
 

@@ -16,6 +16,13 @@ the synthesis protocols (the ramp and DC-exact-block pixel patterns
 are both SQL-computable, and the fixed-point DCT table is embedded
 verbatim), so drift anywhere in the decode -> signature -> tiering
 chain breaks the match.
+
+**multimodal_image_dedup_incremental** — the continuous-ingest twin of
+the pipeline's two dedup tiers (the operational shape every other
+dedup family already carries): a nightly image batch probes a STANDING
+signature index by exact key then canonical phash, never re-decoding
+or re-deduping the standing corpus; the oracle composes the SAME sig
+CTE builder with standing-first tiering.
 """
 
 from __future__ import annotations
@@ -45,9 +52,12 @@ _IC_CONTAINER_MOD = 3
 _IC_REENC_MOD = 5
 
 
-def _duck_image_curation_sql() -> str:
-    """Closed-form oracle for the whole pipeline. Pixel content is a
-    pure function of the synthesis protocol, so the exact tier's
+def _duck_image_sig_ctes() -> str:
+    """The shared CTE chain ``docs -> imgs -> ... -> sig`` replaying
+    every per-image signature closed-form — composed by BOTH the
+    curation pipeline's oracle and the incremental (continuous-ingest)
+    twin's, so the two cannot drift. Pixel content is a pure function
+    of the synthesis protocol, so the exact tier's
     md5-of-decoded-pixels groups equal the protocol's (family, w, h,
     d3) classes (within a family the first pixel byte and the dims
     recover the parameters — injective; across families ramp bytes
@@ -92,7 +102,7 @@ CASE WHEN d3 + (w // 8) * (h // 8) <= 256
             * ((w // 8) * (h // 8) + d3 - 257) // 2
 END)"""
     return f"""
-WITH docs AS (
+docs AS (
   SELECT doc_id, text, source, doc_id % {_IC_CONTAINER_MOD} AS cmod
   FROM documents
 ), imgs AS (
@@ -156,7 +166,14 @@ WITH docs AS (
   SELECT s.img_id, s.source, s.w, s.h, s.exact_key, s.pixel_sum,
          ph.phash_hi, ph.phash_lo
   FROM sigbase s JOIN ph USING (img_id)
-), ex AS (
+)"""
+
+
+def _duck_image_curation_sql() -> str:
+    """Tiering + per-source card over :func:`_duck_image_sig_ctes`."""
+    return f"""
+WITH {_duck_image_sig_ctes()},
+ex AS (
   SELECT exact_key, min(img_id) AS exact_canon FROM sig GROUP BY 1
 ), s2 AS (
   SELECT sig.*, ex.exact_canon FROM sig JOIN ex USING (exact_key)
@@ -209,28 +226,9 @@ def pipeline_image_curation(spark, sf_dir):
     one map-side-combinable groupBy (md5 key, then the two phash
     longs) plus a signature-sized equi-join back; no windows, no
     pairwise comparison, no driver round-trip anywhere."""
-    from .operators.multimodal import (
-        image_signatures,
-        synthesize_media_payloads,
-    )
+    from .operators.multimodal import image_signatures
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
-    cmod = F.col("doc_id") % _IC_CONTAINER_MOD
-
-    def synth(frame, kind, variant):
-        return synthesize_media_payloads(frame, kind).select(
-            (F.col("doc_id") * 2 + F.lit(variant)).alias("img_id"),
-            "payload",
-        )
-
-    reenc = (F.col("doc_id") % _IC_REENC_MOD) == 2
-    corpus = (
-        synth(docs.filter(cmod == 0), "png", 0)
-        .unionByName(synth(docs.filter(cmod == 1), "jpeg", 0))
-        .unionByName(synth(docs.filter(cmod == 2), "ppm", 0))
-        .unionByName(synth(docs.filter((cmod == 0) & reenc), "ppm", 1))
-        .unionByName(synth(docs.filter((cmod == 2) & reenc), "png", 1))
-    )
+    docs, corpus = _image_corpus(spark, sf_dir)
     sig = image_signatures(corpus).filter(F.col("pixel_md5").isNotNull())
     ex = sig.groupBy("pixel_md5").agg(F.min("img_id").alias("exact_canon"))
     s2 = sig.join(ex, on="pixel_md5")
@@ -275,3 +273,189 @@ def pipeline_image_curation(spark, sf_dir):
 
 
 ORACLES["pipeline_image_curation"] = _duck_image_curation_sql()
+
+
+# --- incremental (continuous-ingest) image dedup -----------------------------
+
+#: batch selector: images with img_id % 13 < 2 are "newly ingested"
+#: (the spans/minhash/novelty incremental convention at IMAGE rather
+#: than doc granularity, widened to a 2-residue window — deliberately:
+#: a doc-level selector keeps every re-encode in the same batch as its
+#: base and the standing-probe leg is protocol-unreachable, while a
+#: single-residue image selector can never catch BOTH members of a
+#: consecutive-img_id pair and the batch-internal leg is unreachable;
+#: residues {0,1} make pairs straddle when the base lands on residue 1
+#: (exact-vs-standing fires) and fall inside when it lands on residue
+#: 0 (exact-in-batch fires) — every verdict class is exercised)
+_ICI_BATCH_MOD = 13
+_ICI_BATCH_RESIDUES = 2
+
+
+def _duck_image_incremental_sql() -> str:
+    """The nightly-ingest report, closed-form over the SAME sig CTEs as
+    the curation oracle (shared builder — the two cannot drift): batch
+    images probe the standing index's exact keys, then the standing
+    CANONICAL phash set, then dedup among themselves. Verdicts are
+    defined standing-first (a standing match wins regardless of ids),
+    so the semantics are those of an immutable persisted index."""
+    return f"""
+WITH {_duck_image_sig_ctes()},
+b AS (SELECT * FROM sig WHERE img_id % {_ICI_BATCH_MOD} < {_ICI_BATCH_RESIDUES}),
+st AS (SELECT * FROM sig WHERE img_id % {_ICI_BATCH_MOD} >= {_ICI_BATCH_RESIDUES}),
+stk AS (SELECT DISTINCT exact_key FROM st),
+stc AS (SELECT exact_key, min(img_id) AS c FROM st GROUP BY 1),
+stph AS (
+  SELECT DISTINCT s.phash_hi, s.phash_lo
+  FROM st s JOIN stc ON s.exact_key = stc.exact_key AND s.img_id = stc.c),
+bex AS (SELECT exact_key, min(img_id) AS bc FROM b GROUP BY 1),
+bj AS (
+  SELECT b.*, (stk.exact_key IS NOT NULL) AS hit_sk, bex.bc
+  FROM b LEFT JOIN stk USING (exact_key) JOIN bex USING (exact_key)),
+bphmin AS (
+  SELECT phash_hi, phash_lo, min(img_id) AS pc
+  FROM bj WHERE NOT hit_sk AND img_id = bc GROUP BY 1, 2),
+verd AS (
+  SELECT bj.source,
+         CASE WHEN bj.hit_sk THEN 'exact_dup_standing'
+              WHEN bj.img_id <> bj.bc THEN 'exact_dup_batch'
+              WHEN stph.phash_hi IS NOT NULL THEN 'phash_dup'
+              WHEN bj.img_id <> bphmin.pc THEN 'phash_dup'
+              ELSE 'novel' END AS verdict
+  FROM bj
+  LEFT JOIN stph
+    ON bj.phash_hi = stph.phash_hi AND bj.phash_lo = stph.phash_lo
+  LEFT JOIN bphmin
+    ON bj.phash_hi = bphmin.phash_hi AND bj.phash_lo = bphmin.phash_lo)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_batch_images,
+       CAST(sum(CASE WHEN verdict = 'exact_dup_standing' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_exact_dup_standing,
+       CAST(sum(CASE WHEN verdict = 'exact_dup_batch' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_exact_dup_batch,
+       CAST(sum(CASE WHEN verdict = 'phash_dup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_phash_dup,
+       CAST(sum(CASE WHEN verdict = 'novel' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel
+FROM verd GROUP BY 1
+"""
+
+
+def _image_corpus(spark, sf_dir):
+    """The mixed-container image corpus the curation pipeline defines
+    (base container by doc_id % 3, png<->ppm re-encodes), shared by the
+    full pipeline and the incremental twin."""
+    from .operators.multimodal import synthesize_media_payloads
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    cmod = F.col("doc_id") % _IC_CONTAINER_MOD
+
+    def synth(frame, kind, variant):
+        return synthesize_media_payloads(frame, kind).select(
+            (F.col("doc_id") * 2 + F.lit(variant)).alias("img_id"),
+            "payload",
+        )
+
+    reenc = (F.col("doc_id") % _IC_REENC_MOD) == 2
+    corpus = (
+        synth(docs.filter(cmod == 0), "png", 0)
+        .unionByName(synth(docs.filter(cmod == 1), "jpeg", 0))
+        .unionByName(synth(docs.filter(cmod == 2), "ppm", 0))
+        .unionByName(synth(docs.filter((cmod == 0) & reenc), "ppm", 1))
+        .unionByName(synth(docs.filter((cmod == 2) & reenc), "png", 1))
+    )
+    return docs, corpus
+
+
+@_register("multimodal_image_dedup_incremental", None)  # oracle below
+def multimodal_image_dedup_incremental(spark, sf_dir):
+    """Continuous-ingest image dedup — the incremental twin of
+    pipeline_image_curation's two dedup tiers (the same operational
+    shape as the spans/minhash/winnowing/bloom incrementals): a
+    nightly batch of new images (img_id % 13 < 2 plays the delta)
+    probes a STANDING signature index instead of re-deduping the
+    corpus. Exact tier = one equi-join of batch pixel-md5 keys against
+    the index's key set; perceptual tier = one equi-join of surviving
+    batch canonicals' phash against the index's CANONICAL phash set;
+    batch-internal dedup is one combinable groupBy per tier. Standing
+    matches win regardless of ids (an immutable persisted index's
+    semantics). Output: the per-source ingest report (exact-vs-standing
+    / exact-in-batch / perceptual / novel).
+
+    At 100 TB the standing index is signatures persisted once
+    (~60 B/image) — each night's work is batch-decode + key-sized
+    joins; standing pixels are NEVER re-decoded and standing x standing
+    work is never repeated (here the index is rebuilt in-query because
+    the registry gate needs a self-contained plan; the probe shape is
+    the claim). Oracle: the SAME sig CTE builder as the pipeline's,
+    with the tiering re-spelled for the standing-first semantics."""
+    from .operators.multimodal import image_signatures
+
+    docs, corpus = _image_corpus(spark, sf_dir)
+    sig = image_signatures(corpus).filter(F.col("pixel_md5").isNotNull())
+    is_batch = F.col("img_id") % _ICI_BATCH_MOD < _ICI_BATCH_RESIDUES
+    batch = sig.filter(is_batch)
+    standing = sig.filter(~is_batch)
+
+    # the standing INDEX: distinct exact keys + canonical phash set
+    st_keys = standing.select("pixel_md5").distinct()
+    st_canon = standing.groupBy("pixel_md5").agg(
+        F.min("img_id").alias("_c")
+    )
+    st_ph = (
+        standing.join(st_canon, on="pixel_md5")
+        .filter(F.col("img_id") == F.col("_c"))
+        .select("phash_hi", "phash_lo")
+        .distinct()
+    )
+
+    bex = batch.groupBy("pixel_md5").agg(F.min("img_id").alias("_bc"))
+    bj = (
+        batch.join(
+            st_keys.withColumn("_hit_sk", F.lit(True)),
+            on="pixel_md5",
+            how="left",
+        )
+        .join(bex, on="pixel_md5")
+        .withColumn("_hit_sk", F.coalesce(F.col("_hit_sk"), F.lit(False)))
+    )
+    bphmin = (
+        bj.filter(~F.col("_hit_sk") & (F.col("img_id") == F.col("_bc")))
+        .groupBy("phash_hi", "phash_lo")
+        .agg(F.min("img_id").alias("_pc"))
+    )
+    verdict = (
+        F.when(F.col("_hit_sk"), F.lit("exact_dup_standing"))
+        .when(F.col("img_id") != F.col("_bc"), F.lit("exact_dup_batch"))
+        .when(F.col("_hit_ph"), F.lit("phash_dup"))
+        .when(F.col("img_id") != F.col("_pc"), F.lit("phash_dup"))
+        .otherwise(F.lit("novel"))
+    )
+    tiered = (
+        bj.join(
+            st_ph.withColumn("_hit_ph", F.lit(True)),
+            on=["phash_hi", "phash_lo"],
+            how="left",
+        )
+        .join(bphmin, on=["phash_hi", "phash_lo"], how="left")
+        .withColumn("_hit_ph", F.coalesce(F.col("_hit_ph"), F.lit(False)))
+        .withColumn("verdict", verdict)
+        .withColumn("doc_id", F.shiftright(F.col("img_id"), 1))
+    )
+
+    def n_of(v):
+        return F.sum((F.col("verdict") == v).cast("long"))
+
+    return (
+        tiered.join(docs.select("doc_id", "source"), on="doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_batch_images"),
+            n_of("exact_dup_standing").alias("n_exact_dup_standing"),
+            n_of("exact_dup_batch").alias("n_exact_dup_batch"),
+            n_of("phash_dup").alias("n_phash_dup"),
+            n_of("novel").alias("n_novel"),
+        )
+    )
+
+
+ORACLES["multimodal_image_dedup_incremental"] = _duck_image_incremental_sql()

@@ -1155,3 +1155,26 @@ def test_image_curation_tiers_consistent(spark):
     ).equals(card["n_images"])
     assert int(card["n_exact_dups"].sum()) >= n_reenc
     assert int(card["n_phash_dups"].sum()) > 0
+
+
+def test_image_dedup_incremental_legs_and_consistency(spark):
+    """The continuous-ingest twin: every verdict class must be reachable
+    under the protocol (the batch selector was widened to 2 residues
+    precisely so base/re-encode pairs both straddle and fall inside the
+    batch), and the verdict counts partition the batch."""
+    import hds_functions_spark.registry_ext  # noqa: F401
+    from hds_functions_spark.registry import QUERIES
+
+    card = QUERIES["multimodal_image_dedup_incremental"](
+        spark, "/root/testdata/sf0.01"
+    ).toPandas()
+    assert (
+        card["n_exact_dup_standing"]
+        + card["n_exact_dup_batch"]
+        + card["n_phash_dup"]
+        + card["n_novel"]
+    ).equals(card["n_batch_images"])
+    assert int(card["n_exact_dup_standing"].sum()) > 0
+    assert int(card["n_exact_dup_batch"].sum()) > 0
+    assert int(card["n_phash_dup"].sum()) > 0
+    assert int(card["n_novel"].sum()) > 0
