@@ -226,10 +226,17 @@ def pipeline_image_curation(spark, sf_dir):
     one map-side-combinable groupBy (md5 key, then the two phash
     longs) plus a signature-sized equi-join back; no windows, no
     pairwise comparison, no driver round-trip anywhere."""
+    from .caching import tracked_persist
     from .operators.multimodal import image_signatures
 
     docs, corpus = _image_corpus(spark, sf_dir)
-    sig = image_signatures(corpus).filter(F.col("pixel_md5").isNotNull())
+    # persist the signature frame: it feeds BOTH tier aggregates and the
+    # verdict join, and without the persist each branch re-executes the
+    # synthesize+decode chain (measured: 21 file scans in the executed
+    # plan — at corpus scale that re-decodes every image per branch)
+    sig = tracked_persist(
+        image_signatures(corpus).filter(F.col("pixel_md5").isNotNull())
+    )
     ex = sig.groupBy("pixel_md5").agg(F.min("img_id").alias("exact_canon"))
     s2 = sig.join(ex, on="pixel_md5")
     pm = (
@@ -388,10 +395,16 @@ def multimodal_image_dedup_incremental(spark, sf_dir):
     the registry gate needs a self-contained plan; the probe shape is
     the claim). Oracle: the SAME sig CTE builder as the pipeline's,
     with the tiering re-spelled for the standing-first semantics."""
+    from .caching import tracked_persist
     from .operators.multimodal import image_signatures
 
     docs, corpus = _image_corpus(spark, sf_dir)
-    sig = image_signatures(corpus).filter(F.col("pixel_md5").isNotNull())
+    # persist: the index legs (keys, canonicals, canonical phashes) and
+    # the batch probes all branch off this one decode (measured: 41
+    # file scans without it — the decode re-ran per branch)
+    sig = tracked_persist(
+        image_signatures(corpus).filter(F.col("pixel_md5").isNotNull())
+    )
     is_batch = F.col("img_id") % _ICI_BATCH_MOD < _ICI_BATCH_RESIDUES
     batch = sig.filter(is_batch)
     standing = sig.filter(~is_batch)

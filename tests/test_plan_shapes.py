@@ -466,3 +466,27 @@ def test_no_corpus_cardinality_ntile_window(spark, qname):
             f"{qname} plans a Window with an EMPTY partitionSpec — "
             "every row through one task"
         )
+
+
+@pytest.mark.parametrize(
+    "qname",
+    ["pipeline_image_curation", "multimodal_image_dedup_incremental"],
+)
+def test_image_pipelines_never_shuffle_pixels(spark, qname):
+    """The image pipelines' load-bearing plan claim: decoded pixels (and
+    raw payloads) never leave the decode stage — every Exchange carries
+    only fixed-width signatures. A payload column in any Exchange's
+    output schema is the O(corpus-bytes) shuffle these plans exist to
+    avoid."""
+    import hds_functions_spark.registry_ext  # noqa: F401
+    from hds_functions_spark.registry import QUERIES
+
+    plan = (
+        QUERIES[qname](spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "payload#" not in line, line
