@@ -48,6 +48,7 @@ from .operators.dedup import (
     simhash_pairs,
 )
 from .operators.clustering import (
+    choose_assign_method,
     cluster_near_pairs,
     kmeans_assign,
     kmeans_fit,
@@ -150,6 +151,7 @@ from .operators.multimodal import (
     attach_binary_payload,
     decode_image_features,
     image_ahash,
+    image_signatures,
     sample_video_frames,
     synthesize_media_payloads,
 )
