@@ -151,6 +151,7 @@ from .operators.multimodal import (
     attach_binary_payload,
     decode_image_features,
     image_ahash,
+    image_ingest_verdicts,
     image_signatures,
     sample_video_frames,
     synthesize_media_payloads,

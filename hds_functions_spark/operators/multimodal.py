@@ -88,6 +88,7 @@ __all__ = [
     "audio_downmix",
     "IMAGE_SIGNATURE_SCHEMA",
     "image_signatures",
+    "image_ingest_verdicts",
 ]
 
 
@@ -1053,6 +1054,80 @@ def image_signatures(
         + list(IMAGE_SIGNATURE_SCHEMA.fields[1:])
     )
     return df.mapInPandas(process, schema)
+
+
+def image_ingest_verdicts(
+    batch_sig: DataFrame,
+    standing_sig: DataFrame,
+    id_col: str = "img_id",
+) -> DataFrame:
+    """Two-tier ingest verdicts for a BATCH of new image signatures
+    probed against a STANDING signature index — the continuous-ingest
+    image dedup core (the spans/minhash/bloom incremental shape).
+
+    Both inputs are :func:`image_signatures` frames (``id_col``,
+    ``pixel_md5``, ``phash_hi``, ``phash_lo``, ...); ``standing_sig``
+    is typically LOADED from a persisted signature table, so each
+    night's work is batch-decode plus key-sized joins — standing
+    pixels are never re-decoded and standing x standing work is never
+    repeated (pinned by a persisted-roundtrip identity test). Returns
+    ``batch_sig``'s columns plus ``verdict``:
+
+    - ``exact_dup_standing`` — the exact key exists in the index
+      (standing-first: wins regardless of ids);
+    - ``exact_dup_batch`` — a batch-internal exact twin with a smaller
+      id exists;
+    - ``phash_dup`` — the batch exact-canonical's perceptual hash
+      matches a standing CANONICAL's, or a smaller batch canonical's;
+    - ``novel`` — none of the above.
+
+    Plan shape: the index legs (distinct keys, canonical phash set)
+    are combinable aggregates over the index frame; every probe is an
+    equi-join on a 32-char key or two longs; batch-internal dedup is
+    one combinable groupBy per tier. No windows, no pairwise work."""
+    st_keys = standing_sig.select("pixel_md5").distinct()
+    st_canon = standing_sig.groupBy("pixel_md5").agg(
+        F.min(id_col).alias("_c")
+    )
+    st_ph = (
+        standing_sig.join(st_canon, on="pixel_md5")
+        .filter(F.col(id_col) == F.col("_c"))
+        .select("phash_hi", "phash_lo")
+        .distinct()
+    )
+    bex = batch_sig.groupBy("pixel_md5").agg(F.min(id_col).alias("_bc"))
+    bj = (
+        batch_sig.join(
+            st_keys.withColumn("_hit_sk", F.lit(True)),
+            on="pixel_md5",
+            how="left",
+        )
+        .join(bex, on="pixel_md5")
+        .withColumn("_hit_sk", F.coalesce(F.col("_hit_sk"), F.lit(False)))
+    )
+    bphmin = (
+        bj.filter(~F.col("_hit_sk") & (F.col(id_col) == F.col("_bc")))
+        .groupBy("phash_hi", "phash_lo")
+        .agg(F.min(id_col).alias("_pc"))
+    )
+    verdict = (
+        F.when(F.col("_hit_sk"), F.lit("exact_dup_standing"))
+        .when(F.col(id_col) != F.col("_bc"), F.lit("exact_dup_batch"))
+        .when(F.col("_hit_ph"), F.lit("phash_dup"))
+        .when(F.col(id_col) != F.col("_pc"), F.lit("phash_dup"))
+        .otherwise(F.lit("novel"))
+    )
+    return (
+        bj.join(
+            st_ph.withColumn("_hit_ph", F.lit(True)),
+            on=["phash_hi", "phash_lo"],
+            how="left",
+        )
+        .join(bphmin, on=["phash_hi", "phash_lo"], how="left")
+        .withColumn("_hit_ph", F.coalesce(F.col("_hit_ph"), F.lit(False)))
+        .withColumn("verdict", verdict)
+        .drop("_hit_sk", "_hit_ph", "_bc", "_pc")
+    )
 
 
 def audio_downmix(

@@ -396,7 +396,7 @@ def multimodal_image_dedup_incremental(spark, sf_dir):
     the claim). Oracle: the SAME sig CTE builder as the pipeline's,
     with the tiering re-spelled for the standing-first semantics."""
     from .caching import tracked_persist
-    from .operators.multimodal import image_signatures
+    from .operators.multimodal import image_ingest_verdicts, image_signatures
 
     docs, corpus = _image_corpus(spark, sf_dir)
     # persist: the index legs (keys, canonicals, canonical phashes) and
@@ -406,54 +406,9 @@ def multimodal_image_dedup_incremental(spark, sf_dir):
         image_signatures(corpus).filter(F.col("pixel_md5").isNotNull())
     )
     is_batch = F.col("img_id") % _ICI_BATCH_MOD < _ICI_BATCH_RESIDUES
-    batch = sig.filter(is_batch)
-    standing = sig.filter(~is_batch)
-
-    # the standing INDEX: distinct exact keys + canonical phash set
-    st_keys = standing.select("pixel_md5").distinct()
-    st_canon = standing.groupBy("pixel_md5").agg(
-        F.min("img_id").alias("_c")
-    )
-    st_ph = (
-        standing.join(st_canon, on="pixel_md5")
-        .filter(F.col("img_id") == F.col("_c"))
-        .select("phash_hi", "phash_lo")
-        .distinct()
-    )
-
-    bex = batch.groupBy("pixel_md5").agg(F.min("img_id").alias("_bc"))
-    bj = (
-        batch.join(
-            st_keys.withColumn("_hit_sk", F.lit(True)),
-            on="pixel_md5",
-            how="left",
-        )
-        .join(bex, on="pixel_md5")
-        .withColumn("_hit_sk", F.coalesce(F.col("_hit_sk"), F.lit(False)))
-    )
-    bphmin = (
-        bj.filter(~F.col("_hit_sk") & (F.col("img_id") == F.col("_bc")))
-        .groupBy("phash_hi", "phash_lo")
-        .agg(F.min("img_id").alias("_pc"))
-    )
-    verdict = (
-        F.when(F.col("_hit_sk"), F.lit("exact_dup_standing"))
-        .when(F.col("img_id") != F.col("_bc"), F.lit("exact_dup_batch"))
-        .when(F.col("_hit_ph"), F.lit("phash_dup"))
-        .when(F.col("img_id") != F.col("_pc"), F.lit("phash_dup"))
-        .otherwise(F.lit("novel"))
-    )
-    tiered = (
-        bj.join(
-            st_ph.withColumn("_hit_ph", F.lit(True)),
-            on=["phash_hi", "phash_lo"],
-            how="left",
-        )
-        .join(bphmin, on=["phash_hi", "phash_lo"], how="left")
-        .withColumn("_hit_ph", F.coalesce(F.col("_hit_ph"), F.lit(False)))
-        .withColumn("verdict", verdict)
-        .withColumn("doc_id", F.shiftright(F.col("img_id"), 1))
-    )
+    tiered = image_ingest_verdicts(
+        sig.filter(is_batch), sig.filter(~is_batch)
+    ).withColumn("doc_id", F.shiftright(F.col("img_id"), 1))
 
     def n_of(v):
         return F.sum((F.col("verdict") == v).cast("long"))

@@ -1178,3 +1178,42 @@ def test_image_dedup_incremental_legs_and_consistency(spark):
     assert int(card["n_exact_dup_batch"].sum()) > 0
     assert int(card["n_phash_dup"].sum()) > 0
     assert int(card["n_novel"].sum()) > 0
+
+
+def test_image_ingest_verdicts_persisted_index_identity(spark, tmp_path):
+    """The production claim behind the incremental query: a standing
+    signature index PERSISTED to parquet and reloaded must yield
+    bit-identical ingest verdicts to the in-memory frame (each night's
+    work = batch decode + key joins; standing pixels never re-decoded)."""
+    from pyspark.sql import functions as F
+
+    from hds_functions_spark.operators.multimodal import (
+        image_ingest_verdicts,
+        image_signatures,
+        synthesize_media_payloads,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(120)
+    )
+    sig = image_signatures(
+        synthesize_media_payloads(docs, "png").withColumnRenamed(
+            "doc_id", "img_id"
+        )
+    )
+    batch = sig.filter(F.col("img_id") % 7 == 0)
+    standing = sig.filter(F.col("img_id") % 7 != 0)
+
+    def verdicts(st):
+        return {
+            r["img_id"]: r["verdict"]
+            for r in image_ingest_verdicts(batch, st).collect()
+        }
+
+    live = verdicts(standing)
+    path = str(tmp_path / "standing_index.parquet")
+    standing.write.mode("overwrite").parquet(path)
+    reloaded = verdicts(spark.read.parquet(path))
+    assert live == reloaded and len(live) > 0
