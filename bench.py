@@ -116,6 +116,33 @@ def main() -> None:
         wanted = {n.strip() for n in only.split(",") if n.strip()}
         names = [n for n in names if n in wanted]
 
+    # Pre-warm the rotated window HEAD (r14 verdict item 7): session
+    # warm-up (JVM JIT, Python/Arrow worker spin-up, codegen caches)
+    # concentrates on whichever queries the rotation placed first, so
+    # every round's driver bench produced spurious >2x flags at the new
+    # head that fresh-session adjudication then cleared (BASELINE.md
+    # r13/r14 closings). One DISCARDED pass over the head absorbs that
+    # cost outside the measured window; the declining-profile median
+    # rule still guards the rest of the suite. Recorded in the output
+    # so every run is decidable from the committed record alone.
+    prewarm_head = int(os.environ.get("BENCH_PREWARM_HEAD", "16"))
+    from hds_functions_spark.caching import release_operator_caches
+
+    for name in names[:prewarm_head]:
+        try:
+            QUERIES[name](spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as exc:
+            print(f"prewarm error in {name}: {exc}", file=sys.stderr)
+        release_operator_caches()
+    if names[:prewarm_head]:
+        print(
+            f"prewarmed {len(names[:prewarm_head])} window-head queries "
+            "(discarded pass)",
+            file=sys.stderr,
+        )
+
     per_query: dict[str, float] = {}
     per_repeat: dict[str, list[float]] = {}
     warmup_dropped: list[str] = []
@@ -155,6 +182,8 @@ def main() -> None:
         # repeat from the median (see WARMUP_DROP_RATIO doc above)
         "warmup_drop_ratio": WARMUP_DROP_RATIO,
         "warmup_dropped": warmup_dropped,
+        # names that got a discarded pre-warm pass before timing began
+        "prewarmed_head": names[:prewarm_head],
     }
     # Output contract: stdout carries exactly two JSON lines — the full
     # per-query record, then a compact suite-level summary as the very LAST
