@@ -18,6 +18,8 @@ codes bit-for-bit.
 
 from __future__ import annotations
 
+import functools
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -169,6 +171,9 @@ def bucket_by_quantiles_desc(
 
     ``group_cols`` partitions the bucketing (the CCNet per-language
     shape); ``None`` buckets globally via a 1-row broadcast crossJoin.
+    A NULL group key is a real group (null-safe join back), matching
+    the ntile ``PARTITION BY`` this replaces — null-keyed rows are
+    bucketed among themselves, never dropped.
 
     Boundary-tie policy (differs from ntile, deliberately): ``col`` is
     rounded to ``round_digits`` and compared against cuts rounded the
@@ -200,7 +205,20 @@ def bucket_by_quantiles_desc(
     )
     if group_cols:
         cuts = df.groupBy(*group_cols).agg(cuts_agg)
-        joined = df.join(F.broadcast(cuts), on=list(group_cols))
+        # null-safe cut attach: groupBy keeps a NULL group key as a real
+        # group (exactly like the ntile PARTITION BY this re-spells), so
+        # the join back must be <=> on every group col — a plain equi-join
+        # would silently DROP null-keyed rows instead of bucketing them
+        cuts = cuts.select(
+            *[F.col(g).alias(f"_cut_{g}") for g in group_cols], "_cuts"
+        )
+        cond = functools.reduce(
+            lambda a, b: a & b,
+            [F.col(g).eqNullSafe(F.col(f"_cut_{g}")) for g in group_cols],
+        )
+        joined = df.join(F.broadcast(cuts), on=cond).drop(
+            *[f"_cut_{g}" for g in group_cols]
+        )
     else:
         joined = df.crossJoin(F.broadcast(df.agg(cuts_agg)))
     bucket = F.when(

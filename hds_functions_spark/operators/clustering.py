@@ -793,7 +793,15 @@ def kmeans_assign(
       SCALE.md "tree quantizer"). See :func:`choose_assign_method`;
       without ``id_col`` the tree is unreachable and auto stays
       broadcast. All verdicts return IDENTICAL values (row order is
-      join-determined on the tree path)."""
+      join-determined on the tree path).
+
+    Eager-boundary note (the :func:`~..operators.bloom.bloom_probe`
+    convention): ``method="auto"`` with an ``id_col`` and >= 2^20
+    centroid scalars runs Spark jobs AT PLAN-BUILD TIME (the driver
+    codebook build plus a sampled geometry probe over ``df``), so an
+    expensive uncached upstream lineage is computed once for the probe
+    and again at execution — persist ``df`` first, or pass ``method``
+    explicitly, when the input lineage is costly."""
     dim = len(centroids[0])
     if method not in ("auto", "codegen", "bulk", "broadcast", "tree"):
         raise ValueError(f"unknown assignment method: {method!r}")

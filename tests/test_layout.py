@@ -332,6 +332,30 @@ class TestBucketByQuantilesDesc:
         assert out[2] is None
         assert out[0] == 2 and out[3] == 1
 
+    def test_null_group_key_is_a_real_group(self, spark):
+        """Rows with a NULL group key must be bucketed among themselves
+        (the ntile PARTITION BY semantics this function re-spells), not
+        silently dropped by the cut-attach join (r15, advice)."""
+        from hds_functions_spark.functions.layout import (
+            bucket_by_quantiles_desc,
+        )
+
+        df = spark.createDataFrame(
+            [
+                (0, "a", 1.0), (1, "a", 2.0), (2, "a", 3.0), (3, "a", 4.0),
+                (4, None, 10.0), (5, None, 20.0), (6, None, 30.0),
+                (7, None, 40.0),
+            ],
+            "id int, g string, x double",
+        )
+        out = bucket_by_quantiles_desc(df, "x", 2, group_cols=["g"]).collect()
+        assert len(out) == 8  # nothing dropped
+        null_grp = {r["x"]: r["bucket"] for r in out if r["g"] is None}
+        # per-group cuts: the NULL group's own median splits it 2/2
+        assert null_grp == {10.0: 2, 20.0: 2, 30.0: 1, 40.0: 1}
+        a_grp = {r["x"]: r["bucket"] for r in out if r["g"] == "a"}
+        assert a_grp == {1.0: 2, 2.0: 2, 3.0: 1, 4.0: 1}
+
     def test_small_group_lands_in_head(self, spark):
         from hds_functions_spark.functions.layout import (
             bucket_by_quantiles_desc,
