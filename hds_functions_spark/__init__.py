@@ -155,6 +155,7 @@ from .operators.multimodal import (
     image_signatures,
     sample_video_frames,
     synthesize_media_payloads,
+    video_frame_signatures,
 )
 from .operators.privacy import (
     l_diversity_violations,

@@ -89,6 +89,8 @@ __all__ = [
     "IMAGE_SIGNATURE_SCHEMA",
     "image_signatures",
     "image_ingest_verdicts",
+    "VIDEO_SIGNATURE_SCHEMA",
+    "video_frame_signatures",
 ]
 
 
@@ -866,6 +868,88 @@ def mjpeg_frame_signatures(
     return df.mapInPandas(process, MJPEG_SIGNATURE_SCHEMA)
 
 
+#: One row per decoded MJPEG frame with BOTH curation-tier keys from one
+#: decode — the exact content key (dims-prefixed md5 of the decoded RGB
+#: bytes, the image_signatures convention) and the perceptual DCT hash —
+#: plus the content-audit fields (dims, exact pixel byte sum).
+VIDEO_SIGNATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_index", IntegerType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("pixel_sum", LongType()),
+        StructField("frame_md5", StringType()),
+        StructField("phash_hi", LongType()),
+        StructField("phash_lo", LongType()),
+    ]
+)
+
+
+def video_frame_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Decode every MJPEG AVI frame ONCE and emit every signature the
+    video-curation pipeline needs: the EXACT dedup key (dims-prefixed
+    md5 of the decoded RGB bytes — :func:`image_signatures`' convention,
+    unlike :func:`mjpeg_frame_signatures`' bare-content md5 which
+    relies on the caller grouping dims alongside), the PERCEPTUAL DCT
+    hash (:func:`media_codecs.phash64_from_pixels` over the decoded
+    frame), and the content-audit fields (dims + exact pixel byte sum).
+    Arrow-batched ``mapInPandas``, 1 clip row -> n_frames rows; pixels
+    never leave the stage — only fixed-width signatures do.
+    Undecodable containers or frames yield no rows (fail closed, the
+    media family contract — count inputs vs distinct output ids to
+    audit drops)."""
+
+    def process(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from .media_codecs import (
+            avi_jpeg_frames,
+            decode_jpeg_baseline,
+            phash64_from_pixels,
+        )
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "doc_id", "frame_index", "width", "height", "pixel_sum",
+                "frame_md5", "phash_hi", "phash_lo")}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                frames = (
+                    avi_jpeg_frames(payload) if payload is not None else None
+                )
+                if not frames:
+                    continue
+                for idx, fr in enumerate(frames):
+                    decoded = decode_jpeg_baseline(fr)
+                    if decoded is None:
+                        continue
+                    w, h, rgb = decoded
+                    _, _, hi, lo = phash64_from_pixels(w, h, rgb)
+                    rows["doc_id"].append(doc_id)
+                    rows["frame_index"].append(idx)
+                    rows["width"].append(w)
+                    rows["height"].append(h)
+                    rows["pixel_sum"].append(_byte_sum(rgb))
+                    rows["frame_md5"].append(
+                        hashlib.md5(
+                            f"{w}x{h}|".encode("ascii") + rgb
+                        ).hexdigest()
+                    )
+                    rows["phash_hi"].append(hi)
+                    rows["phash_lo"].append(lo)
+            yield pd.DataFrame(rows).astype(
+                {"frame_index": "Int32", "width": "Int32",
+                 "height": "Int32", "pixel_sum": "Int64",
+                 "phash_hi": "Int64", "phash_lo": "Int64"}
+            )
+
+    return df.mapInPandas(process, VIDEO_SIGNATURE_SCHEMA)
+
+
 AUDIO_SIGNATURE_SCHEMA = StructType(
     [
         StructField("doc_id", LongType()),
@@ -1079,12 +1163,21 @@ def image_ingest_verdicts(
       id exists;
     - ``phash_dup`` — the batch exact-canonical's perceptual hash
       matches a standing CANONICAL's, or a smaller batch canonical's;
-    - ``novel`` — none of the above.
+    - ``novel`` — none of the above;
+    - ``undecodable`` — the batch row has a NULL ``pixel_md5`` (what
+      :func:`image_signatures` emits for payloads it cannot decode).
+      These rows are verdict-tagged and passed through rather than
+      silently dropped by the key joins — the ingest pipeline decides
+      whether to quarantine them.
 
     Plan shape: the index legs (distinct keys, canonical phash set)
     are combinable aggregates over the index frame; every probe is an
     equi-join on a 32-char key or two longs; batch-internal dedup is
     one combinable groupBy per tier. No windows, no pairwise work."""
+    undecodable = batch_sig.filter(F.col("pixel_md5").isNull()).withColumn(
+        "verdict", F.lit("undecodable")
+    )
+    batch_sig = batch_sig.filter(F.col("pixel_md5").isNotNull())
     st_keys = standing_sig.select("pixel_md5").distinct()
     st_canon = standing_sig.groupBy("pixel_md5").agg(
         F.min(id_col).alias("_c")
@@ -1127,6 +1220,7 @@ def image_ingest_verdicts(
         .withColumn("_hit_ph", F.coalesce(F.col("_hit_ph"), F.lit(False)))
         .withColumn("verdict", verdict)
         .drop("_hit_sk", "_hit_ph", "_bc", "_pc")
+        .unionByName(undecodable)
     )
 
 

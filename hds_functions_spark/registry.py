@@ -763,65 +763,86 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the SLA boundary, so r15 MUST rotate them in first. Mitigation, on
 #: the record: the round-14 closing two-scale `compare_oracle --exact`
 #: sweeps cover EVERY registered query including those 13.
-#: ROUND-15 ROTATION GUIDANCE: the 13 leftover r09 rows + r15
-#: additions + any r14 reds at the head, then r10-vintage rows.
+#: ROUND-15 ROTATION (executing the r14 verdict's item 3): the 2 r15
+#: additions take the head (never-checked queries MUST be inside the
+#: window — driver_coverage's hard gate), then the 5 queries whose
+#: PLAN changed this round (the bucket_by_quantiles_desc null-safe
+#: cut-attach re-spell touches the four r14 re-spelled pipelines, and
+#: image_ingest_verdicts grew an explicit ``undecodable`` leg under
+#: multimodal_image_dedup_incremental — their r14 rows verified the
+#: old plans), then the 13 r09-vintage rows at the SLA-6 boundary,
+#: then the alphabetically-first 30 of the 50 r10-vintage stale rows.
+#: 2 + 5 + 13 + 30 = 50; the 20 list-order-last r10 rows
+#: (similarity_knn, similarity_lsh_banded, similarity_lsh_knn,
+#: similarity_pq_ingest_codes, similarity_pq_probe_incremental,
+#: similarity_recall, source_csv_distributed, source_jsonl_corpus,
+#: streaming_pq_ingest, streaming_tumbling, table_diff_versions,
+#: table_version_drift, text_bigram_logprob, text_char_entropy,
+#: text_fingerprint, text_language, text_quality, text_stats,
+#: text_tokens, wrangle_winsorize) wait for the r16 head — at r16
+#: they are 6 rounds stale, exactly the SLA boundary, so r16 MUST
+#: rotate them in first. Mitigation, on the record: the round-15
+#: closing two-scale `compare_oracle --exact` sweeps cover EVERY
+#: registered query including those 20.
+#: ROUND-16 ROTATION GUIDANCE: the 20 leftover r10 rows + r16
+#: additions + any r15 reds at the head, then r11-vintage rows.
 DRIVER_PRIORITY: list[str] = [
-    # round-14 additions (land driver rows the round they ship):
-    "pipeline_image_curation",
+    # round-15 additions (land driver rows the round they ship):
+    "pipeline_video_curation",
+    "pipeline_caption_curation",
+    # r15 plan changes (null-safe quantile-cut attach; undecodable
+    # verdict leg) — re-verify this round:
     "multimodal_image_dedup_incremental",
-    # r14 re-spell: ntile() -> broadcast quantile cuts (new tie policy,
-    # new plan, updated oracles — re-verify this round)
     "pipeline_perplexity_buckets",
     "pipeline_web_curation",
     "pipeline_curriculum_order",
     "classify_nb_calibration",
-    # r08-vintage stale rows (the 9 past slot 50 at r13 — SLA boundary):
-    "table_upsert_incremental",
-    "text_bpe_encode",
-    "text_bpe_train",
-    "topk_dense_rank",
-    "topk_global",
-    "topk_rank",
-    "topk_row_number",
-    "wrangle_clean_columns",
-    "wrangle_map_values",
-    # r09-vintage stale rows, alphabetical (36 of 48 fit; the 12 past
-    # slot 50 wait for r15 — see the rotation comment above):
-    "analytics_pricing_summary",
-    "classify_nb_confusion",
-    "classify_nb_model",
-    "classify_nb_predict",
-    "dedup_clusters_build",
-    "dedup_clusters_cc",
-    "dedup_embedding",
-    "dedup_exact",
-    "dedup_exact_spans",
-    "dedup_exact_spans_incremental",
-    "dedup_groups",
-    "dedup_minhash_pairs",
-    "dedup_simhash",
-    "dedup_simhash_pairs",
-    "dedup_soft_weights",
-    "dedup_source_matrix",
-    "dedup_span_removal",
-    "embedding_outlier_knn",
-    "embedding_pca_projection",
-    "embedding_pca_variance",
-    "events_asof_join",
-    "graph_communities_lpa",
-    "mixture_epoch_plan",
-    "pipeline_data_card",
-    "pipeline_dsir_curation",
-    "pipeline_exact_dedup_prep",
-    "pipeline_mixture_curation",
-    "privacy_dp_counts",
-    "quality_bootstrap_ci",
-    "quality_gopher_rules",
-    "retrieval_mrr_audit",
-    "sample_epoch_expand",
-    "select_context_gain",
-    "select_dsir_topk",
-    "select_dsir_weights",
+    # r09-vintage stale rows (the 13 past slot 50 at r14 — SLA boundary):
+    "similarity_lsh_multiprobe",
+    "similarity_multiprobe_recall",
+    "similarity_pq_adc_knn",
+    "similarity_pq_codes",
+    "similarity_pq_recall",
+    "similarity_truncation_recall",
+    "streaming_hll_daily",
+    "streaming_nb_router",
+    "table_tombstone_delete",
+    "text_bpe_fertility",
+    "text_kn_trigram_logprob",
+    "text_novelty",
+    "text_novelty_incremental",
+    # r10-vintage stale rows, alphabetical (30 of 50 fit; the 20 past
+    # slot 50 wait for r16 — see the rotation comment above):
+    "analytics_promo_revenue",
+    "analytics_region_revenue",
+    "analytics_top_orders",
+    "chunk_documents",
+    "clean_dedup_lines",
+    "clean_dedup_lines_corpus",
+    "decontam_agreement",
+    "decontam_embedding",
+    "dedup_embedding_incremental",
+    "events_densified",
+    "events_interval_join",
+    "events_sessionize",
+    "events_sessions",
+    "events_tumbling",
+    "graph_kcore",
+    "ids_dense_assign",
+    "join_salted",
+    "multimodal_audio",
+    "multimodal_features",
+    "multimodal_frames",
+    "multimodal_resize",
+    "pipeline_decontam_purge",
+    "privacy_dp_sums",
+    "profile_key_skew",
+    "quality_orphans",
+    "similarity_index_drift",
+    "similarity_ivf_ingest_assign",
+    "similarity_ivf_knn",
+    "similarity_ivf_probe_incremental",
+    "similarity_ivf_probe_recall",
 ]
 
 

@@ -427,3 +427,5 @@ def multimodal_image_dedup_incremental(spark, sf_dir):
 
 
 ORACLES["multimodal_image_dedup_incremental"] = _duck_image_incremental_sql()
+
+from . import registry_ext13  # noqa: E402,F401  (round-15 registrations)

@@ -1,0 +1,420 @@
+"""Extension-layer query registry, part 13 (round-15).
+
+Same contract as ``registry_ext.py``: every query has a DuckDB oracle
+generated from the SAME constants so both sides compute identical
+values by construction. This batch lands the r14 verdict's two
+remaining extension gaps:
+
+**pipeline_video_curation** — the video twin of
+``pipeline_image_curation`` (registry_ext12): an MJPEG AVI corpus is
+container-walked and every frame decoded ONCE through the real
+pure-stdlib baseline-JPEG codec, exact-deduped on the decoded-pixel
+md5 (frame granularity — duplicated footage across clips), near-deduped
+on the perceptual DCT hash over the surviving canonicals, and rolled
+into a per-source curated-footage card. The oracle replays every stage
+closed-form from the AVI synthesis protocol (frame content is fully
+determined by the block-ramp triple ``(w8, h8, af)``, so the exact
+tier's md5 groups equal the protocol's triples, and the perceptual
+hash is recomputed bit-for-bit per DISTINCT triple with the embedded
+fixed-point DCT table — the registry_ext12 machinery at frame rather
+than image granularity).
+
+**pipeline_caption_curation** — the cross-modal (text+image) pair
+gate: each document's text plays the alt-text/caption for its paired
+image (the registry_ext12 mixed-container corpus), and a LAION-style
+filter composes the image-signature family (decodability, dims,
+aspect, exact-dup canonicality) with the text-quality family
+(:func:`functions.text.add_quality_score`) into per-source acceptance
+cards. Pixels never shuffle — the pair join carries only fixed-width
+signatures and the caption's quality score.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from .registry import ORACLES, QUERIES, _register, _t  # noqa: F401
+
+# Direct `import hds_functions_spark.registry_extN` must see every
+# upstream ORACLES/QUERIES entry this module reads at import time:
+# pull the chain head, which registers all earlier ext modules before
+# this body continues. Via the normal chain import this resolves to
+# the already-in-progress module in sys.modules (PEP 328 circular
+# import), a no-op.
+from . import registry_ext  # noqa: E402,F401
+from .registry_ext import _duck_quality_sql  # noqa: E402
+from .registry_ext12 import _duck_image_sig_ctes, _image_corpus  # noqa: E402
+
+
+# --- video curation pipeline --------------------------------------------------
+
+#: frame-id packing: fid = doc_id * 8 + frame_index (the AVI protocol
+#: caps clips at 6 frames < 8, so the packing is collision-free and
+#: order-preserving — canonical-by-min(fid) prefers earlier clips,
+#: then earlier frames, exactly like the image pipeline's img_id)
+_VC_FID_STRIDE = 8
+
+
+def _duck_video_sig_ctes() -> str:
+    """The shared CTE chain ``vb -> vfr -> ... -> vsig`` replaying every
+    per-frame signature closed-form from the MJPEG AVI synthesis
+    protocol (media_codecs.synthesize_mjpeg_avi): clip shape from the
+    md5 digest bytes (w8/h8 in 1..4, 1..6 frames), frame f's decoded
+    content a block-ramp starting at ``af = (d3 + f) % 256`` — the
+    DC-exact protocol makes the decode LOSSLESS, so pixel sums and
+    hashes are protocol-computable. The perceptual hash is recomputed
+    bit-for-bit per DISTINCT content triple ``(w8, h8, af)`` (frame
+    content is a pure function of the triple, so hashing each triple
+    once and joining back is exact — and keeps the oracle's DCT work
+    bounded by the triple space, <= 4*4*256 rows, not the frame
+    count). The 2-D DCT is two integer matmuls against the exact
+    fixed-point cosine table (media_codecs._PHASH_T) embedded
+    verbatim — the registry_ext12 block-family machinery with
+    ``d3 -> af`` and dims ``(8*w8, 8*h8)``."""
+    from .operators.media_codecs import _PHASH_GRID, _PHASH_KEEP, _PHASH_T
+
+    rows = ",\n    ".join(
+        ", ".join(
+            f"({u}, {x}, {_PHASH_T[u][x]})" for x in range(_PHASH_GRID)
+        )
+        for u in range(_PHASH_KEEP)
+    )
+    g = _PHASH_GRID
+    # lattice point (i, j) samples source pixel (y, x) = ((i*h)//32,
+    # (j*w)//32); its block index is (y//8)*w8 + x//8, and nested floor
+    # divisions compose: ((i*8*h8)//32)//8 == (i*h8)//32
+    bk = f"(((i.i * h8) // {g}) * w8 + ((j.j * w8) // {g}))"
+    # split-range ramp sum over nb = w8*h8 blocks starting at af, each
+    # block contributing 192 * luma (64 px * 3 RGB bytes)
+    ramp = """
+192 * (
+CASE WHEN af + nb <= 256
+     THEN nb * af + nb * (nb - 1) // 2
+     ELSE (af + 255) * (256 - af) // 2
+          + (nb + af - 256) * (nb + af - 257) // 2
+END)"""
+    return f"""
+vb AS (
+  SELECT doc_id, source,
+         1 + ('0x' || substr(md5(text), 1, 2))::INTEGER % 4 AS w8,
+         1 + ('0x' || substr(md5(text), 3, 2))::INTEGER % 4 AS h8,
+         ('0x' || substr(md5(text), 7, 2))::INTEGER AS d3,
+         1 + ('0x' || substr(md5(text), 21, 2))::INTEGER % 6 AS nf
+  FROM documents
+), vfr AS (
+  SELECT doc_id, source, w8, h8, nf, f.f AS frame_index,
+         doc_id * {_VC_FID_STRIDE} + f.f AS fid,
+         (d3 + f.f) % 256 AS af, w8 * h8 AS nb
+  FROM vb, LATERAL (SELECT unnest(generate_series(0, nf - 1)) AS f) f
+), vtrip AS (
+  SELECT DISTINCT w8, h8, af FROM vfr
+), vt AS (
+  SELECT * FROM (VALUES
+    {rows}) AS q(u, x, tv)
+), vgl AS (
+  SELECT w8, h8, af, i.i AS i, j.j AS j,
+         3 * ((af + {bk}) % 256) AS s
+  FROM vtrip, range(0, {g}) i(i), range(0, {g}) j(j)
+), vr AS (
+  SELECT vgl.w8, vgl.h8, vgl.af, vgl.i, tv.u AS v,
+         sum(vgl.s * tv.tv) AS rv
+  FROM vgl JOIN vt tv ON tv.x = vgl.j GROUP BY 1, 2, 3, 4, 5
+), vc AS (
+  SELECT vr.w8, vr.h8, vr.af, tu.u AS u, vr.v,
+         CAST(sum(vr.rv * tu.tv) AS BIGINT) AS cv
+  FROM vr JOIN vt tu ON tu.x = vr.i GROUP BY 1, 2, 3, 4, 5
+), vtot AS (
+  SELECT w8, h8, af,
+         sum(CASE WHEN u = 0 AND v = 0 THEN 0 ELSE cv END) AS total
+  FROM vc GROUP BY 1, 2, 3
+), vbits AS (
+  SELECT vc.w8, vc.h8, vc.af, u * {_PHASH_KEEP} + v AS idx,
+         CASE WHEN cv * 63 > total THEN 1 ELSE 0 END AS bit
+  FROM vc JOIN vtot USING (w8, h8, af) WHERE NOT (u = 0 AND v = 0)
+), vph AS (
+  SELECT w8, h8, af,
+         CAST(sum(CASE WHEN idx >= 32 THEN bit::BIGINT << (idx - 32)
+                  ELSE 0 END) AS BIGINT) AS phash_hi,
+         CAST(sum(CASE WHEN idx < 32 THEN bit::BIGINT << idx
+                  ELSE 0 END) AS BIGINT) AS phash_lo
+  FROM vbits GROUP BY 1, 2, 3
+), vsig AS (
+  SELECT vfr.fid, vfr.doc_id, vfr.source,
+         8 * vfr.w8 AS w, 8 * vfr.h8 AS h,
+         vfr.w8 || ':' || vfr.h8 || ':' || vfr.af AS exact_key,
+         CAST({ramp} AS BIGINT) AS pixel_sum,
+         vph.phash_hi, vph.phash_lo
+  FROM vfr JOIN vph USING (w8, h8, af)
+)"""
+
+
+def _duck_video_curation_sql() -> str:
+    """Tiering + per-source card over :func:`_duck_video_sig_ctes` —
+    textually parallel to registry_ext12's image card so the two
+    capstones cannot drift apart in semantics."""
+    return f"""
+WITH {_duck_video_sig_ctes()},
+vex AS (
+  SELECT exact_key, min(fid) AS exact_canon FROM vsig GROUP BY 1
+), vs2 AS (
+  SELECT vsig.*, vex.exact_canon FROM vsig JOIN vex USING (exact_key)
+), vpm AS (
+  SELECT phash_hi, phash_lo, min(fid) AS ph_canon
+  FROM vs2 WHERE fid = exact_canon GROUP BY 1, 2
+), vverd AS (
+  SELECT vs2.source, vs2.doc_id, vs2.pixel_sum, 3 * vs2.w * vs2.h AS px,
+         CASE WHEN vs2.fid <> vs2.exact_canon THEN 'exact_dup'
+              WHEN vs2.fid <> vpm.ph_canon THEN 'phash_dup'
+              ELSE 'curated' END AS verdict
+  FROM vs2 LEFT JOIN vpm
+    ON vs2.phash_hi = vpm.phash_hi AND vs2.phash_lo = vpm.phash_lo
+)
+SELECT source,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_clips,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(sum(CASE WHEN verdict = 'exact_dup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_exact_dups,
+       CAST(sum(CASE WHEN verdict = 'phash_dup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_phash_dups,
+       CAST(sum(CASE WHEN verdict = 'curated' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_curated,
+       CAST(count(DISTINCT CASE WHEN verdict = 'curated' THEN doc_id END)
+            AS BIGINT) AS n_curated_clips,
+       CAST(sum(CASE WHEN verdict = 'curated' THEN px ELSE 0 END)
+            AS BIGINT) AS curated_pixel_bytes,
+       CAST(sum(CASE WHEN verdict = 'curated' THEN pixel_sum ELSE 0 END)
+            AS BIGINT) AS curated_pixel_sum
+FROM vverd GROUP BY 1
+"""
+
+
+@_register("pipeline_video_curation", None)  # oracle attached below
+def pipeline_video_curation(spark, sf_dir):
+    """Video curation END TO END — the r14 verdict's missing capstone,
+    composing the registered video families the way registry_ext12's
+    pipeline does for images: an MJPEG AVI corpus is container-walked
+    and every frame decoded ONCE through the real pure-stdlib baseline
+    JPEG codec (operators/multimodal.py:video_frame_signatures — RIFF
+    '00dc' chunk walk, Huffman + dequantize + IDCT per frame),
+    exact-deduped on the decoded-pixel md5 at FRAME granularity
+    (duplicated footage across clips — the multimodal_video_dedup
+    signal), near-deduped on the perceptual DCT hash over the
+    surviving exact canonicals (brightness-shifted footage the exact
+    tier misses), and rolled into one curated-footage card per source
+    (clip/frame counts per verdict tier + curated pixel mass + the
+    pixel_sum content checksum, so a decode corruption anywhere
+    surfaces as a value mismatch, not just a count).
+
+    Plan shape at 100 TB: synthesis and decode are Arrow-batched
+    ``mapInPandas``, executor-linear over clips, and pixels NEVER
+    leave that stage — only fixed-width per-frame signatures shuffle
+    (plan-gated: no Exchange carries a payload column). Each dedup
+    tier is one map-side-combinable groupBy (the 32-char md5 key,
+    then the two phash longs) plus a signature-sized equi-join back;
+    no windows, no pairwise frame comparison, no driver round-trip.
+    The signature frame is persisted because THREE branches (exact
+    canonical agg, verdict join, canonical-phash agg) read it and the
+    upstream stage is Python-side decode work (the SCALE.md part D
+    persist-vs-ReusedExchange rule)."""
+    from .caching import tracked_persist
+    from .operators.multimodal import (
+        synthesize_media_payloads,
+        video_frame_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    sig = tracked_persist(
+        video_frame_signatures(
+            synthesize_media_payloads(docs, "avi")
+        ).withColumn(
+            "fid",
+            F.col("doc_id") * _VC_FID_STRIDE + F.col("frame_index"),
+        )
+    )
+    ex = sig.groupBy("frame_md5").agg(F.min("fid").alias("exact_canon"))
+    s2 = sig.join(ex, on="frame_md5")
+    pm = (
+        s2.filter(F.col("fid") == F.col("exact_canon"))
+        .groupBy("phash_hi", "phash_lo")
+        .agg(F.min("fid").alias("ph_canon"))
+    )
+    verdict = (
+        F.when(F.col("fid") != F.col("exact_canon"), F.lit("exact_dup"))
+        .when(F.col("fid") != F.col("ph_canon"), F.lit("phash_dup"))
+        .otherwise(F.lit("curated"))
+    )
+    tiered = s2.join(pm, on=["phash_hi", "phash_lo"], how="left").withColumn(
+        "verdict", verdict
+    )
+    curated = F.col("verdict") == "curated"
+    return (
+        tiered.join(docs.select("doc_id", "source"), on="doc_id")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_clips"),
+            F.count(F.lit(1)).cast("long").alias("n_frames"),
+            F.sum((F.col("verdict") == "exact_dup").cast("long")).alias(
+                "n_exact_dups"
+            ),
+            F.sum((F.col("verdict") == "phash_dup").cast("long")).alias(
+                "n_phash_dups"
+            ),
+            F.sum(curated.cast("long")).alias("n_curated"),
+            F.countDistinct(F.when(curated, F.col("doc_id")))
+            .cast("long")
+            .alias("n_curated_clips"),
+            F.sum(
+                F.when(curated, 3 * F.col("width") * F.col("height"))
+                .otherwise(0)
+                .cast("long")
+            ).alias("curated_pixel_bytes"),
+            F.sum(F.when(curated, F.col("pixel_sum")).otherwise(0)).alias(
+                "curated_pixel_sum"
+            ),
+        )
+    )
+
+
+ORACLES["pipeline_video_curation"] = _duck_video_curation_sql()
+
+
+# --- cross-modal caption curation ---------------------------------------------
+
+#: caption gates (the LAION-style pair filter): dims floor, aspect
+#: ceiling, quality floor — constants shared by the Spark plan and the
+#: oracle SQL below so the two cannot drift
+_CC_MIN_DIM = 8
+_CC_MAX_ASPECT = 4
+_CC_MIN_QUALITY = 0.5
+
+
+def _duck_caption_curation_sql() -> str:
+    """The pair gate closed-form: the registry_ext12 image-signature
+    CTEs (shared builder — the image capstones and this one cannot
+    drift) supply per-image dims + the protocol exact key; the
+    text-quality oracle (shared with ``text_quality``) supplies the
+    caption score; verdict precedence mirrors the Spark plan."""
+    return f"""
+WITH {_duck_image_sig_ctes()},
+cap_ex AS (
+  SELECT exact_key, min(img_id) AS exact_canon FROM sig GROUP BY 1
+), cap_base AS (
+  SELECT sig.*, cap_ex.exact_canon, sig.img_id // 2 AS doc_id
+  FROM sig JOIN cap_ex USING (exact_key)
+  WHERE sig.img_id % 2 = 0
+), cap_q AS (
+  SELECT doc_id, quality_score FROM ({_duck_quality_sql()})
+), cap_verd AS (
+  SELECT b.source, b.w, b.h, q.quality_score,
+         CASE WHEN b.img_id <> b.exact_canon THEN 'dup_image'
+              WHEN b.w < {_CC_MIN_DIM} OR b.h < {_CC_MIN_DIM}
+                   THEN 'small_image'
+              WHEN greatest(b.w, b.h) > {_CC_MAX_ASPECT} * least(b.w, b.h)
+                   THEN 'extreme_aspect'
+              WHEN q.quality_score < {_CC_MIN_QUALITY}
+                   THEN 'low_quality_caption'
+              ELSE 'accepted' END AS verdict
+  FROM cap_base b JOIN cap_q q USING (doc_id)
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST(sum(CASE WHEN verdict = 'dup_image' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup_image,
+       CAST(sum(CASE WHEN verdict = 'small_image' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_small_image,
+       CAST(sum(CASE WHEN verdict = 'extreme_aspect' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_extreme_aspect,
+       CAST(sum(CASE WHEN verdict = 'low_quality_caption' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_low_quality,
+       CAST(sum(CASE WHEN verdict = 'accepted' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_accepted,
+       CAST(sum(CASE WHEN verdict = 'accepted' THEN quality_score
+                ELSE 0 END) AS DOUBLE) AS accepted_quality_sum,
+       CAST(sum(CASE WHEN verdict = 'accepted' THEN 3 * w * h
+                ELSE 0 END) AS BIGINT) AS accepted_pixel_bytes
+FROM cap_verd GROUP BY 1
+"""
+
+
+@_register("pipeline_caption_curation", None)  # oracle attached below
+def pipeline_caption_curation(spark, sf_dir):
+    """Cross-modal (text+image) PAIR curation — the LAION-style
+    alt-text filter the r14 verdict called out, joining the
+    image-signature family with the text-quality family over paired
+    doc/image ids: each document's text plays the caption for its
+    base image (img_id = 2*doc_id in the registry_ext12 mixed-container
+    corpus), the image leg gates on exact-dup canonicality (computed
+    over the FULL corpus including the protocol re-encodes, so a
+    re-containered twin elsewhere in the corpus disqualifies a pair),
+    dims floor, and aspect ceiling, and the caption leg gates on the
+    heuristic quality score (functions/text.py:add_quality_score, the
+    ``text_quality`` oracle reused verbatim). One verdict per pair
+    (first failing gate wins: dup_image -> small_image ->
+    extreme_aspect -> low_quality_caption -> accepted), rolled into a
+    per-source acceptance card with the accepted quality mass and
+    pixel volume.
+
+    Plan shape at 100 TB: decode is Arrow-batched ``mapInPandas`` and
+    pixels never shuffle (plan-gated) — the pair join moves only
+    fixed-width signatures and one double per caption; the caption
+    scores are pure JVM expressions (zero Python); the canonical
+    aggregate is one combinable groupBy on the 32-char key; the final
+    card is one combinable groupBy on source. The signature frame is
+    persisted because two branches (canonical agg, pair join) read the
+    Python-side decode (SCALE.md part D rule)."""
+    from .caching import tracked_persist
+    from .functions.text import add_quality_score
+    from .operators.multimodal import image_signatures
+
+    docs, corpus = _image_corpus(spark, sf_dir)
+    sig = tracked_persist(
+        image_signatures(corpus).filter(F.col("pixel_md5").isNotNull())
+    )
+    ex = sig.groupBy("pixel_md5").agg(F.min("img_id").alias("exact_canon"))
+    base = (
+        sig.filter(F.col("img_id") % 2 == 0)
+        .join(ex, on="pixel_md5")
+        .withColumn("doc_id", F.shiftright(F.col("img_id"), 1))
+    )
+    captions = add_quality_score(docs).select(
+        "doc_id", "source", "quality_score"
+    )
+    w, h = F.col("width"), F.col("height")
+    verdict = (
+        F.when(F.col("img_id") != F.col("exact_canon"), F.lit("dup_image"))
+        .when(
+            (w < _CC_MIN_DIM) | (h < _CC_MIN_DIM), F.lit("small_image")
+        )
+        .when(
+            F.greatest(w, h) > _CC_MAX_ASPECT * F.least(w, h),
+            F.lit("extreme_aspect"),
+        )
+        .when(
+            F.col("quality_score") < _CC_MIN_QUALITY,
+            F.lit("low_quality_caption"),
+        )
+        .otherwise(F.lit("accepted"))
+    )
+    pairs = base.join(captions, on="doc_id").withColumn("verdict", verdict)
+    accepted = F.col("verdict") == "accepted"
+
+    def n_of(v):
+        return F.sum((F.col("verdict") == v).cast("long"))
+
+    return pairs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        n_of("dup_image").alias("n_dup_image"),
+        n_of("small_image").alias("n_small_image"),
+        n_of("extreme_aspect").alias("n_extreme_aspect"),
+        n_of("low_quality_caption").alias("n_low_quality"),
+        n_of("accepted").alias("n_accepted"),
+        F.sum(F.when(accepted, F.col("quality_score")).otherwise(0.0)).alias(
+            "accepted_quality_sum"
+        ),
+        F.sum(F.when(accepted, 3 * w * h).otherwise(0).cast("long")).alias(
+            "accepted_pixel_bytes"
+        ),
+    )
+
+
+ORACLES["pipeline_caption_curation"] = _duck_caption_curation_sql()

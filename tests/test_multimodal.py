@@ -1217,3 +1217,132 @@ def test_image_ingest_verdicts_persisted_index_identity(spark, tmp_path):
     standing.write.mode("overwrite").parquet(path)
     reloaded = verdicts(spark.read.parquet(path))
     assert live == reloaded and len(live) > 0
+
+
+def test_video_frame_signatures_protocol_exact(spark):
+    """video_frame_signatures (r15): one decode emits BOTH curation
+    keys per frame — md5 exact key under the dims-prefix convention,
+    perceptual DCT hash — with protocol-exact dims, frame counts and
+    pixel sums; byte-identical clips sign identically frame-for-frame."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from hds_functions_spark.operators.multimodal import (
+        synthesize_media_payloads,
+        video_frame_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "dup-seed"), (1, "dup-seed"), (2, "other")],
+        "doc_id long, text string",
+    )
+    rows = video_frame_signatures(
+        synthesize_media_payloads(docs, "avi")
+    ).collect()
+    d = hashlib.md5(b"dup-seed").digest()
+    w8, h8, d3, nf = 1 + d[0] % 4, 1 + d[1] % 4, d[3], 1 + d[10] % 6
+    by_clip = {}
+    for r in rows:
+        by_clip.setdefault(r["doc_id"], {})[r["frame_index"]] = (
+            r["frame_md5"], r["phash_hi"], r["phash_lo"],
+            r["width"], r["height"], r["pixel_sum"],
+        )
+    assert by_clip[0] == by_clip[1]  # identical clips, every signature
+    assert len(by_clip[0]) == nf
+    for f, (md5_, hi, lo, w, h, psum) in by_clip[0].items():
+        assert (w, h) == (8 * w8, 8 * h8)
+        # closed-form ramp: blocks start at af=(d3+f)%256, nb=w8*h8
+        af, nb = (d3 + f) % 256, w8 * h8
+        expect = 192 * sum((af + k) % 256 for k in range(nb))
+        assert psum == expect
+        assert hi is not None and lo is not None
+
+
+def test_video_curation_tiers_consistent(spark):
+    """pipeline_video_curation: tier counts partition the decoded
+    frames, every clip decodes (n_clips = corpus size), and both dedup
+    tiers fire under the protocol at sf0.001."""
+    import hds_functions_spark.registry_ext  # noqa: F401
+    from hds_functions_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    card = QUERIES["pipeline_video_curation"](spark, sf).toPandas()
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert int(card["n_clips"].sum()) == n_docs
+    assert (
+        card["n_exact_dups"] + card["n_phash_dups"] + card["n_curated"]
+    ).equals(card["n_frames"])
+    assert int(card["n_exact_dups"].sum()) > 0
+    assert int(card["n_phash_dups"].sum()) > 0
+    assert int(card["n_curated"].sum()) > 0
+    assert (card["n_curated_clips"] <= card["n_clips"]).all()
+
+
+def test_caption_curation_card_consistent(spark):
+    """pipeline_caption_curation: one verdict per doc/image pair, the
+    verdict counts partition the pairs, and the gates are all reachable
+    under the protocol at sf0.001."""
+    import hds_functions_spark.registry_ext  # noqa: F401
+    from hds_functions_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    card = QUERIES["pipeline_caption_curation"](spark, sf).toPandas()
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert int(card["n_pairs"].sum()) == n_docs
+    assert (
+        card["n_dup_image"] + card["n_small_image"] + card["n_extreme_aspect"]
+        + card["n_low_quality"] + card["n_accepted"]
+    ).equals(card["n_pairs"])
+    assert int(card["n_accepted"].sum()) > 0
+    # accepted quality mass is bounded by 1.0 * n_accepted and at least
+    # the gate floor per accepted pair
+    assert (card["accepted_quality_sum"] <= card["n_accepted"]).all()
+    assert (
+        card["accepted_quality_sum"] >= 0.5 * card["n_accepted"]
+    ).all()
+
+
+def test_image_ingest_verdicts_undecodable_leg(spark):
+    """Null-signature batch rows (what image_signatures emits for
+    payloads it cannot decode) must surface as verdict='undecodable'
+    instead of being silently dropped by the key joins (r15, advice)."""
+    from pyspark.sql import functions as F
+
+    from hds_functions_spark.operators.multimodal import (
+        image_ingest_verdicts,
+        image_signatures,
+        synthesize_media_payloads,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(40)
+    )
+    sig = image_signatures(
+        synthesize_media_payloads(docs, "png").withColumnRenamed(
+            "doc_id", "img_id"
+        )
+    )
+    # poison two batch rows: null out every signature column, as an
+    # undecodable payload would
+    batch = sig.filter(F.col("img_id") % 7 == 0)
+    nulled = batch.filter(F.col("img_id") % 3 == 0)
+    poisoned = batch.filter(F.col("img_id") % 3 != 0).unionByName(
+        nulled.select(
+            "img_id",
+            *[
+                F.lit(None).cast(dict(nulled.dtypes)[c]).alias(c)
+                for c in nulled.columns
+                if c != "img_id"
+            ],
+        )
+    )
+    out = image_ingest_verdicts(
+        poisoned, sig.filter(F.col("img_id") % 7 != 0)
+    )
+    got = {r["img_id"]: r["verdict"] for r in out.collect()}
+    n_nulled = nulled.count()
+    assert n_nulled > 0
+    assert len(got) == poisoned.count()  # nothing dropped
+    undecodable = [v for v in got.values() if v == "undecodable"]
+    assert len(undecodable) == n_nulled

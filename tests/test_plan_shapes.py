@@ -470,7 +470,12 @@ def test_no_corpus_cardinality_ntile_window(spark, qname):
 
 @pytest.mark.parametrize(
     "qname",
-    ["pipeline_image_curation", "multimodal_image_dedup_incremental"],
+    [
+        "pipeline_image_curation",
+        "multimodal_image_dedup_incremental",
+        "pipeline_video_curation",
+        "pipeline_caption_curation",
+    ],
 )
 def test_image_pipelines_never_shuffle_pixels(spark, qname):
     """The image pipelines' load-bearing plan claim: decoded pixels (and
