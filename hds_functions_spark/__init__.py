@@ -148,6 +148,10 @@ from .operators.similarity import (
 )
 from .operators.multimodal import (
     ahash_duplicate_groups,
+    audio_curation_signatures,
+    audio_downmix,
+    audio_phash,
+    audio_signatures,
     attach_binary_payload,
     decode_image_features,
     image_ahash,

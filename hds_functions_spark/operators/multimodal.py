@@ -91,6 +91,8 @@ __all__ = [
     "image_ingest_verdicts",
     "VIDEO_SIGNATURE_SCHEMA",
     "video_frame_signatures",
+    "AUDIO_CURATION_SCHEMA",
+    "audio_curation_signatures",
 ]
 
 
@@ -1004,6 +1006,83 @@ def audio_signatures(
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(process, AUDIO_SIGNATURE_SCHEMA)
+
+
+#: One row per decoded clip with BOTH curation-tier keys from one
+#: parse — the exact PCM md5 and the 56-bit perceptual hash — plus
+#: the format/duration audit fields.
+AUDIO_CURATION_SCHEMA = StructType(
+    [
+        StructField("aud_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_frames", IntegerType()),
+        StructField("pcm_md5", StringType()),
+        StructField("aphash", LongType()),
+    ]
+)
+
+
+def audio_curation_signatures(
+    df: DataFrame,
+    id_col: str = "aud_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Parse each WAV payload ONCE and emit every signature the audio
+    curation pipeline needs: the EXACT dedup key (md5 of the usable
+    PCM16 data bytes, :func:`audio_signatures`' convention — keyed
+    alongside rate/channels by the caller) and the PERCEPTUAL 56-bit
+    banded-energy hash (:func:`media_codecs.audio_phash56_from_pcm`
+    over the SAME parsed bytes — no second container walk), plus the
+    format fields. Arrow-batched ``mapInPandas``, 1 row -> <=1 row, no
+    shuffle; PCM bytes never leave the stage — only fixed-width
+    signatures do. Non-WAV/corrupt/too-short payloads yield no row
+    (fail closed, the media family contract)."""
+
+    def process(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        from .media_codecs import audio_phash56_from_pcm, wav_pcm_data
+
+        for pdf in batches:
+            rows = {k: [] for k in (
+                "aud_id", "sample_rate", "n_channels", "n_frames",
+                "pcm_md5", "aphash")}
+            for aud_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                parsed = wav_pcm_data(payload) if payload is not None else None
+                if parsed is None:
+                    continue
+                rate, channels, data = parsed
+                hashed = audio_phash56_from_pcm(channels, data)
+                if hashed is None:
+                    continue
+                n_frames, val = hashed
+                usable = len(data) - len(data) % 2
+                rows["aud_id"].append(aud_id)
+                rows["sample_rate"].append(rate)
+                rows["n_channels"].append(channels)
+                rows["n_frames"].append(n_frames)
+                rows["pcm_md5"].append(
+                    hashlib.md5(data[:usable]).hexdigest()
+                )
+                rows["aphash"].append(val)
+            out = pd.DataFrame(rows).astype(
+                {"sample_rate": "Int32", "n_channels": "Int32",
+                 "n_frames": "Int32", "aphash": "Int64"}
+            )
+            if id_col != "aud_id":
+                out = out.rename(columns={"aud_id": id_col})
+            yield out
+
+    schema = (
+        AUDIO_CURATION_SCHEMA
+        if id_col == "aud_id"
+        else StructType(
+            [StructField(id_col, LongType())]
+            + list(AUDIO_CURATION_SCHEMA.fields[1:])
+        )
+    )
+    return df.mapInPandas(process, schema)
 
 
 AUDIO_PHASH_SCHEMA = StructType(

@@ -278,6 +278,133 @@ def pipeline_video_curation(spark, sf_dir):
 ORACLES["pipeline_video_curation"] = _duck_video_curation_sql()
 
 
+# --- incremental (continuous-ingest) video dedup ------------------------------
+
+#: batch selector: CLIPS with doc_id % 13 < 2 are "newly ingested"
+#: (the image twin's 2-residue convention at clip granularity — a
+#: nightly batch is new CLIPS, so the natural delta unit is the clip;
+#: every frame of a batch clip probes the standing FRAME index)
+_VCI_BATCH_MOD = 13
+_VCI_BATCH_RESIDUES = 2
+
+
+def _duck_video_incremental_sql() -> str:
+    """The nightly video-ingest report, closed-form over the SAME
+    frame-sig CTEs as the curation oracle (shared builder — the two
+    cannot drift): batch clips' frames probe the standing index's
+    exact content keys, then the standing CANONICAL phash set, then
+    dedup among themselves. Standing-first verdicts (an immutable
+    persisted index's semantics) — the registry_ext12 incremental
+    tiering re-spelled over frames."""
+    return f"""
+WITH {_duck_video_sig_ctes()},
+vib AS (SELECT * FROM vsig
+        WHERE doc_id % {_VCI_BATCH_MOD} < {_VCI_BATCH_RESIDUES}),
+vist AS (SELECT * FROM vsig
+         WHERE doc_id % {_VCI_BATCH_MOD} >= {_VCI_BATCH_RESIDUES}),
+vistk AS (SELECT DISTINCT exact_key FROM vist),
+vistc AS (SELECT exact_key, min(fid) AS c FROM vist GROUP BY 1),
+vistph AS (
+  SELECT DISTINCT s.phash_hi, s.phash_lo
+  FROM vist s JOIN vistc ON s.exact_key = vistc.exact_key
+                        AND s.fid = vistc.c),
+vibex AS (SELECT exact_key, min(fid) AS bc FROM vib GROUP BY 1),
+vibj AS (
+  SELECT vib.*, (vistk.exact_key IS NOT NULL) AS hit_sk, vibex.bc
+  FROM vib LEFT JOIN vistk USING (exact_key) JOIN vibex USING (exact_key)),
+vibph AS (
+  SELECT phash_hi, phash_lo, min(fid) AS pc
+  FROM vibj WHERE NOT hit_sk AND fid = bc GROUP BY 1, 2),
+viverd AS (
+  SELECT vibj.source,
+         CASE WHEN vibj.hit_sk THEN 'exact_dup_standing'
+              WHEN vibj.fid <> vibj.bc THEN 'exact_dup_batch'
+              WHEN vistph.phash_hi IS NOT NULL THEN 'phash_dup'
+              WHEN vibj.fid <> vibph.pc THEN 'phash_dup'
+              ELSE 'novel' END AS verdict
+  FROM vibj
+  LEFT JOIN vistph
+    ON vibj.phash_hi = vistph.phash_hi AND vibj.phash_lo = vistph.phash_lo
+  LEFT JOIN vibph
+    ON vibj.phash_hi = vibph.phash_hi AND vibj.phash_lo = vibph.phash_lo)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_batch_frames,
+       CAST(sum(CASE WHEN verdict = 'exact_dup_standing' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_exact_dup_standing,
+       CAST(sum(CASE WHEN verdict = 'exact_dup_batch' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_exact_dup_batch,
+       CAST(sum(CASE WHEN verdict = 'phash_dup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_phash_dup,
+       CAST(sum(CASE WHEN verdict = 'novel' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel
+FROM viverd GROUP BY 1
+"""
+
+
+@_register("multimodal_video_dedup_incremental", None)  # oracle below
+def multimodal_video_dedup_incremental(spark, sf_dir):
+    """Continuous-ingest video dedup — the incremental twin of
+    pipeline_video_curation's two tiers, completing the operational
+    shape for the last media family (images got theirs in
+    registry_ext12): a nightly batch of new CLIPS (doc_id % 13 < 2
+    plays the delta) decodes once and its FRAMES probe a STANDING
+    frame-signature index instead of re-deduping the corpus. The probe
+    IS :func:`operators.multimodal.image_ingest_verdicts` — the
+    verdict operator is signature-schema generic (an exact key plus
+    two phash longs), so the video path reuses it verbatim with the
+    frame md5 as the exact key and fid as the row id; one operator,
+    two modalities, pinned by both oracles. Output: the per-source
+    ingest report (exact-vs-standing / exact-in-batch / perceptual /
+    novel frame counts).
+
+    At 100 TB the standing index is persisted frame signatures
+    (~90 B/frame); each night's work is batch-decode plus key-sized
+    joins — standing pixels are never re-decoded, standing x standing
+    work never repeated (index rebuilt in-query only because the
+    registry gate needs a self-contained plan). Oracle: the SAME
+    frame-sig CTE builder as the curation pipeline's, with the
+    registry_ext12 standing-first tiering over frames."""
+    from .caching import tracked_persist
+    from .operators.multimodal import (
+        image_ingest_verdicts,
+        synthesize_media_payloads,
+        video_frame_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    # persist: the index legs (keys, canonicals, canonical phashes) and
+    # the batch probes all branch off this one decode (the ext12 rule)
+    sig = tracked_persist(
+        video_frame_signatures(synthesize_media_payloads(docs, "avi"))
+        .withColumn(
+            "fid", F.col("doc_id") * _VC_FID_STRIDE + F.col("frame_index")
+        )
+        .withColumnRenamed("frame_md5", "pixel_md5")
+    )
+    is_batch = F.col("doc_id") % _VCI_BATCH_MOD < _VCI_BATCH_RESIDUES
+    tiered = image_ingest_verdicts(
+        sig.filter(is_batch), sig.filter(~is_batch), id_col="fid"
+    )
+
+    def n_of(v):
+        return F.sum((F.col("verdict") == v).cast("long"))
+
+    return (
+        tiered.join(docs.select("doc_id", "source"), on="doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_batch_frames"),
+            n_of("exact_dup_standing").alias("n_exact_dup_standing"),
+            n_of("exact_dup_batch").alias("n_exact_dup_batch"),
+            n_of("phash_dup").alias("n_phash_dup"),
+            n_of("novel").alias("n_novel"),
+        )
+    )
+
+
+ORACLES["multimodal_video_dedup_incremental"] = _duck_video_incremental_sql()
+
+
 # --- cross-modal caption curation ---------------------------------------------
 
 #: caption gates (the LAION-style pair filter): dims floor, aspect
@@ -418,3 +545,231 @@ def pipeline_caption_curation(spark, sf_dir):
 
 
 ORACLES["pipeline_caption_curation"] = _duck_caption_curation_sql()
+
+
+# --- audio curation pipeline ---------------------------------------------------
+
+#: docs with doc_id % 5 == 2 ALSO ship a DOWNMIXED re-encode of their
+#: clip (operators/multimodal.py:audio_downmix): for stereo clips the
+#: channel fold changes every PCM byte (defeats the exact tier) while
+#: the banded-energy perceptual hash is invariant by construction —
+#: the transform the perceptual tier exists to catch; for mono clips
+#: the fold is the identity and the re-encode lands in the exact tier
+_AC_DOWNMIX_MOD = 5
+#: clip-id packing: base clip = doc_id*2, downmix re-encode = doc_id*2+1
+_AC_AUD_STRIDE = 2
+
+
+def _duck_audio_curation_sql() -> str:
+    """The per-source audio curation card closed-form: PCM content is a
+    pure function of the wav_tones protocol (registry_ext11's machinery)
+    and downmixing folds channels into the sample values, so the corpus
+    is replayed with EFFECTIVE tables — eff_ch/eff_amps describe the
+    re-encoded bytes (downmix of stereo = 1 channel of 2*amp samples),
+    while the mono-fold table ``mamps = ch * amps`` is downmix-INVARIANT
+    (that invariance IS the perceptual tier's claim). The exact tier
+    groups (rate, eff_ch, frames, eff_amps, pers) — injective for the
+    byte stream, so it equals Spark's (rate, channels, pcm_md5) groups —
+    and the 56-bit hash is recomputed integer-exactly per DISTINCT
+    mono-content key, bounded by content diversity, not corpus size."""
+    amp_pos = [2 * ((9 + s) % 16) + 1 for s in range(8)]
+    per_pos = [2 * ((s * 2 + 3) % 16) + 1 for s in range(8)]
+    amps = ",\n          ".join(
+        f"256 + ('0x' || substr(md5(text), {p}, 2))::INTEGER * 16"
+        for p in amp_pos
+    )
+    pers = ",\n          ".join(
+        f"1 << (('0x' || substr(md5(text), {p}, 2))::INTEGER % 4)"
+        for p in per_pos
+    )
+    return f"""
+WITH aub AS (
+  SELECT doc_id, source,
+         ([8000,16000,22050,44100,48000])[
+             ('0x' || substr(md5(text), 11, 2))::INTEGER % 5 + 1] AS rate,
+         1 + ('0x' || substr(md5(text), 13, 2))::INTEGER % 2 AS ch,
+         512 + (('0x' || substr(md5(text), 15, 2))::INTEGER * 256
+                + ('0x' || substr(md5(text), 17, 2))::INTEGER) % 512
+             AS frames,
+         [{amps}] AS amps,
+         [{pers}] AS pers
+  FROM documents
+), auc AS (
+  SELECT doc_id * {_AC_AUD_STRIDE} AS aud_id, doc_id, source, rate, frames,
+         ch AS eff_ch, amps AS eff_amps, pers,
+         list_transform(amps, a -> a * ch) AS mamps
+  FROM aub
+  UNION ALL
+  SELECT doc_id * {_AC_AUD_STRIDE} + 1, doc_id, source, rate, frames,
+         1, list_transform(amps, a -> a * ch), pers,
+         list_transform(amps, a -> a * ch)
+  FROM aub WHERE doc_id % {_AC_DOWNMIX_MOD} = 2
+), aukeys AS (
+  SELECT *,
+         rate || ':' || eff_ch || ':' || frames || ':'
+              || array_to_string(eff_amps, ',') || ':'
+              || array_to_string(pers, ',') AS exact_key,
+         frames || '|' || array_to_string(mamps, ',') || '|'
+                || array_to_string(pers, ',') AS ckey
+  FROM auc
+), aucont AS (
+  SELECT DISTINCT ckey, frames, mamps, pers FROM aukeys
+), ausmp AS (
+  SELECT ckey, frames, t.i AS i,
+         CASE WHEN ((t.i // pers[(t.i * 8) // frames + 1]) % 2) = 0
+              THEN mamps[(t.i * 8) // frames + 1]
+              ELSE -mamps[(t.i * 8) // frames + 1] END AS mono
+  FROM aucont CROSS JOIN range(0, 1024) t(i)
+  WHERE t.i < frames
+), ausb AS (
+  SELECT ckey, (i * 9) // frames AS f, bb.b AS band,
+         CAST(sum(mono * (1 - 2 * ((i >> bb.b) & 1))) AS BIGINT) AS s
+  FROM ausmp CROSS JOIN range(0, 8) bb(b)
+  GROUP BY 1, 2, 3
+), auen AS (
+  SELECT ckey, f, band, s * s AS e FROM ausb
+), aubits AS (
+  SELECT a.ckey, (a.f - 1) * 7 + a.band AS idx,
+         CASE WHEN a.e - nb.e - pf.e + pb.e > 0 THEN 1 ELSE 0 END AS bit
+  FROM auen a
+  JOIN auen nb ON nb.ckey = a.ckey AND nb.f = a.f
+              AND nb.band = a.band + 1
+  JOIN auen pf ON pf.ckey = a.ckey AND pf.f = a.f - 1
+              AND pf.band = a.band
+  JOIN auen pb ON pb.ckey = a.ckey AND pb.f = a.f - 1
+              AND pb.band = a.band + 1
+  WHERE a.f >= 1 AND a.band <= 6
+), auph AS (
+  SELECT ckey, CAST(sum(bit::BIGINT << idx) AS BIGINT) AS aphash
+  FROM aubits GROUP BY 1
+), ausig AS (
+  SELECT k.aud_id, k.doc_id, k.source, k.rate, k.frames, k.exact_key,
+         auph.aphash
+  FROM aukeys k JOIN auph USING (ckey)
+), auex AS (
+  SELECT exact_key, min(aud_id) AS exact_canon FROM ausig GROUP BY 1
+), aus2 AS (
+  SELECT ausig.*, auex.exact_canon FROM ausig JOIN auex USING (exact_key)
+), aupm AS (
+  SELECT rate, aphash, min(aud_id) AS ph_canon
+  FROM aus2 WHERE aud_id = exact_canon GROUP BY 1, 2
+), auverd AS (
+  SELECT aus2.source, aus2.frames, aus2.rate,
+         CASE WHEN aus2.aud_id <> aus2.exact_canon THEN 'exact_dup'
+              WHEN aus2.aud_id <> aupm.ph_canon THEN 'phash_dup'
+              ELSE 'curated' END AS verdict
+  FROM aus2 LEFT JOIN aupm
+    ON aus2.rate = aupm.rate AND aus2.aphash = aupm.aphash
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_clips,
+       CAST(sum(CASE WHEN verdict = 'exact_dup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_exact_dups,
+       CAST(sum(CASE WHEN verdict = 'phash_dup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_phash_dups,
+       CAST(sum(CASE WHEN verdict = 'curated' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_curated,
+       CAST(sum(CASE WHEN verdict = 'curated' THEN frames ELSE 0 END)
+            AS BIGINT) AS curated_frames,
+       CAST(sum(CASE WHEN verdict = 'curated'
+                THEN (frames * 1000) // rate ELSE 0 END)
+            AS BIGINT) AS curated_duration_ms
+FROM auverd GROUP BY 1
+"""
+
+
+@_register("pipeline_audio_curation", None)  # oracle attached below
+def pipeline_audio_curation(spark, sf_dir):
+    """Audio curation END TO END — the last media family's capstone,
+    completing the image/video/caption set: a rich-content WAV corpus
+    (wav_tones clips, plus DOWNMIX re-encodes for doc_id % 5 == 2 —
+    the channel fold that flips every PCM byte of a stereo clip while
+    the perceptual fingerprint is invariant by construction) is parsed
+    ONCE by :func:`operators.multimodal.audio_curation_signatures`
+    (RIFF walk -> exact pcm md5 + 56-bit banded-energy hash from the
+    SAME parsed bytes), exact-deduped on (rate, channels, pcm_md5),
+    near-deduped on (rate, aphash) over the surviving exact canonicals
+    — catching exactly the downmixed-stereo re-encodes plus any
+    protocol hash coincidences — and rolled into a per-source curated-
+    audio card (tier counts + curated frame/duration mass).
+
+    Plan shape at 100 TB: synthesis, downmix and parse are
+    Arrow-batched ``mapInPandas``, executor-linear over clips; PCM
+    bytes never shuffle (plan-gated) — each tier is one map-side-
+    combinable groupBy on fixed-width keys plus a signature-sized
+    equi-join back. The signature frame is persisted (three branches
+    over Python-stage work, the SCALE.md part D rule). Oracle: the
+    registry_ext11 Walsh-band machinery over EFFECTIVE post-downmix
+    tables, hashed once per distinct mono-content key."""
+    from .caching import tracked_persist
+    from .operators.multimodal import (
+        audio_curation_signatures,
+        audio_downmix,
+        synthesize_media_payloads,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    base = synthesize_media_payloads(docs, "wav_tones")
+    dn = audio_downmix(
+        base.filter(F.col("doc_id") % _AC_DOWNMIX_MOD == 2)
+    )
+    corpus = (
+        base.select(
+            (F.col("doc_id") * _AC_AUD_STRIDE).alias("aud_id"), "payload"
+        )
+        .unionByName(
+            dn.select(
+                (F.col("doc_id") * _AC_AUD_STRIDE + 1).alias("aud_id"),
+                "payload",
+            )
+        )
+    )
+    sig = tracked_persist(audio_curation_signatures(corpus))
+    ex = sig.groupBy("sample_rate", "n_channels", "pcm_md5").agg(
+        F.min("aud_id").alias("exact_canon")
+    )
+    s2 = sig.join(ex, on=["sample_rate", "n_channels", "pcm_md5"])
+    pm = (
+        s2.filter(F.col("aud_id") == F.col("exact_canon"))
+        .groupBy("sample_rate", "aphash")
+        .agg(F.min("aud_id").alias("ph_canon"))
+    )
+    verdict = (
+        F.when(F.col("aud_id") != F.col("exact_canon"), F.lit("exact_dup"))
+        .when(F.col("aud_id") != F.col("ph_canon"), F.lit("phash_dup"))
+        .otherwise(F.lit("curated"))
+    )
+    tiered = (
+        s2.join(pm, on=["sample_rate", "aphash"], how="left")
+        .withColumn("verdict", verdict)
+        .withColumn("doc_id", F.shiftright(F.col("aud_id"), 1))
+    )
+    curated = F.col("verdict") == "curated"
+    return (
+        tiered.join(docs.select("doc_id", "source"), on="doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clips"),
+            F.sum((F.col("verdict") == "exact_dup").cast("long")).alias(
+                "n_exact_dups"
+            ),
+            F.sum((F.col("verdict") == "phash_dup").cast("long")).alias(
+                "n_phash_dups"
+            ),
+            F.sum(curated.cast("long")).alias("n_curated"),
+            F.sum(
+                F.when(curated, F.col("n_frames")).otherwise(0).cast("long")
+            ).alias("curated_frames"),
+            F.sum(
+                F.when(
+                    curated,
+                    F.expr(
+                        "(CAST(n_frames AS BIGINT) * 1000) DIV sample_rate"
+                    ),
+                ).otherwise(0)
+            ).alias("curated_duration_ms"),
+        )
+    )
+
+
+ORACLES["pipeline_audio_curation"] = _duck_audio_curation_sql()

@@ -1346,3 +1346,88 @@ def test_image_ingest_verdicts_undecodable_leg(spark):
     assert len(got) == poisoned.count()  # nothing dropped
     undecodable = [v for v in got.values() if v == "undecodable"]
     assert len(undecodable) == n_nulled
+
+
+def test_video_dedup_incremental_legs_and_consistency(spark):
+    """The continuous-ingest video twin: verdict counts partition the
+    batch frames and every class is reachable under the protocol (the
+    clip-level 2-residue selector straddles duplicate-content pairs
+    both ways)."""
+    import hds_functions_spark.registry_ext  # noqa: F401
+    from hds_functions_spark.registry import QUERIES
+
+    card = QUERIES["multimodal_video_dedup_incremental"](
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    assert (
+        card["n_exact_dup_standing"]
+        + card["n_exact_dup_batch"]
+        + card["n_phash_dup"]
+        + card["n_novel"]
+    ).equals(card["n_batch_frames"])
+    for leg in ("n_exact_dup_standing", "n_exact_dup_batch",
+                "n_phash_dup", "n_novel"):
+        assert int(card[leg].sum()) > 0, leg
+
+
+def test_audio_curation_downmix_tiers(spark):
+    """pipeline_audio_curation: one clip per doc plus one downmix
+    re-encode per doc_id%5==2 doc; tier counts partition the corpus;
+    BOTH tiers fire (mono downmixes land exact, stereo downmixes land
+    perceptual — the invariance audio_phash56 was built for)."""
+    import hds_functions_spark.registry_ext  # noqa: F401
+    from hds_functions_spark.registry import QUERIES
+    from hds_functions_spark.registry_ext13 import _AC_DOWNMIX_MOD
+
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    card = QUERIES["pipeline_audio_curation"](spark, sf).toPandas()
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    n_docs = docs.count()
+    n_dn = docs.filter(F.col("doc_id") % _AC_DOWNMIX_MOD == 2).count()
+    assert int(card["n_clips"].sum()) == n_docs + n_dn
+    assert (
+        card["n_exact_dups"] + card["n_phash_dups"] + card["n_curated"]
+    ).equals(card["n_clips"])
+    assert int(card["n_exact_dups"].sum()) > 0
+    assert int(card["n_phash_dups"].sum()) > 0
+    # every downmix re-encode deduplicates into ONE of the two tiers
+    assert (
+        int(card["n_exact_dups"].sum()) + int(card["n_phash_dups"].sum())
+        >= n_dn
+    )
+
+
+def test_audio_curation_signatures_one_parse_matches_pair(spark):
+    """audio_curation_signatures must agree with the two single-purpose
+    operators (audio_signatures' pcm_md5, audio_phash's aphash) row for
+    row — one parse, same signatures."""
+    from hds_functions_spark.operators.multimodal import (
+        audio_curation_signatures,
+        audio_phash,
+        audio_signatures,
+        synthesize_media_payloads,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .limit(60)
+    )
+    corpus = synthesize_media_payloads(docs, "wav_tones")
+    combined = {
+        r["doc_id"]: (r["sample_rate"], r["n_channels"], r["n_frames"],
+                      r["pcm_md5"], r["aphash"])
+        for r in audio_curation_signatures(corpus, id_col="doc_id").collect()
+    }
+    sigs = {
+        r["doc_id"]: (r["sample_rate"], r["n_channels"], r["n_frames"],
+                      r["pcm_md5"])
+        for r in audio_signatures(corpus).collect()
+    }
+    hashes = {r["doc_id"]: r["aphash"] for r in audio_phash(corpus).collect()}
+    assert len(combined) == 60
+    for doc_id, (rate, ch, nf, md5_, ap) in combined.items():
+        assert sigs[doc_id] == (rate, ch, nf, md5_)
+        assert hashes[doc_id] == ap

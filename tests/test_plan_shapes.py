@@ -475,6 +475,8 @@ def test_no_corpus_cardinality_ntile_window(spark, qname):
         "multimodal_image_dedup_incremental",
         "pipeline_video_curation",
         "pipeline_caption_curation",
+        "multimodal_video_dedup_incremental",
+        "pipeline_audio_curation",
     ],
 )
 def test_image_pipelines_never_shuffle_pixels(spark, qname):
