@@ -11,6 +11,12 @@ B) 16x pipeline_caption_curation: the cross-modal pair gate — image
    JVM expressions, so the Python cost is the image decode alone;
    shuffle is signatures + one double per pair.
 
+C) 16x multimodal_video_dedup_incremental: the continuous-ingest twin
+   — batch decode + key-sized probes against the standing frame index.
+
+D) 16x pipeline_audio_curation: synthesis + downmix + one-parse
+   signatures + two tiers; PCM bytes never shuffle.
+
 Usage: python tools/scaleup_r15.py [sf_dir] [parts]
 """
 
@@ -39,7 +45,7 @@ def part(spark, sf_dir, ui, app_id, tmp16, qname):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    parts = (sys.argv[2] if len(sys.argv) > 2 else "AB").upper()
+    parts = (sys.argv[2] if len(sys.argv) > 2 else "ABCD").upper()
 
     from hds_functions_spark.plans import build_session
 
@@ -64,6 +70,11 @@ def main():
         part(spark, sf_dir, ui, app_id, tmp16, "pipeline_video_curation")
     if "B" in parts:
         part(spark, sf_dir, ui, app_id, tmp16, "pipeline_caption_curation")
+    if "C" in parts:
+        part(spark, sf_dir, ui, app_id, tmp16,
+             "multimodal_video_dedup_incremental")
+    if "D" in parts:
+        part(spark, sf_dir, ui, app_id, tmp16, "pipeline_audio_curation")
     spark.stop()
 
 
