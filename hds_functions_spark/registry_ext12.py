@@ -347,13 +347,13 @@ FROM verd GROUP BY 1
 """
 
 
-def _image_corpus(spark, sf_dir):
-    """The mixed-container image corpus the curation pipeline defines
-    (base container by doc_id % 3, png<->ppm re-encodes), shared by the
-    full pipeline and the incremental twin."""
+def _image_corpus_of(docs):
+    """The mixed-container image corpus over an arbitrary documents
+    frame (base container by doc_id % 3, png<->ppm re-encodes) — split
+    out of :func:`_image_corpus` so the streaming ingest twin can build
+    the SAME corpus per micro-batch (registry_ext13)."""
     from .operators.multimodal import synthesize_media_payloads
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
     cmod = F.col("doc_id") % _IC_CONTAINER_MOD
 
     def synth(frame, kind, variant):
@@ -363,14 +363,20 @@ def _image_corpus(spark, sf_dir):
         )
 
     reenc = (F.col("doc_id") % _IC_REENC_MOD) == 2
-    corpus = (
+    return (
         synth(docs.filter(cmod == 0), "png", 0)
         .unionByName(synth(docs.filter(cmod == 1), "jpeg", 0))
         .unionByName(synth(docs.filter(cmod == 2), "ppm", 0))
         .unionByName(synth(docs.filter((cmod == 0) & reenc), "ppm", 1))
         .unionByName(synth(docs.filter((cmod == 2) & reenc), "png", 1))
     )
-    return docs, corpus
+
+
+def _image_corpus(spark, sf_dir):
+    """The mixed-container image corpus the curation pipeline defines,
+    shared by the full pipeline and the incremental twin."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    return docs, _image_corpus_of(docs)
 
 
 @_register("multimodal_image_dedup_incremental", None)  # oracle below

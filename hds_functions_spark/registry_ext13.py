@@ -33,7 +33,13 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from .registry import ORACLES, QUERIES, _register, _t  # noqa: F401
+from .registry import (  # noqa: F401
+    ORACLES,
+    QUERIES,
+    _register,
+    _stable_dir_tag,
+    _t,
+)
 
 # Direct `import hds_functions_spark.registry_extN` must see every
 # upstream ORACLES/QUERIES entry this module reads at import time:
@@ -43,7 +49,11 @@ from .registry import ORACLES, QUERIES, _register, _t  # noqa: F401
 # import), a no-op.
 from . import registry_ext  # noqa: E402,F401
 from .registry_ext import _duck_quality_sql  # noqa: E402
-from .registry_ext12 import _duck_image_sig_ctes, _image_corpus  # noqa: E402
+from .registry_ext12 import (  # noqa: E402
+    _duck_image_sig_ctes,
+    _image_corpus,
+    _image_corpus_of,
+)
 
 
 # --- video curation pipeline --------------------------------------------------
@@ -773,3 +783,132 @@ def pipeline_audio_curation(spark, sf_dir):
 
 
 ORACLES["pipeline_audio_curation"] = _duck_audio_curation_sql()
+
+
+# --- streaming media ingest ----------------------------------------------------
+
+#: the image incremental's batch selector (registry_ext12), reused so
+#: the streaming twin probes exactly the images the batch twin calls
+#: "newly ingested"
+_SMI_BATCH_MOD = 13
+_SMI_BATCH_RESIDUES = 2
+
+
+def _duck_streaming_ingest_sql() -> str:
+    """Per-image standing-only verdicts closed-form over the SHARED
+    image-sig CTE builder: the streaming probe is per-row against a
+    FROZEN index (no batch-internal tier — micro-batch boundaries are
+    an execution detail, so only micro-batch-INVARIANT verdicts are
+    streamable; within-ingest dedup is the batch twin's job), which
+    makes the drained sink equal this batch SQL row for row."""
+    return f"""
+WITH {_duck_image_sig_ctes()},
+smi_st AS (SELECT * FROM sig
+           WHERE img_id % {_SMI_BATCH_MOD} >= {_SMI_BATCH_RESIDUES}),
+smi_stk AS (SELECT DISTINCT exact_key FROM smi_st),
+smi_stc AS (SELECT exact_key, min(img_id) AS c FROM smi_st GROUP BY 1),
+smi_stph AS (
+  SELECT DISTINCT s.phash_hi, s.phash_lo
+  FROM smi_st s JOIN smi_stc ON s.exact_key = smi_stc.exact_key
+                            AND s.img_id = smi_stc.c),
+smi_b AS (SELECT * FROM sig
+          WHERE img_id % {_SMI_BATCH_MOD} < {_SMI_BATCH_RESIDUES})
+SELECT b.img_id,
+       CASE WHEN smi_stk.exact_key IS NOT NULL THEN 'exact_dup_standing'
+            WHEN smi_stph.phash_hi IS NOT NULL THEN 'phash_dup_standing'
+            ELSE 'novel' END AS verdict
+FROM smi_b b
+LEFT JOIN smi_stk USING (exact_key)
+LEFT JOIN smi_stph
+  ON b.phash_hi = smi_stph.phash_hi AND b.phash_lo = smi_stph.phash_lo
+"""
+
+
+@_register("streaming_image_ingest", None)  # oracle attached below
+def streaming_image_ingest(spark, sf_dir):
+    """Media ingest as a STREAM — the streaming twin completing the
+    media family next to the dedup/bloom/sessions/PQ streaming twins:
+    document batches arrive as a file stream, each micro-batch
+    synthesizes its images, decodes them ONCE (batch-residue images
+    only — the filter runs before the decode), and probes a standing
+    signature index built and persisted ONCE outside the stream,
+    appending per-image verdicts to a durable parquet sink with
+    checkpointed exactly-once resume (stream_ops.stream_score_batches).
+
+    Only the STANDING-side tiers are probed (exact key hit, then
+    canonical-phash hit, else novel): a batch-internal tier would make
+    verdicts depend on micro-batch boundaries — an execution detail —
+    so it stays with the batch twin (multimodal_image_dedup_incremental)
+    by design; the probe is per-row against a frozen index, which is
+    exactly the invariance stream_score_batches' contract demands, and
+    what makes the drained sink equal the batch SQL oracle row for row.
+
+    At 100 TB the standing signature index is ~60 B/image persisted
+    once; each micro-batch's work is its own decode plus two key-sized
+    hash joins — no state store at all (the index is a static frame,
+    not streaming state)."""
+    import shutil
+    import tempfile
+
+    from .caching import tracked_persist
+    from .operators.multimodal import image_signatures
+    from .streaming.stream_ops import (
+        read_parquet_stream,
+        stream_score_batches,
+    )
+
+    _, corpus = _image_corpus(spark, sf_dir)
+    sig = tracked_persist(
+        image_signatures(corpus).filter(F.col("pixel_md5").isNotNull())
+    )
+    is_batch = F.col("img_id") % _SMI_BATCH_MOD < _SMI_BATCH_RESIDUES
+    standing = sig.filter(~is_batch)
+    st_keys = standing.select("pixel_md5").distinct().withColumn(
+        "_hit_sk", F.lit(True)
+    )
+    st_canon = standing.groupBy("pixel_md5").agg(F.min("img_id").alias("_c"))
+    st_ph = (
+        standing.join(st_canon, on="pixel_md5")
+        .filter(F.col("img_id") == F.col("_c"))
+        .select("phash_hi", "phash_lo")
+        .distinct()
+        .withColumn("_hit_ph", F.lit(True))
+    )
+
+    tag = _stable_dir_tag(sf_dir)
+    base = f"{tempfile.gettempdir()}/hds_media_stream_{tag}"
+    # deterministic replay: wipe sink + checkpoint so every invocation
+    # reprocesses the full (finite) stream from scratch
+    shutil.rmtree(base, ignore_errors=True)
+
+    stream = read_parquet_stream(
+        spark, f"{sf_dir}/documents.parquet"
+    ).select("doc_id", "text")
+
+    def probe(batch_docs):
+        bsig = image_signatures(
+            _image_corpus_of(batch_docs).filter(is_batch)
+        ).filter(F.col("pixel_md5").isNotNull())
+        verdict = (
+            F.when(F.col("_hit_sk"), F.lit("exact_dup_standing"))
+            .when(F.col("_hit_ph"), F.lit("phash_dup_standing"))
+            .otherwise(F.lit("novel"))
+        )
+        return (
+            bsig.join(st_keys, on="pixel_md5", how="left")
+            .join(st_ph, on=["phash_hi", "phash_lo"], how="left")
+            .withColumn("_hit_sk", F.coalesce(F.col("_hit_sk"), F.lit(False)))
+            .withColumn("_hit_ph", F.coalesce(F.col("_hit_ph"), F.lit(False)))
+            .select("img_id", verdict.alias("verdict"))
+        )
+
+    return stream_score_batches(
+        stream,
+        probe,
+        path=f"{base}/sink",
+        checkpoint_dir=f"{base}/ckpt",
+        state_partitions=8,
+    ).select("img_id", "verdict")
+
+
+ORACLES["streaming_image_ingest"] = _duck_streaming_ingest_sql()

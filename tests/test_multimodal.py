@@ -1431,3 +1431,56 @@ def test_audio_curation_signatures_one_parse_matches_pair(spark):
     for doc_id, (rate, ch, nf, md5_, ap) in combined.items():
         assert sigs[doc_id] == (rate, ch, nf, md5_)
         assert hashes[doc_id] == ap
+
+
+def test_streaming_image_ingest_matches_batch_probe(spark):
+    """The streaming twin's invariance contract: the drained sink must
+    equal the same standing-only probe computed as ONE batch (micro-
+    batch boundaries are an execution detail)."""
+    import hds_functions_spark.registry_ext  # noqa: F401
+    from pyspark.sql import functions as F
+
+    from hds_functions_spark.operators.multimodal import image_signatures
+    from hds_functions_spark.registry import QUERIES
+    from hds_functions_spark.registry_ext12 import _image_corpus
+    from hds_functions_spark.registry_ext13 import (
+        _SMI_BATCH_MOD,
+        _SMI_BATCH_RESIDUES,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    streamed = {
+        r["img_id"]: r["verdict"]
+        for r in QUERIES["streaming_image_ingest"](spark, sf).collect()
+    }
+    _, corpus = _image_corpus(spark, sf)
+    sig = image_signatures(corpus).filter(F.col("pixel_md5").isNotNull())
+    is_batch = F.col("img_id") % _SMI_BATCH_MOD < _SMI_BATCH_RESIDUES
+    standing = sig.filter(~is_batch)
+    st_canon = standing.groupBy("pixel_md5").agg(F.min("img_id").alias("_c"))
+    st_ph = (
+        standing.join(st_canon, on="pixel_md5")
+        .filter(F.col("img_id") == F.col("_c"))
+        .select("phash_hi", "phash_lo").distinct()
+        .withColumn("_ph", F.lit(True))
+    )
+    batch = (
+        sig.filter(is_batch)
+        .join(
+            standing.select("pixel_md5").distinct().withColumn(
+                "_sk", F.lit(True)
+            ),
+            on="pixel_md5", how="left",
+        )
+        .join(st_ph, on=["phash_hi", "phash_lo"], how="left")
+    )
+    expected = {
+        r["img_id"]: (
+            "exact_dup_standing" if r["_sk"]
+            else "phash_dup_standing" if r["_ph"]
+            else "novel"
+        )
+        for r in batch.collect()
+    }
+    assert streamed == expected and len(streamed) > 0
+    assert len(set(streamed.values())) >= 2  # more than one class fires
