@@ -912,3 +912,150 @@ def streaming_image_ingest(spark, sf_dir):
 
 
 ORACLES["streaming_image_ingest"] = _duck_streaming_ingest_sql()
+
+
+# --- incremental (continuous-ingest) audio dedup -------------------------------
+
+#: batch selector: clips with aud_id % 13 < 2 are "newly ingested" —
+#: AUD (not doc) granularity, deliberately: a base clip and its downmix
+#: re-encode share a doc_id and would otherwise always land in the SAME
+#: split, making the exact-vs-standing leg protocol-unreachable (the
+#: ext12 selector-granularity lesson, re-learned at audio); consecutive
+#: aud_ids straddle the residue boundary, so mono pairs exercise both
+#: exact legs and stereo pairs both perceptual legs
+_ACI_BATCH_MOD = 13
+_ACI_BATCH_RESIDUES = 2
+
+
+def _duck_audio_incremental_sql() -> str:
+    """The nightly audio-ingest report, closed-form over the SAME
+    effective-table corpus replay as the curation oracle (shared
+    constants — the two cannot drift): batch clips probe the standing
+    index's exact keys ((rate, ch, content)), then the standing
+    CANONICAL perceptual set ((rate, aphash)), then dedup among
+    themselves. Standing-first verdicts, the registry_ext12 tiering."""
+    base = _duck_audio_curation_sql()
+    # reuse the curation oracle's CTE chain up to ausig verbatim, then
+    # swap the tail for the standing-first incremental tiering
+    head, _ = base.split("), auex AS (", 1)
+    return head + f"""),
+acib AS (SELECT * FROM ausig
+         WHERE aud_id % {_ACI_BATCH_MOD} < {_ACI_BATCH_RESIDUES}),
+acist AS (SELECT * FROM ausig
+          WHERE aud_id % {_ACI_BATCH_MOD} >= {_ACI_BATCH_RESIDUES}),
+acistk AS (SELECT DISTINCT exact_key FROM acist),
+acistc AS (SELECT exact_key, min(aud_id) AS c FROM acist GROUP BY 1),
+acistph AS (
+  SELECT DISTINCT s.rate, s.aphash
+  FROM acist s JOIN acistc ON s.exact_key = acistc.exact_key
+                          AND s.aud_id = acistc.c),
+acibex AS (SELECT exact_key, min(aud_id) AS bc FROM acib GROUP BY 1),
+acibj AS (
+  SELECT acib.*, (acistk.exact_key IS NOT NULL) AS hit_sk, acibex.bc
+  FROM acib LEFT JOIN acistk USING (exact_key)
+  JOIN acibex USING (exact_key)),
+acibph AS (
+  SELECT rate, aphash, min(aud_id) AS pc
+  FROM acibj WHERE NOT hit_sk AND aud_id = bc GROUP BY 1, 2),
+aciverd AS (
+  SELECT acibj.source,
+         CASE WHEN acibj.hit_sk THEN 'exact_dup_standing'
+              WHEN acibj.aud_id <> acibj.bc THEN 'exact_dup_batch'
+              WHEN acistph.rate IS NOT NULL THEN 'phash_dup'
+              WHEN acibj.aud_id <> acibph.pc THEN 'phash_dup'
+              ELSE 'novel' END AS verdict
+  FROM acibj
+  LEFT JOIN acistph
+    ON acibj.rate = acistph.rate AND acibj.aphash = acistph.aphash
+  LEFT JOIN acibph
+    ON acibj.rate = acibph.rate AND acibj.aphash = acibph.aphash)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_batch_clips,
+       CAST(sum(CASE WHEN verdict = 'exact_dup_standing' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_exact_dup_standing,
+       CAST(sum(CASE WHEN verdict = 'exact_dup_batch' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_exact_dup_batch,
+       CAST(sum(CASE WHEN verdict = 'phash_dup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_phash_dup,
+       CAST(sum(CASE WHEN verdict = 'novel' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel
+FROM aciverd GROUP BY 1
+"""
+
+
+@_register("multimodal_audio_dedup_incremental", None)  # oracle below
+def multimodal_audio_dedup_incremental(spark, sf_dir):
+    """Continuous-ingest audio dedup — the incremental twin of
+    pipeline_audio_curation's two tiers, completing the operational
+    shape for ALL THREE media families (images r14, video r15, audio
+    here): a nightly batch of new clips (doc_id % 13 < 2 plays the
+    delta, over the SAME corpus-plus-downmixes the curation pipeline
+    defines) probes a STANDING signature index by exact content key,
+    then canonical perceptual key, then dedups among itself (batch
+    selector at CLIP granularity — aud_id % 13 < 2 — so base/downmix
+    pairs straddle the split and every verdict class is reachable).
+    The probe IS :func:`operators.multimodal.image_ingest_verdicts` a third
+    time: the operator is signature-schema generic, so the audio keys
+    map onto it verbatim — exact key = 'rate:ch:' || pcm_md5 in the
+    md5 slot, perceptual key = (rate, aphash) in the two phash slots —
+    one operator, three modalities, each pinned by its own closed-form
+    oracle. Output: the per-source ingest report.
+
+    At 100 TB the standing index is ~50 B/clip persisted once; each
+    night's work is batch-parse plus key-sized joins (index rebuilt
+    in-query only because the registry gate needs a self-contained
+    plan). Oracle: the curation oracle's CTE chain verbatim up to the
+    per-clip signature frame, then the ext12 standing-first tiering."""
+    from .caching import tracked_persist
+    from .operators.multimodal import (
+        audio_curation_signatures,
+        audio_downmix,
+        image_ingest_verdicts,
+        synthesize_media_payloads,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    base = synthesize_media_payloads(docs, "wav_tones")
+    dn = audio_downmix(base.filter(F.col("doc_id") % _AC_DOWNMIX_MOD == 2))
+    corpus = base.select(
+        (F.col("doc_id") * _AC_AUD_STRIDE).alias("aud_id"), "payload"
+    ).unionByName(
+        dn.select(
+            (F.col("doc_id") * _AC_AUD_STRIDE + 1).alias("aud_id"), "payload"
+        )
+    )
+    sig = tracked_persist(
+        audio_curation_signatures(corpus).select(
+            "aud_id",
+            F.concat_ws(
+                ":",
+                F.col("sample_rate"),
+                F.col("n_channels"),
+                F.col("pcm_md5"),
+            ).alias("pixel_md5"),
+            F.col("sample_rate").cast("long").alias("phash_hi"),
+            F.col("aphash").alias("phash_lo"),
+        )
+    )
+    is_batch = F.col("aud_id") % _ACI_BATCH_MOD < _ACI_BATCH_RESIDUES
+    tiered = image_ingest_verdicts(
+        sig.filter(is_batch), sig.filter(~is_batch), id_col="aud_id"
+    ).withColumn("doc_id", F.shiftright(F.col("aud_id"), 1))
+
+    def n_of(v):
+        return F.sum((F.col("verdict") == v).cast("long"))
+
+    return (
+        tiered.join(docs.select("doc_id", "source"), on="doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_batch_clips"),
+            n_of("exact_dup_standing").alias("n_exact_dup_standing"),
+            n_of("exact_dup_batch").alias("n_exact_dup_batch"),
+            n_of("phash_dup").alias("n_phash_dup"),
+            n_of("novel").alias("n_novel"),
+        )
+    )
+
+
+ORACLES["multimodal_audio_dedup_incremental"] = _duck_audio_incremental_sql()

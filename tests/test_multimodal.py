@@ -1484,3 +1484,24 @@ def test_streaming_image_ingest_matches_batch_probe(spark):
     }
     assert streamed == expected and len(streamed) > 0
     assert len(set(streamed.values())) >= 2  # more than one class fires
+
+
+def test_audio_dedup_incremental_legs_and_consistency(spark):
+    """The continuous-ingest audio twin: verdict counts partition the
+    batch clips and every class is reachable (the aud-granular selector
+    exists precisely so base/downmix pairs straddle the split)."""
+    import hds_functions_spark.registry_ext  # noqa: F401
+    from hds_functions_spark.registry import QUERIES
+
+    card = QUERIES["multimodal_audio_dedup_incremental"](
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    assert (
+        card["n_exact_dup_standing"]
+        + card["n_exact_dup_batch"]
+        + card["n_phash_dup"]
+        + card["n_novel"]
+    ).equals(card["n_batch_clips"])
+    for leg in ("n_exact_dup_standing", "n_exact_dup_batch",
+                "n_phash_dup", "n_novel"):
+        assert int(card[leg].sum()) > 0, leg

@@ -477,6 +477,7 @@ def test_no_corpus_cardinality_ntile_window(spark, qname):
         "pipeline_caption_curation",
         "multimodal_video_dedup_incremental",
         "pipeline_audio_curation",
+        "multimodal_audio_dedup_incremental",
     ],
 )
 def test_image_pipelines_never_shuffle_pixels(spark, qname):
