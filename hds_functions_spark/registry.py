@@ -771,9 +771,10 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: image_ingest_verdicts grew an explicit ``undecodable`` leg under
 #: multimodal_image_dedup_incremental — their r14 rows verified the
 #: old plans), then the 13 r09-vintage rows at the SLA-6 boundary,
-#: then the alphabetically-first 26 of the 50 r10-vintage stale rows.
-#: 6 + 5 + 13 + 26 = 50; the 24 list-order-last r10 rows
-#: (similarity_ivf_ingest_assign, similarity_ivf_knn,
+#: then the alphabetically-first 25 of the 50 r10-vintage stale rows.
+#: 7 + 5 + 13 + 25 = 50; the 25 list-order-last r10 rows
+#: (similarity_index_drift,
+#: similarity_ivf_ingest_assign, similarity_ivf_knn,
 #: similarity_ivf_probe_incremental, similarity_ivf_probe_recall,
 #: similarity_knn, similarity_lsh_banded, similarity_lsh_knn,
 #: similarity_pq_ingest_codes, similarity_pq_probe_incremental,
@@ -785,8 +786,8 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: they are 6 rounds stale, exactly the SLA boundary, so r16 MUST
 #: rotate them in first. Mitigation, on the record: the round-15
 #: closing two-scale `compare_oracle --exact` sweeps cover EVERY
-#: registered query including those 24.
-#: ROUND-16 ROTATION GUIDANCE: the 24 leftover r10 rows + r16
+#: registered query including those 25.
+#: ROUND-16 ROTATION GUIDANCE: the 25 leftover r10 rows + r16
 #: additions + any r15 reds at the head, then r11-vintage rows.
 DRIVER_PRIORITY: list[str] = [
     # round-15 additions (land driver rows the round they ship):
@@ -796,6 +797,7 @@ DRIVER_PRIORITY: list[str] = [
     "pipeline_audio_curation",
     "streaming_image_ingest",
     "multimodal_audio_dedup_incremental",
+    "pipeline_multimodal_shards",
     # r15 plan changes (null-safe quantile-cut attach; undecodable
     # verdict leg) — re-verify this round:
     "multimodal_image_dedup_incremental",
@@ -817,7 +819,7 @@ DRIVER_PRIORITY: list[str] = [
     "text_kn_trigram_logprob",
     "text_novelty",
     "text_novelty_incremental",
-    # r10-vintage stale rows, alphabetical (26 of 50 fit; the 24 past
+    # r10-vintage stale rows, alphabetical (25 of 50 fit; the 25 past
     # slot 50 wait for r16 — see the rotation comment above):
     "analytics_promo_revenue",
     "analytics_region_revenue",
@@ -844,7 +846,6 @@ DRIVER_PRIORITY: list[str] = [
     "privacy_dp_sums",
     "profile_key_skew",
     "quality_orphans",
-    "similarity_index_drift",
 ]
 
 

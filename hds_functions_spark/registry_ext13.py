@@ -442,7 +442,7 @@ cap_ex AS (
 ), cap_q AS (
   SELECT doc_id, quality_score FROM ({_duck_quality_sql()})
 ), cap_verd AS (
-  SELECT b.source, b.w, b.h, q.quality_score,
+  SELECT b.doc_id, b.source, b.w, b.h, q.quality_score,
          CASE WHEN b.img_id <> b.exact_canon THEN 'dup_image'
               WHEN b.w < {_CC_MIN_DIM} OR b.h < {_CC_MIN_DIM}
                    THEN 'small_image'
@@ -473,6 +473,45 @@ FROM cap_verd GROUP BY 1
 """
 
 
+def _caption_pairs(spark, sf_dir):
+    """The verdict-tagged doc/image pair frame (one row per base image,
+    columns incl. ``text``, ``source``, dims, ``quality_score``,
+    ``verdict``) — shared by the caption card and the multimodal
+    shard-packing capstone so the gate cannot drift between them."""
+    from .caching import tracked_persist
+    from .functions.text import add_quality_score
+    from .operators.multimodal import image_signatures
+
+    docs, corpus = _image_corpus(spark, sf_dir)
+    sig = tracked_persist(
+        image_signatures(corpus).filter(F.col("pixel_md5").isNotNull())
+    )
+    ex = sig.groupBy("pixel_md5").agg(F.min("img_id").alias("exact_canon"))
+    base = (
+        sig.filter(F.col("img_id") % 2 == 0)
+        .join(ex, on="pixel_md5")
+        .withColumn("doc_id", F.shiftright(F.col("img_id"), 1))
+    )
+    captions = add_quality_score(docs).select(
+        "doc_id", "source", "text", "quality_score"
+    )
+    w, h = F.col("width"), F.col("height")
+    verdict = (
+        F.when(F.col("img_id") != F.col("exact_canon"), F.lit("dup_image"))
+        .when((w < _CC_MIN_DIM) | (h < _CC_MIN_DIM), F.lit("small_image"))
+        .when(
+            F.greatest(w, h) > _CC_MAX_ASPECT * F.least(w, h),
+            F.lit("extreme_aspect"),
+        )
+        .when(
+            F.col("quality_score") < _CC_MIN_QUALITY,
+            F.lit("low_quality_caption"),
+        )
+        .otherwise(F.lit("accepted"))
+    )
+    return base.join(captions, on="doc_id").withColumn("verdict", verdict)
+
+
 @_register("pipeline_caption_curation", None)  # oracle attached below
 def pipeline_caption_curation(spark, sf_dir):
     """Cross-modal (text+image) PAIR curation — the LAION-style
@@ -499,40 +538,8 @@ def pipeline_caption_curation(spark, sf_dir):
     card is one combinable groupBy on source. The signature frame is
     persisted because two branches (canonical agg, pair join) read the
     Python-side decode (SCALE.md part D rule)."""
-    from .caching import tracked_persist
-    from .functions.text import add_quality_score
-    from .operators.multimodal import image_signatures
-
-    docs, corpus = _image_corpus(spark, sf_dir)
-    sig = tracked_persist(
-        image_signatures(corpus).filter(F.col("pixel_md5").isNotNull())
-    )
-    ex = sig.groupBy("pixel_md5").agg(F.min("img_id").alias("exact_canon"))
-    base = (
-        sig.filter(F.col("img_id") % 2 == 0)
-        .join(ex, on="pixel_md5")
-        .withColumn("doc_id", F.shiftright(F.col("img_id"), 1))
-    )
-    captions = add_quality_score(docs).select(
-        "doc_id", "source", "quality_score"
-    )
+    pairs = _caption_pairs(spark, sf_dir)
     w, h = F.col("width"), F.col("height")
-    verdict = (
-        F.when(F.col("img_id") != F.col("exact_canon"), F.lit("dup_image"))
-        .when(
-            (w < _CC_MIN_DIM) | (h < _CC_MIN_DIM), F.lit("small_image")
-        )
-        .when(
-            F.greatest(w, h) > _CC_MAX_ASPECT * F.least(w, h),
-            F.lit("extreme_aspect"),
-        )
-        .when(
-            F.col("quality_score") < _CC_MIN_QUALITY,
-            F.lit("low_quality_caption"),
-        )
-        .otherwise(F.lit("accepted"))
-    )
-    pairs = base.join(captions, on="doc_id").withColumn("verdict", verdict)
     accepted = F.col("verdict") == "accepted"
 
     def n_of(v):
@@ -1059,3 +1066,91 @@ def multimodal_audio_dedup_incremental(spark, sf_dir):
 
 
 ORACLES["multimodal_audio_dedup_incremental"] = _duck_audio_incremental_sql()
+
+
+# --- multimodal training-shard manifest ----------------------------------------
+
+#: packing constants, fixed (not auto-derived) so the DuckDB oracle can
+#: replicate the sharding — library callers get data-derived sharding
+_MS_BUDGET = 2048
+_MS_SHARDS = 16
+
+
+def _duck_multimodal_shards_sql() -> str:
+    """The shard manifest closed-form: the caption oracle's pair CTEs
+    (shared builder) filtered to accepted, token counts from the shared
+    tokenizer expression, the pack_sequences hash-shard + cumulative
+    layout, then one manifest row per shard."""
+    from .registry_ext import _DUCK_TOKENS, _duck_bucket
+
+    head, _ = _duck_caption_curation_sql().split("\nSELECT source,", 1)
+    return head + f""",
+ms_tok AS (
+  SELECT doc_id, len({_DUCK_TOKENS}) AS n_tokens FROM documents
+), ms_acc AS (
+  SELECT v.doc_id, v.w, v.h, t.n_tokens,
+         ({_duck_bucket('v.doc_id', '')} % {_MS_SHARDS}) AS shard
+  FROM cap_verd v JOIN ms_tok t USING (doc_id)
+  WHERE v.verdict = 'accepted'
+), ms_cum AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+             ROWS UNBOUNDED PRECEDING) AS tokens_through
+  FROM ms_acc
+)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       CAST((max(tokens_through) + {_MS_BUDGET} - 1) // {_MS_BUDGET}
+            AS BIGINT) AS n_seqs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(3 * w * h) AS BIGINT) AS total_pixel_bytes
+FROM ms_cum GROUP BY 1
+"""
+
+
+@_register("pipeline_multimodal_shards", None)  # oracle attached below
+def pipeline_multimodal_shards(spark, sf_dir):
+    """The training-data ENDGAME composition: curated cross-modal pairs
+    packed into token-budget training shards, emitting the per-shard
+    manifest a downstream tokenizer/loader consumes. The accepted pairs
+    come from the SAME verdict-tagged frame as pipeline_caption_curation
+    (one builder — the gate cannot drift between the card and the
+    manifest), then :func:`operators.packing.pack_sequences` lays each
+    shard's captions end-to-end on a virtual token tape (deterministic
+    id-hash sharding, cut every {budget} tokens — placement is a pure
+    function of ids and token counts, so re-runs and repartitioning
+    cannot move a pair between sequences). Manifest per shard: pair
+    count, sequence count (ceil of the tape length), token mass, and
+    the pixel payload volume the loader will fetch.
+
+    Plan shape at 100 TB: everything after the caption gate is one
+    window over the shard key (bounded per-task work via the shard
+    count; the library default derives n_shards from total tokens so a
+    fixed count never pins 1/n of the corpus on one sort task) plus one
+    combinable groupBy — pixels and payloads never enter the plan at
+    all, only token counts and dims ride along. Oracle: the caption
+    oracle's pair CTEs verbatim + the pack_sequences layout SQL.""".format(
+        budget=_MS_BUDGET
+    )
+    from .operators.packing import pack_sequences
+
+    pairs = _caption_pairs(spark, sf_dir).filter(
+        F.col("verdict") == "accepted"
+    )
+    packed = pack_sequences(
+        pairs, budget=_MS_BUDGET, n_shards=_MS_SHARDS
+    )
+    return packed.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.ceil(
+            (F.max(F.col("seq_id") * _MS_BUDGET + F.col("seq_offset")
+                   + F.col("n_tokens")))
+            / F.lit(_MS_BUDGET)
+        ).cast("long").alias("n_seqs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.sum(3 * F.col("width") * F.col("height")).cast("long").alias(
+            "total_pixel_bytes"
+        ),
+    )
+
+
+ORACLES["pipeline_multimodal_shards"] = _duck_multimodal_shards_sql()

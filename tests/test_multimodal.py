@@ -1505,3 +1505,33 @@ def test_audio_dedup_incremental_legs_and_consistency(spark):
     for leg in ("n_exact_dup_standing", "n_exact_dup_batch",
                 "n_phash_dup", "n_novel"):
         assert int(card[leg].sum()) > 0, leg
+
+
+def test_multimodal_shards_manifest_consistency(spark):
+    """pipeline_multimodal_shards: manifest totals must reconcile with
+    the accepted caption pairs, and every shard's sequence count must
+    cover its token mass at the budget."""
+    import hds_functions_spark.registry_ext  # noqa: F401
+    from pyspark.sql import functions as F
+
+    from hds_functions_spark.registry import QUERIES
+    from hds_functions_spark.registry_ext13 import (
+        _MS_BUDGET,
+        _caption_pairs,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    man = QUERIES["pipeline_multimodal_shards"](spark, sf).toPandas()
+    acc = (
+        _caption_pairs(spark, sf)
+        .filter(F.col("verdict") == "accepted")
+        .count()
+    )
+    assert int(man["n_pairs"].sum()) == acc
+    # every shard needs at least ceil(total_tokens / budget) sequences
+    # (exactly that when no doc straddles a boundary with slack; always
+    # >= because packing never compacts past the budget)
+    assert (
+        man["n_seqs"] >= (man["total_tokens"] + _MS_BUDGET - 1) // _MS_BUDGET
+    ).all()
+    assert (man["total_pixel_bytes"] > 0).all()
