@@ -17,6 +17,9 @@ C) 16x multimodal_video_dedup_incremental: the continuous-ingest twin
 D) 16x pipeline_audio_curation: synthesis + downmix + one-parse
    signatures + two tiers; PCM bytes never shuffle.
 
+E) 16x pipeline_multimodal_shards: caption gate -> pack_sequences ->
+   per-shard manifest; the window is bounded per shard key.
+
 Usage: python tools/scaleup_r15.py [sf_dir] [parts]
 """
 
@@ -45,7 +48,7 @@ def part(spark, sf_dir, ui, app_id, tmp16, qname):
 
 def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    parts = (sys.argv[2] if len(sys.argv) > 2 else "ABCD").upper()
+    parts = (sys.argv[2] if len(sys.argv) > 2 else "ABCDE").upper()
 
     from hds_functions_spark.plans import build_session
 
@@ -75,6 +78,8 @@ def main():
              "multimodal_video_dedup_incremental")
     if "D" in parts:
         part(spark, sf_dir, ui, app_id, tmp16, "pipeline_audio_curation")
+    if "E" in parts:
+        part(spark, sf_dir, ui, app_id, tmp16, "pipeline_multimodal_shards")
     spark.stop()
 
 
