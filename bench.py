@@ -125,6 +125,15 @@ def main() -> None:
     # cost outside the measured window; the declining-profile median
     # rule still guards the rest of the suite. Recorded in the output
     # so every run is decidable from the committed record alone.
+    # PROTOCOL NOTE (r16, on the record): this pre-warm pass landed in
+    # r15 — frozen rows in PERQUERY_BASELINE.json dated r14 or earlier
+    # were measured WITHOUT it, so a window-head query can read
+    # "improved" vs its frozen number purely from the protocol change.
+    # The bench_compare gate only flags REGRESSIONS (>2x), which the
+    # pre-warm cannot manufacture, so the gate stays sound; when a
+    # head query's improvement matters for a claim, either cite a
+    # fresh-session A/B (tools/drift_ab_r12.py) or re-freeze its
+    # baseline under the current protocol (tools/freeze_baselines.py).
     prewarm_head = int(os.environ.get("BENCH_PREWARM_HEAD", "16"))
     from hds_functions_spark.caching import release_operator_caches
 

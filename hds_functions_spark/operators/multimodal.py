@@ -901,10 +901,12 @@ def video_frame_signatures(
     hash (:func:`media_codecs.phash64_from_pixels` over the decoded
     frame), and the content-audit fields (dims + exact pixel byte sum).
     Arrow-batched ``mapInPandas``, 1 clip row -> n_frames rows; pixels
-    never leave the stage — only fixed-width signatures do.
-    Undecodable containers or frames yield no rows (fail closed, the
-    media family contract — count inputs vs distinct output ids to
-    audit drops)."""
+    never leave the stage — only fixed-width signatures do. The output
+    id column is named after ``id_col`` (mirroring
+    :func:`audio_curation_signatures`), so callers with a custom id
+    keep their name. Undecodable containers or frames yield no rows
+    (fail closed, the media family contract — count inputs vs distinct
+    output ids to audit drops)."""
 
     def process(batches: Iterator) -> Iterator:
         import pandas as pd
@@ -943,13 +945,24 @@ def video_frame_signatures(
                     )
                     rows["phash_hi"].append(hi)
                     rows["phash_lo"].append(lo)
-            yield pd.DataFrame(rows).astype(
+            out = pd.DataFrame(rows).astype(
                 {"frame_index": "Int32", "width": "Int32",
                  "height": "Int32", "pixel_sum": "Int64",
                  "phash_hi": "Int64", "phash_lo": "Int64"}
             )
+            if id_col != "doc_id":
+                out = out.rename(columns={"doc_id": id_col})
+            yield out
 
-    return df.mapInPandas(process, VIDEO_SIGNATURE_SCHEMA)
+    schema = (
+        VIDEO_SIGNATURE_SCHEMA
+        if id_col == "doc_id"
+        else StructType(
+            [StructField(id_col, LongType())]
+            + list(VIDEO_SIGNATURE_SCHEMA.fields[1:])
+        )
+    )
+    return df.mapInPandas(process, schema)
 
 
 AUDIO_SIGNATURE_SCHEMA = StructType(

@@ -995,7 +995,7 @@ def multimodal_audio_dedup_incremental(spark, sf_dir):
     """Continuous-ingest audio dedup — the incremental twin of
     pipeline_audio_curation's two tiers, completing the operational
     shape for ALL THREE media families (images r14, video r15, audio
-    here): a nightly batch of new clips (doc_id % 13 < 2 plays the
+    here): a nightly batch of new clips (aud_id % 13 < 2 plays the
     delta, over the SAME corpus-plus-downmixes the curation pipeline
     defines) probes a STANDING signature index by exact content key,
     then canonical perceptual key, then dedups among itself (batch
@@ -1116,9 +1116,10 @@ def pipeline_multimodal_shards(spark, sf_dir):
     (one builder — the gate cannot drift between the card and the
     manifest), then :func:`operators.packing.pack_sequences` lays each
     shard's captions end-to-end on a virtual token tape (deterministic
-    id-hash sharding, cut every {budget} tokens — placement is a pure
-    function of ids and token counts, so re-runs and repartitioning
-    cannot move a pair between sequences). Manifest per shard: pair
+    id-hash sharding, cut every ``_MS_BUDGET`` tokens — placement is a
+    pure function of ids and token counts, so re-runs and
+    repartitioning cannot move a pair between sequences). Manifest per
+    shard: pair
     count, sequence count (ceil of the tape length), token mass, and
     the pixel payload volume the loader will fetch.
 
@@ -1128,9 +1129,7 @@ def pipeline_multimodal_shards(spark, sf_dir):
     fixed count never pins 1/n of the corpus on one sort task) plus one
     combinable groupBy — pixels and payloads never enter the plan at
     all, only token counts and dims ride along. Oracle: the caption
-    oracle's pair CTEs verbatim + the pack_sequences layout SQL.""".format(
-        budget=_MS_BUDGET
-    )
+    oracle's pair CTEs verbatim + the pack_sequences layout SQL."""
     from .operators.packing import pack_sequences
 
     pairs = _caption_pairs(spark, sf_dir).filter(

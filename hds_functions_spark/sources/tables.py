@@ -30,6 +30,7 @@ from .config_io import read_json_file
 from .environment import get_spark_session
 
 __all__ = [
+    "ConcurrentWriterError",
     "tombstone_delete",
     "load_table",
     "save_table",
@@ -47,6 +48,64 @@ __all__ = [
 ]
 
 _DEFAULT_TABLE_DIRECTORY = "./config/table_directory.json"
+
+
+class ConcurrentWriterError(RuntimeError):
+    """Another (or a crashed) writer holds a table's directory-swap lock."""
+
+
+def _swap_write_lock(path: str):
+    """Single-writer lock for the temp-write + directory-swap protocol.
+
+    The swap in :func:`upsert_table` / :func:`tombstone_delete` is NOT
+    safe under concurrent writers: two merges that both read the same
+    ``path`` then rename over it lose one writer's rows silently (and
+    can collide on the shared ``._*_tmp`` / ``._*_old`` sibling dirs).
+    This guard makes the failure loud instead of silent: an exclusive
+    ``O_CREAT | O_EXCL`` lock file beside the table (works on any POSIX
+    local filesystem — which is the only place these helpers run; the
+    callers already reject remote schemes). The file records pid +
+    wall-clock so a human can adjudicate a stale lock after a crash;
+    remediation is deleting the lock file once no writer is alive.
+    Real multi-writer coordination is a transactional table format's
+    job (Delta/Iceberg MERGE/DELETE) — documented in both callers.
+    """
+    import contextlib
+    import datetime
+    import os
+
+    @contextlib.contextmanager
+    def guard():
+        lock = path + "._write_lock"
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError:
+            try:
+                with open(lock) as fh:
+                    holder = fh.read().strip()
+            except OSError:
+                holder = "<unreadable>"
+            raise ConcurrentWriterError(
+                f"directory-swap lock already held for '{path}' "
+                f"(holder: {holder}). Another upsert_table/"
+                "tombstone_delete is running, or a previous writer "
+                f"crashed mid-swap; if no writer is alive, delete "
+                f"'{lock}' and re-run."
+            ) from None
+        try:
+            with os.fdopen(fd, "w") as fh:
+                fh.write(
+                    f"pid={os.getpid()} "
+                    f"at={datetime.datetime.now().isoformat()}"
+                )
+            yield
+        finally:
+            try:
+                os.remove(lock)
+            except OSError:
+                pass
+
+    return guard()
 
 
 def _load_directory(table_directory) -> dict:
@@ -244,6 +303,14 @@ def upsert_table(
     object store use a transactional table format (Delta/Iceberg MERGE)
     instead — this helper covers the modest curated outputs
     ``save_table`` targets and documents the pattern.
+
+    SINGLE-WRITER ONLY: concurrent upserts into the same table would
+    silently lose one writer's rows (both read the same base, last
+    rename wins). A lock file beside the table
+    (:func:`_swap_write_lock`) turns that race into a loud
+    :class:`ConcurrentWriterError`; concurrent readers are fine (the
+    swap never overwrites a path in place). Multi-writer coordination
+    is out of scope — use Delta/Iceberg MERGE.
     """
     import os
     import shutil
@@ -277,19 +344,20 @@ def upsert_table(
     if not os.path.exists(path):
         save_table(df, table, table_directory=table_directory)
         return
-    spark = get_spark_session()
-    existing = spark.read.format(fmt).load(path)
-    survivors = existing.join(
-        df.select(*key_cols).distinct(), on=key_cols, how="left_anti"
-    )
-    merged = survivors.unionByName(df)
-    tmp, backup = path + "._upsert_tmp", path + "._upsert_old"
-    shutil.rmtree(tmp, ignore_errors=True)
-    merged.write.mode("overwrite").format(fmt).save(tmp)
-    shutil.rmtree(backup, ignore_errors=True)
-    os.rename(path, backup)
-    os.rename(tmp, path)
-    shutil.rmtree(backup, ignore_errors=True)
+    with _swap_write_lock(path):
+        spark = get_spark_session()
+        existing = spark.read.format(fmt).load(path)
+        survivors = existing.join(
+            df.select(*key_cols).distinct(), on=key_cols, how="left_anti"
+        )
+        merged = survivors.unionByName(df)
+        tmp, backup = path + "._upsert_tmp", path + "._upsert_old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        merged.write.mode("overwrite").format(fmt).save(tmp)
+        shutil.rmtree(backup, ignore_errors=True)
+        os.rename(path, backup)
+        os.rename(tmp, path)
+        shutil.rmtree(backup, ignore_errors=True)
 
 
 def get_archive_versions(df: DataFrame, version_column: str = "archived_on") -> List[str]:
@@ -641,7 +709,10 @@ def tombstone_delete(
     pattern). Returns a 1-row AUDIT frame ``(n_before, n_tombstones,
     n_deleted, n_after)`` — the record an erasure request is closed
     with; ``n_deleted`` can be less than ``n_tombstones`` when some
-    keys were already absent (idempotent re-runs).
+    keys were already absent (idempotent re-runs). SINGLE-WRITER ONLY —
+    guarded by the same lock file as :func:`upsert_table`
+    (:class:`ConcurrentWriterError` on contention); use Delta/Iceberg
+    DELETE for multi-writer stores.
 
     The anti-join keys on the tombstone frame's distinct keys
     (broadcast-sized for any realistic erasure batch); the rewrite is
@@ -677,19 +748,20 @@ def tombstone_delete(
     if not os.path.exists(path):
         raise ValueError(f"table '{table}' does not exist at {path}")
     spark = get_spark_session()
-    existing = spark.read.format(fmt).load(path)
-    keys = tombstones.select(*key_cols).distinct()
-    n_before = existing.count()
-    n_tomb = keys.count()
-    survivors = existing.join(keys, on=key_cols, how="left_anti")
-    tmp, backup = path + "._delete_tmp", path + "._delete_old"
-    shutil.rmtree(tmp, ignore_errors=True)
-    survivors.write.mode("overwrite").format(fmt).save(tmp)
-    shutil.rmtree(backup, ignore_errors=True)
-    os.rename(path, backup)
-    os.rename(tmp, path)
-    shutil.rmtree(backup, ignore_errors=True)
-    n_after = spark.read.format(fmt).load(path).count()
+    with _swap_write_lock(path):
+        existing = spark.read.format(fmt).load(path)
+        keys = tombstones.select(*key_cols).distinct()
+        n_before = existing.count()
+        n_tomb = keys.count()
+        survivors = existing.join(keys, on=key_cols, how="left_anti")
+        tmp, backup = path + "._delete_tmp", path + "._delete_old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        survivors.write.mode("overwrite").format(fmt).save(tmp)
+        shutil.rmtree(backup, ignore_errors=True)
+        os.rename(path, backup)
+        os.rename(tmp, path)
+        shutil.rmtree(backup, ignore_errors=True)
+        n_after = spark.read.format(fmt).load(path).count()
     return spark.createDataFrame(
         [(n_before, n_tomb, n_before - n_after, n_after)],
         "n_before long, n_tombstones long, n_deleted long, n_after long",

@@ -1257,6 +1257,34 @@ def test_video_frame_signatures_protocol_exact(spark):
         assert hi is not None and lo is not None
 
 
+def test_video_frame_signatures_custom_id_col(spark):
+    """A custom ``id_col`` names the OUTPUT id column too (r16: mirrors
+    audio_curation_signatures), and signatures are identical to the
+    default-named run."""
+    from hds_functions_spark.operators.multimodal import (
+        synthesize_media_payloads,
+        video_frame_signatures,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "a"), (1, "b")], "doc_id long, text string"
+    )
+    payloads = synthesize_media_payloads(docs, "avi")
+    renamed = payloads.withColumnRenamed("doc_id", "clip")
+    out = video_frame_signatures(renamed, id_col="clip")
+    assert out.columns[0] == "clip"
+    key = lambda r: (r[0], r["frame_index"])  # noqa: E731
+    base = {
+        key(r): (r["frame_md5"], r["phash_hi"], r["phash_lo"])
+        for r in video_frame_signatures(payloads).collect()
+    }
+    custom = {
+        key(r): (r["frame_md5"], r["phash_hi"], r["phash_lo"])
+        for r in out.collect()
+    }
+    assert base == custom and len(base) > 0
+
+
 def test_video_curation_tiers_consistent(spark):
     """pipeline_video_curation: tier counts partition the decoded
     frames, every clip decodes (n_clips = corpus size), and both dedup

@@ -330,6 +330,48 @@ def test_upsert_table_rejects_remote_schemes(spark, tmp_path):
     assert rows == {1: "A2", 2: "b"}
 
 
+def test_swap_write_lock_single_writer_guard(spark, tmp_path):
+    """r16 (VERDICT item 8): the directory-swap protocol is
+    single-writer — a held lock file makes a second writer fail
+    LOUDLY (ConcurrentWriterError naming the holder + remediation),
+    the table is untouched, and releasing the lock lets writes
+    proceed again. Covers upsert_table and tombstone_delete (same
+    guard), and lock cleanup on success."""
+    import os
+
+    from hds_functions_spark.sources.tables import (
+        ConcurrentWriterError,
+        tombstone_delete,
+        upsert_table,
+    )
+
+    path = str(tmp_path / "locked")
+    td = {"u": {"path": path, "format": "parquet"}}
+    v1 = spark.createDataFrame([(1, "a"), (2, "b")], "id: long, v: string")
+    upsert_table(v1, "u", "id", table_directory=td)
+    lock = path + "._write_lock"
+    assert not os.path.exists(lock)  # released after a clean write
+
+    with open(lock, "w") as fh:  # simulate a concurrent/crashed writer
+        fh.write("pid=99999 at=2026-08-17T00:00:00")
+    v2 = spark.createDataFrame([(2, "B2")], "id: long, v: string")
+    with pytest.raises(ConcurrentWriterError, match="pid=99999"):
+        upsert_table(v2, "u", "id", table_directory=td)
+    tomb = spark.createDataFrame([(1,)], "id: long")
+    with pytest.raises(ConcurrentWriterError, match="delete"):
+        tombstone_delete(tomb, "u", "id", table_directory=td)
+    rows = {r["id"]: r["v"] for r in load_table("u", table_directory=td).collect()}
+    assert rows == {1: "a", 2: "b"}  # blocked writers changed nothing
+
+    os.remove(lock)  # the documented remediation
+    upsert_table(v2, "u", "id", table_directory=td)
+    audit = tombstone_delete(tomb, "u", "id", table_directory=td).collect()[0]
+    assert audit["n_deleted"] == 1
+    rows = {r["id"]: r["v"] for r in load_table("u", table_directory=td).collect()}
+    assert rows == {2: "B2"}
+    assert not os.path.exists(lock)
+
+
 def test_table_diff_statuses(spark):
     from hds_functions_spark.sources.tables import table_diff
 
