@@ -1153,3 +1153,5 @@ def pipeline_multimodal_shards(spark, sf_dir):
 
 
 ORACLES["pipeline_multimodal_shards"] = _duck_multimodal_shards_sql()
+
+from . import registry_web  # noqa: E402,F401  (URL/domain family, r16)
