@@ -38,6 +38,8 @@ __all__ = [
     "minhash_signatures",
     "minhash_pairs",
     "minhash_pairs_incremental",
+    "split_paragraphs",
+    "minhash_pairs_subdoc",
     "ngram_jaccard_pairs",
     "ngram_containment_pairs",
     "duplicated_ngram_stats",
@@ -229,6 +231,114 @@ def minhash_pairs(
         .select("id_a", "id_b", est)
         .filter(F.col("est_jaccard") >= min_jaccard)
     )
+
+
+def split_paragraphs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    split_pattern: str = "\n\n+",
+    min_chars: int = 1,
+    pos_col: str = "para_pos",
+    para_col: str = "para",
+) -> DataFrame:
+    """Explode documents into ``(id, para_pos, para)`` paragraph rows.
+
+    ``split_pattern`` is a regex (default: blank-line paragraph breaks);
+    paragraphs are trimmed and those shorter than ``min_chars`` dropped
+    (their position numbering still reflects the ORIGINAL split, so
+    surviving paragraphs stay addressable within the source document).
+    Pure ``posexplode`` over a split — one narrow generator, no shuffle.
+    """
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.split(F.col(text_col), split_pattern)).alias(
+                pos_col, para_col
+            ),
+        )
+        .withColumn(para_col, F.trim(F.col(para_col)))
+        .filter(F.length(F.col(para_col)) >= min_chars)
+    )
+
+
+def minhash_pairs_subdoc(
+    paras: DataFrame,
+    id_col: str = "doc_id",
+    pos_col: str = "para_pos",
+    para_col: str = "para",
+    para_stride: int = 1_000_000,
+    num_hashes: int = 32,
+    shingle_size: int = 5,
+    bands: int = 8,
+    min_jaccard: float = 0.0,
+    cross_doc_only: bool = True,
+) -> DataFrame:
+    """MinHash-LSH near-dup pairs at SUB-document granularity with doc
+    re-attach — MassiveText-style paragraph dedup (Rae et al. 2021 run
+    near-dedup below document level so a copied boilerplate block or
+    syndicated paragraph is caught even when the surrounding documents
+    differ): feed ``(doc, pos, paragraph)`` rows (from
+    :func:`split_paragraphs` or any custom segmentation), get back
+    ``(doc_a, pos_a, doc_b, pos_b, est_jaccard)``.
+
+    The paragraph key is packed as ``doc_id * para_stride + pos`` so the
+    WHOLE :func:`minhash_pairs` engine (banded LSH, band-hash groupBy —
+    never a cross join — persist discipline, thin-input widening) is
+    reused verbatim on a single long key, then unpacked. CONTRACT:
+    ``0 <= pos < para_stride`` and ``doc_id >= 0`` (violations raise at
+    plan execution via the guarded projection below, not silently).
+
+    ``cross_doc_only=True`` (default) drops same-document pairs — the
+    MassiveText use case; pass False to also surface within-doc repeats.
+    Slice identity: on a corpus where every document is one paragraph,
+    output == :func:`minhash_pairs` on the documents (tested).
+
+    100 TB plan shape: identical to :func:`minhash_pairs` — paragraph
+    explosion multiplies ROWS but every shuffle still carries fixed-width
+    keys/signatures; pair work stays proportional to band collisions.
+    """
+    pid = F.col(id_col).cast("long") * F.lit(para_stride) + F.col(pos_col)
+    guarded = F.when(
+        (F.col(pos_col) >= 0)
+        & (F.col(pos_col) < para_stride)
+        & (F.col(id_col) >= 0),
+        pid,
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                "minhash_pairs_subdoc: key out of contract "
+                "(doc_id=%s, pos=%s, stride="
+                + str(para_stride) + ")",
+                F.col(id_col).cast("string"),
+                F.col(pos_col).cast("string"),
+            )
+        )
+    )
+    packed = paras.select(
+        guarded.alias("_pid"), F.col(para_col).alias("_ptext")
+    )
+    pairs = minhash_pairs(
+        packed,
+        id_col="_pid",
+        text_col="_ptext",
+        num_hashes=num_hashes,
+        shingle_size=shingle_size,
+        bands=bands,
+        min_jaccard=min_jaccard,
+    )
+    # integer DIV, not float division: packed keys approach 2^63 long
+    # before a double (2^53 mantissa) could round the quotient
+    out = pairs.select(
+        F.expr(f"id_a DIV {para_stride}").alias("doc_a"),
+        (F.col("id_a") % para_stride).cast("int").alias("pos_a"),
+        F.expr(f"id_b DIV {para_stride}").alias("doc_b"),
+        (F.col("id_b") % para_stride).cast("int").alias("pos_b"),
+        "est_jaccard",
+    )
+    if cross_doc_only:
+        out = out.filter(F.col("doc_a") != F.col("doc_b"))
+    return out
 
 
 # --- connected components (pair graph -> duplicate clusters) -------------

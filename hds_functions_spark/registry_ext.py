@@ -305,7 +305,10 @@ _MH_BANDS = 8
 _MH_ROWS = _MH_NUM_HASHES // _MH_BANDS
 
 
-def _duck_minhash_sql() -> str:
+def _duck_minhash_sql(src: str = "documents", id_col: str = "doc_id") -> str:
+    """MinHash-LSH pair SQL over any ``(id_col, text)`` source relation
+    (r16: parameterized so the sub-document/paragraph twin reuses ONE
+    oracle implementation rather than a drifting copy)."""
     constants = minhash_permutation_constants(_MH_NUM_HASHES)
     grams = (
         f"CASE WHEN length(lower(text)) < {_MH_SHINGLE} THEN []::VARCHAR[] "
@@ -323,7 +326,8 @@ def _duck_minhash_sql() -> str:
             f"array_to_string(list_transform(signature[{lo}:{hi}], v -> v::VARCHAR), '-')"
         )
         band_branches.append(
-            f"SELECT doc_id, signature, {b} AS band, {band_hash} AS band_hash FROM sigs"
+            f"SELECT {id_col}, signature, {b} AS band, "
+            f"{band_hash} AS band_hash FROM sigs"
         )
     banded = "\n  UNION ALL ".join(band_branches)
     agree = (
@@ -332,18 +336,18 @@ def _duck_minhash_sql() -> str:
     )
     return f"""
 WITH hashes AS (
-    SELECT doc_id, list_transform(list_distinct({grams}),
+    SELECT {id_col}, list_transform(list_distinct({grams}),
                                   s -> {stable_hash_sql('s')} % {P}) AS hs
-    FROM documents WHERE length(text) >= {_MH_SHINGLE}
+    FROM {src} WHERE length(text) >= {_MH_SHINGLE}
 ), sigs AS (
-    SELECT doc_id, [{sig_terms}] AS signature FROM hashes
+    SELECT {id_col}, [{sig_terms}] AS signature FROM hashes
 ), banded AS (
   {banded}
 ), pairs AS (
-    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+    SELECT DISTINCT a.{id_col} AS id_a, b.{id_col} AS id_b,
            a.signature AS sa, b.signature AS sb
     FROM banded a JOIN banded b USING (band, band_hash)
-    WHERE a.doc_id < b.doc_id
+    WHERE a.{id_col} < b.{id_col}
 )
 SELECT id_a, id_b, ({agree})::DOUBLE / {_MH_NUM_HASHES} AS est_jaccard
 FROM pairs

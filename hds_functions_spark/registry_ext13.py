@@ -1155,3 +1155,4 @@ def pipeline_multimodal_shards(spark, sf_dir):
 ORACLES["pipeline_multimodal_shards"] = _duck_multimodal_shards_sql()
 
 from . import registry_web  # noqa: E402,F401  (URL/domain family, r16)
+from . import registry_subdoc  # noqa: E402,F401  (paragraph dedup, r16)

@@ -656,3 +656,111 @@ class TestIncrementalEmbeddingPairs:
         ).collect()
         batch_ids = {r["vec_id"] for r in batch.collect()}
         assert out and all(r["id_a"] in batch_ids for r in out)
+
+
+# --- sub-document (paragraph) near-dedup, r16 ----------------------------
+
+
+def test_split_paragraphs(spark):
+    from hds_functions_spark.operators.dedup import split_paragraphs
+
+    df = spark.createDataFrame(
+        [(1, "para one\n\npara two\n\n\n  \n\npara three"), (2, "solo")],
+        "doc_id: long, text: string",
+    )
+    rows = split_paragraphs(df).collect()
+    got = {(r["doc_id"], r["para_pos"]): r["para"] for r in rows}
+    # the all-whitespace segment is dropped but positions keep the
+    # original split numbering
+    assert got == {
+        (1, 0): "para one", (1, 1): "para two", (1, 3): "para three",
+        (2, 0): "solo",
+    }
+
+
+def test_minhash_pairs_subdoc_cross_doc(spark):
+    """A boilerplate paragraph shared by two otherwise-unrelated docs is
+    caught at paragraph granularity (doc-level minhash would dilute it),
+    with positions re-attached; same-doc repeats only with
+    cross_doc_only=False."""
+    from hds_functions_spark.operators.dedup import (
+        minhash_pairs_subdoc,
+        split_paragraphs,
+    )
+
+    boiler = "subscribe to our newsletter for weekly updates and offers"
+    df = spark.createDataFrame(
+        [
+            (1, f"totally original research about graph theory\n\n{boiler}"),
+            (2, f"{boiler}\n\nrecipes for sourdough bread and pastries"),
+            (3, f"{boiler}\n\nmore text\n\n{boiler}"),
+        ],
+        "doc_id: long, text: string",
+    )
+    paras = split_paragraphs(df)
+    pairs = minhash_pairs_subdoc(paras, num_hashes=16, bands=4,
+                                 min_jaccard=0.9)
+    got = {(r["doc_a"], r["pos_a"], r["doc_b"], r["pos_b"])
+           for r in pairs.collect()}
+    assert (1, 1, 2, 0) in got
+    assert (1, 1, 3, 0) in got and (1, 1, 3, 2) in got
+    assert all(a != b for a, _, b, _ in got)  # cross-doc only
+    with_self = minhash_pairs_subdoc(
+        paras, num_hashes=16, bands=4, min_jaccard=0.9,
+        cross_doc_only=False,
+    )
+    got_self = {(r["doc_a"], r["pos_a"], r["doc_b"], r["pos_b"])
+                for r in with_self.collect()}
+    assert (3, 0, 3, 2) in got_self  # within-doc repeat surfaced
+
+
+def test_minhash_pairs_subdoc_slice_identity(docs):
+    """On single-paragraph documents, sub-document pairs == doc-level
+    minhash_pairs exactly (the r15-verdict slice-identity contract)."""
+    from hds_functions_spark.operators.dedup import (
+        minhash_pairs,
+        minhash_pairs_subdoc,
+        split_paragraphs,
+    )
+
+    doc_level = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_pairs(docs, num_hashes=16, bands=4).collect()
+    }
+    sub = minhash_pairs_subdoc(
+        split_paragraphs(docs), num_hashes=16, bands=4
+    ).collect()
+    sub_level = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in sub}
+    assert all((r["pos_a"], r["pos_b"]) == (0, 0) for r in sub)
+    assert sub_level == doc_level and len(doc_level) > 0
+
+
+def test_minhash_pairs_subdoc_contract_violation(spark):
+    from hds_functions_spark.operators.dedup import minhash_pairs_subdoc
+
+    bad = spark.createDataFrame(
+        [(1, 0, "some paragraph text here"),
+         (1, 7, "another paragraph body text")],
+        "doc_id: long, para_pos: int, para: string",
+    )
+    with pytest.raises(Exception, match="out of contract"):
+        minhash_pairs_subdoc(bad, para_stride=5).collect()
+
+
+def test_dedup_paragraph_pairs_classes_reachable(spark):
+    """Registry protocol (r16): exact boilerplate pairs, near-but-not-
+    exact mutation pairs, and content-window pairs must ALL be present,
+    and the quadratic-blowup regression (one global boiler template ->
+    ~every doc pair emitted) stays dead: output is a small fraction of
+    all doc pairs."""
+    import hds_functions_spark.registry_ext  # noqa: F401
+    from hds_functions_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.01"
+    out = QUERIES["dedup_paragraph_pairs"](spark, sf).toPandas()
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    assert len(out) < 0.02 * n_docs * (n_docs - 1) / 2  # no blowup
+    assert (out.n_exact_paras > 0).any()
+    assert (out.max_est_jaccard < 1.0).any()  # near-only doc pairs
+    assert (out.n_para_pairs >= out.n_exact_paras).all()
+    assert (out.doc_a < out.doc_b).all()

@@ -11,7 +11,7 @@ import pytest
 
 _EXT_MODULES = [
     f"registry_ext{n}" for n in ["", 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13]
-] + ["registry_web"]
+] + ["registry_web", "registry_subdoc"]
 
 
 @pytest.mark.parametrize("mod", _EXT_MODULES)
