@@ -90,6 +90,10 @@ __all__ = [
     "ahash64_from_pixels",
     "encode_jpeg_baseline",
     "decode_jpeg_baseline",
+    "encode_jpeg_progressive",
+    "decode_jpeg_progressive",
+    "decode_jpeg",
+    "synthesize_jpeg_progressive",
     "avi_jpeg_frames",
 ]
 
@@ -808,7 +812,7 @@ def image_pixel_data(payload: bytes | None) -> tuple[int, int, bytes] | None:
     if p[:8] == b"\x89PNG\r\n\x1a\n":
         return png_pixel_data(p)
     if p[:2] == b"\xff\xd8":
-        return decode_jpeg_baseline(p)
+        return decode_jpeg(p)  # baseline or progressive (r16)
     return None
 
 
@@ -990,10 +994,12 @@ def phash64(payload: bytes | None) -> tuple[int, int, int, int] | None:
 #
 # A pure-stdlib (numpy-accelerated) BASELINE sequential DCT codec — the
 # one compressed image class real multimodal corpora actually ship.
-# Scope: 8-bit baseline (SOF0), grayscale or 3-component 4:4:4 (no
-# chroma subsampling), standard JFIF color transform, DRI/RSTn restart
-# markers honoured. Progressive (SOF2) and subsampled streams return
-# None from the decoder (documented unsupported, never garbage).
+# Scope: 8-bit baseline (SOF0) AND progressive (SOF2, r16 — spectral
+# selection + successive approximation, T.81 Annex G), grayscale or
+# 3-component 4:4:4 (no chroma subsampling), standard JFIF color
+# transform, DRI/RSTn restart markers honoured. Subsampled /
+# lossless / arithmetic streams return None (documented unsupported,
+# never garbage). ``decode_jpeg`` dispatches on the SOF marker.
 #
 # Fixture synthesis protocol (fixed; the oracles depend on it):
 # ``w8 = 1 + d0 % 8`` blocks wide, ``h8 = 1 + d1 % 8`` blocks high
@@ -1164,38 +1170,14 @@ def _rgb_to_ycbcr(r: float, g: float, b: float) -> tuple[float, float, float]:
     return y, cb, cr
 
 
-def encode_jpeg_baseline(
-    w: int,
-    h: int,
-    data: bytes,
-    n_components: int = 1,
-    qtable: list[int] | None = None,
-    restart_interval: int = 0,
-) -> bytes:
-    """Minimal BASELINE JPEG encoder: grayscale (``n_components=1``,
-    ``data`` = w*h luma bytes) or 4:4:4 color (``n_components=3``,
-    ``data`` = top-down RGB triples). One quantization table (natural
-    order, default all-16s) and the standard luminance Huffman pair
-    shared by every component — valid, universally decodable streams;
-    compression ratio is not the point, exercising the REAL bit format
-    is. Edge blocks replicate the last row/column (the standard pad).
-    """
-    if n_components not in (1, 3):
-        raise ValueError("n_components must be 1 or 3")
-    q = list(qtable) if qtable is not None else [16] * 64
-    if len(q) != 64 or any(not (1 <= int(x) <= 255) for x in q):
-        raise ValueError("qtable must be 64 values in [1, 255]")
-    if w < 1 or h < 1 or len(data) != w * h * n_components:
-        raise ValueError(
-            f"data length {len(data)} does not match dims {w}x{h} x "
-            f"{n_components} component(s)"
-        )
-
-    # --- plane extraction (level-shifted floats), padded to 8-multiples,
-    # then quantized zigzag coefficients per block in raster order. The
-    # numpy path batches edge-pad, color transform, 2-D DCT (einsum over
-    # all blocks at once) and the zigzag gather; only the entropy coding
-    # below is bit-serial.
+def _jpeg_coefficients(
+    w: int, h: int, data: bytes, n_components: int, q: list
+) -> tuple:
+    """Shared front half of both JPEG encoders: plane extraction
+    (level-shifted floats), edge-pad to 8-multiples, 2-D DCT, quantize,
+    zigzag gather. Returns ``(zz_all, bw, bh)`` where ``zz_all[c]`` is
+    nblocks x 64 quantized zigzag ints in raster block order. The numpy
+    path batches everything; only entropy coding is bit-serial."""
     bw, bh = (w + 7) // 8, (h + 7) // 8
     zz_all: list = [None] * n_components  # per comp: nblocks x 64 ints
     if np is not None:
@@ -1260,6 +1242,38 @@ def encode_jpeg_baseline(
                         ]
                     )
             zz_all[c] = rows
+    return zz_all, bw, bh
+
+
+def encode_jpeg_baseline(
+    w: int,
+    h: int,
+    data: bytes,
+    n_components: int = 1,
+    qtable: list[int] | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Minimal BASELINE JPEG encoder: grayscale (``n_components=1``,
+    ``data`` = w*h luma bytes) or 4:4:4 color (``n_components=3``,
+    ``data`` = top-down RGB triples). One quantization table (natural
+    order, default all-16s) and the standard luminance Huffman pair
+    shared by every component — valid, universally decodable streams;
+    compression ratio is not the point, exercising the REAL bit format
+    is. Edge blocks replicate the last row/column (the standard pad).
+    """
+    if n_components not in (1, 3):
+        raise ValueError("n_components must be 1 or 3")
+    q = list(qtable) if qtable is not None else [16] * 64
+    if len(q) != 64 or any(not (1 <= int(x) <= 255) for x in q):
+        raise ValueError("qtable must be 64 values in [1, 255]")
+    if w < 1 or h < 1 or len(data) != w * h * n_components:
+        raise ValueError(
+            f"data length {len(data)} does not match dims {w}x{h} x "
+            f"{n_components} component(s)"
+        )
+
+    zz_all, bw, bh = _jpeg_coefficients(w, h, data, n_components, q)
+
 
     dc_map = _huff_encode_map(_STD_DC_BITS, _STD_DC_VALS)
     ac_map = _huff_encode_map(_STD_AC_BITS, _STD_AC_VALS)
@@ -1343,6 +1357,200 @@ def encode_jpeg_baseline(
     return bytes(out)
 
 
+def encode_jpeg_progressive(
+    w: int,
+    h: int,
+    data: bytes,
+    n_components: int = 1,
+    qtable: list[int] | None = None,
+    al: int = 1,
+) -> bytes:
+    """Minimal PROGRESSIVE JPEG encoder (SOF2) — T.81 Annex G.
+
+    Same pixel front half as :func:`encode_jpeg_baseline`
+    (:func:`_jpeg_coefficients`), then a fixed scan script:
+
+    - ``al=0``: spectral selection only — DC scan (all components,
+      interleaved), then per component AC bands 1-5 and 6-63.
+    - ``al>=1`` (default 1): successive approximation — the same
+      script at bit position ``al`` first, then a DC refinement scan
+      and per-component AC refinement scans down to bit 0. This is the
+      shape real web encoders emit (libjpeg's default progression uses
+      both spectral selection AND successive approximation), so the
+      decoder's refinement paths get exercised by roundtrip tests.
+
+    Entropy coding is written as the exact inverse of the decoder's
+    walk (correction bits interleave positionally with ZRL/run codes in
+    refinement scans — G.1.2.3); EOB runs are emitted per block
+    (EOBRUN=1), which the standard AC table covers. Deterministic,
+    valid, universally decodable; compression ratio is not the point.
+    """
+    if n_components not in (1, 3):
+        raise ValueError("n_components must be 1 or 3")
+    if not (0 <= al <= 10):
+        raise ValueError("al must be in [0, 10]")
+    q = list(qtable) if qtable is not None else [16] * 64
+    if len(q) != 64 or any(not (1 <= int(x) <= 255) for x in q):
+        raise ValueError("qtable must be 64 values in [1, 255]")
+    if w < 1 or h < 1 or len(data) != w * h * n_components:
+        raise ValueError(
+            f"data length {len(data)} does not match dims {w}x{h} x "
+            f"{n_components} component(s)"
+        )
+    zz_all, bw, bh = _jpeg_coefficients(w, h, data, n_components, q)
+    nblocks = bw * bh
+    dc_map = _huff_encode_map(_STD_DC_BITS, _STD_DC_VALS)
+    ac_map = _huff_encode_map(_STD_AC_BITS, _STD_AC_VALS)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    def sos(comp_ids: list[int], ss: int, se: int, ah: int, a_l: int,
+            scan_bits: "_JpegBitWriter") -> bytes:
+        specs = b"".join(
+            struct.pack(">BB", cid + 1, 0x00) for cid in comp_ids
+        )
+        hdr = seg(
+            0xDA,
+            bytes([len(comp_ids)]) + specs
+            + bytes([ss, se, (ah << 4) | a_l]),
+        )
+        scan_bits.flush()
+        return hdr + scan_bits.buf
+
+    def dc_first_scan(a_l: int) -> bytes:
+        wtr = _JpegBitWriter()
+        pred = [0] * n_components
+        for b in range(nblocks):
+            for c in range(n_components):
+                v = zz_all[c][b][0] >> a_l  # arithmetic shift (G.1.2.1)
+                diff = v - pred[c]
+                pred[c] = v
+                s, extra = _magnitude(diff)
+                code, length = dc_map[s]
+                wtr.write(code, length)
+                wtr.write(extra, s)
+        return sos(list(range(n_components)), 0, 0, 0, a_l, wtr)
+
+    def dc_refine_scan(a_l: int) -> bytes:
+        wtr = _JpegBitWriter()
+        for b in range(nblocks):
+            for c in range(n_components):
+                wtr.write((zz_all[c][b][0] >> a_l) & 1, 1)
+        return sos(list(range(n_components)), 0, 0, a_l + 1, a_l, wtr)
+
+    def ac_first_scan(c: int, ss: int, se: int, a_l: int) -> bytes:
+        wtr = _JpegBitWriter()
+        for b in range(nblocks):
+            zz = zz_all[c][b]
+            # point transform: magnitude shift, truncation toward zero
+            vals = [
+                (abs(zz[k]) >> a_l) * (1 if zz[k] >= 0 else -1)
+                for k in range(ss, se + 1)
+            ]
+            last_nz = max(
+                (i for i, v in enumerate(vals) if v != 0), default=-1
+            )
+            run = 0
+            for i in range(last_nz + 1):
+                if vals[i] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, length = ac_map[0xF0]  # ZRL
+                    wtr.write(code, length)
+                    run -= 16
+                s, extra = _magnitude(vals[i])
+                code, length = ac_map[(run << 4) | s]
+                wtr.write(code, length)
+                wtr.write(extra, s)
+                run = 0
+            if last_nz < se - ss:
+                code, length = ac_map[0x00]  # EOB (EOBRUN = 1)
+                wtr.write(code, length)
+        return sos([c], ss, se, 0, a_l, wtr)
+
+    def ac_refine_scan(c: int, ss: int, se: int, a_l: int) -> bytes:
+        # exact inverse of the decoder's G.1.2.3 walk: runs count
+        # ZERO-HISTORY positions only; history coefficients contribute
+        # one buffered correction bit each, flushed after the code
+        # whose walk traverses them.
+        wtr = _JpegBitWriter()
+        for b in range(nblocks):
+            zz = zz_all[c][b]
+            t = [abs(zz[k]) >> a_l for k in range(ss, se + 1)]
+            news = [i for i, v in enumerate(t) if v == 1]
+            pos = 0
+
+            def emit_corrections(lo: int, hi: int) -> None:
+                for i in range(lo, hi):
+                    if t[i] > 1:
+                        wtr.write(t[i] & 1, 1)
+
+            for kn in news:
+                zcount = sum(
+                    1 for i in range(pos, kn) if t[i] == 0
+                )
+                while zcount > 15:
+                    code, length = ac_map[0xF0]  # ZRL: 16 zero-history
+                    wtr.write(code, length)
+                    # decoder consumes up to & incl. the 16th
+                    # zero-history position, reading corrections en
+                    # route — replicate its stop position exactly
+                    seen = 0
+                    j = pos
+                    while True:
+                        if t[j] == 0:
+                            seen += 1
+                            if seen == 16:
+                                break
+                        j += 1
+                    emit_corrections(pos, j + 1)
+                    pos = j + 1
+                    zcount -= 16
+                code, length = ac_map[(zcount << 4) | 1]
+                wtr.write(code, length)
+                wtr.write(1 if zz[ss + kn] > 0 else 0, 1)
+                emit_corrections(pos, kn)
+                pos = kn + 1
+            if pos <= se - ss:
+                code, length = ac_map[0x00]  # EOB (EOBRUN = 1)
+                wtr.write(code, length)
+                emit_corrections(pos, se - ss + 1)
+        return sos([c], ss, se, a_l + 1, a_l, wtr)
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(
+        0xDB, bytes([0x00]) + bytes(q[_JPEG_ZIGZAG[i]] for i in range(64))
+    )
+    comp_specs = b"".join(
+        struct.pack(">BBB", cid + 1, 0x11, 0)
+        for cid in range(n_components)
+    )
+    out += seg(
+        0xC2, struct.pack(">BHHB", 8, h, w, n_components) + comp_specs
+    )  # SOF2
+    out += seg(
+        0xC4, bytes([0x00]) + bytes(_STD_DC_BITS) + bytes(_STD_DC_VALS)
+    )
+    out += seg(
+        0xC4, bytes([0x10]) + bytes(_STD_AC_BITS) + bytes(_STD_AC_VALS)
+    )
+    bands = [(1, 5), (6, 63)]
+    out += dc_first_scan(al)
+    for c in range(n_components):
+        for ss, se in bands:
+            out += ac_first_scan(c, ss, se, al)
+    for a_l in range(al - 1, -1, -1):
+        out += dc_refine_scan(a_l)
+        for c in range(n_components):
+            for ss, se in bands:
+                out += ac_refine_scan(c, ss, se, a_l)
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 def synthesize_jpeg(seed: str) -> bytes:
     """Deterministic DC-exact JPEG fixture (protocol in the section
     comment above): grayscale, 1..8 blocks per side, block k constant
@@ -1360,6 +1568,25 @@ def synthesize_jpeg(seed: str) -> bytes:
                 row = (by * 8 + i) * w + bx * 8
                 gray[row : row + 8] = bytes([v]) * 8
     return encode_jpeg_baseline(w, h, bytes(gray), 1, [8] * 64)
+
+
+def synthesize_jpeg_progressive(seed: str) -> bytes:
+    """Deterministic DC-exact PROGRESSIVE JPEG fixture: the
+    :func:`synthesize_jpeg` pixel protocol (same dims/content/qtable,
+    so the same closed-form oracle applies) emitted through the SOF2
+    successive-approximation scan script (``al=1``) — every refinement
+    path in :func:`decode_jpeg_progressive` runs for real."""
+    d = hashlib.md5(seed.encode()).digest()
+    w8, h8 = 1 + d[0] % 8, 1 + d[1] % 8
+    w, h = 8 * w8, 8 * h8
+    gray = bytearray(w * h)
+    for by in range(h8):
+        for bx in range(w8):
+            v = (d[3] + by * w8 + bx) % 256
+            for i in range(8):
+                row = (by * 8 + i) * w + bx * 8
+                gray[row : row + 8] = bytes([v]) * 8
+    return encode_jpeg_progressive(w, h, bytes(gray), 1, [8] * 64, al=1)
 
 
 class _JpegBitReader:
@@ -1467,6 +1694,437 @@ def parse_jpeg(payload: bytes | None) -> dict | None:
             }
         i += 2 + ln
     return None
+
+
+def decode_jpeg_progressive(
+    payload: bytes | None,
+) -> tuple[int, int, bytes] | None:
+    """Decode a PROGRESSIVE (SOF2) JPEG to ``(width, height, top-down
+    RGB bytes)`` — T.81 Annex G, the full successive-approximation
+    machinery: multi-scan marker walk (DQT/DHT/DRI may be redefined
+    between scans), interleaved DC first + refinement scans
+    (arithmetic-shift point transform, one correction bit per block),
+    per-component AC first scans (EOBRUN run coding) and AC refinement
+    scans (zero-history runs, positionally-interleaved correction
+    bits, EOB-run corrections — G.1.2.3), then the shared
+    dequantize/IDCT/color back half (:func:`_jpeg_reconstruct`).
+    Same fail-closed contract as the baseline decoder: returns None
+    (never garbage) for chroma-subsampled streams, arithmetic coding,
+    >3 components, scans violating the progression rules (AC before
+    DC, refinement without a first scan, bad Ss/Se/Ah/Al), or any
+    structural/entropy corruption.
+    """
+    if not payload:
+        return None
+    p = bytes(payload)
+    if p[:2] != b"\xff\xd8":
+        return None
+    qtables: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None  # (w, h, [(comp_id, qid)])
+    restart_interval = 0
+    coeffs: list[list[list[int]]] | None = None  # [comp][block][64] zigzag
+    dc_done: set[int] = set()
+    dc_al: dict[int, int] = {}  # comp -> last DC Al decoded
+    ac_al: dict[tuple[int, int], int] = {}  # (comp, k) unused; band-level:
+    ac_band_al: dict[tuple[int, int, int], int] = {}  # (comp, ss, se) -> Al
+    bw_ = bh_ = 0
+    i = 2
+    saw_scan = False
+    while i + 1 < len(p):
+        if p[i] != 0xFF:
+            return None
+        m = p[i + 1]
+        if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        if m == 0xD9:
+            break
+        if i + 4 > len(p):
+            return None
+        ln = struct.unpack(">H", p[i + 2 : i + 4])[0]
+        if ln < 2 or i + 2 + ln > len(p):
+            return None
+        body = p[i + 4 : i + 2 + ln]
+        if m == 0xDB:
+            j = 0
+            while j < len(body):
+                prec, tid = body[j] >> 4, body[j] & 0x0F
+                j += 1
+                if prec == 0:
+                    if j + 64 > len(body):
+                        return None
+                    qtables[tid] = list(body[j : j + 64])
+                    j += 64
+                else:
+                    if j + 128 > len(body):
+                        return None
+                    qtables[tid] = [
+                        struct.unpack(
+                            ">H", body[j + 2 * k : j + 2 * k + 2]
+                        )[0]
+                        for k in range(64)
+                    ]
+                    j += 128
+        elif m == 0xC4:
+            j = 0
+            while j + 17 <= len(body):
+                cls, tid = body[j] >> 4, body[j] & 0x0F
+                bits = list(body[j + 1 : j + 17])
+                n = sum(bits)
+                vals = list(body[j + 17 : j + 17 + n])
+                if len(vals) != n:
+                    return None
+                huff[(cls, tid)] = _huff_decode_map(bits, vals)
+                j += 17 + n
+        elif m == 0xC2:
+            if sof is not None or len(body) < 6:
+                return None
+            h_, w_ = struct.unpack(">HH", body[1:5])
+            nc = body[5]
+            if nc not in (1, 3) or w_ == 0 or h_ == 0:
+                return None
+            if len(body) < 6 + 3 * nc:
+                return None
+            comps = []
+            for c in range(nc):
+                cid, samp, qid = body[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    return None  # subsampling unsupported, fail closed
+                comps.append((cid, qid))
+            sof = (w_, h_, comps)
+            bw_, bh_ = (w_ + 7) // 8, (h_ + 7) // 8
+            coeffs = [
+                [[0] * 64 for _ in range(bw_ * bh_)] for _ in range(nc)
+            ]
+        elif m in (0xC0, 0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                   0xCB, 0xCD, 0xCE, 0xCF):
+            return None  # not progressive-Huffman: wrong entry point
+        elif m == 0xDD:
+            if len(body) < 2:
+                return None
+            restart_interval = struct.unpack(">H", body[:2])[0]
+        elif m == 0xDA:
+            if sof is None or coeffs is None or not body:
+                return None
+            w_, h_, comps = sof
+            cidx = {cid: c for c, (cid, _q) in enumerate(comps)}
+            ns = body[0]
+            if len(body) != 1 + 2 * ns + 3 or ns < 1 or ns > len(comps):
+                return None
+            scan_comps = []  # component indices in scan order
+            tsel = {}
+            for c in range(ns):
+                cid, tt = body[1 + 2 * c], body[2 + 2 * c]
+                if cid not in cidx:
+                    return None
+                scan_comps.append(cidx[cid])
+                tsel[cidx[cid]] = (tt >> 4, tt & 0x0F)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahal = body[3 + 2 * ns]
+            ah, a_l = ahal >> 4, ahal & 0x0F
+            if a_l > 13 or (ah and ah != a_l + 1):
+                return None
+            start = i + 2 + ln
+            reader = _JpegBitReader(p, start)
+            if ss == 0:  # DC scan (se must be 0)
+                if se != 0:
+                    return None
+                if ah == 0:
+                    for c in scan_comps:
+                        if (0, tsel[c][0]) not in huff:
+                            return None
+                ok = _jpeg_dc_scan(
+                    reader, coeffs, scan_comps, tsel, huff, ah, a_l,
+                    restart_interval, bw_ * bh_,
+                )
+                if not ok:
+                    return None
+                for c in scan_comps:
+                    dc_done.add(c)
+                    dc_al[c] = a_l
+            else:  # AC scan: single component, DC first scan required
+                if ns != 1 or not (1 <= ss <= se <= 63):
+                    return None
+                c = scan_comps[0]
+                if c not in dc_done:
+                    return None
+                if ah == 0 and (1, tsel[c][1]) not in huff:
+                    return None
+                if ah and (1, tsel[c][1]) not in huff:
+                    return None
+                ok = _jpeg_ac_scan(
+                    reader, coeffs[c], huff.get((1, tsel[c][1])),
+                    ss, se, ah, a_l, restart_interval,
+                )
+                if not ok:
+                    return None
+                ac_band_al[(c, ss, se)] = a_l
+            saw_scan = True
+            # resync: find the next true marker after the entropy data
+            j = reader.pos
+            while j + 1 < len(p):
+                if (
+                    p[j] == 0xFF
+                    and p[j + 1] != 0x00
+                    and not (0xD0 <= p[j + 1] <= 0xD7)
+                ):
+                    break
+                j += 1
+            i = j
+            continue
+        i += 2 + ln
+    if sof is None or coeffs is None or not saw_scan:
+        return None
+    w_, h_, comps = sof
+    if any(c not in dc_done for c in range(len(comps))):
+        return None  # never received DC data for some component
+    for _cid, qid in comps:
+        if qid not in qtables:
+            return None
+    return _jpeg_reconstruct(
+        w_, h_, [qtables[qid] for _, qid in comps], coeffs, bw_, bh_
+    )
+
+
+def _jpeg_dc_scan(
+    reader, coeffs, scan_comps, tsel, huff, ah, a_l,
+    restart_interval, nunits,
+) -> bool:
+    """Progressive DC scan: first (``ah==0``, DPCM at bit position
+    ``a_l``) or refinement (one bit per block, OR-ed into bit ``a_l`` —
+    two's complement, matching the arithmetic-shift point transform)."""
+    pred = {c: 0 for c in scan_comps}
+    for u in range(nunits):
+        if restart_interval and u and u % restart_interval == 0:
+            if not reader.restart():
+                return False
+            pred = {c: 0 for c in scan_comps}
+        for c in scan_comps:
+            blk = coeffs[c][u]
+            if ah == 0:
+                s = reader.huff(huff[(0, tsel[c][0])])
+                if s is None or s > 15:
+                    return False
+                bits_v = reader.bits(s)
+                if bits_v is None:
+                    return False
+                pred[c] += _extend(bits_v, s) if s else 0
+                blk[0] = pred[c] << a_l
+            else:
+                b = reader.bits(1)
+                if b is None:
+                    return False
+                if b:
+                    blk[0] |= 1 << a_l
+    return True
+
+
+def _jpeg_ac_scan(
+    reader, blocks, ac_tab, ss, se, ah, a_l, restart_interval
+) -> bool:
+    """Progressive AC scan over one component's blocks (zigzag band
+    ``ss..se``): first scans decode EOBRUN-coded runs of the
+    point-transformed values; refinement scans walk zero-history runs,
+    reading positionally-interleaved correction bits (G.1.2.3)."""
+    if ac_tab is None:
+        return False
+    p1 = 1 << a_l
+    m1 = -p1
+    eobrun = 0
+    for u in range(len(blocks)):
+        if restart_interval and u and u % restart_interval == 0:
+            if not reader.restart():
+                return False
+            eobrun = 0
+        blk = blocks[u]
+        if ah == 0:  # first scan for this band/bit position
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                rs = reader.huff(ac_tab)
+                if rs is None:
+                    return False
+                r, s = rs >> 4, rs & 0x0F
+                if s:
+                    k += r
+                    if k > se:
+                        return False
+                    bits_v = reader.bits(s)
+                    if bits_v is None:
+                        return False
+                    blk[k] = _extend(bits_v, s) * p1
+                    k += 1
+                else:
+                    if r < 15:
+                        eobrun = (1 << r) - 1
+                        if r:
+                            eb = reader.bits(r)
+                            if eb is None:
+                                return False
+                            eobrun += eb
+                        break
+                    k += 16  # ZRL
+        else:  # refinement
+            k = ss
+            if eobrun == 0:
+                while k <= se:
+                    rs = reader.huff(ac_tab)
+                    if rs is None:
+                        return False
+                    r, s = rs >> 4, rs & 0x0F
+                    newval = 0
+                    if s == 0:
+                        if r < 15:
+                            eobrun = 1 << r
+                            if r:
+                                eb = reader.bits(r)
+                                if eb is None:
+                                    return False
+                                eobrun += eb
+                            break
+                        # ZRL: skip 16 zero-history coefficients
+                    else:
+                        if s != 1:
+                            return False
+                        b = reader.bits(1)
+                        if b is None:
+                            return False
+                        newval = p1 if b else m1
+                    while k <= se:
+                        if blk[k] != 0:
+                            b = reader.bits(1)
+                            if b is None:
+                                return False
+                            if b and (blk[k] & p1) == 0:
+                                blk[k] += p1 if blk[k] >= 0 else m1
+                        else:
+                            if r == 0:
+                                break
+                            r -= 1
+                        k += 1
+                    if newval:
+                        if k > se:
+                            return False
+                        blk[k] = newval
+                    k += 1
+            if eobrun > 0:
+                while k <= se:
+                    if blk[k] != 0:
+                        b = reader.bits(1)
+                        if b is None:
+                            return False
+                        if b and (blk[k] & p1) == 0:
+                            blk[k] += p1 if blk[k] >= 0 else m1
+                    k += 1
+                eobrun -= 1
+    return eobrun == 0
+
+
+def decode_jpeg(payload: bytes | None) -> tuple[int, int, bytes] | None:
+    """Decode a JPEG still — baseline OR progressive — to ``(width,
+    height, top-down RGB bytes)``; the image-curation entry point
+    (r16: real-web progressive streams no longer land in the
+    ``undecodable`` verdict bucket). Dispatches on the SOF marker:
+    SOF0/SOF1 -> :func:`decode_jpeg_baseline`, SOF2 ->
+    :func:`decode_jpeg_progressive`; None for anything else
+    (lossless/arithmetic/subsampled — fail closed, never garbage)."""
+    info = parse_jpeg(payload)
+    if info is None:
+        return None
+    if info["progressive"]:
+        return decode_jpeg_progressive(payload)
+    return decode_jpeg_baseline(payload)
+
+
+def _jpeg_reconstruct(
+    w: int,
+    h: int,
+    qs: list,
+    blocks: list,
+    bw_: int,
+    bh_: int,
+) -> tuple[int, int, bytes]:
+    """Shared back half of both JPEG decoders: per-component dequantize
+    (``qs[c]`` = zigzag-order table), inverse zigzag, batch 2-D IDCT,
+    level shift, plane crop, JFIF color transform. ``blocks[c]`` =
+    zigzag-order coefficient lists, raster block order."""
+    nc = len(blocks)
+    planes = []
+    for c in range(nc):
+        q = qs[c]
+        if np is not None:
+            zzq = np.asarray(blocks[c], dtype=np.float64) * np.asarray(
+                q, dtype=np.float64
+            )
+            coef = np.empty_like(zzq)
+            coef[:, _JPEG_ZIGZAG] = zzq  # zigzag -> natural scatter
+            px = np.einsum(
+                "ux,nuv,vy->nxy",
+                np.asarray(_DCT_M),
+                coef.reshape(-1, 8, 8),
+                np.asarray(_DCT_M),
+            )
+            plane = (
+                px.reshape(bh_, bw_, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(bh_ * 8, bw_ * 8)
+            )
+            planes.append(plane[:h, :w] + 128.0)
+        else:
+            coefs = []
+            for zz in blocks[c]:
+                coef_l = [0.0] * 64
+                for idx in range(64):
+                    coef_l[_JPEG_ZIGZAG[idx]] = zz[idx] * q[idx]
+                coefs.append(coef_l)
+            px = _idct_blocks(coefs)
+            plane_l = [[0.0] * (bw_ * 8) for _ in range(bh_ * 8)]
+            for b_i, blk in enumerate(px):
+                by, bx = divmod(b_i, bw_)
+                for r_ in range(8):
+                    for c_ in range(8):
+                        plane_l[by * 8 + r_][bx * 8 + c_] = (
+                            blk[r_ * 8 + c_] + 128.0
+                        )
+            planes.append([row[:w] for row in plane_l[:h]])
+
+    if np is not None:
+        if nc == 1:
+            g = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
+            rgb = np.repeat(g[:, :, None], 3, axis=2)
+        else:
+            y, cb, cr = planes
+            r = y + 1.402 * (cr - 128.0)
+            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+            b = y + 1.772 * (cb - 128.0)
+            rgb = np.stack(
+                [
+                    np.clip(np.rint(ch), 0, 255).astype(np.uint8)
+                    for ch in (r, g, b)
+                ],
+                axis=2,
+            )
+        return w, h, rgb.tobytes()
+    out = bytearray()
+    for yy in range(h):
+        for xx in range(w):
+            if nc == 1:
+                v = int(min(255, max(0, round(planes[0][yy][xx]))))
+                out += bytes((v, v, v))
+            else:
+                yv = planes[0][yy][xx]
+                cb = planes[1][yy][xx] - 128.0
+                cr = planes[2][yy][xx] - 128.0
+                r = yv + 1.402 * cr
+                g = yv - 0.344136 * cb - 0.714136 * cr
+                b = yv + 1.772 * cb
+                out += bytes(
+                    int(min(255, max(0, round(ch)))) for ch in (r, g, b)
+                )
+    return w, h, bytes(out)
 
 
 def decode_jpeg_baseline(payload: bytes | None) -> tuple[int, int, bytes] | None:
@@ -1633,80 +2291,9 @@ def decode_jpeg_baseline(payload: bytes | None) -> tuple[int, int, bytes] | None
                 blocks[c].append(zz)  # dequantized in batch below
             mcu += 1
 
-    # batch dequantize + IDCT per component, assemble planes
-    planes = []
-    for c in range(nc):
-        q = qtables[comps[c][1]]
-        if np is not None:
-            zzq = np.asarray(blocks[c], dtype=np.float64) * np.asarray(
-                q, dtype=np.float64
-            )
-            coef = np.empty_like(zzq)
-            coef[:, _JPEG_ZIGZAG] = zzq  # zigzag -> natural scatter
-            px = np.einsum(
-                "ux,nuv,vy->nxy",
-                np.asarray(_DCT_M),
-                coef.reshape(-1, 8, 8),
-                np.asarray(_DCT_M),
-            )
-            plane = (
-                px.reshape(bh_, bw_, 8, 8)
-                .transpose(0, 2, 1, 3)
-                .reshape(bh_ * 8, bw_ * 8)
-            )
-            planes.append(plane[:h, :w] + 128.0)
-        else:
-            coefs = []
-            for zz in blocks[c]:
-                coef_l = [0.0] * 64
-                for idx in range(64):
-                    coef_l[_JPEG_ZIGZAG[idx]] = zz[idx] * q[idx]
-                coefs.append(coef_l)
-            px = _idct_blocks(coefs)
-            plane_l = [[0.0] * (bw_ * 8) for _ in range(bh_ * 8)]
-            for b_i, blk in enumerate(px):
-                by, bx = divmod(b_i, bw_)
-                for r_ in range(8):
-                    for c_ in range(8):
-                        plane_l[by * 8 + r_][bx * 8 + c_] = (
-                            blk[r_ * 8 + c_] + 128.0
-                        )
-            planes.append([row[:w] for row in plane_l[:h]])
-
-    if np is not None:
-        if nc == 1:
-            g = np.clip(np.rint(planes[0]), 0, 255).astype(np.uint8)
-            rgb = np.repeat(g[:, :, None], 3, axis=2)
-        else:
-            y, cb, cr = planes
-            r = y + 1.402 * (cr - 128.0)
-            g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-            b = y + 1.772 * (cb - 128.0)
-            rgb = np.stack(
-                [
-                    np.clip(np.rint(ch), 0, 255).astype(np.uint8)
-                    for ch in (r, g, b)
-                ],
-                axis=2,
-            )
-        return w, h, rgb.tobytes()
-    out = bytearray()
-    for yy in range(h):
-        for xx in range(w):
-            if nc == 1:
-                v = int(min(255, max(0, round(planes[0][yy][xx]))))
-                out += bytes((v, v, v))
-            else:
-                yv = planes[0][yy][xx]
-                cb = planes[1][yy][xx] - 128.0
-                cr = planes[2][yy][xx] - 128.0
-                r = yv + 1.402 * cr
-                g = yv - 0.344136 * cb - 0.714136 * cr
-                b = yv + 1.772 * cb
-                out += bytes(
-                    int(min(255, max(0, round(ch)))) for ch in (r, g, b)
-                )
-    return w, h, bytes(out)
+    return _jpeg_reconstruct(
+        w, h, [qtables[qid] for _, qid in comps], blocks, bw_, bh_
+    )
 
 
 # --- MJPEG-in-AVI (RIFF container + per-frame baseline JPEG) ---------------

@@ -144,7 +144,9 @@ def synthesize_media_payloads(
 
     ``kind``: ``'image'`` (PPM/BMP mix sniff-selected by md5 byte 2),
     ``'ppm'``, ``'png'`` (zlib-compressed, per-row filter cycle),
-    ``'jpeg'`` (baseline DCT, DC-exact block protocol), ``'avi'``
+    ``'jpeg'`` (baseline DCT, DC-exact block protocol),
+    ``'jpeg_progressive'`` (same pixel protocol through the SOF2
+    successive-approximation scan script, r16), ``'avi'``
     (MJPEG-in-RIFF compressed video), ``'wav'``, or ``'y4m'``
     (uncompressed C444 video). The
     synthesis rules are the fixed protocol in
@@ -154,6 +156,7 @@ def synthesize_media_payloads(
     """
     from .media_codecs import (
         synthesize_jpeg,
+        synthesize_jpeg_progressive,
         synthesize_mjpeg_avi,
         synthesize_png,
         synthesize_wav_tones,
@@ -161,13 +164,14 @@ def synthesize_media_payloads(
 
     synth = {"image": synthesize_image, "ppm": synthesize_ppm,
              "png": synthesize_png, "jpeg": synthesize_jpeg,
+             "jpeg_progressive": synthesize_jpeg_progressive,
              "avi": synthesize_mjpeg_avi,
              "wav": synthesize_wav, "wav_tones": synthesize_wav_tones,
              "y4m": synthesize_y4m}.get(kind)
     if synth is None:
         raise ValueError(
-            "kind must be image|ppm|png|jpeg|avi|wav|wav_tones|y4m "
-            f"(got {kind!r})"
+            "kind must be image|ppm|png|jpeg|jpeg_progressive|avi|wav|"
+            f"wav_tones|y4m (got {kind!r})"
         )
     schema = StructType(
         [

@@ -1281,6 +1281,34 @@ def multimodal_image_jpeg(spark, sf_dir):
     ).select("doc_id", "width", "height", "pixel_sum")
 
 
+@_register("multimodal_image_jpeg_progressive", _duck_jpeg_sql())
+def multimodal_image_jpeg_progressive(spark, sf_dir):
+    """REAL progressive-codec path (r16): the DC-exact pixel protocol of
+    multimodal_image_jpeg emitted through the SOF2 successive-
+    approximation scan script (DC + banded AC first scans at bit 1,
+    then DC/AC refinement scans to bit 0 — the shape real web encoders
+    produce), decoded by the full T.81 Annex G machinery in
+    :func:`media_codecs.decode_jpeg_progressive`: multi-scan marker
+    walk, EOBRUN run coding, zero-history refinement runs with
+    positionally-interleaved correction bits. The ORACLE IS IDENTICAL
+    to the baseline query's closed form — progressive is a bit-exact
+    re-encoding, so any drift between the two entropy pipelines
+    (point transform, refinement bit order, EOB-run corrections)
+    changes ``pixel_sum``. The AC/color paths the exact fixture cannot
+    reach are pinned by roundtrip property tests asserting progressive
+    decode == baseline decode on random images. Arrow-batched
+    ``mapInPandas``, 1 row -> 1 row, no shuffle."""
+    from .operators.multimodal import (
+        image_content_profile,
+        synthesize_media_payloads,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return image_content_profile(
+        synthesize_media_payloads(docs, "jpeg_progressive")
+    ).select("doc_id", "width", "height", "pixel_sum")
+
+
 # --- MJPEG compressed-video decode --------------------------------------------
 
 

@@ -1563,3 +1563,117 @@ def test_multimodal_shards_manifest_consistency(spark):
         man["n_seqs"] >= (man["total_tokens"] + _MS_BUDGET - 1) // _MS_BUDGET
     ).all()
     assert (man["total_pixel_bytes"] > 0).all()
+
+
+# --- progressive JPEG (r16) ----------------------------------------------
+
+
+def test_jpeg_progressive_fixture_exact_and_parse():
+    """The SA-progressive DC-exact fixture decodes bit-identically to
+    its baseline twin (same pixel protocol), and parse_jpeg reports
+    progressive=True with the same dims."""
+    from hds_functions_spark.operators.media_codecs import (
+        decode_jpeg_baseline,
+        decode_jpeg_progressive,
+        parse_jpeg,
+        synthesize_jpeg,
+        synthesize_jpeg_progressive,
+    )
+
+    for seed in ("a", "dup-seed", "zz9", "progressive!"):
+        base = decode_jpeg_baseline(synthesize_jpeg(seed))
+        prog_payload = synthesize_jpeg_progressive(seed)
+        prog = decode_jpeg_progressive(prog_payload)
+        assert prog == base and prog is not None
+        info = parse_jpeg(prog_payload)
+        assert info["progressive"] is True
+        assert (info["width"], info["height"]) == (prog[0], prog[1])
+
+
+def test_jpeg_progressive_roundtrip_equals_baseline_property():
+    """PROPERTY: for ANY image, dims, component count, qtable and
+    successive-approximation depth, progressive encode->decode equals
+    baseline encode->decode EXACTLY (both quantize identically; the
+    entropy pipelines are lossless) — pins the point transform,
+    EOBRUN coding, refinement bit order and EOB-run corrections."""
+    from hypothesis import given, settings, strategies as st
+
+    from hds_functions_spark.operators.media_codecs import (
+        decode_jpeg,
+        decode_jpeg_baseline,
+        encode_jpeg_baseline,
+        encode_jpeg_progressive,
+    )
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        w=st.integers(1, 24),
+        h=st.integers(1, 24),
+        color=st.booleans(),
+        al=st.integers(0, 3),
+        qscale=st.integers(1, 32),
+        seed=st.integers(0, 2**31),
+    )
+    def check(w, h, color, al, qscale, seed):
+        import random
+
+        rng = random.Random(seed)
+        nc = 3 if color else 1
+        data = bytes(rng.randrange(256) for _ in range(w * h * nc))
+        q = [max(1, min(255, qscale + rng.randrange(8))) for _ in range(64)]
+        base = decode_jpeg_baseline(encode_jpeg_baseline(w, h, data, nc, q))
+        prog = decode_jpeg(encode_jpeg_progressive(w, h, data, nc, q, al=al))
+        assert prog is not None and prog == base
+
+    check()
+
+
+def test_jpeg_progressive_fails_closed():
+    from hds_functions_spark.operators.media_codecs import (
+        decode_jpeg_progressive,
+        synthesize_jpeg_progressive,
+    )
+
+    good = synthesize_jpeg_progressive("x")
+    assert decode_jpeg_progressive(None) is None
+    assert decode_jpeg_progressive(b"") is None
+    assert decode_jpeg_progressive(b"notajpeg") is None
+    for cut in (len(good) // 3, len(good) // 2, len(good) - 3):
+        assert decode_jpeg_progressive(good[:cut]) is None
+    # sampling byte 0x11 -> 0x22: subsampled progressive refused
+    sof = good.index(b"\xff\xc2")
+    sub = bytearray(good)
+    sub[sof + 11] = 0x22
+    assert decode_jpeg_progressive(bytes(sub)) is None
+
+
+def test_jpeg_progressive_through_image_surface(spark):
+    """image_pixel_data's FFD8 sniff now dispatches on the SOF marker,
+    so progressive streams flow through image_content_profile (no more
+    undecodable verdicts for real-web progressive JPEGs) with the SAME
+    profile as their baseline twins."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from hds_functions_spark.operators.multimodal import (
+        image_content_profile,
+        synthesize_media_payloads,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta"), (2, "gamma")],
+        "doc_id long, text string",
+    )
+    base = {
+        r["doc_id"]: (r["width"], r["height"], r["pixel_sum"])
+        for r in image_content_profile(
+            synthesize_media_payloads(docs, "jpeg")
+        ).collect()
+    }
+    prog = {
+        r["doc_id"]: (r["width"], r["height"], r["pixel_sum"])
+        for r in image_content_profile(
+            synthesize_media_payloads(docs, "jpeg_progressive")
+        ).collect()
+    }
+    assert base == prog
+    assert all(v[2] is not None for v in prog.values())
