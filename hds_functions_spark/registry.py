@@ -787,40 +787,42 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: rotate them in first. Mitigation, on the record: the round-15
 #: closing two-scale `compare_oracle --exact` sweeps cover EVERY
 #: registered query including those 25.
-#: ROUND-16 ROTATION GUIDANCE: the 25 leftover r10 rows + r16
-#: additions + any r15 reds at the head, then r11-vintage rows.
+#: ROUND-16 ROTATION (executing the r15 verdict's item 1): the 6
+#: round-16 additions take the head (never-checked queries MUST be
+#: inside the window — driver_coverage's hard gate), then the 25
+#: r10-vintage rows at the SLA-6 boundary (named in the r15 comment
+#: above), then the alphabetically-first 19 of the 50 r11-vintage
+#: stale rows. 6 + 25 + 19 = 50; the 31 list-order-last r11 rows
+#: (events_asof_tolerance, events_funnel, events_gap_quantiles,
+#: events_interval_binned, events_json_props, events_retention,
+#: events_sliding, events_trailing, multimodal_image_jpeg,
+#: multimodal_video_dedup, multimodal_video_mjpeg, pack_sequences,
+#: pipeline_best_of_cluster, pipeline_card_trend, pipeline_curation,
+#: privacy_suppress, profile_lineitem, sample_cap_per_group,
+#: sample_hash_split, sample_mixture, sample_nested,
+#: sample_stratified, streaming_dedup, streaming_interval_join,
+#: streaming_sessions, streaming_stateful_totals,
+#: table_standardise_hes, text_langid_confusion, text_repetition,
+#: text_stopword_filter, text_tfidf) wait for the r17 head — at r17
+#: they are 6 rounds stale, exactly the SLA boundary, so r17 MUST
+#: rotate them in first. Mitigation, on the record: the round-16
+#: closing two-scale `compare_oracle --exact` sweeps cover EVERY
+#: registered query including those 31. Semantics note: r16 extended
+#: image_pixel_data's FFD8 branch to dispatch baseline/progressive
+#: (decode_jpeg); values for every EXISTING query are unchanged
+#: (baseline streams take the identical path), so no plan-change
+#: re-verification hoist is required.
+#: ROUND-17 ROTATION GUIDANCE: the 31 leftover r11 rows + r17
+#: additions + any r16 reds at the head, then r12-vintage rows.
 DRIVER_PRIORITY: list[str] = [
-    # round-15 additions (land driver rows the round they ship):
-    "pipeline_video_curation",
-    "pipeline_caption_curation",
-    "multimodal_video_dedup_incremental",
-    "pipeline_audio_curation",
-    "streaming_image_ingest",
-    "multimodal_audio_dedup_incremental",
-    "pipeline_multimodal_shards",
-    # r15 plan changes (null-safe quantile-cut attach; undecodable
-    # verdict leg) — re-verify this round:
-    "multimodal_image_dedup_incremental",
-    "pipeline_perplexity_buckets",
-    "pipeline_web_curation",
-    "pipeline_curriculum_order",
-    "classify_nb_calibration",
-    # r09-vintage stale rows (the 13 past slot 50 at r14 — SLA boundary):
-    "similarity_lsh_multiprobe",
-    "similarity_multiprobe_recall",
-    "similarity_pq_adc_knn",
-    "similarity_pq_codes",
-    "similarity_pq_recall",
-    "similarity_truncation_recall",
-    "streaming_hll_daily",
-    "streaming_nb_router",
-    "table_tombstone_delete",
-    "text_bpe_fertility",
-    "text_kn_trigram_logprob",
-    "text_novelty",
-    "text_novelty_incremental",
-    # r10-vintage stale rows, alphabetical (25 of 50 fit; the 25 past
-    # slot 50 wait for r16 — see the rotation comment above):
+    # round-16 additions (land driver rows the round they ship):
+    "web_url_canonicalize",
+    "web_domain_blocklist",
+    "web_domain_caps",
+    "pipeline_url_curation",
+    "dedup_paragraph_pairs",
+    "multimodal_image_jpeg_progressive",
+    # r10-vintage stale rows (the 25 past slot 50 at r15 — SLA boundary):
     "analytics_promo_revenue",
     "analytics_region_revenue",
     "analytics_top_orders",
@@ -846,6 +848,27 @@ DRIVER_PRIORITY: list[str] = [
     "privacy_dp_sums",
     "profile_key_skew",
     "quality_orphans",
+    # r11-vintage stale rows, alphabetical (19 of 50 fit; the 31 past
+    # slot 50 wait for r17 — see the rotation comment above):
+    "analytics_cube",
+    "analytics_share",
+    "clean_filter_lines",
+    "clean_scrub_pii",
+    "clean_unicode_nfc",
+    "cluster_kmeans",
+    "cluster_kmeans_profile",
+    "cluster_semantic_dedup",
+    "decontam_ngram_overlap",
+    "dedup_cluster_sizes",
+    "dedup_containment",
+    "dedup_degree_stats",
+    "dedup_ngram_jaccard",
+    "dedup_substring_signal",
+    "doclen_histogram",
+    "doclen_quantiles",
+    "embedding_centroids",
+    "events_active_users",
+    "events_asof_forward",
 ]
 
 
