@@ -77,10 +77,21 @@ def _initial_symbols(word_col) -> "F.Column":
 
 def _train(
     docs: DataFrame, text_col: str, n_merges: int
-) -> tuple[list[DataFrame], DataFrame]:
-    """Shared training loop: returns the per-step 1-row merge frames and
-    the FINAL word dictionary ``(word, n, sym)`` after all merges —
-    training reads the former, encoding reads the latter."""
+) -> tuple[list[tuple], DataFrame]:
+    """Shared training loop: returns the per-step merge tuples
+    ``(step, merge_left, merge_right, pair_count)`` and the FINAL word
+    dictionary ``(word, n, sym)`` after all merges — training reads the
+    former, encoding reads the latter.
+
+    One Spark job per step (the 1-row argmax collect), nothing else:
+    the chosen pair is already on the driver, so the merge rewrite uses
+    it as a LITERAL ``replace`` pattern instead of the former
+    crossJoin-broadcast of the argmax frame, and the rewritten
+    dictionary stays a lazy chain of ``replace`` projections over the
+    persisted base vocabulary (depth = steps, linear — the old 3^steps
+    plan blowup came from embedding the argmax SUBPLAN twice, which the
+    literal removes, so the per-step ``localCheckpoint`` jobs go too).
+    Identical results: same argmax convention, same rewrite strings."""
     from ..caching import tracked_persist
 
     words = tracked_persist(
@@ -100,7 +111,13 @@ def _train(
                 )
             ).alias("p"),
         ).select("n", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
-        best = (
+        # Exhaustion guard: when no adjacent pair exists anywhere (every
+        # word already one symbol, or an empty/degenerate corpus) the
+        # min(struct) over zero rows yields one all-NULL row; emitting it
+        # would corrupt every later rewrite (replace with NULL pattern
+        # nulls 'sym' for the whole dictionary). Stop instead — the same
+        # early exit as the classic in-memory trainer's `if not pc`.
+        probe = (
             pairs.groupBy("a", "b")
             .agg(F.sum("n").alias("cnt"))
             .agg(
@@ -117,46 +134,21 @@ def _train(
                 F.col("best.b").alias("_bb"),
                 (-F.col("best.neg")).alias("_bcnt"),
             )
-            # 1 row; materialised once and reused by the merge output,
-            # the rewrite crossJoin, and later steps' lineage
-            .localCheckpoint()
+            .first()
         )
-        # Exhaustion guard: when no adjacent pair exists anywhere (every
-        # word already one symbol, or an empty/degenerate corpus) the
-        # min(struct) over zero rows yields one all-NULL row; emitting it
-        # would corrupt every later rewrite (replace with NULL pattern
-        # nulls 'sym' for the whole dictionary). Stop instead — the same
-        # early exit as the classic in-memory trainer's `if not pc`.
-        # best is already materialised, so this reads one local row.
-        probe = best.first()
         if probe is None or probe["_bcnt"] is None:
             break
-        merges.append(
-            best.select(
-                F.lit(step).alias("step"),
-                F.col("_ba").alias("merge_left"),
-                F.col("_bb").alias("merge_right"),
-                F.col("_bcnt").alias("pair_count"),
-            )
-        )
-        pattern = F.concat(
-            F.lit(" "), F.col("_ba"), F.lit(_SEP), F.col("_bb"), F.lit(" ")
-        )
-        replacement = F.concat(
-            F.lit(" "), F.col("_ba"), F.col("_bb"), F.lit(" ")
-        )
-        # localCheckpoint, not persist: each step's plan embeds the
-        # previous step's TWICE (argmax + rewrite), so without lineage
-        # truncation the plan tree grows ~3^steps and the driver OOMs
-        # just STRINGIFYING it past ~6 merges. The dictionary is
-        # vocabulary-sized, so materialising it per step is cheap — the
-        # same precedent as the connected-components contraction loop
-        # (dedup.py); swap for reliable checkpoint() on a real cluster.
-        words = words.crossJoin(F.broadcast(best)).select(
+        ba, bb, bcnt = probe["_ba"], probe["_bb"], int(probe["_bcnt"])
+        merges.append((step, ba, bb, bcnt))
+        words = words.select(
             "word",
             "n",
-            F.replace(F.col("sym"), pattern, replacement).alias("sym"),
-        ).localCheckpoint()
+            F.replace(
+                F.col("sym"),
+                F.lit(" " + ba + _SEP + bb + " "),
+                F.lit(" " + ba + bb + " "),
+            ).alias("sym"),
+        )
     return merges, words
 
 
@@ -177,18 +169,13 @@ def bpe_train_merges(
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1 (got {n_merges})")
     merges, words = _train(docs, text_col, n_merges)
-    if not merges:
-        # pair-exhausted at step 1 (all words single-symbol / empty
-        # corpus): zero merge rows, with the documented schema
-        return words.sparkSession.createDataFrame(
-            [],
-            "step: int, merge_left: string, merge_right: string, "
-            "pair_count: bigint",
-        )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out
+    # the merge table is n_merges driver-side tuples (the per-step argmax
+    # collects) — emit them directly; empty on step-1 exhaustion
+    return words.sparkSession.createDataFrame(
+        merges,
+        "step: int, merge_left: string, merge_right: string, "
+        "pair_count: bigint",
+    )
 
 
 def bpe_word_segmentation(

@@ -86,13 +86,9 @@ def _sq_dist(vec_col: str, centroid: list[float]) -> Column:
     IEEE result equals the explicit left-associative chain a SQL oracle
     spells (``0.0 + t1 == t1`` exactly — squares are never -0.0).
     Floats widen to double exactly (same promotion SQL engines use)."""
-    cvec = F.lit([float(x) for x in centroid])
-    diffs = F.zip_with(
-        F.col(vec_col).cast("array<double>"),
-        cvec,
-        lambda x, y: (x - y) * (x - y),
-    )
-    return F.aggregate(diffs, F.lit(0.0), lambda acc, t: acc + t)
+    from ..functions.sqlexpr import quote_ident, sq_dist_fold_sql
+
+    return F.expr(sq_dist_fold_sql(quote_ident(vec_col), centroid))
 
 
 def _best_centroid(vec_col: str, centroids: list[list[float]]) -> Column:
@@ -109,19 +105,21 @@ def _best_centroid(vec_col: str, centroids: list[list[float]]) -> Column:
     would make the argmin arbitrary. Coalescing each distance to +Inf
     pins malformed vectors deterministically (all-Inf ties break to
     cluster 0); :func:`kmeans_assign` then masks them to NULL outright."""
-    return F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    F.coalesce(
-                        _sq_dist(vec_col, c), F.lit(float("inf"))
-                    ).alias("d"),
-                    F.lit(i).alias("i"),
-                )
-                for i, c in enumerate(centroids)
-            ]
-        )
-    )
+    from ..functions.sqlexpr import quote_ident, sq_dist_fold_sql
+
+    v = quote_ident(vec_col)
+    # one F.expr parse instead of O(k) literal/struct py4j round trips
+    # (bit-identical analyzed tree — see functions/sqlexpr.py; pinned
+    # by test_bulk_assignment_identity and the kmeans golden tests)
+    structs = [
+        "named_struct('d', coalesce("
+        + sq_dist_fold_sql(v, c)
+        + ", double('Infinity')), 'i', "
+        + str(i)
+        + ")"
+        for i, c in enumerate(centroids)
+    ]
+    return F.expr("array_min(array(" + ",".join(structs) + "))")
 
 
 #: Above roughly this many literal scalars (k * dim), LITERAL
@@ -180,23 +178,15 @@ def _best_centroid_bulk(
     vectors pin to +Inf the same way, and ``array_min`` over
     struct(dist, idx) breaks ties to the lowest index identically —
     pinned by test_bulk_assignment_identity."""
-    cmat = F.array(*[F.lit([float(x) for x in c]) for c in centroids])
-    vec = F.col(vec_col).cast("array<double>")
-    return F.array_min(
-        F.transform(
-            cmat,
-            lambda c, i: F.struct(
-                F.coalesce(
-                    F.aggregate(
-                        F.zip_with(vec, c, lambda x, y: (x - y) * (x - y)),
-                        F.lit(0.0),
-                        lambda acc, t: acc + t,
-                    ),
-                    F.lit(float("inf")),
-                ).alias("d"),
-                i.cast("int").alias("i"),
-            ),
-        )
+    from ..functions.sqlexpr import darray2, quote_ident
+
+    v = quote_ident(vec_col)
+    return F.expr(
+        f"array_min(transform({darray2(centroids)}, "
+        f"(c, i) -> named_struct('d', coalesce("
+        f"aggregate(zip_with(cast({v} as array<double>), c, "
+        "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, t) -> acc + t), "
+        "double('Infinity')), 'i', cast(i as int))))"
     )
 
 
@@ -609,9 +599,14 @@ def kmeans_fit(
         )
         # F.get is null-safe on out-of-bounds (element_at THROWS under
         # ANSI): a ragged vector contributes nulls, which sum ignores,
-        # instead of failing the driver's ANSI-on session
+        # instead of failing the driver's ANSI-on session. Rendered as
+        # expr text: one py4j round trip per column instead of five,
+        # and this runs once per Lloyd iteration.
+        from ..functions.sqlexpr import quote_ident
+
+        vq = quote_ident(vec_col)
         sums = [
-            F.sum(F.get(F.col(vec_col), i).cast("double")).alias(f"_s{i}")
+            F.expr(f"sum(cast(get({vq}, {i}) as double)) AS `_s{i}`")
             for i in range(dim)
         ]
         stats = (

@@ -918,7 +918,7 @@ def embedding_near_dup_pairs(
         F.col(vec_col).alias("_vec"),
         *[
             plane_signature(
-                F.col(vec_col), planes[b * rows_per_band : (b + 1) * rows_per_band]
+                vec_col, planes[b * rows_per_band : (b + 1) * rows_per_band]
             ).alias(f"_band_{b}")
             for b in range(bands)
         ],
@@ -1018,7 +1018,7 @@ def embedding_near_dup_pairs_incremental(
             F.col(vec_col).alias("_vec"),
             *[
                 plane_signature(
-                    F.col(vec_col),
+                    vec_col,
                     planes[b * rows_per_band : (b + 1) * rows_per_band],
                 ).alias(f"_band_{b}")
                 for b in range(bands)

@@ -247,31 +247,41 @@ def random_projection(
     """
     if out_dim < 1:
         raise ValueError(f"out_dim must be >= 1 (got {out_dim})")
+    from ..functions.sqlexpr import dlit, dot_fold_sql, quote_ident
+
     planes = hyperplanes(out_dim, dim)
     scale = 1.0 / (out_dim ** 0.5)
-    v = F.col(vec_col).cast("array<double>")
+    # one F.expr parse instead of out_dim * dim F.lit py4j round trips
+    # (identical analyzed tree: same zip_with/aggregate fold, same
+    # double literals — see functions/sqlexpr.py)
+    v = quote_ident(vec_col)
     comps = [
-        F.round(
-            F.aggregate(
-                F.zip_with(
-                    v,
-                    F.array(*[F.lit(p) for p in plane]),
-                    lambda x, y: x * y,
-                ),
-                F.lit(0.0),
-                lambda acc, val: acc + val,
-            )
-            * F.lit(scale),
-            round_digits,
-        )
+        f"round({dot_fold_sql(v, plane)} * {dlit(scale)}, {int(round_digits)})"
         for plane in planes
     ]
-    return df.select(F.col(id_col), F.array(*comps).alias(out_col))
+    proj = F.expr("array(" + ",".join(comps) + ")")
+    return df.select(F.col(id_col), proj.alias(out_col))
 
 
-def plane_signature(vec: Column, planes: list[list[float]]) -> Column:
+def plane_signature(vec: Column | str, planes: list[list[float]]) -> Column:
     """Sign-bit signature of ``vec`` against fixed hyperplanes, packed into
-    one long (bit i set iff dot(vec, planes[i]) > 0). JVM-side only."""
+    one long (bit i set iff dot(vec, planes[i]) > 0). JVM-side only.
+
+    Pass the column NAME (str) where possible: the signature tree embeds
+    ``n_planes * dim`` literals, and rendering it as one ``F.expr`` SQL
+    string costs a single py4j round trip instead of one per literal
+    (~800 ms -> ~1 ms driver time for 12 x 64 — bit-identical analyzed
+    expression, pinned by test_plane_signature_sql_identity)."""
+    if isinstance(vec, str):
+        from ..functions.sqlexpr import dot_fold_sql, quote_ident
+
+        v = quote_ident(vec)
+        bits = [
+            f"(case when {dot_fold_sql(v, plane)} > 0 "
+            f"then cast({1 << i} as bigint) else cast(0 as bigint) end)"
+            for i, plane in enumerate(planes)
+        ]
+        return F.expr("(" + " + ".join(bits) + ")")
     bits = [
         F.when(
             F.aggregate(
@@ -315,12 +325,12 @@ def lsh_cosine_topk(
     q = queries.select(
         F.col(query_id).alias("_qid"),
         F.col(vec_col).alias("_qvec"),
-        plane_signature(F.col(vec_col), planes).alias("_bucket"),
+        plane_signature(vec_col, planes).alias("_bucket"),
     )
     c = ensure_min_partitions(corpus).select(
         F.col(corpus_id).alias("_cid"),
         F.col(vec_col).alias("_cvec"),
-        plane_signature(F.col(vec_col), planes).alias("_bucket"),
+        plane_signature(vec_col, planes).alias("_bucket"),
     )
     scored = (
         c.join(F.broadcast(q), on="_bucket")
@@ -377,7 +387,7 @@ def lsh_banded_cosine_topk(
     def banded(df: DataFrame, ident: str) -> DataFrame:
         sigs = [
             plane_signature(
-                F.col(vec_col),
+                vec_col,
                 planes[b * planes_per_band : (b + 1) * planes_per_band],
             )
             for b in range(bands)
@@ -927,12 +937,18 @@ def pq_encode(
     shared lexicographic struct-min (ties to the lowest index, malformed
     vectors pinned to +Inf -> code 0) — zero shuffle, zero UDFs,
     pushdown-friendly at any scale."""
+    from ..functions.sqlexpr import quote_ident
+
     m = len(codebooks)
     sub = len(codebooks[0][0])
+    v = quote_ident(vec_col)
     cols = [F.col(id_col).alias("vec_id")]
     for s in range(m):
-        sliced = F.slice(F.col(vec_col), s * sub + 1, sub)
-        best = _best_centroid_expr(sliced, codebooks[s])
+        # one F.expr parse per subspace instead of k struct/lit trees
+        # (bit-identical analyzed expression; see functions/sqlexpr.py)
+        best = F.expr(
+            _best_centroid_sql(f"slice({v}, {s * sub + 1}, {sub})", codebooks[s])
+        )
         cols.append(best["i"].cast("int").alias(f"code_{s}"))
     return df.select(*cols)
 
@@ -982,28 +998,24 @@ def pq_codebooks_from_rows(df: DataFrame) -> list[list[list[float]]]:
     return books  # type: ignore[return-value]
 
 
-def _best_centroid_expr(vec_expr: Column, centroids: list[list[float]]) -> Column:
+def _best_centroid_sql(vec_sql: str, centroids: list[list[float]]) -> str:
     """:func:`clustering._best_centroid` generalised to a column
-    EXPRESSION (a slice) instead of a named column: struct(dist, idx)
-    argmin over literal centroids, +Inf-pinned on malformed input."""
-    def sq_dist(c: list[float]) -> Column:
-        cvec = F.lit([float(x) for x in c])
-        diffs = F.zip_with(
-            vec_expr.cast("array<double>"), cvec, lambda x, y: (x - y) * (x - y)
-        )
-        return F.aggregate(diffs, F.lit(0.0), lambda acc, t: acc + t)
+    EXPRESSION (a slice), rendered as SQL text: struct(dist, idx)
+    argmin over literal centroids, +Inf-pinned on malformed input.
+    Parsed by one ``F.expr`` call — identical analyzed tree to the
+    per-centroid Column construction it replaced, for one py4j round
+    trip instead of O(k) (see functions/sqlexpr.py)."""
+    from ..functions.sqlexpr import sq_dist_fold_sql
 
-    return F.array_min(
-        F.array(
-            *[
-                F.struct(
-                    F.coalesce(sq_dist(c), F.lit(float("inf"))).alias("d"),
-                    F.lit(i).alias("i"),
-                )
-                for i, c in enumerate(centroids)
-            ]
-        )
-    )
+    structs = [
+        "named_struct('d', coalesce("
+        + sq_dist_fold_sql(vec_sql, c)
+        + ", double('Infinity')), 'i', "
+        + str(i)
+        + ")"
+        for i, c in enumerate(centroids)
+    ]
+    return "array_min(array(" + ",".join(structs) + "))"
 
 
 def pq_adc_topk(
@@ -1033,18 +1045,23 @@ def pq_adc_topk(
     rank)``."""
     if k < 1:
         raise ValueError(f"k must be >= 1 (got {k})")
+    from ..functions.sqlexpr import darray2, quote_ident
+
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    dist = F.lit(0.0)
+    v = quote_ident(vec_col)
+    # one F.expr parse for the whole ADC distance chain instead of
+    # m * k * sub literal round trips (bit-identical analyzed tree:
+    # same left-assoc sum from 0.0, same zip_with/aggregate folds;
+    # centroid lookup stays a literal array-of-arrays indexed by code)
+    terms = ["0.0D"]
     for s in range(m):
-        qsub = F.slice(F.col(vec_col), s * sub + 1, sub)
-        # centroid lookup: literal array-of-arrays indexed by the code
-        book = F.lit([[float(x) for x in c] for c in codebooks[s]])
-        cent = F.get(book, F.col(f"code_{s}"))
-        diffs = F.zip_with(
-            qsub.cast("array<double>"), cent, lambda x, y: (x - y) * (x - y)
+        terms.append(
+            f"aggregate(zip_with(cast(slice({v}, {s * sub + 1}, {sub}) "
+            f"as array<double>), get({darray2(codebooks[s])}, `code_{s}`), "
+            "(x, y) -> (x - y) * (x - y)), 0.0D, (acc, t) -> acc + t)"
         )
-        dist = dist + F.aggregate(diffs, F.lit(0.0), lambda acc, t: acc + t)
+    dist = F.expr(" + ".join(terms))
     scored = (
         codes.join(
             F.broadcast(
@@ -1225,7 +1242,7 @@ def lsh_multiprobe_cosine_topk(
     :func:`cosine_topk`.
     """
     planes = hyperplanes(n_planes, dim)
-    sig = plane_signature(F.col(vec_col), planes)
+    sig = plane_signature(vec_col, planes)
     probes = F.array(
         sig, *[sig.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
     )
@@ -1237,7 +1254,7 @@ def lsh_multiprobe_cosine_topk(
     c = ensure_min_partitions(corpus).select(
         F.col(corpus_id).alias("_cid"),
         F.col(vec_col).alias("_cvec"),
-        plane_signature(F.col(vec_col), planes).alias("_bucket"),
+        plane_signature(vec_col, planes).alias("_bucket"),
     )
     scored = (
         c.join(F.broadcast(q), on="_bucket")

@@ -168,13 +168,18 @@ def viterbi_segment_py(
 
 
 def unigram_segment_words(
-    words: DataFrame, vocab: DataFrame, max_piece_len: int
+    words: DataFrame, vocab: DataFrame, max_piece_len: int,
+    occurrences: DataFrame | None = None,
 ) -> DataFrame:
     """Viterbi-best segmentation of every dictionary word under the
     vocabulary model: ``(word, n, pieces)``. One broadcast equi-join
     (occurrences x vocab) + one combinable collect per word + the
-    Arrow-batched DP. ``vocab`` must carry ``(piece, p)``."""
-    occ = _occurrences(words, max_piece_len).join(
+    Arrow-batched DP. ``vocab`` must carry ``(piece, p)``.
+    ``occurrences`` lets the EM loop pass a persisted substring table
+    (it is vocab-independent) instead of re-exploding per iteration."""
+    if occurrences is None:
+        occurrences = _occurrences(words, max_piece_len)
+    occ = occurrences.join(
         F.broadcast(vocab.select("piece", "p")), on="piece"
     )
     grouped = occ.groupBy("word", "n", "len").agg(
@@ -266,11 +271,11 @@ def _train(
     if n_iterations < 1:
         raise ValueError(f"n_iterations must be >= 1 (got {n_iterations})")
     words = tracked_persist(_word_table(docs, text_col, max_word_len))
-    seed = (
-        _occurrences(words, max_piece_len)
-        .groupBy("piece")
-        .agg(F.sum("n").alias("cnt"))
-    )
+    # the substring-occurrence table is vocab-independent: persist it
+    # once and reuse it for the seed count AND every EM iteration's
+    # segmentation join (previously re-exploded 1 + n_iterations times)
+    occ = tracked_persist(_occurrences(words, max_piece_len))
+    seed = occ.groupBy("piece").agg(F.sum("n").alias("cnt"))
     vocab_cnt = _prune(
         seed.filter(
             (F.length("piece") == 1) | (F.col("cnt") >= min_seed_count)
@@ -279,7 +284,7 @@ def _train(
     )
     vocab = _smoothed_probs(vocab_cnt).localCheckpoint()
     for _t in range(n_iterations):
-        segd = unigram_segment_words(words, vocab, max_piece_len)
+        segd = unigram_segment_words(words, vocab, max_piece_len, occ)
         cnt = (
             segd.select("n", F.explode("pieces").alias("piece"))
             .groupBy("piece")

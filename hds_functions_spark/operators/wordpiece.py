@@ -16,7 +16,8 @@ LLM-data-pipeline extension bar.
 
 Spark-first shape — shared with the BPE trainer (same dictionary
 collapse, two-space separator protocol, literal non-overlapping
-``replace`` rewrite, per-step ``localCheckpoint`` lineage truncation):
+``replace`` rewrite driven by the collected per-step argmax — one
+Spark job per step, lazy dictionary chain):
 
 - The corpus collapses to its ``(word, n)`` dictionary in ONE
   combinable aggregate; every per-step frame after that is
@@ -53,11 +54,18 @@ __all__ = [
 
 def _train(
     docs: DataFrame, text_col: str, n_merges: int
-) -> tuple[list[DataFrame], DataFrame]:
-    """Shared training loop: per-step 1-row merge frames + the final
-    word dictionary ``(word, n, sym)`` — the BPE loop with the
+) -> tuple[list[tuple], DataFrame]:
+    """Shared training loop: per-step merge tuples ``(step, merge_left,
+    merge_right, pair_count, count_left, count_right, raw_score)`` + the
+    final word dictionary ``(word, n, sym)`` — the BPE loop with the
     likelihood argmax. See :func:`operators.bpe._train` for the
-    separator/rewrite/lineage commentary; only the scoring differs."""
+    separator/rewrite/lineage commentary (one Spark job per step: the
+    1-row argmax collect; the rewrite uses the collected pair as LITERAL
+    ``replace`` strings, so the former per-step ``localCheckpoint`` jobs
+    and the crossJoin-broadcast disappear); only the scoring differs.
+    The raw double score crosses the Python boundary bit-exactly
+    (1-row collect + ``createDataFrame`` round-trip doubles exactly);
+    display rounding stays in Spark (`F.round`) for oracle identity."""
     from ..caching import tracked_persist
 
     words = tracked_persist(
@@ -108,7 +116,9 @@ def _train(
                 ),
             )
         )
-        best = (
+        # exhaustion guard — same contract as the BPE trainer: an
+        # all-NULL min(struct) row means no adjacent pair anywhere
+        probe = (
             scored.agg(
                 F.min(
                     F.struct(
@@ -129,35 +139,31 @@ def _train(
                 F.col("best.cnt_b").alias("_bcb"),
                 (-F.col("best.neg")).alias("_bscore"),
             )
-            .localCheckpoint()
+            .first()
         )
-        # exhaustion guard — same contract as the BPE trainer: an
-        # all-NULL min(struct) row means no adjacent pair anywhere
-        probe = best.first()
         if probe is None or probe["_bcnt"] is None:
             break
+        ba, bb = probe["_ba"], probe["_bb"]
         merges.append(
-            best.select(
-                F.lit(step).alias("step"),
-                F.col("_ba").alias("merge_left"),
-                F.col("_bb").alias("merge_right"),
-                F.col("_bcnt").alias("pair_count"),
-                F.col("_bca").alias("count_left"),
-                F.col("_bcb").alias("count_right"),
-                F.round(F.col("_bscore"), 12).alias("score"),
+            (
+                step,
+                ba,
+                bb,
+                int(probe["_bcnt"]),
+                int(probe["_bca"]),
+                int(probe["_bcb"]),
+                float(probe["_bscore"]),
             )
         )
-        pattern = F.concat(
-            F.lit(" "), F.col("_ba"), F.lit(_SEP), F.col("_bb"), F.lit(" ")
-        )
-        replacement = F.concat(
-            F.lit(" "), F.col("_ba"), F.col("_bb"), F.lit(" ")
-        )
-        words = words.crossJoin(F.broadcast(best)).select(
+        words = words.select(
             "word",
             "n",
-            F.replace(F.col("sym"), pattern, replacement).alias("sym"),
-        ).localCheckpoint()
+            F.replace(
+                F.col("sym"),
+                F.lit(" " + ba + _SEP + bb + " "),
+                F.lit(" " + ba + bb + " "),
+            ).alias("sym"),
+        )
     return merges, words
 
 
@@ -181,17 +187,25 @@ def wordpiece_train_merges(
     if n_merges < 1:
         raise ValueError(f"n_merges must be >= 1 (got {n_merges})")
     merges, words = _train(docs, text_col, n_merges)
-    if not merges:
-        return words.sparkSession.createDataFrame(
-            [],
-            "step: int, merge_left: string, merge_right: string, "
-            "pair_count: bigint, count_left: bigint, count_right: bigint, "
-            "score: double",
-        )
-    out = merges[0]
-    for m in merges[1:]:
-        out = out.unionByName(m)
-    return out
+    # n_merges driver-side tuples (the per-step argmax collects) become
+    # the merge table directly; empty on step-1 exhaustion. Display
+    # rounding of the raw score stays in Spark for oracle bit-identity
+    # (Python round() is round-half-even on binary, F.round is HALF_UP
+    # on decimal text — not the same function).
+    return words.sparkSession.createDataFrame(
+        merges,
+        "step: int, merge_left: string, merge_right: string, "
+        "pair_count: bigint, count_left: bigint, count_right: bigint, "
+        "_score_raw: double",
+    ).select(
+        "step",
+        "merge_left",
+        "merge_right",
+        "pair_count",
+        "count_left",
+        "count_right",
+        F.round(F.col("_score_raw"), 12).alias("score"),
+    )
 
 
 def wordpiece_word_segmentation(
