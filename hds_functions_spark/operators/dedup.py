@@ -115,23 +115,19 @@ def minhash_signatures(
     ``num_hashes`` times — measured 2.05x end-to-end at sf0.1; see
     functions/exprs.py).
     """
-    from ..functions.exprs import let_
+    from ..functions.sqlexpr import minhash_signature_sql, quote_ident
 
     constants = minhash_permutation_constants(num_hashes)
-
-    def permute(a: int, b: int):
-        # closure factory: PySpark inspects lambda arity, so the constants
-        # must be captured, not passed as defaulted parameters
-        return lambda h: (h * a + b) % MERSENNE_PRIME_31
-
-    sig = let_(
-        _shingle_hashes(F.col(text_col), shingle_size),
-        lambda hs: F.array(
-            *[
-                F.array_min(F.transform(hs, permute(a, b)))
-                for a, b in constants
-            ]
-        ),
+    # SQL-text rendering (one F.expr parse) of the let_-bound
+    # shingle-hash + per-permutation array_min tree the Column API used
+    # to build in O(num_hashes) py4j round trips — ~0.7 s of driver
+    # time per call at num_hashes=32. Same expressions, same results;
+    # identity pinned by tests/test_sqlexpr.py.
+    sig = F.expr(
+        minhash_signature_sql(
+            quote_ident(text_col), shingle_size, constants,
+            MERSENNE_PRIME_31,
+        )
     )
     return df.select(F.col(id_col), sig.alias("signature"))
 
@@ -180,13 +176,18 @@ def minhash_pairs(
 
     # band hash via concat_ws over element_at — plain (codegen-able)
     # expressions, unlike a slice/transform/array_join HOF chain which
-    # falls back to interpreted evaluation
+    # falls back to interpreted evaluation; SQL-text rendered (one
+    # F.expr parse per band instead of ~3 py4j round trips per element)
+    from ..functions.sqlexpr import band_hash_sql
+
     def band_hash(b: int):
-        elems = [
-            F.element_at(F.col("signature"), i).cast("string")
-            for i in range(b * rows_per_band + 1, (b + 1) * rows_per_band + 1)
-        ]
-        return stable_hash64(F.concat_ws("-", *elems))
+        return F.expr(
+            band_hash_sql(
+                "`signature`",
+                b * rows_per_band + 1,
+                (b + 1) * rows_per_band,
+            )
+        )
 
     banded = sigs.select(
         F.col(id_col),
@@ -1147,12 +1148,16 @@ def minhash_pairs_incremental(
     new_sigs = tracked_persist(prep(new_docs))
     corpus_sigs = tracked_persist(prep(corpus))
 
+    from ..functions.sqlexpr import band_hash_sql
+
     def band_hash(b: int):
-        elems = [
-            F.element_at(F.col("signature"), i).cast("string")
-            for i in range(b * rows_per_band + 1, (b + 1) * rows_per_band + 1)
-        ]
-        return stable_hash64(F.concat_ws("-", *elems))
+        return F.expr(
+            band_hash_sql(
+                "`signature`",
+                b * rows_per_band + 1,
+                (b + 1) * rows_per_band,
+            )
+        )
 
     def banded(sigs):
         return sigs.select(

@@ -209,8 +209,15 @@ def pipeline_exact_dedup_prep(spark, sf_dir):
     from .operators.dedup import exact_substring_spans, remove_duplicate_spans
 
     from .caching import tracked_persist
+    from .functions.partitioning import ensure_min_partitions
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    # widen ONCE at the source scan (cheap probe on a leaf plan); the
+    # persisted cleaned frame inherits the parallelism, so the
+    # contamination operator skips its own probes (each would force a
+    # full physical plan of the deep cleaned-subtree, ~3 s driver time)
+    docs = ensure_min_partitions(
+        _t(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    )
     spans = exact_substring_spans(docs, min_len=_XS_MIN_LEN)
     # three consumers downstream (evals, corpus grams, final agg) — persist
     # the expensive span-detection + removal subplan once instead of
@@ -228,6 +235,7 @@ def pipeline_exact_dedup_prep(spark, sf_dir):
         ngram=_XP_NGRAM,
         min_shared=1,
         max_eval_df=_XP_MAX_EVAL_DF,
+        widen_inputs=False,
     ).select("doc_id")
     final = (
         corpus.join(contaminated, on="doc_id", how="left_anti")
