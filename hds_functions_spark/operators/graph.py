@@ -135,6 +135,17 @@ def pagerank(
         "node", F.round(F.lit(1.0) / F.col("_n"), round_digits).alias("rank")
     )
     d = float(damping)
+    # Dangling-ness is a property of the FIXED graph, not of the ranks:
+    # when no node lacks out-edges the per-iteration dangling leg always
+    # aggregates to exactly 0.0, and adding d * (0.0 / N) is a float
+    # no-op (x + 0.0 == x for every non-NaN x, and NaN cannot arise
+    # here) — so one upfront emptiness probe replaces n_iter anti-join
+    # subtrees + broadcast exchanges with bit-identical ranks. Graphs
+    # WITH dangling nodes keep the distributed per-iteration term. The
+    # probe is a driver boolean, not a data round-trip.
+    has_dangling = n_iter > 0 and not nodes.join(
+        has_out, on="node", how="left_anti"
+    ).isEmpty()
     # reliable checkpoint when the session has a checkpoint dir (cluster
     # mode: survives executor loss), executor-local blocks otherwise
     sc = edges.sparkSession.sparkContext
@@ -151,26 +162,25 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") * F.col("_w")).alias("_in"))
         )
-        dangling = (
-            ranks.join(has_out, on="node", how="left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
+        recomposed = nodes.join(contrib, on="node", how="left").crossJoin(
+            F.broadcast(n_frame)
         )
-        ranks = (
-            nodes.join(contrib, on="node", how="left")
-            .crossJoin(F.broadcast(n_frame))
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "node",
-                F.round(
-                    (1 - d) / F.col("_n")
-                    + d
-                    * (
-                        F.coalesce(F.col("_in"), F.lit(0.0))
-                        + F.col("_dm") / F.col("_n")
-                    ),
-                    round_digits,
-                ).alias("rank"),
+        if has_dangling:
+            dangling = (
+                ranks.join(has_out, on="node", how="left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dm"))
             )
+            in_mass = F.coalesce(F.col("_in"), F.lit(0.0)) + F.col(
+                "_dm"
+            ) / F.col("_n")
+            recomposed = recomposed.crossJoin(F.broadcast(dangling))
+        else:
+            in_mass = F.coalesce(F.col("_in"), F.lit(0.0))
+        ranks = recomposed.select(
+            "node",
+            F.round(
+                (1 - d) / F.col("_n") + d * in_mass, round_digits
+            ).alias("rank"),
         )
     return ranks
 

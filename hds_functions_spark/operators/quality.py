@@ -206,11 +206,20 @@ def bootstrap_mean_ci(
         raise ValueError(f"n_resamples must be >= 2 (got {n_resamples})")
     if not 0 < alpha < 1:
         raise ValueError(f"alpha must be in (0, 1) (got {alpha})")
+    from ..functions.partitioning import ensure_min_partitions
+
     cdf = F.array(*[F.lit(x) for x in _POISSON1_CDF])
     rows = df.select(
         F.col(id_col).cast("string").alias("_id"),
         F.col(value_col).cast("double").alias("_x"),
     ).filter(F.col("_x").isNotNull())
+    # widen BEFORE the n_resamples-way explode: the md5 weight derivation
+    # runs n_resamples times per row, and a small single-split input would
+    # otherwise put that entire multiplied projection on one core (measured
+    # as ONE 8.4s task at sf0.1); the repartition moves only the narrow
+    # (id, x) rows, weights are hash-derived so results are
+    # partitioning-independent
+    rows = ensure_min_partitions(rows)
     expanded = rows.select(
         "_x",
         F.explode(F.sequence(F.lit(1), F.lit(n_resamples))).alias("_r"),

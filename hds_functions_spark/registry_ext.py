@@ -3583,6 +3583,11 @@ def pipeline_pretrain_prep(spark, sf_dir):
     docs = ensure_min_partitions(
         _t(spark, sf_dir, "documents").select("doc_id", "text")
     )
+    # `kept` is consumed three times and carries the gram-explode dup
+    # subtree with it, but a matched r16 A/B measured persisting the
+    # narrow dup frame SLOWER (4.35 s vs 2.96 s): the duplicate branches
+    # share the gram exchange and overlap on idle cores, while the
+    # persist serialises materialisation — left lazy on that evidence
     dup = duplicated_ngram_stats(docs, ngram=_PP_NGRAM).select(
         "doc_id", "cross_dup_fraction"
     )

@@ -456,7 +456,14 @@ def pipeline_web_curation(spark, sf_dir):
         .select("doc_id", "text", "lang_pred")
     )
     bucket = split_bucket("doc_id", _BLOOM_SALT)
-    corpus = gated.filter(bucket >= _BLOOM_CUT)
+    # the WARC-parse -> strip -> language/quality chain above feeds the
+    # Bloom probe AND the three decon consumers (KN train leg, KN score
+    # leg, the ranked attach) — without a persist the gzip WARC walk and
+    # markup strip re-run per consumer (measured: six ~8-task stages each
+    # re-reading the archives, ~58s of the query's 72s task time)
+    from .caching import tracked_persist
+
+    corpus = tracked_persist(gated.filter(bucket >= _BLOOM_CUT))
     eval_df = docs.filter(bucket < _BLOOM_CUT).select(
         F.col("doc_id").alias("eval_id"), "text"
     )

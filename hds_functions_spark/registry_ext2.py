@@ -450,6 +450,11 @@ def dedup_degree_stats(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").filter(
         F.length("text") >= _MH_SHINGLE
     )
+    # degree_distribution's self-union duplicates the post-shuffle pair
+    # work, but a matched r16 A/B measured persisting the pair frame
+    # SLOWER (3.08 s vs 2.29 s): the duplicate branches share every
+    # exchange and overlap on idle cores, while the persist serialises
+    # materialisation — left unpersisted on that evidence
     pairs = minhash_pairs(
         docs, num_hashes=_MH_NUM_HASHES, shingle_size=_MH_SHINGLE,
         bands=_MH_BANDS,

@@ -39,6 +39,34 @@ def test_hand_computed_one_iteration(spark):
     assert out["c"] == pytest.approx(base + 0.85 * (r0 / 2 + r0), abs=1e-9)
 
 
+def test_dangling_free_replay_includes_zero_dangling_term(spark):
+    # r16: dangling-free graphs skip the per-iteration dangling leg
+    # (one upfront emptiness probe). Pin bit-equivalence against a pure-
+    # Python replay that KEEPS the dangling term (always exactly 0.0
+    # here): the skip must be a float no-op, not an approximation.
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("c", "b")]
+    e = _edges(spark, pairs)
+    n_iter, d = 3, 0.85
+    out = {r["node"]: r["rank"] for r in pagerank(e, n_iter=n_iter).collect()}
+
+    nodes = sorted({x for p in pairs for x in p})
+    n = len(nodes)
+    outs = {}
+    for s, t in set(pairs):
+        outs.setdefault(s, set()).add(t)
+    ranks = {v: round(1.0 / n, 9) for v in nodes}
+    for _ in range(n_iter):
+        dangling = sum(r for v, r in ranks.items() if v not in outs)  # 0.0
+        nxt = {}
+        for v in nodes:
+            cin = sum(
+                ranks[u] / len(outs[u]) for u in nodes if v in outs.get(u, ())
+            )
+            nxt[v] = round((1 - d) / n + d * (cin + dangling / n), 9)
+        ranks = nxt
+    assert out == ranks
+
+
 def test_total_rank_conserved(spark):
     # with dangling redistribution the ranks stay a probability vector
     e = _edges(spark, [("a", "b"), ("a", "c"), ("b", "c"), ("d", "a")])
