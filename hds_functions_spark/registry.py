@@ -49,9 +49,33 @@ def _register(name: str, oracle: str | None = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    if name == "events":
-        return _load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Resolve a testdata table to a (lazy) DataFrame, memoised per session.
+
+    ``spark.read.parquet`` pays driver-side work on EVERY call — a py4j
+    round trip, file listing, and parquet footer/schema inference — about
+    50-100 ms per table even warm. The suite resolves the same ten static
+    tables thousands of times (264 call sites x repeats), so the relation
+    is resolved once per (session, path) and the resulting *unexecuted
+    logical plan* is reused, exactly as a catalog temp view would be. No
+    data or results are cached: every action still scans the parquet
+    files. The memo lives on the session object so a new session (or a
+    different sf_dir) resolves fresh.
+    """
+    memo = spark.__dict__.setdefault("_hds_table_memo", {})
+    key = (sf_dir, name)
+    df = memo.get(key)
+    if df is None:
+        if name == "events":
+            df = _load_events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        memo[key] = df
+    elif name == "events":
+        # the events plan's ntz->timestamp cast is zone-sensitive at
+        # EXECUTION time: re-pin the session zone on every resolution
+        # (idempotent, 1 py4j call) in case a caller changed it since.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return df
 
 
 def normalise_event_ts(df: DataFrame) -> DataFrame:
