@@ -865,11 +865,17 @@ def streaming_image_ingest(spark, sf_dir):
     )
 
     _, corpus = _image_corpus(spark, sf_dir)
-    sig = tracked_persist(
-        image_signatures(corpus).filter(F.col("pixel_md5").isNotNull())
-    )
     is_batch = F.col("img_id") % _SMI_BATCH_MOD < _SMI_BATCH_RESIDUES
-    standing = sig.filter(~is_batch)
+    # filter BEFORE the decode, exactly as the per-batch probe below
+    # already does: batch-residue images are never part of the standing
+    # index, so decoding them here (and persisting their signatures)
+    # was pure waste — img_id exists on the synthesized corpus, so the
+    # standing filter commutes with image_signatures row-for-row
+    standing = tracked_persist(
+        image_signatures(corpus.filter(~is_batch)).filter(
+            F.col("pixel_md5").isNotNull()
+        )
+    )
     st_keys = standing.select("pixel_md5").distinct().withColumn(
         "_hit_sk", F.lit(True)
     )

@@ -583,9 +583,30 @@ def pipeline_url_curation(spark, sf_dir):
     )
     n_written = written.agg(F.sum("n")).first()[0]
     warc = read_warc_corpus(path, spark)
-    stats = warc.agg(
-        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1)).alias("c"),
-        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n"),
+    # Project the archive walk down to its fixed-width observables and
+    # persist: the gunzip+parse (the expensive part — payload text never
+    # needs to survive past this point) runs ONCE, materialised by the
+    # roundtrip-drift validation action that must execute anyway, instead
+    # of three times (validation + the two plan consumers of `canon`:
+    # the distinct'd page frame and the per-tld record counts). Unlike
+    # the duplicate-subtree persists reverted in r16 Batch B, nothing is
+    # serialised here that wasn't already: the validation `.first()` is
+    # a sequential barrier by construction.
+    from .caching import tracked_persist
+
+    base = tracked_persist(
+        warc.select(
+            F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
+            F.regexp_extract("record_id", r"urn:doc:(\d+):", 1)
+            .cast("long")
+            .alias("doc_id"),
+            F.col("target_uri").alias("url"),
+            F.length("payload").alias("n_chars"),
+        )
+    )
+    stats = base.agg(
+        F.count(F.when(F.col("is_corrupt"), 1)).alias("c"),
+        F.count(F.when(~F.col("is_corrupt"), 1)).alias("n"),
     ).first()
     if stats["c"] or stats["n"] != n_written:
         raise ValueError(
@@ -593,12 +614,8 @@ def pipeline_url_curation(spark, sf_dir):
             f"{n_written}, read {stats['n']} clean + {stats['c']} corrupt"
         )
 
-    records = warc.filter(F.col("_corrupt_record").isNull()).select(
-        F.regexp_extract("record_id", r"urn:doc:(\d+):", 1)
-        .cast("long")
-        .alias("doc_id"),
-        F.col("target_uri").alias("url"),
-        F.length("payload").alias("n_chars"),
+    records = base.filter(~F.col("is_corrupt")).select(
+        "doc_id", "url", "n_chars"
     )
     canon = url_canonicalize(records)
     pages = canon.select(
