@@ -32,6 +32,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
+from ..functions.partitioning import ensure_min_partitions
 from ..functions.hashing import (
     MERSENNE_PRIME_31,
     minhash_permutation_constants,
@@ -274,6 +275,7 @@ def bloom_decontam(
     n_hashes: int = 3,
     method: str = "auto",
     prebuilt_bloom: DataFrame | None = None,
+    widen_inputs: bool = True,
 ) -> DataFrame:
     """Bloom-filtered n-gram decontamination: flag corpus docs whose
     word ``ngram``-grams collide with the eval set's gram bitmap.
@@ -298,9 +300,20 @@ def bloom_decontam(
     """
     if ngram < 1:
         raise ValueError(f"ngram must be >= 1 (got {ngram})")
+    # widen the probe side: the tokenise+gram explode plus the k-hash
+    # bitmap probe run ENTIRELY pre-shuffle (the whole point of the
+    # bloom leg is zero corpus exchange), so on a single-split input
+    # every probe ran on one core (measured: one 1.7 s 1-task stage at
+    # sf0.1). No-op on already-parallel inputs; ``widen_inputs=False``
+    # for callers passing deep already-widened plans (the partition
+    # probe forces a throwaway physical plan — see ngram_contamination).
+    if widen_inputs:
+        docs = ensure_min_partitions(docs)
     if prebuilt_bloom is not None:
         bloom = prebuilt_bloom
     else:
+        if widen_inputs:
+            eval_df = ensure_min_partitions(eval_df)
         eval_grams = _doc_grams(
             eval_df, eval_id_col, eval_text_col, ngram
         ).select(F.col("_gram").alias("key")).distinct()
@@ -328,6 +341,7 @@ def bloom_fp_audit(
     n_bits: int = 1 << 16,
     n_hashes: int = 3,
     method: str = "auto",
+    widen_inputs: bool = True,
 ) -> DataFrame:
     """The realised false-positive audit of :func:`bloom_decontam`:
     corpus grams that PASS the bloom, split by whether they truly occur
@@ -337,6 +351,12 @@ def bloom_fp_audit(
     design ``(1 - e^(-kn/m))^k``. The truth join only runs on the
     passed minority (bloom guarantees no false negatives, so
     non-passed grams need no check)."""
+    # same single-split widening as bloom_decontam (the audit probes
+    # every corpus gram pre-shuffle); eval grams feed the bitmap build
+    # AND the truth join, sharing one exchange when widened
+    if widen_inputs:
+        docs = ensure_min_partitions(docs)
+        eval_df = ensure_min_partitions(eval_df)
     eval_grams = _doc_grams(
         eval_df, eval_id_col, eval_text_col, ngram
     ).select(F.col("_gram").alias("key")).distinct()

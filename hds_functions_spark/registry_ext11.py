@@ -483,6 +483,10 @@ def pipeline_web_curation(spark, sf_dir):
         corpus.select("doc_id", "text"), eval_df,
         ngram=_BLOOM_NGRAM, n_bits=_wc_bloom_bits(n_keys),
         n_hashes=_BLOOM_HASHES,
+        # corpus is the persisted post-gate frame (8 WARC-file splits,
+        # already parallel) — the partition probe on that deep subtree
+        # costs ~1.5s of driver time for a guaranteed no-op repartition
+        widen_inputs=False,
     ).select("doc_id")
     decon = corpus.join(flagged, on="doc_id", how="left_anti")
     kn = kn_trigram_logprob_scores(
