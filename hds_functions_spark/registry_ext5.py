@@ -134,8 +134,16 @@ def dedup_span_removal(spark, sf_dir):
     full reconstructed strings, character for character. See
     operators/dedup.py:remove_duplicate_spans."""
     from .operators.dedup import exact_substring_spans, remove_duplicate_spans
+    from .functions.partitioning import ensure_min_partitions
 
-    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    # widen once at the source scan: remove_duplicate_spans' cut fold
+    # runs on the DOCS partitioning (the text column never exchanges by
+    # design), so a single-file scan pinned the whole reconstruction on
+    # one core (profiled: a 2.9 s 1-task stage at sf0.1); the span
+    # detector's internal widen probes become no-ops on the same exchange
+    docs = ensure_min_partitions(
+        _t(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     spans = exact_substring_spans(docs, min_len=_XS_MIN_LEN)
     return remove_duplicate_spans(docs, spans)
 
