@@ -1432,6 +1432,7 @@ def exact_substring_spans(
     text_col: str = "text",
     min_len: int = 30,
     gram_persist: str = "memory_and_disk",
+    widen_inputs: bool = True,
 ) -> DataFrame:
     """Exact duplicated-substring spans, the Lee et al. operator
     ("Deduplicating Training Data Makes Language Models Better",
@@ -1516,6 +1517,14 @@ def exact_substring_spans(
     _gram_level = _LEVELS[gram_persist]
     from ..caching import tracked_persist
 
+    # widen before the per-position gram explode (THE expensive
+    # projection: one xxhash64 per corpus character) — on a single-split
+    # input it ran on one core (profiled: a 2.5 s 1-task cache-fill
+    # stage at sf0.1). No-op on already-parallel inputs; the candidate
+    # re-join reads the SAME widened base, so the text side of the
+    # collision scrub parallelises with it.
+    if widen_inputs:
+        docs = ensure_min_partitions(docs)
     base = docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
     grams = _span_gram_explode(base, min_len)
     # two consumers (the frequency agg + the candidate re-join) — without
@@ -1607,6 +1616,7 @@ def exact_substring_spans_incremental(
     id_col: str = "doc_id",
     text_col: str = "text",
     min_len: int = 30,
+    widen_inputs: bool = True,
 ) -> DataFrame:
     """Exact duplicated-substring spans for a NEW BATCH against an
     existing corpus — the continuous-ingest mode of
@@ -1643,6 +1653,11 @@ def exact_substring_spans_incremental(
         raise ValueError(f"min_len must be >= 2 (got {min_len})")
     from ..caching import tracked_persist
 
+    # same single-split widening as exact_substring_spans: both sides'
+    # per-position explodes are the expensive pre-shuffle projections
+    if widen_inputs:
+        batch_docs = ensure_min_partitions(batch_docs)
+        corpus_docs = ensure_min_partitions(corpus_docs)
     b_base = batch_docs.select(
         F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text")
     )
