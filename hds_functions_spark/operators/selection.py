@@ -46,6 +46,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import stable_hash64
+from ..functions.partitioning import ensure_min_partitions
 from ..functions.text import tokens, word_ngrams
 
 __all__ = [
@@ -76,6 +77,7 @@ def hashed_ngram_buckets(
     text_col: str = "text",
     buckets: int = 10_000,
     max_ngram: int = 2,
+    widen_inputs: bool = True,
 ) -> DataFrame:
     """``(doc_id, bucket, cnt)`` hashed bag-of-ngram features: word
     unigrams..``max_ngram``-grams of the lowercased text, each hashed
@@ -86,6 +88,11 @@ def hashed_ngram_buckets(
         raise ValueError(f"buckets must be >= 2 (got {buckets})")
     if max_ngram < 1:
         raise ValueError(f"max_ngram must be >= 1 (got {max_ngram})")
+    # the explode + per-gram md5 is the expensive pre-shuffle projection
+    # — widen single-split inputs so it parallelises (no-op otherwise;
+    # see ngram_contamination for the widen_inputs contract)
+    if widen_inputs:
+        docs = ensure_min_partitions(docs)
     return (
         docs.select(
             F.col(id_col).alias("doc_id"),
