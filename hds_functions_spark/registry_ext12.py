@@ -347,16 +347,49 @@ FROM verd GROUP BY 1
 """
 
 
-def _image_corpus_of(docs):
+def _image_corpus_of(docs, img_pred=None):
     """The mixed-container image corpus over an arbitrary documents
     frame (base container by doc_id % 3, png<->ppm re-encodes) — split
     out of :func:`_image_corpus` so the streaming ingest twin can build
-    the SAME corpus per micro-batch (registry_ext13)."""
+    the SAME corpus per micro-batch (registry_ext13).
+
+    ``img_pred``: optional ``img_id-Column -> boolean Column`` filter
+    applied BELOW the synthesis. ``img_id = doc_id * 2 + variant`` and
+    ``variant`` is a constant within each synth branch, so the
+    predicate can be evaluated on the seed rows — callers that only
+    need a residue slice of the corpus (the streaming twin's standing /
+    batch split) skip SYNTHESIZING the other residues entirely, which
+    is the dominant cost (PNG/JPEG encode), instead of filtering the
+    finished payloads. Row-for-row identical to filtering the full
+    corpus on the same predicate (pinned by test)."""
     from .operators.multimodal import synthesize_media_payloads
+
+    # One shared widen for all five branches instead of five per-branch
+    # repartitions of the same scan, and a coalesce of the union back
+    # to the same target: a 5-way union of width-N branches otherwise
+    # yields 5N partitions, and every downstream consumer is a CHAINED
+    # double Python crossing (synthesize + decode/signature) whose
+    # per-task overhead dwarfs ~30 rows of codec work — measured on the
+    # streaming twin's standing side: 160 tasks / ~90 s task time for
+    # 6.7 s of single-threaded work; shared-exchange + coalesce took
+    # the warm subtree noop 4.9 s -> 2.4 s. The coalesce is a narrow
+    # no-shuffle merge; `target` never goes below the input's own split
+    # count, so a corpus that already arrives in thousands of splits
+    # keeps its granularity (the widen is then a no-op and the coalesce
+    # only undoes the 5x union blow-up).
+    sc = docs.sparkSession.sparkContext
+    n_in = docs.rdd.getNumPartitions()
+    target = max(sc.defaultParallelism, n_in)
+    if n_in < target:
+        docs = docs.repartition(target)
 
     cmod = F.col("doc_id") % _IC_CONTAINER_MOD
 
     def synth(frame, kind, variant):
+        if img_pred is not None:
+            frame = frame.filter(
+                img_pred(F.col("doc_id") * 2 + F.lit(variant))
+            )
         return synthesize_media_payloads(frame, kind).select(
             (F.col("doc_id") * 2 + F.lit(variant)).alias("img_id"),
             "payload",
@@ -369,6 +402,7 @@ def _image_corpus_of(docs):
         .unionByName(synth(docs.filter(cmod == 2), "ppm", 0))
         .unionByName(synth(docs.filter((cmod == 0) & reenc), "ppm", 1))
         .unionByName(synth(docs.filter((cmod == 2) & reenc), "png", 1))
+        .coalesce(target)
     )
 
 

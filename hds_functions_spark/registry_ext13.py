@@ -864,17 +864,22 @@ def streaming_image_ingest(spark, sf_dir):
         stream_score_batches,
     )
 
-    _, corpus = _image_corpus(spark, sf_dir)
-    is_batch = F.col("img_id") % _SMI_BATCH_MOD < _SMI_BATCH_RESIDUES
-    # filter BEFORE the decode, exactly as the per-batch probe below
-    # already does: batch-residue images are never part of the standing
-    # index, so decoding them here (and persisting their signatures)
-    # was pure waste — img_id exists on the synthesized corpus, so the
-    # standing filter commutes with image_signatures row-for-row
+    docs, _ = _image_corpus(spark, sf_dir)
+
+    def _is_batch_img(img_id):
+        return img_id % _SMI_BATCH_MOD < _SMI_BATCH_RESIDUES
+
+    # push the residue split BELOW the synthesis (img_pred): the
+    # dominant cost of the corpus builder is the PNG/JPEG ENCODE, and
+    # img_id is a pure function of (doc_id, branch variant), so the
+    # standing side never synthesizes (or decodes, or persists) the
+    # batch residues — previously it synthesized everything and
+    # filtered finished payloads (profiled: an 88 s-task-time 160-task
+    # stage per side at sf0.1)
     standing = tracked_persist(
-        image_signatures(corpus.filter(~is_batch)).filter(
-            F.col("pixel_md5").isNotNull()
-        )
+        image_signatures(
+            _image_corpus_of(docs, img_pred=lambda i: ~_is_batch_img(i))
+        ).filter(F.col("pixel_md5").isNotNull())
     )
     st_keys = standing.select("pixel_md5").distinct().withColumn(
         "_hit_sk", F.lit(True)
@@ -899,8 +904,10 @@ def streaming_image_ingest(spark, sf_dir):
     ).select("doc_id", "text")
 
     def probe(batch_docs):
+        # same img_pred push-down as the standing side: each
+        # micro-batch synthesizes ONLY its batch-residue images
         bsig = image_signatures(
-            _image_corpus_of(batch_docs).filter(is_batch)
+            _image_corpus_of(batch_docs, img_pred=_is_batch_img)
         ).filter(F.col("pixel_md5").isNotNull())
         verdict = (
             F.when(F.col("_hit_sk"), F.lit("exact_dup_standing"))

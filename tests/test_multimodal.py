@@ -1677,3 +1677,30 @@ def test_jpeg_progressive_through_image_surface(spark):
     }
     assert base == prog
     assert all(v[2] is not None for v in prog.values())
+
+
+def test_image_corpus_img_pred_pushdown_identity(spark):
+    """_image_corpus_of(img_pred=...) must equal filtering the FULL
+    corpus on the same img_id predicate, payload bytes included —
+    img_id is a pure function of (doc_id, branch variant), so the
+    filter commutes with the synthesis."""
+    from pyspark.sql import functions as F
+
+    from hds_functions_spark.registry_ext12 import _image_corpus_of
+
+    docs = spark.createDataFrame(
+        [(i, f"seed text {i}", "s") for i in range(40)],
+        "doc_id long, text string, source string",
+    )
+    pred = lambda i: i % 13 < 2  # noqa: E731
+    a = sorted(
+        (r.img_id, bytes(r.payload))
+        for r in _image_corpus_of(docs)
+        .filter(F.col("img_id") % 13 < 2)
+        .collect()
+    )
+    b = sorted(
+        (r.img_id, bytes(r.payload))
+        for r in _image_corpus_of(docs, img_pred=pred).collect()
+    )
+    assert a == b and a
