@@ -740,6 +740,9 @@ def pipeline_audio_curation(spark, sf_dir):
                 "payload",
             )
         )
+        # undo the 2-way union partition blow-up before the signature
+        # crossing (the image-corpus coalesce rule; narrow, no shuffle)
+        .coalesce(base.sparkSession.sparkContext.defaultParallelism)
     )
     sig = tracked_persist(audio_curation_signatures(corpus))
     ex = sig.groupBy("sample_rate", "n_channels", "pcm_md5").agg(
@@ -1043,7 +1046,7 @@ def multimodal_audio_dedup_incremental(spark, sf_dir):
         dn.select(
             (F.col("doc_id") * _AC_AUD_STRIDE + 1).alias("aud_id"), "payload"
         )
-    )
+    ).coalesce(base.sparkSession.sparkContext.defaultParallelism)
     sig = tracked_persist(
         audio_curation_signatures(corpus).select(
             "aud_id",
