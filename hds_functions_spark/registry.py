@@ -71,10 +71,14 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         memo[key] = df
     elif name == "events":
-        # the events plan's ntz->timestamp cast is zone-sensitive at
-        # EXECUTION time: re-pin the session zone on every resolution
-        # (idempotent, 1 py4j call) in case a caller changed it since.
+        # the events plan is conf-sensitive at EXECUTION time: the
+        # ntz->timestamp cast reads the session zone, and the
+        # TIMESTAMP(NANOS) layout's footer conversion reads
+        # nanosAsLong per action. Re-pin BOTH on every resolution
+        # (idempotent, 2 py4j calls) in case a caller changed them
+        # since _load_events first set them.
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     return df
 
 
@@ -836,63 +840,87 @@ def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: (decode_jpeg); values for every EXISTING query are unchanged
 #: (baseline streams take the identical path), so no plan-change
 #: re-verification hoist is required.
-#: ROUND-17 ROTATION GUIDANCE: the 31 leftover r11 rows + r17
-#: additions + any r16 reds at the head, then r12-vintage rows.
+#: ROUND-17 ROTATION (executing the r16 verdict's item 3 + the SLA
+#: gate). CORRECTION, on the record: the r15/r16 comments above
+#: disagree about which 25 r10-vintage rows the r16 window absorbed —
+#: the r15 comment names the similarity/source/streaming set as
+#: "waiting for the r16 head", but the r16 rotation actually took the
+#: alphabetically-first analytics/... set (CORRECTNESS_r16.json shows
+#: no row for any of the similarity-set names). Consequence: those 25
+#: r10-vintage rows (similarity_index_drift .. wrangle_winsorize) are
+#: 7 rounds stale at r17 — a hard SLA breach unless they lead this
+#: window. The window is therefore forced: the 7 Batch-E
+#: media/streaming queries whose plans were reshaped AFTER their r15
+#: rows landed (r16 verdict item 3: their correctness currently rests
+#: on self-reported oracle runs), then the 25 r10-vintage rows at the
+#: SLA breach point, then the alphabetically-first 18 of the 31
+#: r11-vintage rows. 7 + 25 + 18 = 50; the 13 list-order-last r11
+#: rows (sample_hash_split, sample_mixture, sample_nested,
+#: sample_stratified, streaming_dedup, streaming_interval_join,
+#: streaming_sessions, streaming_stateful_totals,
+#: table_standardise_hes, text_langid_confusion, text_repetition,
+#: text_stopword_filter, text_tfidf) MUST lead the next window — at
+#: the next round they are 7 rounds stale, past the SLA boundary.
+#: Mitigation, on the record: the round-17 closing two-scale
+#: `compare_oracle --exact` sweeps cover EVERY registered query
+#: including those 13.
 DRIVER_PRIORITY: list[str] = [
-    # round-16 additions (land driver rows the round they ship):
-    "web_url_canonicalize",
-    "web_domain_blocklist",
-    "web_domain_caps",
-    "pipeline_url_curation",
-    "dedup_paragraph_pairs",
-    "multimodal_image_jpeg_progressive",
-    # r10-vintage stale rows (the 25 past slot 50 at r15 — SLA boundary):
-    "analytics_promo_revenue",
-    "analytics_region_revenue",
-    "analytics_top_orders",
-    "chunk_documents",
-    "clean_dedup_lines",
-    "clean_dedup_lines_corpus",
-    "decontam_agreement",
-    "decontam_embedding",
-    "dedup_embedding_incremental",
-    "events_densified",
-    "events_interval_join",
-    "events_sessionize",
-    "events_sessions",
-    "events_tumbling",
-    "graph_kcore",
-    "ids_dense_assign",
-    "join_salted",
-    "multimodal_audio",
-    "multimodal_features",
-    "multimodal_frames",
-    "multimodal_resize",
-    "pipeline_decontam_purge",
-    "privacy_dp_sums",
-    "profile_key_skew",
-    "quality_orphans",
-    # r11-vintage stale rows, alphabetical (19 of 50 fit; the 31 past
-    # slot 50 wait for r17 — see the rotation comment above):
-    "analytics_cube",
-    "analytics_share",
-    "clean_filter_lines",
-    "clean_scrub_pii",
-    "clean_unicode_nfc",
-    "cluster_kmeans",
-    "cluster_kmeans_profile",
-    "cluster_semantic_dedup",
-    "decontam_ngram_overlap",
-    "dedup_cluster_sizes",
-    "dedup_containment",
-    "dedup_degree_stats",
-    "dedup_ngram_jaccard",
-    "dedup_substring_signal",
-    "doclen_histogram",
-    "doclen_quantiles",
-    "embedding_centroids",
-    "events_active_users",
-    "events_asof_forward",
+    # Batch-E reshaped media/streaming queries (r16 verdict item 3 —
+    # plans changed after their last driver rows):
+    "multimodal_image_dedup_incremental",
+    "multimodal_audio_dedup_incremental",
+    "pipeline_image_curation",
+    "pipeline_caption_curation",
+    "pipeline_audio_curation",
+    "pipeline_multimodal_shards",
+    "streaming_image_ingest",
+    # r10-vintage rows at the hard SLA breach point (last row r10;
+    # 7 rounds stale at r17):
+    "similarity_index_drift",
+    "similarity_ivf_ingest_assign",
+    "similarity_ivf_knn",
+    "similarity_ivf_probe_incremental",
+    "similarity_ivf_probe_recall",
+    "similarity_knn",
+    "similarity_lsh_banded",
+    "similarity_lsh_knn",
+    "similarity_pq_ingest_codes",
+    "similarity_pq_probe_incremental",
+    "similarity_recall",
+    "source_csv_distributed",
+    "source_jsonl_corpus",
+    "streaming_pq_ingest",
+    "streaming_tumbling",
+    "table_diff_versions",
+    "table_version_drift",
+    "text_bigram_logprob",
+    "text_char_entropy",
+    "text_fingerprint",
+    "text_language",
+    "text_quality",
+    "text_stats",
+    "text_tokens",
+    "wrangle_winsorize",
+    # r11-vintage stale rows, alphabetical (18 of 31 fit; the 13 past
+    # slot 50 wait for the next head — see the rotation comment above):
+    "events_asof_tolerance",
+    "events_funnel",
+    "events_gap_quantiles",
+    "events_interval_binned",
+    "events_json_props",
+    "events_retention",
+    "events_sliding",
+    "events_trailing",
+    "multimodal_image_jpeg",
+    "multimodal_video_dedup",
+    "multimodal_video_mjpeg",
+    "pack_sequences",
+    "pipeline_best_of_cluster",
+    "pipeline_card_trend",
+    "pipeline_curation",
+    "privacy_suppress",
+    "profile_lineitem",
+    "sample_cap_per_group",
 ]
 
 

@@ -1,6 +1,6 @@
 """Dump ``.explain('formatted')`` for named registry queries to files.
 
-Writes ``plans/r16/<query>_<tag>.txt`` for each named query (or every
+Writes ``plans/$PLANS_ROUND/<query>_<tag>.txt`` (default r17) for each named query (or every
 registry query with --all). Used to commit the before/after physical
 plans the optimization round's claims are checked against.
 
@@ -40,7 +40,7 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r16")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", os.environ.get("PLANS_ROUND", "r17"))
     os.makedirs(out_dir, exist_ok=True)
 
     from hds_functions_spark.caching import release_operator_caches
