@@ -209,45 +209,47 @@ def unigram_segment_words(
     return grouped.mapInPandas(run, _SEG_SCHEMA)
 
 
-def _smoothed_probs(vocab_cnt: DataFrame) -> DataFrame:
-    """M-step: Laplace-smoothed piece probabilities as EXACT ratios of
-    bigints — ``p = (cnt + 1) / (total + |vocab|)`` with both operands
-    cast to double before the one IEEE division (bit-identical in any
-    engine). Smoothing keeps every kept piece strictly positive, so no
-    zero-probability path can make the DP degenerate."""
-    tot = vocab_cnt.agg(
-        F.sum("cnt").alias("total"), F.count(F.lit(1)).alias("nv")
-    )
-    return vocab_cnt.crossJoin(F.broadcast(tot)).select(
-        "piece",
-        "cnt",
-        (
-            (F.col("cnt") + F.lit(1)).cast("double")
-            / (F.col("total") + F.col("nv")).cast("double")
-        ).alias("p"),
-    )
-
-
-def _prune(vocab_cnt: DataFrame, max_vocab: int) -> DataFrame:
+def _prune_py(cnts: "dict[str, int]", max_vocab: int) -> "dict[str, int]":
     """Keep every single-character piece (coverage guarantee) plus the
     top ``max_vocab`` multi-char pieces by (cnt DESC, piece ASC) — a
     deterministic integer ordering, the SentencePiece prune-to-target
-    loop without the float likelihood-loss score."""
-    from pyspark.sql import Window
+    loop without the float likelihood-loss score.
 
-    chars = vocab_cnt.filter(F.length("piece") == 1)
-    multi = (
-        vocab_cnt.filter(F.length("piece") > 1)
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.orderBy(F.col("cnt").desc(), F.col("piece").asc())
-            ),
-        )
-        .filter(F.col("rk") <= max_vocab)
-        .drop("rk")
+    Driver-side (the vocabulary is bounded at ``max_vocab`` plus the
+    alphabet — never data-sized). Tie-break identity with the former
+    Spark ``Window.orderBy(cnt DESC, piece ASC)``: Python ``str``
+    comparison orders by code point, which equals Spark's UTF8String
+    binary ordering (UTF-8 byte order preserves code-point order), and
+    ``len(str)``/``F.length`` both count code points."""
+    chars = {p: c for p, c in cnts.items() if len(p) == 1}
+    multi = sorted(
+        ((p, c) for p, c in cnts.items() if len(p) > 1),
+        key=lambda x: (-x[1], x[0]),
+    )[:max_vocab]
+    return {**chars, **dict(multi)}
+
+
+def _smoothed_probs_py(cnts: "dict[str, int]") -> "dict[str, float]":
+    """M-step: Laplace-smoothed piece probabilities ``p = (cnt + 1) /
+    (total + |vocab|)``, computed on the driver. All operands are
+    Python ints far below 2**53, so int->double conversion is exact on
+    both engines and the single IEEE division is bit-identical to the
+    former Spark ``cast("double")`` division (CPython's int/int true
+    division is correctly rounded). Smoothing keeps every kept piece
+    strictly positive, so no zero-probability path can make the DP
+    degenerate."""
+    total, nv = sum(cnts.values()), len(cnts)
+    return {p: (c + 1) / (total + nv) for p, c in cnts.items()}
+
+
+def _vocab_frame(spark, probs: "dict[str, float]", cnts: "dict[str, int]"):
+    """The current vocabulary as a literal LocalRelation ``(piece, cnt,
+    p)`` — broadcastable with NO job (the BPE literal-rewrite
+    precedent). Rows sorted for deterministic output order."""
+    return spark.createDataFrame(
+        sorted((p, int(cnts[p]), float(probs[p])) for p in probs),
+        "piece: string, cnt: bigint, p: double",
     )
-    return chars.unionByName(multi)
 
 
 def _train(
@@ -258,48 +260,70 @@ def _train(
     min_seed_count: int,
     max_vocab: int,
     n_iterations: int,
-) -> tuple[DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Shared loop: returns ``(final vocab (piece, cnt, p), word
-    dictionary)``. Seed = all substrings (single chars always; multi-
-    char gated by ``min_seed_count`` then top-``max_vocab``); each EM
-    iteration re-counts pieces over Viterbi segmentations, prunes, and
-    re-estimates probabilities."""
+    dictionary, persisted occurrence table)``. Seed = all substrings
+    (single chars always; multi-char gated by ``min_seed_count`` then
+    top-``max_vocab``); each EM iteration re-counts pieces over Viterbi
+    segmentations, prunes, and re-estimates probabilities.
+
+    ONE Spark job per EM step (the vocab-sized count collect), plus one
+    for the seed — the BPE trainer's literal-rewrite shape (r16 Batch
+    A) applied to the EM loop: the counted vocabulary is bounded
+    (``max_vocab`` + alphabet rows), so prune + M-step run on the
+    driver and the next iteration joins against a LITERAL vocab frame.
+    This replaces the former per-iteration ``localCheckpoint`` (an RDD
+    materialisation job + a single-partition row_number Window per
+    prune) while producing bit-identical probabilities — see
+    the _prune_py/_smoothed_probs_py identity notes."""
     from ..caching import tracked_persist
 
     if max_piece_len < 2:
         raise ValueError(f"max_piece_len must be >= 2 (got {max_piece_len})")
     if n_iterations < 1:
         raise ValueError(f"n_iterations must be >= 1 (got {n_iterations})")
+    spark = docs.sparkSession
     words = tracked_persist(_word_table(docs, text_col, max_word_len))
     # the substring-occurrence table is vocab-independent: persist it
     # once and reuse it for the seed count AND every EM iteration's
     # segmentation join (previously re-exploded 1 + n_iterations times)
     occ = tracked_persist(_occurrences(words, max_piece_len))
-    seed = occ.groupBy("piece").agg(F.sum("n").alias("cnt"))
-    vocab_cnt = _prune(
-        seed.filter(
-            (F.length("piece") == 1) | (F.col("cnt") >= min_seed_count)
-        ),
-        max_vocab,
+    seed = occ.groupBy("piece").agg(F.sum("n").alias("cnt")).filter(
+        (F.length("piece") == 1) | (F.col("cnt") >= min_seed_count)
     )
-    vocab = _smoothed_probs(vocab_cnt).localCheckpoint()
-    for _t in range(n_iterations):
-        segd = unigram_segment_words(words, vocab, max_piece_len, occ)
-        cnt = (
+    # the pruned seed is exactly: every single-char piece + the top
+    # max_vocab multi-char pieces — fetch both in ONE bounded collect
+    # (the top-k is a distributed TakeOrderedAndProject, never a
+    # single-partition sort; chars are alphabet-bounded)
+    seed_rows = (
+        seed.filter(F.length("piece") == 1)
+        .unionByName(
+            seed.filter(F.length("piece") > 1)
+            .orderBy(F.col("cnt").desc(), F.col("piece").asc())
+            .limit(max_vocab)
+        )
+        .collect()
+    )
+    cnts = _prune_py({r["piece"]: int(r["cnt"]) for r in seed_rows}, max_vocab)
+    probs = _smoothed_probs_py(cnts)
+    for _step in range(n_iterations):
+        segd = unigram_segment_words(
+            words, _vocab_frame(spark, probs, cnts), max_piece_len, occ
+        )
+        cnt_rows = (
             segd.select("n", F.explode("pieces").alias("piece"))
             .groupBy("piece")
             .agg(F.sum("n").alias("cnt"))
+            .collect()
         )
-        vocab_cnt = (
-            vocab.select("piece")
-            .join(cnt, on="piece", how="left")
-            .select("piece", F.coalesce("cnt", F.lit(0)).alias("cnt"))
-        )
-        # localCheckpoint, not persist: each iteration's plan embeds the
-        # previous vocab twice (segmentation join + count left-join) —
-        # the same 3^steps plan-growth hazard as the BPE loop.
-        vocab = _smoothed_probs(_prune(vocab_cnt, max_vocab)).localCheckpoint()
-    return vocab, words
+        got = {r["piece"]: int(r["cnt"]) for r in cnt_rows}
+        # left-join semantics of the former vocab<-count attach: every
+        # current-vocab piece survives into the count table, unseen
+        # pieces at 0 (segmentation only ever emits in-vocab pieces,
+        # so `got` can never contain a piece outside `probs`)
+        cnts = _prune_py({p: got.get(p, 0) for p in probs}, max_vocab)
+        probs = _smoothed_probs_py(cnts)
+    return _vocab_frame(spark, probs, cnts), words, occ
 
 
 def unigram_train(
@@ -316,7 +340,7 @@ def unigram_train(
     ``(piece, piece_len, n_uses, p_q9)`` — the piece, its length, its
     weighted usage count in the final E-step, and its smoothed model
     probability (rounded once, on output only)."""
-    vocab, _words = _train(
+    vocab, _words, _occ = _train(
         docs,
         text_col,
         max_piece_len,
@@ -352,7 +376,7 @@ def unigram_encode_stats(
     words against the dictionary-sized segmentation table."""
     from ..functions.text import tokens
 
-    vocab, words = _train(
+    vocab, words, occ = _train(
         docs,
         text_col,
         max_piece_len,
@@ -361,7 +385,10 @@ def unigram_encode_stats(
         max_vocab,
         n_iterations,
     )
-    wseg = unigram_segment_words(words, vocab, max_piece_len).select(
+    # reuse the persisted substring-occurrence table for the final
+    # segmentation pass too (it is vocab-independent; previously this
+    # call re-exploded the dictionary a second time)
+    wseg = unigram_segment_words(words, vocab, max_piece_len, occ).select(
         "word", F.size("pieces").alias("n_pieces")
     )
     doc_words = docs.select(

@@ -433,9 +433,48 @@ def pipeline_web_curation(spark, sf_dir):
     )
     n_written = written.agg(F.sum("n")).first()[0]
     warc = read_warc_corpus(path, spark)
-    stats = warc.agg(
-        F.count(F.when(F.col("_corrupt_record").isNotNull(), 1)).alias("c"),
-        F.count(F.when(F.col("_corrupt_record").isNull(), 1)).alias("n"),
+
+    # ONE WARC walk for validation AND the corpus (r16 verdict item 5,
+    # the pipeline_url_curation trick): the gunzip+parse -> strip ->
+    # language/quality chain runs once into a persisted frame that the
+    # roundtrip-drift validation action (which must execute anyway)
+    # materialises; previously the validation was a SEPARATE full walk.
+    # The frame keeps the per-record corrupt flag for the validation
+    # counts, but text/lang_pred are nulled for every record the gate
+    # or the eval split drops — what persists is the SURVIVORS' stripped
+    # text plus two scalar columns per dropped record, never the raw
+    # corpus-wide payloads (the r16-adjudicated wrong trade at 100 TB).
+    # Without the persist, the walk + strip re-run per consumer
+    # (measured r15: six ~8-task stages re-reading the archives, ~58 s
+    # of the query's 72 s task time).
+    from .caching import tracked_persist
+
+    raw = warc.select(
+        F.col("_corrupt_record").isNotNull().alias("is_corrupt"),
+        F.regexp_extract("record_id", r"urn:doc:(\d+)", 1)
+        .cast("long")
+        .alias("doc_id"),
+        F.col("payload").alias("text"),
+    )
+    bucket = split_bucket("doc_id", _BLOOM_SALT)
+    processed = add_quality_score(add_language_id(strip_markup(raw)))
+    keep = (
+        (~F.col("is_corrupt"))
+        & (F.col("quality_score") >= _WC_QUALITY_MIN)
+        & (bucket >= _BLOOM_CUT)
+    )
+    staged = tracked_persist(
+        processed.select(
+            "is_corrupt",
+            keep.alias("_keep"),
+            F.when(keep, F.col("doc_id")).alias("doc_id"),
+            F.when(keep, F.col("text")).alias("text"),
+            F.when(keep, F.col("lang_pred")).alias("lang_pred"),
+        )
+    )
+    stats = staged.agg(
+        F.count(F.when(F.col("is_corrupt"), 1)).alias("c"),
+        F.count(F.when(~F.col("is_corrupt"), 1)).alias("n"),
     ).first()
     if stats["c"] or stats["n"] != n_written:
         raise ValueError(
@@ -443,27 +482,9 @@ def pipeline_web_curation(spark, sf_dir):
             f"read {stats['n']} clean + {stats['c']} corrupt"
         )
 
-    raw = warc.filter(F.col("_corrupt_record").isNull()).select(
-        F.regexp_extract("record_id", r"urn:doc:(\d+)", 1)
-        .cast("long")
-        .alias("doc_id"),
-        F.col("payload").alias("text"),
+    corpus = staged.filter(F.col("_keep")).select(
+        "doc_id", "text", "lang_pred"
     )
-    stripped = strip_markup(raw)
-    gated = (
-        add_quality_score(add_language_id(stripped))
-        .filter(F.col("quality_score") >= _WC_QUALITY_MIN)
-        .select("doc_id", "text", "lang_pred")
-    )
-    bucket = split_bucket("doc_id", _BLOOM_SALT)
-    # the WARC-parse -> strip -> language/quality chain above feeds the
-    # Bloom probe AND the three decon consumers (KN train leg, KN score
-    # leg, the ranked attach) — without a persist the gzip WARC walk and
-    # markup strip re-run per consumer (measured: six ~8-task stages each
-    # re-reading the archives, ~58s of the query's 72s task time)
-    from .caching import tracked_persist
-
-    corpus = tracked_persist(gated.filter(bucket >= _BLOOM_CUT))
     eval_df = docs.filter(bucket < _BLOOM_CUT).select(
         F.col("doc_id").alias("eval_id"), "text"
     )

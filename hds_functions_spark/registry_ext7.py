@@ -120,15 +120,28 @@ def _nb_slices(spark, sf_dir):
 
 def _nb_predictions(spark, sf_dir):
     from .caching import tracked_persist
-    from .operators.classify import nb_class_stats, nb_predict, nb_token_loglik
+    from .operators.classify import (
+        nb_class_stats,
+        nb_predict,
+        nb_token_counts,
+        nb_token_loglik,
+    )
 
     train, score = _nb_slices(spark, sf_dir)
-    # stats feeds the model build AND two scoring branches; the model
-    # feeds the delta join AND the vocab probe — persist both (C rows /
-    # vocab-bounded rows) so the train-side token explode runs once,
-    # not once per consumer
-    stats = tracked_persist(nb_class_stats(train, alpha=_NB_ALPHA))
-    model = tracked_persist(nb_token_loglik(train, stats, alpha=_NB_ALPHA))
+    # ONE training explode: both model halves derive from the shared
+    # persisted (token, label, cnt) frame (r17 — previously stats and
+    # model each re-ran the tokenise/explode scan as twin stages that
+    # neither exchange reuse nor their own persists deduplicated);
+    # stats still feeds the model build AND two scoring branches, the
+    # model the delta join AND the vocab probe — all three frames are
+    # vocab-bounded, C-row, or observed-pair-sized
+    tc = tracked_persist(nb_token_counts(train))
+    stats = tracked_persist(
+        nb_class_stats(train, alpha=_NB_ALPHA, token_counts=tc)
+    )
+    model = tracked_persist(
+        nb_token_loglik(train, stats, alpha=_NB_ALPHA, token_counts=tc)
+    )
     return score, nb_predict(score, model, stats)
 
 
@@ -148,11 +161,19 @@ def classify_nb_model(spark, sf_dir):
     no iteration (operators/classify.py module doc). The min-count
     filter bounds the INSPECTION output only; scoring uses the full
     sparse model.""".format(m=_NB_MIN_CNT, a=_NB_ALPHA)
-    from .operators.classify import nb_class_stats, nb_token_loglik
+    from .caching import tracked_persist
+    from .operators.classify import (
+        nb_class_stats,
+        nb_token_counts,
+        nb_token_loglik,
+    )
 
     train, _ = _nb_slices(spark, sf_dir)
-    stats = nb_class_stats(train, alpha=_NB_ALPHA)
-    model = nb_token_loglik(train, stats, alpha=_NB_ALPHA)
+    # share the one training explode between the two model halves
+    # (same shape as _nb_predictions — see the r17 note there)
+    tc = tracked_persist(nb_token_counts(train))
+    stats = nb_class_stats(train, alpha=_NB_ALPHA, token_counts=tc)
+    model = nb_token_loglik(train, stats, alpha=_NB_ALPHA, token_counts=tc)
     return model.filter(F.col("cnt") >= _NB_MIN_CNT).select(
         "token", "label", "cnt", F.round("log_lik", 6).alias("log_lik")
     )

@@ -517,12 +517,20 @@ def decontam_agreement(spark, sf_dir):
         F.col("vec_id").alias("doc_id")
     )
 
-    ids = ng.union(bm).union(ed).distinct()
+    # Full-outer-join chain instead of the former union().distinct() +
+    # three left joins: each flag frame is keyed on distinct doc_ids
+    # (all three legs end in a per-doc groupBy), so the outer-join
+    # result has exactly one row per doc in the UNION of the three key
+    # sets with a null flag marking non-membership — identical rows,
+    # but every leg subtree appears ONCE in the plan instead of twice
+    # (profiled r17: the union consumer and the flag-join consumer each
+    # re-ran the whole leg — e.g. the embedding probe twice at ~7 s of
+    # task time per copy; guide §7.2 "duplicated subtrees").
     flag = lambda df, name: df.withColumn(name, F.lit(True))  # noqa: E731
     out = (
-        ids.join(flag(bm, "_bm"), on="doc_id", how="left")
-        .join(flag(ng, "_ng"), on="doc_id", how="left")
-        .join(flag(ed, "_ed"), on="doc_id", how="left")
+        flag(bm, "_bm")
+        .join(flag(ng, "_ng"), on="doc_id", how="full")
+        .join(flag(ed, "_ed"), on="doc_id", how="full")
         .groupBy(
             F.coalesce(F.col("_bm"), F.lit(False)).alias("bm25_flag"),
             F.coalesce(F.col("_ng"), F.lit(False)).alias("ngram_flag"),

@@ -121,7 +121,7 @@ def test_segmentation_reconstructs_words(spark):
     ref = final_segmentation(_word_counts(CORPUS))
     from hds_functions_spark.operators.unigram import _train
 
-    vocab, words = _train(docs, "text", 4, 8, 2, 40, 2)
+    vocab, words, _occ = _train(docs, "text", 4, 8, 2, 40, 2)
     segd = {
         r["word"]: list(r["pieces"])
         for r in unigram_segment_words(words, vocab, 4).collect()
@@ -210,3 +210,17 @@ def test_single_chars_always_survive_prune(spark):
     enc = unigram_encode_stats(docs, max_vocab=1)
     total_words = sum(len(t.split()) for _i, t in CORPUS)
     assert enc.agg(F.sum("n_words")).first()[0] == total_words
+
+
+def test_prune_py_tie_break_is_utf8_binary_order():
+    # the driver-side prune (r17: replaces the Spark row_number window)
+    # must break count ties to the lexicographically smallest piece in
+    # UTF8 BINARY order — Python code-point comparison equals UTF-8
+    # byte order, non-ASCII included ('é' U+00E9 sorts after 'zz')
+    from hds_functions_spark.operators.unigram import _prune_py
+
+    cnts = {"aa": 5, "ab": 5, "zz": 5, "é!": 5, "a": 1}
+    kept = _prune_py(cnts, 2)
+    assert set(kept) == {"a", "aa", "ab"}
+    # and single chars always survive regardless of count
+    assert _prune_py({"q": 0, "zz": 9}, 0) == {"q": 0}
