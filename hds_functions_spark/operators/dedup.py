@@ -98,6 +98,111 @@ def _shingle_hashes(text_col: Column, shingle_size: int) -> Column:
     return F.transform(shingles, lambda s: stable_hash64(s) % MERSENNE_PRIME_31)
 
 
+#: Skew guard for the LSH band joins (guide §2.5): a bucket with n rows
+#: emits ~n^2/2 candidate pairs from ONE join key — skew that AQE cannot
+#: fix, because both its skew-join splitter and its partition coalescing
+#: are shuffle-BYTE based while this skew lives in join OUTPUT (the r17
+#: probe, tools/skew_probe_r17.py, measured a 4000-row synthetic hot
+#: bucket as a SINGLE 35 s task emitting 16M rows while 31 cores idled,
+#: with `aqe_skew_reader_fired: false`). Buckets above this row count
+#: are split into an S x S grid of sub-join cells (S = ceil(n / chunk)):
+#: every row gets a deterministic home cell index pmod(xxhash64(id), S);
+#: the probe side replicates across grid COLUMNS and the build side
+#: across grid ROWS, so a pair (a, b) meets in EXACTLY ONE cell
+#: (home(a), home(b)) and the bucket's quadratic work spreads over S^2
+#: join keys/tasks. Buckets at or below the chunk keep S == 1 — the
+#: single cell (0, 0), no replication, byte-identical pair set.
+_LSH_BUCKET_CHUNK = 1024
+
+
+#: Deterministic sampling rate for hot-bucket detection: counting every
+#: bucket exactly would re-run the full signature pass for the count
+#: branch (a third concurrent consumer racing the sigs persist —
+#: profiled r17: task time +28%/+84% on dedup_minhash_pairs /
+#: dedup_incremental). The id-hash predicate pushes BELOW the signature
+#: projection to the scan, so the detection branch reads 1/R of the
+#: corpus. Estimation noise is harmless by construction: the grid is
+#: pair-set-identical for ANY consistent per-bucket S >= 1 — S only
+#: shapes parallelism. A bucket must be ~R rows past the chunk before
+#: detection is even statistically visible, exactly the regime where
+#: splitting matters.
+_LSH_HOT_SAMPLE = 64
+
+
+def _hot_buckets(banded, id_col: str, chunk: "int | None" = None):
+    """``(band, band_hash, _s)`` for buckets ABOVE the chunk only (see
+    ``_LSH_BUCKET_CHUNK``; resolved at call time so tests can lower the
+    module constants to force the grid on small corpora). Bucket sizes
+    are ESTIMATED from a deterministic 1/``_LSH_HOT_SAMPLE`` id-hash
+    sample (see that constant's doc). Filtered to hot buckets, the
+    frame is tiny on any realistic corpus and the planner broadcasts it
+    from runtime stats — the common (no hot bucket) path adds no
+    shuffle to the banded flow itself."""
+    if chunk is None:
+        chunk = _LSH_BUCKET_CHUNK
+    r = _LSH_HOT_SAMPLE
+    return (
+        banded.filter(F.pmod(F.xxhash64(F.col(id_col)), F.lit(r)) == 0)
+        .groupBy("band", "band_hash")
+        .agg((F.count(F.lit(1)) * F.lit(r)).alias("_n"))
+        .filter(F.col("_n") > chunk)
+        .select(
+            "band",
+            "band_hash",
+            F.ceil(F.col("_n") / F.lit(chunk)).cast("int").alias("_s"),
+        )
+    )
+
+
+#: Driver-side cap on detected hot buckets: the detection collect must
+#: stay bounded. The LARGEST buckets win the cap (deterministic order);
+#: buckets beyond it simply stay unsplit — still correct, just not
+#: parallelised. 64k hot buckets is far past any real corpus.
+_LSH_HOT_CAP = 65536
+
+
+def _detect_hot_buckets(banded, id_col: str):
+    """Run the (sampled, bounded) hot-bucket detection EAGERLY and
+    return a LITERAL ``(band, band_hash, _s)`` frame, or ``None`` when
+    no bucket crosses the chunk.
+
+    Eager-literal on purpose (the trainer/literal-rewrite pattern): a
+    lazy detection subtree + runtime broadcast joins measured 0.72-0.88x
+    on UNSKEWED corpora (r17 matched A/Bs — +6 AQE jobs and a third
+    concurrent consumer of the signature persist), a steep tax on the
+    common path for a defense that almost never fires. With the literal
+    frame the no-hot-bucket path keeps the exact pre-grid join shape
+    and pays ONE sampled detection job; the hot path joins a
+    LocalRelation the planner broadcasts without extra jobs."""
+    hot = _hot_buckets(banded, id_col)
+    rows = (
+        hot.orderBy(F.col("_s").desc(), "band", "band_hash")
+        .limit(_LSH_HOT_CAP)
+        .collect()
+    )
+    if not rows:
+        return None
+    return banded.sparkSession.createDataFrame(rows, hot.schema)
+
+
+def _attach_grid(banded, hot, id_col: str):
+    """Attach grid columns ``(_s, _home)`` via a left join to the hot
+    frame: ``_s == 1`` (single cell, no replication) everywhere except
+    hot buckets."""
+    s = F.coalesce(F.col("_s"), F.lit(1))
+    return banded.join(hot, on=["band", "band_hash"], how="left").select(
+        *[c for c in banded.columns],
+        s.alias("_s"),
+        F.pmod(F.xxhash64(F.col(id_col)), s).cast("int").alias("_home"),
+    )
+
+
+def _grid_cells():
+    """``explode(sequence(0, _s - 1))`` — the replication generator for
+    one grid axis (a 1-element sequence when ``_s == 1``)."""
+    return F.explode(F.sequence(F.lit(0), F.col("_s") - F.lit(1)))
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -161,9 +266,10 @@ def minhash_pairs(
     # widen thin inputs: the md5 shingle hashing below is the expensive part
     # and must not run on one input split (ensure_min_partitions is a no-op
     # on already-parallel inputs)
-    sigs = minhash_signatures(
+    sigs_raw = minhash_signatures(
         ensure_min_partitions(df), id_col, text_col, num_hashes, shingle_size
     )
+    sigs = sigs_raw
     if persist_signatures:
         # the signature table is consumed four times (two band-join branches
         # + two re-attach joins); persisting computes the md5 shingle
@@ -172,7 +278,7 @@ def minhash_pairs(
         # Tracked: release_operator_caches() reclaims it post-materialise.
         from ..caching import tracked_persist
 
-        sigs = tracked_persist(sigs)
+        sigs = tracked_persist(sigs_raw)
 
     # band hash via concat_ws over element_at — plain (codegen-able)
     # expressions, unlike a slice/transform/array_join HOF chain which
@@ -189,19 +295,23 @@ def minhash_pairs(
             )
         )
 
-    banded = sigs.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"), band_hash(b).alias("band_hash")
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bh"),
-    ).select(id_col, "bh.band", "bh.band_hash")
+    def _banded(src):
+        return src.select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            band_hash(b).alias("band_hash"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bh"),
+        ).select(id_col, "bh.band", "bh.band_hash")
+
+    banded = _banded(sigs)
 
     # join on ids only — signatures would bloat the shuffle; they are
     # re-attached afterwards from the signature table. The re-attach join
@@ -209,10 +319,44 @@ def minhash_pairs(
     # (broadcast is impossible at billions of docs), so the planner/AQE
     # size-gates the strategy from real stats — broadcast below
     # autoBroadcastJoinThreshold, shuffle join on id above it.
-    left = banded.select(F.col(id_col).alias("id_a"), "band", "band_hash")
-    right = banded.select(F.col(id_col).alias("id_b"), "band", "band_hash")
+    # hot-bucket salt grid (_LSH_BUCKET_CHUNK / _detect_hot_buckets
+    # docs): pair (a, b) meets in exactly one cell (home(a), home(b)),
+    # so the pair SET is identical to the ungridded join; with no hot
+    # bucket detected (every realistic corpus) the join shape below is
+    # byte-identical to the ungridded one
+    # detection reads the UNPERSISTED signature frame: through the
+    # persisted one the cache barrier blocks the 1/64 sample pushdown
+    # (adjudicated r17: all three spellings — baseline, detection via
+    # persisted sigs, detection via raw sigs — profile within +-0.3 s
+    # cold at sf0.1; raw-sigs detection has the lowest task time)
+    hot = _detect_hot_buckets(_banded(sigs_raw), id_col)
+    if hot is None:
+        left = banded.select(
+            F.col(id_col).alias("id_a"), "band", "band_hash"
+        )
+        right = banded.select(
+            F.col(id_col).alias("id_b"), "band", "band_hash"
+        )
+        join_key = ["band", "band_hash"]
+    else:
+        gridded = _attach_grid(banded, hot, id_col)
+        left = gridded.select(
+            F.col(id_col).alias("id_a"),
+            "band",
+            "band_hash",
+            F.col("_home").alias("_x"),
+            _grid_cells().alias("_y"),
+        )
+        right = gridded.select(
+            F.col(id_col).alias("id_b"),
+            "band",
+            "band_hash",
+            _grid_cells().alias("_x"),
+            F.col("_home").alias("_y"),
+        )
+        join_key = ["band", "band_hash", "_x", "_y"]
     pairs = (
-        left.join(right, on=["band", "band_hash"])
+        left.join(right, on=join_key)
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -1145,8 +1289,10 @@ def minhash_pairs_incremental(
 
     from ..caching import tracked_persist
 
-    new_sigs = tracked_persist(prep(new_docs))
-    corpus_sigs = tracked_persist(prep(corpus))
+    new_sigs_raw = prep(new_docs)
+    corpus_sigs_raw = prep(corpus)
+    new_sigs = tracked_persist(new_sigs_raw)
+    corpus_sigs = tracked_persist(corpus_sigs_raw)
 
     from ..functions.sqlexpr import band_hash_sql
 
@@ -1175,19 +1321,51 @@ def minhash_pairs_incremental(
             ).alias("bh"),
         ).select(id_col, "bh.band", "bh.band_hash")
 
-    probe = banded(new_sigs).select(
-        F.col(id_col).alias("id_a"), "band", "band_hash"
-    )
     # build side = corpus buckets + the new batch's own buckets (so the
     # batch dedups against itself); the corpus is never self-joined
-    build = (
+    build_all = (
         banded(corpus_sigs)
         .withColumn("_new", F.lit(False))
         .unionByName(banded(new_sigs).withColumn("_new", F.lit(True)))
-        .select(F.col(id_col).alias("id_b"), "band", "band_hash", "_new")
     )
+    # eager-literal hot-bucket detection exactly as in minhash_pairs
+    # (see _detect_hot_buckets): grid size from the BUILD side
+    # (everything a probe row can match); both sides take the same
+    # per-bucket S via the shared literal frame, so pair (a, b) meets
+    # once at (home(a), home(b)). A standing-corpus hot bucket is THE
+    # skew case for continuous ingest — every nightly batch re-joins it.
+    # detection reads the UNPERSISTED signature frames (cache-barrier
+    # pushdown note in minhash_pairs)
+    hot = _detect_hot_buckets(
+        banded(corpus_sigs_raw).unionByName(banded(new_sigs_raw)), id_col
+    )
+    if hot is None:
+        probe = banded(new_sigs).select(
+            F.col(id_col).alias("id_a"), "band", "band_hash"
+        )
+        build = build_all.select(
+            F.col(id_col).alias("id_b"), "band", "band_hash", "_new"
+        )
+        join_key = ["band", "band_hash"]
+    else:
+        probe = _attach_grid(banded(new_sigs), hot, id_col).select(
+            F.col(id_col).alias("id_a"),
+            "band",
+            "band_hash",
+            F.col("_home").alias("_x"),
+            _grid_cells().alias("_y"),
+        )
+        build = _attach_grid(build_all, hot, id_col).select(
+            F.col(id_col).alias("id_b"),
+            "band",
+            "band_hash",
+            "_new",
+            _grid_cells().alias("_x"),
+            F.col("_home").alias("_y"),
+        )
+        join_key = ["band", "band_hash", "_x", "_y"]
     pairs = (
-        probe.join(build, on=["band", "band_hash"])
+        probe.join(build, on=join_key)
         # new-new pairs would appear in both orientations: keep id_a<id_b;
         # new-corpus pairs keep the new doc as id_a unconditionally
         .filter(

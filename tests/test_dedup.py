@@ -812,3 +812,87 @@ def test_exact_spans_widen_inputs_identity(spark):
         )
     )
     assert a == b and a
+
+
+class TestHotBucketGrid:
+    """r17 skew guard: hot LSH buckets split into an S x S cell grid
+    (dedup._LSH_BUCKET_CHUNK). The pair set must be IDENTICAL with the
+    grid forced on (tiny chunk) and effectively off (huge chunk)."""
+
+    def _hot_corpus(self, spark):
+        # 12 identical docs (one hot bucket per band) + distinct tail
+        rows = [(i, BASE) for i in range(12)] + [
+            (100 + i, f"unique document number {i} with plenty of words "
+                      "to shingle abcde fghij klmno")
+            for i in range(8)
+        ]
+        return spark.createDataFrame(rows, "doc_id: long, text: string")
+
+    def _pairs_set(self, df, **kw):
+        return {
+            (r["id_a"], r["id_b"], round(r["est_jaccard"], 9))
+            for r in minhash_pairs(df, **kw).collect()
+        }
+
+    def test_grid_identity_self_join(self, spark, monkeypatch):
+        from hds_functions_spark.operators import dedup as D
+
+        docs = self._hot_corpus(spark)
+        # rate 1 = exact counting (pmod(x, 1) == 0 for every row), so
+        # the tiny corpus is guaranteed to trip the lowered chunk
+        monkeypatch.setattr(D, "_LSH_HOT_SAMPLE", 1)
+        monkeypatch.setattr(D, "_LSH_BUCKET_CHUNK", 1 << 30)
+        off = self._pairs_set(docs, persist_signatures=False)
+        monkeypatch.setattr(D, "_LSH_BUCKET_CHUNK", 3)  # force S >= 4
+        on = self._pairs_set(docs, persist_signatures=False)
+        assert on == off
+        # sanity: the hot bucket really produced quadratic pairs
+        assert len(on) >= 12 * 11 // 2
+
+    def test_grid_identity_incremental(self, spark, monkeypatch):
+        from hds_functions_spark.operators import dedup as D
+        from hds_functions_spark.operators.dedup import (
+            minhash_pairs_incremental,
+        )
+
+        monkeypatch.setattr(D, "_LSH_HOT_SAMPLE", 1)
+        corpus = self._hot_corpus(spark)
+        new = spark.createDataFrame(
+            [(200, BASE), (201, BASE.replace("lazy", "sleepy")),
+             (202, "fresh unrelated payload with words to shingle nicely")],
+            "doc_id: long, text: string",
+        )
+
+        def run():
+            return {
+                (r["id_a"], r["id_b"], r["cross_batch"],
+                 round(r["est_jaccard"], 9))
+                for r in minhash_pairs_incremental(new, corpus).collect()
+            }
+
+        monkeypatch.setattr(D, "_LSH_BUCKET_CHUNK", 1 << 30)
+        off = run()
+        monkeypatch.setattr(D, "_LSH_BUCKET_CHUNK", 2)  # force S > 1
+        on = run()
+        assert on == off
+        assert any(cb for _a, _b, cb, _e in on)  # cross-batch pairs exist
+
+    def test_grid_splits_hot_bucket_keys(self, spark, monkeypatch):
+        # the mechanism itself: with a tiny chunk the banded join input
+        # carries S > 1 and pair work spreads over multiple grid cells
+        from hds_functions_spark.operators import dedup as D
+
+        monkeypatch.setattr(D, "_LSH_HOT_SAMPLE", 1)
+        docs = self._hot_corpus(spark)
+        banded = docs.select(
+            F.col("doc_id"), F.lit(0).alias("band"),
+            F.hash("text").alias("band_hash"),
+        )
+        hot = D._hot_buckets(banded, "doc_id", chunk=3)
+        rows = hot.collect()
+        assert len(rows) == 1 and rows[0]["_s"] == 4  # ceil(12 / 3)
+        gridded = D._attach_grid(banded, hot, "doc_id")
+        homes = {
+            r["_home"] for r in gridded.filter(F.col("_s") > 1).collect()
+        }
+        assert homes and homes <= set(range(4)) and len(homes) > 1

@@ -115,7 +115,22 @@ def main() -> None:
 
     from hds_functions_spark.operators.dedup import minhash_pairs
 
+    def _stage_watermark():
+        done = rest(f"applications/{app}/stages?status=complete")
+        return max((s["stageId"] for s in done), default=-1)
+
     def run_pairs(tag: str, skew_on: bool):
+        # only look at stages submitted by THIS run — the app-wide
+        # heaviest stage would otherwise be the previous run's straggler
+        wm = _stage_watermark()
+        # force the AT-SCALE join shape: locally the banded table fits
+        # broadcast, and a broadcast join is immune to stream-side key
+        # skew (the hot key's rows spread over all stream partitions) —
+        # which is itself a finding: the local bench can never exhibit
+        # this skew. At billions of docs the banded table exceeds any
+        # broadcast threshold and the join becomes SMJ/SHJ, where ONE
+        # (band, band_hash) bucket = one shuffle partition's straggler.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         spark.conf.set("spark.sql.adaptive.skewJoin.enabled", str(skew_on).lower())
         if skew_on:
             # scale thresholds to local bytes so the mechanism can fire
@@ -130,19 +145,79 @@ def main() -> None:
                 "spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2"
             )
         spark.sparkContext.setJobDescription(f"skew-probe pairs {tag}")
-        t0 = time.perf_counter()
-        n = (
-            minhash_pairs(docs, min_jaccard=0.99, persist_signatures=False)
-            .count()
+        pairs = minhash_pairs(
+            docs, min_jaccard=0.99, persist_signatures=False
         )
+        t0 = time.perf_counter()
+        n = pairs.count()
         wall = round(time.perf_counter() - t0, 2)
-        # heaviest completed stage = the band self-join fetch side
-        hist = task_histogram(app)
-        report[f"pairs_{tag}"] = {"wall_s": wall, "n_pairs": n, **(hist or {})}
+        # direct mechanism evidence: the AQE-final executed plan marks
+        # the skew-split shuffle reader with skew=true
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        # heaviest completed stage of THIS run = the band self-join side
+        hist = task_histogram(app, lambda s: s["stageId"] > wm)
+        report[f"pairs_{tag}"] = {
+            "wall_s": wall,
+            "n_pairs": n,
+            "aqe_skew_reader_fired": "skew=true" in plan,
+            **(hist or {}),
+        }
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sparkContext.setJobDescription(None)
 
+    run_pairs("warmup", skew_on=False)   # absorb first-job JVM/codegen cost
+    report.pop("pairs_warmup", None)
     run_pairs("skewjoin_off", skew_on=False)
     run_pairs("skewjoin_on", skew_on=True)
+    run_pairs("skewjoin_off2", skew_on=False)  # order-reversed control
+
+    # --- the library's own defense: the hot-bucket salt grid ------------
+    # FINDING from the runs above: AQE never helps here
+    # (aqe_skew_reader_fired stays false) because both its skew-join
+    # splitter and its partition coalescing are shuffle-BYTE based,
+    # while LSH hot-bucket skew lives in join OUTPUT (n^2 pairs from a
+    # few KB of bucket rows). Locally AQE even coalesces the whole join
+    # to ONE task. dedup._LSH_BUCKET_CHUNK splits hot buckets into an
+    # S x S cell grid instead. For the demonstration we disable
+    # partition coalescing (at 100 TB the banded shuffle is byte-large
+    # and never coalesces to 1 — this emulates the at-scale shape) and
+    # compare grid OFF (chunk = 2^30) vs grid ON (shipped default).
+    from hds_functions_spark.operators import dedup as _D
+
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+
+    def run_grid(tag: str, chunk: int):
+        wm = _stage_watermark()
+        old = _D._LSH_BUCKET_CHUNK
+        _D._LSH_BUCKET_CHUNK = chunk
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set(
+                "spark.sql.adaptive.coalescePartitions.enabled", "false"
+            )
+            spark.sparkContext.setJobDescription(f"skew-probe grid {tag}")
+            t0 = time.perf_counter()
+            n = (
+                minhash_pairs(docs, min_jaccard=0.99,
+                              persist_signatures=False)
+                .count()
+            )
+            wall = round(time.perf_counter() - t0, 2)
+            hist = task_histogram(app, lambda s: s["stageId"] > wm)
+            report[f"grid_{tag}"] = {
+                "wall_s": wall, "n_pairs": n, **(hist or {}),
+            }
+        finally:
+            _D._LSH_BUCKET_CHUNK = old
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+            spark.conf.unset(
+                "spark.sql.adaptive.coalescePartitions.enabled"
+            )
+            spark.sparkContext.setJobDescription(None)
+
+    run_grid("off_chunk2e30", 1 << 30)
+    run_grid("on_default", _D._LSH_BUCKET_CHUNK)
+    run_grid("off_chunk2e30_again", 1 << 30)  # order control
 
     # --- aggregation-side skew ------------------------------------------
     from hds_functions_spark.operators.urls import (
@@ -160,14 +235,16 @@ def main() -> None:
         "text",
     ).withColumn("domain", F.col("host"))
 
+    wm = _stage_watermark()
     spark.sparkContext.setJobDescription("skew-probe host_dedup_stats")
     t0 = time.perf_counter()
     host_dedup_stats(pages).write.format("noop").mode("overwrite").save()
     report["host_dedup_stats"] = {
         "wall_s": round(time.perf_counter() - t0, 2),
-        **(task_histogram(app) or {}),
+        **(task_histogram(app, lambda s: s["stageId"] > wm) or {}),
     }
 
+    wm = _stage_watermark()
     spark.sparkContext.setJobDescription("skew-probe cap_per_domain")
     t0 = time.perf_counter()
     cap_per_domain(pages, "doc_id", "domain", 5).write.format("noop").mode(
@@ -175,7 +252,7 @@ def main() -> None:
     ).save()
     report["cap_per_domain"] = {
         "wall_s": round(time.perf_counter() - t0, 2),
-        **(task_histogram(app) or {}),
+        **(task_histogram(app, lambda s: s["stageId"] > wm) or {}),
     }
     spark.sparkContext.setJobDescription(None)
 
