@@ -463,7 +463,14 @@ def pipeline_web_curation(spark, sf_dir):
         & (F.col("quality_score") >= _WC_QUALITY_MIN)
         & (bucket >= _BLOOM_CUT)
     )
-    staged = tracked_persist(
+    from .operators.dedup import ensure_min_partitions
+
+    # widen INTO the persist: the staged frame otherwise inherits the
+    # WARC read's 8 archive splits, capping every downstream consumer
+    # (the KN train/score legs, the bloom probe, the ranked attach) at
+    # 8-way parallelism on the cached data — profiled r17: ~12 KN-leg
+    # stages of 8 tasks each, avg 7 of 32 cores busy across the query
+    stagedw = ensure_min_partitions(
         processed.select(
             "is_corrupt",
             keep.alias("_keep"),
@@ -472,6 +479,7 @@ def pipeline_web_curation(spark, sf_dir):
             F.when(keep, F.col("lang_pred")).alias("lang_pred"),
         )
     )
+    staged = tracked_persist(stagedw)
     stats = staged.agg(
         F.count(F.when(F.col("is_corrupt"), 1)).alias("c"),
         F.count(F.when(~F.col("is_corrupt"), 1)).alias("n"),
